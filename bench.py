@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from memory_engine_spark.session import get_spark
+
+# Headline set: one per operator family, all scale-relevant.
+BENCH_QUERIES = [
+    "q01_filter_sort_page",   # scan + filter + sort + page
+    "q03_pricing_summary",    # grouped aggregation (600k lineitem)
+    "q06_monthly_events",     # time bucketing (100k events)
+    "q09_khop",               # iterative BFS join (1.3M edges)
+    "q10_degree_hubs",        # degree aggregation + top-k
+    "q11_temporal_pairs",     # blocked self-join, range predicate
+    "q13_jaccard_pairs",      # shingle-join similarity (5k docs)
+    "q14_minhash_neardup",    # MinHash LSH pipeline
+    "q16_knn_cosine",         # brute-force vector top-k
+    "q17_embedding_neardup",  # blocked vector pair join
+    "q18_text_stats",         # text-analysis expressions
+    "q21_search_ranking",     # multi-criteria scoring + top-k
+    "q22_top_orders_per_cust",  # ranking window
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("memory-engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Graph operators: neighbors, k-hop BFS, shortest path, degree,
+induced subgraph, pattern matching, node merge.
+
+Reference semantics:
+- 1-hop neighbors, both directions, optional relation filter:
+  /root/reference/memory_core/storage/backends/sqlite/sqlite_storage.py:434-488
+- k-hop BFS with hop_distance annotation (undirected, visited set):
+  sqlite_storage.py:662-699;
+  /root/reference/memory_core/mcp_integration/enhanced_mcp_endpoint.py:76-172
+- shortest path (unweighted, undirected, ≤ max_hops): sqlite_storage.py:571-616
+- induced subgraph (edges with both endpoints in the set):
+  enhanced_mcp_endpoint.py:234-263
+- graph pattern matching (root constraints + required relations):
+  enhanced_mcp_endpoint.py:270-345
+- merge nodes (rewrite edges, dedup): sqlite_storage.py:798-840
+
+Spark-first design (not a translation): the reference walks adjacency
+row-at-a-time in Python/Gremlin; here each BFS hop is ONE distributed
+hash join between the current frontier and the (symmetrized) edge
+table, with a left-anti join against the visited set — the classic
+iterative-dataflow formulation of BFS (GraphX/Pregel, OSDI'14). The
+loop runs on the driver but touches no data there; per-iteration
+``localCheckpoint`` truncates lineage so plans stay O(1) per hop
+instead of O(depth). At cluster scale the edge table should be
+pre-partitioned (bucketed) on ``from_id`` so every hop's join reuses
+the same partitioning and only the frontier shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: each edge plus its reverse."""
+    rev = edges.select(
+        F.col("to_id").alias("from_id"),
+        F.col("from_id").alias("to_id"),
+        *[c for c in edges.columns if c not in ("from_id", "to_id")],
+    )
+    return edges.unionByName(rev)
+
+
+def neighbors(edges: DataFrame, node_ids: DataFrame | list[str],
+              relation_type: str | None = None,
+              direction: str = "both") -> DataFrame:
+    """1-hop neighbor ids for a set of nodes.
+
+    ``node_ids``: DataFrame with a ``node_id`` column, or a literal list
+    (broadcast — the reference's per-node point lookup becomes a
+    broadcast semi-join over the whole id set at once).
+    Returns (node_id, neighbor_id, relation_type).
+    """
+    spark = edges.sparkSession
+    if isinstance(node_ids, list):
+        node_ids = spark.createDataFrame([(i,) for i in node_ids], "node_id string")
+    if relation_type is not None:
+        edges = edges.filter(F.col("relation_type") == relation_type)  # pushed pre-join
+    e = {
+        "out": edges,
+        "in": edges.select(F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id"),
+                           "relation_type"),
+        "both": symmetrize(edges.select("from_id", "to_id", "relation_type")),
+    }[direction]
+    return (
+        e.join(F.broadcast(node_ids), e.from_id == node_ids.node_id)
+        .select("node_id", F.col("to_id").alias("neighbor_id"), "relation_type")
+        .distinct()
+    )
+
+
+def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
+          relation_type: str | None = None, directed: bool = False,
+          min_confidence: float | None = None) -> DataFrame:
+    """BFS to ``max_depth``; returns (node_id, hop_distance) with the
+    MINIMUM hop distance per reachable node (start nodes at 0), matching
+    the reference's visited-set BFS (sqlite_storage.py:662-699).
+
+    Each hop = one hash join frontier⋈edges + one left-anti join vs
+    visited; early-exits when the frontier drains. localCheckpoint per
+    hop keeps lineage flat (frontiers are small relative to edges).
+    """
+    spark = edges.sparkSession
+    if isinstance(start_ids, list):
+        start_ids = spark.createDataFrame([(i,) for i in start_ids], "node_id string")
+    if relation_type is not None:
+        edges = edges.filter(F.col("relation_type") == relation_type)
+    if min_confidence is not None:
+        edges = edges.filter(F.col("confidence_score") >= min_confidence)
+    adj = (edges if directed else symmetrize(edges)).select("from_id", "to_id")
+
+    visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+            .select(F.col("to_id").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .withColumn("hop_distance", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6,
+                         directed: bool = False) -> int | None:
+    """Unweighted shortest-path length src→dst (sqlite_storage.py:571-616).
+    BFS with early exit on first reach; None if not within max_hops."""
+    spark = edges.sparkSession
+    adj = (edges if directed else symmetrize(edges)).select("from_id", "to_id")
+    visited = spark.createDataFrame([(src,)], "node_id string").localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+            .select(F.col("to_id").alias("node_id"))
+            .distinct()
+            .join(visited, "node_id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return None
+        if not nxt.filter(F.col("node_id") == dst).isEmpty():
+            return depth
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return None
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node_id, out_degree, in_degree, degree). One shuffle per
+    direction, partial-aggregated map-side; used by structural anomaly
+    detection (insight_discovery.py:1499-1577: isolated/hub nodes)."""
+    out_d = edges.groupBy(F.col("from_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col("to_id").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "node_id", "full_outer")
+        .fillna(0, ["out_degree", "in_degree"])
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def induced_subgraph(edges: DataFrame, node_ids: DataFrame) -> DataFrame:
+    """Edges whose BOTH endpoints are in node_ids
+    (enhanced_mcp_endpoint.py:234-263) — two semi-joins."""
+    ids = node_ids.select("node_id")
+    return (
+        edges.join(ids.withColumnRenamed("node_id", "from_id"), "from_id", "left_semi")
+        .join(ids.withColumnRenamed("node_id", "to_id"), "to_id", "left_semi")
+    )
+
+
+def match_pattern(nodes: DataFrame, edges: DataFrame,
+                  node_predicate, required_out: list[str] = (),
+                  required_in: list[str] = ()) -> DataFrame:
+    """Graph pattern matching (enhanced_mcp_endpoint.py:270-345): nodes
+    satisfying ``node_predicate`` that have at least one outgoing edge of
+    every type in required_out and one incoming of every type in
+    required_in. Each requirement is a semi-join (motif-style)."""
+    out = nodes.filter(node_predicate)
+    for rel in required_out:
+        req = edges.filter(F.col("relation_type") == rel).select(
+            F.col("from_id").alias("node_id"))
+        out = out.join(req, "node_id", "left_semi")
+    for rel in required_in:
+        req = edges.filter(F.col("relation_type") == rel).select(
+            F.col("to_id").alias("node_id"))
+        out = out.join(req, "node_id", "left_semi")
+    return out
+
+
+def merge_nodes(nodes: DataFrame, edges: DataFrame, keep_id: str,
+                drop_id: str) -> tuple[DataFrame, DataFrame]:
+    """Fold drop_id's edges into keep_id and delete drop_id
+    (sqlite_storage.py:798-840): rewrite endpoints, drop self-loops,
+    dedup, anti-delete the node."""
+    rewritten = (
+        edges.withColumn("from_id", F.when(F.col("from_id") == drop_id, keep_id)
+                         .otherwise(F.col("from_id")))
+        .withColumn("to_id", F.when(F.col("to_id") == drop_id, keep_id)
+                    .otherwise(F.col("to_id")))
+        .filter(F.col("from_id") != F.col("to_id"))
+        .dropDuplicates(["from_id", "to_id", "relation_type"])
+    )
+    return nodes.filter(F.col("node_id") != drop_id), rewritten

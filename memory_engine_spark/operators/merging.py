@@ -1,0 +1,51 @@
+"""Merge semantics + rating updates (exact, oracle-checkable formulas).
+
+Reference:
+- merge semantics /root/reference/memory_core/ingestion/merging.py:127-196 —
+  ratings merge = element-wise max, tag merge = sorted set-union of the
+  comma-split lists, metadata deep-merge right-wins.
+- rating update /root/reference/memory_core/rating/rating_system.py:61-91 —
+  truthfulness: clamp01(old + 0.2·confirmation − 0.2·contradiction);
+  richness/stability: clamp01(old + 0.2·factor).
+
+Both are pure column expressions — upserts apply them via anti-join +
+union (immutable storage MERGE idiom, SURVEY.md §7 hard part (c)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merged_ratings(*rating_cols: Column) -> Column:
+    """Element-wise max (merging.py:127-141)."""
+    return F.greatest(*rating_cols)
+
+
+def merged_tags(tags_a: Column, tags_b: Column) -> Column:
+    """Sorted set-union of comma-joined tag strings (merging.py:144-152),
+    returned comma-joined like the reference encoding."""
+    def split(c: Column) -> Column:
+        return F.filter(F.split(c, ","), lambda x: x != "")
+    return F.concat_ws(",", F.array_sort(F.array_union(split(tags_a), split(tags_b))))
+
+
+def clamp01(c: Column) -> Column:
+    return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+
+def updated_truthfulness(old: Column, confirmation: Column, contradiction: Column) -> Column:
+    """rating_system.py:61-91."""
+    return clamp01(old + 0.2 * confirmation - 0.2 * contradiction)
+
+
+def updated_rating(old: Column, factor: Column) -> Column:
+    """richness/stability update (rating_system.py:61-91)."""
+    return clamp01(old + 0.2 * factor)
+
+
+def upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE-style upsert on immutable tables: rows in ``updates`` win;
+    untouched rows pass through (anti-join + union)."""
+    return existing.join(updates.select(key), key, "left_anti").unionByName(updates)

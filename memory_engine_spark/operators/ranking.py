@@ -1,0 +1,105 @@
+"""Result ranking: multi-criteria scoring + greedy diversity filter.
+
+Reference: /root/reference/memory_core/query/result_ranker.py —
+criteria weights relevance 0.4 / quality 0.3 / freshness 0.1 /
+popularity 0.1 / diversity 0.1 normalized to 1 (:17-50, :542-568),
+relevance = word-Jaccard × 2 capped 1.0 (:228-245), quality =
+0.4·richness + 0.4·truthfulness + 0.2·stability (:322-334), freshness
+step decay (:336-377), popularity log curve (:379-411), greedy
+diversity keep-if-max-sim<0.7 (:570-602).
+
+All scores are Column expressions evaluated in one projection; the
+final rank is an ``orderBy`` that Catalyst turns into
+TakeOrderedAndProject when a limit follows. The greedy diversity filter
+is inherently sequential — it runs driver-side over the ALREADY-ranked
+top-N (N = page size), which is the only collect in the engine and is
+O(page²), independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from memory_engine_spark.operators.dedup import tokens
+
+DEFAULT_WEIGHTS = {"relevance": 0.4, "quality": 0.3, "freshness": 0.1, "popularity": 0.1}
+
+
+def relevance_score(content, query: str) -> Column:
+    """Word-Jaccard(query, content) × 2, capped at 1.0
+    (result_ranker.py:228-245)."""
+    ct = F.array_distinct(tokens(content))
+    qt = F.array_distinct(tokens(F.lit(query)))
+    inter = F.size(F.array_intersect(ct, qt))
+    union = F.size(F.array_union(ct, qt))
+    jac = F.when(union == 0, 0.0).otherwise(inter / union)
+    return F.least(jac * 2.0, F.lit(1.0))
+
+
+def quality_rating_score(richness, truthfulness, stability) -> Column:
+    """0.4·richness + 0.4·truthfulness + 0.2·stability
+    (result_ranker.py:322-334)."""
+    return 0.4 * F.col(richness) + 0.4 * F.col(truthfulness) + 0.2 * F.col(stability)
+
+
+def freshness_score(age_days: Column) -> Column:
+    """Step decay (result_ranker.py:336-377): ≤0d→1.0, ≤7d→0.9,
+    ≤30d→0.7, ≤90d→0.5, ≤365d→0.3, else 0.1."""
+    return (
+        F.when(age_days <= 0, 1.0)
+        .when(age_days <= 7, 0.9)
+        .when(age_days <= 30, 0.7)
+        .when(age_days <= 90, 0.5)
+        .when(age_days <= 365, 0.3)
+        .otherwise(0.1)
+    )
+
+
+def popularity_score(access_count) -> Column:
+    """log(n+1)/log(100), capped 1.0 (result_ranker.py:379-411,
+    without the recent-access boost which needs an access log)."""
+    return F.least(F.log(F.col(access_count) + 1.0) / F.log(F.lit(100.0)), F.lit(1.0))
+
+
+def combined_score(parts: dict[str, Column], weights: dict[str, float] | None = None) -> Column:
+    """Weighted sum with weights normalized to 1 (result_ranker.py:542-568)."""
+    weights = weights or {k: DEFAULT_WEIGHTS[k] for k in parts}
+    total = sum(weights[k] for k in parts)
+    out = F.lit(0.0)
+    for name, col in parts.items():
+        out = out + col * F.lit(weights[name] / total)
+    return out
+
+
+def rank_results(df: DataFrame, score: Column, limit: int | None = None,
+                 tiebreak: str | None = None) -> DataFrame:
+    out = df.withColumn("combined_score", F.round(score, 6))
+    order = [F.col("combined_score").desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    out = out.orderBy(*order)
+    return out.limit(limit) if limit is not None else out
+
+
+def greedy_diversity_filter(rows: list[dict], text_key: str,
+                            max_similarity: float = 0.7) -> list[dict]:
+    """Driver-side greedy MMR-style filter over an already-ranked page
+    (result_ranker.py:570-602): keep a row iff its max word-Jaccard to
+    every kept row < max_similarity; the top row always survives."""
+    def words(s: str) -> set[str]:
+        return set(s.lower().split())
+
+    kept: list[dict] = []
+    for row in rows:
+        w = words(row[text_key])
+        ok = True
+        for k in kept:
+            kw = words(k[text_key])
+            union = w | kw
+            if union and len(w & kw) / len(union) >= max_similarity:
+                ok = False
+                break
+        if ok:
+            kept.append(row)
+    return kept

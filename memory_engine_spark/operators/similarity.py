@@ -1,0 +1,155 @@
+"""Similarity search: brute-force cosine top-k, LSH-bucketed ANN,
+IVF-style coarse quantization, and embedding near-duplicate joins.
+
+Reference: top-k vector search
+(/root/reference/memory_core/embeddings/embedding_manager.py:308-329,
+numpy argsort at vector_stores/numpy/numpy_store.py:361-364) and the
+find-similar merge gate (/root/reference/memory_core/ingestion/merging.py:66-77).
+The reference's Milvus config (IVF_FLAT nlist=1024 nprobe=10,
+milvus_store.py:56-110) motivates the IVF variant here.
+
+Scale design:
+- ``topk_brute``: score column + orderBy.limit(k) — Catalyst lowers to
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+  i.e. a full scan but NO shuffle of the data, only k rows per
+  partition move. This is the exact baseline and the correct plan up to
+  ~10⁸ vectors per query batch.
+- ``topk_ivf``: coarse centroids (sampled seeds, one k-means-ish
+  refinement pass) assign each vector to a cell; queries probe the
+  nearest ``nprobe`` cells. Scan cost drops by ~nlist/nprobe. Cells are
+  a broadcast join — no shuffle on the big side.
+- ``neardup_pairs``: all pairs with cosine ≥ τ, pruned by a coarse
+  bucket key so the self-join is per-bucket instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from memory_engine_spark.functions.vector import cosine_similarity
+
+
+def topk_brute(embeddings: DataFrame, query_vec: list[float], k: int = 50,
+               id_col: str = "node_id", vec_col: str = "embedding",
+               threshold: float | None = None) -> DataFrame:
+    """Exact top-k by cosine: returns (id, score) sorted desc, id-tiebroken.
+    The literal query vector is inlined into the plan (no join at all)."""
+    q = F.lit(query_vec).cast("array<double>")
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), q).alias("score"),
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("score") >= threshold)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def crossjoin_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                   id_col: str = "node_id", vec_col: str = "embedding",
+                   qid_col: str = "query_id", qvec_col: str = "query_vec") -> DataFrame:
+    """Batch top-k for MANY query vectors: broadcast the query side,
+    score per (query, candidate), window-rank per query. The big side
+    never shuffles; ranking shuffles only (n_queries × n_candidates)
+    score rows — use after threshold pre-filtering when q is large."""
+    scored = embeddings.join(F.broadcast(queries)).select(
+        F.col(qid_col), F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(qvec_col)).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse index (the scale path; Milvus IVF_FLAT analogue)
+# ---------------------------------------------------------------------------
+
+def build_ivf(embeddings: DataFrame, nlist: int = 64, seed: int = 42,
+              id_col: str = "node_id", vec_col: str = "embedding",
+              iters: int = 2) -> tuple[DataFrame, DataFrame]:
+    """Build (centroids, assigned) where centroids=(cell, centroid) and
+    assigned=embeddings+(cell). Centroids start from a deterministic
+    sample and take ``iters`` Lloyd refinement passes — each pass is one
+    broadcast-join + one groupBy (mean of member vectors), all built-in.
+    """
+    n = embeddings.count()
+    frac = min(1.0, (nlist * 4) / max(n, 1))
+    seeds = (
+        embeddings.sample(frac, seed=seed).limit(nlist)
+        .select(F.monotonically_increasing_id().alias("cell"),
+                F.col(vec_col).cast("array<double>").alias("centroid"))
+    )
+    # densify cell ids 0..nlist-1
+    seeds = seeds.select(
+        (F.row_number().over(Window.orderBy("cell")) - 1).alias("cell"), "centroid")
+    centroids = seeds.localCheckpoint()
+    for _ in range(iters):
+        assigned = _assign(embeddings, centroids, id_col, vec_col)
+        dim = len(centroids.select("centroid").first()[0])
+        agg = assigned.groupBy("cell").agg(
+            *[F.avg(F.col(vec_col).cast("array<double>")[i]).alias(f"c{i}") for i in range(dim)]
+        )
+        centroids = agg.select(
+            "cell", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+        ).localCheckpoint()
+    return centroids, _assign(embeddings, centroids, id_col, vec_col)
+
+
+def _assign(embeddings: DataFrame, centroids: DataFrame,
+            id_col: str, vec_col: str) -> DataFrame:
+    """Assign each vector to its max-cosine centroid: broadcast join +
+    window top-1 (no shuffle of the embedding side beyond the rank)."""
+    scored = embeddings.join(F.broadcast(centroids)).withColumn(
+        "cscore", cosine_similarity(F.col(vec_col), F.col("centroid")))
+    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    return (scored.withColumn("r", F.row_number().over(w)).filter("r = 1")
+            .drop("r", "cscore", "centroid"))
+
+
+def topk_ivf(assigned: DataFrame, centroids: DataFrame, query_vec: list[float],
+             k: int = 50, nprobe: int = 8,
+             id_col: str = "node_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe the nprobe nearest cells, exact-score inside them. Cell
+    pruning happens as a partition-prunable IN filter when ``assigned``
+    is written partitioned by cell."""
+    q = F.lit(query_vec).cast("array<double>")
+    probe = [r["cell"] for r in
+             centroids.select("cell", cosine_similarity(F.col("centroid"), q).alias("s"))
+             .orderBy(F.col("s").desc()).limit(nprobe).collect()]
+    cand = assigned.filter(F.col("cell").isin(probe))
+    return (cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate pair join
+# ---------------------------------------------------------------------------
+
+def neardup_pairs(embeddings: DataFrame, threshold: float,
+                  id_col: str = "node_id", vec_col: str = "embedding",
+                  bucket_col: str | None = None) -> DataFrame:
+    """All unordered pairs (a, b), a<b, with cosine ≥ threshold.
+
+    With ``bucket_col`` (e.g. an LSH band, IVF cell, or any blocking
+    key): the self-join is keyed on the bucket — a hash join producing
+    only within-bucket candidates, never a cross join. Without it the
+    join is a broadcast nested loop and only acceptable for small n.
+    Used for merge-gate dedup (merging.py:66-77, thresholds 0.9/0.92)
+    and semantic near-dup anomaly detection
+    (insight_discovery.py:1871-1935).
+    """
+    left = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        *( [F.col(bucket_col).alias("ka")] if bucket_col else [] ))
+    right = embeddings.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        *( [F.col(bucket_col).alias("kb")] if bucket_col else [] ))
+    joined = (left.join(right, F.col("ka") == F.col("kb")) if bucket_col
+              else left.crossJoin(right))
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,92 @@
+"""Dedup + text-analysis semantics on crafted near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.operators import dedup, text
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick  brown fox jumps over the lazy dog"),   # exact dup after norm
+    (3, "The quick brown fox jumps over the lazy cat"),    # near dup
+    (4, "Completely different content about spark engines"),
+    (5, "spark engines are completely different content about"),  # shared words
+    (6, ""),                                               # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, body string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicate_groups(docs, "body", "doc_id").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 2 and g["keep_id"] == 1 and g["dup_ids"] == [1, 2]
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, "body", "doc_id", n=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # docs 1,3: 7 shingles each, 6 shared -> 6/8
+    assert abs(pairs[(1, 3)] - 0.75) < 1e-9
+    assert (1, 4) not in pairs
+
+
+def test_minhash_matches_exact_jaccard_pairs(docs):
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, "body", "doc_id", n=3, threshold=0.5).collect()}
+    mh = {(r["a"], r["b"]) for r in
+          dedup.minhash_neardup(docs, "body", "doc_id", threshold=0.5,
+                                num_hashes=64, bands=32).collect()}
+    # verification step guarantees no false positives; banding at
+    # r=2 rows/band gives ~full recall at this tiny scale
+    assert mh == exact
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "body", "doc_id").collect()}
+    assert sh[1] == sh[2]  # normalization-identical docs
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_neardup(docs, "body", "doc_id", max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one word changed → small hamming
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id int, body string")
+    rows = df.select(dedup.word_shingles(F.col("body"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["only two"]
+
+
+def test_text_stats_and_quality(docs):
+    st = {r["doc_id"]: r for r in text.text_stats(docs, "body", "doc_id").collect()}
+    assert st[1]["n_tokens"] == 9
+    assert st[6]["n_tokens"] == 0 and st[6]["quality"] is not None
+    assert st[1]["fingerprint"] == st[2]["fingerprint"]
+    assert 0.0 <= st[4]["quality"] <= 1.0
+    # stopword ratio of doc1: the(2) -> 2/9 ("over" is not in the list)
+    assert abs(st[1]["stopword_ratio"] - 2 / 9) < 1e-6
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in that house with it"),
+         (2, "el perro y la casa de los gatos una por con"),
+         (3, "der hund und die katze ist nicht mit ein"),
+         (4, "xyzzy plugh qwerty")],
+        "doc_id int, body string")
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", text.language_id(F.col("body")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_rolling_fingerprints(docs):
+    rows = docs.filter("doc_id = 1").select(
+        text.rolling_fingerprints(F.col("body"), window=8).alias("fp")).collect()
+    assert len(rows[0]["fp"]) == 2  # 9 tokens, window 8 → 2 spans

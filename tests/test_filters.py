@@ -1,0 +1,91 @@
+"""Filter-compiler semantics vs the reference's 21-operator registry
+(/root/reference/memory_core/query/filter_processor.py:51-73,283-424)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from memory_engine_spark.operators.filters import (
+    NULL_AS_VALUE, NULL_INCLUDE, FilterCondition, apply_filters,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(id=1, name="Alpha One", score=0.9, tags=["x", "y"], props={"domain": "tech"}),
+        Row(id=2, name="beta two", score=0.4, tags=["y"], props={"domain": "bio"}),
+        Row(id=3, name=None, score=None, tags=[], props={}),
+        Row(id=4, name="Gamma", score=0.5, tags=["x", "z", "w"], props={"domain": "tech"}),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def ids(df, *conds):
+    return sorted(r["id"] for r in apply_filters(df, list(conds)).collect())
+
+
+def test_eq_ne_cmp(df):
+    assert ids(df, FilterCondition("score", "eq", 0.5)) == [4]
+    assert ids(df, FilterCondition("score", "ne", 0.5)) == [1, 2]  # null excluded
+    assert ids(df, FilterCondition("score", "gt", 0.4)) == [1, 4]
+    assert ids(df, FilterCondition("score", "gte", 0.4)) == [1, 2, 4]
+    assert ids(df, FilterCondition("score", "lt", 0.5)) == [2]
+    assert ids(df, FilterCondition("score", "lte", 0.5)) == [2, 4]
+
+
+def test_membership_and_strings(df):
+    assert ids(df, FilterCondition("id", "in", [1, 3])) == [1, 3]
+    assert ids(df, FilterCondition("id", "not_in", [1, 3])) == [2, 4]
+    assert ids(df, FilterCondition("name", "contains", "a One")) == [1]
+    assert ids(df, FilterCondition("name", "not_contains", "two")) == [1, 4]
+    assert ids(df, FilterCondition("name", "starts_with", "beta")) == [2]
+    assert ids(df, FilterCondition("name", "ends_with", "One")) == [1]
+
+
+def test_case_insensitive(df):
+    assert ids(df, FilterCondition("name", "contains", "ALPHA", case_sensitive=False)) == [1]
+    assert ids(df, FilterCondition("name", "eq", "gamma", case_sensitive=False)) == [4]
+
+
+def test_regex_and_guard(df):
+    assert ids(df, FilterCondition("name", "regex", r"^[A-Z]\w+ \w+$")) == [1]
+    # invalid regex → matches nothing (filter_processor.py:343-356)
+    assert ids(df, FilterCondition("name", "regex", "([")) == []
+    # oversized pattern → matches nothing
+    assert ids(df, FilterCondition("name", "regex", "x" * 1001)) == []
+
+
+def test_existence_emptiness(df):
+    assert ids(df, FilterCondition("name", "exists")) == [1, 2, 4]
+    assert ids(df, FilterCondition("name", "not_exists")) == [3]
+    assert ids(df, FilterCondition("name", "empty")) == [3]
+    assert ids(df, FilterCondition("name", "not_empty")) == [1, 2, 4]
+
+
+def test_between_and_arrays(df):
+    assert ids(df, FilterCondition("score", "between", [0.4, 0.5])) == [2, 4]
+    assert ids(df, FilterCondition("tags", "array_contains", "x")) == [1, 4]
+    assert ids(df, FilterCondition("tags", "array_length", 1)) == [2]
+
+
+def test_null_policies(df):
+    # include: null rows pass through (filter_processor.py:24-31)
+    assert ids(df, FilterCondition("score", "gt", 0.4, null_policy=NULL_INCLUDE)) == [1, 3, 4]
+    # as_value: eq compares nulls as values
+    assert ids(df, FilterCondition("score", "eq", 0.5, null_policy=NULL_AS_VALUE)) == [4]
+    assert ids(df, FilterCondition("score", "ne", 0.5, null_policy=NULL_AS_VALUE)) == [1, 2, 3]
+
+
+def test_nested_map_access(df):
+    assert ids(df, FilterCondition("props.domain", "eq", "tech")) == [1, 4]
+
+
+def test_conjunction(df):
+    assert ids(df,
+               FilterCondition("score", "gte", 0.4),
+               FilterCondition("tags", "array_contains", "x")) == [1, 4]
+    assert ids(df,
+               FilterCondition("score", "gte", 0.4),
+               FilterCondition("name", "contains", "beta")) == [2]

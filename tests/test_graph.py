@@ -1,0 +1,101 @@
+"""Graph operators on a hand-crafted graph with known BFS/shortest-path
+answers (reference semantics: sqlite_storage.py:434-699,571-616)."""
+
+from __future__ import annotations
+
+import pytest
+
+from memory_engine_spark.operators import graph
+
+#   a -> b -> c -> d   (chain)
+#   a -> e             (branch)
+#   f                  (isolated, no edges)
+#   hub: h -> x1..x4
+EDGES = [
+    ("a", "b", "next", 0.9),
+    ("b", "c", "next", 0.8),
+    ("c", "d", "next", 0.7),
+    ("a", "e", "branch", 0.6),
+    ("h", "x1", "spoke", 0.5),
+    ("h", "x2", "spoke", 0.5),
+    ("h", "x3", "spoke", 0.5),
+    ("h", "x4", "spoke", 0.5),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(
+        EDGES, "from_id string, to_id string, relation_type string, confidence_score double")
+
+
+def test_neighbors_both_directions(edges):
+    out = {(r["node_id"], r["neighbor_id"]) for r in
+           graph.neighbors(edges, ["b"]).collect()}
+    assert out == {("b", "a"), ("b", "c")}
+
+
+def test_neighbors_relation_filter(edges):
+    out = {r["neighbor_id"] for r in
+           graph.neighbors(edges, ["a"], relation_type="branch").collect()}
+    assert out == {"e"}
+
+
+def test_k_hop_min_distance(edges):
+    got = {r["node_id"]: r["hop_distance"] for r in
+           graph.k_hop(edges, ["a"], max_depth=2).collect()}
+    assert got == {"a": 0, "b": 1, "e": 1, "c": 2}
+
+
+def test_k_hop_directed_vs_undirected(edges):
+    directed = {r["node_id"] for r in
+                graph.k_hop(edges, ["c"], 2, directed=True).collect()}
+    assert directed == {"c", "d"}
+    undirected = {r["node_id"] for r in graph.k_hop(edges, ["c"], 2).collect()}
+    assert undirected == {"c", "b", "d", "a"}
+
+
+def test_k_hop_min_confidence(edges):
+    got = {r["node_id"] for r in
+           graph.k_hop(edges, ["a"], 3, min_confidence=0.75, directed=True).collect()}
+    assert got == {"a", "b", "c"}  # c->d (0.7) pruned
+
+
+def test_shortest_path(edges):
+    assert graph.shortest_path_length(edges, "a", "d") == 3
+    assert graph.shortest_path_length(edges, "d", "a") == 3  # undirected
+    assert graph.shortest_path_length(edges, "a", "d", max_hops=2) is None
+    assert graph.shortest_path_length(edges, "a", "x1") is None  # disconnected
+
+
+def test_degrees(edges):
+    d = {r["node_id"]: (r["out_degree"], r["in_degree"], r["degree"])
+         for r in graph.degrees(edges).collect()}
+    assert d["h"] == (4, 0, 4)
+    assert d["b"] == (1, 1, 2)
+    assert d["d"] == (0, 1, 1)
+
+
+def test_induced_subgraph(spark, edges):
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "node_id string")
+    got = {(r["from_id"], r["to_id"]) for r in
+           graph.induced_subgraph(edges, ids).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_match_pattern(spark, edges):
+    from pyspark.sql import functions as F
+    nodes = spark.createDataFrame([(n,) for n in "abcdefh"], "node_id string")
+    out = {r["node_id"] for r in
+           graph.match_pattern(nodes, edges, F.lit(True),
+                               required_out=["next"], required_in=["next"]).collect()}
+    assert out == {"b", "c"}  # have both incoming and outgoing 'next'
+
+
+def test_merge_nodes(spark, edges):
+    nodes = spark.createDataFrame([(n,) for n in "abcdeh"], "node_id string")
+    new_nodes, new_edges = graph.merge_nodes(nodes, edges, keep_id="a", drop_id="b")
+    assert "b" not in {r["node_id"] for r in new_nodes.collect()}
+    pairs = {(r["from_id"], r["to_id"]) for r in new_edges.collect()}
+    assert ("a", "c") in pairs          # b->c rewritten
+    assert ("a", "b") not in pairs      # a->b became self-loop, dropped

@@ -1,0 +1,146 @@
+"""Vector math vs NumPy ground truth; ranking/merge/rating formulas
+vs hand-computed reference values (result_ranker.py, merging.py,
+rating_system.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from memory_engine_spark.functions import vector as V
+from memory_engine_spark.operators import ranking, similarity
+from memory_engine_spark.operators.merging import (
+    merged_ratings, merged_tags, updated_rating, updated_truthfulness, upsert,
+)
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [1.0, 1.0, 0.0]),
+    (4, [0.9, 0.1, 0.0]),
+    (5, [0.0, 0.0, 0.0]),  # zero vector
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "id int, v array<double>")
+
+
+def test_cosine_vs_numpy(vecs):
+    got = {r["id"]: r["c"] for r in vecs.select(
+        "id", V.cosine_similarity(F.col("v"), F.lit([1.0, 0.0, 0.0])).alias("c")).collect()}
+    for i, v in VECS:
+        v = np.array(v)
+        expect = 0.0 if np.linalg.norm(v) < 1e-10 else float(
+            v @ [1, 0, 0] / (np.linalg.norm(v) * 1.0))
+        assert abs(got[i] - expect) < 1e-12
+
+
+def test_l2_and_dot(vecs):
+    r = vecs.filter("id = 3").select(
+        V.dot(F.col("v"), F.lit([2.0, 3.0, 0.0])).alias("d"),
+        V.l2_distance(F.col("v"), F.lit([0.0, 0.0, 0.0])).alias("l2"),
+        V.l2_similarity(F.col("v"), F.lit([1.0, 1.0, 0.0])).alias("s"),
+    ).collect()[0]
+    assert r["d"] == 5.0
+    assert abs(r["l2"] - math.sqrt(2)) < 1e-12
+    assert r["s"] == 1.0  # identical → 1/(1+0)
+
+
+def test_topk_brute_order(vecs):
+    top = similarity.topk_brute(vecs, [1.0, 0.0, 0.0], k=3, id_col="id", vec_col="v").collect()
+    assert [r["id"] for r in top] == [1, 4, 3]
+
+
+def test_topk_threshold(vecs):
+    top = similarity.topk_brute(vecs, [1.0, 0.0, 0.0], k=5, id_col="id", vec_col="v",
+                                threshold=0.9).collect()
+    assert {r["id"] for r in top} == {1, 4}
+
+
+def test_neardup_pairs_bruteforce(vecs):
+    pairs = {(r["a"], r["b"]) for r in
+             similarity.neardup_pairs(vecs, 0.95, id_col="id", vec_col="v").collect()}
+    assert pairs == {(1, 4)}
+
+
+def test_crossjoin_topk(spark, vecs):
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0])],
+        "query_id int, query_vec array<double>")
+    out = similarity.crossjoin_topk(vecs, qs, k=1, id_col="id", vec_col="v")
+    got = {(r["query_id"], r["id"]) for r in out.collect()}
+    assert got == {(10, 1), (20, 2)}
+
+
+def test_ivf_finds_neighbors(vecs):
+    cents, assigned = similarity.build_ivf(vecs, nlist=2, id_col="id", vec_col="v")
+    top = similarity.topk_ivf(assigned, cents, [0.95, 0.05, 0.0], k=2, nprobe=2,
+                              id_col="id", vec_col="v").collect()
+    assert [r["id"] for r in top] == [1, 4]
+
+
+# -- ranking formulas -------------------------------------------------------
+
+def test_freshness_steps(spark):
+    df = spark.createDataFrame([(0,), (5,), (20,), (60,), (200,), (999,)], "age int")
+    got = [r["f"] for r in
+           df.select(ranking.freshness_score(F.col("age")).alias("f")).orderBy("age").collect()]
+    assert got == [1.0, 0.9, 0.7, 0.5, 0.3, 0.1]
+
+
+def test_relevance_jaccard_capped(spark):
+    df = spark.createDataFrame([(1, "spark join filter"), (2, "nothing shared here")],
+                               "id int, body string")
+    got = {r["id"]: r["rel"] for r in df.select(
+        "id", ranking.relevance_score(F.col("body"), "spark join").alias("rel")).collect()}
+    assert got[1] == 1.0  # jaccard 2/3 → ×2 capped
+    assert got[2] == 0.0
+
+
+def test_combined_score_normalization(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    s = df.select(ranking.combined_score(
+        {"a": F.lit(1.0), "b": F.lit(0.0)}, {"a": 0.4, "b": 0.4}).alias("s")).collect()
+    assert abs(s[0]["s"] - 0.5) < 1e-12
+
+
+def test_greedy_diversity():
+    rows = [{"t": "a b c d"}, {"t": "a b c e"}, {"t": "x y z w"}]
+    kept = ranking.greedy_diversity_filter(rows, "t", max_similarity=0.5)
+    assert kept == [{"t": "a b c d"}, {"t": "x y z w"}]
+
+
+# -- merge + rating formulas ------------------------------------------------
+
+def test_merge_semantics(spark):
+    df = spark.createDataFrame(
+        [Row(r1=0.3, r2=0.8, t1="b,a,c", t2="c,d")])
+    out = df.select(
+        merged_ratings(F.col("r1"), F.col("r2")).alias("r"),
+        merged_tags(F.col("t1"), F.col("t2")).alias("t")).collect()[0]
+    assert out["r"] == 0.8
+    assert out["t"] == "a,b,c,d"  # sorted set union (merging.py:144-152)
+
+
+def test_rating_update_clamps(spark):
+    df = spark.createDataFrame([(0.9, 1.0, 0.0), (0.1, 0.0, 1.0), (0.5, 0.5, 0.25)],
+                               "old double, conf double, contra double")
+    got = [round(r["n"], 6) for r in df.select(
+        updated_truthfulness(F.col("old"), F.col("conf"), F.col("contra")).alias("n"))
+        .collect()]
+    assert got == [1.0, 0.0, 0.55]  # clamp high, clamp low, exact formula
+    got2 = df.select(updated_rating(F.col("old"), F.lit(1.0)).alias("n")).collect()
+    assert round(got2[0]["n"], 6) == 1.0
+
+
+def test_upsert(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    got = {r["id"]: r["v"] for r in upsert(base, upd, "id").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}

@@ -1,0 +1,107 @@
+"""Self-check harness mimicking the driver's t2 gate: run each
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
+given SF, compare row count, column names, and order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from memory_engine_spark.session import get_spark
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if val != val:
+            return "NaN"
+        if val == int(val) and abs(val) < 1e15:
+            return str(int(val))
+        return repr(round(val, 9))
+    if isinstance(val, bool):
+        return str(int(val))
+    return str(val)
+
+
+def rows_key(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time()-t0:.1f}s, no oracle)")
+            continue
+        try:
+            orel = con.execute(oracles[name])
+            ocols = [d[0] for d in orel.description]
+            orows = orel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sk = rows_key(scols, [tuple(r) for r in srows])
+            ok = rows_key(ocols, orows)
+            if sk != ok:
+                diff = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
+                extra_s = [x for x in sk if x not in set(ok)][:3]
+                extra_o = [x for x in ok if x not in set(sk)][:3]
+                problems.append(f"values differ; first diffs={diff} "
+                                f"spark-only={extra_s} oracle-only={extra_o}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("ALL MATCH")
+
+
+if __name__ == "__main__":
+    main()
