@@ -41,6 +41,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # JVM/codegen warmup on the smallest SF so the first measured query
+    # doesn't absorb one-time startup cost.
+    entrymod.entry(spark).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

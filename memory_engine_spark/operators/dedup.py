@@ -79,9 +79,20 @@ def word_shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input when it arrives in too few partitions
+    (single parquet file) so the expensive per-row work that follows
+    (tokenize/shingle/hash) parallelizes. On a real corpus the input is
+    already many-partitioned and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def explode_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    return df.select(F.col(id_col).alias("_id"),
-                     F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    narrow = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+    return narrow.select("_id", F.explode(word_shingles(F.col("_txt"), n)).alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -104,8 +115,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         hot = (ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
                .filter(F.col("f") > max_shingle_freq).select("shingle"))
         ex = ex.join(hot, "shingle", "left_anti")
+    # The exploded shingle set feeds three plan branches (sizes + both
+    # join sides); persist so the tokenize/explode runs once, not 3×.
+    ex = ex.persist()
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    ex = ex.join(sizes, "_id")  # shingle rows are distinct per doc already
+    ex = ex.join(sizes.hint("broadcast"), "_id")  # shingle rows distinct per doc
 
     a = ex.select(F.col("_id").alias("a"), F.col("sz").alias("sz_a"), "shingle")
     b = ex.select(F.col("_id").alias("b"), F.col("sz").alias("sz_b"), "shingle")
@@ -165,12 +179,15 @@ def minhash_neardup(df: DataFrame, text_col: str, id_col: str,
     """MinHash-LSH near-dup pairs, verified with EXACT Jaccard so output
     contains no false positives (candidates are a recall-only
     approximation). Returns (a, b, jaccard)."""
-    sig = minhash_signature(df, text_col, id_col, num_hashes, n)
+    ex = explode_shingles(df, text_col, id_col, n).persist()
+    mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = (ex.groupBy("_id").agg(*mins)
+           .select(F.col("_id").alias("id"),
+                   F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")))
     cand = lsh_candidates(sig, bands)
-    ex = explode_shingles(df, text_col, id_col, n)
-    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    sets_ = ex.groupBy("_id").agg(F.collect_set("shingle").alias("sh"))
-    docs = sets_.join(sizes, "_id")
+    docs = ex.groupBy("_id").agg(F.collect_set("shingle").alias("sh"),
+                                 F.count(F.lit(1)).alias("sz"))
     cand = (
         cand.join(docs.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"),
                               F.col("sz").alias("sz_a")), "a")
@@ -192,8 +209,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit weighted sum of token
     hashes. Pure expressions: explode tokens → per-bit ±1 sums → pack.
     Returns (id, simhash bigint)."""
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    narrow = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")))
+    toks = narrow.select("id", F.explode(tokens(F.col("_txt"))).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))
     bit_sums = h.groupBy("id").agg(*[
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)

@@ -32,6 +32,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _is_cached(df: DataFrame) -> bool:
+    try:
+        return df.storageLevel.useMemory or df.storageLevel.useDisk
+    except Exception:  # pragma: no cover
+        return False
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: each edge plus its reverse."""
     rev = edges.select(
@@ -88,24 +95,36 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
         edges = edges.filter(F.col("relation_type") == relation_type)
     if min_confidence is not None:
         edges = edges.filter(F.col("confidence_score") >= min_confidence)
-    adj = (edges if directed else symmetrize(edges)).select("from_id", "to_id")
-
-    visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
-    frontier = visited
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
-            .select(F.col("to_id").alias("node_id"))
-            .distinct()
-            .join(visited.select("node_id"), "node_id", "left_anti")
-            .withColumn("hop_distance", F.lit(depth))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    return visited
+    # Cache the DIRECTED edge list once (narrowest form): the edge table
+    # may be a derived plan (unions, distincts) that must not recompute
+    # per hop. The symmetrized view is a cheap union over the cached
+    # rows, so it is NOT persisted — persisting it would double the
+    # materialized footprint for no per-hop win.
+    cached_here = not _is_cached(edges)
+    base = edges.select("from_id", "to_id")
+    if cached_here:
+        base = base.persist()
+    adj = base if directed else symmetrize(base)
+    try:
+        visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
+        frontier = visited
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+                .select(F.col("to_id").alias("node_id"))
+                .distinct()
+                .join(visited.select("node_id"), "node_id", "left_anti")
+                .withColumn("hop_distance", F.lit(depth))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        if cached_here:
+            base.unpersist()
 
 
 def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6,
@@ -113,24 +132,32 @@ def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6
     """Unweighted shortest-path length src→dst (sqlite_storage.py:571-616).
     BFS with early exit on first reach; None if not within max_hops."""
     spark = edges.sparkSession
-    adj = (edges if directed else symmetrize(edges)).select("from_id", "to_id")
-    visited = spark.createDataFrame([(src,)], "node_id string").localCheckpoint()
-    frontier = visited
-    for depth in range(1, max_hops + 1):
-        nxt = (
-            adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
-            .select(F.col("to_id").alias("node_id"))
-            .distinct()
-            .join(visited, "node_id", "left_anti")
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            return None
-        if not nxt.filter(F.col("node_id") == dst).isEmpty():
-            return depth
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-    return None
+    cached_here = not _is_cached(edges)
+    base = edges.select("from_id", "to_id")
+    if cached_here:
+        base = base.persist()
+    adj = base if directed else symmetrize(base)
+    try:
+        visited = spark.createDataFrame([(src,)], "node_id string").localCheckpoint()
+        frontier = visited
+        for depth in range(1, max_hops + 1):
+            nxt = (
+                adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+                .select(F.col("to_id").alias("node_id"))
+                .distinct()
+                .join(visited, "node_id", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                return None
+            if not nxt.filter(F.col("node_id") == dst).isEmpty():
+                return depth
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return None
+    finally:
+        if cached_here:
+            base.unpersist()
 
 
 def degrees(edges: DataFrame) -> DataFrame:

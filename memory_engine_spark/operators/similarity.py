@@ -138,18 +138,32 @@ def neardup_pairs(embeddings: DataFrame, threshold: float,
     Used for merge-gate dedup (merging.py:66-77, thresholds 0.9/0.92)
     and semantic near-dup anomaly detection
     (insight_discovery.py:1871-1935).
+
+    Norms are computed once per VECTOR before the join (n traversals),
+    so each candidate pair pays only the dot product — vs 3 array
+    traversals per pair for a naive cosine.
     """
-    left = embeddings.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-        *( [F.col(bucket_col).alias("ka")] if bucket_col else [] ))
-    right = embeddings.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-        *( [F.col(bucket_col).alias("kb")] if bucket_col else [] ))
+    from memory_engine_spark.functions.vector import EPS, dot, norm
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        *([F.col(bucket_col).alias("_k")] if bucket_col else []),
+    )
+    left = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"),
+                       F.col("_n").alias("na"),
+                       *([F.col("_k").alias("ka")] if bucket_col else []))
+    right = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"),
+                        F.col("_n").alias("nb"),
+                        *([F.col("_k").alias("kb")] if bucket_col else []))
     joined = (left.join(right, F.col("ka") == F.col("kb")) if bucket_col
               else left.crossJoin(right))
+    cos = F.when((F.col("na") < EPS) | (F.col("nb") < EPS), F.lit(0.0)) \
+        .otherwise(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     return (
         joined.filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

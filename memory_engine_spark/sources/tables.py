@@ -50,17 +50,31 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+class LazyTables(dict):
+    """Dict of table-name → DataFrame that defers the parquet footer /
+    schema reads until a table is actually used — a query touching two
+    tables shouldn't pay driver-side setup for ten."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark, self._dir = spark, sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        path = os.path.join(self._dir, f"{name}.parquet")
+        if name not in TABLE_NAMES or not os.path.exists(path):
+            raise KeyError(f"table not found: {name!r} under {self._dir}")
+        df = _read_parquet(self._spark, path)
+        self[name] = df
+        return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # The caller may hand us a bare session (the driver does): these two
     # runtime confs are required for correct reads of the ns-timestamp
     # test parquet and for timezone-stable date bucketing vs the oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return {
-        name: _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-        for name in TABLE_NAMES
-        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
-    }
+    return LazyTables(spark, sf_dir)
 
 
 def _edge(df: DataFrame, from_expr: str, to_expr: str, rel: str,
