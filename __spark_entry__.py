@@ -14,7 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from memory_engine_spark.operators import dedup, graph, similarity, text
+from memory_engine_spark.operators import (
+    dedup, discovery, graph, ingestion, similarity, synthesis, text,
+)
 from memory_engine_spark.operators.aggregates import (
     Aggregation, group_count, iqr_outliers, monthly_counts,
 )
@@ -362,6 +364,84 @@ def q24_induced_subgraph(spark, sf):
             .select("from_id", "to_id", "relation_type"))
 
 
+def q25_same_source_pairs(spark, sf):
+    """SAME_SOURCE relationship discovery, confidence 0.7
+    (relationship_extractor.py:326-347)."""
+    t = _t(spark, sf)
+    return discovery.same_source(t["documents"], "source", "doc_id")
+
+
+def q26_similar_tags(spark, sf):
+    """SIMILAR_TAGS discovery: tag-set Jaccard > threshold
+    (relationship_extractor.py:241-264). Tags derived as sorted distinct
+    long tokens; scoped to doc_id < 100 to keep the correctness compare
+    small (the operator itself is unbounded)."""
+    t = _t(spark, sf)
+    docs = t["documents"].filter(F.col("doc_id") < 100)
+    tagged = docs.select(
+        "doc_id",
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.filter(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " "),
+            lambda x: F.length(x) >= 5)))).alias("tags"))
+    return discovery.similar_tags(tagged, "tags", "doc_id", threshold=0.6)
+
+
+def q27_term_cooccurrence(spark, sf):
+    """Frequency-pattern detection: co-occurring term pairs ≥ 3 docs
+    (insight_discovery.py:202-245)."""
+    t = _t(spark, sf)
+    return synthesis.term_cooccurrence(t["documents"], "text", "doc_id",
+                                       min_count=3)
+
+
+def q28_daily_trend(spark, sf):
+    """Trend analysis: regr_slope + growth rate over daily counts
+    (insight_discovery.py:1062-1183)."""
+    t = _t(spark, sf)
+    return synthesis.monthly_trend(t["events"], "ts", bucket="yyyy-MM-dd")
+
+
+def q29_sudden_changes(spark, sf):
+    """Sudden-change detection between consecutive buckets
+    (insight_discovery.py:1307-1344)."""
+    t = _t(spark, sf)
+    return synthesis.sudden_changes(t["events"], "ts", bucket="yyyy-MM-dd HH",
+                                    jump_ratio=0.2)
+
+
+def q30_bursts(spark, sf):
+    """Temporal burst anomalies: ≥10 events per minute window
+    (insight_discovery.py:1652-1734)."""
+    t = _t(spark, sf)
+    return synthesis.temporal_bursts(t["events"], "ts", "event_id",
+                                     burst_window_s=60, min_burst=10)
+
+
+def q31_gaps(spark, sf):
+    """Temporal gap anomalies: inter-event gap ≥ 300 s
+    (insight_discovery.py:1652-1734)."""
+    t = _t(spark, sf)
+    return synthesis.temporal_gaps(t["events"], "ts", min_gap_s=300,
+                                   tiebreak="event_id")
+
+
+def q32_contradictions(spark, sf):
+    """Heuristic contradiction pairs (enhanced_mcp_endpoint.py:587-681,
+    889-951): topic Jaccard ≥ 0.7 with exactly one negated side."""
+    t = _t(spark, sf)
+    return synthesis.detect_contradictions(t["documents"], "text", "doc_id",
+                                           topic_overlap=0.7)
+
+
+def q33_extract_units(spark, sf):
+    """Knowledge-unit extraction, deterministic rule-based provider
+    (advanced_extractor.py:51-193): sentence spans ≥ 20 chars with
+    importance = min(len/100, 1)."""
+    t = _t(spark, sf)
+    units = ingestion.extract_units(t["documents"], "text", "source")
+    return units.select("content", "source", "importance")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -388,6 +468,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_top_orders_per_cust": q22_top_orders_per_cust,
         "q23_shortest_path": q23_shortest_path,
         "q24_induced_subgraph": q24_induced_subgraph,
+        "q25_same_source_pairs": q25_same_source_pairs,
+        "q26_similar_tags": q26_similar_tags,
+        "q27_term_cooccurrence": q27_term_cooccurrence,
+        "q28_daily_trend": q28_daily_trend,
+        "q29_sudden_changes": q29_sudden_changes,
+        "q30_bursts": q30_bursts,
+        "q31_gaps": q31_gaps,
+        "q32_contradictions": q32_contradictions,
+        "q33_extract_units": q33_extract_units,
     }
 
 
@@ -403,6 +492,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + "]"
 # SQL-escaped copy of the shared ASCII punctuation class
 _PUNCT_SQL = text.PUNCT_CLASS.replace("'", "''")
+_NEG_SQL = "[" + ", ".join(f"'{m}'" for m in synthesis.NEGATION_MARKERS) + "]"
 
 
 def _lang_scores_sql() -> str:
@@ -651,5 +741,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_id, to_id, relation_type FROM edges
             WHERE from_id IN (SELECT node_id FROM sel)
               AND to_id IN (SELECT node_id FROM sel)
+        """,
+        "q25_same_source_pairs": """
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   'SAME_SOURCE' AS relation_type,
+                   CAST(0.7 AS DOUBLE) AS confidence
+            FROM documents a JOIN documents b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+        """,
+        "q26_similar_tags": """
+            WITH t AS (
+                SELECT doc_id, list_distinct(list_filter(
+                    string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                    x -> len(x) >= 5)) AS tags
+                FROM documents WHERE doc_id < 100
+            ),
+            ex AS (SELECT doc_id, unnest(tags) AS k FROM t),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY 1),
+            c AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+                FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, 'SIMILAR_TAGS' AS relation_type,
+                   ROUND(c / (sa.sz + sb.sz - c), 6) AS confidence
+            FROM c JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE c / (sa.sz + sb.sz - c) > 0.6
+        """,
+        "q27_term_cooccurrence": f"""
+            WITH {TOKS_CTE},
+            ex AS (
+                SELECT doc_id, unnest(list_distinct(list_filter(toks,
+                    x -> len(x) >= 3 AND NOT list_contains({_STOPWORDS_SQL}, x))))
+                    AS term
+                FROM toks_t
+            )
+            SELECT a.term AS t1, b.term AS t2, COUNT(*) AS n_docs
+            FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """,
+        "q28_daily_trend": """
+            WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            i AS (SELECT n, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i FROM c)
+            SELECT ROUND(regr_slope(n, i), 6) AS slope,
+                   ROUND((arg_max(n, i) - arg_min(n, i)) / CAST(arg_min(n, i) AS DOUBLE), 6)
+                       AS growth_rate,
+                   COUNT(*) AS n_periods
+            FROM i
+        """,
+        "q29_sudden_changes": """
+            WITH c AS (SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            p AS (SELECT bucket, n, lag(n) OVER (ORDER BY bucket) AS prev_n FROM c)
+            SELECT bucket, n, prev_n,
+                   ROUND(ABS(n - prev_n) / CAST(prev_n AS DOUBLE), 6) AS change_ratio
+            FROM p
+            WHERE prev_n IS NOT NULL
+              AND ROUND(ABS(n - prev_n) / CAST(prev_n AS DOUBLE), 6) > 0.2
+        """,
+        "q30_bursts": """
+            SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1 HAVING COUNT(*) >= 10
+        """,
+        "q31_gaps": """
+            WITH g AS (
+                SELECT ts, epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS gap_end,
+                   ROUND(gap_us / 1000000.0, 6) AS gap_s
+            FROM g WHERE gap_us >= 300000000
+        """,
+        "q32_contradictions": f"""
+            WITH {TOKS_CTE},
+            prep AS (
+                SELECT doc_id,
+                       list_filter(list_distinct(toks),
+                           x -> NOT list_contains({_STOPWORDS_SQL}, x)
+                                AND NOT list_contains({_NEG_SQL}, x)) AS w,
+                       len(list_intersect(list_distinct(toks), {_NEG_SQL})) > 0 AS has_neg
+                FROM toks_t
+            ),
+            ex AS (SELECT doc_id, unnest(w) AS k FROM prep),
+            sz AS (SELECT doc_id, len(w) AS sz, has_neg FROM prep),
+            c AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+                FROM ex a JOIN ex b ON a.k = b.k AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b, ROUND(c / (sa.sz + sb.sz - c), 6) AS topic_score
+            FROM c JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.7
+              AND sa.has_neg <> sb.has_neg
+        """,
+        "q33_extract_units": """
+            SELECT trim(s) AS content, source,
+                   ROUND(LEAST(len(trim(s)) / CAST(100.0 AS DOUBLE),
+                               CAST(1.0 AS DOUBLE)), 6) AS importance
+            FROM (SELECT source, unnest(string_split_regex(text, '[.!?\\n]+')) AS s
+                  FROM documents)
+            WHERE len(trim(s)) >= 20
         """,
     }

@@ -1,0 +1,129 @@
+"""Graph export/import: JSON, CSV, GraphML, Cypher, plus subgraph export.
+
+Reference: /root/reference/memory_core/migration/data_exporter.py:19-683
+(formats + writers), data_importer.py:42-553 (auto-detect + validate +
+merge-duplicates), enhanced_mcp_endpoint.py:1104-1213 (subgraph export),
+backend_migrator.py (copy + verify).
+
+Spark-first: JSON/CSV are native distributed writers; GraphML and
+Cypher are line-oriented text formats produced per-partition with
+``mapPartitions``-style expression rendering (one string column →
+``df.write.text``) — the document header/footer for GraphML is written
+driver-side since it's O(1).
+"""
+
+from __future__ import annotations
+
+import os
+from xml.sax.saxutils import escape as _xml_escape_fn
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def export_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def import_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def import_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read.option("header", True)
+    reader = reader.schema(schema) if schema else reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def _xml_escape(col):
+    return F.replace(F.replace(F.replace(col.cast("string"),
+                                         F.lit("&"), F.lit("&amp;")),
+                               F.lit("<"), F.lit("&lt;")),
+                     F.lit(">"), F.lit("&gt;"))
+
+
+def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """GraphML writer (data_exporter.py:244-330 shape): distributed body
+    rendering, tiny driver-side header/footer assembly."""
+    node_lines = nodes.select(
+        F.concat(F.lit('    <node id="'), _xml_escape(F.col("node_id")),
+                 F.lit('"/>')).alias("line"))
+    edge_lines = edges.select(
+        F.concat(F.lit('    <edge source="'), _xml_escape(F.col("from_id")),
+                 F.lit('" target="'), _xml_escape(F.col("to_id")),
+                 F.lit('" label="'), _xml_escape(F.col("relation_type")),
+                 F.lit('"/>')).alias("line"))
+    body_dir = path + ".body"
+    node_lines.unionByName(edge_lines).coalesce(1).write.mode("overwrite").text(body_dir)
+    part = next(f for f in os.listdir(body_dir) if f.startswith("part-"))
+    with open(path, "w") as out:
+        out.write('<?xml version="1.0" encoding="UTF-8"?>\n'
+                  '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
+                  '  <graph id="G" edgedefault="directed">\n')
+        with open(os.path.join(body_dir, part)) as src:
+            out.write(src.read())
+        out.write("  </graph>\n</graphml>\n")
+
+
+def export_cypher(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """Cypher CREATE-script writer (data_exporter.py:331-414 shape)."""
+    def q(col):
+        return F.replace(col.cast("string"), F.lit("'"), F.lit("\\'"))
+
+    node_lines = nodes.select(
+        F.concat(F.lit("CREATE (:Node {node_id: '"), q(F.col("node_id")),
+                 F.lit("'});")).alias("line"))
+    edge_lines = edges.select(
+        F.concat(F.lit("MATCH (a:Node {node_id: '"), q(F.col("from_id")),
+                 F.lit("'}), (b:Node {node_id: '"), q(F.col("to_id")),
+                 F.lit("'}) CREATE (a)-[:"),
+                 F.regexp_replace(F.upper("relation_type"), "[^A-Z0-9_]", "_"),
+                 F.lit("]->(b);")).alias("line"))
+    node_lines.unionByName(edge_lines).write.mode("overwrite").text(path)
+
+
+def export_subgraph(nodes: DataFrame, edges: DataFrame, node_ids: list[str],
+                    path: str, fmt: str = "json",
+                    include_relationships: bool = True) -> None:
+    """Subgraph export (enhanced_mcp_endpoint.py:1104-1213): semi-join on
+    the id list, then the chosen writer; edges keep only fully-interior
+    ones (induced)."""
+    from memory_engine_spark.operators.graph import induced_subgraph
+
+    spark = nodes.sparkSession
+    ids = spark.createDataFrame([(i,) for i in node_ids], "node_id string")
+    sel_nodes = nodes.join(F.broadcast(ids), "node_id", "left_semi")
+    sel_edges = induced_subgraph(edges, ids) if include_relationships else None
+    if fmt == "json":
+        export_json(sel_nodes, os.path.join(path, "nodes"))
+        if sel_edges is not None:
+            export_json(sel_edges, os.path.join(path, "edges"))
+    elif fmt == "csv":
+        export_csv(sel_nodes, os.path.join(path, "nodes"))
+        if sel_edges is not None:
+            export_csv(sel_edges, os.path.join(path, "edges"))
+    elif fmt == "graphml":
+        export_graphml(sel_nodes, sel_edges if sel_edges is not None
+                       else spark.createDataFrame(
+                           [], "from_id string, to_id string, relation_type string"),
+                       os.path.join(path, "graph.graphml"))
+    elif fmt == "cypher":
+        export_cypher(sel_nodes, sel_edges, os.path.join(path, "graph.cypher"))
+    else:
+        raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def migrate_and_verify(src: DataFrame, write_path: str, spark: SparkSession,
+                       fmt: str = "parquet") -> bool:
+    """Backend migration with verification (backend_migrator.py:1-463):
+    copy then check exceptAll both ways is empty."""
+    getattr(src.write.mode("overwrite"), fmt)(write_path)
+    back = getattr(spark.read, fmt)(write_path)
+    return back.exceptAll(src).isEmpty() and src.exceptAll(back).isEmpty()

@@ -1,0 +1,148 @@
+"""Ingestion (extraction, embedding, merge-or-create), export/import,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.operators import ingestion, multimodal
+from memory_engine_spark.sources import export
+
+
+def test_embed_text_deterministic_and_normalized():
+    a = ingestion.embed_text("hello world", dim=64)
+    b = ingestion.embed_text("hello world", dim=64)
+    assert np.array_equal(a, b)
+    assert abs(float(np.linalg.norm(a)) - 1.0) < 1e-5
+    c = ingestion.embed_text("different text", dim=64)
+    assert not np.array_equal(a, c)
+
+
+def test_embed_column_matches_local(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "hello world"),
+                                (3, "spark")], "id int, txt string")
+    out = {r["id"]: r["embedding"] for r in
+           ingestion.embed_column(df, "txt", dim=16).collect()}
+    assert out[1] == out[2]  # same text → identical vector (cache semantics)
+    local = ingestion.embed_text("hello world", 16).tolist()
+    assert np.allclose(out[1], local, atol=1e-6)
+
+
+def test_extract_units_and_nodes(spark):
+    df = spark.createDataFrame(
+        [("Apache Spark processes large datasets. Short. "
+          "Catalyst optimizes the logical plan carefully!", "docs")],
+        "body string, src string")
+    units = ingestion.extract_units(df, "body", "src").collect()
+    contents = [u["content"] for u in units]
+    assert len(units) == 2  # 'Short' span < 20 chars dropped
+    assert all(u["source"] == "docs" for u in units)
+    assert "spark" in units[0]["tags"].split(",")[0] or units[0]["tags"]
+    nodes = ingestion.units_to_nodes(
+        ingestion.extract_units(df, "body", "src")).collect()
+    assert all(n["node_id"].startswith("node_") for n in nodes)
+    assert all(0.5 <= n["rating_richness"] <= 1.0 for n in nodes)
+
+
+def test_merge_or_create_thresholds(spark):
+    existing = spark.createDataFrame(
+        [("e1", "the quick brown fox jumps over the lazy dog"),
+         ("e2", "completely unrelated database engine discussion")],
+        "node_id string, content string")
+    new = spark.createDataFrame(
+        [("n1", "the quick brown fox jumps over the lazy dog"),   # exact → merge
+         ("n2", "entirely novel topic about gardening tulips")],  # → create
+        "node_id string, content string")
+    to_create, merges = ingestion.merge_or_create(new, existing, dim=64)
+    m = {(r["new_id"], r["existing_id"]): r["score"] for r in merges.collect()}
+    assert ("n1", "e1") in m and m[("n1", "e1")] >= 0.999
+    assert {r["node_id"] for r in to_create.collect()} == {"n2"}
+
+
+# -- export/import ------------------------------------------------------------
+
+@pytest.fixture()
+def small_graph(spark):
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node_id string")
+    edges = spark.createDataFrame(
+        [("a", "b", "is_a"), ("b", "c", "part of")],
+        "from_id string, to_id string, relation_type string")
+    return nodes, edges
+
+
+def test_json_csv_roundtrip(spark, tmp_path, small_graph):
+    nodes, _ = small_graph
+    p = str(tmp_path / "nodes_json")
+    export.export_json(nodes, p)
+    back = export.import_json(spark, p, "node_id string")
+    assert back.exceptAll(nodes).isEmpty() and nodes.exceptAll(back).isEmpty()
+    p2 = str(tmp_path / "nodes_csv")
+    export.export_csv(nodes, p2)
+    back2 = export.import_csv(spark, p2, "node_id string")
+    assert sorted(r["node_id"] for r in back2.collect()) == ["a", "b", "c"]
+
+
+def test_graphml_and_cypher(spark, tmp_path, small_graph):
+    nodes, edges = small_graph
+    gml = str(tmp_path / "g.graphml")
+    export.export_graphml(nodes, edges, gml)
+    content = open(gml).read()
+    assert content.startswith('<?xml')
+    assert '<node id="a"/>' in content
+    assert '<edge source="a" target="b" label="is_a"/>' in content
+    assert content.rstrip().endswith("</graphml>")
+
+    cy = str(tmp_path / "cypher")
+    export.export_cypher(nodes, edges, cy)
+    lines = [r["value"] for r in spark.read.text(cy).collect()]
+    assert any("CREATE (:Node {node_id: 'a'});" == l for l in lines)
+    assert any("[:PART_OF]" in l for l in lines)
+
+
+def test_subgraph_export(spark, tmp_path, small_graph):
+    nodes, edges = small_graph
+    out = str(tmp_path / "sub")
+    export.export_subgraph(nodes, edges, ["a", "b"], out, fmt="json")
+    back_nodes = spark.read.json(out + "/nodes")
+    back_edges = spark.read.json(out + "/edges")
+    assert {r["node_id"] for r in back_nodes.collect()} == {"a", "b"}
+    rows = back_edges.collect()
+    assert len(rows) == 1 and rows[0]["to_id"] == "b"
+
+
+def test_migrate_and_verify(spark, tmp_path, small_graph):
+    nodes, _ = small_graph
+    assert export.migrate_and_verify(nodes, str(tmp_path / "mig"), spark)
+
+
+# -- multimodal ----------------------------------------------------------------
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [("m1", "image", bytearray(b"\x01\x02"), "image/png", 4, 4, None),
+         ("m2", "image", bytearray(b"\x03\x04"), "image/png", 4, 4, None)],
+        multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           multimodal.decode_features(df).collect()}
+    assert len(out["m1"]["feature"]) == 4
+    assert out["m1"]["n_bytes"] == 2
+    assert out["m1"]["feature"] != out["m2"]["feature"]  # payload-dependent
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    df = spark.createDataFrame(
+        [("m1", "audio", bytearray(b"x"), "audio/wav", None, None, 2.0)],
+        multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="no decoder"):
+        multimodal.decode_features(df).collect()
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [("v1", "video", bytearray(b"x"), "video/mp4", None, None, 3.5)],
+        multimodal.MEDIA_SCHEMA)
+    frames = [r["frame_ts"] for r in
+              multimodal.sample_frames(df, every_s=1.0).collect()]
+    assert frames == [0.0, 1.0, 2.0, 3.0]

@@ -1,0 +1,140 @@
+"""Streaming event-bus + versioning semantics (event_system.py,
+revision_manager.py) against temp-dir backends."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.operators.versioning import RevisionLog, versioned_upsert
+from memory_engine_spark.streaming.events import (
+    EventBus, Subscriber, rate_limited_batches,
+)
+
+
+def _events(spark, n=20, t0=None):
+    t0 = t0 or dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=10 * i), i % 3,
+             "purchase" if i % 2 else "click", float(i), "{}")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+
+
+def test_bus_publish_subscribe_once(spark, tmp_path):
+    bus = EventBus(spark, str(tmp_path / "bus"))
+    bus.publish(_events(spark))
+    seen = []
+
+    sub = Subscriber("clicks", lambda df, bid: seen.append(df.count()),
+                     event_types=["click"], predicate="value >= 4")
+    bus.run_subscriber(sub, once=True)
+    # clicks are even ids; value>=4 → ids 4,6,...,18 → 8 rows
+    assert sum(seen) == 8
+
+
+def test_bus_dlq_and_retry(spark, tmp_path):
+    bus = EventBus(spark, str(tmp_path / "bus2"))
+    bus.publish(_events(spark, n=6))
+    calls = {"n": 0}
+
+    def flaky(df, bid):
+        calls["n"] += 1
+        raise RuntimeError("boom")
+
+    sub = Subscriber("flaky", flaky)
+    bus.run_subscriber(sub, once=True)
+    assert calls["n"] == 4  # 1 + MAX_RETRIES
+    dl = bus.dead_letters()
+    assert dl.count() == 6
+    assert dl.first()["_subscriber"] == "flaky"
+
+    # successful manual retry clears the DLQ (event_system.py:477-489)
+    ok = Subscriber("flaky", lambda df, bid: None)
+    retried = bus.retry_dead_letters(ok)
+    assert retried == 6
+    assert bus.dead_letters().count() == 0
+
+
+def test_replay_from_timestamp(spark, tmp_path):
+    bus = EventBus(spark, str(tmp_path / "bus3"))
+    bus.publish(_events(spark, n=10))
+    cut = dt.datetime(2024, 1, 1, 0, 0, 50)
+    assert bus.replay(cut).count() == 5  # ids 5..9
+
+
+def test_rate_limited_slots(spark):
+    df = _events(spark, n=25)
+    slots = rate_limited_batches(df, events_per_second=10)
+    per_slot = {r["slot"]: r["n"] for r in
+                slots.groupBy("slot").agg(F.count("*").alias("n")).collect()}
+    assert per_slot == {0: 10, 1: 10, 2: 5}
+
+
+def test_checkpoint_no_reprocess(spark, tmp_path):
+    bus = EventBus(spark, str(tmp_path / "bus4"))
+    bus.publish(_events(spark, n=5))
+    counts = []
+    sub = Subscriber("ck", lambda df, bid: counts.append(df.count()))
+    bus.run_subscriber(sub, once=True)
+    bus.run_subscriber(sub, once=True)  # nothing new → no rows
+    bus.publish(_events(spark, n=3, t0=dt.datetime(2024, 2, 1)))
+    bus.run_subscriber(sub, once=True)
+    assert sum(counts) == 8  # 5, then 0, then 3 — never reprocessed
+
+
+# -- versioning ---------------------------------------------------------------
+
+def test_revision_log_and_history(spark, tmp_path):
+    log = RevisionLog(spark, str(tmp_path / "rev"))
+    log.log_changes([
+        {"object_type": "node", "object_id": "n1", "change_type": "create",
+         "old_data": None, "new_data": {"v": 1}},
+        {"object_type": "node", "object_id": "n1", "change_type": "update",
+         "old_data": {"v": 1}, "new_data": {"v": 2}},
+        {"object_type": "node", "object_id": "n2", "change_type": "create",
+         "old_data": None, "new_data": {"v": 9}},
+    ])
+    hist = log.history("n1").collect()
+    assert [h["change_type"] for h in hist] == ["update", "create"]
+
+
+def test_state_as_of_and_revert(spark, tmp_path):
+    log = RevisionLog(spark, str(tmp_path / "rev2"))
+    log.log_changes([
+        {"object_type": "node", "object_id": "n1", "change_type": "create",
+         "new_data": {"v": 1}},
+        {"object_type": "node", "object_id": "n1", "change_type": "update",
+         "new_data": {"v": 2}},
+        {"object_type": "node", "object_id": "n2", "change_type": "create",
+         "new_data": {"v": 9}},
+        {"object_type": "node", "object_id": "n2", "change_type": "delete",
+         "new_data": None},
+    ])
+    at1 = {r["object_id"]: json.loads(r["data"])
+           for r in log.state_as_of(1, "node").collect()}
+    assert at1 == {"n1": {"v": 2}}   # seq 0,1 applied; n2 not created yet
+    at2 = {r["object_id"]: json.loads(r["data"])
+           for r in log.state_as_of(2, "node").collect()}
+    assert at2 == {"n1": {"v": 2}, "n2": {"v": 9}}
+    final = {r["object_id"]: json.loads(r["data"])
+             for r in log.state_as_of(99, "node").collect()}
+    assert final == {"n1": {"v": 2}}  # n2 deleted
+
+
+def test_snapshot_roundtrip_and_versioned_upsert(spark, tmp_path):
+    log = RevisionLog(spark, str(tmp_path / "rev3"))
+    base = spark.createDataFrame([("n1", 1), ("n2", 2)], "node_id string, v int")
+    log.snapshot("s1", base)
+    assert {r["node_id"] for r in log.read_snapshot("s1").collect()} == {"n1", "n2"}
+    updates = spark.createDataFrame([("n2", 20), ("n3", 3)], "node_id string, v int")
+    merged = versioned_upsert(log, base, updates, "node_id", "node")
+    got = {r["node_id"]: r["v"] for r in merged.collect()}
+    assert got == {"n1": 1, "n2": 20, "n3": 3}
+    kinds = {r["object_id"]: r["change_type"] for r in log.read().collect()}
+    assert kinds == {"n2": "update", "n3": "create"}
+    assert log.should_snapshot(150) and not log.should_snapshot(50)
