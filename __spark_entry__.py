@@ -442,6 +442,43 @@ def q33_extract_units(spark, sf):
     return units.select("content", "source", "importance")
 
 
+def q34_quality_histogram(spark, sf):
+    """Quality-score analytics: 5-bin histogram of the composite quality
+    score (enhanced_mcp_endpoint.py:1426-1497)."""
+    from memory_engine_spark.operators.aggregates import quality_histogram
+    t = _t(spark, sf)
+    scored = t["documents"].select(quality_score(F.col("text")).alias("q"))
+    return (quality_histogram(scored, "q", bins=5)
+            .select(F.col("bin").cast("long").alias("bin"), "n"))
+
+
+def q35_components(spark, sf):
+    """Connected components over the n-gram-Jaccard similarity graph
+    (similarity groups, insight_discovery.py:429-487; QA subgraph
+    overlap-merge, question_answering.py:433-471)."""
+    from memory_engine_spark.operators.components import connected_components
+    t = _t(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(t["documents"], "text", "doc_id",
+                                      n=3, threshold=0.3)
+    edges = pairs.select(F.col("a").cast("string").alias("from_id"),
+                         F.col("b").cast("string").alias("to_id"))
+    return connected_components(edges)
+
+
+def q36_ivf_knn(spark, sf):
+    """IVF-style ANN top-k (Milvus IVF_FLAT analogue, milvus_store.py:
+    56-110): coarse-quantized probe of nprobe cells. Rows-only: the
+    centroid refinement isn't reasonably SQL-expressible; recall vs the
+    exact q16 is asserted in tests."""
+    t = _t(spark, sf)
+    emb = t["embeddings"]
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents, assigned = similarity.build_ivf(emb, nlist=16, id_col="vec_id")
+    return (similarity.topk_ivf(assigned, cents, qv, k=10, nprobe=8,
+                                id_col="vec_id")
+            .select("vec_id", F.round("score", 6).alias("score")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -477,6 +514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_gaps": q31_gaps,
         "q32_contradictions": q32_contradictions,
         "q33_extract_units": q33_extract_units,
+        "q34_quality_histogram": q34_quality_histogram,
+        "q35_components": q35_components,
+        "q36_ivf_knn": q36_ivf_knn,
     }
 
 
@@ -845,5 +885,57 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT source, unnest(string_split_regex(text, '[.!?\\n]+')) AS s
                   FROM documents)
             WHERE len(trim(s)) >= 20
+        """,
+        "q34_quality_histogram": f"""
+            WITH {TOKS_CTE},
+            scored AS (
+                SELECT 0.4 * (CASE WHEN len(text) <= 0 THEN 0.0
+                                 WHEN len(text) < 50 THEN len(text) / 50.0
+                                 WHEN len(text) <= 500 THEN 1.0
+                                 ELSE greatest(0.3, 1.0 - (len(text) - 500) / 4500.0 * 0.7) END)
+                   + 0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+                         ELSE (len(text) - len(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))::DOUBLE
+                              / len(text) END)
+                   + 0.3 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE
+                              / len(toks) END) AS q
+                FROM toks_t
+            )
+            SELECT CAST(LEAST(FLOOR(q * 5), 4) AS BIGINT) AS bin, COUNT(*) AS n
+            FROM scored GROUP BY 1 ORDER BY 1
+        """,
+        "q35_components": f"""
+            WITH RECURSIVE {TOKS_CTE},
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                                   i -> array_to_string(toks[i+1:i+3], ' '))
+                )) AS shingle
+                FROM toks_t
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            common AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT CAST(a AS VARCHAR) AS from_id, CAST(b AS VARCHAR) AS to_id
+                FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+                WHERE c / (sa.sz + sb.sz - c) >= 0.3
+            ),
+            sym AS (
+                SELECT from_id, to_id FROM pairs
+                UNION SELECT to_id, from_id FROM pairs
+            ),
+            reach(node_id, r) AS (
+                SELECT from_id, to_id FROM sym
+                UNION
+                SELECT reach.node_id, sym.to_id
+                FROM reach JOIN sym ON reach.r = sym.from_id
+                WHERE sym.to_id <> reach.node_id
+            )
+            SELECT node_id, LEAST(node_id, MIN(r)) AS component
+            FROM reach GROUP BY node_id
         """,
     }

@@ -1,0 +1,66 @@
+"""Connected components + clustering patterns.
+
+Reference uses: subgraph overlap-merge in QA
+(/root/reference/memory_core/synthesis/question_answering.py:433-471),
+clustering patterns = dense neighbor groups with density =
+internal/possible edges (/root/reference/memory_core/synthesis/
+insight_discovery.py:247-287,590-645), similarity groups (:429-487).
+
+Connected components via alternating large/small-star label propagation
+(the HashToMin/Star idea from Kiveris et al., "Connected Components in
+MapReduce and Beyond") — each round is two joins + a groupBy min; rounds
+are O(log n) on real graphs. No GraphFrames dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node_id, component) where component = min node id reachable.
+    Undirected; isolated nodes absent (join with your node table after).
+    Simple min-label propagation: labels converge in ≤ diameter rounds;
+    each round is one join + one aggregate, frontier localCheckpointed.
+    """
+    sym = edges.select("from_id", "to_id").unionByName(
+        edges.select(F.col("to_id").alias("from_id"),
+                     F.col("from_id").alias("to_id"))).distinct().persist()
+    labels = (sym.groupBy(F.col("from_id").alias("node_id"))
+              .agg(F.least(F.min("to_id"), F.first("from_id")).alias("component"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.from_id == labels.node_id)
+            .select(F.col("to_id").alias("node_id"), "component")
+            .unionByName(labels)
+            .groupBy("node_id").agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (prop.alias("p").join(
+            labels.alias("l"), "node_id")
+            .filter(F.col("p.component") != F.col("l.component")))
+        labels = prop
+        if changed.isEmpty():
+            break
+    sym.unpersist()
+    return labels
+
+
+def cluster_density(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Density per component: internal_edges / possible_edges where
+    possible = n·(n−1)/2 (insight_discovery.py:247-287). Returns
+    (component, n_nodes, n_edges, density)."""
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+    e = (edges.select("from_id", "to_id")
+         .join(labels.withColumnRenamed("node_id", "from_id"), "from_id")
+         .withColumnRenamed("component", "c_from")
+         .join(labels.withColumnRenamed("node_id", "to_id"), "to_id")
+         .filter(F.col("c_from") == F.col("component"))
+         .groupBy(F.col("component")).agg(F.count(F.lit(1)).alias("n_edges")))
+    possible = (F.col("n_nodes") * (F.col("n_nodes") - 1)) / 2
+    return (sizes.join(e, "component", "left").fillna(0, ["n_edges"])
+            .withColumn("density",
+                        F.when(F.col("n_nodes") < 2, F.lit(0.0))
+                        .otherwise(F.round(F.col("n_edges") / possible, 6))))

@@ -1,0 +1,109 @@
+"""MemoryEngine facade: query lifecycle, cache, search ranking, command
+router, rating mutation, connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.engine import MemoryEngine
+from memory_engine_spark.operators.components import (
+    cluster_density, connected_components,
+)
+from memory_engine_spark.plans.query_spec import QuerySpec
+from memory_engine_spark.session import EngineSession
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    s = EngineSession(spark)
+    nodes = spark.createDataFrame(
+        [("n1", "spark joins data fast", "web", 1000.0, 0.9, 0.8, 0.5, "a,b"),
+         ("n2", "python pandas slow loops", "web", 2000.0, 0.2, 0.3, 0.5, "b"),
+         ("n3", "spark streaming windows", "book", 3000.0, 0.7, 0.9, 0.6, "c"),
+         ("n4", "unrelated gardening topic", "book", 4000.0, 0.5, 0.5, 0.5, "")],
+        "node_id string, content string, source string, creation_timestamp double, "
+        "rating_richness double, rating_truthfulness double, rating_stability double, "
+        "tags string")
+    edges = spark.createDataFrame(
+        [("n1", "n2", "RELATED", 0.5), ("n2", "n3", "RELATED", 0.6),
+         ("n4", "n4x", "RELATED", 0.9)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    s.register("nodes", nodes)
+    s.register("edges", edges)
+    return MemoryEngine(s)
+
+
+def test_query_lifecycle_and_pagination(engine):
+    spec = (QuerySpec("nodes").filter("source", "eq", "web")
+            .sort("creation_timestamp", ascending=False).page(0, 1))
+    resp = engine.query(spec, use_cache=False)
+    assert resp.total_count == 2 and resp.has_more and resp.next_offset == 1
+    assert resp.results[0]["node_id"] == "n2"
+    assert any("executed" in s for s in resp.explanation)
+
+
+def test_query_cache_roundtrip(engine):
+    spec = QuerySpec("nodes").filter("source", "eq", "book").sort("node_id")
+    r1 = engine.query(spec)
+    r2 = engine.query(QuerySpec("nodes").filter("source", "eq", "book")
+                      .sort("node_id"))
+    assert not r1.from_cache and r2.from_cache
+    assert [x["node_id"] for x in r2.results] == [x["node_id"] for x in r1.results]
+
+
+def test_search_ranks_relevant_first(engine):
+    resp = engine.search("spark data joins", entity="nodes", limit=3)
+    ids = [r["node_id"] for r in resp.results]
+    # n1: high overlap + quality; n3: one shared word; n4: quality only
+    assert ids == ["n1", "n3", "n4"]
+    assert all("combined_score" in r for r in resp.results)
+    scores = [r["combined_score"] for r in resp.results]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_command_router(engine):
+    ok = engine.execute_command({"action": "get_node", "node_id": "n1"})
+    assert ok["status"] == "ok" and ok["node"]["content"].startswith("spark")
+    missing = engine.execute_command({"action": "get_node", "node_id": "zz"})
+    assert missing["status"] == "error"
+    bad = engine.execute_command({"action": "nope"})
+    assert bad["status"] == "error"
+    no_param = engine.execute_command({"action": "get_node"})
+    assert no_param["status"] == "error" and "missing parameter" in no_param["error"]
+    lst = engine.execute_command({"action": "list_nodes", "limit": 2})
+    assert lst["status"] == "ok" and len(lst["nodes"]) == 2 and lst["total"] == 4
+    q = engine.execute_command({
+        "action": "query", "entity": "nodes",
+        "filters": [{"field": "content", "op": "contains", "value": "spark"}],
+        "sorts": [{"field": "node_id"}]})
+    assert [r["node_id"] for r in q["results"]] == ["n1", "n3"]
+    nb = engine.execute_command({"action": "neighbors", "node_ids": ["n2"]})
+    assert {x["neighbor_id"] for x in nb["neighbors"]} == {"n1", "n3"}
+    tr = engine.execute_command({"action": "traverse", "node_ids": ["n1"],
+                                 "max_depth": 2})
+    assert {x["node_id"] for x in tr["nodes"]} == {"n1", "n2", "n3"}
+
+
+def test_update_rating_formula(engine):
+    engine.update_rating("n2", confirmation=1.0, contradiction=0.0,
+                         richness_factor=0.5)
+    row = engine.s.table("nodes").filter("node_id = 'n2'").collect()[0]
+    assert abs(row["rating_truthfulness"] - 0.5) < 1e-9   # 0.3 + 0.2
+    assert abs(row["rating_richness"] - 0.3) < 1e-9       # 0.2 + 0.1
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("d", "e", "r"), ("f", "g", "r"),
+         ("g", "h", "r"), ("h", "f", "r")],
+        "from_id string, to_id string, relation_type string")
+    labels = {r["node_id"]: r["component"] for r in
+              connected_components(edges).collect()}
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["d"] == labels["e"] == "d"
+    assert labels["f"] == labels["g"] == labels["h"] == "f"
+    dens = {r["component"]: r for r in
+            cluster_density(edges, connected_components(edges)).collect()}
+    assert dens["f"]["density"] == 1.0   # triangle: 3 edges / 3 possible
+    assert dens["a"]["n_nodes"] == 3 and abs(dens["a"]["density"] - 2/3) < 1e-6
