@@ -479,6 +479,25 @@ def q36_ivf_knn(spark, sf):
             .select("vec_id", F.round("score", 6).alias("score")))
 
 
+def q37_source_reliability(spark, sf):
+    """Per-source reliability report (quality/source_reliability.py):
+    0.6·avg_quality + 0.2·consistency + 0.2·volume."""
+    from memory_engine_spark.operators.quality import source_reliability
+    t = _t(spark, sf)
+    scored = t["documents"].withColumn(
+        "q", F.least(F.col("n_chars") / 500.0, F.lit(1.0)))
+    return source_reliability(scored, "source", "q", "doc_id")
+
+
+def q38_cross_validate(spark, sf):
+    """Cross-validation (quality/cross_validation.py): claims (normalized
+    p_type) corroborated by ≥ 3 distinct brands."""
+    from memory_engine_spark.operators.quality import cross_validate
+    t = _t(spark, sf)
+    return cross_validate(t["part"], "p_type", "p_brand", "p_partkey",
+                          min_sources=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -517,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_quality_histogram": q34_quality_histogram,
         "q35_components": q35_components,
         "q36_ivf_knn": q36_ivf_knn,
+        "q37_source_reliability": q37_source_reliability,
+        "q38_cross_validate": q38_cross_validate,
     }
 
 
@@ -937,5 +958,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node_id, LEAST(node_id, MIN(r)) AS component
             FROM reach GROUP BY node_id
+        """,
+        "q37_source_reliability": """
+            WITH s AS (
+                SELECT source, LEAST(n_chars / 500.0, CAST(1.0 AS DOUBLE)) AS q
+                FROM documents
+            ),
+            agg AS (
+                SELECT source, COUNT(*) AS n_items, AVG(q) AS avg_q,
+                       COALESCE(stddev_samp(q), 0.0) AS sd_q
+                FROM s GROUP BY source
+            )
+            SELECT source, n_items,
+                   ROUND(avg_q, 6) AS avg_quality,
+                   ROUND(GREATEST(CAST(0.0 AS DOUBLE), 1.0 - sd_q), 6) AS consistency,
+                   ROUND(0.6 * avg_q + 0.2 * GREATEST(CAST(0.0 AS DOUBLE), 1.0 - sd_q)
+                         + 0.2 * LEAST(n_items / 100.0, CAST(1.0 AS DOUBLE)), 6)
+                       AS reliability
+            FROM agg
+        """,
+        "q38_cross_validate": """
+            SELECT md5(trim(regexp_replace(lower(p_type), '\\s+', ' ', 'g')))
+                       AS claim_hash,
+                   COUNT(DISTINCT p_brand) AS n_sources,
+                   COUNT(*) AS n_items,
+                   MIN(p_partkey) AS example_id
+            FROM part
+            GROUP BY 1 HAVING COUNT(DISTINCT p_brand) >= 3
         """,
     }

@@ -31,6 +31,12 @@ BENCH_QUERIES = [
     "q18_text_stats",         # text-analysis expressions
     "q21_search_ranking",     # multi-criteria scoring + top-k
     "q22_top_orders_per_cust",  # ranking window
+    "q26_similar_tags",       # tag-Jaccard discovery join
+    "q27_term_cooccurrence",  # pattern detection self-join
+    "q28_daily_trend",        # regr_slope trend
+    "q31_gaps",               # lag-window anomaly
+    "q35_components",         # iterative connected components
+    "q36_ivf_knn",            # ANN coarse-quantized top-k
 ]
 
 

@@ -1,0 +1,102 @@
+"""Quality/gap/reliability/cross-validation + QA pipeline semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.operators import qa, quality
+
+
+@pytest.fixture(scope="module")
+def graph_data(spark):
+    nodes = spark.createDataFrame(
+        [("n1", "spark processes big data with distributed joins", "web"),
+         ("n2", "spark joins shuffle data across partitions", "web"),
+         ("n3", "gardening tips for spring tulips", "blog"),
+         ("n4", "spark processes big data with distributed joins", "book"),
+         ("n5", "isolated unloved node", "web")],
+        "node_id string, content string, source string")
+    edges = spark.createDataFrame(
+        [("n1", "n2", "RELATED", 0.8), ("n2", "n3", "RELATED", 0.4),
+         ("n1", "n4", "SAME_CONTENT", 0.9)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    return nodes, edges
+
+
+def test_assess_quality_dimensions(graph_data):
+    nodes, edges = graph_data
+    q = {r["node_id"]: r for r in
+         quality.assess_quality(nodes, edges).collect()}
+    assert q["n5"]["structural_quality"] == 0.2          # isolated
+    assert q["n1"]["structural_quality"] == 0.7          # degree 2
+    assert 0 < q["n1"]["content_quality"] <= 1.0
+    assert q["n1"]["quality_level"] in ("excellent", "good", "fair", "poor")
+    assert abs(q["n1"]["overall_quality"]
+               - (q["n1"]["content_quality"] + q["n1"]["structural_quality"]) / 2) < 1e-5
+
+
+def test_source_reliability(graph_data):
+    nodes, _ = graph_data
+    scored = nodes.withColumn("q", F.length("content") / 100.0)
+    rel = {r["source"]: r for r in
+           quality.source_reliability(scored, "source", "q", "node_id").collect()}
+    assert rel["web"]["n_items"] == 3
+    assert 0 <= rel["web"]["reliability"] <= 1.0
+    assert rel["book"]["consistency"] == 1.0  # single item → stddev 0
+
+
+def test_gaps(graph_data):
+    nodes, edges = graph_data
+    lonely = [r["node_id"] for r in
+              quality.relationship_gaps(nodes, edges).collect()]
+    assert lonely == ["n5"]
+    gaps = {r["source"]: r["n_items"] for r in
+            quality.coverage_gaps(nodes, "source", min_items=2).collect()}
+    assert gaps == {"blog": 1, "book": 1}
+
+
+def test_cross_validate(graph_data):
+    nodes, _ = graph_data
+    claims = quality.cross_validate(nodes, "content", "source", "node_id").collect()
+    assert len(claims) == 1
+    c = claims[0]
+    assert c["n_sources"] == 2 and c["n_items"] == 2 and c["example_id"] == "n1"
+
+
+# -- QA ------------------------------------------------------------------------
+
+def test_parse_question_types():
+    assert qa.parse_question("How many nodes mention spark?").qtype == "aggregation"
+    assert qa.parse_question("Why does shuffle cause spills?").qtype == "causal"
+    assert qa.parse_question("What is spark?").qtype == "factual"
+    assert qa.parse_question("How are joins related to shuffles?").qtype == "relational"
+    kw = qa.parse_question("What is the spark shuffle doing?").keywords
+    assert "spark" in kw and "shuffle" in kw and "the" not in kw
+
+
+def test_relevant_nodes_ranking(graph_data):
+    nodes, _ = graph_data
+    parsed = qa.parse_question("how do spark joins move data")
+    top = qa.relevant_nodes(nodes, parsed).collect()
+    assert top[0]["node_id"] in ("n1", "n2")
+    assert all(r["relevance"] > 0 for r in top)
+    ids = {r["node_id"] for r in top}
+    assert "n3" not in ids and "n5" not in ids
+
+
+def test_answer_end_to_end(graph_data):
+    nodes, edges = graph_data
+    out = qa.answer("how do spark joins process data", nodes, edges)
+    assert out["type"] == "factual"
+    assert out["answer"] and "spark" in out["answer"]
+    assert out["confidence"] > 0
+    assert "web" in out["sources"]
+    evidence_ids = {e["id"] for e in out["evidence"]}
+    assert {"n1", "n2"} <= evidence_ids
+
+
+def test_answer_no_match(graph_data):
+    nodes, edges = graph_data
+    out = qa.answer("quantum entanglement protocols", nodes, edges)
+    assert out["answer"] is None and out["confidence"] == 0.0
