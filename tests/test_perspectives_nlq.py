@@ -1,0 +1,103 @@
+"""Perspective analysis, NL query parsing, plugin registry."""
+
+from __future__ import annotations
+
+import pytest
+
+from memory_engine_spark.operators import perspectives
+from memory_engine_spark.plans.nlq import parse_nl_query
+from memory_engine_spark.plugins import REGISTRY, FallbackChain
+
+
+def test_viewpoints_and_consensus(spark):
+    df = spark.createDataFrame(
+        [(1, "spark is fast and distributed", "pro"),
+         (2, "spark is fast and scalable", "pro"),
+         (3, "spark is fast but distributed complexity", "con"),
+         (4, "gardening tulips in spring", "pro")],
+        "id int, body string, stance string")
+    vp = perspectives.viewpoint_groups(df, "body", "id",
+                                       similarity_threshold=0.3, ngram=1)
+    groups = {r["id"]: r["viewpoint"] for r in vp.collect()}
+    assert groups["1"] == groups["2"] == groups["3"]
+    assert groups["4"] == "4"  # singleton keeps own id
+
+    cons = {r["viewpoint"]: r for r in
+            perspectives.perspective_consensus(df, "stance", "id", vp).collect()}
+    g = cons[groups["1"]]
+    assert g["n_members"] == 3 and g["dominant_stance"] == "pro"
+    assert abs(g["consensus_ratio"] - 2 / 3) < 1e-6
+    assert g["consensus"] == "moderate"           # 0.667 in (0.6, 0.8]
+    assert cons["4"]["consensus"] == "strong"     # 1.0
+
+
+def test_parse_nl_query_intents():
+    p = parse_nl_query("how many nodes from source wikipedia")
+    assert p.intent == "aggregation"
+    assert any(f.field == "source" and f.value == "wikipedia" for f in p.spec.filters)
+    assert p.spec.aggregations and p.spec.aggregations[0].op == "count"
+
+    p2 = parse_nl_query("show me the latest nodes with rating above 0.7")
+    assert p2.intent == "temporal"
+    assert p2.spec.sorts and not p2.spec.sorts[0].ascending
+    assert any(f.op == "gt" and f.value == 0.7 for f in p2.spec.filters)
+
+    p3 = parse_nl_query("oldest entries containing 'spark'")
+    assert p3.spec.sorts[0].ascending
+    assert any(f.op == "contains" for f in p3.spec.filters)
+
+    p4 = parse_nl_query("machine learning pipelines")
+    assert p4.intent == "text_search" and "machine" in p4.search_terms
+    assert p4.confidence == 0.5
+
+
+def test_llm_parse_seam():
+    hints = {"filters": [{"field": "source", "op": "eq", "value": "x"}],
+             "intent": "semantic_search", "confidence": 0.9}
+    p = parse_nl_query("anything", llm_parse=lambda q: hints)
+    assert p.intent == "semantic_search" and p.confidence == 0.9
+    assert p.spec.filters[-1].value == "x"
+
+
+def test_registry_and_fallback():
+    emb = REGISTRY.get("embedding", "hashed_projection")(dim=8)
+    vecs = emb(["a", "b"])
+    assert len(vecs) == 2 and len(vecs[0]) == 8
+    with pytest.raises(KeyError, match="no 'embedding' provider named"):
+        REGISTRY.get("embedding", "nonexistent")
+
+    calls = []
+
+    def bad(x):
+        calls.append("bad")
+        raise RuntimeError("down")
+
+    def good(x):
+        return x * 2
+
+    chain = FallbackChain([("bad", bad), ("good", good)])
+    assert chain.call(3) == 6
+    # circuit open: bad is skipped on the next call
+    assert chain.call(4) == 8 and calls == ["bad"]
+
+
+def test_cli_query_and_search(capsys):
+    import json
+    import memory_engine_cli as cli
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "query",
+                   "--entity", "orders",
+                   "--filter", "o_orderstatus", "eq", "O",
+                   "--sort", "o_totalprice", "DESC", "--limit", "3",
+                   "--select", "o_orderkey", "o_totalprice"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["results"]) == 3
+    prices = [r["o_totalprice"] for r in out["results"]]
+    assert prices == sorted(prices, reverse=True)
+
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "search",
+                   "--text", "spark join filter", "--entity", "documents",
+                   "--text-col", "text", "--limit", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["results"]) == 2
