@@ -498,6 +498,30 @@ def q38_cross_validate(spark, sf):
                           min_sources=3)
 
 
+def q39_relationship_metrics(spark, sf):
+    """Relationship analytics: per-type counts, avg confidence, graph
+    density (enhanced_mcp_endpoint.py:1363-1424)."""
+    from memory_engine_spark.operators.aggregates import relationship_metrics
+    return relationship_metrics(_edges(spark, sf))
+
+
+def q40_rating_correlations(spark, sf):
+    """Correlation patterns between numeric dimensions
+    (insight_discovery.py:376-427)."""
+    from memory_engine_spark.operators.aggregates import rating_correlations
+    t = _t(spark, sf)
+    return rating_correlations(
+        t["lineitem"], ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def q41_semantic_suggestions(spark, sf):
+    """SEMANTICALLY_SIMILAR edge suggestion: per-node top-k embedding
+    neighbors over a threshold (relationship_extractor.py:617-712)."""
+    return discovery.semantically_similar(
+        _t(spark, sf)["embeddings"], k=3, threshold=0.3,
+        id_col="vec_id", bucket_col="label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -538,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ivf_knn": q36_ivf_knn,
         "q37_source_reliability": q37_source_reliability,
         "q38_cross_validate": q38_cross_validate,
+        "q39_relationship_metrics": q39_relationship_metrics,
+        "q40_rating_correlations": q40_rating_correlations,
+        "q41_semantic_suggestions": q41_semantic_suggestions,
     }
 
 
@@ -985,5 +1012,58 @@ def oracle_sql() -> dict[str, str]:
                    MIN(p_partkey) AS example_id
             FROM part
             GROUP BY 1 HAVING COUNT(DISTINCT p_brand) >= 3
+        """,
+        "q39_relationship_metrics": f"""
+            WITH {EDGES_CTE},
+            conf AS (
+                SELECT relation_type, CAST(0.5 AS DOUBLE) AS confidence_score
+                FROM edges
+            ),
+            nodes AS (
+                SELECT from_id AS node_id FROM edges
+                UNION SELECT to_id FROM edges
+            ),
+            density AS (
+                SELECT CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+                       / ((SELECT COUNT(*) FROM nodes)
+                          * ((SELECT COUNT(*) FROM nodes) - 1)) AS d
+            )
+            SELECT relation_type, COUNT(*) AS n_edges,
+                   ROUND(AVG(confidence_score), 6) AS avg_confidence,
+                   ROUND((SELECT d FROM density), 9) AS graph_density
+            FROM conf GROUP BY relation_type
+        """,
+        "q40_rating_correlations": """
+            SELECT ROUND(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_l_quantity__l_extendedprice,
+                   ROUND(corr(l_quantity, l_discount), 6)
+                       AS corr_l_quantity__l_discount,
+                   ROUND(corr(l_extendedprice, l_discount), 6)
+                       AS corr_l_extendedprice__l_discount
+            FROM lineitem
+        """,
+        "q41_semantic_suggestions": """
+            WITH pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]) AS cosine
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) >= 0.3
+            ),
+            sym_pairs AS (
+                SELECT a, b, cosine FROM pairs
+                UNION ALL SELECT b, a, cosine FROM pairs
+            ),
+            ranked AS (
+                SELECT a, b, cosine,
+                       ROW_NUMBER() OVER (PARTITION BY a
+                                          ORDER BY cosine DESC, b ASC) AS rk
+                FROM sym_pairs
+            )
+            SELECT a, b, 'SEMANTICALLY_SIMILAR' AS relation_type,
+                   ROUND(cosine, 6) AS confidence
+            FROM ranked WHERE rk <= 3
         """,
     }

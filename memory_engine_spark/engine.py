@@ -164,6 +164,35 @@ class MemoryEngine:
         self.s.invalidate_cache()
         return merged
 
+    # -- synthesis orchestrator (knowledge_synthesis_engine.py:36-103) ---------
+    def synthesize(self, mode: str = "balanced", text_col: str = "content",
+                   id_col: str = "node_id", ts_col: str | None = None,
+                   question: str | None = None) -> dict[str, Any]:
+        """Comprehensive synthesis: orchestrates insights per mode —
+        fast = patterns only; balanced = + trends/anomalies;
+        comprehensive = + contradictions and QA (when a question is
+        given). Returns a dict of result DataFrames / answer dicts."""
+        from memory_engine_spark.operators import qa as qa_mod
+        from memory_engine_spark.operators import synthesis
+
+        nodes = self.s.table("nodes")
+        edges = self.s.table("edges")
+        out: dict[str, Any] = {
+            "patterns": synthesis.term_cooccurrence(nodes, text_col, id_col),
+        }
+        if mode in ("balanced", "comprehensive"):
+            out["structural_anomalies"] = synthesis.structural_anomalies(
+                edges, nodes.select(id_col))
+            if ts_col is not None:
+                out["trend"] = synthesis.monthly_trend(nodes, ts_col)
+        if mode == "comprehensive":
+            out["contradictions"] = synthesis.detect_contradictions(
+                nodes, text_col, id_col)
+            if question:
+                out["answer"] = qa_mod.answer(question, nodes, edges,
+                                              text_col, id_col)
+        return out
+
     # -- MCP-style command router (mcp_endpoint.py:329-390) --------------------
     def execute_command(self, command: dict[str, Any]) -> dict[str, Any]:
         action = command.get("action")

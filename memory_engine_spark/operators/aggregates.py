@@ -128,6 +128,34 @@ def monthly_counts(df: DataFrame, ts_col: str, extra_group: Sequence[str] = ()) 
     return df.groupBy(month, *extra_group).agg(F.count(F.lit(1)).alias("n"))
 
 
+def relationship_metrics(edges: DataFrame) -> DataFrame:
+    """Relationship analytics (enhanced_mcp_endpoint.py:1363-1424):
+    per-relation-type counts + avg confidence; graph density
+    E/(N·(N−1)) attached to every row (scalar metric)."""
+    n_nodes = (edges.select(F.col("from_id").alias("node_id"))
+               .unionByName(edges.select(F.col("to_id").alias("node_id")))
+               .distinct().count())
+    n_edges = edges.count()
+    density = (n_edges / (n_nodes * (n_nodes - 1))) if n_nodes > 1 else 0.0
+    return (
+        edges.groupBy("relation_type")
+        .agg(F.count(F.lit(1)).alias("n_edges"),
+             F.round(F.avg("confidence_score"), 6).alias("avg_confidence"))
+        .withColumn("graph_density", F.round(F.lit(density), 9))
+    )
+
+
+def rating_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Correlation patterns between rating dimensions
+    (insight_discovery.py:376-427): Pearson corr for every column pair.
+    One aggregate job, all pairs at once."""
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}__{b}"))
+    return df.agg(*aggs)
+
+
 def iqr_outliers(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     """IQR outlier detection (insight_discovery.py:1793-1822): rows outside
     [q1 - k·IQR, q3 + k·IQR]. Uses EXACT percentile (matches a SQL oracle,

@@ -166,6 +166,30 @@ def related_by_shared_tag(df: DataFrame, tags_col: str, id_col: str) -> DataFram
     )
 
 
+def semantically_similar(embeddings: DataFrame, k: int = 5,
+                         threshold: float = 0.7,
+                         id_col: str = "node_id",
+                         vec_col: str = "embedding",
+                         bucket_col: str | None = None) -> DataFrame:
+    """SEMANTICALLY_SIMILAR edge suggestion: per-node top-k embedding
+    neighbors above threshold (relationship_extractor.py:617-712).
+    Near-dup pair join (blocked when bucket_col given) + per-node rank —
+    the LSH/IVF bucket is the scale path, exactly like the reference's
+    vector-store top-k."""
+    from pyspark.sql.window import Window
+
+    from memory_engine_spark.operators.similarity import neardup_pairs
+
+    pairs = neardup_pairs(embeddings, threshold, id_col, vec_col, bucket_col)
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine"))
+    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), F.col("b").asc())
+    return (both.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+            .select(F.col("a"), F.col("b"),
+                    F.lit("SEMANTICALLY_SIMILAR").alias("relation_type"),
+                    F.round("cosine", 6).alias("confidence")))
+
+
 def discover_all(df: DataFrame, id_col: str, text_col: str | None = None,
                  tags_col: str | None = None, source_col: str | None = None,
                  ts_col: str | None = None) -> DataFrame:

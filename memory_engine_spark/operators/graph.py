@@ -127,6 +127,51 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
             base.unpersist()
 
 
+def k_hop_paths(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
+                relation_type: str | None = None, min_confidence: float | None = None,
+                directed: bool = False) -> DataFrame:
+    """BFS that also materializes one shortest PATH per reached node
+    (enhanced_mcp_endpoint.py:76-172 returns paths + nodes-by-distance).
+    Returns (node_id, hop_distance, path array<string>). The path column
+    rides along the frontier via ``concat(path, array(node))``; ties
+    (multiple shortest paths) break toward the lexicographically
+    smallest path for determinism."""
+    spark = edges.sparkSession
+    if isinstance(start_ids, list):
+        start_ids = spark.createDataFrame([(i,) for i in start_ids], "node_id string")
+    if relation_type is not None:
+        edges = edges.filter(F.col("relation_type") == relation_type)
+    if min_confidence is not None:
+        edges = edges.filter(F.col("confidence_score") >= min_confidence)
+    base = edges.select("from_id", "to_id").persist()
+    adj = base if directed else symmetrize(base)
+    try:
+        visited = start_ids.select(
+            "node_id", F.lit(0).alias("hop_distance"),
+            F.array("node_id").alias("path")).localCheckpoint()
+        frontier = visited
+        for depth in range(1, max_depth + 1):
+            stepped = (
+                adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+                .select(F.col("to_id").alias("node_id"),
+                        F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path"))
+            )
+            nxt = (
+                stepped.groupBy("node_id").agg(F.min("path").alias("path"))
+                .join(visited.select("node_id"), "node_id", "left_anti")
+                .withColumn("hop_distance", F.lit(depth))
+                .select("node_id", "hop_distance", "path")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        base.unpersist()
+
+
 def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6,
                          directed: bool = False) -> int | None:
     """Unweighted shortest-path length src→dst (sqlite_storage.py:571-616).

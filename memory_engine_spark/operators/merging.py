@@ -45,6 +45,27 @@ def updated_rating(old: Column, factor: Column) -> Column:
     return clamp01(old + 0.2 * factor)
 
 
+def merged_metadata(map_a: Column, map_b: Column) -> Column:
+    """Metadata merge, right-wins (merging.py:154-196): map_concat keeps
+    the LAST value for duplicate keys when
+    spark.sql.mapKeyDedupPolicy=LAST_WIN; expressed portably via
+    map_zip_with so no session conf is required."""
+    return F.map_zip_with(
+        F.coalesce(map_a, F.create_map()),
+        F.coalesce(map_b, F.create_map()),
+        lambda k, v1, v2: F.coalesce(v2, v1),
+    )
+
+
+def delete_rows(existing: DataFrame, keys: DataFrame | list, key: str) -> DataFrame:
+    """Batch delete on immutable tables = one anti-join
+    (graph_storage_interface.py delete_node as a set operation)."""
+    if isinstance(keys, list):
+        spark = existing.sparkSession
+        keys = spark.createDataFrame([(k,) for k in keys], f"{key} string")
+    return existing.join(keys.select(key), key, "left_anti")
+
+
 def upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE-style upsert on immutable tables: rows in ``updates`` win;
     untouched rows pass through (anti-join + union)."""

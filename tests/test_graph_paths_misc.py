@@ -1,0 +1,94 @@
+"""k-hop with paths, semantic suggestion edges, relationship metrics,
+metadata merge, delete, synthesize orchestrator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.engine import MemoryEngine
+from memory_engine_spark.operators import discovery, graph
+from memory_engine_spark.operators.aggregates import (
+    rating_correlations, relationship_metrics,
+)
+from memory_engine_spark.operators.merging import delete_rows, merged_metadata
+from memory_engine_spark.session import EngineSession
+
+
+def test_k_hop_paths(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "r", 0.9), ("b", "c", "r", 0.9), ("a", "c", "r", 0.9),
+         ("c", "d", "r", 0.9)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    out = {r["node_id"]: (r["hop_distance"], r["path"]) for r in
+           graph.k_hop_paths(edges, ["a"], 3, directed=True).collect()}
+    assert out["a"] == (0, ["a"])
+    assert out["b"] == (1, ["a", "b"])
+    assert out["c"] == (1, ["a", "c"])       # direct edge wins over a-b-c
+    assert out["d"] == (2, ["a", "c", "d"])  # lexicographically-min shortest
+
+
+def test_semantically_similar_topk(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.8, 0.2], 0),
+         (4, [0.0, 1.0], 0)],
+        "vec_id int, embedding array<double>, label int")
+    out = discovery.semantically_similar(vecs, k=1, threshold=0.5,
+                                         id_col="vec_id", vec_col="embedding",
+                                         bucket_col="label")
+    top = {r["a"]: r["b"] for r in out.collect()}
+    # 1's nearest is 2; 2's nearest is 1 (0.9939 > 0.9907); 3's is 2.
+    assert top == {1: 2, 2: 1, 3: 2}  # vec 4 below threshold everywhere
+    assert all(r["relation_type"] == "SEMANTICALLY_SIMILAR" for r in out.collect())
+
+
+def test_relationship_metrics(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "is_a", 0.8), ("b", "c", "is_a", 0.6), ("a", "c", "part_of", 0.4)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    m = {r["relation_type"]: r for r in relationship_metrics(edges).collect()}
+    assert m["is_a"]["n_edges"] == 2 and m["is_a"]["avg_confidence"] == 0.7
+    assert abs(m["is_a"]["graph_density"] - 3 / 6) < 1e-9  # 3 edges, 3 nodes
+
+
+def test_rating_correlations(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0)],
+        "x double, y double, z double")
+    r = rating_correlations(df, ["x", "y", "z"]).collect()[0]
+    assert r["corr_x__y"] == 1.0 and r["corr_x__z"] == -1.0
+
+
+def test_merged_metadata_right_wins(spark):
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"}, {"b": "9", "c": "3"})],
+        "m1 map<string,string>, m2 map<string,string>")
+    out = df.select(merged_metadata(F.col("m1"), F.col("m2")).alias("m")).collect()[0]
+    assert out["m"] == {"a": "1", "b": "9", "c": "3"}
+
+
+def test_delete_rows(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "id string, v int")
+    out = delete_rows(df, ["b"], "id")
+    assert {r["id"] for r in out.collect()} == {"a", "c"}
+
+
+def test_synthesize_modes(spark):
+    s = EngineSession(spark)
+    nodes = spark.createDataFrame(
+        [("n1", "spark data engine processing pipelines", "w", 1000.0),
+         ("n2", "spark data engine processing clusters", "w", 2000.0),
+         ("n3", "spark data engine processing storage", "w", 3000.0)],
+        "node_id string, content string, source string, creation_timestamp double")
+    edges = spark.createDataFrame(
+        [("n1", "n2", "RELATED", 0.5)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    s.register("nodes", nodes)
+    s.register("edges", edges)
+    eng = MemoryEngine(s)
+    fast = eng.synthesize("fast")
+    assert set(fast) == {"patterns"}
+    assert fast["patterns"].count() > 0  # shared terms across ≥3 docs
+    comp = eng.synthesize("comprehensive", question="what is spark processing?")
+    assert {"patterns", "structural_anomalies", "contradictions", "answer"} <= set(comp)
+    assert comp["answer"]["confidence"] > 0
