@@ -522,6 +522,21 @@ def q41_semantic_suggestions(spark, sf):
         id_col="vec_id", bucket_col="label")
 
 
+def q42_autocorrelation(spark, sf):
+    """Cyclical-pattern detection: lag-1 autocorrelation of daily counts
+    (insight_discovery.py:1243-1305)."""
+    t = _t(spark, sf)
+    return synthesis.autocorrelation(t["events"], "ts", lag=1)
+
+
+def q43_behavioral_anomalies(spark, sf):
+    """Behavioral anomalies: users whose event volume is > 2σ from the
+    mean (insight_discovery.py:1736-1791)."""
+    t = _t(spark, sf)
+    return synthesis.behavioral_anomalies(t["events"], "user_id",
+                                          z_threshold=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -565,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_relationship_metrics": q39_relationship_metrics,
         "q40_rating_correlations": q40_rating_correlations,
         "q41_semantic_suggestions": q41_semantic_suggestions,
+        "q42_autocorrelation": q42_autocorrelation,
+        "q43_behavioral_anomalies": q43_behavioral_anomalies,
     }
 
 
@@ -1065,5 +1082,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, 'SEMANTICALLY_SIMILAR' AS relation_type,
                    ROUND(cosine, 6) AS confidence
             FROM ranked WHERE rk <= 3
+        """,
+        "q42_autocorrelation": """
+            WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS bucket, COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            l AS (SELECT n, lag(n, 1) OVER (ORDER BY bucket) AS prev FROM c)
+            SELECT ROUND(corr(n, prev), 6) AS autocorr,
+                   COUNT(*) AS n_points,
+                   CAST(1 AS BIGINT) AS lag
+            FROM l WHERE prev IS NOT NULL
+        """,
+        "q43_behavioral_anomalies": """
+            WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+            stats AS (SELECT AVG(n) AS mu, COALESCE(stddev_samp(n), 0.0) AS sd
+                      FROM counts)
+            SELECT user_id, n, ROUND((n - mu) / sd, 6) AS z
+            FROM counts, stats
+            WHERE sd > 0 AND ABS(ROUND((n - mu) / sd, 6)) > 2.0
         """,
     }

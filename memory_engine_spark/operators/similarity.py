@@ -67,11 +67,14 @@ def crossjoin_topk(embeddings: DataFrame, queries: DataFrame, k: int,
 
 def build_ivf(embeddings: DataFrame, nlist: int = 64, seed: int = 42,
               id_col: str = "node_id", vec_col: str = "embedding",
-              iters: int = 2) -> tuple[DataFrame, DataFrame]:
+              iters: int = 1) -> tuple[DataFrame, DataFrame]:
     """Build (centroids, assigned) where centroids=(cell, centroid) and
-    assigned=embeddings+(cell). Centroids start from a deterministic
+    assigned=(id, vec, cell). Centroids start from a deterministic
     sample and take ``iters`` Lloyd refinement passes — each pass is one
     broadcast-join + one groupBy (mean of member vectors), all built-in.
+    One pass suffices for the coarse quantizer (the probe step re-scores
+    exactly inside the probed cells, so centroid quality only affects
+    recall, not correctness).
     """
     n = embeddings.count()
     frac = min(1.0, (nlist * 4) / max(n, 1))
@@ -84,11 +87,12 @@ def build_ivf(embeddings: DataFrame, nlist: int = 64, seed: int = 42,
     seeds = seeds.select(
         (F.row_number().over(Window.orderBy("cell")) - 1).alias("cell"), "centroid")
     centroids = seeds.localCheckpoint()
+    dim = len(centroids.select("centroid").first()[0])
     for _ in range(iters):
         assigned = _assign(embeddings, centroids, id_col, vec_col)
-        dim = len(centroids.select("centroid").first()[0])
         agg = assigned.groupBy("cell").agg(
-            *[F.avg(F.col(vec_col).cast("array<double>")[i]).alias(f"c{i}") for i in range(dim)]
+            *[F.avg(F.col(vec_col).cast("array<double>")[i]).alias(f"c{i}")
+              for i in range(dim)]
         )
         centroids = agg.select(
             "cell", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
@@ -99,12 +103,19 @@ def build_ivf(embeddings: DataFrame, nlist: int = 64, seed: int = 42,
 def _assign(embeddings: DataFrame, centroids: DataFrame,
             id_col: str, vec_col: str) -> DataFrame:
     """Assign each vector to its max-cosine centroid: broadcast join +
-    window top-1 (no shuffle of the embedding side beyond the rank)."""
-    scored = embeddings.join(F.broadcast(centroids)).withColumn(
-        "cscore", cosine_similarity(F.col(vec_col), F.col("centroid")))
-    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cell").asc())
-    return (scored.withColumn("r", F.row_number().over(w)).filter("r = 1")
-            .drop("r", "cscore", "centroid"))
+    ``max_by`` aggregate — partial (map-side) aggregation and no window
+    sort, so the scored rows never fully shuffle. Ties break toward the
+    smallest cell id via the (score, -cell) struct ordering."""
+    scored = embeddings.join(F.broadcast(centroids)).select(
+        id_col, vec_col,
+        F.struct(cosine_similarity(F.col(vec_col), F.col("centroid")).alias("s"),
+                 (-F.col("cell")).alias("negcell")).alias("sc"),
+        "cell",
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by("cell", "sc").alias("cell"),
+        F.first(vec_col).alias(vec_col))
+    return best.select(id_col, vec_col, "cell")
 
 
 def topk_ivf(assigned: DataFrame, centroids: DataFrame, query_vec: list[float],

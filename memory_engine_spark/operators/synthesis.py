@@ -102,6 +102,39 @@ def monthly_trend(df: DataFrame, ts_col: str, bucket: str = "yyyy-MM") -> DataFr
     )
 
 
+def autocorrelation(df: DataFrame, ts_col: str, lag: int = 1,
+                    bucket: str = "yyyy-MM-dd") -> DataFrame:
+    """Cyclical-pattern detection via lag-k autocorrelation of the
+    bucket-count series (insight_discovery.py:1243-1305): Pearson corr
+    of (n_t, n_{t−k}). One groupBy + one lag window + one corr agg."""
+    b = df.select(F.date_format(ts_col, bucket).alias("bucket"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket")
+    lagged = counts.withColumn("prev", F.lag("n", lag).over(w)) \
+        .filter(F.col("prev").isNotNull())
+    return lagged.agg(
+        F.round(F.corr("n", "prev"), 6).alias("autocorr"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.lit(lag).cast("long").alias("lag"),
+    )
+
+
+def behavioral_anomalies(df: DataFrame, actor_col: str,
+                         z_threshold: float = 2.0) -> DataFrame:
+    """Behavioral anomalies (insight_discovery.py:1736-1791): actors
+    whose activity volume deviates more than z_threshold standard
+    deviations from the mean actor volume. Returns (actor, n, z)."""
+    counts = df.groupBy(actor_col).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(F.avg("n").alias("mu"),
+                       F.coalesce(F.stddev("n"), F.lit(0.0)).alias("sd"))
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (counts.crossJoin(F.broadcast(stats))
+            .filter(F.col("sd") > 0)
+            .withColumn("z", F.round(z, 6))
+            .filter(F.abs(F.col("z")) > z_threshold)
+            .select(actor_col, "n", "z"))
+
+
 def sudden_changes(df: DataFrame, ts_col: str, bucket: str = "yyyy-MM-dd",
                    jump_ratio: float = 0.5) -> DataFrame:
     """>50%-jump detection between consecutive time buckets

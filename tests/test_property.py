@@ -1,0 +1,135 @@
+"""Property-based checks (hypothesis): Spark operators vs pure-Python
+reference semantics on random inputs. Complements the example-based
+tests with adversarial coverage of nulls, empty strings, and threshold
+edges."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from memory_engine_spark.operators import dedup
+from memory_engine_spark.operators.filters import FilterCondition, apply_filters
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                       HealthCheck.too_slow])
+
+_scalar = st.one_of(st.none(), st.integers(-50, 50).map(float),
+                    st.sampled_from(["alpha", "Beta", "gamma ray", "", "x1"]))
+_rows = st.lists(st.tuples(st.integers(0, 10 ** 6), _scalar, _scalar),
+                 min_size=0, max_size=12, unique_by=lambda r: r[0])
+_op = st.sampled_from(["eq", "ne", "gt", "gte", "lt", "lte", "contains",
+                       "starts_with", "exists", "not_exists"])
+
+
+def _py_eval(op, cell, val):
+    """Reference row-at-a-time semantics (filter_processor.py): nulls
+    are excluded for comparison ops."""
+    if op == "exists":
+        return cell is not None
+    if op == "not_exists":
+        return cell is None
+    if cell is None:
+        return False
+    try:
+        if op == "eq":
+            return cell == val
+        if op == "ne":
+            return cell != val
+        if op == "gt":
+            return cell > val
+        if op == "gte":
+            return cell >= val
+        if op == "lt":
+            return cell < val
+        if op == "lte":
+            return cell <= val
+        if op == "contains":
+            return isinstance(cell, str) and str(val) in cell
+        if op == "starts_with":
+            return isinstance(cell, str) and cell.startswith(str(val))
+    except TypeError:
+        return False
+    return False
+
+
+@settings(**SETTINGS)
+@given(rows=_rows, op=_op, use_num=st.booleans(),
+       val=st.one_of(st.integers(-50, 50).map(float),
+                     st.sampled_from(["alpha", "a", "x"])))
+def test_filter_compiler_matches_python(spark, rows, op, use_num, val):
+    col = "num" if use_num else "txt"
+    # comparable types only: numeric col ↔ numeric val, string ↔ string
+    if use_num and isinstance(val, str):
+        val = 1.0
+    if not use_num and not isinstance(val, str):
+        val = "a"
+    if op in ("contains", "starts_with") and use_num:
+        return  # string ops on string column only
+    df = spark.createDataFrame(
+        [(i, n if isinstance(n, float) else None,
+          s if isinstance(s, str) else None) for i, n, s in rows],
+        "id long, num double, txt string")
+    got = {r["id"] for r in
+           apply_filters(df, [FilterCondition(col, op, val)]).collect()}
+    expect = {i for i, n, s in rows
+              if _py_eval(op, (n if isinstance(n, float) else None) if use_num
+                          else (s if isinstance(s, str) else None), val)}
+    assert got == expect
+
+
+_doc = st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+                min_size=0, max_size=8).map(" ".join)
+
+
+def _py_shingles(txt, n=2):
+    toks = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+    if not toks:
+        return set()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(_doc, min_size=2, max_size=6),
+       threshold=st.sampled_from([0.2, 0.5, 0.8]))
+def test_jaccard_pairs_match_bruteforce(spark, docs, threshold):
+    rows = [(i, d) for i, d in enumerate(docs) if _py_shingles(d)]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "doc_id int, body string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.ngram_jaccard_pairs(df, "body", "doc_id", n=2,
+                                     threshold=threshold).collect()}
+    expect = {}
+    for i, (ia, da) in enumerate(rows):
+        for ib, db in rows[i + 1:]:
+            sa, sb = _py_shingles(da), _py_shingles(db)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                expect[(ia, ib)] = j
+    assert set(got) == set(expect)
+    for k, v in got.items():
+        assert math.isclose(v, expect[k], abs_tol=1e-6)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(_doc.filter(lambda d: len(d.split()) >= 2),
+                     min_size=2, max_size=6))
+def test_minhash_no_false_positives(spark, docs):
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id int, body string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in
+           dedup.minhash_neardup(df, "body", "doc_id", threshold=0.5,
+                                 num_hashes=16, bands=8, n=2).collect()}
+    for (a, b), j in got.items():
+        sa, sb = _py_shingles(docs[a]), _py_shingles(docs[b])
+        exact = len(sa & sb) / len(sa | sb)
+        assert exact >= 0.5  # verification step guarantees no FPs
+        assert math.isclose(j, exact, abs_tol=1e-6)
