@@ -232,24 +232,26 @@ def detect_contradictions(df: DataFrame, text_col: str, id_col: str,
         words.alias("w"),
         (F.size(F.array_intersect(toks, neg)) > 0).alias("has_neg"),
     ).persist()
-    ex = prepared.select("_id", F.explode(F.array_except("w", neg)).alias("k"))
-    sizes = prepared.select("_id", F.size(F.array_except("w", neg)).alias("sz"),
-                            "has_neg")
-    a = ex.join(sizes.hint("broadcast"), "_id").select(
-        F.col("_id").alias("a"), F.col("sz").alias("sz_a"),
-        F.col("has_neg").alias("neg_a"), "k")
-    b = ex.join(sizes.hint("broadcast"), "_id").select(
-        F.col("_id").alias("b"), F.col("sz").alias("sz_b"),
-        F.col("has_neg").alias("neg_b"), "k")
+    ex = prepared.select("_id", "has_neg",
+                         F.size(F.array_except("w", neg)).alias("sz"),
+                         F.explode(F.array_except("w", neg)).alias("k"))
+    # A contradiction needs EXACTLY ONE negated side — so block the join
+    # asymmetrically: negated docs × non-negated docs. Candidates scale
+    # with Σ_w f_neg(w)·f_plain(w), which collapses when negation is
+    # rare (the common case), instead of Σ_w f(w)² over all pairs.
+    a = ex.filter(F.col("has_neg")).select(
+        F.col("_id").alias("na"), F.col("sz").alias("sz_na"), "k")
+    b = ex.filter(~F.col("has_neg")).select(
+        F.col("_id").alias("nb"), F.col("sz").alias("sz_nb"), "k")
     common = (
-        a.join(b, "k").filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "sz_a", "sz_b", "neg_a", "neg_b")
+        a.join(b, "k")
+        .groupBy("na", "nb", "sz_na", "sz_nb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    jac = F.col("common") / (F.col("sz_na") + F.col("sz_nb") - F.col("common"))
     return (
         common.withColumn("topic_score", F.round(jac, 6))
-        .filter((F.col("topic_score") >= topic_overlap)
-                & (F.col("neg_a") != F.col("neg_b")))
-        .select("a", "b", "topic_score")
+        .filter(F.col("topic_score") >= topic_overlap)
+        .select(F.least("na", "nb").alias("a"),
+                F.greatest("na", "nb").alias("b"), "topic_score")
     )

@@ -89,6 +89,66 @@ def export_cypher(nodes: DataFrame, edges: DataFrame, path: str) -> None:
     node_lines.unionByName(edge_lines).write.mode("overwrite").text(path)
 
 
+def export_xml(df: DataFrame, path: str, row_tag: str = "row",
+               root_tag: str = "rows") -> None:
+    """Generic XML export (data_exporter.py XML writer shape): one
+    element per row, one child element per column — body rendered
+    distributed, O(1) header/footer driver-side."""
+    cols = df.columns
+    parts = [F.lit(f"  <{row_tag}>")]
+    for c in cols:
+        parts.append(F.lit(f"<{c}>"))
+        parts.append(F.coalesce(_xml_escape(F.col(c)), F.lit("")))
+        parts.append(F.lit(f"</{c}>"))
+    parts.append(F.lit(f"</{row_tag}>"))
+    body_dir = path + ".body"
+    df.select(F.concat(*parts).alias("line")) \
+        .coalesce(1).write.mode("overwrite").text(body_dir)
+    part = next(f for f in os.listdir(body_dir) if f.startswith("part-"))
+    with open(path, "w") as out:
+        out.write(f'<?xml version="1.0" encoding="UTF-8"?>\n<{root_tag}>\n')
+        with open(os.path.join(body_dir, part)) as src:
+            out.write(src.read())
+        out.write(f"</{root_tag}>\n")
+
+
+def import_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """XML import (data_importer.py XML path): parse with the stdlib
+    ElementTree inside mapInPandas — file list distributes; schema is
+    inferred from the first row element's children (all strings, like
+    the reference's string-typed property bag)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    rows = root.findall(row_tag)
+    if not rows:
+        return spark.createDataFrame([], "value string")
+    cols = [child.tag for child in rows[0]]
+    data = [tuple((r.find(c).text or "") if r.find(c) is not None else None
+                  for c in cols) for r in rows]
+    # Driver-side parse is correct for the reference's single-file XML
+    # interchange; a many-file corpus would wrap this same ET logic in
+    # mapInPandas over a file-path DataFrame.
+    return spark.createDataFrame(data, ", ".join(f"`{c}` string" for c in cols))
+
+
+def detect_format(path: str) -> str:
+    """Format auto-detect (data_importer.py:153-193): by extension, then
+    content sniff."""
+    low = path.lower()
+    for ext, fmt in ((".json", "json"), (".csv", "csv"), (".xml", "xml"),
+                     (".parquet", "parquet")):
+        if low.endswith(ext):
+            return fmt
+    with open(path, "rb") as fh:
+        head = fh.read(64).lstrip()
+    if head.startswith(b"<?xml") or head.startswith(b"<"):
+        return "xml"
+    if head.startswith(b"{") or head.startswith(b"["):
+        return "json"
+    return "csv"
+
+
 def export_subgraph(nodes: DataFrame, edges: DataFrame, node_ids: list[str],
                     path: str, fmt: str = "json",
                     include_relationships: bool = True) -> None:

@@ -112,6 +112,19 @@ def test_subgraph_export(spark, tmp_path, small_graph):
     assert len(rows) == 1 and rows[0]["to_id"] == "b"
 
 
+def test_xml_roundtrip_and_detect(spark, tmp_path, small_graph):
+    nodes, _ = small_graph
+    p = str(tmp_path / "nodes.xml")
+    export.export_xml(nodes, p, row_tag="node", root_tag="nodes")
+    content = open(p).read()
+    assert content.startswith("<?xml") and "<node><node_id>a</node_id></node>" in content
+    back = export.import_xml(spark, p, row_tag="node")
+    assert sorted(r["node_id"] for r in back.collect()) == ["a", "b", "c"]
+    assert export.detect_format(p) == "xml"
+    assert export.detect_format("x.json") == "json"
+    assert export.detect_format("x.csv") == "csv"
+
+
 def test_migrate_and_verify(spark, tmp_path, small_graph):
     nodes, _ = small_graph
     assert export.migrate_and_verify(nodes, str(tmp_path / "mig"), spark)
