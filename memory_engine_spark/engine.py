@@ -164,6 +164,30 @@ class MemoryEngine:
         self.s.invalidate_cache()
         return merged
 
+    # -- chunked streaming results (orchestrator/enhanced_mcp.py:139-213) ------
+    def stream_query(self, spec: QuerySpec, chunk_size: int = 100):
+        """Generator of result chunks with progress metadata — the
+        reference's streaming-query endpoint (chunked batches +
+        progress + cancellation; cancellation = stop iterating).
+        Executes ONE job and drains it incrementally via
+        ``toLocalIterator`` (partition-at-a-time to the driver), so
+        memory is bounded by a partition, not the result."""
+        df = compile_query(self.s.table(spec.entity), spec)
+        total = df.count()
+        sent = 0
+        chunk: list[dict] = []
+        for row in df.toLocalIterator():
+            chunk.append(row.asDict(recursive=True))
+            if len(chunk) >= chunk_size:
+                sent += len(chunk)
+                yield {"rows": chunk, "progress": sent / max(total, 1),
+                       "done": sent >= total}
+                chunk = []
+        if chunk or sent == 0:
+            sent += len(chunk)
+            yield {"rows": chunk, "progress": sent / max(total, 1) if total else 1.0,
+                   "done": True}
+
     # -- synthesis orchestrator (knowledge_synthesis_engine.py:36-103) ---------
     def synthesize(self, mode: str = "balanced", text_col: str = "content",
                    id_col: str = "node_id", ts_col: str | None = None,

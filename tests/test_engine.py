@@ -93,6 +93,17 @@ def test_update_rating_formula(engine):
     assert abs(row["rating_richness"] - 0.3) < 1e-9       # 0.2 + 0.1
 
 
+def test_stream_query_chunks(engine):
+    spec = QuerySpec("nodes").sort("node_id")
+    chunks = list(engine.stream_query(spec, chunk_size=3))
+    assert len(chunks) == 2
+    assert len(chunks[0]["rows"]) == 3 and not chunks[0]["done"]
+    assert len(chunks[1]["rows"]) == 1 and chunks[1]["done"]
+    assert chunks[1]["progress"] == 1.0
+    ids = [r["node_id"] for c in chunks for r in c["rows"]]
+    assert ids == sorted(ids)
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [("a", "b", "r"), ("b", "c", "r"), ("d", "e", "r"), ("f", "g", "r"),
