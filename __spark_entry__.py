@@ -537,6 +537,18 @@ def q43_behavioral_anomalies(spark, sf):
                                           z_threshold=2.0)
 
 
+def q44_date_range(spark, sf):
+    """date_range filter op with string→timestamp coercion
+    (filter_processor.py:408-424,259-280)."""
+    t = _t(spark, sf)
+    spec = (QuerySpec("orders")
+            .filter("o_orderdate", "date_range",
+                    ["1996-03-01 00:00:00", "1996-06-15 00:00:00"])
+            .filter("o_orderpriority", "starts_with", "1")
+            .select("o_orderkey", "o_custkey"))
+    return compile_query(t["orders"], spec)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -582,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_semantic_suggestions": q41_semantic_suggestions,
         "q42_autocorrelation": q42_autocorrelation,
         "q43_behavioral_anomalies": q43_behavioral_anomalies,
+        "q44_date_range": q44_date_range,
     }
 
 
@@ -1099,5 +1112,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n, ROUND((n - mu) / sd, 6) AS z
             FROM counts, stats
             WHERE sd > 0 AND ABS(ROUND((n - mu) / sd, 6)) > 2.0
+        """,
+        "q44_date_range": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                                  AND TIMESTAMP '1996-06-15 00:00:00'
+              AND starts_with(o_orderpriority, '1')
         """,
     }

@@ -38,6 +38,28 @@ NULL_AS_VALUE = "as_value"
 
 MAX_REGEX_LEN = 1000  # filter_processor.py:345
 
+# filter_processor.py:259-280: the reference tries these formats in
+# order when coercing strings to datetimes.
+DATETIME_FORMATS = [
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "MM/dd/yyyy",
+    "dd-MM-yyyy",
+    "yyyy/MM/dd",
+]
+
+
+def parse_datetime_multi(col: Column) -> Column:
+    """Multi-format datetime coercion (filter_processor.py:259-280):
+    first format that parses wins; unparseable → null. ``try_to_timestamp``
+    keeps bad rows null instead of failing the job."""
+    parsed = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in DATETIME_FORMATS]
+    # bare unix-epoch seconds as a final fallback (epoch↔datetime, :262-264);
+    # try_cast keeps non-numeric strings null under ANSI mode.
+    epoch = F.timestamp_seconds(col.try_cast("double"))
+    return F.coalesce(*parsed, epoch)
+
 
 @dataclass
 class FilterCondition:

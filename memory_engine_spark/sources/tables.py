@@ -77,6 +77,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return LazyTables(spark, sf_dir)
 
 
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   num_buckets: int = 32, sort_cols: list[str] | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key —
+    the cluster-scale layout for repeated co-located joins: two tables
+    bucketed on the same key with the same bucket count join WITHOUT a
+    shuffle (SortMergeJoin reads co-located buckets; `.explain` shows no
+    Exchange). This is the physical design SURVEY §4.2 calls for on
+    `edges` (bucket by from_id, sort by relation_type) so every BFS hop
+    and degree aggregation reuses the layout instead of reshuffling."""
+    writer = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def _edge(df: DataFrame, from_expr: str, to_expr: str, rel: str,
           conf_expr: str = "0.5") -> DataFrame:
     return df.select(

@@ -78,6 +78,26 @@ def test_null_policies(df):
     assert ids(df, FilterCondition("score", "ne", 0.5, null_policy=NULL_AS_VALUE)) == [1, 2, 3]
 
 
+def test_datetime_multi_format_coercion(spark):
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators.filters import parse_datetime_multi
+
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05",), ("2024-01-02T03:04:05",), ("2024-01-02",),
+         ("01/15/2024",), ("15-01-2024",), ("2024/01/02",), ("garbage",),
+         ("1704164645",)],
+        "s string")
+    got = [r["t"] for r in
+           df.select(parse_datetime_multi(F.col("s")).alias("t")).collect()]
+    assert got[0] is not None and got[0].year == 2024 and got[0].second == 5
+    assert got[1] == got[0]
+    assert got[2].day == 2 and got[3].month == 1 and got[3].day == 15
+    assert got[4].day == 15 and got[5].day == 2
+    assert got[6] is None                     # unparseable → null
+    assert got[7].year == 2024                # epoch-seconds fallback
+
+
 def test_nested_map_access(df):
     assert ids(df, FilterCondition("props.domain", "eq", "tech")) == [1, 4]
 
