@@ -76,7 +76,8 @@ class MemoryEngine:
         self.s = session
 
     # -- GraphQL-like structured query (query_language.py:343-466) ----------
-    def query(self, spec: QuerySpec, use_cache: bool = True) -> QueryResponse:
+    def query(self, spec: QuerySpec, use_cache: bool = True,
+              explain: bool = False) -> QueryResponse:
         steps = [f"entity={spec.entity}"]
         key = self.s.cache_key({
             "entity": spec.entity,
@@ -104,6 +105,10 @@ class MemoryEngine:
         page = paginate(out, spec.offset, spec.limit, with_total=True)
         rows = [r.asDict(recursive=True) for r in page.df.collect()]
         steps.append(f"executed in {time.time() - t0:.3f}s; total={page.total_count}")
+        if explain:
+            # query_explainer.py analogue: step trace + the real physical
+            # plan Catalyst chose
+            steps.append(page.df._jdf.queryExecution().executedPlan().toString())
         if use_cache:
             self.s.put_cache(key, page.df)
         return QueryResponse(rows, page.total_count, spec.offset, spec.limit, steps)

@@ -1,0 +1,54 @@
+"""Salted-join / two-phase-count result parity with unsalted twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memory_engine_spark.operators.skew import salted_join, two_phase_count
+
+
+def test_salted_join_parity(spark):
+    # 90% of the big side is one hot key
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(1000)],
+        "id long, key string")
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k10", "A"), ("k20", "B"), ("missing", "Z")],
+        "key string, val string")
+    salted = salted_join(big, small, "key", salt_buckets=4)
+    plain = big.join(small, "key")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+
+    left = salted_join(big, small, "key", salt_buckets=4, how="left")
+    plain_left = big.join(small, "key", "left")
+    assert left.count() == plain_left.count() == 1000
+
+
+def test_salted_join_spreads_hot_key(spark):
+    big = spark.createDataFrame([(i, "hot") for i in range(100)], "id long, key string")
+    small = spark.createDataFrame([("hot", 1)], "key string, v int")
+    out = salted_join(big, small, "key", salt_buckets=8)
+    assert out.count() == 100
+
+
+def test_two_phase_count_parity(spark):
+    df = spark.createDataFrame(
+        [( "hot" if i % 5 else f"k{i}",) for i in range(500)], "key string")
+    got = {r["key"]: r["count"] for r in two_phase_count(df, "key").collect()}
+    expect = {r["key"]: r["count"] for r in df.groupBy("key").count().collect()}
+    assert got == expect
+
+
+def test_engine_explain_plan(spark):
+    from memory_engine_spark.engine import MemoryEngine
+    from memory_engine_spark.plans.query_spec import QuerySpec
+    from memory_engine_spark.session import EngineSession
+
+    s = EngineSession(spark)
+    s.register("nodes", spark.createDataFrame([("a", 1)], "node_id string, v int"))
+    eng = MemoryEngine(s)
+    resp = eng.query(QuerySpec("nodes").filter("v", "gt", 0), use_cache=False,
+                     explain=True)
+    assert any("Filter" in step or "Scan" in step for step in resp.explanation)
