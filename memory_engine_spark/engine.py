@@ -142,6 +142,25 @@ class MemoryEngine:
         return QueryResponse(rows, page.total_count, offset, limit,
                              [f"search '{query_text}' threshold={threshold}"])
 
+    def semantic_search(self, query_text: str, k: int = 50,
+                        similarity_threshold: float = 0.7,
+                        id_col: str = "node_id",
+                        vec_col: str = "embedding") -> DataFrame:
+        """SEMANTIC_SEARCH dispatch (query_engine.py:334-373): embed the
+        query with the registered provider (deterministic hashed
+        projection by default), exact top-k against the ``embeddings``
+        table. Thresholds are clamped like the reference's optimizer
+        (query_optimizer.py:235-243)."""
+        from memory_engine_spark.operators.ingestion import embed_text
+        from memory_engine_spark.operators.similarity import topk_brute
+
+        emb = self.s.table("embeddings")
+        dim = len(emb.select(vec_col).first()[0])
+        qv = [float(x) for x in embed_text(query_text, dim)]
+        threshold = clamp_similarity_threshold(similarity_threshold)
+        return topk_brute(emb, qv, k=k, id_col=id_col, vec_col=vec_col,
+                          threshold=threshold)
+
     # -- graph ops -----------------------------------------------------------
     def neighbors(self, node_ids: list[str], relation_type: str | None = None,
                   direction: str = "both") -> DataFrame:
