@@ -117,10 +117,18 @@ class MemoryEngine:
     def search(self, query_text: str, entity: str = "nodes",
                text_col: str = "content", limit: int = 10, offset: int = 0,
                similarity_threshold: float = 0.7,
-               diversity_filter: bool = False) -> QueryResponse:
+               diversity_filter: bool = False,
+               custom_weights: dict[str, float] | None = None,
+               now_ts: float | None = None) -> QueryResponse:
         """Text search → multi-criteria rank → paginate. The reference's
         semantic path swaps word-relevance for embedding similarity at
-        the same seam (operators/similarity.topk_brute)."""
+        the same seam (operators/similarity.topk_brute).
+
+        Criteria activate on available columns/tables, mirroring
+        result_ranker.py: relevance (always), quality (rating columns),
+        freshness (timestamp + now_ts), relationship-count (edges table
+        registered). ``custom_weights`` overrides per request
+        (result_ranker.py:26,563-566)."""
         threshold = clamp_similarity_threshold(similarity_threshold)
         df = self.s.table(entity)
         cols = dict(df.dtypes)
@@ -130,6 +138,24 @@ class MemoryEngine:
             parts["quality"] = quality_rating_score(
                 "rating_richness", "rating_truthfulness", "rating_stability")
             weights["quality"] = 0.3
+        if now_ts is not None and "creation_timestamp" in cols:
+            from memory_engine_spark.operators.ranking import freshness_score
+            age_days = (F.lit(now_ts) - F.col("creation_timestamp")) / 86400.0
+            parts["freshness"] = freshness_score(age_days)
+            weights["freshness"] = 0.1
+        if "edges" in self.s.tables and "node_id" in cols:
+            # relationship-count scoring (result_ranker.py:438-457):
+            # 0 edges→0.2, else 0.5+0.1·degree capped 1.0 — degree table
+            # joined in, not recomputed per row
+            from memory_engine_spark.operators.graph import degrees
+            deg = degrees(self.s.table("edges")).select("node_id", "degree")
+            df = df.join(deg, "node_id", "left").fillna(0, ["degree"])
+            parts["relationships"] = (
+                F.when(F.col("degree") == 0, 0.2)
+                .otherwise(F.least(0.5 + 0.1 * F.col("degree"), F.lit(1.0))))
+            weights["relationships"] = 0.1
+        if custom_weights:
+            weights = {k: custom_weights.get(k, v) for k, v in weights.items()}
         scored = df.withColumn("combined_score",
                                F.round(combined_score(parts, weights), 6))
         scored = scored.filter(F.col("combined_score") > 0)

@@ -93,6 +93,19 @@ def test_update_rating_formula(engine):
     assert abs(row["rating_richness"] - 0.3) < 1e-9       # 0.2 + 0.1
 
 
+def test_search_custom_weights_and_freshness(engine):
+    # crank relevance weight to 1-ish: order must follow pure relevance
+    resp = engine.search("spark joins data", limit=4,
+                         custom_weights={"relevance": 1.0, "quality": 0.0,
+                                         "relationships": 0.0})
+    ids = [r["node_id"] for r in resp.results]
+    assert ids[0] == "n1"
+    # freshness activates with now_ts; newest node gets the 1.0 step
+    resp2 = engine.search("spark", limit=4, now_ts=4000.0)
+    assert any("freshness" not in r for r in resp2.results)  # column not leaked
+    assert resp2.results  # ranked fine with 4 criteria
+
+
 def test_stream_query_chunks(engine):
     spec = QuerySpec("nodes").sort("node_id")
     chunks = list(engine.stream_query(spec, chunk_size=3))

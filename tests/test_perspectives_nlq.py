@@ -101,3 +101,39 @@ def test_cli_query_and_search(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert len(out["results"]) == 2
+
+
+def test_cli_nlq_export_replay(capsys, tmp_path):
+    import json
+    import memory_engine_cli as cli
+
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "nlq",
+                   "--question", "how many orders are there",
+                   "--entity", "orders"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["intent"] == "aggregation"
+
+    dest = str(tmp_path / "region_out")
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "export",
+                   "--entity", "region", "--fmt", "json", "--out", dest])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == 5
+
+    import datetime as dt
+
+    from memory_engine_spark.session import get_spark
+    from memory_engine_spark.streaming.events import EventBus
+    spark = get_spark()
+    bus = EventBus(spark, str(tmp_path / "bus"))
+    bus.publish(spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5), 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"))
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "replay",
+                   "--events-dir", str(tmp_path / "bus"),
+                   "--from-timestamp", "2024-01-01 00:00:00"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["replayed"] == 1
