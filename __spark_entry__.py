@@ -18,7 +18,7 @@ from memory_engine_spark.operators import (
     dedup, discovery, graph, ingestion, similarity, synthesis, text,
 )
 from memory_engine_spark.operators.aggregates import (
-    Aggregation, group_count, iqr_outliers, monthly_counts,
+    group_count, iqr_outliers, monthly_counts,
 )
 from memory_engine_spark.operators.merging import clamp01
 from memory_engine_spark.operators.ranking import combined_score, relevance_score

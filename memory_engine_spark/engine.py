@@ -25,11 +25,10 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from memory_engine_spark.operators import graph
-from memory_engine_spark.operators.filters import FilterCondition, apply_filters
 from memory_engine_spark.operators.merging import (
     updated_rating, updated_truthfulness, upsert,
 )

@@ -30,7 +30,6 @@ from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 NULL_EXCLUDE = "exclude"
 NULL_INCLUDE = "include"

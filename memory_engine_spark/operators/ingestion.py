@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import Callable, Iterator
+from typing import Callable
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,7 @@ MemoryEngine.query / .search.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from memory_engine_spark.plans.query_spec import QuerySpec
 

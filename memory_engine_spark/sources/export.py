@@ -15,8 +15,6 @@ driver-side since it's O(1).
 from __future__ import annotations
 
 import os
-from xml.sax.saxutils import escape as _xml_escape_fn
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -18,11 +18,9 @@ as the batching knobs, and checkpointing for replay/exactly-once.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession

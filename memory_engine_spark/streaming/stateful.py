@@ -19,7 +19,7 @@ Both are Arrow-batched per group; state is a tiny tuple per key.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
