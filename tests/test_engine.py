@@ -93,6 +93,33 @@ def test_update_rating_formula(engine):
     assert abs(row["rating_richness"] - 0.3) < 1e-9       # 0.2 + 0.1
 
 
+def test_search_diversity_filter(spark):
+    s = EngineSession(spark)
+    nodes = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta", "w", 1.0, 0.9, 0.9, 0.9, ""),
+         ("d2", "alpha beta gamma delta extra", "w", 1.0, 0.9, 0.9, 0.9, ""),
+         ("d3", "totally different words here", "w", 1.0, 0.9, 0.9, 0.9, "")],
+        "node_id string, content string, source string, creation_timestamp double, "
+        "rating_richness double, rating_truthfulness double, rating_stability double, "
+        "tags string")
+    s.register("nodes", nodes)
+    eng = MemoryEngine(s)
+    resp = eng.search("alpha beta gamma", limit=3, diversity_filter=True)
+    ids = [r["node_id"] for r in resp.results]
+    assert "d1" in ids and "d3" in ids
+    assert "d2" not in ids  # near-duplicate of d1 dropped by greedy MMR
+
+
+def test_aggregate_composite_key_path(spark):
+    from memory_engine_spark.operators.aggregates import Aggregation, aggregate
+    df = spark.createDataFrame([("a", "x", 1.0), ("a", None, 2.0), ("b", "x", 3.0)],
+                               "g1 string, g2 string, v double")
+    out = aggregate(df, [Aggregation("sum", "v", "s")], group_by=["g1", "g2"],
+                    composite_key=True)
+    got = {r["group_key"]: r["s"] for r in out.collect()}
+    assert got == {"a|x": 1.0, "a|null": 2.0, "b|x": 3.0}
+
+
 def test_search_custom_weights_and_freshness(engine):
     # crank relevance weight to 1-ish: order must follow pure relevance
     resp = engine.search("spark joins data", limit=4,
