@@ -134,6 +134,44 @@ def topk_ivf(assigned: DataFrame, centroids: DataFrame, query_vec: list[float],
 
 
 # ---------------------------------------------------------------------------
+# Sign-random-projection LSH (cosine buckets)
+# ---------------------------------------------------------------------------
+
+def srp_bucket(vec_col, dim: int, n_bits: int = 8, seed: int = 42):
+    """Cosine-LSH bucket id: sign bits of ``n_bits`` random-hyperplane
+    projections, packed into a long. Deterministic hyperplanes from a
+    seeded RNG are inlined as literals, so the whole thing is one JVM
+    expression — usable as a blocking key for ``neardup_pairs`` or as a
+    partition column for bucket-pruned ANN. Vectors with equal buckets
+    are cosine-close with probability growing in n_bits (Charikar'02
+    SimHash rounding)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        plane = F.lit([float(x) for x in planes[i]]).cast("array<double>")
+        d = F.aggregate(F.zip_with(vec_col.cast("array<double>"), plane,
+                                   lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        out = out + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def lsh_neardup(embeddings: DataFrame, threshold: float,
+                id_col: str = "node_id", vec_col: str = "embedding",
+                n_bits: int = 8, seed: int = 42) -> DataFrame:
+    """Cosine near-dup pairs blocked on the SRP bucket: only same-bucket
+    pairs are scored (recall-approximate like any LSH; no false
+    positives because exact cosine verifies each candidate)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    bucketed = embeddings.withColumn(
+        "_srp", srp_bucket(F.col(vec_col), dim, n_bits, seed))
+    return neardup_pairs(bucketed, threshold, id_col, vec_col, bucket_col="_srp")
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate pair join
 # ---------------------------------------------------------------------------
 

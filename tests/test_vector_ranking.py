@@ -78,6 +78,20 @@ def test_crossjoin_topk(spark, vecs):
     assert got == {(10, 1), (20, 2)}
 
 
+def test_srp_lsh_neardup(spark):
+    # near-identical pairs land in the same SRP bucket and are found;
+    # exact verification keeps the jaccard... cosine values exact
+    rows = [(i, [1.0 + 0.001 * i, 0.5, -0.2]) for i in range(5)] + \
+           [(10, [-1.0, -0.5, 0.2])]  # antipodal: different bucket
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    got = {(r["a"], r["b"]): r["cosine"] for r in
+           similarity.lsh_neardup(df, 0.999, id_col="id", vec_col="v",
+                                  n_bits=6).collect()}
+    for i in range(4):
+        assert (i, i + 1) in got and got[(i, i + 1)] > 0.999
+    assert all(10 not in pair for pair in got)
+
+
 def test_ivf_finds_neighbors(vecs):
     cents, assigned = similarity.build_ivf(vecs, nlist=2, id_col="id", vec_col="v")
     top = similarity.topk_ivf(assigned, cents, [0.95, 0.05, 0.0], k=2, nprobe=2,
