@@ -549,6 +549,16 @@ def q44_date_range(spark, sf):
     return compile_query(t["orders"], spec)
 
 
+def q45_simhash32(spark, sf):
+    """32-bit md5-SimHash near-dup pairs — the SimHash sketch built from
+    cross-engine-identical primitives so the WHOLE sketch pipeline
+    (token hash → bit votes → pack → chunk-blocked hamming join) is
+    oracle-checked, not just rows-only like the 64-bit xxhash variant."""
+    t = _t(spark, sf)
+    return dedup.simhash32_neardup(t["documents"], "text", "doc_id",
+                                   max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -595,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_autocorrelation": q42_autocorrelation,
         "q43_behavioral_anomalies": q43_behavioral_anomalies,
         "q44_date_range": q44_date_range,
+        "q45_simhash32": q45_simhash32,
     }
 
 
@@ -1118,5 +1129,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
                                   AND TIMESTAMP '1996-06-15 00:00:00'
               AND starts_with(o_orderpriority, '1')
+        """,
+        "q45_simhash32": f"""
+            WITH {TOKS_CTE},
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM toks_t),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(0, 8),
+                            i -> (strpos('0123456789abcdef',
+                                         substr(md5(t), i::INT + 1, 1)) - 1)
+                                 * power(16, 7 - i))) AS BIGINT) AS h
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (h >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM hashed, range(0, 32) r(b) GROUP BY 1, 2
+            ),
+            packed AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN power(2, b) ELSE 0 END)
+                            AS BIGINT) AS sh
+                FROM bits GROUP BY 1
+            ),
+            chunks AS (
+                SELECT doc_id, sh, ci, (sh >> (ci::INT * 8)) & 255 AS cv
+                FROM packed, range(0, 4) c(ci)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                       bit_count(xor(a.sh, b.sh)) AS hamming
+                FROM chunks a JOIN chunks b
+                  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            )
+            SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+            FROM cand WHERE hamming <= 3
         """,
     }

@@ -232,6 +232,58 @@ def hamming64(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def simhash32_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash using md5-derived token hashes — functionally the
+    same sketch as ``simhash`` but built ONLY from operations that exist
+    identically in ANSI SQL/DuckDB (md5, hex→int, bit shifts), so the
+    whole operator is oracle-checkable cross-engine. Returns
+    (id, simhash32 long)."""
+    narrow = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")))
+    toks = narrow.select("id", F.explode(tokens(F.col("_txt"))).alias("tok"))
+    h = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                        .cast("long"))
+    bit_sums = h.groupBy("id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(32)
+    ])
+    packed = bit_sums.select(
+        "id",
+        sum((F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long"))
+             .otherwise(F.lit(0).cast("long")) for b in range(32)),
+            start=F.lit(0).cast("long")).alias("simhash32"),
+    )
+    return packed
+
+
+def simhash32_neardup(df: DataFrame, text_col: str, id_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by 32-bit md5-SimHash hamming ≤ max_hamming (≤ 3):
+    4 chunks of 8 bits — any pair within hamming 3 shares ≥1 chunk
+    (pigeonhole), so candidates come from an equi-join on
+    (chunk_idx, chunk_value). Returns (a, b, hamming)."""
+    sh = simhash32_md5(df, text_col, id_col)
+    chunks = sh.select(
+        "id", "simhash32",
+        F.explode(F.array(*[
+            F.struct(F.lit(ci).alias("ci"),
+                     F.shiftrightunsigned("simhash32", ci * 8)
+                     .bitwiseAND(F.lit(255)).alias("cv"))
+            for ci in range(4)
+        ])).alias("c"),
+    ).select("id", "simhash32", "c.ci", "c.cv")
+    l = chunks.select(F.col("id").alias("a"), F.col("simhash32").alias("sa"),
+                      "ci", "cv")
+    r = chunks.select(F.col("id").alias("b"), F.col("simhash32").alias("sb"),
+                      "ci", "cv")
+    return (
+        l.join(r, ["ci", "cv"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                .cast("long").alias("hamming")).distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_neardup(df: DataFrame, text_col: str, id_col: str,
                     max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming (≤ 15).
