@@ -559,6 +559,24 @@ def q45_simhash32(spark, sf):
                                    max_hamming=3)
 
 
+def q46_passage_overlap(spark, sf):
+    """Passage-overlap detection via rolling fingerprints (winnowing-
+    style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
+    md5 fingerprints — near-exact passage reuse, blocked on the
+    fingerprint itself."""
+    t = _t(spark, sf)
+    docs = t["documents"]
+    fp = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(F.array_distinct(
+            text.rolling_fingerprints(F.col("text"), window=8))).alias("fp"))
+    a = fp.select(F.col("_id").alias("a"), "fp")
+    b = fp.select(F.col("_id").alias("b"), "fp")
+    return (a.join(b, "fp").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -606,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_behavioral_anomalies": q43_behavioral_anomalies,
         "q44_date_range": q44_date_range,
         "q45_simhash32": q45_simhash32,
+        "q46_passage_overlap": q46_passage_overlap,
     }
 
 
@@ -1164,5 +1183,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, CAST(hamming AS BIGINT) AS hamming
             FROM cand WHERE hamming <= 3
+        """,
+        "q46_passage_overlap": f"""
+            WITH {TOKS_CTE},
+            fp AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(0, greatest(len(toks) - 8, 0) + 1),
+                                   i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+                )) AS fp
+                FROM toks_t
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
         """,
     }

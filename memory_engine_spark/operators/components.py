@@ -30,6 +30,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (sym.groupBy(F.col("from_id").alias("node_id"))
               .agg(F.least(F.min("to_id"), F.first("from_id")).alias("component"))
               .localCheckpoint())
+
+    def signature(lbl) -> int:
+        # order-independent fingerprint of the full labeling — one cheap
+        # aggregate per round instead of a join + isEmpty convergence check
+        return lbl.agg(
+            F.sum(F.xxhash64("node_id", "component").cast("decimal(38,0)"))
+            .alias("s")).first()["s"]
+
+    prev_sig = signature(labels)
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym.from_id == labels.node_id)
@@ -38,12 +47,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("node_id").agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (prop.alias("p").join(
-            labels.alias("l"), "node_id")
-            .filter(F.col("p.component") != F.col("l.component")))
         labels = prop
-        if changed.isEmpty():
+        sig = signature(labels)
+        if sig == prev_sig:
             break
+        prev_sig = sig
     sym.unpersist()
     return labels
 
