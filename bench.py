@@ -67,6 +67,26 @@ def main() -> None:
         print(f"# {name}: {n} rows cold={per_run[0]:.2f}s warm={per_run[1]:.2f}s",
               file=sys.stderr)
 
+    # ingestion throughput (reference parity: BulkIngestionMetrics docs/s,
+    # bulk_processor.py:39-51): documents → units → nodes → embeddings
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators import ingestion
+    from memory_engine_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_docs = docs.count()
+    t0 = time.time()
+    units = ingestion.extract_units(docs, "text", "source")
+    nodes = ingestion.units_to_nodes(units)
+    ingestion.embed_column(nodes, "content", dim=64) \
+        .select("node_id", "embedding").write.mode("overwrite") \
+        .format("noop").save()
+    ingest_s = time.time() - t0
+    docs_per_sec = round(n_docs / ingest_s, 1)
+    print(f"# ingest: {n_docs} docs in {ingest_s:.2f}s = {docs_per_sec} docs/s",
+          file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_total_steady_state",
@@ -75,6 +95,7 @@ def main() -> None:
         "queries": timings,
         "cold_run": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "ingest_docs_per_sec": docs_per_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
