@@ -600,6 +600,34 @@ def q46_passage_overlap(spark, sf):
             .filter(F.col("n_shared") >= 3))
 
 
+def q47_merge_semantics(spark, sf):
+    """Merge set-operations (§2.6, merging.py:127-175): per brand, the
+    sorted set-union of all type words (tag-union semantics) and the
+    element-wise max of prices (ratings-max semantics)."""
+    t = _t(spark, sf)
+    words = F.split(F.col("p_type"), " ")
+    return (
+        t["part"].groupBy("p_brand")
+        .agg(F.concat_ws(",", F.array_sort(F.array_distinct(
+                 F.flatten(F.collect_list(words))))).alias("merged_tags"),
+             F.max("p_retailprice").alias("max_price"),
+             F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q48_content_scan(spark, sf):
+    """Content substring scan with limit (find_nodes_by_content,
+    sqlite_storage.py:619-660: LIKE %q% + LIMIT)."""
+    t = _t(spark, sf)
+    spec = (QuerySpec("documents")
+            .filter("text", "contains", "window")
+            .filter("lang", "eq", "en")
+            .sort("doc_id")
+            .page(0, 50)
+            .select("doc_id", "source"))
+    return compile_query(t["documents"], spec)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -648,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_date_range": q44_date_range,
         "q45_simhash32": q45_simhash32,
         "q46_passage_overlap": q46_passage_overlap,
+        "q47_merge_semantics": q47_merge_semantics,
+        "q48_content_scan": q48_content_scan,
     }
 
 
@@ -1219,5 +1249,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
             FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        """,
+        "q47_merge_semantics": """
+            SELECT p_brand,
+                   array_to_string(list_sort(list_distinct(
+                       flatten(list(string_split(p_type, ' '))))), ',')
+                       AS merged_tags,
+                   MAX(p_retailprice) AS max_price,
+                   COUNT(*) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "q48_content_scan": """
+            SELECT doc_id, source FROM documents
+            WHERE contains(text, 'window') AND lang = 'en'
+            ORDER BY doc_id LIMIT 50
         """,
     }
