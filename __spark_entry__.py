@@ -628,6 +628,19 @@ def q48_content_scan(spark, sf):
     return compile_query(t["documents"], spec)
 
 
+def q49_relation_chains(spark, sf):
+    """Hierarchy/sequence chain patterns (insight_discovery.py:289-374):
+    typed-edge chains (placed→contains: customer→order→part), projected
+    to distinct (start, end, length) triples for the oracle."""
+    edges = _edges(spark, sf).filter(
+        F.col("relation_type").isin(["placed", "contains"]))
+    chains = synthesis.relation_chains(edges, ["placed", "contains"], max_len=3)
+    return (chains.select(F.element_at("path", 1).alias("start"),
+                          F.element_at("path", -1).alias("end"),
+                          F.col("length").cast("long").alias("length"))
+            .distinct())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -678,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_passage_overlap": q46_passage_overlap,
         "q47_merge_semantics": q47_merge_semantics,
         "q48_content_scan": q48_content_scan,
+        "q49_relation_chains": q49_relation_chains,
     }
 
 
@@ -1263,5 +1277,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE contains(text, 'window') AND lang = 'en'
             ORDER BY doc_id LIMIT 50
+        """,
+        "q49_relation_chains": f"""
+            WITH RECURSIVE {EDGES_CTE},
+            ce AS (SELECT from_id, to_id FROM edges
+                   WHERE relation_type IN ('placed', 'contains')),
+            chains(start, end_, len) AS (
+                SELECT from_id, to_id, 2 FROM ce
+                UNION ALL
+                SELECT c.start, e.to_id, c.len + 1
+                FROM chains c JOIN ce e ON e.from_id = c.end_
+                WHERE c.len < 3
+            )
+            SELECT DISTINCT start, end_ AS "end", CAST(len AS BIGINT) AS length
+            FROM chains
         """,
     }

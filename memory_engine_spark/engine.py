@@ -213,6 +213,24 @@ class MemoryEngine:
         self.s.invalidate_cache()
         return merged
 
+    # -- natural-language query (query_engine.py:117-136 NL path) --------------
+    def nl_query(self, question: str, entity: str = "nodes",
+                 text_col: str = "content", llm_parse=None) -> QueryResponse:
+        """NATURAL_LANGUAGE dispatch: regex parse (plans/nlq.py, with the
+        optional llm_parse provider seam) → structured query for
+        aggregation/temporal/filter intents, ranked search otherwise."""
+        from memory_engine_spark.plans.nlq import parse_nl_query
+
+        parsed = parse_nl_query(question, entity, llm_parse)
+        if parsed.intent in ("text_search", "semantic_search") and parsed.search_terms:
+            resp = self.search(parsed.search_terms, entity=entity,
+                               text_col=text_col)
+        else:
+            resp = self.query(parsed.spec, use_cache=False)
+        resp.explanation.insert(0, f"nl intent={parsed.intent} "
+                                   f"confidence={parsed.confidence}")
+        return resp
+
     # -- chunked streaming results (orchestrator/enhanced_mcp.py:139-213) ------
     def stream_query(self, spec: QuerySpec, chunk_size: int = 100):
         """Generator of result chunks with progress metadata — the

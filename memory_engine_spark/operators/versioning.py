@@ -110,6 +110,24 @@ class RevisionLog:
         return latest
 
 
+def evolution_report(log: RevisionLog, period_days: int = 30) -> DataFrame:
+    """Evolution analytics over the revision log
+    (enhanced_mcp_endpoint.py:1499-1589): created/updated/deleted counts
+    per fixed-length period. One groupBy over the append-only log."""
+    df = log.read()
+    period = F.floor(F.col("timestamp") / (period_days * 86400)).cast("long")
+    return (
+        df.groupBy(period.alias("period"))
+        .agg(F.sum(F.when(F.col("change_type") == "create", 1).otherwise(0))
+             .alias("n_created"),
+             F.sum(F.when(F.col("change_type") == "update", 1).otherwise(0))
+             .alias("n_updated"),
+             F.sum(F.when(F.col("change_type") == "delete", 1).otherwise(0))
+             .alias("n_deleted"))
+        .orderBy("period")
+    )
+
+
 def versioned_upsert(log: RevisionLog, existing: DataFrame, updates: DataFrame,
                      key: str, object_type: str) -> DataFrame:
     """Versioned mutation (db/versioned_graph_adapter.py:38-283): log the

@@ -178,6 +178,36 @@ def export_subgraph(nodes: DataFrame, edges: DataFrame, node_ids: list[str],
         raise ValueError(f"unsupported format: {fmt!r}")
 
 
+def import_with_merge(spark: SparkSession, path: str, existing: DataFrame,
+                      key: str, schema: str | None = None,
+                      fmt: str | None = None) -> DataFrame:
+    """Import + validate + merge-duplicates (data_importer.py:42-553):
+    auto-detect format, enforce/align schema, drop exact in-file
+    duplicate keys (first wins deterministically by sort), MERGE into
+    the existing table (imported rows win on key conflict)."""
+    from memory_engine_spark.operators.merging import upsert
+
+    fmt = fmt or detect_format(path)
+    if fmt == "json":
+        incoming = import_json(spark, path, schema)
+    elif fmt == "csv":
+        incoming = import_csv(spark, path, schema)
+    elif fmt == "xml":
+        incoming = import_xml(spark, path)
+    elif fmt == "parquet":
+        incoming = spark.read.parquet(path)
+    else:
+        raise ValueError(f"unsupported import format {fmt!r}")
+    missing = set(existing.columns) - set(incoming.columns)
+    if missing:
+        raise ValueError(f"import missing required columns: {sorted(missing)}")
+    incoming = incoming.select(*existing.columns)
+    for col, dtype in existing.dtypes:  # align types (csv/xml import as string)
+        incoming = incoming.withColumn(col, F.col(col).cast(dtype))
+    deduped = incoming.dropDuplicates([key])
+    return upsert(existing, deduped, key)
+
+
 def migrate_and_verify(src: DataFrame, write_path: str, spark: SparkSession,
                        fmt: str = "parquet") -> bool:
     """Backend migration with verification (backend_migrator.py:1-463):

@@ -125,6 +125,44 @@ def test_xml_roundtrip_and_detect(spark, tmp_path, small_graph):
     assert export.detect_format("x.csv") == "csv"
 
 
+def test_import_with_merge(spark, tmp_path):
+    existing = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    incoming = spark.createDataFrame(
+        [("b", 20), ("b", 21), ("c", 3)], "id string, v int")
+    p = str(tmp_path / "incoming_json")
+    export.export_json(incoming.orderBy("id", "v"), p)
+    merged = export.import_with_merge(spark, p, existing, "id",
+                                      schema="id string, v int", fmt="json")
+    got = {r["id"]: r["v"] for r in merged.collect()}
+    assert got["a"] == 1 and got["c"] == 3
+    assert got["b"] in (20, 21)  # in-file duplicate deduped, import wins
+
+    bad = spark.createDataFrame([("x",)], "id string")
+    p2 = str(tmp_path / "bad_json")
+    export.export_json(bad, p2)
+    with pytest.raises(ValueError, match="missing required columns"):
+        export.import_with_merge(spark, p2, existing, "id", fmt="json")
+
+
+def test_engine_nl_query(spark):
+    from memory_engine_spark.engine import MemoryEngine
+    from memory_engine_spark.session import EngineSession
+    s = EngineSession(spark)
+    s.register("nodes", spark.createDataFrame(
+        [("n1", "spark pipelines", "web", 100.0, .5, .9, .5, ""),
+         ("n2", "other topic", "web", 200.0, .5, .3, .5, "")],
+        "node_id string, content string, source string, creation_timestamp double, "
+        "rating_richness double, rating_truthfulness double, rating_stability double, "
+        "tags string"))
+    eng = MemoryEngine(s)
+    agg = eng.nl_query("how many nodes are there")
+    assert agg.results[0]["count"] == 2
+    srch = eng.nl_query("find nodes about spark pipelines")
+    assert srch.results and srch.results[0]["node_id"] == "n1"
+    filt = eng.nl_query("show me the latest nodes with rating above 0.5")
+    assert [r["node_id"] for r in filt.results] == ["n1"]
+
+
 def test_migrate_and_verify(spark, tmp_path, small_graph):
     nodes, _ = small_graph
     assert export.migrate_and_verify(nodes, str(tmp_path / "mig"), spark)

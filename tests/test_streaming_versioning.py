@@ -126,6 +126,20 @@ def test_state_as_of_and_revert(spark, tmp_path):
     assert final == {"n1": {"v": 2}}  # n2 deleted
 
 
+def test_evolution_report(spark, tmp_path):
+    from memory_engine_spark.operators.versioning import evolution_report
+    log = RevisionLog(spark, str(tmp_path / "rev_ev"))
+    log.log_changes([
+        {"object_type": "node", "object_id": f"n{i}", "change_type": ct,
+         "new_data": {}}
+        for i, ct in enumerate(["create", "create", "update", "delete"])
+    ])
+    rows = evolution_report(log).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_created"], r["n_updated"], r["n_deleted"]) == (2, 1, 1)
+
+
 def test_snapshot_roundtrip_and_versioned_upsert(spark, tmp_path):
     log = RevisionLog(spark, str(tmp_path / "rev3"))
     base = spark.createDataFrame([("n1", 1), ("n2", 2)], "node_id string, v int")
