@@ -120,6 +120,60 @@ def test_jaccard_pairs_match_bruteforce(spark, docs, threshold):
 
 
 @settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 10 ** 6),
+                               st.one_of(st.none(), st.sampled_from("abcxyz")),
+                               st.one_of(st.none(), st.integers(-9, 9))),
+                     min_size=0, max_size=10, unique_by=lambda r: r[0]),
+       asc=st.booleans(), by_num=st.booleans())
+def test_sort_null_sentinels_match_reference(spark, rows, asc, by_num):
+    from memory_engine_spark.operators.sorting import SortCriteria, apply_sort
+
+    df = spark.createDataFrame(rows, "id long, s string, n long")
+    col = "n" if by_num else "s"
+    got = [r["id"] for r in apply_sort(df, [SortCriteria(col, asc)]).collect()]
+    # reference: nulls first ascending, last descending — one key works
+    # for both: (not-null, value), reversed for descending
+    def key(r):
+        v = r[2] if by_num else r[1]
+        return (v is not None, v if v is not None else ("" if not by_num else 0))
+    expect = sorted(rows, key=key, reverse=not asc)
+    # compare grouped by sort key (ties unordered)
+    def grouped(ids, rs):
+        out, seen = [], {}
+        for r in rs:
+            seen[r[0]] = r[2] if by_num else r[1]
+        cur, curv = [], object()
+        for i in ids:
+            v = seen[i]
+            if v != curv and cur:
+                out.append(sorted(cur)); cur = []
+            cur.append(i); curv = v
+        if cur:
+            out.append(sorted(cur))
+        return out
+    assert grouped(got, rows) == grouped([r[0] for r in expect], rows)
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(st.one_of(st.none(), st.sampled_from("ab")),
+                               st.one_of(st.none(), st.sampled_from("xy"))),
+                     min_size=0, max_size=12))
+def test_group_count_matches_counter(spark, rows):
+    from collections import Counter
+
+    from memory_engine_spark.operators.aggregates import group_count
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g1 string, g2 string")
+    got = {r["group_key"]: r["group_count"] for r in
+           group_count(df, ["g1", "g2"]).collect()}
+    expect = Counter(f"{a if a is not None else 'null'}|"
+                     f"{b if b is not None else 'null'}" for a, b in rows)
+    assert got == dict(expect)
+
+
+@settings(**SETTINGS)
 @given(docs=st.lists(_doc.filter(lambda d: len(d.split()) >= 2),
                      min_size=2, max_size=6))
 def test_minhash_no_false_positives(spark, docs):
