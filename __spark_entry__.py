@@ -111,6 +111,50 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_IVF_CACHE: dict[tuple[int, str, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
+    """Offline IVF-FLAT index, built ONCE per scale factor and
+    materialized to .derived/<sf>/ivf with the assignment PARTITIONED BY
+    cell — so ``topk_ivf``'s cell-IN-probe filter becomes real partition
+    pruning on the parquet read (the reference's Milvus index likewise
+    lives outside the query, milvus_store.py:56-110). Same atomic
+    tmp+rename race protocol as ``_edges``; in-memory fallback on
+    read-only checkouts. Returns (centroids, assigned)."""
+    import os
+    import shutil
+
+    key = (id(spark), sf_dir, nlist)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".derived", sf_name, f"ivf{nlist}")
+    try:
+        if not os.path.isdir(base):
+            emb = _t(spark, sf_dir)["embeddings"]
+            cents, assigned = similarity.build_ivf_flat(
+                emb, nlist=nlist, id_col="vec_id")
+            tmp = base + f".tmp{os.getpid()}"
+            cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+            (assigned.write.mode("overwrite").partitionBy("cell")
+             .parquet(os.path.join(tmp, "assigned")))
+            try:
+                os.rename(tmp, base)
+            except OSError:  # another process won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+        cents = spark.read.parquet(os.path.join(base, "centroids")).persist()
+        cents.count()
+        assigned = spark.read.parquet(os.path.join(base, "assigned"))
+    except Exception:  # pragma: no cover — read-only checkout etc.
+        cents, assigned = similarity.build_ivf_flat(
+            _t(spark, sf_dir)["embeddings"], nlist=nlist, id_col="vec_id")
+        assigned = assigned.localCheckpoint()
+    _IVF_CACHE[key] = (cents, assigned)
+    return cents, assigned
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -258,17 +302,21 @@ def q13_jaccard_pairs(spark, sf):
 
 def q14_minhash_neardup(spark, sf):
     """MinHash+LSH near-dup, exact-Jaccard verified (dedup suite).
-    No SQL oracle: LSH banding isn't SQL-expressible — rows-only check;
-    exactness of the verification step is covered by tests vs q13."""
+    md5-portable hash draws + plain comma-joined band keys, so the FULL
+    pipeline (signature → banding → candidate join → verify) is
+    oracle-checked in DuckDB, not rows-only."""
     t = _t(spark, sf)
-    return dedup.minhash_neardup(t["documents"], "text", "doc_id",
-                                 threshold=0.3, num_hashes=64, bands=32)
+    return dedup.minhash_md5_neardup(t["documents"], "text", "doc_id",
+                                     threshold=0.3, num_hashes=64, bands=32)
 
 
 def q15_simhash_neardup(spark, sf):
-    """SimHash near-dup with chunk blocking (dedup suite). Rows-only."""
+    """64-bit SimHash near-dup with 8×8-bit chunk blocking (dedup suite).
+    Carried as 2×32-bit md5 words so the whole sketch is oracle-checked
+    (pigeonhole guarantees exact recall for hamming ≤ 7)."""
     t = _t(spark, sf)
-    return dedup.simhash_neardup(t["documents"], "text", "doc_id", max_hamming=6)
+    return dedup.simhash64_md5_neardup(t["documents"], "text", "doc_id",
+                                       max_hamming=6)
 
 
 def q16_knn_cosine(spark, sf):
@@ -489,14 +537,15 @@ def q35_components(spark, sf):
 
 
 def q36_ivf_knn(spark, sf):
-    """IVF-style ANN top-k (Milvus IVF_FLAT analogue, milvus_store.py:
-    56-110): coarse-quantized probe of nprobe cells. Rows-only: the
-    centroid refinement isn't reasonably SQL-expressible; recall vs the
-    exact q16 is asserted in tests."""
-    t = _t(spark, sf)
-    emb = t["embeddings"]
+    """IVF-FLAT ANN top-k (Milvus IVF_FLAT analogue, milvus_store.py:
+    56-110): coarse-quantized probe of nprobe cells. The index is built
+    OFFLINE once per scale factor and materialized partitioned by cell
+    (.derived/<sf>/ivf), so the query pays only centroid scoring +
+    a partition-pruned scan of the probed cells. Deterministic first-k
+    seeding makes the index SQL-reproducible → fully oracle-checked."""
+    cents, assigned = _ivf(spark, sf, nlist=16)
+    emb = _t(spark, sf)["embeddings"]
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    cents, assigned = similarity.build_ivf(emb, nlist=16, id_col="vec_id")
     return (similarity.topk_ivf(assigned, cents, qv, k=10, nprobe=8,
                                 id_col="vec_id")
             .select("vec_id", F.round("score", 6).alias("score")))
@@ -832,6 +881,101 @@ def oracle_sql() -> dict[str, str]:
             FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE c / (sa.sz + sb.sz - c) >= 0.3
         """,
+        "q14_minhash_neardup": f"""
+            WITH {TOKS_CTE},
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                                   i -> array_to_string(toks[i+1:i+3], ' '))
+                )) AS shingle
+                FROM toks_t
+            ),
+            words AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(0, 8),
+                            j -> (strpos('0123456789abcdef',
+                                         substr(md5(shingle), j::INT + 1, 1)) - 1)
+                                 * power(16, 7 - j))) AS BIGINT) AS w1,
+                       CAST(list_sum(list_transform(range(0, 8),
+                            j -> (strpos('0123456789abcdef',
+                                         substr(md5(shingle), j::INT + 9, 1)) - 1)
+                                 * power(16, 7 - j))) AS BIGINT) AS w2
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, i, MIN((w1 + i * w2) & 4294967295) AS h
+                FROM words, range(0, 64) r(i) GROUP BY 1, 2
+            ),
+            banded AS (
+                SELECT doc_id, i // 2 AS band,
+                       string_agg(h::VARCHAR, ',' ORDER BY i) AS bk
+                FROM sig GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+            common AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                FROM sh x JOIN sh y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT cand.a, cand.b,
+                   ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM cand
+            JOIN common ON common.a = cand.a AND common.b = cand.b
+            JOIN sizes sa ON sa.doc_id = cand.a
+            JOIN sizes sb ON sb.doc_id = cand.b
+            WHERE c / (sa.sz + sb.sz - c) >= 0.3
+        """,
+        "q15_simhash_neardup": f"""
+            WITH {TOKS_CTE},
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM toks_t),
+            hashed AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(0, 8),
+                            j -> (strpos('0123456789abcdef',
+                                         substr(md5(t), j::INT + 1, 1)) - 1)
+                                 * power(16, 7 - j))) AS BIGINT) AS hl,
+                       CAST(list_sum(list_transform(range(0, 8),
+                            j -> (strpos('0123456789abcdef',
+                                         substr(md5(t), j::INT + 9, 1)) - 1)
+                                 * power(16, 7 - j))) AS BIGINT) AS hh
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (hl >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS sl,
+                       SUM(CASE WHEN (hh >> b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS sg
+                FROM hashed, range(0, 32) r(b) GROUP BY 1, 2
+            ),
+            packed AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN sl > 0 THEN power(2, b) ELSE 0 END)
+                            AS BIGINT) AS lo,
+                       CAST(SUM(CASE WHEN sg > 0 THEN power(2, b) ELSE 0 END)
+                            AS BIGINT) AS hi
+                FROM bits GROUP BY 1
+            ),
+            chunks AS (
+                SELECT doc_id, lo, hi, ci,
+                       CASE WHEN ci < 4 THEN (lo >> (ci * 8)::INT) & 255
+                            ELSE (hi >> ((ci - 4) * 8)::INT) & 255 END AS cv
+                FROM packed, range(0, 8) c(ci)
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                       bit_count(xor(x.lo, y.lo))
+                       + bit_count(xor(x.hi, y.hi)) AS hamming
+                FROM chunks x JOIN chunks y
+                  ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+            )
+            SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+            FROM cand WHERE hamming <= 6
+        """,
         "q16_knn_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -1112,6 +1256,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node_id, LEAST(node_id, MIN(r)) AS component
             FROM reach GROUP BY node_id
+        """,
+        "q36_ivf_knn": """
+            WITH seeds AS (
+                SELECT vec_id AS cell, embedding::DOUBLE[] AS centroid
+                FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                           s.centroid) DESC,
+                                    s.cell ASC) AS rk
+                FROM embeddings e, seeds s
+            ),
+            cells AS (SELECT vec_id, v, cell FROM assign WHERE rk = 1),
+            probe AS (
+                SELECT s.cell FROM seeds s, q
+                ORDER BY list_cosine_similarity(s.centroid, q.qv) DESC, s.cell ASC
+                LIMIT 8
+            )
+            SELECT c.vec_id,
+                   ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score
+            FROM cells c JOIN probe p ON c.cell = p.cell, q
+            ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id ASC
+            LIMIT 10
         """,
         "q37_source_reliability": """
             WITH s AS (

@@ -116,8 +116,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                .filter(F.col("f") > max_shingle_freq).select("shingle"))
         ex = ex.join(hot, "shingle", "left_anti")
     # The exploded shingle set feeds three plan branches (sizes + both
-    # join sides); persist so the tokenize/explode runs once, not 3×.
-    ex = ex.persist()
+    # join sides); localCheckpoint (eager) so tokenize/explode runs once,
+    # not 3×. Unlike persist(), the blocks are released when the result
+    # DataFrame is GC'd — no session-lifetime executor-memory pin.
+    ex = ex.localCheckpoint()
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     ex = ex.join(sizes.hint("broadcast"), "_id")  # shingle rows distinct per doc
 
@@ -179,13 +181,77 @@ def minhash_neardup(df: DataFrame, text_col: str, id_col: str,
     """MinHash-LSH near-dup pairs, verified with EXACT Jaccard so output
     contains no false positives (candidates are a recall-only
     approximation). Returns (a, b, jaccard)."""
-    ex = explode_shingles(df, text_col, id_col, n).persist()
+    ex = explode_shingles(df, text_col, id_col, n).localCheckpoint()
     mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = (ex.groupBy("_id").agg(*mins)
            .select(F.col("_id").alias("id"),
                    F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")))
     cand = lsh_candidates(sig, bands)
+    docs = ex.groupBy("_id").agg(F.collect_set("shingle").alias("sh"),
+                                 F.count(F.lit(1)).alias("sz"))
+    cand = (
+        cand.join(docs.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"),
+                              F.col("sz").alias("sz_a")), "a")
+        .join(docs.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"),
+                          F.col("sz").alias("sz_b")), "b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.col("sz_a") + F.col("sz_b") - common)
+    return (cand.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _md5_word(col, pos: int):
+    """32-bit unsigned int from 8 hex chars of md5(col) starting at
+    1-based ``pos``. Built only from md5/substring/base-conversion so the
+    identical value is reproducible in ANSI SQL / DuckDB (the q45
+    portability trick)."""
+    return F.conv(F.substring(F.md5(col), pos, 8), 16, 10).cast("long")
+
+
+def minhash_md5_neardup(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.7, num_hashes: int = 64,
+                        bands: int = 32, n: int = 3) -> DataFrame:
+    """MinHash+LSH near-dup pairs — same sketch/banding pipeline as
+    ``minhash_neardup`` but with md5-derived universal-hash draws
+    (Broder-style: h_i(s) = (w1 + i·w2) mod 2³², where w1/w2 are the two
+    32-bit words of md5(s)) and band keys that are the plain
+    comma-joined signature slice, so EVERY stage (signature, banding,
+    candidate join, exact-Jaccard verify) is reproducible in DuckDB and
+    the whole operator is oracle-checkable, not rows-only. One md5 per
+    shingle; the k draws are cheap integer arithmetic.
+
+    Identical LSH guarantees: candidates = pairs colliding in ≥1 band,
+    verified with exact Jaccard (no false positives). One explode + one
+    groupBy + one banded equi-join — never a cross join.
+    """
+    r = num_hashes // bands
+    ex = explode_shingles(df, text_col, id_col, n).localCheckpoint()
+
+    w1 = _md5_word(F.col("shingle"), 1)
+    w2 = _md5_word(F.col("shingle"), 9)
+    words = ex.select("_id", w1.alias("w1"), w2.alias("w2"))
+    mask = F.lit((1 << 32) - 1).cast("long")
+    sig = words.groupBy("_id").agg(
+        *[F.min((F.col("w1") + F.lit(i) * F.col("w2")).bitwiseAND(mask))
+          .alias(f"h{i}") for i in range(num_hashes)])
+    banded = sig.select(
+        F.col("_id").alias("id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(f"h{b * r + j}").cast("string")
+                                   for j in range(r)]).alias("bk"))
+            for b in range(bands)
+        ])).alias("x"),
+    ).select("id", "x.band", "x.bk")
+    l = banded.select(F.col("id").alias("a"), "band", "bk")
+    rr = banded.select(F.col("id").alias("b"), "band", "bk")
+    cand = (l.join(rr, ["band", "bk"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
     docs = ex.groupBy("_id").agg(F.collect_set("shingle").alias("sh"),
                                  F.count(F.lit(1)).alias("sz"))
     cand = (
@@ -217,14 +283,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
               .otherwise(-1)).alias(f"b{i}")
         for i in range(64)
     ])
+    # Bit 63 contributes -(2^63): adding it to the non-negative low 63
+    # bits yields the two's-complement long with the sign bit set, so the
+    # fingerprint is genuinely 64-bit.
+    addends = [
+        F.when(F.col(f"b{i}") > 0,
+               F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
     packed = bit_sums.select(
-        "id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-             * F.lit(1 << i).cast("long") for i in range(63)),
-            start=F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
+        "id", sum(addends, start=F.lit(0).cast("long")).alias("simhash"))
     return packed
 
 
@@ -286,18 +355,28 @@ def simhash32_neardup(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_neardup(df: DataFrame, text_col: str, id_col: str,
                     max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming (≤ 15).
-    Blocking: split the 64-bit fingerprint into 4 16-bit chunks — any
-    pair within hamming 3 agrees on ≥1 chunk (pigeonhole), so the join
-    is an equi-join on (chunk_idx, chunk_value), never a cross join."""
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit fingerprint into ``max_hamming + 1``
+    near-equal contiguous chunks — a pair within hamming h differs in at
+    most h chunks, so with h+1 chunks at least one chunk is identical
+    (pigeonhole) and recall is EXACT. The join is an equi-join on
+    (chunk_idx, chunk_value), never a cross join. Requires
+    max_hamming ≤ 31 (chunks need ≥2 bits to prune)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31]")
+    n_chunks = max_hamming + 1
+    bounds = [round(64 * j / n_chunks) for j in range(n_chunks + 1)]
     sh = simhash(df, text_col, id_col)
     chunks = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("ci"),
-                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("cv"))
-            for i in range(4)
+            F.struct(
+                F.lit(j).alias("ci"),
+                F.shiftrightunsigned("simhash", bounds[j])
+                .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
+                .alias("cv"))
+            for j in range(n_chunks)
         ])).alias("c"),
     ).select("id", "simhash", "c.ci", "c.cv")
     l = chunks.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), "ci", "cv")
@@ -305,5 +384,67 @@ def simhash_neardup(df: DataFrame, text_col: str, id_col: str,
     return (
         l.join(r, ["ci", "cv"]).filter(F.col("a") < F.col("b"))
         .select("a", "b", hamming64("sa", "sb").alias("hamming")).distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit md5-SimHash (oracle-portable: 2 × 32-bit words)
+# ---------------------------------------------------------------------------
+
+def simhash64_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash carried as TWO 32-bit words (lo, hi) built from
+    md5(token) hex chars 1-8 / 9-16 — the same sketch as ``simhash`` but
+    from cross-engine-identical primitives (md5, substring, base-16
+    conversion, shifts), and split into two non-negative words so no
+    two's-complement sign games are needed in SQL. Returns
+    (id, sh_lo long, sh_hi long)."""
+    narrow = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")))
+    toks = narrow.select("id", F.explode(tokens(F.col("_txt"))).alias("tok"))
+    h = toks.select("id", _md5_word(F.col("tok"), 1).alias("hl"),
+                    _md5_word(F.col("tok"), 9).alias("hh"))
+    bit_sums = h.groupBy("id").agg(
+        *[F.sum(F.when(F.shiftright(F.col("hl"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)).alias(f"l{b}") for b in range(32)],
+        *[F.sum(F.when(F.shiftright(F.col("hh"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)).alias(f"g{b}") for b in range(32)],
+    )
+    pack = lambda pfx: sum(  # noqa: E731
+        (F.when(F.col(f"{pfx}{b}") > 0, F.lit(1 << b).cast("long"))
+         .otherwise(F.lit(0).cast("long")) for b in range(32)),
+        start=F.lit(0).cast("long"))
+    return bit_sums.select("id", pack("l").alias("sh_lo"), pack("g").alias("sh_hi"))
+
+
+def simhash64_md5_neardup(df: DataFrame, text_col: str, id_col: str,
+                          max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by 64-bit md5-SimHash hamming ≤ max_hamming (≤ 7):
+    8 chunks of 8 bits (4 from each word) — pigeonhole guarantees a pair
+    within hamming 7 shares ≥1 chunk, so candidates come from an
+    equi-join on (chunk_idx, chunk_value). hamming =
+    popcount(lo⊕lo) + popcount(hi⊕hi). Fully oracle-checkable (q15).
+    Returns (a, b, hamming)."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("max_hamming must be in [0, 7] (8 chunks of 8 bits)")
+    sh = simhash64_md5(df, text_col, id_col)
+    chunk = [
+        F.struct(F.lit(ci).alias("ci"),
+                 F.shiftrightunsigned("sh_lo" if ci < 4 else "sh_hi",
+                                      (ci % 4) * 8)
+                 .bitwiseAND(F.lit(255)).alias("cv"))
+        for ci in range(8)
+    ]
+    chunks = (sh.select("id", "sh_lo", "sh_hi",
+                        F.explode(F.array(*chunk)).alias("c"))
+              .select("id", "sh_lo", "sh_hi", "c.ci", "c.cv"))
+    l = chunks.select(F.col("id").alias("a"), F.col("sh_lo").alias("la"),
+                      F.col("sh_hi").alias("ha"), "ci", "cv")
+    r = chunks.select(F.col("id").alias("b"), F.col("sh_lo").alias("lb"),
+                      F.col("sh_hi").alias("hb"), "ci", "cv")
+    ham = (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+           + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("long")
+    return (
+        l.join(r, ["ci", "cv"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming")).distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -100,6 +100,25 @@ def build_ivf(embeddings: DataFrame, nlist: int = 64, seed: int = 42,
     return centroids, _assign(embeddings, centroids, id_col, vec_col)
 
 
+def build_ivf_flat(embeddings: DataFrame, nlist: int = 64,
+                   id_col: str = "node_id", vec_col: str = "embedding"
+                   ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF-FLAT coarse index (Milvus IVF_FLAT analogue,
+    milvus_store.py:56-110): centroids are the ``nlist`` lowest-id
+    vectors (first-k seeding, NO Lloyd refinement). Seeding quality only
+    affects recall — the probe step re-scores exactly inside the probed
+    cells — and first-k seeding makes the whole index reproducible from
+    pure relational ops, so the operator is oracle-checkable
+    cross-engine (q36). cell id = the seed vector's id.
+    Returns (centroids(cell, centroid), assigned(id, vec, cell))."""
+    centroids = (
+        embeddings.orderBy(F.col(id_col).asc()).limit(nlist)
+        .select(F.col(id_col).cast("long").alias("cell"),
+                F.col(vec_col).cast("array<double>").alias("centroid"))
+    ).localCheckpoint()
+    return centroids, _assign(embeddings, centroids, id_col, vec_col)
+
+
 def _assign(embeddings: DataFrame, centroids: DataFrame,
             id_col: str, vec_col: str) -> DataFrame:
     """Assign each vector to its max-cosine centroid: broadcast join +
@@ -127,7 +146,7 @@ def topk_ivf(assigned: DataFrame, centroids: DataFrame, query_vec: list[float],
     q = F.lit(query_vec).cast("array<double>")
     probe = [r["cell"] for r in
              centroids.select("cell", cosine_similarity(F.col("centroid"), q).alias("s"))
-             .orderBy(F.col("s").desc()).limit(nprobe).collect()]
+             .orderBy(F.col("s").desc(), F.col("cell").asc()).limit(nprobe).collect()]
     cand = assigned.filter(F.col("cell").isin(probe))
     return (cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k))
