@@ -39,6 +39,22 @@ def _is_cached(df: DataFrame) -> bool:
         return False
 
 
+# Frontier rows above which BFS stops forcing a broadcast join and lets
+# AQE pick the strategy. On a connected graph a deep frontier approaches
+# |V|; force-broadcasting that OOMs the driver at cluster scale, while
+# small frontiers (the common case) still get the shuffle-free plan.
+# ~1M short ids ≈ 30-60 MB broadcast — the safe ceiling.
+BROADCAST_FRONTIER_ROWS = 1_000_000
+
+
+def _maybe_broadcast(frontier: DataFrame, n_rows: int,
+                     limit: int = BROADCAST_FRONTIER_ROWS) -> DataFrame:
+    """Broadcast-hint a frontier only when its known row count is under
+    ``limit``; larger frontiers go unhinted so AQE chooses (and can
+    still pick broadcast from real runtime stats)."""
+    return frontier.hint("broadcast") if n_rows <= limit else frontier
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected view: each edge plus its reverse."""
     rev = edges.select(
@@ -107,17 +123,19 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
     adj = base if directed else symmetrize(base)
     try:
         visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
-        frontier = visited
+        frontier, n_frontier = visited, visited.count()
         for depth in range(1, max_depth + 1):
             nxt = (
-                adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+                adj.join(_maybe_broadcast(frontier, n_frontier),
+                         adj.from_id == frontier.node_id)
                 .select(F.col("to_id").alias("node_id"))
                 .distinct()
                 .join(visited.select("node_id"), "node_id", "left_anti")
                 .withColumn("hop_distance", F.lit(depth))
                 .localCheckpoint()
             )
-            if nxt.isEmpty():
+            n_frontier = nxt.count()  # checkpointed: a cheap cached-block count
+            if n_frontier == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint()
             frontier = nxt
@@ -149,10 +167,14 @@ def k_hop_paths(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: i
         visited = start_ids.select(
             "node_id", F.lit(0).alias("hop_distance"),
             F.array("node_id").alias("path")).localCheckpoint()
-        frontier = visited
+        frontier, n_frontier = visited, visited.count()
         for depth in range(1, max_depth + 1):
+            # Path rows are ~depth× wider than bare ids — shrink the
+            # broadcast ceiling accordingly.
+            fr = _maybe_broadcast(frontier, n_frontier,
+                                  BROADCAST_FRONTIER_ROWS // (depth + 1))
             stepped = (
-                adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+                adj.join(fr, adj.from_id == frontier.node_id)
                 .select(F.col("to_id").alias("node_id"),
                         F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path"))
             )
@@ -163,7 +185,8 @@ def k_hop_paths(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: i
                 .select("node_id", "hop_distance", "path")
                 .localCheckpoint()
             )
-            if nxt.isEmpty():
+            n_frontier = nxt.count()
+            if n_frontier == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint()
             frontier = nxt
@@ -184,16 +207,18 @@ def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6
     adj = base if directed else symmetrize(base)
     try:
         visited = spark.createDataFrame([(src,)], "node_id string").localCheckpoint()
-        frontier = visited
+        frontier, n_frontier = visited, 1
         for depth in range(1, max_hops + 1):
             nxt = (
-                adj.join(frontier.hint("broadcast"), adj.from_id == frontier.node_id)
+                adj.join(_maybe_broadcast(frontier, n_frontier),
+                         adj.from_id == frontier.node_id)
                 .select(F.col("to_id").alias("node_id"))
                 .distinct()
                 .join(visited, "node_id", "left_anti")
                 .localCheckpoint()
             )
-            if nxt.isEmpty():
+            n_frontier = nxt.count()
+            if n_frontier == 0:
                 return None
             if not nxt.filter(F.col("node_id") == dst).isEmpty():
                 return depth
