@@ -88,8 +88,13 @@ class MemoryEngine:
         })
         cached = self.s.cached(key) if use_cache else None
         if cached is not None:
-            rows = [r.asDict(recursive=True) for r in cached.collect()]
-            return QueryResponse(rows, len(rows), spec.offset, spec.limit,
+            cdf, meta = cached
+            rows = [r.asDict(recursive=True) for r in cdf.collect()]
+            # total_count is the PRE-pagination total recorded on first
+            # execution — len(rows) is only the cached page and would
+            # silently flip has_more/next_offset on hits.
+            return QueryResponse(rows, meta.get("total_count", len(rows)),
+                                 spec.offset, spec.limit,
                                  ["cache hit"], from_cache=True)
 
         df = self.s.table(spec.entity)
@@ -109,7 +114,7 @@ class MemoryEngine:
             # plan Catalyst chose
             steps.append(page.df._jdf.queryExecution().executedPlan().toString())
         if use_cache:
-            self.s.put_cache(key, page.df)
+            self.s.put_cache(key, page.df, {"total_count": page.total_count})
         return QueryResponse(rows, page.total_count, spec.offset, spec.limit, steps)
 
     # -- ranked search (query_engine.py:334-447 + result_ranker) -------------

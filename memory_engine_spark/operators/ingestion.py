@@ -81,10 +81,16 @@ def embed_column(df: DataFrame, text_col: str, out_col: str = "embedding",
     """Add an embedding column. Batch-amortized like the reference's bulk
     path (bulk_processor.py:227-335); dedupe identical texts BEFORE the
     provider call (the reference's embedding cache, embedding_manager.py:31-109,
-    expressed relationally): embed distinct texts, broadcast-join back."""
+    expressed relationally): embed distinct texts, broadcast-join back.
+    Join key is md5(text), not the raw text — at pipeline scale a
+    full-document join key would shuffle every document body twice."""
+    key = F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
     distinct = df.select(F.col(text_col).alias("_txt")).distinct()
-    embedded = distinct.withColumn(out_col, embedding_udf(dim, provider)(F.col("_txt")))
-    return df.join(embedded, df[text_col] == embedded["_txt"], "left").drop("_txt")
+    embedded = (distinct
+                .withColumn(out_col, embedding_udf(dim, provider)(F.col("_txt")))
+                .select(F.md5(F.coalesce(F.col("_txt").cast("string"), F.lit("")))
+                        .alias("_tk"), out_col))
+    return df.join(embedded, key == F.col("_tk"), "left").drop("_tk")
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     """Equi-join big⋈small on ``key`` with the hot-key shuffle spread
     over ``salt_buckets`` tasks. Result equals ``big.join(small, key,
     how)`` exactly (verified by tests); cost: small side replicated
-    ×salt_buckets (keep it the dimension side)."""
+    ×salt_buckets (keep it the dimension side).
+
+    Only join types that preserve the BIG side are supported: with the
+    small side exploded, a right/full outer join would emit a null-padded
+    row per unmatched (key, salt) replica — up to salt_buckets fabricated
+    rows per unmatched small row."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: outer joins that "
+            "preserve the (exploded) small side would duplicate unmatched "
+            "small-side rows per salt bucket")
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                         F.lit(salt_buckets)).cast("int"))

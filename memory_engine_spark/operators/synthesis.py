@@ -227,11 +227,14 @@ def detect_contradictions(df: DataFrame, text_col: str, id_col: str,
     toks = tokens(F.col("_txt"))
     words = F.array_distinct(F.filter(toks, lambda t: ~F.array_contains(sw, t)))
     narrow = _spread(base.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
+    # localCheckpoint (eager) instead of persist: the prepared frame feeds
+    # both join sides; blocks release when the result is GC'd rather than
+    # pinning executor memory for the session.
     prepared = narrow.select(
         "_id",
         words.alias("w"),
         (F.size(F.array_intersect(toks, neg)) > 0).alias("has_neg"),
-    ).persist()
+    ).localCheckpoint()
     ex = prepared.select("_id", "has_neg",
                          F.size(F.array_except("w", neg)).alias("sz"),
                          F.explode(F.array_except("w", neg)).alias("k"))

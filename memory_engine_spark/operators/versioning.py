@@ -73,6 +73,30 @@ class RevisionLog:
         df = self.spark.createDataFrame(payload, REVISION_SCHEMA)
         df.write.mode("append").parquet(self._log_dir())
 
+    def log_changes_df(self, changes: DataFrame) -> int:
+        """Append a change DataFrame with columns (object_type,
+        object_id, change_type, old_data, new_data) WITHOUT collecting to
+        the driver — the bulk path. seq is assigned via row_number over
+        object_id (a single-partition window; a log batch is one commit's
+        worth of changes, so the total order is the point, not a
+        bottleneck); change_id/timestamp are expression-side. Returns the
+        number of rows appended."""
+        n = changes.count()
+        if n == 0:
+            return 0
+        w = Window.orderBy("object_id")
+        out = changes.select(
+            F.expr("uuid()").alias("change_id"),
+            "object_type", "object_id", "change_type",
+            F.coalesce(F.col("old_data"), F.lit("null")).alias("old_data"),
+            F.coalesce(F.col("new_data"), F.lit("null")).alias("new_data"),
+            (F.row_number().over(w).cast("long") + F.lit(self._seq - 1)).alias("seq"),
+            F.lit(time.time()).alias("timestamp"),
+        )
+        out.write.mode("append").parquet(self._log_dir())
+        self._seq += n
+        return n
+
     def history(self, object_id: str) -> DataFrame:
         """Per-object change history, newest first (revision_manager.py:290-321)."""
         return self.read().filter(F.col("object_id") == object_id) \
@@ -100,14 +124,26 @@ class RevisionLog:
         latest new_data per object with change ≤ seq, minus deletes —
         the revert primitive (revision_manager.py:322-407) expressed as
         one window top-1 instead of row-at-a-time replay.
+
+        ``base`` (optional snapshot with columns (id_col, data)): objects
+        that exist ONLY in the snapshot — no log entry ≤ seq at all —
+        are carried through via an anti-join; any object the log touches
+        takes its state (or deletion) from the log.
         Returns (object_id, data JSON string)."""
         log = self.read().filter(
             (F.col("object_type") == object_type) & (F.col("seq") <= seq))
         w = Window.partitionBy("object_id").orderBy(F.col("seq").desc())
-        latest = (log.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-                  .filter(F.col("change_type") != "delete")
+        top = log.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        latest = (top.filter(F.col("change_type") != "delete")
                   .select(F.col("object_id"), F.col("new_data").alias("data")))
-        return latest
+        if base is None:
+            return latest
+        untouched = (
+            base.select(F.col(id_col).cast("string").alias("object_id"),
+                        F.col("data").cast("string").alias("data"))
+            .join(log.select("object_id"), "object_id", "left_anti")
+        )
+        return latest.unionByName(untouched)
 
 
 def evolution_report(log: RevisionLog, period_days: int = 30) -> DataFrame:
@@ -131,21 +167,26 @@ def evolution_report(log: RevisionLog, period_days: int = 30) -> DataFrame:
 def versioned_upsert(log: RevisionLog, existing: DataFrame, updates: DataFrame,
                      key: str, object_type: str) -> DataFrame:
     """Versioned mutation (db/versioned_graph_adapter.py:38-283): log the
-    change rows, then apply the MERGE. The log write is driver-side for
-    the small update batches the reference handles; bulk paths should
-    write the log DataFrame directly."""
+    change rows, then apply the MERGE. The change log is derived entirely
+    DataFrame-side (matched-existing ⋈ updates, old/new rendered with
+    to_json) and appended via ``log_changes_df`` — nothing but the batch
+    row count touches the driver, so the bulk path scales."""
     from memory_engine_spark.operators.merging import upsert
 
-    old = {r[key]: r.asDict() for r in
-           existing.join(updates.select(key), key, "left_semi").collect()}
-    changes = []
-    for r in updates.collect():
-        d = r.asDict()
-        oid = str(d[key])
-        changes.append({
-            "object_type": object_type, "object_id": oid,
-            "change_type": "update" if d[key] in old else "create",
-            "old_data": old.get(d[key]), "new_data": d,
-        })
-    log.log_changes(changes)
+    matched = existing.join(updates.select(key), key, "left_semi")
+    old_json = matched.select(
+        F.col(key).cast("string").alias("object_id"),
+        F.to_json(F.struct(*[F.col(c) for c in matched.columns])).alias("old_data"))
+    changes = (
+        updates.select(
+            F.col(key).cast("string").alias("object_id"),
+            F.to_json(F.struct(*[F.col(c) for c in updates.columns])).alias("new_data"))
+        .join(old_json, "object_id", "left")
+        .select(
+            F.lit(object_type).alias("object_type"), "object_id",
+            F.when(F.col("old_data").isNotNull(), "update").otherwise("create")
+            .alias("change_type"),
+            "old_data", "new_data")
+    )
+    log.log_changes_df(changes)
     return upsert(existing, updates, key)

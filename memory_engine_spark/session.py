@@ -89,23 +89,28 @@ class EngineSession:
     def cache_key(payload: dict) -> str:
         return hashlib.md5(json.dumps(payload, sort_keys=True, default=str).encode()).hexdigest()
 
-    def cached(self, key: str) -> DataFrame | None:
+    def cached(self, key: str) -> tuple[DataFrame, dict] | None:
+        """Cache hit as (df, meta) or None. ``meta`` round-trips whatever
+        ``put_cache`` stored alongside the frame (e.g. the pre-pagination
+        total_count) — the reference's query_cache stores the whole
+        response, not just the page (query_cache.py)."""
         hit = self._cache.get(key)
         if hit is None:
             return None
-        ts, df = hit
+        ts, df, meta = hit
         if time.time() - ts > self.cache_ttl:
             df.unpersist()
             del self._cache[key]
             return None
-        return df
+        return df, meta
 
-    def put_cache(self, key: str, df: DataFrame) -> DataFrame:
+    def put_cache(self, key: str, df: DataFrame,
+                  meta: dict | None = None) -> DataFrame:
         df = df.cache()
-        self._cache[key] = (time.time(), df)
+        self._cache[key] = (time.time(), df, dict(meta or {}))
         return df
 
     def invalidate_cache(self) -> None:
-        for _, df in self._cache.values():
+        for _, df, _meta in self._cache.values():
             df.unpersist()
         self._cache.clear()

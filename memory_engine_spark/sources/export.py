@@ -41,10 +41,13 @@ def import_csv(spark: SparkSession, path: str, schema: str | None = None) -> Dat
 
 
 def _xml_escape(col):
-    return F.replace(F.replace(F.replace(col.cast("string"),
-                                         F.lit("&"), F.lit("&amp;")),
-                               F.lit("<"), F.lit("&lt;")),
-                     F.lit(">"), F.lit("&gt;"))
+    # Escaped values are emitted inside double-quoted XML attributes, so
+    # '"' must map to &quot; as well.
+    out = col.cast("string")
+    for raw, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;")):
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
 
 
 def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
@@ -85,6 +88,90 @@ def export_cypher(nodes: DataFrame, edges: DataFrame, path: str) -> None:
                  F.regexp_replace(F.upper("relation_type"), "[^A-Z0-9_]", "_"),
                  F.lit("]->(b);")).alias("line"))
     node_lines.unionByName(edge_lines).write.mode("overwrite").text(path)
+
+
+def export_gremlin(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """Gremlin addV/addE statement writer (data_exporter.py:527-574
+    shape): one statement per row rendered as a Column expression,
+    distributed text write."""
+    def q(col):
+        return F.replace(col.cast("string"), F.lit("'"), F.lit("\\'"))
+
+    node_lines = nodes.select(
+        F.concat(F.lit("g.addV('Node').property(id, '"), q(F.col("node_id")),
+                 F.lit("');")).alias("line"))
+    edge_lines = edges.select(
+        F.concat(F.lit("g.V('"), q(F.col("from_id")),
+                 F.lit("').addE('"), q(F.col("relation_type")),
+                 F.lit("').to(g.V('"), q(F.col("to_id")),
+                 F.lit("'));")).alias("line"))
+    node_lines.unionByName(edge_lines).write.mode("overwrite").text(path)
+
+
+def export_rdf(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """RDF/Turtle triple writer (data_exporter.py:576-617 shape):
+    kg:node_<id> rdf:type kg:Node triples plus one predicate triple per
+    edge; body distributed, O(1) @prefix header driver-side."""
+    def uri(col):
+        return F.concat(F.lit("kg:node_"),
+                        F.regexp_replace(col.cast("string"), r"[^A-Za-z0-9_]", "_"))
+
+    def pred(col):
+        return F.concat(F.lit("kg:"),
+                        F.regexp_replace(col.cast("string"), r"[^A-Za-z0-9_]", "_"))
+
+    node_lines = nodes.select(
+        F.concat(uri(F.col("node_id")), F.lit(" rdf:type kg:Node .")).alias("line"))
+    edge_lines = edges.select(
+        F.concat(uri(F.col("from_id")), F.lit(" "), pred(F.col("relation_type")),
+                 F.lit(" "), uri(F.col("to_id")), F.lit(" .")).alias("line"))
+    body_dir = path + ".body"
+    node_lines.unionByName(edge_lines).coalesce(1).write.mode("overwrite").text(body_dir)
+    part = next(f for f in os.listdir(body_dir) if f.startswith("part-"))
+    with open(path, "w") as out:
+        out.write("@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+                  "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+                  "@prefix kg: <http://memory-engine.org/kg#> .\n\n")
+        with open(os.path.join(body_dir, part)) as src:
+            out.write(src.read())
+
+
+def export_networkx(nodes: DataFrame, edges: DataFrame, path: str) -> None:
+    """NetworkX-compatible export (data_exporter.py:618-668). The
+    reference pickles a driver-built DiGraph — inherently single-node;
+    here the graph is written as node-link JSON (the format
+    ``networkx.node_link_graph`` loads), with the node/link arrays
+    rendered distributed and only the O(1) envelope assembled
+    driver-side."""
+    node_lines = nodes.select(F.to_json(F.struct(
+        F.col("node_id").alias("id"),
+        *[F.col(c) for c in nodes.columns if c != "node_id"])).alias("line"))
+    edge_lines = edges.select(F.to_json(F.struct(
+        F.col("from_id").alias("source"), F.col("to_id").alias("target"),
+        *[F.col(c) for c in edges.columns if c not in ("from_id", "to_id")]
+    )).alias("line"))
+    ndir, edir = path + ".nodes", path + ".links"
+    node_lines.coalesce(1).write.mode("overwrite").text(ndir)
+    edge_lines.coalesce(1).write.mode("overwrite").text(edir)
+
+    def stream(out, body_dir):
+        part = next(f for f in os.listdir(body_dir) if f.startswith("part-"))
+        first = True
+        with open(os.path.join(body_dir, part)) as src:
+            for line in src:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                out.write(("" if first else ",\n    ") + line)
+                first = False
+
+    with open(path, "w") as out:
+        out.write('{"directed": true, "multigraph": false, "graph": {},\n'
+                  '  "nodes": [\n    ')
+        stream(out, ndir)
+        out.write('\n  ],\n  "links": [\n    ')
+        stream(out, edir)
+        out.write("\n  ]\n}\n")
 
 
 def export_xml(df: DataFrame, path: str, row_tag: str = "row",
@@ -158,22 +245,29 @@ def export_subgraph(nodes: DataFrame, edges: DataFrame, node_ids: list[str],
     spark = nodes.sparkSession
     ids = spark.createDataFrame([(i,) for i in node_ids], "node_id string")
     sel_nodes = nodes.join(F.broadcast(ids), "node_id", "left_semi")
-    sel_edges = induced_subgraph(edges, ids) if include_relationships else None
+    # Every graph-shaped writer gets an EMPTY edge frame (not None) when
+    # relationships are excluded, so no branch can NPE on .select.
+    sel_edges = (induced_subgraph(edges, ids) if include_relationships
+                 else spark.createDataFrame(
+                     [], "from_id string, to_id string, relation_type string"))
     if fmt == "json":
         export_json(sel_nodes, os.path.join(path, "nodes"))
-        if sel_edges is not None:
+        if include_relationships:
             export_json(sel_edges, os.path.join(path, "edges"))
     elif fmt == "csv":
         export_csv(sel_nodes, os.path.join(path, "nodes"))
-        if sel_edges is not None:
+        if include_relationships:
             export_csv(sel_edges, os.path.join(path, "edges"))
     elif fmt == "graphml":
-        export_graphml(sel_nodes, sel_edges if sel_edges is not None
-                       else spark.createDataFrame(
-                           [], "from_id string, to_id string, relation_type string"),
-                       os.path.join(path, "graph.graphml"))
+        export_graphml(sel_nodes, sel_edges, os.path.join(path, "graph.graphml"))
     elif fmt == "cypher":
         export_cypher(sel_nodes, sel_edges, os.path.join(path, "graph.cypher"))
+    elif fmt == "gremlin":
+        export_gremlin(sel_nodes, sel_edges, os.path.join(path, "graph.gremlin"))
+    elif fmt == "rdf":
+        export_rdf(sel_nodes, sel_edges, os.path.join(path, "graph.ttl"))
+    elif fmt == "networkx":
+        export_networkx(sel_nodes, sel_edges, os.path.join(path, "graph.json"))
     else:
         raise ValueError(f"unsupported format: {fmt!r}")
 
@@ -204,7 +298,18 @@ def import_with_merge(spark: SparkSession, path: str, existing: DataFrame,
     incoming = incoming.select(*existing.columns)
     for col, dtype in existing.dtypes:  # align types (csv/xml import as string)
         incoming = incoming.withColumn(col, F.col(col).cast(dtype))
-    deduped = incoming.dropDuplicates([key])
+    # Deterministic in-file survivor: the row that sorts first across all
+    # non-key columns wins (dropDuplicates keeps an ARBITRARY row). Map
+    # columns aren't orderable — fall back to arbitrary-row semantics.
+    others = [c for c, t in incoming.dtypes if c != key and not t.startswith("map<")]
+    if others and len(others) == len(incoming.columns) - 1:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+        deduped = (incoming.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    else:
+        deduped = incoming.dropDuplicates([key])
     return upsert(existing, deduped, key)
 
 

@@ -90,3 +90,58 @@ def test_rolling_fingerprints(docs):
     rows = docs.filter("doc_id = 1").select(
         text.rolling_fingerprints(F.col("body"), window=8).alias("fp")).collect()
     assert len(rows[0]["fp"]) == 2  # 9 tokens, window 8 → 2 spans
+
+
+def test_minhash_md5_matches_plain_minhash_semantics(docs):
+    """The md5-portable MinHash is the same operator family: verified
+    pairs are a subset of exact Jaccard pairs with identical scores."""
+    exact = {(r["a"], r["b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(
+        docs, "body", "doc_id", n=3, threshold=0.3).collect()}
+    mh = dedup.minhash_md5_neardup(docs, "body", "doc_id",
+                                   threshold=0.3).collect()
+    assert mh, "expected at least one near-dup pair"
+    for r in mh:
+        assert (r["a"], r["b"]) in exact
+        assert abs(r["jaccard"] - exact[(r["a"], r["b"])]) < 1e-9
+
+
+def test_simhash64_md5_neardup_recall_vs_brute(docs):
+    """Chunk-blocked candidates must equal the brute-force hamming join
+    for hamming <= 7 (pigeonhole exactness)."""
+    rows = dedup.simhash64_md5(docs, "body", "doc_id").collect()
+    brute = set()
+    for i, ri in enumerate(rows):
+        for rj in rows[i + 1:]:
+            a, b = sorted([ri["id"], rj["id"]])
+            ham = (bin(ri["sh_lo"] ^ rj["sh_lo"]).count("1")
+                   + bin(ri["sh_hi"] ^ rj["sh_hi"]).count("1"))
+            if ham <= 6:
+                brute.add((a, b, ham))
+    got = {(r["a"], r["b"], r["hamming"]) for r in dedup.simhash64_md5_neardup(
+        docs, "body", "doc_id", max_hamming=6).collect()}
+    assert got == brute
+
+
+def test_simhash_packs_bit_63(spark):
+    """Some fingerprint across many one-token docs must set the sign bit
+    (bit 63) — the packing is genuinely 64-bit."""
+    df = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(40)], "doc_id int, body string")
+    vals = [r["simhash"] for r in dedup.simhash(df, "body", "doc_id").collect()]
+    assert any(v < 0 for v in vals), "bit 63 never set across 40 one-token docs"
+
+
+def test_simhash_neardup_chunk_count_guarantee(docs):
+    """max_hamming=6 must use 7 chunks: candidates == brute force."""
+    sh = {r["id"]: r["simhash"] for r in
+          dedup.simhash(docs, "body", "doc_id").collect()}
+    ids = sorted(sh)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            x = (sh[a] ^ sh[b]) & ((1 << 64) - 1)
+            if bin(x).count("1") <= 6:
+                brute.add((a, b))
+    got = {(r["a"], r["b"]) for r in dedup.simhash_neardup(
+        docs, "body", "doc_id", max_hamming=6).collect()}
+    assert got == brute

@@ -197,3 +197,77 @@ def test_frame_sampling(spark):
     frames = [r["frame_ts"] for r in
               multimodal.sample_frames(df, every_s=1.0).collect()]
     assert frames == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_gremlin_rdf_export(spark, tmp_path, small_graph):
+    nodes, edges = small_graph
+    gr = str(tmp_path / "gremlin")
+    export.export_gremlin(nodes, edges, gr)
+    lines = [r["value"] for r in spark.read.text(gr).collect()]
+    assert any(l == "g.addV('Node').property(id, 'a');" for l in lines)
+    assert any(l.startswith("g.V('a').addE('is_a').to(g.V('b'));") for l in lines)
+
+    ttl = str(tmp_path / "g.ttl")
+    export.export_rdf(nodes, edges, ttl)
+    content = open(ttl).read()
+    assert content.startswith("@prefix rdf:")
+    assert "kg:node_a rdf:type kg:Node ." in content
+    assert "kg:node_a kg:is_a kg:node_b ." in content
+
+
+def test_networkx_export_node_link(spark, tmp_path, small_graph):
+    import json
+
+    nodes, edges = small_graph
+    p = str(tmp_path / "nx.json")
+    export.export_networkx(nodes, edges, p)
+    data = json.load(open(p))
+    assert data["directed"] is True
+    assert {n["id"] for n in data["nodes"]} == {"a", "b", "c"}
+    assert {(l["source"], l["target"]) for l in data["links"]} == {
+        ("a", "b"), ("b", "c")}
+    try:  # round-trip through the real reader when available
+        import networkx as nx
+    except ImportError:
+        return
+    try:
+        g = nx.node_link_graph(data, edges="links")  # networkx >= 3.4
+    except TypeError:  # older signature defaults to links=
+        g = nx.node_link_graph(data)
+    assert set(g.nodes) == {"a", "b", "c"} and g.has_edge("a", "b")
+
+
+def test_subgraph_export_cypher_without_relationships(spark, tmp_path, small_graph):
+    nodes, edges = small_graph
+    out = str(tmp_path / "sub_cy")
+    # Regression: fmt='cypher' with include_relationships=False used to
+    # pass edges=None and crash on .select.
+    export.export_subgraph(nodes, edges, ["a", "b"], out, fmt="cypher",
+                           include_relationships=False)
+    lines = [r["value"] for r in spark.read.text(out + "/graph.cypher").collect()]
+    assert any("CREATE (:Node {node_id: 'a'});" == l for l in lines)
+    assert not any("MATCH" in l for l in lines)
+
+
+def test_xml_escapes_double_quotes(spark, tmp_path):
+    nodes = spark.createDataFrame([('he said "hi"',)], "node_id string")
+    edges = spark.createDataFrame(
+        [], "from_id string, to_id string, relation_type string")
+    p = str(tmp_path / "quoted.graphml")
+    export.export_graphml(nodes, edges, p)
+    content = open(p).read()
+    assert "&quot;hi&quot;" in content and '"hi"' not in content
+
+
+def test_import_with_merge_deterministic_survivor(spark, tmp_path):
+    import json as _json
+
+    p = str(tmp_path / "dups.json")
+    rows = [{"id": "a", "v": 9}, {"id": "a", "v": 1}, {"id": "b", "v": 5}]
+    with open(p, "w") as fh:
+        fh.write("\n".join(_json.dumps(r) for r in rows))
+    existing = spark.createDataFrame([("c", 0)], "id string, v int")
+    for _ in range(3):  # deterministic across repeated runs
+        out = {r["id"]: r["v"] for r in export.import_with_merge(
+            spark, p, existing, "id", schema="id string, v int").collect()}
+        assert out == {"a": 1, "b": 5, "c": 0}  # min-sorting row wins

@@ -52,3 +52,18 @@ def test_engine_explain_plan(spark):
     resp = eng.query(QuerySpec("nodes").filter("v", "gt", 0), use_cache=False,
                      explain=True)
     assert any("Filter" in step or "Scan" in step for step in resp.explanation)
+
+
+def test_salted_join_rejects_small_side_preserving_outer(spark):
+    import pytest
+
+    from memory_engine_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("k", 1)], "key string, v int")
+    small = spark.createDataFrame([("k", 2), ("m", 3)], "key string, w int")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "key", how=how)
+    # left join stays supported and exact
+    out = salted_join(big, small, "key", how="left")
+    assert out.count() == 1

@@ -152,3 +152,48 @@ def test_snapshot_roundtrip_and_versioned_upsert(spark, tmp_path):
     kinds = {r["object_id"]: r["change_type"] for r in log.read().collect()}
     assert kinds == {"n2": "update", "n3": "create"}
     assert log.should_snapshot(150) and not log.should_snapshot(50)
+
+
+def test_versioned_upsert_bulk_dataframe_side(spark, tmp_path):
+    import json as _json
+
+    from memory_engine_spark.operators import versioning as v
+
+    log = v.RevisionLog(spark, str(tmp_path / "bulklog"))
+    existing = spark.createDataFrame(
+        [(str(i), i) for i in range(200)], "id string, val int")
+    updates = spark.createDataFrame(
+        [(str(i), i * 10) for i in range(150, 250)], "id string, val int")
+    merged = v.versioned_upsert(log, existing, updates, "id", "node")
+    assert merged.count() == 250
+    entries = log.read().collect()
+    assert len(entries) == 100
+    by_type = {e["object_id"]: e for e in entries}
+    assert by_type["160"]["change_type"] == "update"
+    assert _json.loads(by_type["160"]["old_data"])["val"] == 160
+    assert _json.loads(by_type["160"]["new_data"])["val"] == 1600
+    assert by_type["240"]["change_type"] == "create"
+    assert by_type["240"]["old_data"] == "null"
+    # seq values are unique and contiguous
+    seqs = sorted(e["seq"] for e in entries)
+    assert seqs == list(range(seqs[0], seqs[0] + 100))
+
+
+def test_state_as_of_uses_snapshot_base(spark, tmp_path):
+    from memory_engine_spark.operators import versioning as v
+
+    log = v.RevisionLog(spark, str(tmp_path / "baselog"))
+    log.log_changes([
+        {"object_type": "node", "object_id": "x", "change_type": "update",
+         "old_data": {"v": 1}, "new_data": {"v": 2}},
+        {"object_type": "node", "object_id": "gone", "change_type": "delete",
+         "old_data": {"v": 9}, "new_data": None},
+    ])
+    base = spark.createDataFrame(
+        [("x", '{"v": 1}'), ("only_in_base", '{"v": 7}'), ("gone", '{"v": 9}')],
+        "object_id string, data string")
+    state = {r["object_id"]: r["data"]
+             for r in log.state_as_of(10, "node", base=base).collect()}
+    assert state["only_in_base"] == '{"v": 7}'  # carried from snapshot
+    assert "gone" not in state                   # log delete wins over base
+    assert '"v": 2' in state["x"]                # log update wins over base
