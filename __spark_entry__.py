@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from memory_engine_spark.operators import (
-    dedup, discovery, graph, ingestion, similarity, synthesis, text,
+    dedup, discovery, graph, ingestion, qa, similarity, synthesis, text,
 )
 from memory_engine_spark.operators.aggregates import (
     group_count, iqr_outliers, monthly_counts,
@@ -631,6 +631,63 @@ def q45_simhash32(spark, sf):
                                    max_hamming=3)
 
 
+# One fixed question per reference question type (question_answering.py
+# :23-34); phrased over the synthetic corpus vocabulary so evidence is
+# non-empty. Keywords are derived by qa.parse_question and inlined into
+# BOTH the Spark plan and the DuckDB oracle.
+QA_QUESTIONS = [
+    ("factual", "what is the spark hash join table"),
+    ("comparative", "compare the sort merge join versus the hash join"),
+    ("causal", "why does the filter cause data movement in the shuffle"),
+    ("procedural", "how to sort and group the stream batch"),
+    ("temporal", "when did the window stream order arrive"),
+    ("definitional", "define the meaning of the vector column"),
+    ("relational", "relationship between the customer and the order table"),
+    ("analytical", "patterns in the slow query scan data"),
+]
+
+
+def q50_qa_evidence(spark, sf):
+    """QA distributed evidence gathering (question_answering.py:539-608):
+    relevance-scored top-k for a causal question with the causal-marker
+    column the typed synthesizer (:684-705) selects on."""
+    t = _t(spark, sf)
+    parsed = qa.parse_question(QA_QUESTIONS[2][1])
+    ev = qa.relevant_nodes(t["documents"], parsed, text_col="text",
+                           id_col="doc_id", top_k=20)
+    return ev.select("doc_id", "relevance", "has_causal")
+
+
+def q51_qa_confidence(spark, sf):
+    """Per-type QA answer confidence (question_answering.py:820-841):
+    for one question of each of the 8 types, the evidence count and the
+    synthesized-answer confidence (0.6·avg relevance + corroboration
+    boosts + 0.2·high-quality fraction, cap 0.95)."""
+    docs = _t(spark, sf)["documents"]
+    outs = []
+    for qtype, question in QA_QUESTIONS:
+        parsed = qa.parse_question(question)
+        assert parsed.qtype == qtype, (qtype, parsed.qtype)
+        ev = qa.relevant_nodes(docs, parsed, "text", "doc_id", top_k=20)
+        agg = ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("relevance").alias("avg_rel"),
+            F.sum(F.when(F.col("relevance") > 0.7, 1).otherwise(0)).alias("nhq"))
+        conf = F.when(F.col("n") == 0, F.lit(0.1)).otherwise(F.least(
+            F.col("avg_rel") * 0.6
+            + F.when(F.col("n") >= 3, 0.2).when(F.col("n") >= 2, 0.1).otherwise(0.0)
+            + F.col("nhq") / F.col("n") * 0.2,
+            F.lit(0.95)))
+        outs.append(agg.select(
+            F.lit(qtype).alias("qtype"),
+            F.col("n").cast("long").alias("n_evidence"),
+            F.round(conf, 6).alias("confidence")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -741,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_merge_semantics": q47_merge_semantics,
         "q48_content_scan": q48_content_scan,
         "q49_relation_chains": q49_relation_chains,
+        "q50_qa_evidence": q50_qa_evidence,
+        "q51_qa_confidence": q51_qa_confidence,
     }
 
 
@@ -770,8 +829,20 @@ def _lang_scores_sql() -> str:
     return "[" + ", ".join(parts) + "]"
 
 
+def _qa_rel_sql(keywords: list[str]) -> str:
+    """DuckDB replica of operators/ranking.relevance_score for a fixed
+    keyword set: word-Jaccard × 2 capped at 1, rounded to 6 — the same
+    expression q21's oracle uses."""
+    kw = "[" + ", ".join(f"'{k}'" for k in sorted(set(keywords))) + "]"
+    return f"""ROUND(LEAST(2.0 * (
+        len(list_intersect(list_distinct(toks), {kw}))::DOUBLE
+        / len(list_distinct(list_concat(list_distinct(toks),
+              list_filter({kw}, x -> NOT list_contains(list_distinct(toks), x)))))
+    ), 1.0), 6)"""
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q01_filter_sort_page": """
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000.0 AND 50000.0
@@ -1464,3 +1535,44 @@ def oracle_sql() -> dict[str, str]:
             FROM chains
         """,
     }
+
+    causal_kw = qa.parse_question(QA_QUESTIONS[2][1]).keywords
+    causal_marks = " OR ".join(f"contains(lower(text), '{p}')"
+                               for p in qa.CAUSAL_KEYWORDS)
+    sql["q50_qa_evidence"] = f"""
+        WITH {TOKS_CTE},
+        scored AS (
+            SELECT doc_id, {_qa_rel_sql(causal_kw)} AS relevance,
+                   ({causal_marks}) AS has_causal
+            FROM toks_t
+        )
+        SELECT doc_id, relevance, has_causal FROM scored
+        WHERE relevance > 0
+        ORDER BY relevance DESC, doc_id ASC
+        LIMIT 20
+    """
+
+    parts, finals = [], []
+    for i, (qtype, question) in enumerate(QA_QUESTIONS):
+        kws = qa.parse_question(question).keywords
+        parts.append(f"""
+        s{i} AS (
+            SELECT doc_id, {_qa_rel_sql(kws)} AS r FROM toks_t
+        ),
+        t{i} AS (SELECT r FROM s{i} WHERE r > 0
+                 ORDER BY r DESC, doc_id ASC LIMIT 20),
+        a{i} AS (SELECT '{qtype}' AS qtype, COUNT(*) AS n, AVG(r) AS avg_rel,
+                        SUM(CASE WHEN r > 0.7 THEN 1 ELSE 0 END) AS nhq
+                 FROM t{i})""")
+        finals.append(f"SELECT * FROM a{i}")
+    sql["q51_qa_confidence"] = f"""
+        WITH {TOKS_CTE},{",".join(parts)}
+        SELECT qtype, CAST(n AS BIGINT) AS n_evidence,
+               ROUND(CASE WHEN n = 0 THEN 0.1
+                     ELSE LEAST(avg_rel * 0.6
+                          + CASE WHEN n >= 3 THEN 0.2
+                                 WHEN n >= 2 THEN 0.1 ELSE 0.0 END
+                          + (nhq::DOUBLE / n) * 0.2, 0.95) END, 6) AS confidence
+        FROM ({" UNION ALL ".join(finals)})
+    """
+    return sql

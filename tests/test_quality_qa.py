@@ -67,12 +67,21 @@ def test_cross_validate(graph_data):
 # -- QA ------------------------------------------------------------------------
 
 def test_parse_question_types():
-    assert qa.parse_question("How many nodes mention spark?").qtype == "aggregation"
+    # Reference-faithful 8-type detection (question_answering.py:95-128);
+    # unmatched questions default to factual (:185-186).
+    assert qa.parse_question("How many nodes mention spark?").qtype == "factual"
     assert qa.parse_question("Why does shuffle cause spills?").qtype == "causal"
     assert qa.parse_question("What is spark?").qtype == "factual"
     assert qa.parse_question("How are joins related to shuffles?").qtype == "relational"
+    assert qa.parse_question("How to tune a shuffle?").qtype == "procedural"
+    assert qa.parse_question("Compare spark versus flink").qtype == "comparative"
+    assert qa.parse_question("When did the outage start?").qtype == "temporal"
+    assert qa.parse_question("Define the meaning of lineage").qtype == "definitional"
+    assert qa.parse_question("Patterns in customer churn").qtype == "analytical"
     kw = qa.parse_question("What is the spark shuffle doing?").keywords
     assert "spark" in kw and "shuffle" in kw and "the" not in kw
+    ents = qa.parse_question('How does "Apache Spark" compare to Flink?').entities
+    assert "Apache Spark" in ents and "Flink" in ents
 
 
 def test_relevant_nodes_ranking(graph_data):
@@ -99,4 +108,69 @@ def test_answer_end_to_end(graph_data):
 def test_answer_no_match(graph_data):
     nodes, edges = graph_data
     out = qa.answer("quantum entanglement protocols", nodes, edges)
-    assert out["answer"] is None and out["confidence"] == 0.0
+    # reference returns the no-information template with confidence 0.1
+    # (question_answering.py:618-619,823-824)
+    assert out["answer"].startswith("I don't have enough information")
+    assert out["confidence"] == 0.1
+
+
+def test_typed_synthesizers_dispatch():
+    ev = [
+        {"node_id": "c1", "content":
+         "The job slowed down because the shuffle spilled to disk. "
+         "This leads to long GC pauses.", "has_causal": True,
+         "relevance": 0.8},
+        {"node_id": "p1", "content":
+         "First repartition the table. Then broadcast the small side. "
+         "Finally run the join.", "has_procedural": True, "relevance": 0.6},
+        {"node_id": "d1", "content":
+         "A shuffle is defined as the redistribution of rows across "
+         "partitions.", "has_definition": True, "relevance": 0.5},
+    ]
+    causal = qa.synthesize_answer(
+        qa.parse_question("Why does the job slow down?"), ev)
+    assert "because" in causal.lower()
+    proc = qa.synthesize_answer(
+        qa.parse_question("How to run a broadcast join?"), ev)
+    assert proc.startswith("Here's the process:") and "First" in proc
+    defn = qa.synthesize_answer(
+        qa.parse_question("Define the meaning of shuffle"), ev)
+    assert "is defined as" in defn
+    ana = qa.synthesize_answer(
+        qa.parse_question("Patterns in shuffle behavior"), ev)
+    assert ana.startswith("Dominant terms")
+
+
+def test_comparative_and_temporal_synthesis():
+    ev = [
+        {"node_id": "a", "content": "Spark uses whole-stage codegen for speed.",
+         "relevance": 0.9, "ts": "2024-01-01"},
+        {"node_id": "b", "content": "Flink focuses on low-latency streaming.",
+         "relevance": 0.7, "ts": "2024-06-01"},
+    ]
+    comp = qa.synthesize_answer(
+        qa.parse_question('How does "Spark" compare to "Flink"?'), ev)
+    assert "Regarding Spark:" in comp and "Regarding Flink:" in comp
+    temp = qa.synthesize_answer(
+        qa.parse_question("When did the codegen change happen?"), ev)
+    assert "Earliest" in temp and "2024-01-01" in temp
+
+
+def test_answer_confidence_formula():
+    # question_answering.py:820-841
+    assert qa.answer_confidence([]) == 0.1
+    assert abs(qa.answer_confidence([0.5]) - 0.3) < 1e-9            # 0.5*0.6
+    assert abs(qa.answer_confidence([0.5, 0.5]) - 0.4) < 1e-9       # +0.1
+    got = qa.answer_confidence([0.8, 0.8, 0.8])                     # +0.2 +0.2
+    assert abs(got - min(0.8 * 0.6 + 0.2 + 0.2, 0.95)) < 1e-9
+    assert qa.answer_confidence([1.0] * 10) == 0.95                 # cap
+
+
+def test_source_attributions_shape():
+    ev = [{"node_id": f"n{i}", "content": "x" * 300, "relevance": 0.9}
+          for i in range(7)]
+    attrs = qa.source_attributions(ev)
+    assert len(attrs) == 5  # top-5 cap
+    assert attrs[0]["content_snippet"].endswith("...")
+    assert len(attrs[0]["content_snippet"]) == 203
+    assert attrs[0]["confidence_score"] == 1.0  # 0.9+0.2 capped
