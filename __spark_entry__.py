@@ -688,6 +688,39 @@ def q51_qa_confidence(spark, sf):
     return out
 
 
+def q52_contradiction_resolution(spark, sf):
+    """Contradiction resolution engine (contradiction_resolution.py:
+    23-53,283-309,452-486): temporal-proximity event pairs become
+    'temporal'-type contradiction cases; severity = type base +
+    0.2·confidence + capped content importance; resolution =
+    temporal_preference (most recent side wins, fixed 0.7 confidence).
+    One distributed pass — no per-case Python."""
+    from memory_engine_spark.operators import resolution
+
+    t = _t(spark, sf)
+    e = t["events"].select("event_id", "user_id", "ts",
+                           F.unix_micros("ts").alias("us"),
+                           F.length("event_type").alias("el"))
+    a = e.select(F.col("event_id").alias("a"), "user_id",
+                 F.col("ts").alias("ts_a"), F.col("us").alias("us_a"),
+                 F.col("el").alias("el_a"))
+    b = e.select(F.col("event_id").alias("b"), "user_id",
+                 F.col("ts").alias("ts_b"), F.col("us").alias("us_b"),
+                 F.col("el").alias("el_b"))
+    dt = F.abs(F.col("us_a") - F.col("us_b")) / F.lit(1_000_000.0)
+    pairs = (a.join(b, "user_id").filter(F.col("a") < F.col("b"))
+             .withColumn("dt", dt).filter(F.col("dt") < 3600.0))
+    conf = F.greatest(F.lit(0.5), 1.0 - F.col("dt") / 3600.0)
+    score = resolution.severity_score(F.lit("temporal"), conf,
+                                      F.col("el_a") + F.col("el_b"))
+    pairs = (pairs.withColumn("severity_score", F.round(score, 6))
+             .withColumn("severity", resolution.severity_level(score)))
+    out = resolution.resolve_contradictions(
+        pairs, "temporal_preference", keep=("severity_score", "severity"))
+    return out.select("a", "b", "severity_score", "severity", "status",
+                      "preferred", "resolution_confidence")
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -800,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_relation_chains": q49_relation_chains,
         "q50_qa_evidence": q50_qa_evidence,
         "q51_qa_confidence": q51_qa_confidence,
+        "q52_contradiction_resolution": q52_contradiction_resolution,
     }
 
 
@@ -1574,5 +1608,31 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN n >= 2 THEN 0.1 ELSE 0.0 END
                           + (nhq::DOUBLE / n) * 0.2, 0.95) END, 6) AS confidence
         FROM ({" UNION ALL ".join(finals)})
+    """
+
+    sql["q52_contradiction_resolution"] = """
+        WITH p AS (
+            SELECT a.event_id AS a, b.event_id AS b, a.ts AS ts_a, b.ts AS ts_b,
+                   ABS(epoch_us(a.ts) - epoch_us(b.ts)) / 1000000.0 AS dt,
+                   len(a.event_type) + len(b.event_type) AS els
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+            WHERE ABS(epoch_us(a.ts) - epoch_us(b.ts)) / 1000000.0 < 3600.0
+        ),
+        s AS (
+            SELECT a, b, ts_a, ts_b,
+                   0.5 + GREATEST(0.5, 1.0 - dt / 3600.0) * 0.2
+                       + LEAST(els / 1000.0 * 0.1, 0.2) AS score
+            FROM p
+        )
+        SELECT a, b,
+               ROUND(score, 6) AS severity_score,
+               CASE WHEN score >= 0.8 THEN 'critical'
+                    WHEN score >= 0.6 THEN 'high'
+                    WHEN score >= 0.4 THEN 'medium' ELSE 'low' END AS severity,
+               'resolved' AS status,
+               CASE WHEN ts_a >= ts_b THEN a ELSE b END AS preferred,
+               CAST(0.7 AS DOUBLE) AS resolution_confidence
+        FROM s
     """
     return sql
