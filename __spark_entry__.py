@@ -721,6 +721,48 @@ def q52_contradiction_resolution(spark, sf):
                       "preferred", "resolution_confidence")
 
 
+# Labeled perspective fixture (pid, topic, text, claims, evidence) used
+# by q53 on BOTH engines: Spark builds it with createDataFrame, the
+# oracle with a VALUES CTE — same rows, so classification + consensus
+# are fully hash-checked against a known labeling.
+PERSPECTIVE_FIXTURE = [
+    ("p1", "caching", "caching improves read latency and supports the warm path",
+     "cache speeds reads", "n1,n2,n3"),
+    ("p2", "caching", "however caching contradicts strict freshness requirements",
+     "cache breaks freshness", "n2,n4"),
+    ("p3", "caching", "alternatively use write through instead of caching",
+     "write through is safer", "n5"),
+    ("p4", "storage", "experts believe columnar storage wins for analytics",
+     "columnar wins analytics", "n6,n7"),
+    ("p5", "storage", "the framework model for storage is a paradigm",
+     "row storage fits oltp", "n8"),
+    ("p6", "storage", "columnar storage wins for analytics scans",
+     "columnar wins analytics", "n6,n7"),
+    ("p7", "solo", "a single perspective with no markers",
+     "nothing to compare", "n9"),
+]
+
+
+def q53_perspective_types(spark, sf):
+    """Perspective typing + per-topic consensus
+    (perspective_analysis.py:22-42,116-172,1083-1143,1280-1309): classify
+    each perspective into the 6 types by indicator keywords, then score
+    per-topic consensus from average pairwise similarity (0.5·viewpoint
+    Jaccard + 0.3·claims + 0.2·evidence overlap − type penalty)."""
+    from memory_engine_spark.operators import perspectives as pers
+
+    df = spark.createDataFrame(
+        PERSPECTIVE_FIXTURE,
+        "pid string, topic string, text string, claims string, evidence string")
+    typed = df.withColumn("ptype", pers.classify_perspective(F.col("text")))
+    cmp = pers.compare_perspectives(typed, "topic", "text", "pid",
+                                    type_col="ptype", claims_col="claims",
+                                    evidence_col="evidence")
+    return (typed.select("pid", "topic", "ptype").join(cmp, "topic")
+            .select("pid", "topic", "ptype", "n_perspectives",
+                    "avg_similarity", "consensus_level"))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -834,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_qa_evidence": q50_qa_evidence,
         "q51_qa_confidence": q51_qa_confidence,
         "q52_contradiction_resolution": q52_contradiction_resolution,
+        "q53_perspective_types": q53_perspective_types,
     }
 
 
@@ -1634,5 +1677,59 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ts_a >= ts_b THEN a ELSE b END AS preferred,
                CAST(0.7 AS DOUBLE) AS resolution_confidence
         FROM s
+    """
+
+    from memory_engine_spark.operators.perspectives import PERSPECTIVE_INDICATORS
+    fixture_rows = ", ".join(
+        f"('{p}', '{t}', '{x}', '{c}', '{e}')"
+        for p, t, x, c, e in PERSPECTIVE_FIXTURE)
+    type_case = "CASE " + " ".join(
+        "WHEN (" + " OR ".join(f"contains(lower(text), '{kw}')"
+                               for kw in PERSPECTIVE_INDICATORS[pt]) + ")"
+        f" THEN '{pt}'"
+        for pt in ("opposing", "complementary", "alternative",
+                   "stakeholder", "methodological")
+    ) + " ELSE 'none' END"
+    wset = ("list_distinct(list_filter("
+            "string_split_regex(lower({0}), '\\s+'), e -> e <> ''))")
+    jac = (f"(len(list_intersect({wset.format('a.{0}')}, {wset.format('b.{0}')}))::DOUBLE"
+           f" / len(list_distinct(list_concat({wset.format('a.{0}')},"
+           f" {wset.format('b.{0}')}))))")
+    sql["q53_perspective_types"] = f"""
+        WITH p AS (
+            SELECT pid, topic, text, claims,
+                   string_split(evidence, ',') AS ev,
+                   {type_case} AS ptype
+            FROM (VALUES {fixture_rows})
+                 t(pid, topic, text, claims, evidence)
+        ),
+        pairs AS (
+            SELECT a.topic,
+                   GREATEST(
+                       {jac.format('text')} * 0.5
+                       + {jac.format('claims')} * 0.3
+                       + (CASE WHEN GREATEST(len(a.ev), len(b.ev)) > 0
+                               THEN len(list_intersect(a.ev, b.ev))::DOUBLE
+                                    / GREATEST(len(a.ev), len(b.ev))
+                               ELSE 0.0 END) * 0.2
+                       - CASE WHEN a.ptype <> b.ptype THEN 0.2 ELSE 0.0 END,
+                       0.0) AS sim
+            FROM p a JOIN p b ON a.topic = b.topic AND a.pid < b.pid
+        ),
+        topics AS (
+            SELECT p.topic, COUNT(*) AS n_perspectives FROM p GROUP BY 1
+        ),
+        avgs AS (SELECT topic, AVG(sim) AS avg_sim FROM pairs GROUP BY 1)
+        SELECT p.pid, p.topic, p.ptype,
+               CAST(t.n_perspectives AS BIGINT) AS n_perspectives,
+               ROUND(COALESCE(a.avg_sim, 1.0), 6) AS avg_similarity,
+               CASE WHEN t.n_perspectives < 2 THEN 'strong_consensus'
+                    WHEN a.avg_sim >= 0.8 THEN 'strong_consensus'
+                    WHEN a.avg_sim >= 0.6 THEN 'moderate_consensus'
+                    WHEN a.avg_sim >= 0.4 THEN 'weak_consensus'
+                    WHEN a.avg_sim >= 0.2 THEN 'no_consensus'
+                    ELSE 'strong_disagreement' END AS consensus_level
+        FROM p JOIN topics t ON t.topic = p.topic
+        LEFT JOIN avgs a ON a.topic = p.topic
     """
     return sql

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from memory_engine_spark.operators import perspectives
 from memory_engine_spark.plans.nlq import parse_nl_query
@@ -137,3 +138,66 @@ def test_cli_nlq_export_replay(capsys, tmp_path):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["replayed"] == 1
+
+
+def test_classify_perspective_types(spark):
+    from memory_engine_spark.operators import perspectives as pers
+
+    df = spark.createDataFrame(
+        [("o", "however this contradicts the earlier result"),
+         ("c", "furthermore this confirms the hypothesis"),
+         ("a", "alternatively use a different route"),
+         ("s", "experts believe the cache is too small"),
+         ("m", "the framework paradigm guides the design"),
+         ("n", "plain statement with no markers")],
+        "pid string, text string")
+    got = {r["pid"]: r["pt"] for r in df.select(
+        "pid", pers.classify_perspective(F.col("text")).alias("pt")).collect()}
+    assert got == {"o": "opposing", "c": "complementary", "a": "alternative",
+                   "s": "stakeholder", "m": "methodological", "n": "none"}
+    # first-match priority: 'however' (opposing) beats 'method'
+    both = spark.createDataFrame(
+        [("x", "however the method differs")], "pid string, text string")
+    assert both.select(pers.classify_perspective(F.col("text"))
+                       .alias("pt")).first()["pt"] == "opposing"
+    # temporal fallback when a timestamp rides along
+    ts = spark.createDataFrame([("t", "no markers here", "2024-01-01")],
+                               "pid string, text string, ts string")
+    assert ts.select(pers.classify_perspective(
+        F.col("text"), F.col("ts")).alias("pt")).first()["pt"] == "temporal"
+
+
+def test_compare_perspectives_levels(spark):
+    from memory_engine_spark.operators import perspectives as pers
+
+    df = spark.createDataFrame(
+        [("p1", "t1", "the cache speeds up reads a lot", "same", "n1,n2"),
+         ("p2", "t1", "the cache speeds up reads a lot", "same", "n1,n2"),
+         ("p3", "t2", "apples grow on trees", "x", "n3"),
+         ("p4", "t2", "submarines dive very deep", "y", "n4"),
+         ("p5", "t3", "only one voice here", "z", "n5")],
+        "pid string, topic string, text string, claims string, evidence string")
+    typed = df.withColumn("ptype", F.lit("none"))
+    out = {r["topic"]: r for r in pers.compare_perspectives(
+        typed, "topic", "text", "pid", type_col="ptype",
+        claims_col="claims", evidence_col="evidence").collect()}
+    # identical texts/claims/evidence -> sim 1.0 -> strong consensus
+    assert out["t1"]["consensus_level"] == "strong_consensus"
+    assert out["t1"]["avg_similarity"] == 1.0
+    # fully disjoint -> 0 -> strong disagreement
+    assert out["t2"]["consensus_level"] == "strong_disagreement"
+    # single perspective -> strong consensus by definition
+    assert out["t3"]["consensus_level"] == "strong_consensus"
+    assert out["t3"]["n_perspectives"] == 1
+
+
+def test_perspective_similarity_type_penalty(spark):
+    from memory_engine_spark.operators import perspectives as pers
+
+    df = spark.createDataFrame(
+        [("a1", "t", "same words here", "opposing"),
+         ("a2", "t", "same words here", "complementary")],
+        "pid string, topic string, text string, ptype string")
+    sim = pers.perspective_similarity_pairs(
+        df, "topic", "text", "pid", type_col="ptype").first()["similarity"]
+    assert abs(sim - 0.3) < 1e-9  # 1.0*0.5 - 0.2 penalty
