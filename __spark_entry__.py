@@ -763,6 +763,25 @@ def q53_perspective_types(spark, sf):
                     "avg_similarity", "consensus_level"))
 
 
+def q54_quality_content_dimension(spark, sf):
+    """Graded content-quality dimension (quality_assessment.py:140-325,
+    389-400): the five component analyzers (length curve, structure,
+    richness, clarity, completeness), their mean, and the 5-level grade
+    — one distributed projection over documents."""
+    from memory_engine_spark.operators.quality import content_dimension
+    t = _t(spark, sf)
+    return content_dimension(t["documents"], "text", "doc_id")
+
+
+def q55_quality_structural_dimension(spark, sf):
+    """Graded structural-quality dimension (quality_assessment.py:
+    455-570): per-node connectivity curve, mean relationship quality,
+    in/out-balance centrality, and type-diversity grade over the derived
+    edge graph — one union + one groupBy."""
+    from memory_engine_spark.operators.quality import structural_dimension
+    return structural_dimension(_edges(spark, sf))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -877,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_qa_confidence": q51_qa_confidence,
         "q52_contradiction_resolution": q52_contradiction_resolution,
         "q53_perspective_types": q53_perspective_types,
+        "q54_quality_content_dimension": q54_quality_content_dimension,
+        "q55_quality_structural_dimension": q55_quality_structural_dimension,
     }
 
 
@@ -1731,5 +1752,131 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'strong_disagreement' END AS consensus_level
         FROM p JOIN topics t ON t.topic = p.topic
         LEFT JOIN avgs a ON a.topic = p.topic
+    """
+
+    from memory_engine_spark.operators import quality as qual
+
+    def _lvl(expr: str) -> str:
+        return (f"CASE WHEN {expr} >= 0.9 THEN 'excellent' "
+                f"WHEN {expr} >= 0.7 THEN 'good' "
+                f"WHEN {expr} >= 0.5 THEN 'fair' "
+                f"WHEN {expr} >= 0.3 THEN 'poor' ELSE 'critical' END")
+
+    def _hits(words) -> str:
+        return " + ".join(
+            f"CASE WHEN contains(lower(text), '{w}') THEN 1 ELSE 0 END"
+            for w in words)
+
+    addressed = " + ".join(
+        "CASE WHEN " + " OR ".join(f"contains(lower(text), '{w}')" for w in ws)
+        + " THEN 1 ELSE 0 END"
+        for ws in qual.COMPLETENESS_INDICATORS.values())
+
+    def _rc(pat: str) -> str:
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    sent_cnt = ("len(list_filter(string_split_regex(text, '[.!?]+'), "
+                "s -> len(trim(s)) > 10))")
+    sql["q54_quality_content_dimension"] = f"""
+        WITH comp AS (
+            SELECT doc_id,
+                CAST(CASE WHEN len(text) < 50 THEN 0.2
+                     WHEN len(text) < 100 THEN 0.5
+                     WHEN len(text) < 500 THEN 0.8
+                     WHEN len(text) < 2000 THEN 1.0
+                     WHEN len(text) < 5000 THEN 0.9 ELSE 0.7 END AS DOUBLE)
+                    AS length_score,
+                CAST(LEAST(
+                    (CASE WHEN regexp_matches(text, '(?m)^#+\\s|^[A-Z][^.!?]*:$')
+                          THEN 0.2 ELSE 0.0 END)
+                    + (CASE WHEN regexp_matches(text, '(?m)^[\\s]*[-*•]\\s')
+                            THEN 0.2 ELSE 0.0 END)
+                    + (CASE WHEN len(string_split(text, chr(10) || chr(10))) > 1
+                            THEN 0.2 ELSE 0.0 END)
+                    + (CASE WHEN {sent_cnt} >= 2 THEN 0.2 ELSE 0.0 END)
+                    + (CASE WHEN {sent_cnt} >= 5 THEN 0.2 ELSE 0.0 END),
+                    1.0) AS DOUBLE) AS structure_score,
+                CAST(LEAST(
+                    LEAST({_rc(qual._PAT_CITATIONS)} * 0.1, 0.3)
+                    + LEAST({_rc(qual._PAT_URLS)} * 0.05, 0.2)
+                    + LEAST({_rc(qual._PAT_NUMBERS)} * 0.02, 0.2)
+                    + LEAST({_rc(qual._PAT_DATES)} * 0.05, 0.15)
+                    + LEAST({_rc(qual._PAT_TECH)} * 0.01, 0.15),
+                    1.0) AS DOUBLE) AS richness_score,
+                CAST(GREATEST(0.0, LEAST(
+                    0.5 + LEAST(({_hits(qual.POSITIVE_INDICATORS)}) * 0.05, 0.3)
+                        - LEAST(({_hits(qual.NEGATIVE_INDICATORS)}) * 0.1, 0.4)
+                        + (CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                                     x -> x <> ''))::DOUBLE
+                                     / len(string_split_regex(text, '[.!?]+'))
+                                     BETWEEN 10 AND 20 THEN 0.2
+                                WHEN len(list_filter(string_split_regex(text, '\\s+'),
+                                                     x -> x <> ''))::DOUBLE
+                                     / len(string_split_regex(text, '[.!?]+'))
+                                     > 30 THEN -0.2 ELSE 0.0 END),
+                    1.0)) AS DOUBLE) AS clarity_score,
+                CAST(LEAST(0.5 + ({addressed}) / 5.0 * 0.4, 1.0) AS DOUBLE)
+                    AS completeness_score
+            FROM documents
+        ),
+        scored AS (
+            SELECT *, (length_score + structure_score + richness_score
+                       + clarity_score + completeness_score) / 5.0 AS cs
+            FROM comp
+        )
+        SELECT doc_id, ROUND(length_score, 6) AS length_score,
+               ROUND(structure_score, 6) AS structure_score,
+               ROUND(richness_score, 6) AS richness_score,
+               ROUND(clarity_score, 6) AS clarity_score,
+               ROUND(completeness_score, 6) AS completeness_score,
+               ROUND(cs, 6) AS content_score,
+               {_lvl('cs')} AS content_level
+        FROM scored
+    """
+
+    sql["q55_quality_structural_dimension"] = f"""
+        WITH {EDGES_CTE},
+        incident AS (
+            SELECT from_id AS node_id, relation_type,
+                   LEAST(0.5 + 0.5 * 0.2, 1.0) AS rq, 1 AS o, 0 AS i FROM edges
+            UNION ALL
+            SELECT to_id, relation_type,
+                   LEAST(0.5 + 0.5 * 0.2, 1.0), 0, 1 FROM edges
+        ),
+        agg AS (
+            SELECT node_id, COUNT(*) AS n, CAST(AVG(rq) AS DOUBLE) AS rel_quality,
+                   SUM(o) AS outg, SUM(i) AS inc,
+                   COUNT(DISTINCT relation_type) AS uniq
+            FROM incident GROUP BY 1
+        ),
+        scored AS (
+            SELECT node_id, n, rel_quality,
+                CAST(CASE WHEN n = 0 THEN 0.0 WHEN n = 1 THEN 0.3
+                     WHEN n <= 3 THEN 0.6 WHEN n <= 7 THEN 0.9
+                     ELSE 1.0 END AS DOUBLE) AS connectivity,
+                CAST((CASE WHEN GREATEST(inc, outg) > 0
+                      THEN LEAST(inc, outg)::DOUBLE / GREATEST(inc, outg)
+                      ELSE 0.0 END) * 0.7
+                     + LEAST(n / 10.0, 1.0) * 0.3 AS DOUBLE) AS centrality,
+                CAST(CASE WHEN uniq::DOUBLE / n >= 0.8 THEN 1.0
+                     WHEN uniq::DOUBLE / n >= 0.6 THEN 0.8
+                     WHEN uniq::DOUBLE / n >= 0.4 THEN 0.6
+                     WHEN uniq::DOUBLE / n >= 0.2 THEN 0.4
+                     ELSE 0.2 END AS DOUBLE) AS diversity
+            FROM agg
+        ),
+        final AS (
+            SELECT *, (connectivity + rel_quality + centrality + diversity)
+                      / 4.0 AS ss
+            FROM scored
+        )
+        SELECT node_id, CAST(n AS BIGINT) AS n_relationships,
+               ROUND(connectivity, 6) AS connectivity_score,
+               ROUND(rel_quality, 6) AS relationship_quality_score,
+               ROUND(centrality, 6) AS centrality_score,
+               ROUND(diversity, 6) AS diversity_score,
+               ROUND(ss, 6) AS structural_score,
+               {_lvl('ss')} AS structural_level
+        FROM final
     """
     return sql

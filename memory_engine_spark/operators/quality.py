@@ -126,3 +126,238 @@ def cross_validate(df: DataFrame, text_col: str, source_col: str,
              F.min("_id").alias("example_id"))
         .filter(F.col("n_sources") >= min_sources)
     )
+
+
+# ---------------------------------------------------------------------------
+# graded dimension engine (quality_assessment.py:25-46,87-875)
+# ---------------------------------------------------------------------------
+# Component analyzers re-expressed as Column expressions: each reference
+# threshold/weight is reproduced verbatim so scores are deterministic and
+# oracle-checkable; the reference's per-node Python loops become one
+# distributed projection (content) and one aggregation (structural).
+
+# quality_assessment.py:95-127 clarity indicator lists ('incomplete'
+# appears twice in the reference list; deduplicated here).
+POSITIVE_INDICATORS = [
+    "detailed", "comprehensive", "thorough", "complete", "accurate",
+    "verified", "documented", "researched", "evidenced", "cited",
+    "peer-reviewed", "validated", "confirmed", "established",
+]
+NEGATIVE_INDICATORS = [
+    "unclear", "incomplete", "partial", "unverified", "speculative",
+    "unconfirmed", "preliminary", "draft", "fragmentary", "vague",
+    "ambiguous",
+]
+
+# :298-315 completeness key-question indicator lists
+COMPLETENESS_INDICATORS = {
+    "what": ["is", "are", "definition", "meaning", "refers to"],
+    "how": ["process", "method", "approach", "technique", "procedure"],
+    "why": ["because", "reason", "cause", "purpose", "motivation"],
+    "when": ["date", "time", "year", "period", "during"],
+    "where": ["location", "place", "region", "area", "site"],
+}
+
+# :130-138 content regexes (identical in Java regex and RE2)
+_PAT_CITATIONS = r"\[(\d+)\]|\(([^)]+\d{4}[^)]*)\)"
+_PAT_URLS = r"https?://[^\s]+"
+_PAT_NUMBERS = r"\b\d+(?:\.\d+)?(?:%|kg|meters?|seconds?|minutes?|hours?|days?|years?)?\b"
+_PAT_DATES = r"\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b|\b\d{4}-\d{2}-\d{2}\b"
+_PAT_TECH = r"\b[A-Z][a-z]*(?:[A-Z][a-z]*)+\b"
+_PAT_BULLETS = r"(?m)^[\s]*[-*•]\s"
+_PAT_HEADINGS = r"(?m)^#+\s|^[A-Z][^.!?]*:$"
+
+
+def score_to_level(score):
+    """quality_assessment.py:389-400: 5 graded levels."""
+    return (F.when(score >= 0.9, "excellent")
+            .when(score >= 0.7, "good")
+            .when(score >= 0.5, "fair")
+            .when(score >= 0.3, "poor")
+            .otherwise("critical"))
+
+
+def _contains_count(low_col, words: list[str]):
+    out = F.lit(0)
+    for w in words:
+        out = out + F.when(F.contains(low_col, F.lit(w)), 1).otherwise(0)
+    return out
+
+
+def content_length_component(text_col) -> Column:
+    """:193-208 length-appropriateness curve."""
+    n = F.length(text_col)
+    return (F.when(n < 50, 0.2).when(n < 100, 0.5).when(n < 500, 0.8)
+            .when(n < 2000, 1.0).when(n < 5000, 0.9).otherwise(0.7))
+
+
+def _sentence_count(text_col):
+    return F.size(F.filter(F.split(text_col, r"[.!?]+"),
+                           lambda s: F.length(F.trim(s)) > 10))
+
+
+def content_structure_component(text_col) -> Column:
+    """:210-236: headings + bullets + paragraphs + sentence counts,
+    0.2 each, capped at 1."""
+    score = (
+        F.when(text_col.rlike(_PAT_HEADINGS), 0.2).otherwise(0.0)
+        + F.when(text_col.rlike(_PAT_BULLETS), 0.2).otherwise(0.0)
+        + F.when(F.size(F.split(text_col, r"\n\n")) > 1, 0.2).otherwise(0.0)
+        + F.when(_sentence_count(text_col) >= 2, 0.2).otherwise(0.0)
+        + F.when(_sentence_count(text_col) >= 5, 0.2).otherwise(0.0)
+    )
+    return F.least(score, F.lit(1.0))
+
+
+def content_richness_component(text_col) -> Column:
+    """:238-267: capped citation/url/number/date/tech-term credit."""
+    def capped(pat, per, cap):
+        return F.least(F.regexp_count(text_col, F.lit(pat)) * per, F.lit(cap))
+
+    return F.least(
+        capped(_PAT_CITATIONS, 0.1, 0.3) + capped(_PAT_URLS, 0.05, 0.2)
+        + capped(_PAT_NUMBERS, 0.02, 0.2) + capped(_PAT_DATES, 0.05, 0.15)
+        + capped(_PAT_TECH, 0.01, 0.15),
+        F.lit(1.0))
+
+
+def content_clarity_component(text_col) -> Column:
+    """:269-296: 0.5 base ± indicator counts ± sentence-length check,
+    clamped to [0, 1]."""
+    low = F.lower(text_col)
+    pos = F.least(_contains_count(low, POSITIVE_INDICATORS) * 0.05, F.lit(0.3))
+    neg = F.least(_contains_count(low, NEGATIVE_INDICATORS) * 0.1, F.lit(0.4))
+    n_words = F.size(F.filter(F.split(text_col, r"\s+"), lambda x: x != ""))
+    n_sent = F.size(F.split(text_col, r"[.!?]+"))  # ref len(re.split(...))
+    avg_len = n_words / n_sent
+    adj = (F.when((avg_len >= 10) & (avg_len <= 20), 0.2)
+           .when(avg_len > 30, -0.2).otherwise(0.0))
+    return F.greatest(F.lit(0.0), F.least(0.5 + pos - neg + adj, F.lit(1.0)))
+
+
+def content_completeness_component(text_col) -> Column:
+    """:298-325: 0.5 base + 0.4·(key questions addressed / 5). The
+    metadata-completeness term (0.1 weight) is a storage-backend concern
+    with no counterpart here and contributes 0."""
+    low = F.lower(text_col)
+    addressed = F.lit(0)
+    for words in COMPLETENESS_INDICATORS.values():
+        hit = F.lit(False)
+        for w in words:
+            hit = hit | F.contains(low, F.lit(w))
+        addressed = addressed + F.when(hit, 1).otherwise(0)
+    return F.least(0.5 + addressed / 5.0 * 0.4, F.lit(1.0))
+
+
+def content_dimension(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content-quality dimension (:140-191): the five component scores,
+    their mean, and the graded level — one projection, no shuffle."""
+    t = F.col(text_col)
+    comps = {
+        "length_score": content_length_component(t),
+        "structure_score": content_structure_component(t),
+        "richness_score": content_richness_component(t),
+        "clarity_score": content_clarity_component(t),
+        "completeness_score": content_completeness_component(t),
+    }
+    score = sum(list(comps.values())[1:], start=list(comps.values())[0]) / 5.0
+    return df.select(
+        id_col,
+        *[F.round(c, 6).alias(k) for k, c in comps.items()],
+        F.round(score, 6).alias("content_score"),
+        score_to_level(score).alias("content_level"),
+    )
+
+
+# :497-518 relationship-type adjustments
+GENERIC_RELATION_TYPES = ["related_to", "associated_with"]
+SPECIFIC_RELATION_TYPES = ["part_of", "instance_of", "causes", "enables"]
+
+
+def structural_dimension(edges: DataFrame, id_col: str = "node_id") -> DataFrame:
+    """Structural-quality dimension (:455-570) per node over its incident
+    edges: connectivity curve, mean relationship quality (type
+    adjustments + 0.2·confidence), centrality (in/out balance ×0.7 +
+    capped volume ×0.3), type-diversity grade; dimension = mean of the
+    four. One union + one groupBy."""
+    per_edge = 0.5 \
+        + F.when(F.col("relation_type").isin(GENERIC_RELATION_TYPES), -0.2) \
+           .when(F.col("relation_type").isin(SPECIFIC_RELATION_TYPES), 0.3) \
+           .otherwise(0.0) \
+        + F.coalesce(F.col("confidence_score"), F.lit(0.0)) * 0.2
+    incident = edges.select(
+        F.col("from_id").alias(id_col), "relation_type",
+        F.least(per_edge, F.lit(1.0)).alias("_rq"),
+        F.lit(1).alias("_out"), F.lit(0).alias("_in"),
+    ).unionByName(edges.select(
+        F.col("to_id").alias(id_col), "relation_type",
+        F.least(per_edge, F.lit(1.0)).alias("_rq"),
+        F.lit(0).alias("_out"), F.lit(1).alias("_in"),
+    ))
+    agg = incident.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_rq").alias("rel_quality"),
+        F.sum("_out").alias("outg"), F.sum("_in").alias("inc"),
+        F.countDistinct("relation_type").alias("uniq"),
+    )
+    n = F.col("n")
+    connectivity = (F.when(n == 0, 0.0).when(n == 1, 0.3).when(n <= 3, 0.6)
+                    .when(n <= 7, 0.9).otherwise(1.0))
+    mx = F.greatest(F.col("inc"), F.col("outg"))
+    balance = F.when(mx > 0, F.least(F.col("inc"), F.col("outg")) / mx) \
+        .otherwise(F.lit(0.0))
+    centrality = balance * 0.7 + F.least(n / 10.0, F.lit(1.0)) * 0.3
+    ratio = F.col("uniq") / n
+    diversity = (F.when(ratio >= 0.8, 1.0).when(ratio >= 0.6, 0.8)
+                 .when(ratio >= 0.4, 0.6).when(ratio >= 0.2, 0.4)
+                 .otherwise(0.2))
+    score = (connectivity + F.col("rel_quality") + centrality + diversity) / 4.0
+    return agg.select(
+        id_col,
+        F.col("n").cast("long").alias("n_relationships"),
+        F.round(connectivity, 6).alias("connectivity_score"),
+        F.round("rel_quality", 6).alias("relationship_quality_score"),
+        F.round(centrality, 6).alias("centrality_score"),
+        F.round(diversity, 6).alias("diversity_score"),
+        F.round(score, 6).alias("structural_score"),
+        score_to_level(score).alias("structural_level"),
+    )
+
+
+def temporal_freshness_component(age_days) -> Column:
+    """:706-745 freshness curve; callers map a missing timestamp to the
+    reference's 0.3 via coalesce on the input."""
+    return (F.when(age_days <= 30, 1.0).when(age_days <= 90, 0.8)
+            .when(age_days <= 180, 0.6).when(age_days <= 365, 0.4)
+            .otherwise(0.2))
+
+
+def assess_quality_graded(nodes: DataFrame, edges: DataFrame,
+                          text_col: str = "content", id_col: str = "node_id",
+                          ts_col: str | None = None,
+                          now_ts: float | None = None) -> DataFrame:
+    """Full graded assessment (:977-1059): content + structural
+    (+ temporal when a timestamp column exists) dimension scores with
+    levels, overall = mean of available dimensions with its own level."""
+    content = content_dimension(nodes, text_col, id_col)
+    structural = structural_dimension(edges, id_col)
+    out = content.join(structural, id_col, "left")
+    struct_score = F.coalesce(F.col("structural_score"), F.lit(0.0))
+    parts = [F.col("content_score"), struct_score]
+    cols = [id_col, "content_score", "content_level",
+            F.round(struct_score, 6).alias("structural_score"),
+            F.coalesce(F.col("structural_level"), F.lit("critical"))
+            .alias("structural_level")]
+    if ts_col is not None and now_ts is not None:
+        ts = nodes.select(id_col, F.col(ts_col).alias("_ts"))
+        out = out.join(ts, id_col, "left")
+        age = (F.lit(now_ts) - F.col("_ts").cast("double")) / 86400.0
+        temporal = F.when(F.col("_ts").isNull(), 0.3) \
+            .otherwise(temporal_freshness_component(age))
+        parts.append(temporal)
+        cols += [F.round(temporal, 6).alias("temporal_score"),
+                 score_to_level(temporal).alias("temporal_level")]
+    overall = sum(parts[1:], start=parts[0]) / len(parts)
+    cols += [F.round(overall, 6).alias("overall_score"),
+             score_to_level(overall).alias("overall_level")]
+    return out.select(*cols)

@@ -174,3 +174,78 @@ def test_source_attributions_shape():
     assert attrs[0]["content_snippet"].endswith("...")
     assert len(attrs[0]["content_snippet"]) == 203
     assert attrs[0]["confidence_score"] == 1.0  # 0.9+0.2 capped
+
+
+# -- graded dimension engine ---------------------------------------------------
+
+def test_content_dimension_components(spark):
+    rich = ("# Heading:\n- bullet one\n- bullet two\n\n"
+            "This detailed and comprehensive study [1] was verified in 2024. "
+            "See https://example.org for the documented 42% results. "
+            "It is a thorough process with researched evidence. "
+            "The method is validated and confirmed by cited experts. "
+            "Dates like 2024-01-15 appear because the reason matters.")
+    poor = "draft unclear vague stub"
+    df = spark.createDataFrame([("r", rich), ("p", poor)],
+                               "node_id string, content string")
+    out = {r["node_id"]: r for r in
+           quality.content_dimension(df, "content", "node_id").collect()}
+    r, p = out["r"], out["p"]
+    assert r["structure_score"] == 1.0          # headings+bullets+paras+sents
+    assert r["richness_score"] > 0.2            # citations+url+numbers+dates
+    assert r["clarity_score"] > 0.6             # many positive indicators
+    assert r["completeness_score"] > 0.7        # what/how/why/when addressed
+    assert r["content_level"] in ("good", "excellent")
+    assert p["length_score"] == 0.2             # < 50 chars
+    assert p["clarity_score"] < 0.5             # negative indicators
+    assert p["content_level"] in ("poor", "critical")
+    assert abs(r["content_score"] * 5
+               - (r["length_score"] + r["structure_score"] + r["richness_score"]
+                  + r["clarity_score"] + r["completeness_score"])) < 1e-5
+
+
+def test_structural_dimension_curves(spark):
+    edges = spark.createDataFrame(
+        [("hub", f"n{i}", t, 0.9) for i, t in enumerate(
+            ["part_of", "causes", "enables", "instance_of", "related_to",
+             "part_of", "causes", "enables"])]
+        + [("n0", "hub", "part_of", 0.9), ("n0", "solo2", "related_to", 0.1)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    out = {r["node_id"]: r for r in
+           quality.structural_dimension(edges).collect()}
+    hub = out["hub"]
+    assert hub["n_relationships"] == 9
+    assert hub["connectivity_score"] == 1.0     # > 7 edges
+    # specific types get +0.3, generic -0.2, all +0.9*0.2 conf, capped at 1
+    assert 0.6 < hub["relationship_quality_score"] <= 1.0
+    solo = out["solo2"]
+    assert solo["connectivity_score"] == 0.3    # single edge
+    assert solo["structural_level"] in ("poor", "critical", "fair")
+    # generic related_to with low confidence: 0.5 - 0.2 + 0.02
+    assert abs(solo["relationship_quality_score"] - 0.32) < 1e-6
+
+
+def test_temporal_freshness_and_graded_overall(spark):
+    import time as _t
+    now = _t.time()
+    nodes = spark.createDataFrame(
+        [("fresh", "a detailed verified study of the cache process because "
+          "reasons during 2024 at this location", now - 10 * 86400),
+         ("stale", "an unclear draft", now - 400 * 86400),
+         ("nots", "plain text content here", None)],
+        "node_id string, content string, ts double")
+    edges = spark.createDataFrame(
+        [("fresh", "stale", "part_of", 0.8)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    out = {r["node_id"]: r for r in quality.assess_quality_graded(
+        nodes, edges, ts_col="ts", now_ts=now).collect()}
+    assert out["fresh"]["temporal_score"] == 1.0    # <= 30 days
+    assert out["stale"]["temporal_score"] == 0.2    # > 365 days
+    assert out["nots"]["temporal_score"] == 0.3     # missing ts
+    assert out["nots"]["structural_level"] == "critical"  # no edges
+    for r in out.values():
+        assert r["overall_level"] in ("excellent", "good", "fair", "poor",
+                                      "critical")
+        assert abs(r["overall_score"] * 3
+                   - (r["content_score"] + r["structural_score"]
+                      + r["temporal_score"])) < 1e-5
