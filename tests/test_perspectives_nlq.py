@@ -76,9 +76,9 @@ def test_registry_and_fallback():
     def good(x):
         return x * 2
 
-    chain = FallbackChain([("bad", bad), ("good", good)])
+    chain = FallbackChain([("bad", bad), ("good", good)], failure_threshold=1)
     assert chain.call(3) == 6
-    # circuit open: bad is skipped on the next call
+    # circuit open (threshold 1): bad is skipped on the next call
     assert chain.call(4) == 8 and calls == ["bad"]
 
 
@@ -201,3 +201,64 @@ def test_perspective_similarity_type_penalty(spark):
     sim = pers.perspective_similarity_pairs(
         df, "topic", "text", "pid", type_col="ptype").first()["similarity"]
     assert abs(sim - 0.3) < 1e-9  # 1.0*0.5 - 0.2 penalty
+
+
+def test_circuit_breaker_state_machine():
+    from memory_engine_spark.plugins import CircuitBreaker
+
+    t = [1000.0]
+    cb = CircuitBreaker(failure_threshold=3, timeout_s=60, clock=lambda: t[0])
+    assert cb.state("p") == "closed" and cb.allow("p")
+    cb.record("p", False); cb.record("p", False)
+    assert cb.state("p") == "closed"        # below threshold
+    cb.record("p", False)
+    assert cb.state("p") == "open"          # threshold reached
+    assert not cb.allow("p")                # rejected while open
+    t[0] += 61                              # timeout elapses
+    assert cb.allow("p")                    # half-open probe admitted
+    assert cb.state("p") == "half_open"
+    cb.record("p", False)                   # probe fails -> re-open
+    assert cb.state("p") == "open"
+    assert not cb.allow("p")
+    t[0] += 61
+    assert cb.allow("p")
+    cb.record("p", True)                    # probe succeeds -> closed
+    assert cb.state("p") == "closed"
+    assert cb._breaker("p")["failure_count"] == 0
+
+
+def test_fallback_chain_skips_open_breaker():
+    from memory_engine_spark.plugins import FallbackChain
+
+    t = [0.0]
+    calls = {"flaky": 0, "good": 0}
+
+    def flaky(x):
+        calls["flaky"] += 1
+        raise RuntimeError("boom")
+
+    def good(x):
+        calls["good"] += 1
+        return x * 2
+
+    chain = FallbackChain([("flaky", flaky), ("good", good)],
+                          failure_threshold=2, cooldown_s=60,
+                          clock=lambda: t[0])
+    assert chain.call(3) == 6 and calls == {"flaky": 1, "good": 1}
+    chain.call(1)                            # second failure opens breaker
+    assert chain.breaker.state("flaky") == "open"
+    chain.call(1)
+    assert calls["flaky"] == 2               # open breaker skipped
+    t[0] += 61
+    chain.call(1)                            # half-open probe retries flaky
+    assert calls["flaky"] == 3
+    assert chain.breaker.state("flaky") == "open"  # probe failed again
+
+
+def test_fallback_chain_all_fail():
+    from memory_engine_spark.plugins import FallbackChain
+
+    chain = FallbackChain([("a", lambda: 1 / 0), ("b", lambda: 1 / 0)])
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="all providers failed"):
+        chain.call()
