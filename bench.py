@@ -40,6 +40,75 @@ BENCH_QUERIES = [
 ]
 
 
+def scale_10x(spark, sf_dir: str) -> dict:
+    """10× in-memory replication probe (SCALING.md method, now tracked
+    per-round): run four representative operator shapes at 1× and 10×
+    rows and report the runtime ratio. Replication = explode over a
+    10-element literal array with shifted ids — no files written. A
+    shape whose ratio stays well under 10 is shuffle-minimal/overhead-
+    bound; ~10 is linear; >>10 means candidate blow-up (the guarded
+    Jaccard shape demonstrates the stop-shingle mitigation)."""
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators import dedup, graph, similarity
+    from memory_engine_spark.sources.tables import graph_edges, load_tables
+
+    t = load_tables(spark, sf_dir)
+
+    def rep(df, factor, shift_cols=(), str_cols=()):
+        rdf = df.select(
+            "*", F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("_r"))
+        for c in shift_cols:
+            rdf = rdf.withColumn(c, F.col(c) + F.col("_r").cast("long") * 10_000_000)
+        for c in str_cols:
+            rdf = rdf.withColumn(c, F.concat_ws("_", F.col(c), F.col("_r")))
+        return rdf.drop("_r")
+
+    qv = [float(x) for x in
+          t["embeddings"].filter("vec_id = 0").first()["embedding"]]
+    edges = graph_edges(t)
+
+    shapes = {
+        "grouped_agg": lambda f: (
+            rep(t["lineitem"], f).groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")).count()),
+        "cosine_topk": lambda f: (
+            similarity.topk_brute(rep(t["embeddings"], f, shift_cols=["vec_id"]),
+                                  qv, k=10, id_col="vec_id").count()),
+        "bfs_2hop": lambda f: (
+            graph.k_hop(rep(edges, f, str_cols=["from_id", "to_id"]),
+                        ["c_1_0"], max_depth=2).count()),
+        # Stop-shingle guard sized ~10× the 1× mean shingle frequency:
+        # on this fixed-vocabulary corpus most shingle mass is "hot", so
+        # the probe measures the guarded path's scaling, not the
+        # deliberate quadratic blow-up SCALING.md already documents.
+        "jaccard_guarded": lambda f: (
+            dedup.ngram_jaccard_pairs(rep(t["documents"], f, shift_cols=["doc_id"]),
+                                      "text", "doc_id", n=3, threshold=0.3,
+                                      max_shingle_freq=50).count()),
+    }
+    out = {}
+    for name, fn in shapes.items():
+        times = {}
+        for factor in (1, 10):
+            # x1 runs twice (min) so one-time codegen/setup doesn't
+            # pollute the denominator of the ratio; x10 dominates cost
+            # and runs once.
+            runs = []
+            for _ in range(2 if factor == 1 else 1):
+                t0 = time.time()
+                fn(factor)
+                runs.append(round(time.time() - t0, 3))
+            times[f"x{factor}"] = min(runs)
+        times["ratio"] = round(times["x10"] / max(times["x1"], 1e-9), 2)
+        out[name] = times
+        print(f"# scale10x {name}: x1={times['x1']:.2f}s "
+              f"x10={times['x10']:.2f}s ratio={times['ratio']}",
+              file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -87,8 +156,12 @@ def main() -> None:
     print(f"# ingest: {n_docs} docs in {ingest_s:.2f}s = {docs_per_sec} docs/s",
           file=sys.stderr)
 
+    scale = (scale_10x(spark, sf_dir)
+             if os.environ.get("SPARK_GRAFT_SCALE10X", "1") != "0" else {})
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
+        "scale_10x": scale,
         "metric": "headline_query_total_steady_state",
         "value": total,
         "unit": "sec",

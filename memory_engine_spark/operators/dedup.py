@@ -79,6 +79,17 @@ def word_shingles(col, n: int = 3):
     return F.array_distinct(grams)
 
 
+def _materialize_release(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Eagerly materialize the (small) result via localCheckpoint, then
+    unpersist the LARGE cached intermediate immediately — the result no
+    longer references it, so nothing pins executor memory past the call
+    (the round-1 'unreleased persist' finding, without the cost of
+    checkpointing the big intermediate itself)."""
+    out = result.localCheckpoint()
+    cached.unpersist(False)
+    return out
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition a narrow input when it arrives in too few partitions
     (single parquet file) so the expensive per-row work that follows
@@ -116,10 +127,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                .filter(F.col("f") > max_shingle_freq).select("shingle"))
         ex = ex.join(hot, "shingle", "left_anti")
     # The exploded shingle set feeds three plan branches (sizes + both
-    # join sides); localCheckpoint (eager) so tokenize/explode runs once,
-    # not 3×. Unlike persist(), the blocks are released when the result
-    # DataFrame is GC'd — no session-lifetime executor-memory pin.
-    ex = ex.localCheckpoint()
+    # join sides); persist so tokenize/explode runs once, not 3×. The
+    # small pair result is materialized eagerly and the big intermediate
+    # released before returning.
+    cached = ex.persist()
+    ex = cached
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     ex = ex.join(sizes.hint("broadcast"), "_id")  # shingle rows distinct per doc
 
@@ -132,9 +144,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-    return (common.withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    out = (common.withColumn("jaccard", jac)
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    return _materialize_release(out, cached)
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +194,7 @@ def minhash_neardup(df: DataFrame, text_col: str, id_col: str,
     """MinHash-LSH near-dup pairs, verified with EXACT Jaccard so output
     contains no false positives (candidates are a recall-only
     approximation). Returns (a, b, jaccard)."""
-    ex = explode_shingles(df, text_col, id_col, n).localCheckpoint()
+    ex = explode_shingles(df, text_col, id_col, n).persist()
     mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)]
     sig = (ex.groupBy("_id").agg(*mins)
@@ -198,9 +211,10 @@ def minhash_neardup(df: DataFrame, text_col: str, id_col: str,
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = common / (F.col("sz_a") + F.col("sz_b") - common)
-    return (cand.withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    out = (cand.withColumn("jaccard", jac)
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    return _materialize_release(out, ex)
 
 
 def _md5_word(col, pos: int):
@@ -228,7 +242,7 @@ def minhash_md5_neardup(df: DataFrame, text_col: str, id_col: str,
     groupBy + one banded equi-join — never a cross join.
     """
     r = num_hashes // bands
-    ex = explode_shingles(df, text_col, id_col, n).localCheckpoint()
+    ex = explode_shingles(df, text_col, id_col, n).persist()
 
     w1 = _md5_word(F.col("shingle"), 1)
     w2 = _md5_word(F.col("shingle"), 9)
@@ -262,9 +276,10 @@ def minhash_md5_neardup(df: DataFrame, text_col: str, id_col: str,
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = common / (F.col("sz_a") + F.col("sz_b") - common)
-    return (cand.withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    out = (cand.withColumn("jaccard", jac)
+           .filter(F.col("jaccard") >= threshold)
+           .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+    return _materialize_release(out, ex)
 
 
 # ---------------------------------------------------------------------------

@@ -227,14 +227,14 @@ def detect_contradictions(df: DataFrame, text_col: str, id_col: str,
     toks = tokens(F.col("_txt"))
     words = F.array_distinct(F.filter(toks, lambda t: ~F.array_contains(sw, t)))
     narrow = _spread(base.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")))
-    # localCheckpoint (eager) instead of persist: the prepared frame feeds
-    # both join sides; blocks release when the result is GC'd rather than
-    # pinning executor memory for the session.
+    # persist feeds both join sides; the small pair result is
+    # materialized eagerly below and this intermediate released before
+    # returning (no session-lifetime executor-memory pin).
     prepared = narrow.select(
         "_id",
         words.alias("w"),
         (F.size(F.array_intersect(toks, neg)) > 0).alias("has_neg"),
-    ).localCheckpoint()
+    ).persist()
     ex = prepared.select("_id", "has_neg",
                          F.size(F.array_except("w", neg)).alias("sz"),
                          F.explode(F.array_except("w", neg)).alias("k"))
@@ -252,9 +252,11 @@ def detect_contradictions(df: DataFrame, text_col: str, id_col: str,
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = F.col("common") / (F.col("sz_na") + F.col("sz_nb") - F.col("common"))
-    return (
+    out = (
         common.withColumn("topic_score", F.round(jac, 6))
         .filter(F.col("topic_score") >= topic_overlap)
         .select(F.least("na", "nb").alias("a"),
                 F.greatest("na", "nb").alias("b"), "topic_score")
     )
+    from memory_engine_spark.operators.dedup import _materialize_release
+    return _materialize_release(out, prepared)
