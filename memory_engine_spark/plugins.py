@@ -143,3 +143,149 @@ class FallbackChain:
 
 
 register_defaults()
+
+
+# ---------------------------------------------------------------------------
+# module registry (orchestrator/module_registry.py)
+# ---------------------------------------------------------------------------
+
+MODULE_STATUSES = ["registered", "initializing", "active", "degraded",
+                   "stopped", "error"]
+
+
+@dataclass(frozen=True)
+class Version:
+    """Semantic version triple (module_registry.py:68-115)."""
+
+    major: int
+    minor: int
+    patch: int = 0
+
+    @classmethod
+    def parse(cls, s: str) -> "Version":
+        parts = (s.split("-")[0].split("+")[0].split("."))
+        nums = [int(p) for p in parts[:3]] + [0] * (3 - len(parts[:3]))
+        return cls(*nums)
+
+    def __str__(self) -> str:
+        return f"{self.major}.{self.minor}.{self.patch}"
+
+    def as_tuple(self) -> tuple[int, int, int]:
+        return (self.major, self.minor, self.patch)
+
+    def is_compatible(self, other: "Version") -> bool:
+        """Same-major, at-least-as-new compatibility
+        (module_registry.py:93-97)."""
+        return (self.major == other.major
+                and self.as_tuple() >= other.as_tuple())
+
+
+@dataclass
+class ModuleMetadata:
+    """module_registry.py:144-175 — name, version, provided capabilities,
+    and required capability → minimum version."""
+
+    name: str
+    version: str
+    capabilities: list[str] = field(default_factory=list)
+    requires: dict[str, str] = field(default_factory=dict)
+    status: str = "registered"
+
+
+class ModuleRegistry:
+    """Module lifecycle + capability-based dependency resolution
+    (module_registry.py): register modules declaring capabilities and
+    version-gated requirements; resolve a dependency-ordered start
+    sequence (topological); drive status transitions."""
+
+    def __init__(self):
+        self._modules: dict[str, ModuleMetadata] = {}
+
+    def register(self, meta: ModuleMetadata) -> None:
+        Version.parse(meta.version)  # validate eagerly
+        if meta.name in self._modules:
+            raise ValueError(f"module {meta.name!r} already registered")
+        self._modules[meta.name] = meta
+
+    def get(self, name: str) -> ModuleMetadata:
+        return self._modules[name]
+
+    def modules(self) -> list[str]:
+        return sorted(self._modules)
+
+    def find_providers(self, capability: str, min_version: str | None = None
+                       ) -> list[str]:
+        """Modules providing a capability, compatible with min_version
+        when given; deterministic name order."""
+        need = Version.parse(min_version) if min_version else None
+        out = []
+        for name in sorted(self._modules):
+            m = self._modules[name]
+            if capability not in m.capabilities:
+                continue
+            if need is not None and not Version.parse(m.version).is_compatible(need):
+                continue
+            out.append(name)
+        return out
+
+    def resolve_order(self) -> list[str]:
+        """Dependency-ordered start list: every module after some
+        provider of each capability it requires. Raises on a missing
+        provider or a dependency cycle."""
+        providers: dict[str, str] = {}
+        for name, m in sorted(self._modules.items()):
+            for need, minv in m.requires.items():
+                found = self.find_providers(need, minv)
+                if not found:
+                    raise ValueError(
+                        f"module {name!r} requires {need!r}>={minv}: no "
+                        f"compatible provider")
+                providers[(name, need)] = found[0]
+        order, seen, visiting = [], set(), set()
+
+        def visit(name: str):
+            if name in seen:
+                return
+            if name in visiting:
+                raise ValueError(f"dependency cycle through {name!r}")
+            visiting.add(name)
+            for need in self._modules[name].requires:
+                visit(providers[(name, need)])
+            visiting.discard(name)
+            seen.add(name)
+            order.append(name)
+
+        for name in sorted(self._modules):
+            visit(name)
+        return order
+
+    def set_status(self, name: str, status: str) -> None:
+        if status not in MODULE_STATUSES:
+            raise ValueError(f"unknown status {status!r}")
+        self._modules[name].status = status
+
+    def start_all(self, initializers: dict[str, Callable[[], Any]] | None = None
+                  ) -> dict[str, str]:
+        """Initialize modules in dependency order; a failing initializer
+        marks the module 'error' and downstream dependents stay
+        'registered'. Returns name → status."""
+        initializers = initializers or {}
+        failed: set[str] = set()
+        for name in self.resolve_order():
+            m = self._modules[name]
+            dep_failed = any(
+                self.find_providers(need, minv)
+                and set(self.find_providers(need, minv)) <= failed
+                for need, minv in m.requires.items())
+            if dep_failed:
+                continue
+            self.set_status(name, "initializing")
+            try:
+                fn = initializers.get(name)
+                if fn is not None:
+                    fn()
+                self.set_status(name, "active")
+            except Exception:  # noqa: BLE001 — lifecycle must continue
+                self.set_status(name, "error")
+                failed.add(name)
+        return {n: m.status for n, m in sorted(self._modules.items())}

@@ -1,0 +1,187 @@
+"""Ops tooling: backup/restore, async task queue, module registry
+(reference backup_manager.py, async_queue_processor.py,
+module_registry.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.plugins import ModuleMetadata, ModuleRegistry, Version
+from memory_engine_spark.sources.backup import BackupManager, table_checksum
+from memory_engine_spark.streaming.task_queue import TaskQueue
+
+
+# -- backup / restore ---------------------------------------------------------
+
+def test_backup_full_roundtrip_and_verify(spark, tmp_path):
+    bm = BackupManager(spark, str(tmp_path / "bk"))
+    nodes = spark.createDataFrame([("a", 1), ("b", 2)], "node_id string, v int")
+    edges = spark.createDataFrame([("a", "b", "r")],
+                                  "from_id string, to_id string, relation_type string")
+    m = bm.create_backup({"nodes": nodes, "edges": edges}, backup_id="b1")
+    assert m["tables"]["nodes"]["rows"] == 2
+    assert bm.verify_backup("b1")
+    back = bm.restore_backup("b1")
+    assert back["nodes"].exceptAll(nodes).isEmpty()
+    assert back["edges"].count() == 1
+    assert [b["backup_id"] for b in bm.list_backups()] == ["b1"]
+
+
+def test_backup_incremental_overlay(spark, tmp_path):
+    bm = BackupManager(spark, str(tmp_path / "bk2"))
+    v1 = spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int")
+    bm.create_backup({"t": v1}, backup_id="full1")
+    v2 = spark.createDataFrame([("a", 1), ("b", 20), ("c", 3)], "id string, v int")
+    m = bm.create_backup({"t": v2}, backup_id="inc1", strategy="incremental",
+                         base_backup_id="full1", key_cols={"t": "id"})
+    # only the changed/new rows are stored
+    assert m["tables"]["t"]["rows"] == 2
+    restored = {r["id"]: r["v"] for r in bm.restore_backup("inc1")["t"].collect()}
+    assert restored == {"a": 1, "b": 20, "c": 3}
+
+
+def test_backup_checksum_detects_tamper(spark, tmp_path):
+    bm = BackupManager(spark, str(tmp_path / "bk3"), verify=False)
+    df = spark.createDataFrame([("x", 5)], "id string, v int")
+    bm.create_backup({"t": df}, backup_id="b")
+    # tamper: swap the manifest checksum
+    mpath = tmp_path / "bk3" / "b" / "manifest.json"
+    m = json.loads(mpath.read_text())
+    m["tables"]["t"]["checksum"] += 1
+    mpath.write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="failed verification"):
+        bm.verify_backup("b")
+
+
+def test_backup_retention_keeps_chained_base(spark, tmp_path):
+    bm = BackupManager(spark, str(tmp_path / "bk4"), retention_days=1)
+    df = spark.createDataFrame([("x", 1)], "id string, v int")
+    bm.create_backup({"t": df}, backup_id="old_full")
+    # age the full backup past retention
+    idx = json.loads((tmp_path / "bk4" / "index.json").read_text())
+    idx["old_full"]["timestamp"] -= 10 * 86400
+    (tmp_path / "bk4" / "index.json").write_text(json.dumps(idx))
+    bm.create_backup({"t": df}, backup_id="inc", strategy="incremental",
+                     base_backup_id="old_full", key_cols={"t": "id"})
+    ids = {b["backup_id"] for b in bm.list_backups()}
+    assert "old_full" in ids  # still a chain base — never dropped
+
+
+def test_table_checksum_order_insensitive(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "id int, s string")
+    c = spark.createDataFrame([(1, "x"), (2, "z")], "id int, s string")
+    assert table_checksum(a) == table_checksum(b)
+    assert table_checksum(a) != table_checksum(c)
+
+
+# -- task queue ---------------------------------------------------------------
+
+def test_task_queue_priority_retry_and_metrics(spark, tmp_path):
+    q = TaskQueue(spark, str(tmp_path / "q"))
+    low = q.submit("echo", {"x": 1}, priority="low")
+    hi = q.submit("echo", {"x": 2}, priority="critical")
+    boom = q.submit("boom", {"x": 3}, priority="high", max_retries=2)
+
+    def echo(batch):
+        return batch.select("task_id",
+                            F.col("payload").alias("result"),
+                            F.lit(None).cast("string").alias("error"))
+
+    def always_fail(batch):
+        return batch.select("task_id",
+                            F.lit(None).cast("string").alias("result"),
+                            F.lit("nope").alias("error"))
+
+    q.register_processor("echo", echo)
+    q.register_processor("boom", always_fail)
+
+    # claim order: critical first, then high, then low
+    claimed = q.claim(batch_size=2)
+    ids = [r["task_id"] for r in claimed.orderBy(F.col("priority").desc()).collect()]
+    assert ids == [hi, boom]
+    # reset by re-creating the queue state: claimed tasks are processing
+    st = {r["task_id"]: r["status"] for r in q.current_state().collect()}
+    assert st[hi] == "processing" and st[low] == "pending"
+
+    q2 = TaskQueue(spark, str(tmp_path / "q2"))
+    q2.register_processor("echo", echo)
+    q2.register_processor("boom", always_fail)
+    t_ok = q2.submit("echo", {"v": 9})
+    t_bad = q2.submit("boom", {}, max_retries=1)
+    counts = q2.process_available()
+    assert counts["completed"] == 1 and counts["retrying"] == 1
+    counts = q2.process_available()        # retry exhausts max_retries=1
+    assert counts["failed"] == 1
+    state = {r["task_id"]: r for r in q2.current_state().collect()}
+    assert state[t_ok]["status"] == "completed"
+    assert json.loads(state[t_ok]["result"]) == {"v": 9}
+    assert state[t_bad]["status"] == "failed" and state[t_bad]["error"] == "nope"
+    m = q2.metrics()
+    assert m["n_completed"] == 1 and m["n_failed"] == 1
+    assert m["avg_attempts_to_complete"] == 1.0
+
+
+def test_task_queue_expiry_and_unroutable(spark, tmp_path):
+    q = TaskQueue(spark, str(tmp_path / "qe"))
+    t = q.submit("echo", {}, ttl_s=-1)          # already expired
+    u = q.submit("mystery", {})
+    state = {r["task_id"]: r["status"] for r in q.current_state().collect()}
+    assert state[t] == "expired"
+    counts = q.process_available()
+    assert counts["unroutable"] == 1
+    state = {r["task_id"]: r["status"] for r in q.current_state().collect()}
+    assert state[u] == "failed"
+
+
+# -- module registry ----------------------------------------------------------
+
+def test_version_parse_and_compat():
+    assert Version.parse("2.3.1").as_tuple() == (2, 3, 1)
+    assert Version.parse("2.3").patch == 0
+    assert Version.parse("1.4.0-rc1").as_tuple() == (1, 4, 0)
+    assert Version.parse("1.5.0").is_compatible(Version.parse("1.2.0"))
+    assert not Version.parse("2.0.0").is_compatible(Version.parse("1.2.0"))
+    assert not Version.parse("1.1.0").is_compatible(Version.parse("1.2.0"))
+
+
+def test_module_registry_resolution_and_lifecycle():
+    reg = ModuleRegistry()
+    reg.register(ModuleMetadata("storage", "1.2.0", capabilities=["store"]))
+    reg.register(ModuleMetadata("embeddings", "1.0.0", capabilities=["embed"],
+                                requires={"store": "1.0.0"}))
+    reg.register(ModuleMetadata("search", "0.9.0",
+                                requires={"embed": "1.0.0", "store": "1.1.0"}))
+    order = reg.resolve_order()
+    assert order.index("storage") < order.index("embeddings") < order.index("search")
+    assert reg.find_providers("store", "1.0.0") == ["storage"]
+    assert reg.find_providers("store", "2.0.0") == []
+
+    statuses = reg.start_all()
+    assert all(s == "active" for s in statuses.values())
+
+    # failing initializer → error; dependents skipped (stay registered)
+    reg2 = ModuleRegistry()
+    reg2.register(ModuleMetadata("base", "1.0.0", capabilities=["cap"]))
+    reg2.register(ModuleMetadata("child", "1.0.0", requires={"cap": "1.0.0"}))
+    out = reg2.start_all({"base": lambda: 1 / 0})
+    assert out == {"base": "error", "child": "registered"}
+
+
+def test_module_registry_errors():
+    reg = ModuleRegistry()
+    reg.register(ModuleMetadata("a", "1.0.0", requires={"ghost": "1.0.0"}))
+    with pytest.raises(ValueError, match="no compatible provider"):
+        reg.resolve_order()
+    reg2 = ModuleRegistry()
+    reg2.register(ModuleMetadata("x", "1.0.0", capabilities=["cx"],
+                                 requires={"cy": "1.0.0"}))
+    reg2.register(ModuleMetadata("y", "1.0.0", capabilities=["cy"],
+                                 requires={"cx": "1.0.0"}))
+    with pytest.raises(ValueError, match="cycle"):
+        reg2.resolve_order()
+    with pytest.raises(ValueError, match="already registered"):
+        reg2.register(ModuleMetadata("x", "2.0.0"))
