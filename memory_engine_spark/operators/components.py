@@ -6,10 +6,13 @@ clustering patterns = dense neighbor groups with density =
 internal/possible edges (/root/reference/memory_core/synthesis/
 insight_discovery.py:247-287,590-645), similarity groups (:429-487).
 
-Connected components via alternating large/small-star label propagation
-(the HashToMin/Star idea from Kiveris et al., "Connected Components in
-MapReduce and Beyond") — each round is two joins + a groupBy min; rounds
-are O(log n) on real graphs. No GraphFrames dependency.
+Connected components via min-label propagation with a pointer-jumping
+shortcut each round (labels chase their own label's label — the
+path-doubling idea behind HashToMin / large-star, Kiveris et al.,
+"Connected Components in MapReduce and Beyond"): a round is an edge
+join + a label join + groupBy mins, and label distance to the component
+minimum roughly halves per round → O(log diameter) rounds instead of
+O(diameter). No GraphFrames dependency.
 """
 
 from __future__ import annotations
@@ -21,8 +24,11 @@ from pyspark.sql import functions as F
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """(node_id, component) where component = min node id reachable.
     Undirected; isolated nodes absent (join with your node table after).
-    Simple min-label propagation: labels converge in ≤ diameter rounds;
-    each round is one join + one aggregate, frontier localCheckpointed.
+    Each round: (1) propagate labels across edges, (2) pointer-jump —
+    shortcut every label through its own current label (component ids
+    are node ids, so the lookup is a self-join on the labeling). The
+    jump makes convergence O(log diameter); every frame is
+    localCheckpointed so plans stay O(1) per round.
     """
     sym = edges.select("from_id", "to_id").unionByName(
         edges.select(F.col("to_id").alias("from_id"),
@@ -39,15 +45,27 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .alias("s")).first()["s"]
 
     prev_sig = signature(labels)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         prop = (
             sym.join(labels, sym.from_id == labels.node_id)
             .select(F.col("to_id").alias("node_id"), "component")
             .unionByName(labels)
             .groupBy("node_id").agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
-        labels = prop
+        if rnd >= 2:
+            # Pointer jump (path doubling): component ids are node ids,
+            # so resolving each label through the labeling shortcuts
+            # chains. Engaged only from round 3 — short-diameter graphs
+            # (the common similarity-component case) converge before
+            # paying the extra join; long chains then halve per round.
+            lbl_of_lbl = prop.select(F.col("node_id").alias("component"),
+                                     F.col("component").alias("_cc"))
+            prop = (prop.join(lbl_of_lbl, "component", "left")
+                    .select("node_id",
+                            F.least(F.col("component"),
+                                    F.coalesce(F.col("_cc"), F.col("component")))
+                            .alias("component")))
+        labels = prop.localCheckpoint()
         sig = signature(labels)
         if sig == prev_sig:
             break

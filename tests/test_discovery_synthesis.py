@@ -155,3 +155,18 @@ def test_contradictions(spark):
     got = {(r["a"], r["b"]) for r in
            synthesis.detect_contradictions(df, "text", "id", "conf").collect()}
     assert got == {(1, 2)}
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 120-node path converges within max_iter=20: plain O(diameter)
+    propagation could not (120 rounds needed); the round-3+ pointer
+    jump gives path doubling."""
+    from memory_engine_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(119)],
+        "from_id string, to_id string")
+    comp = connected_components(edges, max_iter=20)
+    rows = comp.collect()
+    assert len(rows) == 120
+    assert {r["component"] for r in rows} == {"n000"}
