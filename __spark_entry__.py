@@ -782,6 +782,34 @@ def q55_quality_structural_dimension(spark, sf):
     return structural_dimension(_edges(spark, sf))
 
 
+def q56_gopher_filter(spark, sf):
+    """Gopher §A1.1 document-quality gate (public pre-training filter
+    suite): per-doc word/line/symbol/stopword signals + keep flag — one
+    projection over documents."""
+    t = _t(spark, sf)
+    return text.gopher_filter(t["documents"], "text", "doc_id")
+
+
+def q57_repetition_stats(spark, sf):
+    """Gopher repetition filters: duplicate-line fractions (pure
+    expressions) + top-2-gram char coverage (explode + groupBy +
+    window top-1)."""
+    t = _t(spark, sf)
+    return text.repetition_stats(t["documents"], "text", "doc_id", ngram=2)
+
+
+def q58_decontamination(spark, sf):
+    """Train/benchmark decontamination (the GPT-3-style n-gram collision
+    rule): docs outside source src0 sharing ≥1 rolling 8-token
+    fingerprint with the src0 'benchmark' slice. Fingerprint equi-join;
+    benchmark side broadcasts."""
+    t = _t(spark, sf)
+    docs = t["documents"]
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return text.decontaminate(train, bench, "text", "doc_id", window=8)
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -898,6 +926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_perspective_types": q53_perspective_types,
         "q54_quality_content_dimension": q54_quality_content_dimension,
         "q55_quality_structural_dimension": q55_quality_structural_dimension,
+        "q56_gopher_filter": q56_gopher_filter,
+        "q57_repetition_stats": q57_repetition_stats,
+        "q58_decontamination": q58_decontamination,
     }
 
 
@@ -1878,5 +1909,112 @@ def oracle_sql() -> dict[str, str]:
                ROUND(ss, 6) AS structural_score,
                {_lvl('ss')} AS structural_level
         FROM final
+    """
+
+    from memory_engine_spark.operators.text import GOPHER_STOPWORDS
+    gsw = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    sql["q56_gopher_filter"] = f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS words,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS lines,
+                   (len(text) - len(replace(text, '#', '')))
+                       + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS symbols
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS word_count,
+                CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                    ROUND(list_sum(list_transform(words, x -> len(x)))::DOUBLE
+                          / len(words), 6) END AS mean_word_length,
+                CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                    ROUND(symbols::DOUBLE / len(words), 6) END AS symbol_word_ratio,
+                ROUND(len(list_filter(lines,
+                          x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE
+                      / GREATEST(len(lines), 1), 6) AS bullet_line_ratio,
+                ROUND(len(list_filter(lines,
+                          x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))::DOUBLE
+                      / GREATEST(len(lines), 1), 6) AS ellipsis_line_ratio,
+                CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                    ROUND(len(list_filter(words,
+                              x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                          / len(words), 6) END AS alpha_word_ratio,
+                CAST(len(list_intersect(
+                    list_distinct(list_transform(words, x -> lower(x))),
+                    {gsw})) AS BIGINT) AS stopword_hits
+            FROM w
+        )
+        SELECT *,
+               (word_count >= 50 AND word_count <= 100000
+                AND mean_word_length >= 3 AND mean_word_length <= 10
+                AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+                AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+                AND stopword_hits >= 2) AS keep
+        FROM sig
+    """
+
+    sql["q57_repetition_stats"] = f"""
+        WITH {TOKS_CTE},
+        l AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS lines,
+                   toks
+            FROM toks_t
+        ),
+        base AS (
+            SELECT doc_id,
+                ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE
+                      / GREATEST(len(lines), 1), 6) AS duplicate_line_fraction,
+                ROUND((COALESCE(list_sum(list_transform(lines, x -> len(x))), 0)
+                       - COALESCE(list_sum(list_transform(list_distinct(lines),
+                                                          x -> len(x))), 0))::DOUBLE
+                      / GREATEST(len(text), 1), 6)
+                    AS duplicate_line_char_fraction,
+                GREATEST(len(text), 1) AS chars
+            FROM l
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(
+                range(0, greatest(len(toks) - 2, 0) + 1),
+                i -> array_to_string(toks[i+1:i+2], ' '))) AS g
+            FROM l
+        ),
+        counts AS (
+            SELECT doc_id, g, COUNT(*) AS n FROM grams
+            WHERE g <> '' GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT doc_id, n AS top_n, len(g) AS top_l FROM (
+                SELECT doc_id, g, n,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY n DESC, g ASC) AS rk
+                FROM counts) WHERE rk = 1
+        )
+        SELECT b.doc_id, b.duplicate_line_fraction,
+               b.duplicate_line_char_fraction,
+               CASE WHEN t.top_n IS NULL THEN 0.0
+                    ELSE ROUND(t.top_n * t.top_l / b.chars, 6) END
+                   AS top_ngram_char_fraction
+        FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id
+    """
+
+    sql["q58_decontamination"] = f"""
+        WITH {TOKS_CTE},
+        fps AS (
+            SELECT doc_id, source, unnest(list_distinct(
+                list_transform(range(0, greatest(len(toks) - 8, 0) + 1),
+                               i -> md5(array_to_string(toks[i+1:i+8], ' ')))
+            )) AS fp
+            FROM toks_t JOIN documents USING (doc_id)
+        ),
+        bench AS (SELECT DISTINCT fp FROM fps WHERE source = 'src0')
+        SELECT f.doc_id, COUNT(*) AS n_collisions
+        FROM fps f JOIN bench b ON f.fp = b.fp
+        WHERE f.source <> 'src0'
+        GROUP BY 1
     """
     return sql

@@ -155,3 +155,155 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         language_id(c).alias("lang_guess"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality filters (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher" §A1.1; same family as C4's heuristics).
+# Public-paper thresholds, all Column expressions — one projection.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _ws_words(col):
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def gopher_signals(col) -> Column:
+    """Struct of the Gopher §A1.1 per-document signals:
+    word_count, mean_word_length, symbol_word_ratio (#/… per word),
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio
+    (words containing ≥1 alphabetic char), stopword_hits (distinct
+    Gopher stop words present)."""
+    words = _ws_words(col)
+    n_words = F.size(words)
+    lines = F.filter(F.split(col, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    symbols = (F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+               + F.regexp_count(col, F.lit(r"\.\.\.|…")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    low_words = F.transform(words, F.lower)
+    return F.struct(
+        n_words.cast("long").alias("word_count"),
+        F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.round(F.aggregate(words, F.lit(0).cast("long"),
+                                lambda acc, w: acc + F.length(w))
+                    / n_words, 6)).alias("mean_word_length"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(F.round(symbols / n_words, 6)).alias("symbol_word_ratio"),
+        F.round(F.size(F.filter(lines, lambda x: F.trim(x)
+                                .rlike(r"^[-*•]"))) / n_lines, 6)
+        .alias("bullet_line_ratio"),
+        F.round(F.size(F.filter(lines, lambda x: F.trim(x)
+                                .rlike(r"(\.\.\.|…)$"))) / n_lines, 6)
+        .alias("ellipsis_line_ratio"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(F.round(alpha_words / n_words, 6)).alias("alpha_word_ratio"),
+        F.size(F.array_intersect(F.array_distinct(low_words), sw))
+        .cast("long").alias("stopword_hits"),
+    )
+
+
+def gopher_keep(signals) -> Column:
+    """Gopher §A1.1 keep rule: 50 ≤ words ≤ 100k, 3 ≤ mean word length
+    ≤ 10, symbol ratio ≤ 0.1, ≤ 90% bullet lines, ≤ 30% ellipsis lines,
+    ≥ 80% alphabetic words, ≥ 2 stop words."""
+    s = signals
+    return ((s["word_count"] >= 50) & (s["word_count"] <= 100_000)
+            & (s["mean_word_length"] >= 3) & (s["mean_word_length"] <= 10)
+            & (s["symbol_word_ratio"] <= 0.1)
+            & (s["bullet_line_ratio"] <= 0.9)
+            & (s["ellipsis_line_ratio"] <= 0.3)
+            & (s["alpha_word_ratio"] >= 0.8)
+            & (s["stopword_hits"] >= 2))
+
+
+def gopher_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Gopher signals + keep flag — one projection, no
+    shuffle; the standard pre-training corpus gate."""
+    sig = gopher_signals(F.col(text_col))
+    return df.select(
+        id_col, sig.alias("s"),
+    ).select(
+        id_col, "s.word_count", "s.mean_word_length", "s.symbol_word_ratio",
+        "s.bullet_line_ratio", "s.ellipsis_line_ratio", "s.alpha_word_ratio",
+        "s.stopword_hits", gopher_keep(F.col("s")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition detection (Gopher §A1.1 repetition filters)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str,
+                     ngram: int = 2) -> DataFrame:
+    """Per-document repetition signals: duplicate_line_fraction (dup
+    lines / lines), duplicate_line_char_fraction (chars in repeated
+    lines / chars), top_ngram_char_fraction (chars covered by the most
+    frequent word n-gram / chars). Line stats are pure expressions; the
+    top-n-gram needs one explode + groupBy (map-side combined)."""
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    dup_lines = F.size(lines) - F.size(F.array_distinct(lines))
+    # chars in occurrences beyond the first of each distinct line
+    dup_chars = (F.aggregate(lines, F.lit(0).cast("long"),
+                             lambda acc, x: acc + F.length(x))
+                 - F.aggregate(F.array_distinct(lines), F.lit(0).cast("long"),
+                               lambda acc, x: acc + F.length(x)))
+    total_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.round(dup_lines / n_lines, 6).alias("duplicate_line_fraction"),
+        F.round(dup_chars / total_chars, 6).alias("duplicate_line_char_fraction"),
+        total_chars.alias("_chars"),
+    )
+    from memory_engine_spark.operators.dedup import tokens as _alnum_tokens
+
+    toks = _alnum_tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)))
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("g")) \
+        .filter(F.col("g") != "")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("n").desc(), F.col("g").asc())
+    top = (ex.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("n"))
+           .withColumn("_rk", F.row_number().over(w)).filter("_rk = 1")
+           .select("_id", F.col("n").alias("top_n"),
+                   F.length("g").alias("top_l")))
+    out = base.join(top, "_id", "left")
+    frac = F.when(F.col("top_n").isNull(), 0.0).otherwise(
+        F.round(F.col("top_n") * F.col("top_l") / F.col("_chars"), 6))
+    return out.select(F.col("_id").alias(id_col),
+                      "duplicate_line_fraction",
+                      "duplicate_line_char_fraction",
+                      frac.alias("top_ngram_char_fraction"))
+
+
+# ---------------------------------------------------------------------------
+# train/benchmark decontamination (n-gram collision, the standard
+# 13-gram rule of GPT-3/PaLM eval decontamination)
+# ---------------------------------------------------------------------------
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, window: int = 13) -> DataFrame:
+    """Training documents sharing ≥1 rolling ``window``-token fingerprint
+    with any benchmark document. Fingerprints are md5 of the token
+    window (operators/text.rolling_fingerprints), so the collision check
+    is an equi-join on the fingerprint — never a cross join; the
+    benchmark side is tiny and broadcasts. Returns
+    (id, n_collisions) for CONTAMINATED docs (anti-join to drop them)."""
+    def fp(df):
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(
+                rolling_fingerprints(F.col(text_col), window))).alias("fp"))
+
+    bench_fps = fp(benchmark).select("fp").distinct()
+    hits = fp(train).join(F.broadcast(bench_fps), "fp")
+    return (hits.groupBy("_id").agg(F.count(F.lit(1)).alias("n_collisions"))
+            .select(F.col("_id").alias(id_col), "n_collisions"))

@@ -145,3 +145,53 @@ def test_simhash_neardup_chunk_count_guarantee(docs):
     got = {(r["a"], r["b"]) for r in dedup.simhash_neardup(
         docs, "body", "doc_id", max_hamming=6).collect()}
     assert got == brute
+
+
+def test_gopher_filter_signals_and_keep(spark):
+    good = ("the data is clean and we have to keep it because it meets "
+            "every rule of the gate with plenty of words " * 3)
+    short = "too short to keep"
+    symbolic = ("# " * 30) + "the and of with that be to have " * 4
+    df = spark.createDataFrame(
+        [("good", good), ("short", short), ("sym", symbolic),
+         ("bullets", "- a\n- b\n- c\nthe and have with " + "word " * 50)],
+        "doc_id string, body string")
+    out = {r["doc_id"]: r for r in
+           text.gopher_filter(df, "body", "doc_id").collect()}
+    assert out["good"]["keep"] is True
+    assert out["good"]["stopword_hits"] >= 2
+    assert out["short"]["keep"] is False          # < 50 words
+    assert out["sym"]["keep"] is False            # symbol ratio > 0.1
+    assert out["sym"]["symbol_word_ratio"] > 0.1
+    assert out["bullets"]["bullet_line_ratio"] == 0.75  # 3 of 4 lines
+
+
+def test_repetition_stats(spark):
+    rep = "spark is fast\nspark is fast\nspark is fast\nunique line"
+    norep = "every line here\nis totally different\nfrom the others"
+    loop = "go go go go go go go go stop"
+    df = spark.createDataFrame(
+        [("rep", rep), ("norep", norep), ("loop", loop)],
+        "doc_id string, body string")
+    out = {r["doc_id"]: r for r in
+           text.repetition_stats(df, "body", "doc_id", ngram=2).collect()}
+    assert out["rep"]["duplicate_line_fraction"] == 0.5   # 2 dups / 4 lines
+    assert out["rep"]["duplicate_line_char_fraction"] > 0.4
+    assert out["norep"]["duplicate_line_fraction"] == 0.0
+    # 'go go' occurs 7 times (overlapping), 5 chars each, 28 chars total
+    # — overlap-counting can push the fraction past 1, as in Gopher
+    assert abs(out["loop"]["top_ngram_char_fraction"] - 7 * 5 / 28) < 1e-6
+
+
+def test_decontamination_flags_exact_window_overlap(spark):
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id string, body string")
+    train = spark.createDataFrame(
+        [("t1", "PREFIX alpha beta gamma delta epsilon zeta eta theta SUFFIX"),
+         ("t2", "totally unrelated content about gardening and tulips here")],
+        "doc_id string, body string")
+    out = {r["doc_id"]: r["n_collisions"] for r in text.decontaminate(
+        train, bench, "body", "doc_id", window=8).collect()}
+    assert "t1" in out and out["t1"] >= 1   # shares the full 8-token window
+    assert "t2" not in out
