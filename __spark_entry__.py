@@ -810,6 +810,71 @@ def q58_decontamination(spark, sf):
     return text.decontaminate(train, bench, "text", "doc_id", window=8)
 
 
+def q59_sessionize(spark, sf):
+    """Gap-based sessionization (30-min gap) + per-session stats —
+    lag + running-sum windows, one shuffle (operators/temporal.py)."""
+    from memory_engine_spark.operators import temporal
+    t = _t(spark, sf)
+    sess = temporal.sessionize(t["events"], "user_id", "ts",
+                               gap_s=1800.0, id_col="event_id")
+    return (temporal.session_stats(sess, "user_id", "ts")
+            .select("user_id", "session_id", "n_events", "duration_s"))
+
+
+def q60_asof_join(spark, sf):
+    """As-of join (backward, per-user): each click event picks up the
+    user's latest error value at-or-before it. Union-and-carry plan —
+    one shuffle, no join; the oracle is DuckDB's NATIVE ASOF JOIN."""
+    from memory_engine_spark.operators import temporal
+    t = _t(spark, sf)
+    e = t["events"]
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", "ts", "value"))
+    out = temporal.asof_join(clicks, errors, "user_id", "ts",
+                             value_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value").alias("error_value"),
+                      F.unix_micros("matched_ts").alias("matched_us"))
+
+
+def q61_range_join(spark, sf):
+    """Range (interval-containment) join via bucket decomposition: click
+    events inside any 30-minute window opened by an error event —
+    equi-join on the time bucket + exact BETWEEN refine, never a cross
+    join."""
+    from memory_engine_spark.operators import temporal
+    t = _t(spark, sf)
+    e = t["events"]
+    points = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "ts"))
+    intervals = (e.filter(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("interval_id"),
+                         F.col("ts").alias("start_ts"),
+                         (F.timestamp_micros(F.unix_micros("ts")
+                                             + 1800 * 1_000_000))
+                         .alias("end_ts")))
+    out = temporal.range_join(points, intervals, "ts", "start_ts", "end_ts",
+                              bucket_s=1800.0)
+    return out.select("click_id", "interval_id")
+
+
+def q62_rollup_cascade(spark, sf):
+    """Hypertable-style rollup cascade: hour → day → month aggregates
+    where each coarser level re-aggregates the finer one (raw scanned
+    once); exact decimal value sums."""
+    from memory_engine_spark.operators import temporal
+    t = _t(spark, sf)
+    out = temporal.rollup_cascade(t["events"], "ts", ["event_type"],
+                                  ["hour", "day", "month"], value_col="value")
+    return out.select(
+        "resolution",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -929,6 +994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_gopher_filter": q56_gopher_filter,
         "q57_repetition_stats": q57_repetition_stats,
         "q58_decontamination": q58_decontamination,
+        "q59_sessionize": q59_sessionize,
+        "q60_asof_join": q60_asof_join,
+        "q61_range_join": q61_range_join,
+        "q62_rollup_cascade": q62_rollup_cascade,
     }
 
 
@@ -2017,4 +2086,66 @@ def oracle_sql() -> dict[str, str]:
         WHERE f.source <> 'src0'
         GROUP BY 1
     """
+
+    sql["q59_sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC
+                                          ROWS UNBOUNDED PRECEDING) AS seq
+            FROM flagged
+        )
+        SELECT user_id, user_id || '#' || seq AS session_id,
+               COUNT(*) AS n_events,
+               ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6)
+                   AS duration_s
+        FROM numbered GROUP BY 1, 2
+    """
+
+    sql["q60_asof_join"] = """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        errors AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+        )
+        SELECT c.event_id, c.user_id, e.value AS error_value,
+               epoch_us(e.ts) AS matched_us
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND c.ts >= e.ts
+    """
+
+    sql["q61_range_join"] = """
+        WITH clicks AS (
+            SELECT event_id AS click_id, ts FROM events
+            WHERE event_type = 'click'
+        ),
+        windows AS (
+            SELECT event_id AS interval_id, ts AS start_ts,
+                   ts + INTERVAL 30 MINUTE AS end_ts
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT c.click_id, w.interval_id
+        FROM clicks c JOIN windows w
+          ON c.ts BETWEEN w.start_ts AND w.end_ts
+    """
+
+    rollup_branch = """
+        SELECT '{res}' AS resolution,
+               strftime(date_trunc('{res}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+                   AS sum_value
+        FROM events GROUP BY 1, 2, 3"""
+    sql["q62_rollup_cascade"] = " UNION ALL ".join(
+        rollup_branch.format(res=r) for r in ("hour", "day", "month"))
     return sql

@@ -1,0 +1,171 @@
+"""Temporal relational operators Spark lacks natively: as-of join,
+range (interval-containment) join, sessionization, hypertable-style
+rollup cascade.
+
+Motivated by the reference's temporal analytics (TEMPORAL_PROXIMITY
+discovery, /root/reference/memory_core/ingestion/relationship_extractor.py
+:349-369; evolution/time-bucket analytics, enhanced_mcp_endpoint.py:1336,
+1499-1589) generalized to the operations a large-scale event/training
+pipeline needs. Each is a composition of built-in DataFrame ops — no
+UDFs, no cross joins:
+
+- ``asof_join``: the union-and-carry formulation — tag both sides,
+  sort per key by (ts, side), carry the last right row forward with
+  last(ignorenulls) over an unbounded-preceding window. ONE shuffle
+  (the per-key sort), exact, and skew-bounded by the key.
+- ``range_join``: interval containment via bucket decomposition —
+  intervals explode into the fixed-width buckets they cover, points
+  join on their bucket (equi-join), exact predicate refines. Candidate
+  count is |points| + Σ interval_width/bucket, never |p|×|i|.
+- ``sessionize``: gap-based session ids from lag + a running sum of
+  session-start flags — two window functions, one shuffle.
+- ``rollup_cascade``: coarse time buckets aggregate FROM the next finer
+  bucket (the continuous-aggregate / hypertable trick), so raw data is
+  scanned once regardless of how many resolutions are materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(events: DataFrame, key_col: str, ts_col: str,
+               gap_s: float = 1800.0, id_col: str | None = None) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the key's previous event exceeds ``gap_s``. Returns the input
+    plus (session_seq, session_id). Deterministic ordering via
+    (ts, id_col) when an id column is given."""
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+           > gap_s * 1_000_000), 1).otherwise(0)
+    seq = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (events.withColumn("session_seq", seq.cast("long"))
+            .withColumn("session_id",
+                        F.concat_ws("#", F.col(key_col).cast("string"),
+                                    F.col("session_seq"))))
+
+
+def session_stats(sessions: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Per-session aggregates over a ``sessionize`` output: bounds,
+    event count, duration seconds."""
+    return (sessions.groupBy(key_col, "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .withColumn("duration_s",
+                        F.round((F.unix_micros("session_end")
+                                 - F.unix_micros("session_start"))
+                                / 1_000_000.0, 6)))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
+              value_cols: list[str], tolerance_s: float | None = None,
+              how: str = "left") -> DataFrame:
+    """As-of join: for every left row, the LATEST right row of the same
+    key with right.ts ≤ left.ts (DuckDB/kdb/pandas merge_asof backward
+    semantics; ties at equal ts match).
+
+    Union-and-carry plan: tag rows (right=0, left=1), sort per key by
+    (ts, tag), carry each right value forward with last(ignorenulls)
+    over unbounded-preceding — one shuffle on the key, no join at all,
+    so it scales with the sort and is immune to time-range skew.
+    ``tolerance_s`` nulls out matches older than the window.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("asof_join supports how='left'|'inner'")
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols, F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"))
+    r = right.select(
+        *[F.col(key_col).alias(key_col) if c == key_col
+          else F.col(ts_col).alias(ts_col) if c == ts_col
+          else F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(ts_col).alias("_r_ts"))
+    u = l.unionByName(r)
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        *lcols, "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+          for c in value_cols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"))
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    in_tol = F.lit(True) if tolerance_s is None else (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_c_ts")))
+        <= tolerance_s * 1_000_000)
+    matched = F.col("_c_ts").isNotNull() & in_tol
+    out = out.select(
+        *lcols,
+        *[F.when(matched, F.col(f"_c_{c}")).alias(c if c not in lcols
+                                                  else f"right_{c}")
+          for c in value_cols],
+        F.when(matched, F.col("_c_ts")).alias("matched_ts"))
+    if how == "inner":
+        out = out.filter(F.col("matched_ts").isNotNull())
+    return out
+
+
+def range_join(points: DataFrame, intervals: DataFrame, ts_col: str,
+               start_col: str, end_col: str,
+               bucket_s: float = 3600.0) -> DataFrame:
+    """Join each point to every interval CONTAINING it
+    (start ≤ ts ≤ end) without a cross join: intervals explode into the
+    fixed-width time buckets they cover; points carry their single
+    bucket; candidates come from the bucket equi-join and the exact
+    BETWEEN refines. Choose ``bucket_s`` near the median interval width
+    so replication stays O(1) per interval."""
+    us = 1_000_000
+    b = F.lit(int(bucket_s * us))
+    p = points.withColumn("_bkt", (F.unix_micros(F.col(ts_col)) / b)
+                          .cast("long"))
+    i = intervals.withColumn(
+        "_bkt",
+        F.explode(F.sequence((F.unix_micros(F.col(start_col)) / b).cast("long"),
+                             (F.unix_micros(F.col(end_col)) / b).cast("long"))))
+    return (p.join(i, "_bkt")
+            .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+            .drop("_bkt"))
+
+
+def rollup_cascade(events: DataFrame, ts_col: str, dims: list[str],
+                   resolutions: list[str] = ("hour", "day", "month"),
+                   value_col: str | None = None) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    pattern): the finest resolution aggregates the raw events ONCE;
+    every coarser resolution re-aggregates the previous level, so cost
+    is O(raw + Σ level sizes) instead of O(raw × levels). Returns the
+    union of levels: (resolution, bucket, *dims, n_events[, sum_value]).
+    ``resolutions`` must be ordered fine → coarse."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    reaggs = [F.sum("n_events").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col).cast("decimal(28,6)"))
+                    .cast("double").alias("sum_value"))
+        reaggs.append(F.sum(F.col("sum_value").cast("decimal(28,6)"))
+                      .cast("double").alias("sum_value"))
+    fine_res = resolutions[0]
+    level = (events.groupBy(
+        F.date_trunc(fine_res, F.col(ts_col)).alias("bucket"), *dims)
+        .agg(*aggs).localCheckpoint())
+    out = level.withColumn("resolution", F.lit(fine_res))
+    for res in resolutions[1:]:
+        level = (level.groupBy(
+            F.date_trunc(res, F.col("bucket")).alias("bucket"), *dims)
+            .agg(*reaggs).localCheckpoint())
+        out = out.unionByName(level.withColumn("resolution", F.lit(res)))
+    metrics = ["n_events"] + (["sum_value"] if value_col is not None else [])
+    return out.select("resolution", "bucket", *dims, *metrics)
