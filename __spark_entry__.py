@@ -875,6 +875,17 @@ def q62_rollup_cascade(spark, sf):
         F.round("sum_value", 6).alias("sum_value"))
 
 
+def q63_bm25(spark, sf):
+    """Okapi BM25 ranked search over documents for a fixed term set —
+    filtered explode + broadcast corpus stats, top-20."""
+    from memory_engine_spark.operators.ranking import bm25_scores
+    t = _t(spark, sf)
+    return (bm25_scores(t["documents"], "text", "doc_id",
+                        ["spark", "join", "filter", "stream"])
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -998,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_asof_join": q60_asof_join,
         "q61_range_join": q61_range_join,
         "q62_rollup_cascade": q62_rollup_cascade,
+        "q63_bm25": q63_bm25,
     }
 
 
@@ -2148,4 +2160,28 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2, 3"""
     sql["q62_rollup_cascade"] = " UNION ALL ".join(
         rollup_branch.format(res=r) for r in ("hour", "day", "month"))
+
+    sql["q63_bm25"] = f"""
+        WITH {TOKS_CTE},
+        base AS (SELECT doc_id, toks, len(toks) AS dl FROM toks_t),
+        stats AS (SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base),
+        tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(list_filter(toks,
+                      x -> list_contains(['spark','join','filter','stream'], x)))
+                      AS term
+                  FROM base)
+            GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1)
+        SELECT doc_id,
+               ROUND(SUM(ln(1.0 + (N - df_t + 0.5) / (df_t + 0.5))
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                   AS score
+        FROM tf JOIN dfreq USING (term), stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    """
     return sql

@@ -103,3 +103,41 @@ def greedy_diversity_filter(rows: list[dict], text_key: str,
         if ok:
             kept.append(row)
     return kept
+
+
+def bm25_scores(df: "DataFrame", text_col: str, id_col: str,
+                query_terms: list[str], k1: float = 1.2,
+                b: float = 0.75) -> "DataFrame":
+    """Okapi BM25 ranking over a document column — the standard search
+    scoring the reference's word-Jaccard relevance (result_ranker.py:
+    228-245) upgrades to at corpus scale.
+
+    Distributed shape: one explode filtered to the query terms (so the
+    term-frequency table is |docs × matched terms|, not the full
+    posting list), corpus stats (N, avgdl) as a 1-row broadcast, df_t
+    per term from a distinct-count, score = Σ_t idf(t)·tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)) with idf = ln(1+(N−df+0.5)/(df+0.5)).
+    Returns (id, score) for docs matching ≥1 term.
+    """
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators.dedup import tokens
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"),
+                     F.size(toks).alias("dl"))
+    stats = base.agg(F.count(F.lit(1)).alias("N"),
+                     F.avg("dl").alias("avgdl"))
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (base.select("_id", "dl", F.explode(
+            F.filter(F.col("_toks"), lambda x: F.array_contains(terms, x)))
+          .alias("term"))
+          .groupBy("_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df_t"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("N") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    part = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (scored.groupBy("_id").agg(F.round(F.sum(part), 6).alias("score"))
+            .select(F.col("_id").alias(id_col), "score"))

@@ -158,3 +158,29 @@ def test_upsert(spark):
     upd = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
     got = {r["id"]: r["v"] for r in upsert(base, upd, "id").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_bm25_matches_manual_computation(spark):
+    import math
+
+    from memory_engine_spark.operators.ranking import bm25_scores
+
+    docs = [(1, "spark join spark filter"), (2, "spark stream"),
+            (3, "gardening tulips only"), (4, "join join join join")]
+    df = spark.createDataFrame(docs, "doc_id int, body string")
+    out = {r["doc_id"]: r["score"] for r in
+           bm25_scores(df, "body", "doc_id", ["spark", "join"]).collect()}
+    # manual BM25: N=4, avgdl=(4+2+3+4)/4
+    N, avgdl, k1, b = 4, 13 / 4, 1.2, 0.75
+
+    def idf(dfr):
+        return math.log(1 + (N - dfr + 0.5) / (dfr + 0.5))
+
+    def s(tf, dl, dfr):
+        return idf(dfr) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # doc1: spark tf=2 (df=2), join tf=1 (df=2); dl=4
+    want1 = s(2, 4, 2) + s(1, 4, 2)
+    assert abs(out[1] - round(want1, 6)) < 1e-6
+    assert 3 not in out                       # no query term
+    assert out[1] > out[2]                    # more matches rank higher
