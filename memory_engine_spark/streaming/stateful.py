@@ -79,3 +79,26 @@ def running_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
                                     "n long, value_sum double",
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def session_aggregates(events: DataFrame, key_col: str, ts_col: str,
+                       gap: str = "30 minutes",
+                       watermark: str | None = "1 hour") -> DataFrame:
+    """Native session-window aggregation (the streaming counterpart of
+    operators/temporal.sessionize): Spark's ``session_window`` merges
+    events of a key whose gaps stay under ``gap`` and closes the session
+    once the watermark passes its end — exactly the hypertable/session
+    semantics, with state bounded by the watermark instead of a TTL
+    heuristic. Works on BATCH frames too (watermark ignored), which the
+    tests use to assert parity with the window-function sessionizer.
+    Returns (key, session_start, session_end, n_events)."""
+    from pyspark.sql import functions as F
+
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                        F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(key_col, F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))

@@ -197,3 +197,47 @@ def test_state_as_of_uses_snapshot_base(spark, tmp_path):
     assert state["only_in_base"] == '{"v": 7}'  # carried from snapshot
     assert "gone" not in state                   # log delete wins over base
     assert '"v": 2' in state["x"]                # log update wins over base
+
+
+def test_session_aggregates_batch_parity_and_streaming(spark, tmp_path):
+    """session_window output must agree with the window-function
+    sessionizer on counts, and work as a real streaming query with a
+    watermark."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators import temporal
+    from memory_engine_spark.streaming.stateful import session_aggregates
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [(i, 1 + i % 2, base + dt.timedelta(seconds=s))
+            for i, s in enumerate([0, 60, 2000, 2100, 6000, 6100])]
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp")
+
+    # batch parity: same session count multiset per user (session_window
+    # gap is measured to window END, matching the > gap rule)
+    sw = session_aggregates(df, "user_id", "ts", gap="30 minutes")
+    batch = temporal.session_stats(
+        temporal.sessionize(df, "user_id", "ts", gap_s=1800,
+                            id_col="event_id"), "user_id", "ts")
+    a = sorted((r["user_id"], r["n_events"]) for r in sw.collect())
+    b = sorted((r["user_id"], r["n_events"]) for r in batch.collect())
+    assert a == b
+
+    # streaming: write the rows as a file source and drain
+    src = str(tmp_path / "sess_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(df.schema).parquet(src))
+    out = session_aggregates(stream, "user_id", "ts", gap="30 minutes",
+                             watermark=None)
+    results = []
+    # complete mode for the drain test: append mode would hold the final
+    # sessions open behind the watermark forever on a finite source (the
+    # same availableNow trap as processing-time TTLs, documented above)
+    q = (out.writeStream.outputMode("complete")
+         .foreachBatch(lambda b, _: results.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "sess_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted((r["user_id"], r["n_events"]) for r in results) == b
