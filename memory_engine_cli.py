@@ -52,6 +52,32 @@ def build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("replay", help="replay events from a timestamp")
     r.add_argument("--events-dir", required=True)
     r.add_argument("--from-timestamp", required=True)
+
+    d = sub.add_parser("dedup", help="near-duplicate report for a text table")
+    d.add_argument("--entity", default="documents")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--method", choices=["exact", "jaccard", "minhash"],
+                   default="minhash")
+    d.add_argument("--threshold", type=float, default=0.7)
+
+    g = sub.add_parser("corpus-filter",
+                       help="Gopher quality gate + repetition report")
+    g.add_argument("--entity", default="documents")
+    g.add_argument("--text-col", default="text")
+    g.add_argument("--id-col", default="doc_id")
+    g.add_argument("--limit", type=int, default=20)
+
+    se = sub.add_parser("sessionize", help="gap-based sessions over events")
+    se.add_argument("--entity", default="events")
+    se.add_argument("--key-col", default="user_id")
+    se.add_argument("--ts-col", default="ts")
+    se.add_argument("--gap-s", type=float, default=1800.0)
+    se.add_argument("--limit", type=int, default=20)
+
+    b = sub.add_parser("backup", help="back up tables to a directory")
+    b.add_argument("--out", required=True)
+    b.add_argument("--entities", nargs="+", required=True)
     return p
 
 
@@ -115,6 +141,57 @@ def main(argv: list[str] | None = None) -> int:
         bus = EventBus(spark, args.events_dir)
         n = bus.replay(args.from_timestamp).count()
         print(json.dumps({"replayed": n, "from": args.from_timestamp}))
+    elif args.cmd == "dedup":
+        from memory_engine_spark.operators import dedup
+        df = session.table(args.entity)
+        if args.method == "exact":
+            out = dedup.exact_duplicate_groups(df, args.text_col, args.id_col)
+        elif args.method == "jaccard":
+            out = dedup.ngram_jaccard_pairs(df, args.text_col, args.id_col,
+                                            threshold=args.threshold)
+        else:
+            out = dedup.minhash_md5_neardup(df, args.text_col, args.id_col,
+                                            threshold=args.threshold)
+        rows = [r.asDict() for r in out.limit(100).collect()]
+        print(json.dumps({"method": args.method, "n_reported": len(rows),
+                          "results": rows}, default=str, indent=2))
+    elif args.cmd == "corpus-filter":
+        from pyspark.sql import functions as F
+
+        from memory_engine_spark.operators import text as textops
+        df = session.table(args.entity)
+        gate = textops.gopher_filter(df, args.text_col, args.id_col)
+        dropped = gate.filter(~F.col("keep"))
+        rows = [r.asDict() for r in dropped.limit(args.limit).collect()]
+        print(json.dumps({
+            "n_docs": df.count(), "n_dropped": dropped.count(),
+            "sample_dropped": rows}, default=str, indent=2))
+    elif args.cmd == "sessionize":
+        from pyspark.sql import functions as F
+
+        from memory_engine_spark.operators import temporal
+        df = session.table(args.entity)
+        # TIMESTAMP(NANOS) parquet reads as bigint nanos under the
+        # legacy flag — normalize to a real timestamp
+        if dict(df.dtypes).get(args.ts_col) == "bigint":
+            df = df.withColumn(args.ts_col, F.timestamp_micros(
+                (F.col(args.ts_col) / 1000).cast("long")))
+        stats = temporal.session_stats(
+            temporal.sessionize(df, args.key_col, args.ts_col, args.gap_s),
+            args.key_col, args.ts_col)
+        rows = [r.asDict() for r in
+                stats.orderBy(F.col("n_events").desc(), "session_id")
+                .limit(args.limit).collect()]
+        print(json.dumps({"n_sessions": stats.count(), "top": rows},
+                         default=str, indent=2))
+    elif args.cmd == "backup":
+        from memory_engine_spark.sources.backup import BackupManager
+        bm = BackupManager(spark, args.out)
+        manifest = bm.create_backup(
+            {e: session.table(e) for e in args.entities})
+        print(json.dumps({"backup_id": manifest["backup_id"],
+                          "tables": {k: v["rows"] for k, v in
+                                     manifest["tables"].items()}}, indent=2))
     return 0
 
 

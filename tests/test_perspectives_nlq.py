@@ -262,3 +262,34 @@ def test_fallback_chain_all_fail():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="all providers failed"):
         chain.call()
+
+
+def test_cli_dedup_corpus_sessionize_backup(capsys, tmp_path):
+    import json
+    import memory_engine_cli as cli
+
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "dedup",
+                   "--method", "exact", "--entity", "part",
+                   "--text-col", "p_type", "--id-col", "p_partkey"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["method"] == "exact" and out["n_reported"] > 0
+
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "corpus-filter",
+                   "--limit", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_docs"] > 0 and "n_dropped" in out
+
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "sessionize",
+                   "--gap-s", "3600", "--limit", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_sessions"] > 0 and len(out["top"]) == 5
+
+    rc = cli.main(["--tables", "/root/testdata/sf0.001", "backup",
+                   "--out", str(tmp_path / "clibk"),
+                   "--entities", "region", "nation"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["tables"]["region"] == 5

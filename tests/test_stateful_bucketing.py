@@ -100,3 +100,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     plain = edges.join(nodes.hint("merge"), "from_id")
     plain_plan = plain._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plain_plan
+
+
+def test_gopher_filter_is_shuffle_free(spark):
+    """The corpus gate must stay a pure projection — no Exchange in the
+    plan (it runs over every document at 100 TB)."""
+    from memory_engine_spark.operators.text import gopher_filter
+
+    df = spark.createDataFrame([("d1", "some text")], "doc_id string, body string")
+    plan = gopher_filter(df, "body", "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bm25_broadcasts_stats_sides(spark):
+    """Corpus stats and per-term document frequencies must broadcast —
+    the big (doc, term) side never shuffles for them."""
+    from memory_engine_spark.operators.ranking import bm25_scores
+
+    df = spark.createDataFrame(
+        [(i, "spark join stream") for i in range(50)], "doc_id int, body string")
+    plan = bm25_scores(df, "body", "doc_id", ["spark", "join"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
