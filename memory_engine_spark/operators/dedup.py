@@ -382,15 +382,19 @@ def simhash_neardup(df: DataFrame, text_col: str, id_col: str,
         raise ValueError("max_hamming must be in [0, 31]")
     n_chunks = max_hamming + 1
     bounds = [round(64 * j / n_chunks) for j in range(n_chunks + 1)]
+
+    def chunk_val(j: int):
+        width = bounds[j + 1] - bounds[j]
+        if width >= 64:  # max_hamming=0: the chunk IS the fingerprint
+            return F.col("simhash")
+        return (F.shiftrightunsigned("simhash", bounds[j])
+                .bitwiseAND(F.lit((1 << width) - 1)))
+
     sh = simhash(df, text_col, id_col)
     chunks = sh.select(
         "id", "simhash",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("ci"),
-                F.shiftrightunsigned("simhash", bounds[j])
-                .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
-                .alias("cv"))
+            F.struct(F.lit(j).alias("ci"), chunk_val(j).alias("cv"))
             for j in range(n_chunks)
         ])).alias("c"),
     ).select("id", "simhash", "c.ci", "c.cv")

@@ -83,13 +83,15 @@ def embed_column(df: DataFrame, text_col: str, out_col: str = "embedding",
     provider call (the reference's embedding cache, embedding_manager.py:31-109,
     expressed relationally): embed distinct texts, broadcast-join back.
     Join key is md5(text), not the raw text — at pipeline scale a
-    full-document join key would shuffle every document body twice."""
-    key = F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
-    distinct = df.select(F.col(text_col).alias("_txt")).distinct()
+    full-document join key would shuffle every document body twice.
+    NULL text never enters the provider and keeps a NULL embedding
+    (md5(NULL) is NULL, so the left join finds no match)."""
+    key = F.md5(F.col(text_col).cast("string"))
+    distinct = (df.select(F.col(text_col).alias("_txt"))
+                .where(F.col("_txt").isNotNull()).distinct())
     embedded = (distinct
                 .withColumn(out_col, embedding_udf(dim, provider)(F.col("_txt")))
-                .select(F.md5(F.coalesce(F.col("_txt").cast("string"), F.lit("")))
-                        .alias("_tk"), out_col))
+                .select(F.md5(F.col("_txt").cast("string")).alias("_tk"), out_col))
     return df.join(embedded, key == F.col("_tk"), "left").drop("_tk")
 
 

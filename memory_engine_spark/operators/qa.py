@@ -104,14 +104,12 @@ def _contains_any(col, phrases: list[str]):
     return out
 
 
-def relevant_nodes(nodes: DataFrame, parsed: ParsedQuestion,
-                   text_col: str = "content", id_col: str = "node_id",
-                   top_k: int = 20) -> DataFrame:
-    """Keyword-space identification (question_answering.py:310-471):
-    score every node by word-Jaccard relevance to the question, annotate
-    the per-type marker columns the synthesizers use, keep top-k with
-    score > 0 — one scan + TakeOrderedAndProject."""
-    scored = nodes.withColumn(
+def annotate_evidence(nodes: DataFrame, parsed: ParsedQuestion,
+                      text_col: str = "content") -> DataFrame:
+    """Every node scored + marker-annotated (no filter): relevance
+    (word-Jaccard vs the question) and the per-type content markers the
+    synthesizers select on. One projection."""
+    return nodes.withColumn(
         "relevance",
         F.round(relevance_score(F.col(text_col), " ".join(parsed.keywords)), 6),
     ).withColumn(
@@ -122,6 +120,16 @@ def relevant_nodes(nodes: DataFrame, parsed: ParsedQuestion,
         "has_definition",
         F.col(text_col).rlike(f"(?i){_DEFINITION_RE}"),
     )
+
+
+def relevant_nodes(nodes: DataFrame, parsed: ParsedQuestion,
+                   text_col: str = "content", id_col: str = "node_id",
+                   top_k: int = 20) -> DataFrame:
+    """Keyword-space identification (question_answering.py:310-471):
+    score every node by word-Jaccard relevance to the question, annotate
+    the per-type marker columns the synthesizers use, keep top-k with
+    score > 0 — one scan + TakeOrderedAndProject."""
+    scored = annotate_evidence(nodes, parsed, text_col)
     return (scored.filter(F.col("relevance") > 0)
             .orderBy(F.col("relevance").desc(), F.col(id_col).asc())
             .limit(top_k))
@@ -130,16 +138,23 @@ def relevant_nodes(nodes: DataFrame, parsed: ParsedQuestion,
 def expand_evidence(seeds: DataFrame, edges: DataFrame, nodes: DataFrame,
                     hops: int = 1, id_col: str = "node_id") -> DataFrame:
     """Entity-neighborhood expansion (question_answering.py:310-400):
-    k-hop around the seed nodes, joined back to node content; seeds keep
-    their relevance, expansion nodes get hop-decayed scores (0.5/hop)."""
+    k-hop around the seed nodes, joined back to node content. When
+    ``nodes`` is an ``annotate_evidence`` output (the ``answer`` path),
+    every evidence row — seed or expansion — carries its own relevance
+    and marker columns for the typed synthesizers; evidence_score =
+    seed relevance + hop decay (0.5/hop)."""
     reach = graph.k_hop(edges, seeds.select(id_col), hops)
     ev = reach.join(nodes, id_col)
     seed_rel = seeds.select(id_col, F.col("relevance").alias("seed_rel"))
-    return (ev.join(seed_rel, id_col, "left")
-            .withColumn("evidence_score",
-                        F.round(F.coalesce(
-                            F.col("seed_rel"),
-                            F.lit(0.0)) + F.pow(F.lit(0.5), F.col("hop_distance")) - 0.5, 6))
+    if "relevance" in seeds.columns and "relevance" not in nodes.columns:
+        ev = ev.join(seed_rel, id_col, "left") \
+            .withColumn("relevance", F.col("seed_rel"))
+    else:
+        ev = ev.join(seed_rel.select(id_col, "seed_rel"), id_col, "left")
+    return (ev.withColumn("evidence_score",
+                          F.round(F.coalesce(
+                              F.col("seed_rel"),
+                              F.lit(0.0)) + F.pow(F.lit(0.5), F.col("hop_distance")) - 0.5, 6))
             .drop("seed_rel"))
 
 
@@ -333,8 +348,13 @@ def answer(question: str, nodes: DataFrame, edges: DataFrame,
     synthesis — the LLM seam of the reference is the ``synthesize`` step
     and can be swapped without touching the distributed part."""
     parsed = parse_question(question)
-    seeds = relevant_nodes(nodes, parsed, text_col, id_col, top_k)
-    evidence = expand_evidence(seeds, edges, nodes, hops, id_col)
+    marked = annotate_evidence(nodes, parsed, text_col)
+    seeds = (marked.filter(F.col("relevance") > 0)
+             .orderBy(F.col("relevance").desc(), F.col(id_col).asc())
+             .limit(top_k))
+    # expansion joins the MARKED nodes so every evidence row carries its
+    # own relevance + synthesizer marker columns
+    evidence = expand_evidence(seeds, edges, marked, hops, id_col)
     rows = (evidence.orderBy(F.col("evidence_score").desc(), F.col(id_col).asc())
             .limit(top_k).collect())
     ev = [r.asDict() for r in rows]

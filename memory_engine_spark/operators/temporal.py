@@ -95,8 +95,11 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         F.col(ts_col).alias("_r_ts"))
     u = l.unionByName(r)
+    # value columns in the sort make the carried pick deterministic when
+    # several right rows share the same (key, ts)
     w = (Window.partitionBy(key_col)
-         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+         .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
+                  *[F.col(f"_r_{c}").asc_nulls_first() for c in value_cols])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         *lcols, "_side",

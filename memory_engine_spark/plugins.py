@@ -56,10 +56,13 @@ class CircuitBreaker:
     - ``closed``: calls flow; each failure increments failure_count;
       count ≥ failure_threshold → ``open``.
     - ``open``: calls are rejected until ``timeout_s`` has elapsed since
-      the last failure, then the breaker moves to ``half_open`` and ONE
-      probe call is allowed.
-    - ``half_open``: a success closes the breaker and resets the count;
-      a failure re-opens it (count keeps growing, timestamp refreshes).
+      the last failure, then the breaker moves to ``half_open`` and
+      probing resumes.
+    - ``half_open``: calls flow until a result is recorded (like the
+      reference, concurrent callers may all probe — there is no
+      single-probe latch); a success closes the breaker and resets the
+      count; a failure re-opens it (count keeps growing, timestamp
+      refreshes).
 
     ``clock`` is injectable for deterministic tests.
     """
@@ -270,22 +273,24 @@ class ModuleRegistry:
         marks the module 'error' and downstream dependents stay
         'registered'. Returns name → status."""
         initializers = initializers or {}
-        failed: set[str] = set()
+        active: set[str] = set()
         for name in self.resolve_order():
             m = self._modules[name]
-            dep_failed = any(
-                self.find_providers(need, minv)
-                and set(self.find_providers(need, minv)) <= failed
+            # a requirement is satisfied only by a provider that has
+            # ALREADY initialized successfully — "some other provider
+            # exists but hasn't started" is not satisfied
+            dep_ok = all(
+                any(p in active for p in self.find_providers(need, minv))
                 for need, minv in m.requires.items())
-            if dep_failed:
-                continue
+            if not dep_ok:
+                continue  # stays 'registered'
             self.set_status(name, "initializing")
             try:
                 fn = initializers.get(name)
                 if fn is not None:
                     fn()
                 self.set_status(name, "active")
+                active.add(name)
             except Exception:  # noqa: BLE001 — lifecycle must continue
                 self.set_status(name, "error")
-                failed.add(name)
         return {n: m.status for n, m in sorted(self._modules.items())}

@@ -90,14 +90,22 @@ class BackupManager:
         ``incremental``/``differential`` store only rows NOT present in
         the base backup (incremental: any previous backup id;
         differential: must name a full backup), restoring by key-overlay
-        via ``key_cols`` (table → key column)."""
+        via ``key_cols`` (table → key column). Deletions are NOT
+        represented in deltas (same as the reference's incremental
+        strategy): a row absent from ``tables`` but present in the base
+        survives restore — take a full backup to compact deletions."""
         if strategy not in BACKUP_STRATEGIES:
             raise ValueError(f"unknown strategy {strategy!r}")
         if strategy != "full":
             if base_backup_id is None:
                 raise ValueError(f"{strategy} backup requires base_backup_id")
-            if key_cols is None:
-                raise ValueError(f"{strategy} backup requires key_cols")
+            # every table needs a key or restore would return only the
+            # delta rows for it, silently losing the base
+            missing = sorted(set(tables) - set(key_cols or {}))
+            if missing:
+                raise ValueError(
+                    f"{strategy} backup requires key_cols for every table; "
+                    f"missing: {missing}")
             base = self.restore_backup(base_backup_id)
         backup_id = backup_id or f"backup_{int(time.time() * 1000)}"
         dest = os.path.join(self.dir, backup_id)

@@ -9,8 +9,11 @@ queue with per-task retries.
 Spark-first: the queue is an APPEND-ONLY parquet log of state-change
 rows; the current state of every task is a window top-1 over the log
 (the same pattern as operators/versioning.RevisionLog). Submission,
-claiming, completion, and retry are all log appends — no in-place
-mutation, safe for concurrent writers. Processors receive a whole
+completion, and retry are all log appends — no in-place mutation, so
+concurrent SUBMITTERS are safe. ``claim`` is a read-then-append and is
+NOT atomic across consumers: run one claiming worker (the reference's
+processor is likewise a single drain loop), or accept at-least-once
+processing with idempotent processors. Processors receive a whole
 claimed BATCH as a DataFrame (set-oriented, not task-at-a-time) and
 return (task_id, result, error) rows.
 """
@@ -98,7 +101,8 @@ class TaskQueue:
         self._append([(
             task_id, task_type, json.dumps(payload, sort_keys=True),
             TASK_PRIORITIES[priority], "pending", 0, max_retries,
-            None, None, now, (now + ttl_s) if ttl_s else None, 0, now,
+            None, None, now,
+            (now + ttl_s) if ttl_s is not None else None, 0, now,
         )])
         return task_id
 
@@ -176,6 +180,9 @@ class TaskQueue:
                 self._transition(ok, "completed",
                                  results={i: results[i]["result"] for i in ok})
                 counts["completed"] += len(ok)
+            # batch the failure transitions by target status: one log
+            # scan + one append per status, not one per task
+            retry_errs, fail_errs = {}, {}
             for r in trows:
                 i = r["task_id"]
                 if i in ok:
@@ -183,11 +190,15 @@ class TaskQueue:
                 err = (results[i]["error"] if results.get(i) is not None
                        else "no result returned")
                 if r["attempts"] < r["max_retries"]:
-                    self._transition([i], "retrying", errors={i: err})
-                    counts["retrying"] += 1
+                    retry_errs[i] = err
                 else:
-                    self._transition([i], "failed", errors={i: err})
-                    counts["failed"] += 1
+                    fail_errs[i] = err
+            if retry_errs:
+                self._transition(list(retry_errs), "retrying", errors=retry_errs)
+                counts["retrying"] += len(retry_errs)
+            if fail_errs:
+                self._transition(list(fail_errs), "failed", errors=fail_errs)
+                counts["failed"] += len(fail_errs)
         return counts
 
     def metrics(self) -> dict:

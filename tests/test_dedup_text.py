@@ -195,3 +195,11 @@ def test_decontamination_flags_exact_window_overlap(spark):
         train, bench, "body", "doc_id", window=8).collect()}
     assert "t1" in out and out["t1"] >= 1   # shares the full 8-token window
     assert "t2" not in out
+
+
+def test_simhash_neardup_max_hamming_zero(docs):
+    """max_hamming=0 degrades to an exact-fingerprint join (single
+    64-bit chunk) instead of overflowing the chunk mask."""
+    pairs = {(r["a"], r["b"]) for r in dedup.simhash_neardup(
+        docs, "body", "doc_id", max_hamming=0).collect()}
+    assert pairs == {(1, 2)}  # the normalization-identical docs

@@ -271,3 +271,16 @@ def test_import_with_merge_deterministic_survivor(spark, tmp_path):
         out = {r["id"]: r["v"] for r in export.import_with_merge(
             spark, p, existing, "id", schema="id string, v int").collect()}
         assert out == {"a": 1, "b": 5, "c": 0}  # min-sorting row wins
+
+
+def test_embed_column_null_and_empty_text(spark):
+    """Regression: NULL text keeps a NULL embedding and is NOT
+    duplicated by colliding with empty-string rows on the join key."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, None), (4, "")],
+        "id int, txt string")
+    out = ingestion.embed_column(df, "txt", dim=8).collect()
+    assert len(out) == 4                      # no duplication
+    by_id = {r["id"]: r["embedding"] for r in out}
+    assert by_id[3] is None                   # null stays null
+    assert by_id[2] is not None and by_id[2] == by_id[4]

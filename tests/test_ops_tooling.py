@@ -185,3 +185,33 @@ def test_module_registry_errors():
         reg2.resolve_order()
     with pytest.raises(ValueError, match="already registered"):
         reg2.register(ModuleMetadata("x", "2.0.0"))
+
+
+def test_backup_incremental_requires_key_for_every_table(spark, tmp_path):
+    bm = BackupManager(spark, str(tmp_path / "bk5"))
+    t = spark.createDataFrame([("a", 1)], "id string, v int")
+    bm.create_backup({"t": t, "u": t}, backup_id="full")
+    with pytest.raises(ValueError, match="missing: \\['u'\\]"):
+        bm.create_backup({"t": t, "u": t}, strategy="incremental",
+                         base_backup_id="full", key_cols={"t": "id"})
+
+
+def test_task_queue_ttl_zero_expires(spark, tmp_path):
+    q = TaskQueue(spark, str(tmp_path / "qz"))
+    t = q.submit("echo", {}, ttl_s=0.0)
+    state = {r["task_id"]: r["status"] for r in q.current_state().collect()}
+    assert state[t] == "expired"
+
+
+def test_module_registry_unstarted_provider_not_satisfying():
+    """A dependent must NOT activate just because an alternative
+    provider exists that hasn't initialized yet (and certainly not when
+    its ordered provider failed)."""
+    reg = ModuleRegistry()
+    reg.register(ModuleMetadata("p1", "1.0.0", capabilities=["cap"]))
+    reg.register(ModuleMetadata("app", "1.0.0", requires={"cap": "1.0.0"}))
+    reg.register(ModuleMetadata("p2", "1.0.0", capabilities=["cap"]))
+    out = reg.start_all({"p1": lambda: 1 / 0})
+    assert out["p1"] == "error"
+    assert out["app"] == "registered"   # p2 was not active when app ran
+    assert out["p2"] == "active"

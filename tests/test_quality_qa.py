@@ -249,3 +249,29 @@ def test_temporal_freshness_and_graded_overall(spark):
         assert abs(r["overall_score"] * 3
                    - (r["content_score"] + r["structural_score"]
                       + r["temporal_score"])) < 1e-5
+
+
+def test_answer_evidence_carries_markers_and_relevance(spark):
+    """Regression: evidence rows reaching the synthesizers must carry
+    relevance and the has_* marker columns end to end (they were
+    dropped by the expansion join), so causal synthesis engages and
+    confidence reflects real relevance."""
+    nodes = spark.createDataFrame(
+        [("c1", "the spark job slows down because the shuffle spills "
+                "to disk under memory pressure", "web"),
+         ("c2", "spark shuffle spills happen due to small executors "
+                "and this leads to slow jobs", "web"),
+         ("c3", "spark shuffle tuning notes for slow jobs", "book")],
+        "node_id string, content string, source string")
+    edges = spark.createDataFrame(
+        [("c1", "c3", "RELATED", 0.9)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    out = qa.answer("why does the spark job slow down with shuffle spills",
+                    nodes, edges)
+    assert out["type"] == "causal"
+    # the causal synthesizer found a causally-marked sentence, not the
+    # factual fallback
+    assert "because" in out["answer"] or "due to" in out["answer"]
+    # confidence reflects real relevance, not the 0-relevance floor
+    assert out["confidence"] > 0.3
+    assert out["attributions"][0]["relevance_score"] > 0
