@@ -886,6 +886,37 @@ def q63_bm25(spark, sf):
             .limit(20))
 
 
+# PII fixture shared with the q64 oracle (VALUES CTE on the DuckDB side)
+PII_FIXTURE = [
+    ("d1", "contact alice.smith@example.com or call +1 (555) 123-4567 now"),
+    ("d2", "server at 192.168.10.25 logged card 4111111111111111 today"),
+    ("d3", "nothing sensitive in this line at all"),
+]
+
+
+def q64_pii_redaction(spark, sf):
+    """C4-style PII scrubbing: redact emails / phones / IPv4 / long
+    numbers and count matches per kind — pure regexp expressions over a
+    labeled fixture so the redaction output itself is hash-checked."""
+    df = spark.createDataFrame(PII_FIXTURE, "doc_id string, body string")
+    return df.select(
+        "doc_id",
+        text.redact_pii(F.col("body")).alias("redacted"),
+        F.col("body").alias("original"),
+    ).select("doc_id", "redacted",
+             text.pii_counts(F.col("original")).alias("c")) \
+     .select("doc_id", "redacted", "c.email", "c.phone", "c.ip", "c.number")
+
+
+def q65_hash_split(spark, sf):
+    """Deterministic train/val/test split by md5 id hash (stable across
+    runs/partitions/engines) + per-split counts."""
+    t = _t(spark, sf)
+    split = text.hash_split(t["documents"], "doc_id")
+    return (split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("split", F.col("n_docs").cast("long").alias("n_docs")))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1010,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_range_join": q61_range_join,
         "q62_rollup_cascade": q62_rollup_cascade,
         "q63_bm25": q63_bm25,
+        "q64_pii_redaction": q64_pii_redaction,
+        "q65_hash_split": q65_hash_split,
     }
 
 
@@ -2160,6 +2193,34 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2, 3"""
     sql["q62_rollup_cascade"] = " UNION ALL ".join(
         rollup_branch.format(res=r) for r in ("hour", "day", "month"))
+
+    from memory_engine_spark.operators.text import PII_PATTERNS
+    pii_rows = ", ".join(f"('{d}', '{b}')" for d, b in PII_FIXTURE)
+    redact = "body"
+    for tag, pat in PII_PATTERNS:
+        redact = f"regexp_replace({redact}, '{pat}', '<{tag}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(body, '{pat}')) AS BIGINT) AS {tag.lower()}"
+        for tag, pat in PII_PATTERNS)
+    sql["q64_pii_redaction"] = f"""
+        SELECT doc_id, {redact} AS redacted, {counts}
+        FROM (VALUES {pii_rows}) t(doc_id, body)
+    """
+
+    sql["q65_hash_split"] = """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                              substr(md5('split:' || doc_id), j::INT + 1, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) % 10000 AS bkt
+            FROM documents
+        )
+        SELECT CASE WHEN bkt < 8000 THEN 'train'
+                    WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM b GROUP BY 1
+    """
 
     sql["q63_bm25"] = f"""
         WITH {TOKS_CTE},

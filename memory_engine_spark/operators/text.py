@@ -307,3 +307,57 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, text_col: str,
     hits = fp(train).join(F.broadcast(bench_fps), "fp")
     return (hits.groupBy("_id").agg(F.count(F.lit(1)).alias("n_collisions"))
             .select(F.col("_id").alias(id_col), "n_collisions"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (C4-style scrubbing) + deterministic dataset splits
+# ---------------------------------------------------------------------------
+
+# Simple, cross-engine-identical patterns (no lookarounds): email, US-ish
+# phone, IPv4, 13-19-digit card-like numbers.
+PII_PATTERNS = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("NUMBER", r"\b[0-9]{13,19}\b"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Replace email / phone / IPv4 / long-number spans with
+    ``<TAG>`` markers — the standard corpus-scrubbing pass, pure
+    regexp_replace chain (one projection)."""
+    out = col
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{tag}>")
+    return out
+
+
+def pii_counts(col) -> Column:
+    """Struct of per-kind PII match counts (for filtering/reporting)."""
+    return F.struct(*[
+        F.regexp_count(col, F.lit(pat)).cast("long").alias(tag.lower())
+        for tag, pat in PII_PATTERNS])
+
+
+def hash_split(df: DataFrame, id_col: str,
+               splits: dict[str, float] | None = None,
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    id hash: bucket = md5(salt ‖ id) mod 10000 mapped through the
+    cumulative split weights. Stable across runs, partitions, and
+    engines (the md5 trick — reproducible in SQL for oracle checks).
+    Returns the input plus a ``split`` column."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    bucket = (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000)
+    expr = None
+    acc = 0.0
+    for name, w in splits.items():
+        acc += w
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -203,3 +203,36 @@ def test_simhash_neardup_max_hamming_zero(docs):
     pairs = {(r["a"], r["b"]) for r in dedup.simhash_neardup(
         docs, "body", "doc_id", max_hamming=0).collect()}
     assert pairs == {(1, 2)}  # the normalization-identical docs
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "mail bob@corp.io from 10.0.0.1, card 4111111111111111, "
+               "call +1 (555) 123-4567")],
+        "doc_id string, body string")
+    row = df.select(text.redact_pii(F.col("body")).alias("r"),
+                    text.pii_counts(F.col("body")).alias("c")).first()
+    assert "<EMAIL>" in row["r"] and "<IP>" in row["r"]
+    assert "<NUMBER>" in row["r"] and "<PHONE>" in row["r"]
+    assert "bob@corp.io" not in row["r"] and "4111111111111111" not in row["r"]
+    assert row["c"]["email"] == 1 and row["c"]["ip"] == 1
+    assert row["c"]["number"] == 1 and row["c"]["phone"] == 1
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id int")
+    a = {r["id"]: r["split"] for r in text.hash_split(df, "id").collect()}
+    b = {r["id"]: r["split"] for r in
+         text.hash_split(df.repartition(7), "id").collect()}
+    assert a == b                                 # partition-independent
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 2000 < 0.85        # ~80/10/10
+    assert 0.06 < c["val"] / 2000 < 0.14
+    # different salt → different assignment
+    d = {r["id"]: r["split"] for r in
+         text.hash_split(df, "id", salt="other").collect()}
+    assert a != d
+    with pytest.raises(ValueError, match="sum to 1"):
+        text.hash_split(df, "id", splits={"x": 0.5})
