@@ -80,12 +80,19 @@ def word_shingles(col, n: int = 3):
 
 
 def _materialize_release(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Eagerly materialize the (small) result via localCheckpoint, then
+    """Eagerly materialize the (small) result via cache()+count(), then
     unpersist the LARGE cached intermediate immediately — the result no
-    longer references it, so nothing pins executor memory past the call
-    (the round-1 'unreleased persist' finding, without the cost of
-    checkpointing the big intermediate itself)."""
-    out = result.localCheckpoint()
+    longer needs it, so the big exploded/banded frame never outlives the
+    call (the round-1 'unreleased persist' finding).
+
+    cache()-not-localCheckpoint: one job computes the result (checkpoint
+    would re-run the whole query a second time), and a repeated call
+    with the identical plan is served from the CacheManager entry
+    instead of recomputing. Only the small above-threshold pair set is
+    pinned (MEMORY_AND_DISK, LRU-evictable); the reference keeps whole
+    query responses cached the same way (query_cache.py)."""
+    out = result.cache()
+    out.count()
     cached.unpersist(False)
     return out
 

@@ -137,7 +137,12 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
             n_frontier = nxt.count()  # checkpointed: a cheap cached-block count
             if n_frontier == 0:
                 break
-            visited = visited.unionByName(nxt).localCheckpoint()
+            # Union of already-checkpointed frontiers: no re-materialize
+            # of the growing visited set each hop (that copy is
+            # O(|V|·depth) over the whole walk); the union plan depth
+            # grows by one node per hop over cached blocks, which is flat
+            # lineage for any practical max_depth.
+            visited = visited.unionByName(nxt)
             frontier = nxt
         return visited
     finally:
@@ -188,7 +193,7 @@ def k_hop_paths(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: i
             n_frontier = nxt.count()
             if n_frontier == 0:
                 break
-            visited = visited.unionByName(nxt).localCheckpoint()
+            visited = visited.unionByName(nxt)  # frontiers already checkpointed
             frontier = nxt
         return visited
     finally:
@@ -231,16 +236,21 @@ def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6
 
 
 def degrees(edges: DataFrame) -> DataFrame:
-    """(node_id, out_degree, in_degree, degree). One shuffle per
-    direction, partial-aggregated map-side; used by structural anomaly
-    detection (insight_discovery.py:1499-1577: isolated/hub nodes)."""
-    out_d = edges.groupBy(F.col("from_id").alias("node_id")).agg(
-        F.count(F.lit(1)).alias("out_degree"))
-    in_d = edges.groupBy(F.col("to_id").alias("node_id")).agg(
-        F.count(F.lit(1)).alias("in_degree"))
+    """(node_id, out_degree, in_degree, degree). ONE shuffle total:
+    each edge emits two (node, out?, in?) increments map-side and a
+    single partial-aggregated groupBy sums them — strictly cheaper at
+    scale than per-direction groupBys + a full-outer join (two
+    exchanges + an SMJ). Used by structural anomaly detection
+    (insight_discovery.py:1499-1577: isolated/hub nodes)."""
+    incr = edges.select(F.explode(F.array(
+        F.struct(F.col("from_id").alias("node_id"),
+                 F.lit(1).alias("o"), F.lit(0).alias("i")),
+        F.struct(F.col("to_id").alias("node_id"),
+                 F.lit(0).alias("o"), F.lit(1).alias("i")),
+    )).alias("x")).select("x.*")
     return (
-        out_d.join(in_d, "node_id", "full_outer")
-        .fillna(0, ["out_degree", "in_degree"])
+        incr.groupBy("node_id")
+        .agg(F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree"))
         .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
     )
 
