@@ -917,6 +917,19 @@ def q65_hash_split(spark, sf):
             .select("split", F.col("n_docs").cast("long").alias("n_docs")))
 
 
+def q66_dedup_clusters(spark, sf):
+    """Corpus-level near-dup CLUSTERING: Jaccard pairs → connected
+    components → deterministic canonical doc per cluster (longest text,
+    tie → min doc_id). The step a training pipeline runs after any pair
+    generator; singletons stay as their own cluster (merging.py
+    keep-one semantics lifted to corpus level)."""
+    t = _t(spark, sf)
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      n=3, threshold=0.3)
+    return dedup.neardup_clusters(docs, pairs, "doc_id", F.length("text"))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1043,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_bm25": q63_bm25,
         "q64_pii_redaction": q64_pii_redaction,
         "q65_hash_split": q65_hash_split,
+        "q66_dedup_clusters": q66_dedup_clusters,
     }
 
 
@@ -2244,5 +2258,57 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC
         LIMIT 20
+    """
+
+    sql["q66_dedup_clusters"] = f"""
+        WITH RECURSIVE {TOKS_CTE},
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                               i -> array_to_string(toks[i+1:i+3], ' '))
+            )) AS shingle
+            FROM toks_t
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT CAST(a AS VARCHAR) AS from_id, CAST(b AS VARCHAR) AS to_id
+            FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE c / (sa.sz + sb.sz - c) >= 0.3
+        ),
+        sym AS (
+            SELECT from_id, to_id FROM pairs
+            UNION SELECT to_id, from_id FROM pairs
+        ),
+        reach(node_id, r) AS (
+            SELECT from_id, to_id FROM sym
+            UNION
+            SELECT reach.node_id, sym.to_id
+            FROM reach JOIN sym ON reach.r = sym.from_id
+            WHERE sym.to_id <> reach.node_id
+        ),
+        comp AS (
+            SELECT node_id, LEAST(node_id, MIN(r)) AS component
+            FROM reach GROUP BY node_id
+        ),
+        labeled AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component, CAST(d.doc_id AS VARCHAR)) AS cluster,
+                   len(d.text) AS pref
+            FROM documents d
+            LEFT JOIN comp c ON CAST(d.doc_id AS VARCHAR) = c.node_id
+        )
+        SELECT doc_id, cluster,
+               CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+                   AS cluster_size,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY cluster
+                        ORDER BY pref DESC, doc_id ASC) = 1
+                    THEN 1 ELSE 0 END AS is_canonical
+        FROM labeled
     """
     return sql

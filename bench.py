@@ -120,21 +120,25 @@ def main() -> None:
     # doesn't absorb one-time startup cost.
     entrymod.entry(spark).count()
 
-    # Each query runs twice; report steady-state (min) as the headline —
-    # run 1 additionally pays one-time index builds (derived-edge cache)
-    # — and keep the cold run for transparency.
+    # Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); report
+    # steady-state (min) as the headline — run 1 additionally pays
+    # one-time index builds (derived-edge cache), and this host shows
+    # occasional multi-second CPU-steal spikes, so min-of-3 measures the
+    # plan, not the noisy neighbor. The cold run is kept for
+    # transparency.
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         per_run = []
-        for run in range(2):
+        for run in range(n_runs):
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             per_run.append(round(time.time() - t0, 3))
         cold[name] = per_run[0]
         timings[name] = min(per_run)
-        print(f"# {name}: {n} rows cold={per_run[0]:.2f}s warm={per_run[1]:.2f}s",
-              file=sys.stderr)
+        print(f"# {name}: {n} rows cold={per_run[0]:.2f}s "
+              f"warm={min(per_run[1:]):.2f}s", file=sys.stderr)
 
     # ingestion throughput (reference parity: BulkIngestionMetrics docs/s,
     # bulk_processor.py:39-51): documents → units → nodes → embeddings

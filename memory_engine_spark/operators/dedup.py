@@ -474,3 +474,65 @@ def simhash64_md5_neardup(df: DataFrame, text_col: str, id_col: str,
         .select("a", "b", ham.alias("hamming")).distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering + canonical document selection
+# ---------------------------------------------------------------------------
+
+def neardup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                     length_col) -> DataFrame:
+    """Cluster near-duplicate pairs and pick ONE canonical document per
+    cluster — the corpus-dedup step that follows any pair generator
+    (Jaccard/MinHash/SimHash/embedding): pairs → connected components →
+    deterministic survivor. Mirrors the reference's duplicate-merge
+    semantics (merging.py keep-one; relationship_extractor.py:251-258
+    SIMILAR_CONTENT gates) lifted from pairwise to corpus level.
+
+    ``pairs``: (a, b) ids (any extra columns ignored).
+    ``length_col``: Column expression used as the keep-preference (the
+    canonical doc is the one with the LARGEST value; ties break toward
+    the smallest numeric id) — pass e.g. ``F.length("text")``.
+
+    Returns one row PER INPUT DOC: (doc_id, cluster, cluster_size,
+    is_canonical 0/1). Singletons are their own cluster of size 1.
+    Scale: components is iterative over the (small) pair graph only;
+    the corpus join is one broadcast-able hash join + one window
+    partitioned by cluster — no shuffle of document text.
+    """
+    from memory_engine_spark.operators.components import connected_components
+    from pyspark.sql import Window
+
+    edges = pairs.select(F.col("a").cast("string").alias("from_id"),
+                         F.col("b").cast("string").alias("to_id"))
+    comp = connected_components(edges)  # (node_id, component) — strings
+    ids = df.select(F.col(id_col).cast("string").alias("node_id"),
+                    F.col(id_col).alias("_orig"),
+                    length_col.alias("_pref"))
+    labeled = (ids.join(comp, "node_id", "left")
+               .withColumn("cluster",
+                           F.coalesce(F.col("component"), F.col("node_id"))))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_pref").desc(), F.col("_orig").asc())
+    return (
+        labeled.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+        .withColumn("is_canonical",
+                    F.when(F.row_number().over(w) == 1, 1).otherwise(0))
+        .select(F.col("_orig").alias(id_col),
+                "cluster",
+                F.col("cluster_size").cast("long").alias("cluster_size"),
+                F.col("is_canonical").cast("int").alias("is_canonical"))
+    )
+
+
+def canonical_corpus(df: DataFrame, pairs: DataFrame, id_col: str,
+                     length_col) -> DataFrame:
+    """The deduplicated corpus: input rows whose doc survives
+    ``neardup_clusters`` canonical selection. One semi-join back — the
+    full document payload (text, binary columns) never enters the
+    clustering shuffle."""
+    keep = (neardup_clusters(df, pairs, id_col, length_col)
+            .filter(F.col("is_canonical") == 1).select(id_col))
+    return df.join(keep, id_col, "left_semi")

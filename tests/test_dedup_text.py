@@ -236,3 +236,31 @@ def test_hash_split_deterministic_and_disjoint(spark):
     assert a != d
     with pytest.raises(ValueError, match="sum to 1"):
         text.hash_split(df, "id", splits={"x": 0.5})
+
+
+def test_neardup_clusters_canonical_selection(spark):
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators.dedup import (canonical_corpus,
+                                                     neardup_clusters)
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaa"), (4, "bb"), (5, "cc"), (6, "cc")],
+        "doc_id int, text string")
+    # chain 1-2, 2-3 => one cluster {1,2,3}; 5-6 pair; 4 singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a int, b int")
+    rows = {r["doc_id"]: r for r in
+            neardup_clusters(docs, pairs, "doc_id", F.length("text")).collect()}
+    assert len(rows) == 6
+    assert rows[1]["cluster"] == rows[2]["cluster"] == rows[3]["cluster"] == "1"
+    assert rows[5]["cluster"] == rows[6]["cluster"] == "5"
+    assert rows[4]["cluster"] == "4" and rows[4]["cluster_size"] == 1
+    # canonical: longest text wins (doc 2); ties break to min id (doc 5)
+    assert [rows[i]["is_canonical"] for i in (1, 2, 3)] == [0, 1, 0]
+    assert rows[5]["is_canonical"] == 1 and rows[6]["is_canonical"] == 0
+    assert rows[4]["is_canonical"] == 1
+    assert rows[1]["cluster_size"] == 3 and rows[5]["cluster_size"] == 2
+
+    kept = sorted(r["doc_id"] for r in
+                  canonical_corpus(docs, pairs, "doc_id",
+                                   F.length("text")).collect())
+    assert kept == [2, 4, 5]
