@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from memory_engine_spark.operators import (
-    dedup, discovery, graph, ingestion, qa, similarity, synthesis, text,
+    corpus, dedup, discovery, graph, ingestion, qa, similarity, synthesis,
+    text,
 )
 from memory_engine_spark.operators.aggregates import (
     group_count, iqr_outliers, monthly_counts,
@@ -930,6 +931,73 @@ def q66_dedup_clusters(spark, sf):
     return dedup.neardup_clusters(docs, pairs, "doc_id", F.length("text"))
 
 
+def q67_knn_join(spark, sf):
+    """Corpus-wide ANN kNN JOIN: top-5 cosine neighbors for EVERY
+    vector, IVF-blocked (nprobe=2 of 16 cells) — N·nprobe/nlist
+    candidates per query instead of N². Probe lists are window ranks
+    (no driver collect); exact cosine within probed cells; the
+    deterministic first-k-seed index makes it fully oracle-checkable."""
+    cents, assigned = _ivf(spark, sf, nlist=16)
+    return (similarity.knn_join(assigned, cents, k=5, nprobe=2,
+                                id_col="vec_id")
+            .select("qid", "nid", "nn_rank",
+                    F.round("score", 6).alias("score")))
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.02
+
+
+def q68_stratified_sample(spark, sf):
+    """Deterministic hash-stratified corpus sampling (recipe-style data
+    mixing): per-source keep rates applied via content-independent id
+    hashing, so the SAME ids survive on any engine/partitioning.
+    Reports per-source survivor count + id checksum."""
+    t = _t(spark, sf)
+    kept = corpus.stratified_sample(t["documents"], "source", _MIX_RATES,
+                                    "doc_id", salt="sample",
+                                    default_rate=_MIX_DEFAULT)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_checksum")))
+
+
+def q69_pack_sequences(spark, sf):
+    """GPT-style concat-and-chunk sequence packing layout (budget=512
+    tokens, 8 hash shards): per-doc start offset, sequence id, offset
+    within sequence, and sequences spanned — computed with a two-phase
+    distributed prefix sum (within-shard windows + an n_shards-row base
+    table), never a single-partition global window."""
+    t = _t(spark, sf)
+    docs = t["documents"]
+    return corpus.pack_sequences(
+        docs, F.size(dedup.tokens(F.col("text"))), budget=512,
+        id_col="doc_id", n_shards=8, salt="pack")
+
+
+def q70_vocabulary(spark, sf):
+    """Corpus vocabulary with smoothed idf: top-100 terms by frequency
+    (tie → lexicographic), scikit-style idf = ln((N+1)/(df+1)) + 1."""
+    t = _t(spark, sf)
+    return (corpus.vocabulary(t["documents"], "text", "doc_id", top_k=100)
+            .select("term", F.col("tf").cast("long").alias("tf"),
+                    F.col("doc_freq").cast("long").alias("doc_freq"), "idf"))
+
+
+def q71_quantize_int8(spark, sf):
+    """Per-vector symmetric int8 embedding quantization (4× compression
+    for ANN candidate generation): scale = max|v|/127, plus the
+    dequantized-vs-original cosine as a per-row quality audit."""
+    t = _t(spark, sf)
+    q = similarity.quantize_int8(t["embeddings"], id_col="vec_id")
+    return q.select(
+        "vec_id", F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("sum_q"),
+        F.size(F.filter("qvec", lambda x: x != 0)).cast("long").alias("nnz"),
+        F.round("dequant_cos", 6).alias("dequant_cos"))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1057,6 +1125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_pii_redaction": q64_pii_redaction,
         "q65_hash_split": q65_hash_split,
         "q66_dedup_clusters": q66_dedup_clusters,
+        "q67_knn_join": q67_knn_join,
+        "q68_stratified_sample": q68_stratified_sample,
+        "q69_pack_sequences": q69_pack_sequences,
+        "q70_vocabulary": q70_vocabulary,
+        "q71_quantize_int8": q71_quantize_int8,
     }
 
 
@@ -2310,5 +2383,130 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY pref DESC, doc_id ASC) = 1
                     THEN 1 ELSE 0 END AS is_canonical
         FROM labeled
+    """
+
+    sql["q67_knn_join"] = """
+        WITH seeds AS (
+            SELECT vec_id AS cell, embedding::DOUBLE[] AS centroid
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       s.centroid) DESC,
+                                s.cell ASC) AS rk
+            FROM embeddings e, seeds s
+        ),
+        cells AS (SELECT vec_id, v, cell FROM assign WHERE rk = 1),
+        probes AS (SELECT vec_id AS qid, v AS qv, cell
+                   FROM assign WHERE rk <= 2),
+        scored AS (
+            SELECT p.qid, c.vec_id AS nid,
+                   list_cosine_similarity(p.qv, c.v) AS s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY list_cosine_similarity(p.qv, c.v) DESC,
+                                c.vec_id ASC) AS nn_rank
+            FROM probes p JOIN cells c ON p.cell = c.cell
+            WHERE c.vec_id <> p.qid
+        )
+        SELECT qid, nid, CAST(nn_rank AS INT) AS nn_rank,
+               ROUND(s, 6) AS score
+        FROM scored WHERE nn_rank <= 5
+    """
+
+    def md5_bucket(salt: str, id_expr: str = "doc_id") -> str:
+        """The portable md5→[0,10000) bucket (same arithmetic as
+        corpus._hash_bucket / text.hash_split)."""
+        return f"""CAST(list_sum(list_transform(range(0, 8),
+            j -> (strpos('0123456789abcdef',
+                  substr(md5('{salt}:' || {id_expr}), j::INT + 1, 1)) - 1)
+                 * power(16, 7 - j))) AS BIGINT) % 10000"""
+
+    mix_case = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * 10000))}"
+        for s, r in _MIX_RATES.items())
+    sql["q68_stratified_sample"] = f"""
+        WITH b AS (
+            SELECT doc_id, source, {md5_bucket('sample')} AS bucket
+            FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM b
+        WHERE bucket < CASE source {mix_case}
+                       ELSE {int(round(_MIX_DEFAULT * 10000))} END
+        GROUP BY source
+    """
+
+    sql["q69_pack_sequences"] = f"""
+        WITH {TOKS_CTE},
+        base AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(({md5_bucket('pack')}) % 8 AS INT) AS shard
+            FROM toks_t WHERE len(toks) > 0
+        ),
+        within AS (
+            SELECT doc_id, shard, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM base
+        ),
+        tot AS (SELECT shard, MAX(cum) AS tot FROM within GROUP BY 1),
+        bases AS (
+            SELECT shard,
+                   SUM(tot) OVER (ORDER BY shard ROWS UNBOUNDED PRECEDING)
+                       - tot AS base
+            FROM tot
+        )
+        SELECT w.doc_id, w.shard, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+               CAST(b.base + w.cum - w.n_tokens AS BIGINT) AS start_offset,
+               CAST((b.base + w.cum - w.n_tokens) // 512 AS BIGINT) AS seq_id,
+               CAST((b.base + w.cum - w.n_tokens) % 512 AS BIGINT)
+                   AS offset_in_seq,
+               CAST((b.base + w.cum - 1) // 512
+                    - (b.base + w.cum - w.n_tokens) // 512 + 1 AS BIGINT)
+                   AS n_seqs
+        FROM within w JOIN bases b USING (shard)
+    """
+
+    sql["q70_vocabulary"] = f"""
+        WITH {TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(toks) AS term FROM toks_t),
+        stats AS (SELECT COUNT(*) AS n FROM documents),
+        agg AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM tok GROUP BY 1
+        )
+        SELECT term, tf, doc_freq,
+               ROUND(ln((n + 1.0) / (doc_freq + 1.0)) + 1.0, 6) AS idf
+        FROM agg, stats
+        ORDER BY tf DESC, term ASC LIMIT 100
+    """
+
+    sql["q71_quantize_int8"] = """
+        WITH q AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qq AS (
+            SELECT vec_id, v, scale,
+                   CASE WHEN scale * 127.0 < 1e-10
+                        THEN list_transform(v, x -> 0)
+                        ELSE list_transform(v, x -> CAST(round(x / scale)
+                                                         AS INT)) END AS qvec
+            FROM q
+        )
+        SELECT vec_id, ROUND(scale, 6) AS scale,
+               CAST(list_sum(qvec) AS BIGINT) AS sum_q,
+               CAST(len(list_filter(qvec, x -> x <> 0)) AS BIGINT) AS nnz,
+               ROUND(list_cosine_similarity(
+                   list_transform(qvec, x -> x * scale), v), 6) AS dequant_cos
+        FROM qq
     """
     return sql

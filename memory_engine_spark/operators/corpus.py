@@ -1,0 +1,166 @@
+"""Training-corpus composition operators: deterministic sampling, source
+mixing, and sequence packing.
+
+These extend the engine past the reference's per-document operators to
+the corpus-level steps a pretraining data pipeline runs after cleaning
+and dedup (the reference stops at ingestion: bulk_processor.py feeds
+nodes one batch at a time). Everything is hash-deterministic — stable
+across runs, partitions, and engines (same md5 trick as
+text.hash_split) — so every operator is oracle-checkable and resumable.
+
+Scale notes:
+- Sampling/mixing are stateless row-local filters — no shuffle at all.
+- ``mix_corpus`` needs one tiny per-source count aggregate (#sources
+  rows to the driver) to solve for the rate vector; the data pass
+  itself is shuffle-free.
+- ``pack_sequences`` is the GPT-style concat-and-chunk layout. A naive
+  global running offset would be a single-partition window; instead the
+  corpus is split into ``n_shards`` deterministic hash shards, offsets
+  cumsum WITHIN shards (parallel windows), and shard base offsets come
+  from a cumulative sum over the n_shards-row totals table — the
+  classic two-phase distributed prefix sum. Only the tiny totals table
+  ever centralizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col, salt: str):
+    """md5(salt:id) → integer in [0, 10000) — portable to ANSI SQL."""
+    return (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long") % HASH_BUCKETS)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      id_col: str, salt: str = "sample",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its id-hash
+    bucket falls under its stratum's rate. Content-independent, so the
+    SAME ids survive regardless of partitioning/engine — reproducible
+    corpus recipes. Strata missing from ``rates`` get ``default_rate``.
+    Row-local (no shuffle); at 100 TB this is a pure scan filter."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    expr = None
+    for name, rate in rates.items():
+        cond = F.col(strata_col) == name
+        thr = F.lit(int(round(rate * HASH_BUCKETS)))
+        expr = (F.when(cond, thr) if expr is None else expr.when(cond, thr))
+    thr_col = (expr.otherwise(F.lit(int(round(default_rate * HASH_BUCKETS))))
+               if expr is not None
+               else F.lit(int(round(default_rate * HASH_BUCKETS))))
+    return df.filter(_hash_bucket(id_col, salt) < thr_col)
+
+
+def mix_corpus(df: DataFrame, source_col: str, weights: dict[str, float],
+               id_col: str, salt: str = "mix") -> DataFrame:
+    """Compose a corpus matching target source PROPORTIONS while keeping
+    as much data as possible: the limiting source (largest count-deficit
+    relative to its weight) is kept whole and every other source is
+    hash-downsampled to match. rate_s = (C · w_s) / n_s with
+    C = min_s n_s / w_s. Sources absent from ``weights`` are dropped.
+
+    One #sources-row aggregate decides the rates (bounded driver
+    collect); the data pass is a shuffle-free filter."""
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    weights = {k: v / total_w for k, v in weights.items()}
+    counts = {r["s"]: r["n"] for r in
+              df.filter(F.col(source_col).isin(list(weights)))
+              .groupBy(F.col(source_col).alias("s"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"no rows for weighted source(s) {missing}")
+    c = min(counts[s] / w for s, w in weights.items() if w > 0)
+    rates = {s: min(1.0, (c * w) / counts[s]) for s, w in weights.items()}
+    return stratified_sample(df, source_col, rates, id_col, salt=salt,
+                             default_rate=0.0)
+
+
+def pack_sequences(df: DataFrame, token_count_col, budget: int,
+                   id_col: str, n_shards: int = 32,
+                   salt: str = "pack") -> DataFrame:
+    """GPT-style concat-and-chunk packing layout: documents are laid out
+    back-to-back in a deterministic order and cut into fixed
+    ``budget``-token training sequences; a document straddling a cut
+    spans consecutive sequences. Returns one row per doc:
+
+      (id, shard, n_tokens, start_offset, seq_id, offset_in_seq, n_seqs)
+
+    where seq_id = start_offset div budget (the sequence the doc STARTS
+    in), offset_in_seq = start_offset mod budget, and n_seqs = how many
+    sequences the doc touches. Zero-token docs are dropped (nothing to
+    pack). Layout order is (shard, id) with shard = id-hash mod
+    n_shards, so the layout is engine/partitioning-independent.
+
+    Distributed prefix sum: within-shard running offsets are parallel
+    windows partitioned by shard; shard base offsets are a cumulative
+    sum over the n_shards-row totals frame (broadcast back). No global
+    single-partition window anywhere.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    base = (df.select(F.col(id_col).alias("_id"),
+                      token_count_col.cast("long").alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("shard",
+                        (_hash_bucket("_id", salt) % n_shards).cast("int")))
+    w_in = (Window.partitionBy("shard")
+            .orderBy(F.col("_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    within = base.withColumn("_cum", F.sum("n_tokens").over(w_in))
+    totals = within.groupBy("shard").agg(F.max("_cum").alias("_tot"))
+    w_sh = (Window.orderBy(F.col("shard").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bases = totals.withColumn(
+        "_base", F.sum("_tot").over(w_sh) - F.col("_tot")).select("shard", "_base")
+    start = F.col("_base") + F.col("_cum") - F.col("n_tokens")
+    return (
+        within.join(F.broadcast(bases), "shard")
+        .withColumn("start_offset", start)
+        .select(
+            F.col("_id").alias(id_col), "shard", "n_tokens", "start_offset",
+            (F.col("start_offset") / budget).cast("long").alias("seq_id"),
+            (F.col("start_offset") % budget).alias("offset_in_seq"),
+            ((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+            .cast("long").alias("_last"))
+        .withColumn("n_seqs", (F.col("_last") - F.col("seq_id") + 1).cast("long"))
+        .drop("_last")
+    )
+
+
+def vocabulary(df: DataFrame, text_col: str, id_col: str,
+               top_k: int = 1000) -> DataFrame:
+    """Corpus vocabulary: (term, tf, doc_freq, idf) for the ``top_k``
+    most frequent terms (tie → lexicographic). idf is the smoothed
+    ln((N+1)/(df+1)) + 1 (scikit-style). One explode + one groupBy —
+    map-side partial aggregation keeps the shuffle at |vocab|, not
+    |tokens|; top-k lowers to TakeOrderedAndProject. The reference
+    computes per-document keywords only (relationship_extractor.py),
+    never a corpus vocabulary."""
+    from memory_engine_spark.operators.dedup import tokens
+
+    n_docs = df.count()
+    tok = df.select(F.col(id_col).alias("_doc"),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.countDistinct("_doc").alias("doc_freq"))
+        .withColumn("idf", F.round(
+            F.log((F.lit(float(n_docs)) + 1.0) / (F.col("doc_freq") + 1.0))
+            + 1.0, 6))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(top_k)
+    )

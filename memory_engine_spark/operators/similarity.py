@@ -235,3 +235,107 @@ def neardup_pairs(embeddings: DataFrame, threshold: float,
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch kNN self-join (every vector gets its top-k neighbors)
+# ---------------------------------------------------------------------------
+
+def knn_join(assigned: DataFrame, centroids: DataFrame, k: int = 5,
+             nprobe: int = 2, id_col: str = "node_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN kNN JOIN: top-k cosine neighbors for EVERY vector, blocked by
+    the IVF coarse index (the batch version of ``topk_ivf`` — what a
+    training pipeline runs for corpus-wide semantic dedup / kNN graphs,
+    vs. the reference's one-query-at-a-time top-k,
+    embedding_manager.py:308-329).
+
+    Each query probes its ``nprobe`` nearest cells (ranked with the same
+    scoring as the assignment, so probe 1 IS the home cell), joins
+    candidates per cell, exact-scores, and keeps the top k per query.
+    Fully relational — the probe list is a window rank, NOT a driver
+    collect, so no per-query round trips.
+
+    Scale: centroids broadcast (nlist rows); the candidate join is a
+    hash join on cell with ~N·nprobe/nlist candidates per query —
+    N·nprobe·(N/nlist) scored rows total instead of N². Deterministic
+    given the deterministic first-k-seed index (build_ivf_flat), so the
+    whole operator is oracle-checkable. Returns
+    (qid, nid, nn_rank, score) with exact cosine scores.
+    """
+    qs = assigned.select(F.col(id_col).alias("qid"),
+                         F.col(vec_col).cast("array<double>").alias("qv"))
+    cell_scores = qs.join(F.broadcast(centroids)).select(
+        "qid", "qv", "cell",
+        F.struct(cosine_similarity(F.col("qv"), F.col("centroid")).alias("s"),
+                 (-F.col("cell")).alias("negcell")).alias("sc"))
+    wq = Window.partitionBy("qid").orderBy(F.col("sc").desc())
+    probes = (cell_scores.withColumn("_rk", F.row_number().over(wq))
+              .filter(F.col("_rk") <= nprobe).select("qid", "qv", "cell"))
+    cands = assigned.select(F.col(id_col).alias("nid"),
+                            F.col(vec_col).cast("array<double>").alias("nv"),
+                            "cell")
+    scored = (probes.join(cands, "cell")
+              .filter(F.col("nid") != F.col("qid"))
+              .select("qid", "nid",
+                      cosine_similarity(F.col("qv"), F.col("nv")).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("nn_rank", F.row_number().over(w))
+            .filter(F.col("nn_rank") <= k)
+            .select("qid", "nid", "nn_rank", "score"))
+
+
+def knn_join_brute(embeddings: DataFrame, k: int = 5,
+                   id_col: str = "node_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """EXACT kNN join — the N² baseline (broadcast nested loop + window
+    rank). Correctness yardstick for ``knn_join`` recall in tests; only
+    for small n or recall audits on a sample at scale."""
+    base = embeddings.select(F.col(id_col).alias("_id"),
+                             F.col(vec_col).cast("array<double>").alias("_v"))
+    l = base.select(F.col("_id").alias("qid"), F.col("_v").alias("qv"))
+    r = base.select(F.col("_id").alias("nid"), F.col("_v").alias("nv"))
+    scored = (l.crossJoin(r).filter(F.col("nid") != F.col("qid"))
+              .select("qid", "nid",
+                      cosine_similarity(F.col("qv"), F.col("nv")).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
+                                          F.col("nid").asc())
+    return (scored.withColumn("nn_rank", F.row_number().over(w))
+            .filter(F.col("nn_rank") <= k)
+            .select("qid", "nid", "nn_rank", "score"))
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+def quantize_int8(embeddings: DataFrame, id_col: str = "node_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale) ∈ [-127, 127] — 4× smaller vectors for
+    ANN candidate generation at 100 TB (exact re-score on the float
+    vectors only for the surviving top candidates). Pure Column
+    expressions (transform/aggregate), fully deterministic.
+
+    Returns (id, qvec array<int>, scale, dequant_cos) where dequant_cos
+    is the cosine between the dequantized and original vector — the
+    per-row quantization-quality audit (≈1 − O(1/127²) for non-tiny
+    vectors). All-zero vectors get scale 0 and qvec of zeros."""
+    from memory_engine_spark.functions.vector import EPS, cosine_similarity
+
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    qvec = F.when(amax < EPS, F.transform(v, lambda x: F.lit(0))) \
+        .otherwise(F.transform(v, lambda x: F.round(x / scale, 0).cast("int")))
+    staged = embeddings.select(
+        F.col(id_col), v.alias("_v"), qvec.alias("qvec"),
+        scale.alias("scale"))
+    deq = F.transform(F.col("qvec"),
+                      lambda q: q.cast("double") * F.col("scale"))
+    return (staged
+            .withColumn("dequant_cos",
+                        cosine_similarity(deq, F.col("_v")))
+            .drop("_v"))

@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memory_engine_spark.operators import corpus
+
+
+def _docs(spark, n=400, sources=("a", "b", "c", "d")):
+    rows = [(i, sources[i % len(sources)], f"text {i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    df = _docs(spark)
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    kept = corpus.stratified_sample(df, "source", rates, "doc_id",
+                                    default_rate=0.2)
+    rows = kept.collect()
+    again = set(r["doc_id"] for r in
+                corpus.stratified_sample(df.repartition(7), "source", rates,
+                                         "doc_id", default_rate=0.2).collect())
+    assert set(r["doc_id"] for r in rows) == again  # partition-independent
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["a"]) == 100          # rate 1.0 keeps all
+
+    assert 30 <= len(by_src["b"]) <= 70     # ~50 of 100
+    assert "c" not in by_src                # rate 0 drops all
+    assert 5 <= len(by_src["d"]) <= 40      # default 0.2 of 100
+    with pytest.raises(ValueError, match="rate"):
+        corpus.stratified_sample(df, "source", {"a": 1.5}, "doc_id")
+
+
+def test_mix_corpus_hits_target_proportions(spark):
+    # 300 a / 100 b, target 50/50 -> b limiting: keep all b, ~100 of a
+    rows = [(i, "a" if i < 300 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = corpus.mix_corpus(df, "source", {"a": 0.5, "b": 0.5}, "doc_id")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["b"] == 100
+    assert 75 <= counts["a"] <= 125
+    with pytest.raises(ValueError, match="no rows"):
+        corpus.mix_corpus(df, "source", {"a": 0.5, "zzz": 0.5}, "doc_id")
+
+
+def test_pack_sequences_layout_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 40 + 1)) for i in range(200)],
+        "doc_id int, text string")
+    from memory_engine_spark.operators.dedup import tokens
+    out = corpus.pack_sequences(df, F.size(tokens(F.col("text"))), budget=64,
+                                id_col="doc_id", n_shards=4).collect()
+    assert len(out) == 200
+    rows = sorted(out, key=lambda r: r["start_offset"])
+    # concat layout: offsets are contiguous, no gaps or overlaps
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
+    total = pos
+    for r in rows:
+        assert r["seq_id"] == r["start_offset"] // 64
+        assert r["offset_in_seq"] == r["start_offset"] % 64
+        last = r["start_offset"] + r["n_tokens"] - 1
+        assert r["n_seqs"] == last // 64 - r["seq_id"] + 1
+    # shards ordered: every shard-s doc comes before any shard-(s+1) doc
+    shard_of = [r["shard"] for r in rows]
+    assert shard_of == sorted(shard_of)
+    # deterministic under repartitioning
+    again = corpus.pack_sequences(df.repartition(5),
+                                  F.size(tokens(F.col("text"))), budget=64,
+                                  id_col="doc_id", n_shards=4).collect()
+    assert {(r["doc_id"], r["start_offset"]) for r in again} == \
+           {(r["doc_id"], r["start_offset"]) for r in out}
+    assert total == sum(r["n_tokens"] for r in rows)
+
+
+def test_vocabulary_counts_and_idf(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+        "doc_id int, text string")
+    rows = {r["term"]: r for r in
+            corpus.vocabulary(df, "text", "doc_id", top_k=10).collect()}
+    assert rows["banana"]["tf"] == 3 and rows["banana"]["doc_freq"] == 3
+    assert rows["apple"]["tf"] == 2 and rows["apple"]["doc_freq"] == 1
+    assert rows["cherry"]["tf"] == 1
+    assert rows["apple"]["idf"] == round(math.log(4 / 2) + 1.0, 6)
+
+
+def test_quantize_int8_roundtrip_quality(spark):
+    import random
+
+    from memory_engine_spark.operators.similarity import quantize_int8
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(50)]
+        + [(999, [0.0] * 16)],
+        "vec_id int, embedding array<double>")
+    rows = {r["vec_id"]: r for r in
+            quantize_int8(emb, id_col="vec_id").collect()}
+    assert len(rows) == 51
+    for vid, r in rows.items():
+        if vid == 999:
+            assert r["scale"] == 0.0 and all(q == 0 for q in r["qvec"])
+            continue
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        assert max(abs(q) for q in r["qvec"]) == 127  # max element hits full range
+        assert r["dequant_cos"] > 0.999

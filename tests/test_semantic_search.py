@@ -33,3 +33,36 @@ def test_semantic_search_finds_same_text(spark):
     out2 = eng.semantic_search("spark data shuffle", k=2,
                                similarity_threshold=0.1)
     assert {r["node_id"] for r in out2.collect()} == {"n1", "n3"}
+
+
+def test_knn_join_recall_vs_brute(spark):
+    import random
+
+    from memory_engine_spark.operators.similarity import (build_ivf_flat,
+                                                          knn_join,
+                                                          knn_join_brute)
+    rng = random.Random(7)
+    # 3 loose clusters in 8-dim space so IVF cells are meaningful
+    rows = []
+    for i in range(120):
+        center = [0.0] * 8
+        center[i % 3] = 4.0
+        rows.append((i, [c + rng.gauss(0, 0.8) for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents, assigned = build_ivf_flat(emb, nlist=6, id_col="vec_id")
+    ann = knn_join(assigned, cents, k=3, nprobe=3, id_col="vec_id")
+    exact = knn_join_brute(emb, k=3, id_col="vec_id")
+
+    assert ann.count() == 120 * 3  # every vector got k neighbors
+    a = {(r["qid"], r["nid"]) for r in ann.collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.7, f"recall {recall:.2f}"
+    # ranks are 1..k per query, scores non-increasing within a query
+    per_q = {}
+    for r in ann.collect():
+        per_q.setdefault(r["qid"], []).append((r["nn_rank"], r["score"]))
+    for q, pairs in per_q.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 3]
+        assert pairs[0][1] >= pairs[1][1] >= pairs[2][1]
