@@ -284,3 +284,50 @@ def test_embed_column_null_and_empty_text(spark):
     by_id = {r["id"]: r["embedding"] for r in out}
     assert by_id[3] is None                   # null stays null
     assert by_id[2] is not None and by_id[2] == by_id[4]
+
+
+def test_formats_roundtrip_and_sniff(spark, tmp_path):
+    from memory_engine_spark.sources import formats
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.25)],
+        "id int, name string, score double")
+
+    for fmt, ext in [("parquet", "parquet"), ("orc", "orc"),
+                     ("json", "jsonl"), ("csv", "csv")]:
+        path = str(tmp_path / f"t.{ext}")
+        formats.write_any(df, path, fmt)
+        assert formats.sniff_format(path) == fmt
+        back = formats.read_any(spark, path)
+        got = sorted([(r["id"], r["name"], r["score"])
+                      for r in back.collect()])
+        assert got == [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.25)]
+
+    # explicit schema wins over csv inference
+    path = str(tmp_path / "t2.csv")
+    formats.write_any(df, path, "csv")
+    back = formats.read_any(spark, path, schema="id long, name string, score string")
+    assert dict(back.dtypes)["score"] == "string"
+
+    # part-file directory sniffing (no extension on the dir)
+    bare = str(tmp_path / "bare")
+    df.write.mode("overwrite").parquet(bare)
+    assert formats.sniff_format(bare) == "parquet"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sniff"):
+        formats.sniff_format(str(tmp_path / "unknown.xyz"))
+
+
+def test_formats_compact_reduces_files(spark, tmp_path):
+    from memory_engine_spark.sources import formats
+
+    path = str(tmp_path / "many.parquet")
+    spark.range(1000).repartition(16).write.mode("overwrite").parquet(path)
+    import os
+    n_before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert n_before >= 8
+    formats.compact(spark, path, target_files=2)
+    n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert n_after <= 2
+    assert formats.read_any(spark, path).count() == 1000
