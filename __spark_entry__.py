@@ -998,6 +998,33 @@ def q71_quantize_int8(spark, sf):
         F.round("dequant_cos", 6).alias("dequant_cos"))
 
 
+def q72_chunk_tokens(spark, sf):
+    """Document → fixed-token-window chunks with overlap (chunk 64,
+    overlap 8): the context-window-bounded explosion feeding
+    training/RAG pipelines. Row-local flatMap — no shuffle; per-chunk
+    md5 keeps the checked output narrow."""
+    t = _t(spark, sf)
+    return (text.chunk_tokens(t["documents"], "text", "doc_id",
+                              chunk_size=64, overlap=8)
+            .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens",
+                    F.md5("chunk_text").alias("chunk_md5")))
+
+
+def q73_pq_topk(spark, sf):
+    """Product-quantization ANN (FAISS-style ADC): 64-dim vectors →
+    8 subspaces × 16 deterministic first-k-seeded centroids; encoded
+    corpus is 8 bytes/vector; query scoring is a broadcast LUT join +
+    decimal sum — no per-candidate vector arithmetic. Fully
+    oracle-checkable."""
+    emb = _t(spark, sf)["embeddings"]
+    books = similarity.pq_codebooks(emb, dim=64, m=8, ksub=16,
+                                    id_col="vec_id")
+    codes = similarity.pq_encode(emb, books, dim=64, m=8, id_col="vec_id")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return (similarity.pq_topk(codes, books, qv, k=10, m=8, id_col="vec_id")
+            .select("vec_id", F.round("approx_dist", 6).alias("approx_dist")))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1130,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_pack_sequences": q69_pack_sequences,
         "q70_vocabulary": q70_vocabulary,
         "q71_quantize_int8": q71_quantize_int8,
+        "q72_chunk_tokens": q72_chunk_tokens,
+        "q73_pq_topk": q73_pq_topk,
     }
 
 
@@ -2508,5 +2537,81 @@ def oracle_sql() -> dict[str, str]:
                ROUND(list_cosine_similarity(
                    list_transform(qvec, x -> x * scale), v), 6) AS dequant_cos
         FROM qq
+    """
+
+    sql["q72_chunk_tokens"] = f"""
+        WITH {TOKS_CTE},
+        base AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   GREATEST(1, CAST(ceil((len(toks) - 8) / 56.0) AS INT))
+                       AS n_chunks
+            FROM toks_t
+        ),
+        exploded AS (
+            SELECT doc_id, toks, n,
+                   unnest(range(0, n_chunks)) AS chunk_idx
+            FROM base
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_idx * 56 AS BIGINT) AS start_tok,
+               CAST(len(toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64])
+                    AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(
+                   toks[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' '))
+                   AS chunk_md5
+        FROM exploded
+    """
+
+    sql["q73_pq_topk"] = """
+        WITH seeds AS (
+            SELECT embedding::DOUBLE[] AS v,
+                   ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+        ),
+        sub AS (SELECT CAST(j AS INT) AS subspace FROM range(0, 8) r(j)),
+        books AS (
+            SELECT subspace, code,
+                   list_slice(v, subspace * 8 + 1, subspace * 8 + 8)
+                       AS centroid
+            FROM seeds, sub
+        ),
+        vecs AS (
+            SELECT e.vec_id, s.subspace,
+                   list_slice(e.embedding::DOUBLE[],
+                              s.subspace * 8 + 1, s.subspace * 8 + 8) AS sv
+            FROM embeddings e, sub s
+        ),
+        dists AS (
+            SELECT v.vec_id, v.subspace, b.code,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (v.sv[i::INT] - b.centroid[i::INT])
+                            * (v.sv[i::INT] - b.centroid[i::INT]))) AS d
+            FROM vecs v JOIN books b USING (subspace)
+        ),
+        ranked AS (
+            SELECT vec_id, subspace, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY d ASC, code ASC) AS rk
+            FROM dists
+        ),
+        codes AS (SELECT vec_id, subspace, code FROM ranked WHERE rk = 1),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        lut AS (
+            SELECT b.subspace, b.code,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (qv[(b.subspace * 8 + i)::INT]
+                             - b.centroid[i::INT])
+                            * (qv[(b.subspace * 8 + i)::INT]
+                               - b.centroid[i::INT]))) AS d
+            FROM books b, q
+        )
+        SELECT c.vec_id,
+               ROUND(CAST(SUM(CAST(l.d AS DECIMAL(28,12))) AS DOUBLE), 6)
+                   AS approx_dist
+        FROM codes c JOIN lut l USING (subspace, code)
+        GROUP BY c.vec_id
+        ORDER BY SUM(CAST(l.d AS DECIMAL(28,12))) ASC, c.vec_id ASC
+        LIMIT 10
     """
     return sql

@@ -339,3 +339,103 @@ def quantize_int8(embeddings: DataFrame, id_col: str = "node_id",
             .withColumn("dequant_cos",
                         cosine_similarity(deq, F.col("_v")))
             .drop("_v"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-style ADC, relational formulation
+# ---------------------------------------------------------------------------
+
+def _sq_l2(a, b):
+    """Squared L2 between two array<double> columns — plain
+    multiply-sum (no sqrt) so partial sums compose across subspaces."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8,
+                 ksub: int = 16, id_col: str = "node_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic PQ codebooks: the vector space is split into ``m``
+    contiguous subspaces of dim/m; each subspace's ``ksub`` centroids
+    are the sub-vectors of the ksub LOWEST-ID vectors (first-k seeding,
+    the same reproducibility trade as build_ivf_flat — recall depends
+    on seeding, correctness of the ADC arithmetic does not, and the
+    whole operator stays oracle-checkable cross-engine).
+
+    Returns (subspace, code, centroid array<double>) — m·ksub tiny rows,
+    always broadcastable."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (embeddings.orderBy(F.col(id_col).asc()).limit(ksub)
+             .select(F.col(id_col).alias("_sid"),
+                     F.col(vec_col).cast("array<double>").alias("_v")))
+    ranked = seeds.select(
+        F.col("_v"),
+        (F.row_number().over(Window.orderBy(F.col("_sid").asc())) - 1)
+        .alias("code"))
+    sub = ranked.select(
+        "code",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice("_v", j * dsub + 1, dsub).alias("centroid"))
+            for j in range(m)])).alias("s")
+    ).select(F.col("s.subspace").alias("subspace"), "code",
+             F.col("s.centroid").alias("centroid"))
+    return sub.localCheckpoint()
+
+
+def pq_encode(embeddings: DataFrame, codebooks: DataFrame, dim: int,
+              m: int = 8, id_col: str = "node_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as ``m`` uint8 codes: per subspace, the
+    argmin-squared-L2 centroid (tie → smallest code). One broadcast
+    join against the m·ksub codebook + a min_by aggregate — the big
+    side never shuffles wider than (id, subspace) partial rows.
+    Returns (id, subspace, code)."""
+    dsub = dim // m
+    sub_vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(F.col(vec_col).cast("array<double>"),
+                             j * dsub + 1, dsub).alias("sv"))
+            for j in range(m)])).alias("s")
+    ).select("_id", F.col("s.subspace").alias("subspace"),
+             F.col("s.sv").alias("sv"))
+    scored = sub_vecs.join(F.broadcast(codebooks), "subspace").select(
+        "_id", "subspace", "code",
+        F.struct(_sq_l2(F.col("sv"), F.col("centroid")).alias("d"),
+                 F.col("code").alias("c")).alias("dc"))
+    return (scored.groupBy("_id", "subspace")
+            .agg(F.min_by("code", "dc").alias("code"))
+            .select(F.col("_id").alias(id_col), "subspace", "code"))
+
+
+def pq_topk(codes: DataFrame, codebooks: DataFrame, query_vec: list[float],
+            k: int = 10, m: int = 8,
+            id_col: str = "node_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query builds an m×ksub
+    lookup table of exact sub-distances to every centroid (tiny,
+    broadcast); each encoded vector's approximate distance is the SUM
+    of its m looked-up entries — one broadcast join + one groupBy, no
+    vector arithmetic per candidate at all. Returns (id, approx_dist)
+    ascending (squared L2)."""
+    if len(query_vec) % m != 0:
+        raise ValueError(f"query dim {len(query_vec)} not divisible by m {m}")
+    dsub = len(query_vec) // m
+    # LUT from the literal query sliced per subspace — no driver math.
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    lut = codebooks.select(
+        "subspace", "code",
+        _sq_l2(F.col("centroid"),
+               F.slice(q, F.col("subspace") * dsub + 1, dsub)).alias("d"))
+    # Decimal accumulation: double addition is order-sensitive and the
+    # m partial sums arrive in shuffle order — DECIMAL is exact, so the
+    # result is bit-stable across engines/partitionings.
+    return (codes.join(F.broadcast(lut), ["subspace", "code"])
+            .groupBy(F.col(id_col))
+            .agg(F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
+                 .alias("approx_dist"))
+            .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+            .limit(k))

@@ -361,3 +361,39 @@ def hash_split(df: DataFrame, id_col: str,
         cond = bucket < int(round(acc * 10000))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def chunk_tokens(df: DataFrame, text_col: str, id_col: str,
+                 chunk_size: int = 128, overlap: int = 16) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the document→chunk
+    explosion feeding context-window-bounded training/RAG pipelines
+    (the reference ingests whole documents only; bulk_processor.py).
+
+    Chunks start every ``chunk_size - overlap`` tokens; the last chunk
+    may be short; a doc shorter than one chunk yields exactly one chunk.
+    Returns (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text) —
+    all Column expressions (sequence + explode + slice), row-local, no
+    shuffle: at 100 TB this is a pure scan-side flatMap whose output
+    feeds .repartition or a partitioned write."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                  F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+            F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1,
+                    chunk_size).alias("_chunk"))
+        .select(
+            F.col(id_col), F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "start_tok",
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"))
+    )

@@ -264,3 +264,30 @@ def test_neardup_clusters_canonical_selection(spark):
                   canonical_corpus(docs, pairs, "doc_id",
                                    F.length("text")).collect())
     assert kept == [2, 4, 5]
+
+
+def test_chunk_tokens_windows(spark):
+    from memory_engine_spark.operators.text import chunk_tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(130))),  # 130 tokens
+         (2, "short text"),                            # 2 tokens
+         (3, "")],                                     # empty
+        "doc_id int, text string")
+    rows = sorted(chunk_tokens(df, "text", "doc_id", chunk_size=64,
+                               overlap=8).collect(),
+                  key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 130 tokens, stride 56: chunks at 0, 56, 112 -> 3 chunks
+    assert [r["start_tok"] for r in by_doc[1]] == [0, 56, 112]
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [64, 64, 18]
+    # overlap: chunk1 starts at token 56, chunk0 covered 0..63
+    assert by_doc[1][1]["chunk_text"].split()[0] == "t56"
+    assert by_doc[1][0]["chunk_text"].split()[-1] == "t63"
+    # short and empty docs: exactly one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(df, "text", "doc_id", chunk_size=8, overlap=8)

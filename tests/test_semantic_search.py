@@ -66,3 +66,32 @@ def test_knn_join_recall_vs_brute(spark):
         pairs.sort()
         assert [p[0] for p in pairs] == [1, 2, 3]
         assert pairs[0][1] >= pairs[1][1] >= pairs[2][1]
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    import random
+
+    from memory_engine_spark.operators.similarity import (pq_codebooks,
+                                                          pq_encode, pq_topk)
+    rng = random.Random(11)
+    dim, n = 16, 200
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_codebooks(emb, dim=dim, m=4, ksub=32, id_col="vec_id")
+    assert books.count() == 4 * 32
+    codes = pq_encode(emb, books, dim=dim, m=4, id_col="vec_id")
+    assert codes.count() == n * 4  # every vector got a code per subspace
+
+    qv = rows[0][1]
+    approx = [r["vec_id"] for r in
+              pq_topk(codes, books, qv, k=20, m=4, id_col="vec_id").collect()]
+    # exact L2 top-20
+    exact = sorted(rows, key=lambda r: sum((a - b) ** 2
+                                           for a, b in zip(r[1], qv)))[:20]
+    exact_ids = [r[0] for r in exact]
+    recall = len(set(approx) & set(exact_ids)) / 20
+    assert recall >= 0.5, f"PQ recall {recall:.2f}"
+    assert approx[0] == 0  # the query itself (distance ~0) ranks first
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, dim=dim, m=5, id_col="vec_id")
