@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "q31_gaps",               # lag-window anomaly
     "q35_components",         # iterative connected components
     "q36_ivf_knn",            # ANN coarse-quantized top-k
+    # round-2 corpus-pipeline wave
+    "q66_dedup_clusters",     # pairs -> components -> canonical docs
+    "q67_knn_join",           # batch ANN kNN join (IVF-blocked)
+    "q69_pack_sequences",     # two-phase prefix-sum packing
+    "q73_pq_topk",            # product-quantization ADC top-k
 ]
 
 

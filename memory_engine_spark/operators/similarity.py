@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from memory_engine_spark.functions.vector import cosine_similarity
+from memory_engine_spark.functions.vector import (cosine_similarity, dot,
+                                                  normalize)
 
 
 def topk_brute(embeddings: DataFrame, query_vec: list[float], k: int = 50,
@@ -262,23 +263,43 @@ def knn_join(assigned: DataFrame, centroids: DataFrame, k: int = 5,
     given the deterministic first-k-seed index (build_ivf_flat), so the
     whole operator is oracle-checkable. Returns
     (qid, nid, nn_rank, score) with exact cosine scores.
+
+    Pair scoring is a single dot product of pre-unit-normalized
+    vectors: each side is normalized ONCE (N + N·nprobe rows, before
+    the candidate join fans out), so the O(N²·nprobe/nlist) hot loop
+    runs one array-aggregate per pair instead of three (dot + 2
+    norms). Zero vectors normalize to themselves, so their dot is the
+    same 0.0 the ε-guard produces. Probe selection keeps the raw
+    cosine (nlist rows per query, cheap) so near-tie cell ranking is
+    bit-identical to the assignment pass.
     """
-    qs = assigned.select(F.col(id_col).alias("qid"),
-                         F.col(vec_col).cast("array<double>").alias("qv"))
+    # Explicit repartitions by the window key do double duty here: they
+    # parallelize the CPU-heavy projections that run on the STREAMED
+    # side of the broadcast joins (a small parquet scan is otherwise a
+    # single task), and — unlike ENSURE_REQUIREMENTS exchanges — AQE
+    # never coalesces them, so the per-qid windows also stay parallel
+    # (the shuffled bytes are tiny; the per-row CPU is not).
+    n_tasks = assigned.sparkSession.sparkContext.defaultParallelism
+    qs = (assigned.select(F.col(id_col).alias("qid"),
+                          F.col(vec_col).cast("array<double>").alias("qv"))
+          .repartition(n_tasks, F.col("qid")))
     cell_scores = qs.join(F.broadcast(centroids)).select(
         "qid", "qv", "cell",
         F.struct(cosine_similarity(F.col("qv"), F.col("centroid")).alias("s"),
                  (-F.col("cell")).alias("negcell")).alias("sc"))
     wq = Window.partitionBy("qid").orderBy(F.col("sc").desc())
     probes = (cell_scores.withColumn("_rk", F.row_number().over(wq))
-              .filter(F.col("_rk") <= nprobe).select("qid", "qv", "cell"))
-    cands = assigned.select(F.col(id_col).alias("nid"),
-                            F.col(vec_col).cast("array<double>").alias("nv"),
-                            "cell")
+              .filter(F.col("_rk") <= nprobe)
+              .select("qid", normalize(F.col("qv")).alias("qu"), "cell"))
+    cands = (assigned.select(F.col(id_col).alias("nid"),
+                             normalize(F.col(vec_col)).alias("nu"),
+                             "cell")
+             .repartition(n_tasks, F.col("nid")))
     scored = (probes.join(cands, "cell")
               .filter(F.col("nid") != F.col("qid"))
               .select("qid", "nid",
-                      cosine_similarity(F.col("qv"), F.col("nv")).alias("score")))
+                      dot(F.col("qu"), F.col("nu")).alias("score"))
+              .repartition(n_tasks, F.col("qid")))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(),
                                           F.col("nid").asc())
     return (scored.withColumn("nn_rank", F.row_number().over(w))
