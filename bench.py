@@ -134,7 +134,14 @@ def main() -> None:
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    import gc
     for name in BENCH_QUERIES:
+        # Drop Python refs to the previous query's localCheckpoint
+        # blocks so Spark's ContextCleaner can evict them; otherwise
+        # 23 queries x 3 runs of checkpoint-heavy ops (BFS, components)
+        # pin enough executor heap that later queries pay GC tax the
+        # isolated runs never see. Named caches stay referenced.
+        gc.collect()
         per_run = []
         for run in range(n_runs):
             t0 = time.time()
