@@ -1025,6 +1025,23 @@ def q73_pq_topk(spark, sf):
             .select("vec_id", F.round("approx_dist", 6).alias("approx_dist")))
 
 
+def q74_pagerank(spark, sf):
+    """Structural importance via fixed-iteration PageRank (5 power
+    iterations, d=0.85, undirected view of the derived edge graph) —
+    the eigenvector upgrade of q10's degree-hub ranking. Ranks are
+    reported normalized (rank × N, uniform = 1.0) and the top-30 order
+    uses the ROUNDED rank so mathematical ties (structurally twin
+    nodes) break by node_id identically on any engine."""
+    edges = _edges(spark, sf)
+    ranks = graph.pagerank(edges, damping=0.85, n_iter=5, directed=False)
+    n = ranks.count()
+    return (ranks.select("node_id",
+                         F.round(F.col("rank") * F.lit(float(n)), 6)
+                         .alias("rank_norm"))
+            .orderBy(F.col("rank_norm").desc(), F.col("node_id").asc())
+            .limit(30))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1159,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_quantize_int8": q71_quantize_int8,
         "q72_chunk_tokens": q72_chunk_tokens,
         "q73_pq_topk": q73_pq_topk,
+        "q74_pagerank": q74_pagerank,
     }
 
 
@@ -2613,5 +2631,45 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c.vec_id
         ORDER BY SUM(CAST(l.d AS DECIMAL(28,12))) ASC, c.vec_id ASC
         LIMIT 10
+    """
+
+    # q74: 5 unrolled power iterations (recursive CTEs can't carry the
+    # aggregate-per-step shape portably; the unroll is generated, not
+    # hand-copied). Rank sums are plain doubles on both engines; the
+    # output rounds AND orders by the rounded value so last-ulp drift
+    # between engines can't flip the top-30 ordering.
+    pr_iters = []
+    for i in range(1, 6):
+        pr_iters.append(f"""
+        r{i} AS (
+            SELECT n.node_id,
+                   (SELECT (1.0 - 0.85) / n FROM nn)
+                   + 0.85 * COALESCE(SUM(r.rank * w.w), 0) AS rank
+            FROM pr_nodes n
+            LEFT JOIN w ON w.to_id = n.node_id
+            LEFT JOIN r{i - 1} r ON r.node_id = w.from_id
+            GROUP BY n.node_id
+        )""")
+    sql["q74_pagerank"] = f"""
+        WITH {EDGES_CTE},
+        pr_nodes AS (
+            SELECT DISTINCT node_id FROM (
+                SELECT from_id AS node_id FROM edges_sym
+                UNION ALL SELECT to_id FROM edges_sym)
+        ),
+        nn AS (SELECT COUNT(*)::DOUBLE AS n FROM pr_nodes),
+        w AS (
+            SELECT from_id, to_id,
+                   1.0 / COUNT(*) OVER (PARTITION BY from_id) AS w
+            FROM edges_sym
+        ),
+        r0 AS (
+            SELECT node_id, (SELECT 1.0 / n FROM nn) AS rank FROM pr_nodes
+        ),{','.join(pr_iters)}
+        SELECT node_id,
+               ROUND(rank * (SELECT n FROM nn), 6) AS rank_norm
+        FROM r5
+        ORDER BY ROUND(rank * (SELECT n FROM nn), 6) DESC, node_id ASC
+        LIMIT 30
     """
     return sql

@@ -255,6 +255,67 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
+             directed: bool = False) -> DataFrame:
+    """Fixed-iteration PageRank over the edge table; returns
+    (node_id, rank) after ``n_iter`` power iterations with uniform
+    1/N start and teleport (1-d)/N.
+
+    The reference ranks nodes only by degree (hub detection,
+    insight_discovery.py:1499-1577); PageRank is the eigenvector
+    upgrade of that same structural-importance question, expressed as
+    the classic iterative-dataflow formulation (GraphX staticPageRank
+    semantics: fixed iterations, NO dangling-mass redistribution —
+    with the default undirected view every node has out-edges, so
+    nothing leaks anyway and no per-iteration scalar action is
+    needed).
+
+    Scale design: the out-degree-weighted edge list is built once,
+    hash-partitioned on from_id, and persisted — per iteration ONLY
+    the rank vector (|V| rows) shuffles to meet it, then one groupBy
+    shuffle re-keys contributions to to_id; the |E|-row table never
+    moves again. localCheckpoint per iteration keeps the plan O(1)
+    deep. Driver-side state is two scalars (N, iteration counter).
+    """
+    spark = edges.sparkSession
+    base = edges.select("from_id", "to_id")
+    if not directed:
+        base = symmetrize(base)
+    n_parts = spark.sparkContext.defaultParallelism
+    nodes = (base.select(F.col("from_id").alias("node_id"))
+             .unionByName(base.select(F.col("to_id").alias("node_id")))
+             .distinct()
+             .repartition(n_parts, F.col("node_id"))
+             .persist())
+    n = nodes.count()
+    outdeg = base.groupBy("from_id").agg(F.count(F.lit(1)).alias("_od"))
+    weighted = (base.join(outdeg, "from_id")
+                .select("from_id", "to_id",
+                        (F.lit(1.0) / F.col("_od")).alias("w"))
+                .repartition(n_parts, F.col("from_id"))
+                .persist())
+    weighted.count()
+    try:
+        teleport = (1.0 - damping) / n
+        ranks = (nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
+                 .localCheckpoint())
+        for _ in range(n_iter):
+            contrib = (weighted
+                       .join(ranks, weighted.from_id == ranks.node_id)
+                       .select("to_id", (F.col("rank") * F.col("w")).alias("c"))
+                       .groupBy("to_id").agg(F.sum("c").alias("s")))
+            ranks = (nodes
+                     .join(contrib, nodes.node_id == contrib.to_id, "left")
+                     .select(nodes.node_id,
+                             (F.lit(teleport) + F.lit(damping)
+                              * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
+                     .localCheckpoint())
+        return ranks
+    finally:
+        weighted.unpersist()
+        nodes.unpersist()
+
+
 def induced_subgraph(edges: DataFrame, node_ids: DataFrame) -> DataFrame:
     """Edges whose BOTH endpoints are in node_ids
     (enhanced_mcp_endpoint.py:234-263) — two semi-joins."""

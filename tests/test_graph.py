@@ -99,3 +99,28 @@ def test_merge_nodes(spark, edges):
     pairs = {(r["from_id"], r["to_id"]) for r in new_edges.collect()}
     assert ("a", "c") in pairs          # b->c rewritten
     assert ("a", "b") not in pairs      # a->b became self-loop, dropped
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # A 3-cycle is rank-symmetric: every node keeps exactly 1/3.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "from_id string, to_id string")
+    ranks = {r["node_id"]: r["rank"]
+             for r in graph.pagerank(edges, n_iter=4).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-12
+    # mass conserved (undirected view has no dangling nodes)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # Star graph: the hub must out-rank every leaf, leaves tie.
+    edges = spark.createDataFrame(
+        [("h", x) for x in "abcd"], "from_id string, to_id string")
+    ranks = {r["node_id"]: r["rank"]
+             for r in graph.pagerank(edges, n_iter=5).collect()}
+    hub, leaves = ranks.pop("h"), list(ranks.values())
+    assert all(hub > lv for lv in leaves)
+    assert max(leaves) - min(leaves) < 1e-12
+    assert abs(hub + sum(leaves) - 1.0) < 1e-9
