@@ -1042,6 +1042,25 @@ def q74_pagerank(spark, sf):
             .limit(30))
 
 
+def q75_ivfpq_topk(spark, sf):
+    """IVF-PQ with exact re-rank (FAISS IVFADC): coarse cells prune to
+    ~N·nprobe/nlist candidates, the 8-byte PQ codes ADC-score the
+    survivors from a broadcast LUT, and only the top-50 approximate
+    candidates touch their full float vectors. The composition of
+    q36's coarse index and q73's codebooks — at 100 TB this is the ANN
+    path where neither the vectors nor the candidates ever fully
+    shuffle. Offline, codes/assignment live partitioned by cell (the
+    .derived pattern); here they rebuild in-query at toy scale."""
+    emb = _t(spark, sf)["embeddings"]
+    cents, assigned = _ivf(spark, sf, nlist=16)
+    books = similarity.pq_codebooks(emb, dim=64, m=8, ksub=16,
+                                    id_col="vec_id")
+    codes = similarity.pq_encode(emb, books, dim=64, m=8, id_col="vec_id")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return similarity.ivfpq_topk(assigned, cents, codes, books, qv, k=10,
+                                 nprobe=4, m=8, rerank=50, id_col="vec_id")
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1177,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_chunk_tokens": q72_chunk_tokens,
         "q73_pq_topk": q73_pq_topk,
         "q74_pagerank": q74_pagerank,
+        "q75_ivfpq_topk": q75_ivfpq_topk,
     }
 
 
@@ -2671,5 +2691,88 @@ def oracle_sql() -> dict[str, str]:
         FROM r5
         ORDER BY ROUND(rank * (SELECT n FROM nn), 6) DESC, node_id ASC
         LIMIT 30
+    """
+
+    sql["q75_ivfpq_topk"] = """
+        WITH ivf_seeds AS (
+            SELECT vec_id AS cell, embedding::DOUBLE[] AS centroid
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 0),
+        assign AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       s.centroid) DESC,
+                                s.cell ASC) AS rk
+            FROM embeddings e, ivf_seeds s
+        ),
+        cells AS (SELECT vec_id, v, cell FROM assign WHERE rk = 1),
+        probe AS (
+            SELECT s.cell FROM ivf_seeds s, q
+            ORDER BY list_cosine_similarity(s.centroid, q.qv) DESC, s.cell ASC
+            LIMIT 4
+        ),
+        cand AS (SELECT c.vec_id FROM cells c JOIN probe p ON c.cell = p.cell),
+        pq_seeds AS (
+            SELECT embedding::DOUBLE[] AS v,
+                   ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+        ),
+        sub AS (SELECT CAST(j AS INT) AS subspace FROM range(0, 8) r(j)),
+        books AS (
+            SELECT subspace, code,
+                   list_slice(v, subspace * 8 + 1, subspace * 8 + 8)
+                       AS centroid
+            FROM pq_seeds, sub
+        ),
+        vecs AS (
+            SELECT e.vec_id, s.subspace,
+                   list_slice(e.embedding::DOUBLE[],
+                              s.subspace * 8 + 1, s.subspace * 8 + 8) AS sv
+            FROM embeddings e, sub s
+        ),
+        dists AS (
+            SELECT v.vec_id, v.subspace, b.code,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (v.sv[i::INT] - b.centroid[i::INT])
+                            * (v.sv[i::INT] - b.centroid[i::INT]))) AS d
+            FROM vecs v JOIN books b USING (subspace)
+        ),
+        ranked AS (
+            SELECT vec_id, subspace, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY d ASC, code ASC) AS rk
+            FROM dists
+        ),
+        codes AS (SELECT vec_id, subspace, code FROM ranked WHERE rk = 1),
+        lut AS (
+            SELECT b.subspace, b.code,
+                   list_sum(list_transform(range(1, 9),
+                       i -> (qv[(b.subspace * 8 + i)::INT]
+                             - b.centroid[i::INT])
+                            * (qv[(b.subspace * 8 + i)::INT]
+                               - b.centroid[i::INT]))) AS d
+            FROM books b, q
+        ),
+        approx AS (
+            SELECT c.vec_id,
+                   CAST(SUM(CAST(l.d AS DECIMAL(28,12))) AS DOUBLE) AS ad
+            FROM codes c JOIN lut l USING (subspace, code)
+            WHERE c.vec_id IN (SELECT vec_id FROM cand)
+            GROUP BY c.vec_id
+        ),
+        shortlist AS (
+            SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC LIMIT 50
+        )
+        SELECT c.vec_id,
+               ROUND(list_sum(list_transform(range(1, 65),
+                   i -> (c.v[i::INT] - q.qv[i::INT])
+                        * (c.v[i::INT] - q.qv[i::INT]))), 6) AS sq_dist
+        FROM cells c JOIN shortlist s ON c.vec_id = s.vec_id, q
+        ORDER BY sq_dist ASC, c.vec_id ASC
+        LIMIT 10
     """
     return sql

@@ -433,6 +433,58 @@ def pq_encode(embeddings: DataFrame, codebooks: DataFrame, dim: int,
             .select(F.col("_id").alias(id_col), "subspace", "code"))
 
 
+def ivfpq_topk(assigned: DataFrame, centroids: DataFrame, codes: DataFrame,
+               codebooks: DataFrame, query_vec: list[float], k: int = 10,
+               nprobe: int = 4, m: int = 8, rerank: int = 50,
+               id_col: str = "node_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """FAISS-style IVFADC with exact re-rank — the serving path that
+    holds at 100 TB (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011; Milvus exposes it as IVF_PQ next to
+    the reference's IVF_FLAT config, milvus_store.py:56-110):
+
+    1. coarse probe: the query picks its ``nprobe`` nearest IVF cells
+       (assignment metric, broadcast-scored nlist rows) — with
+       ``assigned``/``codes`` written partitioned by cell this is real
+       partition pruning, ~N·nprobe/nlist candidates survive;
+    2. ADC: candidates are scored from the broadcast m×ksub lookup
+       table alone — 8 byte codes per vector, NO float-vector math;
+    3. exact re-rank: only the top ``rerank`` approximate survivors
+       load their full vectors for the exact squared-L2 final order.
+
+    DECIMAL-exact ADC sums make the rerank cut engine-stable, and the
+    final order uses the ROUNDED exact distance (ties → id), so the
+    whole operator is oracle-checkable. Returns (id, sq_dist) asc.
+    """
+    if len(query_vec) % m != 0:
+        raise ValueError(f"query dim {len(query_vec)} not divisible by m {m}")
+    dsub = len(query_vec) // m
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    probe = (centroids
+             .select("cell", cosine_similarity(F.col("centroid"), q).alias("s"))
+             .orderBy(F.col("s").desc(), F.col("cell").asc())
+             .limit(nprobe).select("cell"))
+    cand_ids = (assigned.join(F.broadcast(probe), "cell")
+                .select(F.col(id_col)))
+    lut = codebooks.select(
+        "subspace", "code",
+        _sq_l2(F.col("centroid"),
+               F.slice(q, F.col("subspace") * dsub + 1, dsub)).alias("d"))
+    shortlist = (codes.join(cand_ids, id_col, "left_semi")
+                 .join(F.broadcast(lut), ["subspace", "code"])
+                 .groupBy(F.col(id_col))
+                 .agg(F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
+                      .alias("approx_dist"))
+                 .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+                 .limit(rerank).select(id_col))
+    exact = (assigned.join(F.broadcast(shortlist), id_col)
+             .select(F.col(id_col),
+                     F.round(_sq_l2(F.col(vec_col).cast("array<double>"), q), 6)
+                     .alias("sq_dist")))
+    return (exact.orderBy(F.col("sq_dist").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
 def pq_topk(codes: DataFrame, codebooks: DataFrame, query_vec: list[float],
             k: int = 10, m: int = 8,
             id_col: str = "node_id") -> DataFrame:

@@ -95,3 +95,36 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="divisible"):
         pq_codebooks(emb, dim=dim, m=5, id_col="vec_id")
+
+
+def test_ivfpq_rerank_recall_and_order(spark):
+    import random
+
+    from memory_engine_spark.operators.similarity import (build_ivf_flat,
+                                                          ivfpq_topk,
+                                                          pq_codebooks,
+                                                          pq_encode)
+    rng = random.Random(13)
+    dim, n = 16, 200
+    rows = []
+    for i in range(n):
+        center = [0.0] * dim
+        center[i % 4] = 5.0
+        rows.append((i, [c + rng.gauss(0, 1) for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents, assigned = build_ivf_flat(emb, nlist=8, id_col="vec_id")
+    books = pq_codebooks(emb, dim=dim, m=4, ksub=16, id_col="vec_id")
+    codes = pq_encode(emb, books, dim=dim, m=4, id_col="vec_id")
+    qv = rows[0][1]
+    got = ivfpq_topk(assigned, cents, codes, books, qv, k=10, nprobe=4,
+                     m=4, rerank=40, id_col="vec_id").collect()
+    assert len(got) == 10
+    # exact distances are re-ranked: ascending, query itself first
+    dists = [r["sq_dist"] for r in got]
+    assert dists == sorted(dists)
+    assert got[0]["vec_id"] == 0 and got[0]["sq_dist"] == 0.0
+    # recall vs exact L2 top-10
+    exact_ids = [r[0] for r in sorted(
+        rows, key=lambda r: sum((a - b) ** 2 for a, b in zip(r[1], qv)))[:10]]
+    recall = len({r["vec_id"] for r in got} & set(exact_ids)) / 10
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f}"
