@@ -1061,6 +1061,39 @@ def q75_ivfpq_topk(spark, sf):
                                  nprobe=4, m=8, rerank=50, id_col="vec_id")
 
 
+def q76_revenue_by_nation(spark, sf):
+    """TPC-H Q5-shape star join: lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region, one year of orders, one region, revenue by nation.
+    The join-planning showcase: dimension sides carry explicit
+    broadcast hints (region/nation/supplier are tiny at any SF), the
+    date filter pushes to the orders parquet scan, and the only
+    shuffles left are fact⋈fact (lineitem⋈orders, ⋈customer) plus the
+    final 25-group aggregate. Revenue accumulates in DECIMAL so the
+    value hash is partition-order-stable."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1197,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_pq_topk": q73_pq_topk,
         "q74_pagerank": q74_pagerank,
         "q75_ivfpq_topk": q75_ivfpq_topk,
+        "q76_revenue_by_nation": q76_revenue_by_nation,
     }
 
 
@@ -2774,5 +2808,25 @@ def oracle_sql() -> dict[str, str]:
         FROM cells c JOIN shortlist s ON c.vec_id = s.vec_id, q
         ORDER BY sq_dist ASC, c.vec_id ASC
         LIMIT 10
+    """
+
+    sql["q76_revenue_by_nation"] = """
+        SELECT n_name,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
     """
     return sql

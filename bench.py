@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "q67_knn_join",           # batch ANN kNN join (IVF-blocked)
     "q69_pack_sequences",     # two-phase prefix-sum packing
     "q73_pq_topk",            # product-quantization ADC top-k
+    "q74_pagerank",           # iterative rank propagation (5 rounds)
+    "q75_ivfpq_topk",         # IVF-PQ coarse+ADC+re-rank ANN
+    "q76_revenue_by_nation",  # TPC-H Q5-shape broadcast star join
 ]
 
 
