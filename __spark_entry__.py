@@ -21,6 +21,7 @@ from memory_engine_spark.operators import (
 from memory_engine_spark.operators.aggregates import (
     group_count, iqr_outliers, monthly_counts,
 )
+from memory_engine_spark.functions import sketch
 from memory_engine_spark.operators.merging import clamp01
 from memory_engine_spark.operators.ranking import combined_score, relevance_score
 from memory_engine_spark.operators.text import quality_score
@@ -1094,6 +1095,25 @@ def q76_revenue_by_nation(spark, sf):
     )
 
 
+def q77_hll_distinct(spark, sf):
+    """Portable HyperLogLog (functions/sketch.py): distinct customers
+    per order priority estimated from 256 md5-seeded registers — the
+    same registers on any engine, so the SKETCH itself is
+    oracle-checked, not just eyeballed. Exact distinct rides along to
+    exhibit the error; at 100 TB only the sketch path survives (m-byte
+    state, map-side combinable, no shuffle of the distinct values)."""
+    t = _t(spark, sf)
+    est = sketch.hll_count_distinct(t["orders"], "o_custkey",
+                                    group_cols=["o_orderpriority"], p=8)
+    exact = (t["orders"].groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").cast("long").alias("exact")))
+    return (est.join(exact, "o_orderpriority")
+            .select("o_orderpriority", "hll_estimate", "exact",
+                    F.round(F.abs(F.col("hll_estimate") - F.col("exact"))
+                            / F.col("exact"), 4).alias("rel_err"))
+            .orderBy("o_orderpriority"))
+
+
 def q46_passage_overlap(spark, sf):
     """Passage-overlap detection via rolling fingerprints (winnowing-
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
@@ -1231,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_pagerank": q74_pagerank,
         "q75_ivfpq_topk": q75_ivfpq_topk,
         "q76_revenue_by_nation": q76_revenue_by_nation,
+        "q77_hll_distinct": q77_hll_distinct,
     }
 
 
@@ -2828,5 +2849,24 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
+    """
+
+    # q77: the DuckDB half of the portable HLL is GENERATED from the
+    # same module as the Spark half, so sketch and oracle cannot drift.
+    from memory_engine_spark.functions.sketch import hll_oracle_sql
+    hll_cte = hll_oracle_sql("orders", "o_custkey",
+                             group_cols=["o_orderpriority"], p=8)
+    sql["q77_hll_distinct"] = f"""
+        WITH est AS ({hll_cte}),
+        ex AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT est.o_orderpriority, est.hll_estimate, ex.exact,
+               ROUND(ABS(est.hll_estimate - ex.exact) / ex.exact, 4)
+                   AS rel_err
+        FROM est JOIN ex ON est.o_orderpriority = ex.o_orderpriority
+        ORDER BY est.o_orderpriority
     """
     return sql

@@ -1,0 +1,125 @@
+"""Portable sketches: deterministic, oracle-checkable approximations
+for 100 TB-scale aggregates.
+
+``approx_count_distinct`` (Spark's native HLL++) is the right call in
+production, but its register hashing is engine-private, so its output
+can't be cross-checked against any other engine. This module rebuilds
+HyperLogLog (Flajolet et al., AofA 2007) from *portable* primitives —
+md5 for the hash, ``bin()`` for the leading-zero rank — so the exact
+same registers (and therefore the exact same estimate) come out of
+Spark and DuckDB. The reference exposes no sketches at all (its
+count-distincts are exact in SQLite, sqlite_storage.py); this is the
+scale path those queries need at 1000 executors: per-group state is
+``m`` bytes, the aggregation is map-side combinable, and NOTHING is
+shuffled but (group, register, max-rank) partials.
+
+Design notes:
+- hash = two independent 32-bit words from the md5 hex (chars 1-8 for
+  the register index, chars 9-16 for the rank word); md5 is identical
+  everywhere, unlike xxhash/murmur variants that differ per engine.
+- rank = leading zeros of the 32-bit word + 1 = 33 - length(bin(w)),
+  because both Spark and DuckDB print ``bin()`` without leading zeros
+  (and both print '0' for zero — handled as rank 33).
+- small-range correction (linear counting) applied when E ≤ 2.5m and
+  empty registers exist; the 32-bit large-range correction is omitted
+  (cardinalities here are far below 2^32/30).
+- the final estimate sums ≤ m doubles; both engines ROUND to 4
+  decimals so partial-order float drift can never flip a hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_word(col: Column, start: int) -> Column:
+    """32-bit unsigned int from 8 hex chars of md5(col), 1-based
+    ``start``. conv() parses hex → decimal string → long."""
+    return F.conv(F.substring(F.md5(col.cast("string")), start, 8),
+                  16, 10).cast("long")
+
+
+def hll_rank(col: Column) -> Column:
+    """Position of the first 1-bit (from the MSB of a 32-bit window)
+    of a hash word: 33 - length(bin(w)); all-zero word → 33."""
+    w = col.cast("long")
+    return (F.when(w == 0, F.lit(33))
+            .otherwise(F.lit(33) - F.length(F.bin(w)))).cast("int")
+
+
+def hll_count_distinct(df: DataFrame, col: str,
+                       group_cols: list[str] | None = None,
+                       p: int = 8) -> DataFrame:
+    """HyperLogLog distinct-count estimate with ``m = 2**p`` registers,
+    optionally per group. Returns group_cols + (hll_estimate double).
+
+    Two shuffles total, both tiny: (group, register) max-rank partials
+    — map-side combined, at most m rows per group — then the per-group
+    fold of ≤ m register rows into the estimate. The input table is
+    never re-shuffled on the data column itself (compare exact
+    count-distinct: a full shuffle of every distinct value).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = list(group_cols or [])
+    c = F.col(col)
+    regs = (df.select(*gcols,
+                      (_md5_word(c, 1) % m).alias("_reg"),
+                      hll_rank(_md5_word(c, 9)).alias("_rank"))
+            .groupBy(*gcols, "_reg")
+            .agg(F.max("_rank").alias("_m")))
+    # Empty registers never appear as rows; account for them as
+    # 2^-0 = 1 each, and as the zero-register count V for the
+    # linear-counting correction.
+    agg = (regs.groupBy(*gcols)
+           .agg(F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_s"),
+                F.count(F.lit(1)).alias("_n")))
+    v = F.lit(m) - F.col("_n")                       # empty registers
+    raw = F.lit(alpha * m * m) / (F.col("_s") + v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+                 ).otherwise(raw)
+    return agg.select(*gcols, F.round(est, 4).alias("hll_estimate"))
+
+
+def hll_oracle_sql(table: str, col: str, group_cols: list[str] | None = None,
+                   p: int = 8) -> str:
+    """The DuckDB side of the same sketch — generated, so the Spark
+    operator and its oracle can never drift apart. ``col`` must be a
+    SQL expression castable to VARCHAR."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gsel = "".join(f"{g}, " for g in (group_cols or []))
+    gby = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
+    gby_reg = "GROUP BY " + ", ".join(list(group_cols or []) + ["_reg"])
+
+    def word(start: int) -> str:
+        return f"""CAST(list_sum(list_transform(range(0, 8),
+            j -> (strpos('0123456789abcdef',
+                  substr(md5(CAST({col} AS VARCHAR)), {start} + j::INT, 1)) - 1)
+                 * power(16, 7 - j))) AS BIGINT)"""
+
+    return f"""
+        WITH hashed AS (
+            SELECT {gsel}{word(1)} % {m} AS _reg,
+                   CASE WHEN {word(9)} = 0 THEN 33
+                        ELSE 33 - length(bin({word(9)})) END AS _rank
+            FROM {table}
+        ),
+        regs AS (
+            SELECT {gsel}_reg, MAX(_rank) AS _m FROM hashed {gby_reg}
+        ),
+        folded AS (
+            SELECT {gsel}SUM(power(2.0, -_m)) AS _s,
+                   COUNT(*) AS _n
+            FROM regs {gby}
+        )
+        SELECT {gsel}ROUND(
+            CASE WHEN ({alpha * m * m} / (_s + ({m} - _n))) <= {2.5 * m}
+                      AND ({m} - _n) > 0
+                 THEN {float(m)} * ln({float(m)} / ({m} - _n))
+                 ELSE {alpha * m * m} / (_s + ({m} - _n)) END, 4)
+            AS hll_estimate
+        FROM folded
+    """
