@@ -81,6 +81,34 @@ def running_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+def windowed_counts(events: DataFrame, ts_col: str = "ts",
+                    window: str = "10 minutes", slide: str | None = None,
+                    watermark: str | None = "30 minutes",
+                    group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Watermarked tumbling (or sliding) event-time aggregation — the
+    canonical Structured Streaming shape for late data: a window's
+    count is emitted (append mode) only once the watermark passes its
+    end, and events arriving later than ``watermark`` behind the
+    max-seen event time are DROPPED rather than reopening state. State
+    is bounded by watermark horizon × window count, independent of
+    stream length — the property that matters at 100 TB/day. Works on
+    batch frames too (watermark ignored by Spark).
+
+    Returns (window_start, window_end, *group_cols, n).
+    """
+    from pyspark.sql import functions as F
+
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    w = (F.window(F.col(ts_col), window, slide) if slide
+         else F.window(F.col(ts_col), window))
+    return (src.groupBy(w.alias("w"), *[F.col(c) for c in group_cols])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), *group_cols, "n"))
+
+
 def session_aggregates(events: DataFrame, key_col: str, ts_col: str,
                        gap: str = "30 minutes",
                        watermark: str | None = "1 hour") -> DataFrame:

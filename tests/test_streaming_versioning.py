@@ -241,3 +241,49 @@ def test_session_aggregates_batch_parity_and_streaming(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert sorted((r["user_id"], r["n_events"]) for r in results) == b
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics end-to-end across two
+    availableNow restarts sharing a checkpoint: a window is emitted
+    once the watermark passes its end, and a row arriving behind the
+    persisted watermark is dropped instead of reopening the window."""
+    import datetime as dt
+
+    from memory_engine_spark.streaming.stateful import windowed_counts
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    src = str(tmp_path / "wc_src")
+    ck = str(tmp_path / "wc_ck")
+    out_dir = str(tmp_path / "wc_out")
+    schema = "event_id int, ts timestamp"
+
+    def run_batch(rows, first):
+        df = spark.createDataFrame(rows, schema)
+        df.write.mode("overwrite" if first else "append").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        counts = windowed_counts(stream, "ts", window="10 minutes",
+                                 watermark="30 minutes")
+        q = (counts.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: window A = [10:00,10:10) x2, sentinel at 12:00 pushes the
+    # watermark to 11:30 -> A is finalized and emitted, 12:00's isn't
+    run_batch([(1, t(10, 0)), (2, t(10, 5)), (3, t(12, 0))], first=True)
+    got = {(r["window_start"], r["n"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert (t(10, 0), 2) in got
+    assert all(ws != t(12, 0) for ws, _ in got)
+
+    # batch 2: a LATE row for window A (behind the 11:30 watermark, must
+    # be dropped) plus 13:30 advancing the watermark past 12:10
+    run_batch([(4, t(10, 7)), (5, t(13, 30))], first=False)
+    got2 = {(r["window_start"], r["n"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert (t(10, 0), 2) in got2          # late row did NOT bump A
+    assert (t(10, 0), 3) not in got2
+    assert (t(12, 0), 1) in got2          # 12:00 window finalized now
