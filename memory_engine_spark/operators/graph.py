@@ -279,17 +279,20 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
     """
     spark = edges.sparkSession
     base = edges.select("from_id", "to_id")
-    if not directed:
-        base = symmetrize(base)
     n_parts = spark.sparkContext.defaultParallelism
-    nodes = (base.select(F.col("from_id").alias("node_id"))
-             .unionByName(base.select(F.col("to_id").alias("node_id")))
-             .distinct()
-             .repartition(n_parts, F.col("node_id"))
-             .persist())
-    n = nodes.count()
-    outdeg = base.groupBy("from_id").agg(F.count(F.lit(1)).alias("_od"))
-    weighted = (base.join(outdeg, "from_id")
+    # ONE shuffle prepares everything: degrees() of the directed list
+    # yields the full endpoint set (= the node table) AND per-node
+    # degrees; the symmetrized out-degree is exactly out+in, so no
+    # second distinct/groupBy pass over the (2x larger) symmetrized
+    # edges is ever needed.
+    deg = degrees(base).persist()
+    n = deg.count()
+    nodes = deg.select("node_id")
+    od = F.col("degree") if not directed else F.col("out_degree")
+    adj = base if directed else symmetrize(base)
+    weighted = (adj.join(deg.select("node_id", od.alias("_od")),
+                         adj.from_id == F.col("node_id"))
+                .filter(F.col("_od") > 0)
                 .select("from_id", "to_id",
                         (F.lit(1.0) / F.col("_od")).alias("w"))
                 .repartition(n_parts, F.col("from_id"))
@@ -300,20 +303,35 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
         ranks = (nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
                  .localCheckpoint())
         for _ in range(n_iter):
+            # shuffle_hash: the checkpointed rank vector re-shuffles to
+            # the edges' from_id layout each round (|V| rows — the
+            # design cost), instead of a driver collect + broadcast
+            # rebuild per iteration, which is both the local bottleneck
+            # and a cluster anti-pattern for a growing-|V| graph.
             contrib = (weighted
-                       .join(ranks, weighted.from_id == ranks.node_id)
+                       .join(ranks.hint("shuffle_hash"),
+                             weighted.from_id == ranks.node_id)
                        .select("to_id", (F.col("rank") * F.col("w")).alias("c"))
                        .groupBy("to_id").agg(F.sum("c").alias("s")))
-            ranks = (nodes
-                     .join(contrib, nodes.node_id == contrib.to_id, "left")
-                     .select(nodes.node_id,
-                             (F.lit(teleport) + F.lit(damping)
-                              * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"))
-                     .localCheckpoint())
+            new_rank = (F.lit(teleport)
+                        + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
+            if directed:
+                # nodes without in-edges never appear in contrib
+                ranks = (nodes
+                         .join(contrib, nodes.node_id == contrib.to_id, "left")
+                         .select(nodes.node_id, new_rank.alias("rank"))
+                         .localCheckpoint())
+            else:
+                # symmetrized graph: every node has in-edges, contrib
+                # already covers all of them — skip the re-join
+                ranks = (contrib
+                         .select(F.col("to_id").alias("node_id"),
+                                 new_rank.alias("rank"))
+                         .localCheckpoint())
         return ranks
     finally:
         weighted.unpersist()
-        nodes.unpersist()
+        deg.unpersist()
 
 
 def induced_subgraph(edges: DataFrame, node_ids: DataFrame) -> DataFrame:
