@@ -1173,6 +1173,64 @@ def q49_relation_chains(spark, sf):
             .distinct())
 
 
+def q78_cms_heavy_hitters(spark, sf):
+    """Portable count-min sketch (functions/sketch.py): the top-20
+    customers by order count have their frequencies read out of a
+    4x2048 md5-hashed counter grid that is identical on any engine, so
+    the SKETCH values are under oracle check. Exact counts ride along
+    to exhibit the one-sided error (estimate >= exact always). At
+    100 TB only the sketch path survives: d*w counters leave the map
+    stage regardless of input size, vs a full shuffle of every
+    distinct key for exact heavy hitters."""
+    t = _t(spark, sf)
+    exact = (t["orders"].groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).cast("long").alias("exact")))
+    top = (exact.orderBy(F.col("exact").desc(), F.col("o_custkey").asc())
+           .limit(20)
+           .select(F.col("o_custkey").cast("string").alias("item"), "exact"))
+    est = sketch.cms_estimate(t["orders"], "o_custkey",
+                              top.select("item"), d=4, w=2048)
+    return (est.join(top, "item")
+            .select("item", "cms_estimate", "exact",
+                    (F.col("cms_estimate") - F.col("exact"))
+                    .cast("long").alias("overestimate"))
+            .orderBy(F.col("exact").desc(), F.col("item").asc()))
+
+
+def q79_triangles(spark, sf):
+    """Exact triangle census (graph.triangle_count) of the
+    part-co-occurrence graph: parts are adjacent when some order
+    contains both. Degree-oriented wedge join (Schank & Wagner, WEA
+    2005) — every wedge is generated at its lowest-degree corner, the
+    skew bound that survives power-law graphs — then a left-semi
+    closure join. The graph build itself is an equi-join on orderkey,
+    never a cross join."""
+    li = (_t(spark, sf)["lineitem"]
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk")).distinct())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.pk") < F.col("b.pk")))
+             .select(F.col("a.pk").alias("from_id"),
+                     F.col("b.pk").alias("to_id"))
+             .distinct())
+    return graph.triangle_count(pairs)
+
+
+def q80_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (corpus.weighted_sample, A-ES with md5 draws): 50 documents drawn
+    proportionally to n_chars. The exponential keys are portable, so
+    the SELECTED SET is oracle-checked — same sample on any engine,
+    any partitioning, any retry. Plan is a projection +
+    TakeOrderedAndProject (per-partition top-k heaps); the corpus is
+    never shuffled and no RNG state exists."""
+    docs = _t(spark, sf)["documents"].select("doc_id", "n_chars")
+    samp = corpus.weighted_sample(docs, "n_chars", 50, "doc_id",
+                                  salt="aes")
+    return samp.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -1252,6 +1310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_ivfpq_topk": q75_ivfpq_topk,
         "q76_revenue_by_nation": q76_revenue_by_nation,
         "q77_hll_distinct": q77_hll_distinct,
+        "q78_cms_heavy_hitters": q78_cms_heavy_hitters,
+        "q79_triangles": q79_triangles,
+        "q80_weighted_sample": q80_weighted_sample,
     }
 
 

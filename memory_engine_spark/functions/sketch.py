@@ -83,6 +83,85 @@ def hll_count_distinct(df: DataFrame, col: str,
     return agg.select(*gcols, F.round(est, 4).alias("hll_estimate"))
 
 
+def cms_estimate(df: DataFrame, col: str, probes: DataFrame,
+                 d: int = 4, w: int = 2048) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) frequency
+    estimates, portable primitives: row-``i`` hash = md5(``"i:" || x``)
+    word mod ``w``, so Spark and DuckDB materialize identical counters.
+
+    ``probes`` is a DataFrame with one column ``item`` (the candidate
+    heavy hitters to read out of the sketch). Returns
+    (item, cms_estimate long) with the classic one-sided error:
+    estimate ≥ true count, ≤ true + εN with ε = e/w at δ = e^-d.
+
+    Scale shape: the sketch is one map-side-combinable groupBy over
+    (row, bucket) — at most ``d·w`` rows leave the map stage no matter
+    the input size — and the probe side joins against that ≤ d·w-row
+    table (broadcast). The raw items are never shuffled, which is the
+    point at 100 TB: exact heavy hitters need a full shuffle of every
+    distinct key; this needs d·w counters.
+    """
+    c = F.col(col)
+    buckets = F.array(*[
+        (_md5_word(F.concat(F.lit(f"{i}:"), c.cast("string")), 1) % w)
+        .cast("int") for i in range(d)])
+    sk = (df.select(F.posexplode(buckets).alias("_row", "_b"))
+          .groupBy("_row", "_b")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    p = F.col("item")
+    pb = probes.select(
+        "item",
+        F.posexplode(F.array(*[
+            (_md5_word(F.concat(F.lit(f"{i}:"), p.cast("string")), 1) % w)
+            .cast("int") for i in range(d)])).alias("_row", "_b"))
+    return (pb.join(F.broadcast(sk), ["_row", "_b"], "left")
+            .groupBy("item")
+            .agg(F.min(F.coalesce(F.col("_c"), F.lit(0)))
+                 .cast("long").alias("cms_estimate")))
+
+
+def _md5_word_sql(expr: str, start: int) -> str:
+    """DuckDB twin of ``_md5_word``: 32-bit word from 8 hex chars of
+    md5(expr), 1-based ``start``."""
+    return f"""CAST(list_sum(list_transform(range(0, 8),
+        j -> (strpos('0123456789abcdef',
+              substr(md5({expr}), {start} + j::INT, 1)) - 1)
+             * power(16, 7 - j))) AS BIGINT)"""
+
+
+def cms_oracle_sql(table: str, col: str, probes_sql: str,
+                   d: int = 4, w: int = 2048) -> str:
+    """Generated DuckDB half of ``cms_estimate`` — same hashes, same
+    counters, same min-readout. ``probes_sql`` must select one column
+    aliased ``item``."""
+    def b(i: int, x: str) -> str:
+        return (_md5_word_sql(f"'{i}:' || CAST({x} AS VARCHAR)", 1)
+                + f" % {w}")
+
+    hashed = "\n            UNION ALL ".join(
+        f"SELECT {i} AS _row, {b(i, col)} AS _b FROM {table}"
+        for i in range(d))
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT item, {i} AS _row, {b(i, 'item')} AS _b FROM probes"
+        for i in range(d))
+    return f"""
+        WITH hashed AS (
+            {hashed}
+        ),
+        sk AS (
+            SELECT _row, _b, COUNT(*) AS _c FROM hashed GROUP BY _row, _b
+        ),
+        probes AS ({probes_sql}),
+        pr AS (
+            {probe_rows}
+        )
+        SELECT pr.item,
+               CAST(MIN(COALESCE(sk._c, 0)) AS BIGINT) AS cms_estimate
+        FROM pr LEFT JOIN sk ON pr._row = sk._row AND pr._b = sk._b
+        GROUP BY pr.item
+    """
+
+
 def hll_oracle_sql(table: str, col: str, group_cols: list[str] | None = None,
                    p: int = 8) -> str:
     """The DuckDB side of the same sketch — generated, so the Spark

@@ -164,3 +164,33 @@ def vocabulary(df: DataFrame, text_col: str, id_col: str,
         .orderBy(F.col("tf").desc(), F.col("term").asc())
         .limit(top_k)
     )
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str, salt: str = "aes") -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows,
+    deterministic: algorithm A-ES (Efraimidis & Spirakis, IPL 2006)
+    with the randomness replaced by a portable md5 draw.
+
+    Each row gets u = (md5word(salt:id)+1) / 2^32 ∈ (0, 1] and
+    exponential key e = -ln(u) / w; the k SMALLEST keys win, which is
+    distributionally identical to sequential weighted draws without
+    replacement. Rows with weight ≤ 0 never win. Ties (impossible for
+    distinct ids) and the boundary are broken by id for stability.
+
+    Scale shape: one projection + TakeOrderedAndProject — per-partition
+    top-k heaps, only ``k`` rows per partition ever reach the driver
+    side of the sort. No shuffle of the corpus, no RNG state: the
+    sample is reproducible on any engine and any partitioning, and
+    resuming a failed run re-selects the identical rows.
+    """
+    word = (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long"))
+    u = (word + 1) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("_aes_key", key)
+            .orderBy(F.col("_aes_key").asc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_aes_key"))

@@ -377,3 +377,69 @@ def merge_nodes(nodes: DataFrame, edges: DataFrame, keep_id: str,
         .dropDuplicates(["from_id", "to_id", "relation_type"])
     )
     return nodes.filter(F.col("node_id") != drop_id), rewritten
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle census of the undirected graph: one row
+    (triangles, wedges, global_clustering).
+
+    Degree-oriented node-iterator (Schank & Wagner, WEA 2005): each
+    canonical edge is oriented from its lower-(degree, id) endpoint to
+    the higher, so every wedge is generated at its lowest-degree apex
+    and the per-node fan-out is bounded by O(sqrt(|E|)) — the skew
+    guard that makes the wedge self-join survive power-law graphs at
+    100 TB. Every triangle is counted exactly once (its apex node is
+    unique under a total order), and both joins are equi-joins: the
+    wedge join on the shared apex, the closure join on the oriented
+    (b, c) pair. Nothing here is quadratic in a hub's neighborhood
+    EXCEPT the wedge fan-out of the *lowest*-degree corner, which is
+    the minimum possible.
+
+    wedges = sum_v deg(v)·(deg(v)-1)/2 (paths of length 2);
+    global_clustering = 3·triangles / wedges (0.0 when wedge-free).
+    """
+    canon = (edges
+             .select(F.least("from_id", "to_id").alias("u"),
+                     F.greatest("from_id", "to_id").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct())
+    deg = (degrees(canon.select(F.col("u").alias("from_id"),
+                                F.col("v").alias("to_id")))
+           .select("node_id", "degree"))
+    ed = (canon
+          .join(deg.select(F.col("node_id").alias("u"),
+                           F.col("degree").alias("du")), "u")
+          .join(deg.select(F.col("node_id").alias("v"),
+                           F.col("degree").alias("dv")), "v"))
+    lower_first = (F.col("du") < F.col("dv")) | \
+                  ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    ).persist()
+    try:
+        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+        wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+                  .filter((F.col("e1.ddeg") < F.col("e2.ddeg"))
+                          | ((F.col("e1.ddeg") == F.col("e2.ddeg"))
+                             & (F.col("e1.dst") < F.col("e2.dst"))))
+                  .select(F.col("e1.dst").alias("b"),
+                          F.col("e2.dst").alias("c")))
+        tri = (wedges.join(oriented,
+                           (F.col("b") == F.col("src"))
+                           & (F.col("c") == F.col("dst")), "left_semi")
+               .agg(F.count(F.lit(1)).cast("long").alias("triangles")))
+        wtot = deg.agg((F.sum(F.col("degree").cast("long")
+                              * (F.col("degree") - 1)) / 2)
+                       .cast("long").alias("wedges"))
+        out = (tri.crossJoin(wtot)
+               .select("triangles", "wedges",
+                       F.when(F.col("wedges") > 0,
+                              F.round(3.0 * F.col("triangles")
+                                      / F.col("wedges"), 6))
+                       .otherwise(F.lit(0.0)).alias("global_clustering")))
+        out = out.localCheckpoint()
+        return out
+    finally:
+        oriented.unpersist()
