@@ -2930,4 +2930,91 @@ def oracle_sql() -> dict[str, str]:
         FROM est JOIN ex ON est.o_orderpriority = ex.o_orderpriority
         ORDER BY est.o_orderpriority
     """
+
+    # q78: the CMS oracle is GENERATED by the same module as the Spark
+    # sketch (functions/sketch.py:cms_oracle_sql) — identical md5 row
+    # hashes, identical 4x2048 counters, identical min-readout. The
+    # probe set (top-20 customers by order count) is inlined so the
+    # generated CTE needs no outer references.
+    from memory_engine_spark.functions.sketch import cms_oracle_sql
+    _cms_probes = """
+        SELECT CAST(o_custkey AS VARCHAR) AS item
+        FROM (SELECT o_custkey, COUNT(*) AS c FROM orders
+              GROUP BY o_custkey
+              ORDER BY c DESC, o_custkey ASC LIMIT 20)
+    """
+    _cms_cte = cms_oracle_sql("orders", "o_custkey", _cms_probes,
+                              d=4, w=2048)
+    sql["q78_cms_heavy_hitters"] = f"""
+        WITH est AS ({_cms_cte}),
+        top AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS item,
+                   CAST(COUNT(*) AS BIGINT) AS exact
+            FROM orders GROUP BY o_custkey
+            ORDER BY exact DESC, o_custkey ASC LIMIT 20
+        )
+        SELECT est.item, est.cms_estimate, top.exact,
+               CAST(est.cms_estimate - top.exact AS BIGINT) AS overestimate
+        FROM est JOIN top ON est.item = top.item
+        ORDER BY top.exact DESC, est.item ASC
+    """
+
+    # q79: deliberately a DIFFERENT algorithm from the Spark side — the
+    # classic u<v<w closure join over canonical edges counts each
+    # triangle exactly once, so it independently proves the
+    # degree-oriented wedge join in graph.triangle_count.
+    sql["q79_triangles"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        canon AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        ),
+        deg AS (
+            SELECT node_id, COUNT(*) AS degree FROM (
+                SELECT u AS node_id FROM canon
+                UNION ALL
+                SELECT v AS node_id FROM canon
+            ) GROUP BY node_id
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM canon e1
+            JOIN canon e2 ON e1.v = e2.u
+            JOIN canon e3 ON e1.u = e3.u AND e2.v = e3.v
+        ),
+        wtot AS (
+            SELECT CAST(SUM(degree * (degree - 1)) / 2 AS BIGINT) AS wedges
+            FROM deg
+        )
+        SELECT triangles, wedges,
+               CASE WHEN wedges > 0
+                    THEN ROUND(3.0 * triangles / wedges, 6)
+                    ELSE 0.0 END AS global_clustering
+        FROM tri, wtot
+    """
+
+    # q80: the A-ES exponential key is md5-portable by construction
+    # (corpus.weighted_sample): u = (md5word('aes:'||id)+1)/2^32,
+    # key = -ln(u)/weight; the 50 smallest keys are the sample.
+    sql["q80_weighted_sample"] = """
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   -ln((CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                              substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+                                     1 + j::INT, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) + 1)
+                        / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) AS _k
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        samp AS (
+            SELECT doc_id, n_chars FROM keyed
+            ORDER BY _k ASC, doc_id ASC LIMIT 50
+        )
+        SELECT doc_id, n_chars FROM samp ORDER BY doc_id
+    """
     return sql
