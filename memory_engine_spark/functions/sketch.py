@@ -64,6 +64,9 @@ def hll_count_distinct(df: DataFrame, col: str,
     alpha = 0.7213 / (1.0 + 1.079 / m)
     gcols = list(group_cols or [])
     c = F.col(col)
+    # count-distinct semantics ignore NULLs; md5(NULL) would otherwise
+    # add a NULL register row that inflates _n and skews the estimate
+    df = df.filter(c.isNotNull())
     regs = (df.select(*gcols,
                       (_md5_word(c, 1) % m).alias("_reg"),
                       hll_rank(_md5_word(c, 9)).alias("_rank"))
@@ -185,6 +188,7 @@ def hll_oracle_sql(table: str, col: str, group_cols: list[str] | None = None,
                    CASE WHEN {word(9)} = 0 THEN 33
                         ELSE 33 - length(bin({word(9)})) END AS _rank
             FROM {table}
+            WHERE {col} IS NOT NULL
         ),
         regs AS (
             SELECT {gsel}_reg, MAX(_rank) AS _m FROM hashed {gby_reg}

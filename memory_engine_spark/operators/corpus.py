@@ -131,10 +131,12 @@ def pack_sequences(df: DataFrame, token_count_col, budget: int,
         .withColumn("start_offset", start)
         .select(
             F.col("_id").alias(id_col), "shard", "n_tokens", "start_offset",
-            (F.col("start_offset") / budget).cast("long").alias("seq_id"),
+            # integer `div`, not float division: offsets can exceed 2^53
+            # total tokens at corpus scale, where double loses exactness
+            F.expr(f"start_offset div {int(budget)}").alias("seq_id"),
             (F.col("start_offset") % budget).alias("offset_in_seq"),
-            ((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
-            .cast("long").alias("_last"))
+            F.expr(f"(start_offset + n_tokens - 1) div {int(budget)}")
+            .alias("_last"))
         .withColumn("n_seqs", (F.col("_last") - F.col("seq_id") + 1).cast("long"))
         .drop("_last")
     )

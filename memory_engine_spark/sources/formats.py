@@ -92,15 +92,32 @@ def compact(spark: SparkSession, path: str, target_files: int,
             fmt: str | None = None) -> None:
     """Rewrite a directory into ``target_files`` files (small-files
     compaction). Uses coalesce — a shuffle-free narrowing — because
-    compaction only ever reduces file count; read back then atomic-ish
-    swap via a temp dir + rename."""
+    compaction only ever reduces file count.
+
+    LOCAL-FILESYSTEM ONLY: the swap relies on ``os.rename``, which has
+    no HDFS/S3 equivalent (object stores need a committer or a table
+    format like Delta/Iceberg for atomic replace). The compacted copy
+    is row-count-verified BEFORE the original is touched, and the
+    backup directory is only deleted after the swapped-in copy
+    verifies too, so a crash at any step leaves at least one complete
+    copy on disk (possibly under ``.compact.bak``, which a retry will
+    clear)."""
     import shutil
 
+    p = path.rstrip("/")
     fmt = fmt or sniff_format(path)
     df = read_any(spark, path, fmt)
-    tmp = path.rstrip("/") + ".compact.tmp"
+    expected = df.count()
+    tmp = p + ".compact.tmp"
+    bak = p + ".compact.bak"
+    shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(target_files).write.mode("overwrite").format(fmt).save(tmp)
-    bak = path.rstrip("/") + ".compact.bak"
-    os.rename(path.rstrip("/"), bak)
-    os.rename(tmp, path.rstrip("/"))
-    shutil.rmtree(bak, ignore_errors=True)
+    got = read_any(spark, tmp, fmt).count()
+    if got != expected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact verification failed: {got} rows != {expected}")
+    os.rename(p, bak)
+    os.rename(tmp, p)
+    if read_any(spark, p, fmt).count() == expected:
+        shutil.rmtree(bak, ignore_errors=True)

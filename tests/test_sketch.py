@@ -39,3 +39,13 @@ def test_hll_duplicates_ignored(spark):
     [a] = sketch.hll_count_distinct(base, "v", p=8).collect()
     [b] = sketch.hll_count_distinct(dup, "v", p=8).collect()
     assert a["hll_estimate"] == b["hll_estimate"]
+
+
+def test_hll_nulls_ignored(spark):
+    # count-distinct semantics: NULLs contribute nothing to the estimate
+    base = spark.range(500).select(F.col("id").alias("v"))
+    with_nulls = base.union(
+        spark.range(200).select(F.lit(None).cast("long").alias("v")))
+    [a] = sketch.hll_count_distinct(base, "v", p=8).collect()
+    [b] = sketch.hll_count_distinct(with_nulls, "v", p=8).collect()
+    assert a["hll_estimate"] == b["hll_estimate"]
