@@ -79,11 +79,12 @@ def random_projection_neighbors(embeddings: DataFrame, threshold_l2: float,
     SURVEY's named primitive for the merge-gate similarity join.
     Returns (a, b, l2_distance), a < b."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.functions import array_to_vector
 
-    to_vec = F.udf(lambda arr: Vectors.dense(arr), VectorUDT())
-    vecs = embeddings.select(F.col(id_col).alias("_id"),
-                             to_vec(F.col(vec_col)).alias("_vec"))
+    # array_to_vector is a JVM-side expression — no Python round-trip
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_vec"))
     brp = BucketedRandomProjectionLSH(
         inputCol="_vec", outputCol="_hashes",
         bucketLength=bucket_length, numHashTables=num_hash_tables,

@@ -139,13 +139,20 @@ class EventBus:
         n = rows.count()
         if n:
             sub.handler(rows, -1)
-            remaining = self.dead_letters().filter(F.col("_subscriber") != sub.name)
-            remaining_rows = remaining.collect()
+            # Atomic swap: rewrite the surviving rows to a temp dir
+            # (executor-side, never collected), then rename into place.
+            # A crash at any step leaves a complete DLQ either at
+            # dlq_dir or at the .bak path a retry will clear.
             import shutil
-            shutil.rmtree(self.dlq_dir, ignore_errors=True)
-            if remaining_rows:
-                self.spark.createDataFrame(remaining_rows, remaining.schema) \
-                    .write.mode("append").parquet(self.dlq_dir)
+            remaining = self.dead_letters().filter(
+                F.col("_subscriber") != sub.name).localCheckpoint()
+            tmp, bak = self.dlq_dir + ".tmp", self.dlq_dir + ".bak"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(bak, ignore_errors=True)
+            remaining.write.mode("overwrite").parquet(tmp)
+            os.rename(self.dlq_dir, bak)
+            os.rename(tmp, self.dlq_dir)
+            shutil.rmtree(bak, ignore_errors=True)
         return n
 
     # -- replay ------------------------------------------------------------------

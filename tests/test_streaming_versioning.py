@@ -287,3 +287,25 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     assert (t(10, 0), 2) in got2          # late row did NOT bump A
     assert (t(10, 0), 3) not in got2
     assert (t(12, 0), 1) in got2          # 12:00 window finalized now
+
+
+def test_dlq_retry_keeps_other_subscribers(spark, tmp_path):
+    # the atomic rewrite must preserve OTHER subscribers' dead letters
+    bus = EventBus(spark, str(tmp_path / "bus4"))
+    bus.publish(_events(spark, n=4))
+
+    def boom(df, bid):
+        raise RuntimeError("boom")
+
+    bus.run_subscriber(Subscriber("a", boom), once=True)
+    bus.run_subscriber(Subscriber("b", boom), once=True)
+    assert bus.dead_letters().count() == 8
+
+    bus.retry_dead_letters(Subscriber("a", lambda df, bid: None))
+    dl = bus.dead_letters()
+    assert dl.count() == 4
+    assert {r["_subscriber"] for r in dl.select("_subscriber").collect()} == {"b"}
+    # no leftover swap dirs
+    import os
+    assert not os.path.exists(bus.dlq_dir + ".tmp")
+    assert not os.path.exists(bus.dlq_dir + ".bak")
