@@ -274,8 +274,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
     hash-partitioned on from_id, and persisted — per iteration ONLY
     the rank vector (|V| rows) shuffles to meet it, then one groupBy
     shuffle re-keys contributions to to_id; the |E|-row table never
-    moves again. localCheckpoint per iteration keeps the plan O(1)
-    deep. Driver-side state is two scalars (N, iteration counter).
+    moves again. localCheckpoint every SECOND iteration keeps the plan
+    shallow while halving per-iteration job count (each eager
+    checkpoint is a job); the final iteration stays un-checkpointed so
+    the caller's own action computes it exactly once. Driver-side
+    state is two scalars (N, iteration counter).
     """
     spark = edges.sparkSession
     base = edges.select("from_id", "to_id")
@@ -297,37 +300,45 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
                         (F.lit(1.0) / F.col("_od")).alias("w"))
                 .repartition(n_parts, F.col("from_id"))
                 .persist())
-    weighted.count()
     try:
         teleport = (1.0 - damping) / n
-        ranks = (nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
-                 .localCheckpoint())
-        for _ in range(n_iter):
+        ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
+        for it in range(n_iter):
             # shuffle_hash: the checkpointed rank vector re-shuffles to
             # the edges' from_id layout each round (|V| rows — the
             # design cost), instead of a driver collect + broadcast
             # rebuild per iteration, which is both the local bottleneck
             # and a cluster anti-pattern for a growing-|V| graph.
-            contrib = (weighted
-                       .join(ranks.hint("shuffle_hash"),
-                             weighted.from_id == ranks.node_id)
-                       .select("to_id", (F.col("rank") * F.col("w")).alias("c"))
+            # string aliases, not DataFrame attributes: on the
+            # un-checkpointed iterations ranks' lineage contains
+            # weighted, and only alias-scoped resolution keeps the
+            # self-join unambiguous
+            contrib = (weighted.alias("e")
+                       .join(ranks.alias("r").hint("shuffle_hash"),
+                             F.col("e.from_id") == F.col("r.node_id"))
+                       .select(F.col("e.to_id").alias("to_id"),
+                               (F.col("r.rank") * F.col("e.w")).alias("c"))
                        .groupBy("to_id").agg(F.sum("c").alias("s")))
             new_rank = (F.lit(teleport)
                         + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)))
             if directed:
                 # nodes without in-edges never appear in contrib
-                ranks = (nodes
-                         .join(contrib, nodes.node_id == contrib.to_id, "left")
-                         .select(nodes.node_id, new_rank.alias("rank"))
-                         .localCheckpoint())
+                ranks = (nodes.alias("n")
+                         .join(contrib.alias("c"),
+                               F.col("n.node_id") == F.col("c.to_id"), "left")
+                         .select(F.col("n.node_id").alias("node_id"),
+                                 new_rank.alias("rank")))
             else:
                 # symmetrized graph: every node has in-edges, contrib
                 # already covers all of them — skip the re-join
                 ranks = (contrib
                          .select(F.col("to_id").alias("node_id"),
-                                 new_rank.alias("rank"))
-                         .localCheckpoint())
+                                 new_rank.alias("rank")))
+            # every 2nd iteration + always the last: callers typically
+            # run >1 action over the result (count + collect), so the
+            # final vector must be materialized exactly once
+            if it % 2 == 1 or it == n_iter - 1:
+                ranks = ranks.localCheckpoint()
         return ranks
     finally:
         weighted.unpersist()
