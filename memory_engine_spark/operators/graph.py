@@ -132,9 +132,13 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
                 .distinct()
                 .join(visited.select("node_id"), "node_id", "left_anti")
                 .withColumn("hop_distance", F.lit(depth))
-                .localCheckpoint()
+                # lazy checkpoint + count = ONE job per hop: the count
+                # action materializes the checkpoint blocks as it runs,
+                # instead of an eager-checkpoint job followed by a
+                # separate (if cheap) cached-block count job
+                .localCheckpoint(eager=False)
             )
-            n_frontier = nxt.count()  # checkpointed: a cheap cached-block count
+            n_frontier = nxt.count()
             if n_frontier == 0:
                 break
             # Union of already-checkpointed frontiers: no re-materialize
