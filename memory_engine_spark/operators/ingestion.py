@@ -60,6 +60,27 @@ def embed_text(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
     return (v / n if n > 0 else v).astype(np.float32)
 
 
+def embed_texts_batch(texts: list[str], dim: int = DEFAULT_DIM) -> list:
+    """Batch twin of ``embed_text`` with a per-batch token→(index, sign)
+    cache: corpus vocabulary repeats heavily across an Arrow batch, so
+    each distinct token pays its md5 exactly once instead of once per
+    occurrence. Bit-identical to the scalar path."""
+    cache: dict[str, tuple[int, float]] = {}
+    out = []
+    for t in texts:
+        v = np.zeros(dim, dtype=np.float64)
+        for tok in _TOKEN_RE.findall(t.lower()):
+            e = cache.get(tok)
+            if e is None:
+                h = _hash32(tok)
+                e = (h % dim, 1.0 if (h >> 16) % 2 == 0 else -1.0)
+                cache[tok] = e
+            v[e[0]] += e[1]
+        n = np.linalg.norm(v)
+        out.append((v / n if n > 0 else v).astype(np.float32))
+    return out
+
+
 def embedding_udf(dim: int = DEFAULT_DIM,
                   provider: Callable[[list[str]], list[list[float]]] | None = None):
     """Arrow-batched embedding UDF. ``provider`` is the pluggable batch
@@ -71,7 +92,7 @@ def embedding_udf(dim: int = DEFAULT_DIM,
     def _embed(texts: pd.Series) -> pd.Series:
         if provider is not None:
             return pd.Series(provider(texts.fillna("").tolist()))
-        return texts.fillna("").map(lambda t: embed_text(t, dim).tolist())
+        return pd.Series(embed_texts_batch(texts.fillna("").tolist(), dim))
 
     return _embed
 
