@@ -157,6 +157,59 @@ def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
     return cents, assigned
 
 
+_PQ_CACHE: dict[tuple[int, str, int, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def _pq(spark: SparkSession, sf_dir: str, nlist: int = 16, m: int = 8):
+    """Offline IVF-PQ artifacts, built ONCE per scale factor: the m×ksub
+    codebooks plus the per-vector codes JOINED WITH their coarse cell
+    and written partitionBy("cell") to .derived/<sf>/pq — so
+    ``ivfpq_topk``'s probe-cell IN filter is static partition pruning
+    on the codes scan (FAISS keeps IVFADC lists contiguous per cell for
+    the same reason). Atomic tmp+rename; in-memory fallback on
+    read-only checkouts. Returns (codebooks, codes_with_cell)."""
+    import os
+    import shutil
+
+    key = (id(spark), sf_dir, nlist, m)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    cents, assigned = _ivf(spark, sf_dir, nlist=nlist)
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".derived", sf_name, f"pq{nlist}m{m}")
+
+    def _build():
+        emb = _t(spark, sf_dir)["embeddings"]
+        books = similarity.pq_codebooks(emb, dim=64, m=m, ksub=16,
+                                        id_col="vec_id")
+        codes = similarity.pq_encode(emb, books, dim=64, m=m,
+                                     id_col="vec_id")
+        return books, codes.join(assigned.select("vec_id", "cell"), "vec_id")
+
+    try:
+        if not os.path.isdir(base):
+            books, codes_cell = _build()
+            tmp = base + f".tmp{os.getpid()}"
+            books.write.mode("overwrite").parquet(
+                os.path.join(tmp, "codebooks"))
+            (codes_cell.write.mode("overwrite").partitionBy("cell")
+             .parquet(os.path.join(tmp, "codes")))
+            try:
+                os.rename(tmp, base)
+            except OSError:  # another process won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+        books = spark.read.parquet(os.path.join(base, "codebooks")).persist()
+        books.count()
+        codes_cell = spark.read.parquet(os.path.join(base, "codes"))
+    except Exception:  # pragma: no cover — read-only checkout etc.
+        books, codes_cell = _build()
+        books = books.localCheckpoint()
+        codes_cell = codes_cell.localCheckpoint()
+    _PQ_CACHE[key] = (books, codes_cell)
+    return books, codes_cell
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -1050,13 +1103,12 @@ def q75_ivfpq_topk(spark, sf):
     candidates touch their full float vectors. The composition of
     q36's coarse index and q73's codebooks — at 100 TB this is the ANN
     path where neither the vectors nor the candidates ever fully
-    shuffle. Offline, codes/assignment live partitioned by cell (the
-    .derived pattern); here they rebuild in-query at toy scale."""
+    shuffle. Codes and assignment live partitioned by cell in .derived
+    (the offline-index pattern), so the probe's IN filter is static
+    partition pruning on both the codes and the re-rank scans."""
     emb = _t(spark, sf)["embeddings"]
     cents, assigned = _ivf(spark, sf, nlist=16)
-    books = similarity.pq_codebooks(emb, dim=64, m=8, ksub=16,
-                                    id_col="vec_id")
-    codes = similarity.pq_encode(emb, books, dim=64, m=8, id_col="vec_id")
+    books, codes = _pq(spark, sf, nlist=16, m=8)
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     return similarity.ivfpq_topk(assigned, cents, codes, books, qv, k=10,
                                  nprobe=4, m=8, rerank=50, id_col="vec_id")

@@ -460,24 +460,38 @@ def ivfpq_topk(assigned: DataFrame, centroids: DataFrame, codes: DataFrame,
         raise ValueError(f"query dim {len(query_vec)} not divisible by m {m}")
     dsub = len(query_vec) // m
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
-    probe = (centroids
-             .select("cell", cosine_similarity(F.col("centroid"), q).alias("s"))
-             .orderBy(F.col("s").desc(), F.col("cell").asc())
-             .limit(nprobe).select("cell"))
-    cand_ids = (assigned.join(F.broadcast(probe), "cell")
-                .select(F.col(id_col)))
+    # Probe cells are resolved driver-side (nlist rows — index metadata,
+    # not data) so the cell restriction is a LITERAL IN filter: on
+    # cell-partitioned parquet it becomes static PartitionFilters on
+    # both the codes and the re-rank scans, not a runtime join.
+    probe = [r["cell"] for r in
+             (centroids
+              .select("cell",
+                      cosine_similarity(F.col("centroid"), q).alias("s"))
+              .orderBy(F.col("s").desc(), F.col("cell").asc())
+              .limit(nprobe).collect())]
+    if "cell" in codes.columns:
+        # offline layout: codes carry their coarse cell -> prune directly
+        cand_codes = codes.filter(F.col("cell").isin(probe))
+    else:
+        cand_ids = (assigned.filter(F.col("cell").isin(probe))
+                    .select(F.col(id_col)))
+        cand_codes = codes.join(cand_ids, id_col, "left_semi")
     lut = codebooks.select(
         "subspace", "code",
         _sq_l2(F.col("centroid"),
                F.slice(q, F.col("subspace") * dsub + 1, dsub)).alias("d"))
-    shortlist = (codes.join(cand_ids, id_col, "left_semi")
+    shortlist = (cand_codes
                  .join(F.broadcast(lut), ["subspace", "code"])
                  .groupBy(F.col(id_col))
                  .agg(F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
                       .alias("approx_dist"))
                  .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
                  .limit(rerank).select(id_col))
-    exact = (assigned.join(F.broadcast(shortlist), id_col)
+    # shortlist ids all live in probed cells, so the same IN filter
+    # partition-prunes the re-rank's full-vector scan too
+    exact = (assigned.filter(F.col("cell").isin(probe))
+             .join(F.broadcast(shortlist), id_col)
              .select(F.col(id_col),
                      F.round(_sq_l2(F.col(vec_col).cast("array<double>"), q), 6)
                      .alias("sq_dist")))
