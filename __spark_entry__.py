@@ -15,8 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from memory_engine_spark.operators import (
-    corpus, dedup, discovery, graph, ingestion, qa, similarity, synthesis,
-    text,
+    corpus, dedup, discovery, graph, ingestion, qa, quality, similarity,
+    synthesis, text,
 )
 from memory_engine_spark.operators.aggregates import (
     group_count, iqr_outliers, monthly_counts,
@@ -349,10 +349,31 @@ def q12_dedup_exact(spark, sf):
 
 def q13_jaccard_pairs(spark, sf):
     """Exact n-gram Jaccard near-dup pairs (SIMILAR_CONTENT threshold
-    semantics, relationship_extractor.py:251-258; dedup suite)."""
+    semantics, relationship_extractor.py:251-258; dedup suite).
+
+    EXACTNESS TRADE: uncapped shingle groups make the pair join
+    quadratic per duplicated shingle — correct, and fine at this
+    corpus's duplication level, but on a 100 TB web corpus the benched
+    shape is q81_jaccard_capped (max_shingle_freq=50), which bounds
+    every shingle group's fan-out at C(50,2) pairs and treats
+    hot shingles as stop-shingles (SCALING.md)."""
     t = _t(spark, sf)
     return dedup.ngram_jaccard_pairs(t["documents"], "text", "doc_id",
                                      n=3, threshold=0.3)
+
+
+def q81_jaccard_capped(spark, sf):
+    """Skew-guarded n-gram Jaccard: shingles occurring in more than 50
+    documents are dropped as stop-shingles BEFORE the pair join, then
+    the Jaccard is EXACT over the surviving shingle sets (sizes are
+    post-filter on both engines, so the scores are oracle-checkable).
+    This is the 100 TB default: group fan-out is bounded at C(50,2)
+    pairs per shingle regardless of corpus duplication, while q13
+    keeps the uncapped exact semantics."""
+    t = _t(spark, sf)
+    return dedup.ngram_jaccard_pairs(t["documents"], "text", "doc_id",
+                                     n=3, threshold=0.3,
+                                     max_shingle_freq=50)
 
 
 def q14_minhash_neardup(spark, sf):
@@ -1283,6 +1304,28 @@ def q80_weighted_sample(spark, sf):
     return samp.orderBy("doc_id")
 
 
+def q82_content_gaps(spark, sf):
+    """Content-gap report over the documents corpus, topic = source
+    (gap_detection.py:150-330): per topic, which expected content types
+    (definition/example/cause/effect/process/comparison) have no
+    indicator anywhere, with the reference's severity rules and
+    priority formula. One groupBy + O(topics) explode."""
+    t = _t(spark, sf)
+    return (quality.content_gaps(t["documents"], "text", "source")
+            .orderBy("topic", "missing_type"))
+
+
+def q83_depth_gaps(spark, sf):
+    """Depth-gap detection (gap_detection.py:392-464): per-document
+    depth score from length / sentence-complexity / detail-indicator /
+    technical-token factors; documents under 0.4 reported with
+    priority 0.5+0.3·score. Pure scan-filter Column algebra."""
+    t = _t(spark, sf)
+    return (quality.depth_gaps(t["documents"], "text", "doc_id",
+                               threshold=0.4)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_sort_page": q01_filter_sort_page,
@@ -1365,6 +1408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_cms_heavy_hitters": q78_cms_heavy_hitters,
         "q79_triangles": q79_triangles,
         "q80_weighted_sample": q80_weighted_sample,
+        "q81_jaccard_capped": q81_jaccard_capped,
+        "q82_content_gaps": q82_content_gaps,
+        "q83_depth_gaps": q83_depth_gaps,
     }
 
 
@@ -3068,5 +3114,120 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY _k ASC, doc_id ASC LIMIT 50
         )
         SELECT doc_id, n_chars FROM samp ORDER BY doc_id
+    """
+
+    # q81: q13's shape with the stop-shingle guard; sizes are computed
+    # AFTER dropping hot shingles on both engines, so the surviving
+    # pair scores are exact and hash-checkable.
+    sql["q81_jaccard_capped"] = f"""
+        WITH {TOKS_CTE},
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                               i -> array_to_string(toks[i+1:i+3], ' '))
+            )) AS shingle
+            FROM toks_t
+        ),
+        kept AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= 50)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM kept a JOIN kept b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common JOIN sizes sa ON sa.doc_id = a
+                    JOIN sizes sb ON sb.doc_id = b
+        WHERE c / (sa.sz + sb.sz - c) >= 0.3
+    """
+
+    # q82/q83: generated from the same indicator lists as the Spark
+    # operators (quality.CONTENT_TYPE_INDICATORS / _GAP_BASE_PRIORITY)
+    # so oracle and operator cannot drift.
+    from memory_engine_spark.operators.quality import (
+        CONTENT_TYPE_INDICATORS, _GAP_BASE_PRIORITY)
+
+    def _like_any(col: str, inds: list[str]) -> str:
+        return "(" + " OR ".join(
+            f"{col} LIKE '%{i}%'" for i in inds) + ")"
+
+    has_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN {_like_any('lt', inds)} THEN 1 ELSE 0 END)"
+        f" AS has_{t}"
+        for t, inds in CONTENT_TYPE_INDICATORS.items())
+    m_proc = _like_any("lt", ["process", "method", "procedure"])
+    m_causal = _like_any("lt", ["cause", "effect", "result"])
+    expected_sql = {
+        "definition": "TRUE", "example": "TRUE",
+        "process": "m_proc = 1",
+        "cause": "m_causal = 1", "effect": "m_causal = 1",
+        "comparison": "FALSE",
+    }
+    unpivot = "\n            UNION ALL ".join(
+        f"SELECT topic, '{t}' AS missing_type, n_docs, "
+        f"CAST({_GAP_BASE_PRIORITY[t]} AS DOUBLE) AS base FROM g "
+        f"WHERE ({expected_sql[t]}) AND has_{t} = 0"
+        for t in CONTENT_TYPE_INDICATORS)
+    sql["q82_content_gaps"] = f"""
+        WITH low AS (
+            SELECT source AS topic, lower(text) AS lt FROM documents
+        ),
+        g AS (
+            SELECT topic, COUNT(*) AS n_docs,
+                   {has_cols},
+                   MAX(CASE WHEN {m_proc} THEN 1 ELSE 0 END) AS m_proc,
+                   MAX(CASE WHEN {m_causal} THEN 1 ELSE 0 END) AS m_causal
+            FROM low GROUP BY topic
+        ),
+        miss AS (
+            {unpivot}
+        )
+        SELECT topic, missing_type, n_docs,
+               CASE WHEN missing_type = 'definition' AND n_docs > 0
+                         THEN 'critical'
+                    WHEN missing_type IN ('example', 'process')
+                         AND n_docs >= 3 THEN 'high'
+                    WHEN missing_type IN ('cause', 'effect')
+                         AND n_docs >= 2 THEN 'medium'
+                    ELSE 'low' END AS severity,
+               ROUND(base * (0.7 + 0.3 * LEAST(n_docs / 5.0, 1.0)), 6)
+                   AS priority_score
+        FROM miss
+        ORDER BY topic, missing_type
+    """
+
+    detail_inds = ["specifically", "detailed", "comprehensive", "thorough",
+                   "in particular", "furthermore", "moreover", "additionally"]
+    detail_n = " + ".join(
+        f"(CASE WHEN lower(text) LIKE '%{i}%' THEN 1 ELSE 0 END)"
+        for i in detail_inds)
+    sql["q83_depth_gaps"] = f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   ROUND(LEAST(
+                     0.3 * LEAST(length(text) / 500.0, 1.0)
+                   + 0.2 * LEAST((len(regexp_extract_all(text, '\\S+'))
+                                  / (len(regexp_extract_all(text, '[.!?]+'))
+                                     + 1)) / 15.0, 1.0)
+                   + 0.2 * LEAST(({detail_n}) / 3.0, 1.0)
+                   + 0.3 * LEAST((len(regexp_extract_all(text,
+                                      '\\b[A-Z]{{2,}}\\b'))
+                                  + len(regexp_extract_all(text,
+                                        '\\d+(?:\\.\\d+)?'))
+                                  + len(regexp_extract_all(text,
+                                        '\\b\\w+ly\\b'))) / 10.0, 1.0),
+                     1.0), 6) AS depth_score
+            FROM documents
+        )
+        SELECT doc_id, depth_score, 'medium' AS severity,
+               ROUND(0.5 + depth_score * 0.3, 6) AS priority_score
+        FROM scored WHERE depth_score < 0.4
+        ORDER BY doc_id
     """
     return sql

@@ -24,7 +24,8 @@ BENCH_QUERIES = [
     "q09_khop",               # iterative BFS join (1.3M edges)
     "q10_degree_hubs",        # degree aggregation + top-k
     "q11_temporal_pairs",     # blocked self-join, range predicate
-    "q13_jaccard_pairs",      # shingle-join similarity (5k docs)
+    "q81_jaccard_capped",     # shingle-join similarity, stop-shingle guard
+                              # (the 100 TB default; q13 = uncapped exact)
     "q14_minhash_neardup",    # MinHash LSH pipeline
     "q16_knn_cosine",         # brute-force vector top-k
     "q17_embedding_neardup",  # blocked vector pair join
@@ -99,6 +100,7 @@ def scale_10x(spark, sf_dir: str) -> dict:
     out = {}
     for name, fn in shapes.items():
         times = {}
+        rows = {}
         for factor in (1, 10):
             # x1 runs twice (min) so one-time codegen/setup doesn't
             # pollute the denominator of the ratio; x10 dominates cost
@@ -106,13 +108,27 @@ def scale_10x(spark, sf_dir: str) -> dict:
             runs = []
             for _ in range(2 if factor == 1 else 1):
                 t0 = time.time()
-                fn(factor)
+                n = fn(factor)
                 runs.append(round(time.time() - t0, 3))
             times[f"x{factor}"] = min(runs)
+            rows[factor] = n
         times["ratio"] = round(times["x10"] / max(times["x1"], 1e-9), 2)
+        # Output-normalized ratio: pair-emitting shapes (jaccard) grow
+        # their OUTPUT superlinearly under replication (10x docs ->
+        # ~100x true pairs), so wall-ratio alone misreads as a plan
+        # defect. sec-per-output-row ratio < 1 means the plan scales
+        # SUBLINEARLY per unit of work it is asked to produce.
+        times["rows_x1"], times["rows_x10"] = rows[1], rows[10]
+        if rows[1] and rows[10]:
+            per1 = times["x1"] / rows[1]
+            per10 = times["x10"] / rows[10]
+            times["per_row_ratio"] = round(per10 / per1, 3)
         out[name] = times
         print(f"# scale10x {name}: x1={times['x1']:.2f}s "
-              f"x10={times['x10']:.2f}s ratio={times['ratio']}",
+              f"x10={times['x10']:.2f}s ratio={times['ratio']}"
+              + (f" rows {rows[1]}->{rows[10]}"
+                 f" per-row-ratio={times.get('per_row_ratio')}"
+                 if rows[1] and rows[10] else ""),
               file=sys.stderr)
     return out
 

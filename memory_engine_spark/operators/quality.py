@@ -361,3 +361,157 @@ def assess_quality_graded(nodes: DataFrame, edges: DataFrame,
     cols += [F.round(overall, 6).alias("overall_score"),
              score_to_level(overall).alias("overall_level")]
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# content / depth gap detection
+# ---------------------------------------------------------------------------
+
+# Content-type indicator lists (gap_detection.py:103-160
+# ContentGapDetector.content_expectations, verbatim semantics).
+CONTENT_TYPE_INDICATORS: dict[str, list[str]] = {
+    "definition": ["what is", "definition", "meaning", "refers to",
+                   "describes", "characterize", "define", "explain"],
+    "example": ["example", "instance", "case", "illustration",
+                "demonstration", "sample", "for instance", "such as"],
+    "cause": ["cause", "reason", "because", "due to", "results from",
+              "stems from", "leads to", "triggers"],
+    "effect": ["effect", "result", "consequence", "outcome", "impact",
+               "leads to", "causes", "produces"],
+    "process": ["process", "method", "procedure", "steps", "how to",
+                "approach", "technique", "way to"],
+    "comparison": ["compare", "contrast", "difference", "similar",
+                   "unlike", "versus", "compared to", "in contrast"],
+}
+
+# gap_detection.py:316-330 _calculate_priority_score base scores
+_GAP_BASE_PRIORITY = {"definition": 0.9, "example": 0.7, "process": 0.8,
+                      "cause": 0.6, "effect": 0.6, "comparison": 0.5}
+
+
+def _contains_any(low: Column, indicators: list[str]) -> Column:
+    out = low.contains(indicators[0])
+    for ind in indicators[1:]:
+        out = out | low.contains(ind)
+    return out
+
+
+def content_gaps(df: DataFrame, text_col: str, topic_col: str) -> DataFrame:
+    """Content-gap report (gap_detection.py:150-330
+    _analyze_content_completeness): group rows by topic, mark which of
+    the six content types are PRESENT (any row contains any indicator),
+    derive the EXPECTED set ({definition, example} always; process when
+    the combined content mentions process/method/procedure; cause+effect
+    when it mentions cause/effect/result), and emit one row per missing
+    expected type with the reference's severity rules (:301-314) and
+    priority formula base*(0.7+0.3*min(n/5,1)) (:316-330).
+
+    One groupBy over the topic key — presence flags are map-side max()
+    partials, so the text column is scanned once and never shuffled;
+    the per-topic explode over 6 literal types is O(topics), not
+    O(rows). Returns (topic, missing_type, n_docs, severity,
+    priority_score) — pure Column algebra, oracle-checkable.
+    """
+    low = F.lower(F.col(text_col))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for t, inds in CONTENT_TYPE_INDICATORS.items():
+        aggs.append(F.max(_contains_any(low, inds).cast("int"))
+                    .alias(f"_has_{t}"))
+    aggs.append(F.max(_contains_any(low, ["process", "method", "procedure"])
+                      .cast("int")).alias("_m_proc"))
+    aggs.append(F.max(_contains_any(low, ["cause", "effect", "result"])
+                      .cast("int")).alias("_m_causal"))
+    g = df.groupBy(F.col(topic_col).alias("topic")).agg(*aggs)
+
+    expected = {
+        "definition": F.lit(True),
+        "example": F.lit(True),
+        "process": F.col("_m_proc") == 1,
+        "cause": F.col("_m_causal") == 1,
+        "effect": F.col("_m_causal") == 1,
+        "comparison": F.lit(False),
+    }
+    n = F.col("n_docs")
+    rows = F.array(*[
+        F.struct(F.lit(t).alias("missing_type"),
+                 (expected[t] & (F.col(f"_has_{t}") == 0)).alias("missing"),
+                 F.lit(_GAP_BASE_PRIORITY[t]).alias("base"))
+        for t in CONTENT_TYPE_INDICATORS])
+    out = (g.select("topic", "n_docs", F.explode(rows).alias("r"))
+           .filter(F.col("r.missing"))
+           .select("topic",
+                   F.col("r.missing_type").alias("missing_type"),
+                   "n_docs",
+                   F.when((F.col("r.missing_type") == "definition") & (n > 0),
+                          "critical")
+                   .when(F.col("r.missing_type").isin("example", "process")
+                         & (n >= 3), "high")
+                   .when(F.col("r.missing_type").isin("cause", "effect")
+                         & (n >= 2), "medium")
+                   .otherwise("low").alias("severity"),
+                   F.round(F.col("r.base")
+                           * (0.7 + 0.3 * F.least(n / 5.0, F.lit(1.0))), 6)
+                   .alias("priority_score")))
+    return out
+
+
+def example_gaps(df: DataFrame, text_col: str, topic_col: str,
+                 min_docs: int = 2) -> DataFrame:
+    """Missing-examples report (gap_detection.py:466-520
+    _analyze_missing_examples): topics with ≥ min_docs rows where NO
+    row contains an example indicator (:522-536 list, which adds
+    e.g./like over the content-type list). Returns
+    (topic, n_docs, confidence=0.8, priority_score=0.6)."""
+    inds = ["example", "instance", "case", "illustration", "demonstration",
+            "for example", "such as", "for instance", "e.g.", "like"]
+    low = F.lower(F.col(text_col))
+    return (df.groupBy(F.col(topic_col).alias("topic"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max(_contains_any(low, inds).cast("int")).alias("_has"))
+            .filter((F.col("n_docs") >= min_docs) & (F.col("_has") == 0))
+            .select("topic", "n_docs",
+                    F.lit(0.8).alias("confidence"),
+                    F.lit(0.6).alias("priority_score")))
+
+
+def depth_gaps(df: DataFrame, text_col: str, id_col: str,
+               threshold: float = 0.4) -> DataFrame:
+    """Depth-gap detection (gap_detection.py:392-464 _analyze_depth_gaps
+    + _assess_content_depth): per-row depth score =
+      0.3·min(len/500,1)  +  0.2·min(avg_sentence_words/15,1)
+      + 0.2·min(detail_indicators_present/3,1)
+      + 0.3·min((acronyms+numbers+adverbs)/10,1)
+    rows under ``threshold`` are reported with the reference's
+    priority 0.5 + 0.3·score (:415).
+
+    Engine-portable choices, documented where they deviate: sentence
+    count = separator-run count + 1 (len(regexp_extract_all([.!?]+))+1)
+    because Python re.split / Java split / DuckDB regexp_split differ
+    on trailing empties; the threshold compares the ROUNDED score so
+    float drift can never flip a row across engines. Pure per-row
+    Column expressions — a scan filter, no shuffle at all.
+    """
+    txt = F.col(text_col)
+    low = F.lower(txt)
+    n_words = F.size(F.regexp_extract_all(txt, F.lit(r"\S+"), 0))
+    n_sent = F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), 0)) + 1
+    length_f = F.least(F.length(txt) / 500.0, F.lit(1.0)) * 0.3
+    complexity_f = F.least((n_words / n_sent) / 15.0, F.lit(1.0)) * 0.2
+    detail_inds = ["specifically", "detailed", "comprehensive", "thorough",
+                   "in particular", "furthermore", "moreover", "additionally"]
+    detail_n = sum((low.contains(i).cast("int") for i in detail_inds[1:]),
+                   start=low.contains(detail_inds[0]).cast("int"))
+    detail_f = F.least(detail_n / 3.0, F.lit(1.0)) * 0.2
+    technical_n = (
+        F.size(F.regexp_extract_all(txt, F.lit(r"\b[A-Z]{2,}\b"), 0))
+        + F.size(F.regexp_extract_all(txt, F.lit(r"\d+(?:\.\d+)?"), 0))
+        + F.size(F.regexp_extract_all(txt, F.lit(r"\b\w+ly\b"), 0)))
+    technical_f = F.least(technical_n / 10.0, F.lit(1.0)) * 0.3
+    score = F.round(F.least(length_f + complexity_f + detail_f + technical_f,
+                            F.lit(1.0)), 6)
+    return (df.select(F.col(id_col), score.alias("depth_score"))
+            .filter(F.col("depth_score") < threshold)
+            .select(id_col, "depth_score",
+                    F.lit("medium").alias("severity"),
+                    F.round(0.5 + F.col("depth_score") * 0.3, 6)
+                    .alias("priority_score")))

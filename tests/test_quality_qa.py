@@ -275,3 +275,61 @@ def test_answer_evidence_carries_markers_and_relevance(spark):
     # confidence reflects real relevance, not the 0-relevance floor
     assert out["confidence"] > 0.3
     assert out["attributions"][0]["relevance_score"] > 0
+
+
+def test_content_gaps_rules(spark):
+    """Hand-checked content-gap semantics (gap_detection.py:150-330):
+    expected types, presence detection, severity and priority."""
+    from memory_engine_spark.operators.quality import content_gaps
+
+    docs = spark.createDataFrame(
+        [  # topic A: definition + example present; "result" triggers
+           # the causal expectation AND satisfies 'effect', so only
+           # 'cause' is expected-and-missing (n=3 -> medium severity).
+           # ('process' can never be missing: its expectation triggers
+           # are a subset of its indicators — true in the reference too)
+         ("a", "the definition of a spark shuffle"),
+         ("a", "for instance the result was good"),
+         ("a", "plain filler text"),
+         # topic B: nothing present, no causal/process mentions ->
+         # missing definition (critical) + example (n=2 -> low)
+         ("b", "plain text one"),
+         ("b", "plain text two")],
+        "topic string, text string")
+    out = {(r["topic"], r["missing_type"]): r
+           for r in content_gaps(docs, "text", "topic").collect()}
+    assert set(out) == {("a", "cause"), ("b", "definition"),
+                        ("b", "example")}
+    assert out[("a", "cause")]["severity"] == "medium"
+    assert out[("b", "definition")]["severity"] == "critical"
+    assert out[("b", "example")]["severity"] == "low"
+    # priority = base * (0.7 + 0.3*min(n/5,1)): cause n=3 -> 0.6*0.88
+    assert abs(out[("a", "cause")]["priority_score"] - 0.6 * 0.88) < 1e-9
+    assert abs(out[("b", "definition")]["priority_score"] - 0.9 * 0.82) < 1e-9
+
+
+def test_example_and_depth_gaps(spark):
+    from memory_engine_spark.operators.quality import depth_gaps, example_gaps
+
+    docs = spark.createDataFrame(
+        [("a", 1, "for example this one illustrates"),
+         ("a", 2, "another"),
+         ("b", 3, "no illustrative words here"),
+         ("b", 4, "none here either")],
+        "topic string, doc_id long, text string")
+    eg = example_gaps(docs, "text", "topic").collect()
+    assert [r["topic"] for r in eg] == ["b"]
+
+    # short, shallow text -> flagged; long detailed text -> not
+    deep = ("Specifically, the comprehensive procedure is detailed "
+            "thoroughly. Furthermore it moreover uses 12 CPU cores and "
+            "additionally the API QPS is 3.5, clearly and explicitly "
+            "documented. " * 3)
+    dg = depth_gaps(spark.createDataFrame(
+        [(1, "tiny note"), (2, deep)], "doc_id long, text string"),
+        "text", "doc_id")
+    rows = dg.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["severity"] == "medium"
+    assert abs(rows[0]["priority_score"]
+               - round(0.5 + rows[0]["depth_score"] * 0.3, 6)) < 1e-9
