@@ -47,6 +47,14 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
             df = df.withColumn(field.name,
                                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+        elif pa.types.is_timestamp(field.type) and field.type.tz is None:
+            # µs/ms timestamps without a zone surface as TIMESTAMP_NTZ
+            # (inferTimestampNTZ); normalize to TIMESTAMP so epoch
+            # functions (unix_micros etc.) resolve. The session zone is
+            # pinned to UTC, so the cast is value-preserving and matches
+            # DuckDB's naive-epoch arithmetic.
+            df = df.withColumn(field.name,
+                               F.col(field.name).cast("timestamp"))
     return df
 
 
