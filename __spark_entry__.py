@@ -1326,6 +1326,31 @@ def q83_depth_gaps(spark, sf):
             .orderBy("doc_id"))
 
 
+def q84_line_dedup(spark, sf):
+    """CCNet-style corpus-wide duplicate-line removal (dedup.dedup_lines,
+    Wenzek et al. LREC 2020): documents are deterministically re-lined
+    into 8-word rows (the corpus ships newline-free), then every line
+    whose trimmed form appears in ≥2 distinct documents is dropped from
+    ALL of them — the boilerplate-stripping step of a pretraining
+    pipeline. Output carries md5(text) instead of the rebuilt body so
+    the oracle hashes stay compact; n_lines/n_dropped expose the
+    per-document effect."""
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    relined = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8))))
+        .alias("text"))
+    out = dedup.dedup_lines(relined, "text", "doc_id",
+                            min_dup=2, min_line_chars=1)
+    return (out.select("doc_id", F.md5("text").alias("text_hash"),
+                       "n_lines", "n_dropped")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1366,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_jaccard_capped": q81_jaccard_capped,
         "q82_content_gaps": q82_content_gaps,
         "q83_depth_gaps": q83_depth_gaps,
+        "q84_line_dedup": q84_line_dedup,
     }
     out.update(_legacy_queries())
     return out
@@ -3241,5 +3267,53 @@ def oracle_sql() -> dict[str, str]:
                ROUND(0.5 + depth_score * 0.3, 6) AS priority_score
         FROM scored WHERE depth_score < 0.4
         ORDER BY doc_id
+    """
+
+    # q84: same deterministic 8-word re-lining, hot-line set = trimmed
+    # lines in >= 2 distinct docs, drop everywhere, rebuild in order.
+    sql["q84_line_dedup"] = """
+        WITH relined AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                       range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+                       i -> array_to_string(w[i*8+1 : i*8+8], ' ')),
+                       chr(10)) AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+        ),
+        lines AS (
+            SELECT doc_id,
+                   generate_subscripts(l, 1) AS pos,
+                   unnest(l) AS line
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                  FROM relined)
+        ),
+        hot AS (
+            SELECT trim(line) AS key FROM lines
+            WHERE length(trim(line)) >= 1
+            GROUP BY trim(line)
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        flagged AS (
+            SELECT doc_id, pos, line,
+                   (length(trim(line)) >= 1
+                    AND trim(line) IN (SELECT key FROM hot)) AS dropped
+            FROM lines
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped
+            FROM flagged GROUP BY doc_id
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   array_to_string(list(line ORDER BY pos), chr(10)) AS text
+            FROM flagged WHERE NOT dropped GROUP BY doc_id
+        )
+        SELECT s.doc_id, md5(COALESCE(r.text, '')) AS text_hash,
+               s.n_lines, s.n_dropped
+        FROM stats s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+        ORDER BY s.doc_id
     """
     return sql

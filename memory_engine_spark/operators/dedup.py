@@ -536,3 +536,60 @@ def canonical_corpus(df: DataFrame, pairs: DataFrame, id_col: str,
     keep = (neardup_clusters(df, pairs, id_col, length_col)
             .filter(F.col("is_canonical") == 1).select(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(df: DataFrame, text_col: str, id_col: str,
+                min_dup: int = 2, min_line_chars: int = 1) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal (the CCNet preprocessing
+    step, Wenzek et al. LREC 2020; the reference's engine has no text
+    pipeline — this extends its dedup family to the training-data
+    path): a line is dropped from EVERY document when its trimmed form
+    occurs in ≥ ``min_dup`` distinct documents (boilerplate headers,
+    cookie banners, navigation chrome). Lines whose trimmed form is
+    shorter than ``min_line_chars`` never participate in counting and
+    are always kept, preserving layout. Returns
+    (id, text, n_lines, n_dropped).
+
+    Exact output contract:
+      - split on '\\n'; trim each line for the frequency key;
+      - a trimmed line participates in counting iff its length ≥
+        ``min_line_chars``;
+      - the kept document re-joins, in original order, every line
+        whose trimmed form is non-counting OR occurs in < ``min_dup``
+        DISTINCT documents;
+      - n_lines = original line count, n_dropped = removed count.
+
+    Scale shape: one explode → one (line → distinct-doc count) groupBy,
+    map-side combined; the hot-line set (a tiny fraction of distinct
+    lines — AQE broadcasts it under threshold) joins back against the
+    exploded view, and each document reassembles with array_sort over
+    (pos, line) structs partitioned by its own id. The full text
+    shuffles on the id key for reassembly, never on line content.
+    """
+    lines = (df.select(F.col(id_col).alias("_id"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "line"))
+             .withColumn("key", F.trim(F.col("line"))))
+    counting = F.length("key") >= min_line_chars
+    hot = (lines.filter(counting)
+           .groupBy("key")
+           .agg(F.countDistinct("_id").alias("_docs"))
+           .filter(F.col("_docs") >= min_dup)
+           .select("key", F.lit(1).alias("_hot")))
+    marked = (lines.join(hot, "key", "left")
+              .withColumn("_drop", counting & F.col("_hot").isNotNull()))
+    return (marked.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+                 F.array_sort(F.collect_list(
+                     F.when(~F.col("_drop"),
+                            F.struct("pos", "line")))).alias("_kept"))
+            .select(F.col("_id").alias(id_col),
+                    F.concat_ws("\n", F.transform(
+                        F.col("_kept"), lambda s: s["line"])).alias(text_col),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    F.col("n_dropped").cast("long").alias("n_dropped")))

@@ -291,3 +291,45 @@ def test_chunk_tokens_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         chunk_tokens(df, "text", "doc_id", chunk_size=8, overlap=8)
+
+
+def test_dedup_lines_drops_corpus_wide_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nunique alpha\nnav bar\n"),
+         (2, "COOKIE BANNER\nunique beta\nnav bar"),
+         (3, "unique gamma\nCOOKIE BANNER"),
+         (4, "all original here\nno shared lines")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in
+            dedup.dedup_lines(df, "text", "doc_id", min_dup=2).collect()}
+    # boilerplate removed from every doc, order of survivors preserved
+    assert rows[1]["text"] == "unique alpha\n"
+    assert rows[2]["text"] == "unique beta"
+    assert rows[3]["text"] == "unique gamma"
+    assert rows[4]["text"] == "all original here\nno shared lines"
+    assert (rows[1]["n_lines"], rows[1]["n_dropped"]) == (4, 2)
+    assert (rows[3]["n_lines"], rows[3]["n_dropped"]) == (2, 1)
+    assert rows[4]["n_dropped"] == 0
+
+
+def test_dedup_lines_min_line_chars_excludes_short_lines(spark):
+    # doc 1 line 2 and doc 2 line 2 are both "ok" (2 chars): with
+    # min_line_chars=3 they never count and are always kept.
+    df = spark.createDataFrame(
+        [(1, "alpha\nok"), (2, "beta\nok")], "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in
+            dedup.dedup_lines(df, "text", "doc_id", min_dup=2,
+                              min_line_chars=3).collect()}
+    assert rows[1]["text"] == "alpha\nok"
+    assert rows[1]["n_dropped"] == 0
+
+
+def test_dedup_lines_duplicate_within_single_doc_not_hot(spark):
+    # same line twice in ONE doc: countDistinct(doc)=1 < min_dup -> kept
+    df = spark.createDataFrame(
+        [(1, "repeat me\nrepeat me\nsolo"), (2, "other stuff")],
+        "doc_id int, text string")
+    r = {x["doc_id"]: x for x in
+         dedup.dedup_lines(df, "text", "doc_id", min_dup=2).collect()}
+    assert r[1]["text"] == "repeat me\nrepeat me\nsolo"
+    assert r[1]["n_dropped"] == 0
