@@ -1351,6 +1351,22 @@ def q84_line_dedup(spark, sf):
             .orderBy("doc_id"))
 
 
+def q85_semdedup(spark, sf):
+    """SemDeDup semantic dedup (dedup.semdedup, Abbas et al. 2023):
+    IVF-FLAT clusters (16 first-k centroids), members ranked by
+    centroid similarity ascending, dropped when an earlier-ranked
+    same-cluster member is cosine-≥0.35-similar. Rounded floats keep
+    the cross-engine hash stable; is_kept is the consumable signal."""
+    emb = _t(spark, sf)["embeddings"]
+    out = dedup.semdedup(emb, threshold=0.35, nlist=16,
+                         id_col="vec_id", vec_col="embedding")
+    return (out.select("vec_id", "cell",
+                       F.round("centroid_sim", 6).alias("centroid_sim"),
+                       F.round("max_prior_sim", 6).alias("max_prior_sim"),
+                       "is_kept")
+            .orderBy("vec_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1392,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_content_gaps": q82_content_gaps,
         "q83_depth_gaps": q83_depth_gaps,
         "q84_line_dedup": q84_line_dedup,
+        "q85_semdedup": q85_semdedup,
     }
     out.update(_legacy_queries())
     return out
@@ -3315,5 +3332,49 @@ def oracle_sql() -> dict[str, str]:
                s.n_lines, s.n_dropped
         FROM stats s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
         ORDER BY s.doc_id
+    """
+
+    # q85: same first-16 IVF seeding + max-cosine assignment as q36,
+    # then per-cell rank by centroid_sim ASC and the one-pass
+    # upper-triangular prior-similarity max.
+    sql["q85_semdedup"] = """
+        WITH seeds AS (
+            SELECT vec_id AS cell, embedding::DOUBLE[] AS centroid
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        assign AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cell, s.centroid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       s.centroid) DESC,
+                                s.cell ASC) AS pick
+            FROM embeddings e, seeds s
+        ),
+        cells AS (
+            SELECT vec_id, v, cell,
+                   list_cosine_similarity(v, centroid) AS centroid_sim
+            FROM assign WHERE pick = 1
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY cell
+                       ORDER BY centroid_sim ASC, vec_id ASC) AS rk
+            FROM cells
+        ),
+        prior AS (
+            SELECT b.vec_id,
+                   MAX(list_cosine_similarity(a.v, b.v)) AS max_prior_sim
+            FROM ranked a JOIN ranked b
+              ON a.cell = b.cell AND a.rk < b.rk
+            GROUP BY b.vec_id
+        )
+        SELECT r.vec_id, r.cell,
+               ROUND(r.centroid_sim, 6) AS centroid_sim,
+               ROUND(p.max_prior_sim, 6) AS max_prior_sim,
+               (p.max_prior_sim IS NULL OR p.max_prior_sim < 0.35)
+                   AS is_kept
+        FROM ranked r LEFT JOIN prior p ON r.vec_id = p.vec_id
+        ORDER BY r.vec_id
     """
     return sql

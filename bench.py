@@ -180,16 +180,21 @@ def main() -> None:
 
     docs = load_tables(spark, sf_dir)["documents"]
     n_docs = docs.count()
-    t0 = time.time()
-    units = ingestion.extract_units(docs, "text", "source")
-    nodes = ingestion.units_to_nodes(units)
-    ingestion.embed_column(nodes, "content", dim=64) \
-        .select("node_id", "embedding").write.mode("overwrite") \
-        .format("noop").save()
-    ingest_s = time.time() - t0
-    docs_per_sec = round(n_docs / ingest_s, 1)
-    print(f"# ingest: {n_docs} docs in {ingest_s:.2f}s = {docs_per_sec} docs/s",
-          file=sys.stderr)
+    # Same steady-state methodology as the queries: run twice, report
+    # the best (run 1 pays one-time parquet-footer reads + codegen for
+    # the whole ingest DAG; the warm number measures the pipeline).
+    ingest_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        units = ingestion.extract_units(docs, "text", "source")
+        nodes = ingestion.units_to_nodes(units)
+        ingestion.embed_column(nodes, "content", dim=64) \
+            .select("node_id", "embedding").write.mode("overwrite") \
+            .format("noop").save()
+        ingest_runs.append(time.time() - t0)
+    docs_per_sec = round(n_docs / min(ingest_runs), 1)
+    print(f"# ingest: {n_docs} docs, runs {[round(s, 2) for s in ingest_runs]}s"
+          f" = {docs_per_sec} docs/s steady", file=sys.stderr)
 
     scale = (scale_10x(spark, sf_dir)
              if os.environ.get("SPARK_GRAFT_SCALE10X", "1") != "0" else {})

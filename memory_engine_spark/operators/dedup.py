@@ -593,3 +593,60 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
                         F.col("_kept"), lambda s: s["line"])).alias(text_col),
                     F.col("n_lines").cast("long").alias("n_lines"),
                     F.col("n_dropped").cast("long").alias("n_dropped")))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (embedding-cluster semantic dedup)
+# ---------------------------------------------------------------------------
+
+def semdedup(embeddings: DataFrame, threshold: float, nlist: int = 16,
+             id_col: str = "node_id", vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup over an embedding column (SemDeDup, Abbas et al.
+    2023; extends the reference's embedding merge-gate
+    `ingestion/merging.py:17-111` from pairwise-at-ingest to
+    corpus-wide): cluster vectors with the deterministic IVF-FLAT
+    coarse quantizer (first-``nlist`` seeding, `similarity.py`), rank
+    each cluster's members by similarity-to-centroid ASCENDING (the
+    paper's "keep low-similarity examples" policy), and drop a member
+    when ANY earlier-ranked member of the same cluster has cosine ≥
+    ``threshold`` with it — the one-pass upper-triangular formulation
+    of the paper's algorithm, which is purely relational (no
+    iteration). Returns
+    (id, cell, centroid_sim, max_prior_sim, is_kept); callers semi-join
+    ``is_kept`` against the corpus.
+
+    Scale shape: centroids broadcast; assignment is a broadcast join +
+    ``max_by`` groupBy (scored rows never fully shuffle). The cluster
+    ranking and the prior-pair join both hash-partition on ``cell``, so
+    the second reuses the first's exchange. Within-cell work is
+    quadratic in cell size — the knob the paper itself turns (50k
+    clusters for 600M points); size ``nlist`` ≈ n/1k so a cell's pairs
+    fit one task, and no cross-cell pair ever materializes.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_similarity
+    from .similarity import build_ivf_flat
+
+    centroids, assigned = build_ivf_flat(embeddings, nlist, id_col, vec_col)
+    ranked = (assigned.join(F.broadcast(centroids), "cell")
+              .select(id_col, vec_col, "cell",
+                      cosine_similarity(F.col(vec_col), F.col("centroid"))
+                      .alias("centroid_sim")))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("centroid_sim").asc(), F.col(id_col).asc())
+    ranked = ranked.withColumn("rk", F.row_number().over(w))
+    a = ranked.select("cell", F.col("rk").alias("rk_a"),
+                      F.col(vec_col).alias("_va"))
+    b = ranked.select(id_col, "cell", F.col("rk").alias("rk_b"),
+                      F.col(vec_col).alias("_vb"))
+    prior = (b.join(a, "cell")
+             .filter(F.col("rk_a") < F.col("rk_b"))
+             .groupBy(id_col)
+             .agg(F.max(cosine_similarity(F.col("_va"), F.col("_vb")))
+                  .alias("max_prior_sim")))
+    return (ranked.join(prior, id_col, "left")
+            .select(id_col, "cell", "centroid_sim", "max_prior_sim",
+                    (F.col("max_prior_sim").isNull()
+                     | (F.col("max_prior_sim") < F.lit(threshold)))
+                    .alias("is_kept")))

@@ -333,3 +333,27 @@ def test_dedup_lines_duplicate_within_single_doc_not_hot(spark):
          dedup.dedup_lines(df, "text", "doc_id", min_dup=2).collect()}
     assert r[1]["text"] == "repeat me\nrepeat me\nsolo"
     assert r[1]["n_dropped"] == 0
+
+
+def test_semdedup_keeps_low_centroid_sim_representative(spark):
+    # Two clusters seeded by ids 1 and 2 (first-k). In each cluster the
+    # seed itself is the centroid-closest member and has a ≥0.95-cosine
+    # near-dup ranked EARLIER (farther from centroid), so SemDeDup's
+    # keep-low-similarity policy drops the seed and keeps the dup.
+    rows = [(1, [1.0, 0.0]),   # cell 1 seed -> dropped (dup of 3)
+            (2, [0.0, 1.0]),   # cell 2 seed -> dropped (dup of 5)
+            (3, [1.0, 0.05]),  # near-dup of 1, farther from centroid
+            (4, [0.9, 0.45]),  # cell 1, cos 0.894 with seed: kept
+            (5, [0.05, 1.0]),  # near-dup of 2
+            (6, [-1.0, 0.2])]  # cell 2 (cos 0.196 > -0.98), distinct
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           dedup.semdedup(df, threshold=0.95, nlist=2,
+                          id_col="vec_id", vec_col="embedding").collect()}
+    assert {k: v["is_kept"] for k, v in out.items()} == {
+        1: False, 2: False, 3: True, 4: True, 5: True, 6: True}
+    # rank-1 members have no prior pair
+    assert out[4]["max_prior_sim"] is None
+    assert out[6]["max_prior_sim"] is None
+    # the dropped seeds record the dup similarity that killed them
+    assert out[1]["max_prior_sim"] > 0.95 and out[2]["max_prior_sim"] > 0.95
