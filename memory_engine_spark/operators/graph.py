@@ -124,13 +124,19 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
     try:
         visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
         frontier, n_frontier = visited, visited.count()
+        n_visited = n_frontier
         for depth in range(1, max_depth + 1):
             nxt = (
                 adj.join(_maybe_broadcast(frontier, n_frontier),
                          adj.from_id == frontier.node_id)
                 .select(F.col("to_id").alias("node_id"))
                 .distinct()
-                .join(visited.select("node_id"), "node_id", "left_anti")
+                # visited is the reached-node set — usually far smaller
+                # than the expansion output; broadcasting it makes the
+                # anti-join shuffle-free, leaving distinct's exchange as
+                # the hop's ONLY shuffle
+                .join(_maybe_broadcast(visited.select("node_id"), n_visited),
+                      "node_id", "left_anti")
                 .withColumn("hop_distance", F.lit(depth))
                 # lazy checkpoint + count = ONE job per hop: the count
                 # action materializes the checkpoint blocks as it runs,
@@ -141,6 +147,7 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
             n_frontier = nxt.count()
             if n_frontier == 0:
                 break
+            n_visited += n_frontier
             # Union of already-checkpointed frontiers: no re-materialize
             # of the growing visited set each hop (that copy is
             # O(|V|·depth) over the whole walk); the union plan depth
