@@ -1367,6 +1367,20 @@ def q85_semdedup(spark, sf):
             .orderBy("vec_id"))
 
 
+def q86_dsir_weights(spark, sf):
+    """DSIR importance weights (corpus.dsir_importance, Xie et al.
+    NeurIPS 2023): hashed unigram+bigram log-ratio scores of every
+    document against the English-language target slice. Per-bucket
+    log-ratios round to 9 dp and sum as DECIMAL(28,9), so the weight
+    is order-independent and hash-stable cross-engine. Resampling =
+    feed log_weight to corpus.weighted_sample (q80)."""
+    docs = _t(spark, sf)["documents"]
+    out = corpus.dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), "text", "doc_id",
+        n_buckets=8192, smoothing=1.0)
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1409,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_depth_gaps": q83_depth_gaps,
         "q84_line_dedup": q84_line_dedup,
         "q85_semdedup": q85_semdedup,
+        "q86_dsir_weights": q86_dsir_weights,
     }
     out.update(_legacy_queries())
     return out
@@ -3376,5 +3391,46 @@ def oracle_sql() -> dict[str, str]:
                    AS is_kept
         FROM ranked r LEFT JOIN prior p ON r.vec_id = p.vec_id
         ORDER BY r.vec_id
+    """
+
+    # q86: same tokenization as q63's TOKS_CTE, unigram+bigram features,
+    # q65's strpos-based md5→int bucket hash mod 8192, Laplace-smoothed
+    # per-bucket ln ratios rounded to 9 dp, decimal-summed per doc.
+    sql["q86_dsir_weights"] = f"""
+        WITH {TOKS_CTE},
+        feats AS (
+            SELECT doc_id, unnest(list_concat(
+                toks,
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(0, len(toks) - 1),
+                        i -> toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END)) AS g
+            FROM toks_t
+        ),
+        bucketed AS (
+            SELECT f.doc_id, d.lang,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                              substr(md5(f.g), j::INT + 1, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) % 8192 AS b
+            FROM feats f JOIN documents d USING (doc_id)
+        ),
+        raw_c AS (SELECT b, COUNT(*) AS n_raw FROM bucketed GROUP BY 1),
+        tgt_c AS (SELECT b, COUNT(*) AS n_tgt FROM bucketed
+                  WHERE lang = 'en' GROUP BY 1),
+        tot AS (SELECT (SELECT SUM(n_raw) FROM raw_c) AS tr,
+                       (SELECT SUM(n_tgt) FROM tgt_c) AS tt),
+        ratio AS (
+            SELECT COALESCE(r.b, t.b) AS b,
+                   CAST(ROUND(
+                       ln((COALESCE(t.n_tgt, 0) + 1.0) / (tt + 1.0 * 8192))
+                     - ln((COALESCE(r.n_raw, 0) + 1.0) / (tr + 1.0 * 8192)),
+                       9) AS DECIMAL(28,9)) AS log_ratio
+            FROM raw_c r FULL JOIN tgt_c t ON r.b = t.b, tot
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+               SUM(log_ratio) AS log_weight
+        FROM bucketed JOIN ratio USING (b)
+        GROUP BY doc_id ORDER BY doc_id
     """
     return sql

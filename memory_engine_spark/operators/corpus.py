@@ -196,3 +196,80 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .orderBy(F.col("_aes_key").asc(), F.col(id_col).asc())
             .limit(k)
             .drop("_aes_key"))
+
+
+def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
+                    id_col: str, n_buckets: int = 8192,
+                    smoothing: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. NeurIPS 2023): score every raw-corpus
+    document by how much its hashed n-gram distribution resembles a
+    TARGET corpus. Features are word unigrams + bigrams (the paper's
+    choice) hashed into ``n_buckets`` via the repo's md5-portable
+    bucket hash, so the whole operator — including the per-bucket
+    log-ratio table — is reproducible in ANSI SQL and oracle-checked.
+
+    weight(d) = Σ_{g ∈ ngrams(d)} ln( p_target(bucket(g)) /
+                                      p_raw(bucket(g)) )
+    with add-``smoothing`` Laplace estimates over the bucket vocabulary.
+    Per-bucket log-ratios are rounded to 9 dp and summed as
+    DECIMAL(28,9) so the sum is order-independent (float-sum ordering
+    is the classic cross-engine hash flap). Resampling = feed
+    ``log_weight`` to ``weighted_sample`` (Gumbel top-k on log weights
+    ≡ A-ES on weights).
+
+    Returns (id, n_features, log_weight DECIMAL(28,9)).
+
+    Scale shape: two explode→groupBy(bucket) count passes (map-side
+    combined; the bucket tables are ≤ n_buckets rows), then the scoring
+    pass joins the exploded corpus against the BROADCAST log-ratio
+    table and sums per document — one shuffle on ``id``. The target
+    corpus is typically tiny (a quality reference set); the raw pass
+    never materializes pairs and never shuffles text.
+    """
+    from .dedup import tokens
+
+    def features(col):
+        toks = tokens(col)
+        bigrams = F.when(F.size(toks) >= 2, F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    def bucket(col):
+        return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+                .cast("long") % n_buckets)
+
+    def bucket_counts(frame):
+        return (frame.select(F.explode(features(F.col(text_col))).alias("g"))
+                .select(bucket(F.col("g")).alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("n")))
+
+    raw_c = bucket_counts(df)
+    tgt_c = bucket_counts(target)
+    totals = (raw_c.agg(F.sum("n")).first()[0] or 0,
+              tgt_c.agg(F.sum("n")).first()[0] or 0)
+    denom_r = float(totals[0]) + smoothing * n_buckets
+    denom_t = float(totals[1]) + smoothing * n_buckets
+    ratio = (raw_c.withColumnRenamed("n", "n_raw")
+             .join(tgt_c.withColumnRenamed("n", "n_tgt"), "b", "full")
+             .select("b", F.round(
+                 F.log((F.coalesce(F.col("n_tgt"), F.lit(0)) + smoothing)
+                       / F.lit(denom_t))
+                 - F.log((F.coalesce(F.col("n_raw"), F.lit(0)) + smoothing)
+                         / F.lit(denom_r)), 9)
+                 .cast("decimal(28,9)").alias("log_ratio")))
+    # buckets unseen in BOTH corpora share one constant ratio
+    default_ratio = (F.round(
+        F.log(F.lit(smoothing / denom_t)) - F.log(F.lit(smoothing / denom_r)),
+        9).cast("decimal(28,9)"))
+    exploded = df.select(F.col(id_col).alias("_id"),
+                         F.explode(features(F.col(text_col))).alias("g")) \
+        .select("_id", bucket(F.col("g")).alias("b"))
+    return (exploded.join(F.broadcast(ratio), "b", "left")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.sum(F.coalesce(F.col("log_ratio"), default_ratio))
+                 .alias("log_weight"))
+            .select(F.col("_id").alias(id_col), "n_features", "log_weight"))

@@ -110,3 +110,37 @@ def test_quantize_int8_roundtrip_quality(spark):
         assert all(-127 <= q <= 127 for q in r["qvec"])
         assert max(abs(q) for q in r["qvec"]) == 127  # max element hits full range
         assert r["dequant_cos"] > 0.999
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from memory_engine_spark.operators.corpus import dsir_importance
+    raw = spark.createDataFrame(
+        [(1, "spark joins shuffle data across executors"),
+         (2, "spark joins shuffle partitions fast"),
+         (3, "le chat noir dort sur le tapis rouge"),
+         (4, "der hund lauft schnell durch den park")],
+        "doc_id long, text string")
+    target = raw.filter("doc_id IN (1, 2)")  # the 'english/spark' slice
+    out = {r["doc_id"]: r for r in
+           dsir_importance(raw, target, "text", "doc_id",
+                           n_buckets=512).collect()}
+    # docs drawn from the target distribution outscore the others
+    assert min(out[1]["log_weight"], out[2]["log_weight"]) > \
+        max(out[3]["log_weight"], out[4]["log_weight"])
+    # n_features = unigrams + bigrams = 2*len(toks) - 1
+    assert out[1]["n_features"] == 2 * 6 - 1
+    assert out[3]["n_features"] == 2 * 8 - 1
+
+
+def test_dsir_importance_single_word_doc_has_no_bigrams(spark):
+    from memory_engine_spark.operators.corpus import dsir_importance
+    raw = spark.createDataFrame([(1, "hello"), (2, "hello world")],
+                                "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_importance(raw, raw, "text", "doc_id",
+                           n_buckets=64).collect()}
+    assert out[1]["n_features"] == 1     # one unigram, zero bigrams
+    assert out[2]["n_features"] == 3     # 2 unigrams + 1 bigram
+    # target == raw -> every bucket ratio is ~0 after identical smoothing
+    assert abs(float(out[1]["log_weight"])) < 1e-6
+    assert abs(float(out[2]["log_weight"])) < 1e-6
