@@ -5,11 +5,12 @@ decode / feature-extract / frame-sample stages as Arrow-batched
 Beyond the reference's surface (its content is text-only) — this is the
 training-data-pipeline extension from the build brief: images/audio/
 video ride through the engine as ``binary`` columns with a metadata
-struct; the Spark-side plumbing (schema, batch iteration, partition
-sizing) is real and tested, while the actual codec work is stubbed
-behind ``DECODERS`` because no media libraries ship in this container.
-Swap a real decoder in at the same seam (same signature) on a cluster
-with codecs installed.
+struct. Header METADATA extraction (PNG/JPEG/GIF/BMP/WAV dimensions,
+sample rate, duration — ``probe_media_headers`` / ``image_dims_sql``)
+is REAL pure-byte parsing with no codec dependency; only pixel/sample
+DECODING is stubbed behind ``DECODERS`` because no media libraries
+ship in this container. Swap a real decoder in at the same seam (same
+signature) on a cluster with codecs installed.
 
 Scale notes: media rows are LARGE — the pipeline repartitions by
 byte-size budget, not row count, and decode stages must run AFTER
@@ -91,3 +92,149 @@ def size_budget_repartition(df: DataFrame, bytes_col_expr=None,
     total = df.agg(F.sum(size_col)).first()[0] or 0
     parts = max(1, int(-(-total // target_partition_bytes)))
     return df.repartition(parts)
+
+
+# ---------------------------------------------------------------------------
+# REAL header probing (no codec libraries needed — pure byte parsing)
+# ---------------------------------------------------------------------------
+
+def _be(col, pos: int, n: int):
+    """Big-endian unsigned int from ``n`` bytes at 1-based ``pos`` of a
+    binary column — hex + base-convert, all JVM-side."""
+    return F.conv(F.hex(F.substring(col, pos, n)), 16, 10).cast("long")
+
+
+def _le(col, pos: int, n: int):
+    """Little-endian unsigned int: per-byte place-value sum."""
+    out = F.lit(0).cast("long")
+    for i in range(n):
+        out = out + _be(col, pos + i, 1) * F.lit(256 ** i).cast("long")
+    return out
+
+
+def image_dims_sql(payload_col):
+    """(format, width, height) struct for PNG/GIF/BMP — the fixed-offset
+    header formats — as ONE Column expression: magic-byte dispatch +
+    substring/base-conversion, fully JVM-side (whole-stage codegen, no
+    Python). At 100 TB this is the hot path for the dominant formats;
+    variable-offset formats (JPEG SOF scan) fall through to NULL and
+    are mopped up by the Arrow-batched ``probe_media_headers``.
+
+    PNG: 8-byte signature then IHDR — width/height big-endian at byte
+    offsets 16/20 (W3C PNG spec §11.2.2). GIF: 'GIF87a'/'GIF89a' then
+    16-bit little-endian logical-screen width/height at 6/8 (GIF89a
+    spec §18). BMP: 'BM' then BITMAPINFOHEADER signed 32-bit
+    width/height at 18/22 (abs() — height may be negative for
+    top-down rows).
+    """
+    c = payload_col
+    is_png = (F.hex(F.substring(c, 1, 8)) == F.lit("89504E470D0A1A0A")) \
+        & (F.length(c) >= 24)
+    is_gif = (F.substring(c, 1, 3).cast("string") == F.lit("GIF")) \
+        & (F.length(c) >= 10)
+    is_bmp = (F.substring(c, 1, 2).cast("string") == F.lit("BM")) \
+        & (F.length(c) >= 26)
+    raw_w = _le(c, 19, 4)
+    raw_h = _le(c, 23, 4)
+    # two's-complement for BMP's signed fields
+    bmp_w = F.abs(F.when(raw_w >= F.lit(2**31), raw_w - F.lit(2**32))
+                  .otherwise(raw_w)).cast("int")
+    bmp_h = F.abs(F.when(raw_h >= F.lit(2**31), raw_h - F.lit(2**32))
+                  .otherwise(raw_h)).cast("int")
+    return (
+        F.when(is_png, F.struct(F.lit("png").alias("format"),
+                                _be(c, 17, 4).cast("int").alias("width"),
+                                _be(c, 21, 4).cast("int").alias("height")))
+        .when(is_gif, F.struct(F.lit("gif").alias("format"),
+                               _le(c, 7, 2).cast("int").alias("width"),
+                               _le(c, 9, 2).cast("int").alias("height")))
+        .when(is_bmp, F.struct(F.lit("bmp").alias("format"),
+                               bmp_w.alias("width"), bmp_h.alias("height")))
+        .otherwise(F.struct(F.lit(None).cast("string").alias("format"),
+                            F.lit(None).cast("int").alias("width"),
+                            F.lit(None).cast("int").alias("height")))
+    )
+
+
+def _probe_one(b: bytes) -> dict:
+    """Parse one payload's header. Formats: PNG, JPEG (SOF marker
+    scan), GIF, BMP, WAV (RIFF chunk walk). Returns dict of
+    format/mime/width/height/sample_rate/duration_s (None where not
+    applicable or unparseable)."""
+    out = {"format": None, "mime": None, "width": None, "height": None,
+           "sample_rate": None, "duration_s": None}
+    if not b:
+        return out
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        out.update(format="png", mime="image/png",
+                   width=int.from_bytes(b[16:20], "big"),
+                   height=int.from_bytes(b[20:24], "big"))
+    elif b[:2] == b"\xff\xd8":
+        out.update(format="jpeg", mime="image/jpeg")
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            length = int.from_bytes(b[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                out.update(height=int.from_bytes(b[i + 5:i + 7], "big"),
+                           width=int.from_bytes(b[i + 7:i + 9], "big"))
+                break
+            i += 2 + length
+    elif b[:3] == b"GIF" and len(b) >= 10:
+        out.update(format="gif", mime="image/gif",
+                   width=int.from_bytes(b[6:8], "little"),
+                   height=int.from_bytes(b[8:10], "little"))
+    elif b[:2] == b"BM" and len(b) >= 26:
+        out.update(format="bmp", mime="image/bmp",
+                   width=abs(int.from_bytes(b[18:22], "little", signed=True)),
+                   height=abs(int.from_bytes(b[22:26], "little", signed=True)))
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out.update(format="wav", mime="audio/wav")
+        i, byte_rate, data_size = 12, None, None
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            csize = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 32 <= len(b):
+                out["sample_rate"] = int.from_bytes(b[i + 12:i + 16], "little")
+                byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            out["duration_s"] = round(data_size / byte_rate, 6)
+    return out
+
+
+def probe_media_headers(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Full header probe as an Arrow-batched ``mapInPandas``: (id,
+    format, mime, width, height, sample_rate, duration_s, n_bytes).
+    This is REAL metadata extraction, not a stub — only pixel/sample
+    DECODING still needs codec libraries. Run it after filters so only
+    surviving rows cross the Python boundary; headers are the first
+    few hundred bytes, so prefer probing a prefix column
+    (``substring(payload, 1, 4096)``) upstream to keep Arrow transfer
+    off the full payloads."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                d = _probe_one(b)
+                d[id_col] = mid
+                d["n_bytes"] = len(b)
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[
+                id_col, "format", "mime", "width", "height",
+                "sample_rate", "duration_s", "n_bytes"])
+
+    out_schema = (f"{id_col} string, format string, mime string, "
+                  "width int, height int, sample_rate int, "
+                  "duration_s double, n_bytes long")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

@@ -331,3 +331,75 @@ def test_formats_compact_reduces_files(spark, tmp_path):
     n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
     assert n_after <= 2
     assert formats.read_any(spark, path).count() == 1000
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02" * 3)
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" * 10)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _bmp(w, h):
+    return (b"BM" + b"\x00" * 16
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True) + b"\x00" * 4)
+
+
+def _wav(sample_rate, byte_rate, data_size):
+    return (b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + data_size.to_bytes(4, "little") + b"\x00" * 8)
+
+
+def test_probe_media_headers_real_formats(spark):
+    rows = [("png1", _png(640, 480)), ("jpg1", _jpeg(1024, 768)),
+            ("gif1", _gif(320, 200)), ("bmp1", _bmp(800, -600)),
+            ("wav1", _wav(16000, 32000, 64000)), ("junk", b"\x00\x01\x02"),
+            ("empty", b"")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.probe_media_headers(df).collect()}
+    assert (out["png1"]["format"], out["png1"]["width"],
+            out["png1"]["height"]) == ("png", 640, 480)
+    assert (out["jpg1"]["format"], out["jpg1"]["width"],
+            out["jpg1"]["height"]) == ("jpeg", 1024, 768)
+    assert (out["gif1"]["width"], out["gif1"]["height"]) == (320, 200)
+    # BMP: negative (top-down) height reported as magnitude
+    assert (out["bmp1"]["width"], out["bmp1"]["height"]) == (800, 600)
+    assert out["wav1"]["sample_rate"] == 16000
+    assert out["wav1"]["duration_s"] == 2.0
+    assert out["junk"]["format"] is None
+    assert out["empty"]["n_bytes"] == 0
+
+
+def test_image_dims_sql_matches_python_prober(spark):
+    from pyspark.sql import functions as F
+    rows = [("a", _png(1920, 1080)), ("b", _gif(33, 44)),
+            ("c", _bmp(5000, -4000)), ("d", _jpeg(10, 10)),  # jpeg -> NULL
+            ("e", b"short")]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    sql_side = {r["media_id"]: r["d"] for r in df.select(
+        "media_id",
+        multimodal.image_dims_sql(F.col("payload")).alias("d")).collect()}
+    py_side = {r["media_id"]: r for r in
+               multimodal.probe_media_headers(df).collect()}
+    for mid in ("a", "b", "c"):
+        assert sql_side[mid]["format"] == py_side[mid]["format"]
+        assert sql_side[mid]["width"] == py_side[mid]["width"]
+        assert sql_side[mid]["height"] == py_side[mid]["height"]
+    # variable-offset (jpeg) and garbage rows fall through to NULL in SQL
+    assert sql_side["d"]["format"] is None
+    assert sql_side["e"]["format"] is None
