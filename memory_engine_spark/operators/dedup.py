@@ -635,7 +635,11 @@ def semdedup(embeddings: DataFrame, threshold: float, nlist: int = 16,
                       .alias("centroid_sim")))
     w = Window.partitionBy("cell").orderBy(
         F.col("centroid_sim").asc(), F.col(id_col).asc())
-    ranked = ranked.withColumn("rk", F.row_number().over(w))
+    # ranked feeds three consumers (both self-join sides + the output
+    # projection); checkpoint it once so the assignment subtree isn't
+    # recomputed per consumer (lazy: the first action materializes it)
+    ranked = (ranked.withColumn("rk", F.row_number().over(w))
+              .localCheckpoint(eager=False))
     a = ranked.select("cell", F.col("rk").alias("rk_a"),
                       F.col(vec_col).alias("_va"))
     b = ranked.select(id_col, "cell", F.col("rk").alias("rk_b"),
