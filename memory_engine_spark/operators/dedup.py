@@ -654,3 +654,78 @@ def semdedup(embeddings: DataFrame, threshold: float, nlist: int = 16,
                     (F.col("max_prior_sim").isNull()
                      | (F.col("max_prior_sim") < F.lit(threshold)))
                     .alias("is_kept")))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def substring_dedup(df: DataFrame, text_col: str, id_col: str,
+                    window: int = 50, min_dup: int = 2) -> DataFrame:
+    """Exact-substring deduplication ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. ACL 2022, ExactSubstr):
+    remove every token that belongs to an exact duplicate span of ≥
+    ``window`` tokens occurring in ≥ ``min_dup`` DISTINCT documents.
+    Token-window granularity makes this exactly equivalent to the
+    suffix-array formulation: a duplicated span of length ≥ window has
+    ALL its length-``window`` sub-windows duplicated (so the span is
+    fully covered), and every hot window IS an exact cross-doc
+    duplicate of length ``window``. Unlike the paper, within-ONE-doc
+    repeats don't count (min_dup counts distinct docs — the corpus
+    boilerplate case); docs shorter than ``window`` tokens pass
+    through untouched. Returns (id, text, n_tokens, n_removed) with
+    text rebuilt from surviving tokens (single-space joined,
+    tokenizer-normalized).
+
+    Scale shape — the suffix-array step the paper runs on one machine
+    becomes three bounded passes:
+      1. window-hash counts: explode (n_toks − window + 1) md5 window
+         hashes per doc → map-side-combined countDistinct groupBy;
+      2. the hot-hash set (a tiny fraction) broadcasts back against
+         the window frame → hot START positions per doc;
+      3. coverage is a per-doc RUNNING MAX over token positions
+         (covered ⇔ last hot start ≥ pos − window + 1) — one window
+         pass partitioned by doc id, NO per-token interval scan, then
+         ordered reassembly in the same doc-keyed shuffle.
+    Nothing is ever quadratic; the only all-rows shuffles key on the
+    doc id (token frame) and the window hash (counting).
+    """
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    wins = (base.filter(F.size("_toks") >= window)
+            .select("_id", F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - window),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"),
+                                                         i + 1, window)))))
+                .alias("i", "h")))
+    hot = (wins.groupBy("h")
+           .agg(F.countDistinct("_id").alias("_docs"))
+           .filter(F.col("_docs") >= min_dup)
+           .select("h"))
+    starts = wins.join(F.broadcast(hot), "h").select("_id", "i")
+    tok_rows = base.select("_id", F.posexplode("_toks").alias("pos", "tok"))
+    marked = (tok_rows.join(starts,
+                            (tok_rows["_id"] == starts["_id"])
+                            & (tok_rows["pos"] == starts["i"]), "left")
+              .select(tok_rows["_id"], "pos", "tok",
+                      starts["i"].alias("start_here")))
+    run = W.partitionBy("_id").orderBy("pos") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    covered = (marked
+               .withColumn("last_start", F.max("start_here").over(run))
+               .withColumn("_drop",
+                           F.col("last_start").isNotNull()
+                           & (F.col("last_start") >= F.col("pos") - window + 1)))
+    return (covered.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+                 F.array_sort(F.collect_list(
+                     F.when(~F.col("_drop"), F.struct("pos", "tok"))))
+                 .alias("_kept"))
+            .select(F.col("_id").alias(id_col),
+                    F.concat_ws(" ", F.transform(
+                        F.col("_kept"), lambda s: s["tok"])).alias(text_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_removed").cast("long").alias("n_removed")))

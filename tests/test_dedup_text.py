@@ -357,3 +357,49 @@ def test_semdedup_keeps_low_centroid_sim_representative(spark):
     assert out[6]["max_prior_sim"] is None
     # the dropped seeds record the dup similarity that killed them
     assert out[1]["max_prior_sim"] > 0.95 and out[2]["max_prior_sim"] > 0.95
+
+
+def test_substring_dedup_removes_cross_doc_spans(spark):
+    # shared: an exact 6-token span in docs 1 and 2; window=4 must
+    # cover the whole span (all its 4-token windows are hot) and keep
+    # each doc's unique prefix/suffix.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} eight nine"),
+         (2, f"x y z {shared}"),
+         (3, "totally unrelated words here only once")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in
+            dedup.substring_dedup(df, "text", "doc_id",
+                                  window=4, min_dup=2).collect()}
+    assert rows[1]["text"] == "one two eight nine"
+    assert rows[2]["text"] == "x y z"
+    assert rows[3]["text"] == "totally unrelated words here only once"
+    assert (rows[1]["n_tokens"], rows[1]["n_removed"]) == (10, 6)
+    assert (rows[2]["n_tokens"], rows[2]["n_removed"]) == (9, 6)
+    assert rows[3]["n_removed"] == 0
+
+
+def test_substring_dedup_within_doc_repeat_not_removed(spark):
+    # the same 4-token run twice in ONE doc: min_dup counts distinct
+    # docs, so nothing is hot
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "unrelated filler text tokens")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in
+            dedup.substring_dedup(df, "text", "doc_id",
+                                  window=4, min_dup=2).collect()}
+    assert rows[1]["n_removed"] == 0
+    assert rows[1]["text"] == "a b c d a b c d"
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    # both docs share all 3 tokens but are SHORTER than the window:
+    # no window forms, nothing is removed
+    df = spark.createDataFrame(
+        [(1, "same three words"), (2, "same three words")],
+        "doc_id int, text string")
+    rows = dedup.substring_dedup(df, "text", "doc_id",
+                                 window=5, min_dup=2).collect()
+    assert all(r["n_removed"] == 0 for r in rows)
+    assert all(r["text"] == "same three words" for r in rows)
