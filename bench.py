@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "q74_pagerank",           # iterative rank propagation (5 rounds)
     "q75_ivfpq_topk",         # IVF-PQ coarse+ADC+re-rank ANN
     "q76_revenue_by_nation",  # TPC-H Q5-shape broadcast star join
+    # round-3 wave
+    "q84_line_dedup",         # corpus-wide boilerplate line removal
+    "q85_semdedup",           # IVF-clustered semantic dedup
+    "q86_dsir_weights",       # hashed n-gram importance weights
+    "q87_substring_dedup",    # exact-substring hot-window dedup
 ]
 
 

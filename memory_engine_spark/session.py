@@ -72,8 +72,14 @@ class EngineSession:
         names = list(tables) if tables else [
             f[: -len(".parquet")] for f in sorted(os.listdir(path)) if f.endswith(".parquet")
         ]
+        from .sources.tables import _read_parquet
         for name in names:
-            self.register(name, self.spark.read.parquet(os.path.join(path, f"{name}.parquet")))
+            # the normalizing reader, NOT a bare spark.read.parquet:
+            # ns-timestamps and zone-less (NTZ) columns must become
+            # TIMESTAMP here too, or epoch functions (unix_micros in
+            # sessionize) fail on attached tables
+            self.register(name, _read_parquet(
+                self.spark, os.path.join(path, f"{name}.parquet")))
 
     def table(self, name: str) -> DataFrame:
         if name not in self._tables:

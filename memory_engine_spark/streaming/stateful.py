@@ -130,3 +130,61 @@ def session_aggregates(events: DataFrame, key_col: str, ts_col: str,
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(key_col, F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events"))
+
+
+def streaming_hll_registers(events: DataFrame, col: str,
+                            group_cols: list[str] | None = None,
+                            p: int = 8) -> DataFrame:
+    """Streaming HyperLogLog: maintain the portable HLL register state
+    (functions/sketch.py primitives — md5 index + bin() rank) as a
+    STREAMING aggregation, the canonical unbounded distinct-count at
+    scale. Per (group, register) the state is one int (the max rank):
+    ≤ 2**p rows per group TOTAL no matter how many events flow
+    through, and the aggregation is map-side combinable, so the state
+    store never grows with cardinality. Emit in update mode and fold
+    registers to the estimate batch-side (``hll_estimate_from_
+    registers``) — chaining a second stateful agg in one streaming
+    query is the anti-pattern Structured Streaming forbids.
+
+    Streaming == batch by construction: the register rows equal
+    ``sketch.hll_count_distinct``'s pre-fold partials on the same data
+    (tested), so an estimate from a live stream can be cross-checked
+    against the batch oracle at any point.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.sketch import _md5_word, hll_rank
+
+    m = 1 << p
+    gcols = list(group_cols or [])
+    c = F.col(col)
+    return (events.filter(c.isNotNull())
+            .select(*gcols,
+                    (_md5_word(c, 1) % m).alias("reg"),
+                    hll_rank(_md5_word(c, 9)).alias("rank"))
+            .groupBy(*gcols, "reg")
+            .agg(F.max("rank").alias("max_rank")))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: list[str] | None = None,
+                                p: int = 8) -> DataFrame:
+    """Fold (group, reg, max_rank) register rows — batch table or a
+    micro-batch snapshot of ``streaming_hll_registers`` — into the
+    HLL estimate. Mirrors ``sketch.hll_count_distinct``'s fold exactly
+    (same α, same linear-counting small-range correction, same 4-dp
+    round), so streaming and batch estimates are bit-identical."""
+    from pyspark.sql import functions as F
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = list(group_cols or [])
+    agg = (regs.groupBy(*gcols)
+           .agg(F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("_s"),
+                F.count(F.lit(1)).alias("_n")))
+    v = F.lit(m) - F.col("_n")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+                 ).otherwise(raw)
+    return agg.select(*gcols, F.round(est, 4).alias("hll_estimate"))

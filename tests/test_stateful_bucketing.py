@@ -123,3 +123,43 @@ def test_bm25_broadcasts_stats_sides(spark):
     plan = bm25_scores(df, "body", "doc_id", ["spark", "join"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_streaming_hll_matches_batch_across_restart(spark, bus, tmp_path):
+    from memory_engine_spark.functions.sketch import hll_count_distinct
+    from memory_engine_spark.streaming.stateful import (
+        hll_estimate_from_registers, streaming_hll_registers)
+
+    regs: dict = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            regs[r["reg"]] = r["max_rank"]
+
+    def run_once():
+        q = (streaming_hll_registers(bus.stream(), "user_id", p=6)
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck_hll"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def streamed_estimate():
+        snap = spark.createDataFrame(
+            [(k, v) for k, v in regs.items()], "reg long, max_rank int")
+        return hll_estimate_from_registers(snap, p=6).first()["hll_estimate"]
+
+    run_once()
+    batch1 = hll_count_distinct(bus.replay(dt.datetime(2000, 1, 1)), "user_id", p=6) \
+        .first()["hll_estimate"]
+    assert streamed_estimate() == batch1  # bit-identical fold
+
+    # 30 new users arrive; the register STATE survives the restart and
+    # the streamed estimate still equals batch-over-everything
+    t0 = dt.datetime(2024, 1, 3)
+    bus.publish(_events(spark, [
+        (100 + i, t0, 1000 + i, "click", 1.0, "{}") for i in range(30)]))
+    run_once()
+    batch2 = hll_count_distinct(bus.replay(dt.datetime(2000, 1, 1)), "user_id", p=6) \
+        .first()["hll_estimate"]
+    assert streamed_estimate() == batch2
+    assert batch2 > batch1
