@@ -1394,6 +1394,19 @@ def q87_substring_dedup(spark, sf):
             .orderBy("doc_id"))
 
 
+def q88_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring (corpus.bigram_perplexity,
+    Wenzek et al. LREC 2020): add-k bigram model trained on the
+    English slice, every document scored by cross-entropy / ppl.
+    Hashed-bucket tokens and decimal-summed 9-dp log-probs keep the
+    model and the scores oracle-checkable."""
+    docs = _t(spark, sf)["documents"]
+    out = corpus.bigram_perplexity(
+        docs, docs.filter(F.col("lang") == "en"), "text", "doc_id",
+        n_buckets=65536, smoothing=0.1)
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1438,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_semdedup": q85_semdedup,
         "q86_dsir_weights": q86_dsir_weights,
         "q87_substring_dedup": q87_substring_dedup,
+        "q88_lm_perplexity": q88_lm_perplexity,
     }
     out.update(_legacy_queries())
     return out
@@ -3499,5 +3513,56 @@ def oracle_sql() -> dict[str, str]:
                s.n_tokens, s.n_removed
         FROM stats s LEFT JOIN rebuilt r USING (doc_id)
         ORDER BY s.doc_id
+    """
+
+    # q88: hashed-bucket bigram LM trained on lang='en' rows, add-0.1
+    # smoothing over 65536 buckets, per-a backoff then global unseen
+    # constant; decimal log-prob sum, one double division at the end.
+    sql["q88_lm_perplexity"] = f"""
+        WITH {TOKS_CTE},
+        tok_rows AS (
+            SELECT doc_id, pos,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                              substr(md5(tok), j::INT + 1, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) % 65536 AS tok
+            FROM (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                         unnest(toks) AS tok
+                  FROM toks_t)
+        ),
+        bi AS (
+            SELECT t1.doc_id, t1.pos, t1.tok AS a, t2.tok AS b
+            FROM tok_rows t1 JOIN tok_rows t2
+              ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ),
+        tgt_bi AS (
+            SELECT a, b, COUNT(*) AS c_ab
+            FROM bi JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en' GROUP BY 1, 2
+        ),
+        tgt_uni AS (SELECT a, SUM(c_ab) AS c_a FROM tgt_bi GROUP BY 1),
+        model AS (
+            SELECT a, b, CAST(ROUND(ln((c_ab + 0.1) / (c_a + 0.1 * 65536)),
+                              9) AS DECIMAL(28,9)) AS log_p
+            FROM tgt_bi JOIN tgt_uni USING (a)
+        ),
+        back AS (
+            SELECT a, CAST(ROUND(ln(0.1 / (c_a + 0.1 * 65536)), 9)
+                           AS DECIMAL(28,9)) AS log_backoff
+            FROM tgt_uni
+        ),
+        scored AS (
+            SELECT bi.doc_id,
+                   COALESCE(m.log_p, k.log_backoff,
+                            CAST(ROUND(-ln(65536), 9) AS DECIMAL(28,9)))
+                       AS lp
+            FROM bi LEFT JOIN model m ON bi.a = m.a AND bi.b = m.b
+                    LEFT JOIN back k ON bi.a = k.a
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                   AS cross_entropy,
+               ROUND(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4) AS ppl
+        FROM scored GROUP BY doc_id ORDER BY doc_id
     """
     return sql

@@ -273,3 +273,88 @@ def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
                  F.sum(F.coalesce(F.col("log_ratio"), default_ratio))
                  .alias("log_weight"))
             .select(F.col("_id").alias(id_col), "n_features", "log_weight"))
+
+
+def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
+                      id_col: str, n_buckets: int = 65536,
+                      smoothing: float = 0.1) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. LREC
+    2020 filter by KenLM perplexity; here an add-k-smoothed BIGRAM
+    model over hashed token buckets instead of a 5-gram KenLM binary —
+    the filtering semantics, minus the external model artifact):
+    train bigram/unigram counts on a TARGET corpus (the clean
+    reference, e.g. Wikipedia), then score every document by
+    cross-entropy
+
+        H(d) = −(1/|d|−1) Σ_i ln P(tok_i | tok_{i−1}),
+        P(b | a) = (c(a,b) + k) / (c(a·) + k·B)
+
+    with tokens hashed into ``n_buckets`` ids (md5-portable — the
+    whole model is two relational count tables, so training AND
+    scoring are oracle-checkable). Lower = more target-like;
+    perplexity = e^H. Docs with < 2 tokens form no bigram and are
+    absent from the output (no evidence to score). Returns
+    (id, n_bigrams, cross_entropy, ppl).
+
+    Scale shape: training = one explode→groupBy(bigram) + one
+    groupBy(unigram) over the target, both map-side combined; the
+    model is ≤ |distinct bigrams| rows of (a, b, log_p). Scoring joins
+    the exploded corpus bigrams against the BROADCAST model (unseen
+    bigrams take the per-``a`` backoff constant via a second broadcast
+    join on the unigram table, and a global constant when ``a`` itself
+    is unseen) and sums per doc — one doc-keyed shuffle. Per-bigram
+    log-probs round to 9 dp and sum as DECIMAL(28,9): cross-engine
+    hash-stable at any partitioning.
+    """
+    from .dedup import tokens
+
+    def tok_ids(frame):
+        return frame.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.transform(
+                tokens(F.col(text_col)),
+                lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                           .cast("long") % n_buckets))).alias("pos", "tok"))
+
+    def bigrams(frame):
+        t = tok_ids(frame)
+        nxt = t.select(F.col("_id"), (F.col("pos") - 1).alias("pos"),
+                       F.col("tok").alias("tok_b"))
+        return (t.join(nxt, ["_id", "pos"])
+                .select("_id", "pos", F.col("tok").alias("a"),
+                        F.col("tok_b").alias("b")))
+
+    tgt_bi = (bigrams(target).groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("c_ab")))
+    tgt_uni = (tgt_bi.groupBy("a").agg(F.sum("c_ab").alias("c_a")))
+    k, B = float(smoothing), n_buckets
+    model = (tgt_bi.join(tgt_uni, "a")
+             .select("a", "b", F.round(
+                 F.log((F.col("c_ab") + F.lit(k))
+                       / (F.col("c_a") + F.lit(k * B))), 9)
+                 .cast("decimal(28,9)").alias("log_p")))
+    # backoff when (a, b) unseen but a seen: ln(k / (c_a + kB));
+    # when a itself unseen: ln(k / kB) = -ln(B)
+    backoff_a = (tgt_uni.select("a", F.round(
+        F.log(F.lit(k) / (F.col("c_a") + F.lit(k * B))), 9)
+        .cast("decimal(28,9)").alias("log_backoff")))
+    import math
+    unseen = F.lit(round(-math.log(B), 9)).cast("decimal(28,9)")
+
+    scored = (bigrams(df)
+              .join(F.broadcast(model), ["a", "b"], "left")
+              .join(F.broadcast(backoff_a), "a", "left")
+              .select("_id", F.coalesce(
+                  F.col("log_p"), F.col("log_backoff"), unseen)
+                  .alias("lp")))
+    return (scored.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("lp").alias("_sum_lp"))
+            .select(F.col("_id").alias(id_col), "n_bigrams",
+                    # ONE double division of the exact decimal sum —
+                    # IEEE-deterministic on both engines (decimal÷int
+                    # scale rules are NOT portable, so don't use them)
+                    F.round(-F.col("_sum_lp").cast("double")
+                            / F.col("n_bigrams"), 6).alias("cross_entropy"),
+                    F.round(F.exp(-F.col("_sum_lp").cast("double")
+                                  / F.col("n_bigrams")), 4).alias("ppl")))

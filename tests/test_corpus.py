@@ -144,3 +144,33 @@ def test_dsir_importance_single_word_doc_has_no_bigrams(spark):
     # target == raw -> every bucket ratio is ~0 after identical smoothing
     assert abs(float(out[1]["log_weight"])) < 1e-6
     assert abs(float(out[2]["log_weight"])) < 1e-6
+
+
+def test_bigram_perplexity_scores_target_like_docs_lower(spark):
+    from memory_engine_spark.operators.corpus import bigram_perplexity
+    raw = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox sleeps near the lazy dog"),
+         (3, "zzz qqq vvv kkk www yyy xxx uuu ppp")],
+        "doc_id long, text string")
+    target = raw.filter("doc_id IN (1, 2)")
+    out = {r["doc_id"]: r for r in
+           bigram_perplexity(raw, target, "text", "doc_id",
+                             n_buckets=4096).collect()}
+    # every bigram of doc 3 is unseen -> max entropy; docs 1/2 are in
+    # the training set -> far lower
+    assert out[1]["cross_entropy"] < out[3]["cross_entropy"]
+    assert out[2]["cross_entropy"] < out[3]["cross_entropy"]
+    assert out[1]["ppl"] < out[3]["ppl"]
+    # n_bigrams = n_tokens - 1
+    assert out[1]["n_bigrams"] == 8
+    assert out[3]["n_bigrams"] == 8
+
+
+def test_bigram_perplexity_short_docs_absent(spark):
+    from memory_engine_spark.operators.corpus import bigram_perplexity
+    raw = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens here")], "doc_id long, text string")
+    out = bigram_perplexity(raw, raw, "text", "doc_id",
+                            n_buckets=64).collect()
+    assert [r["doc_id"] for r in out] == [2]
