@@ -1407,6 +1407,28 @@ def q88_lm_perplexity(spark, sf):
     return out.orderBy("doc_id")
 
 
+def q89_bloom_membership(spark, sf):
+    """Portable Bloom filter (functions/sketch.bloom_build/probe):
+    bitmap over BUILDING-segment customer keys, probed by every order.
+    The audit proves the no-false-negative contract (n_maybe ≥
+    n_members) and surfaces the FP count; the whole bitmap is
+    SQL-reproducible so even the word array hashes identically."""
+    t = _t(spark, sf)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    bloom = sketch.bloom_build(cust, "c_custkey", m_bits=65536, k=4)
+    probed = sketch.bloom_probe(t["orders"].select("o_custkey"),
+                                "o_custkey", bloom, m_bits=65536, k=4)
+    members = (cust.select(F.col("c_custkey").alias("o_custkey"))
+               .distinct().withColumn("is_member", F.lit(True)))
+    return (probed.join(members, "o_custkey", "left")
+            .agg(F.count(F.lit(1)).alias("n_probed"),
+                 F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+                 F.sum(F.col("is_member").isNotNull().cast("long"))
+                 .alias("n_members"),
+                 F.sum((F.col("maybe") & F.col("is_member").isNull())
+                       .cast("long")).alias("n_false_positives")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1452,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_dsir_weights": q86_dsir_weights,
         "q87_substring_dedup": q87_substring_dedup,
         "q88_lm_perplexity": q88_lm_perplexity,
+        "q89_bloom_membership": q89_bloom_membership,
     }
     out.update(_legacy_queries())
     return out
@@ -3564,5 +3587,52 @@ def oracle_sql() -> dict[str, str]:
                    AS cross_entropy,
                ROUND(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4) AS ppl
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # q89: generated like the CMS/HLL oracles — the k probe positions
+    # unroll in Python so Spark and SQL share the exact construction.
+    def _hex2int(expr):
+        return ("CAST(list_sum(list_transform(range(0, 8), j -> "
+                "(strpos('0123456789abcdef', substr(md5(" + expr + "), "
+                "j::INT + 1, 1)) - 1) * power(16, 7 - j))) AS BIGINT)")
+
+    def _pos(i, val):
+        return (_hex2int(f"'bloom{i}:' || CAST({val} AS VARCHAR)")
+                + " % 65536")
+
+    probe_cond = " AND ".join(
+        f"((words[CAST(({_pos(i, 'o_custkey')}) // 32 AS INT) + 1] "
+        f">> CAST(({_pos(i, 'o_custkey')}) % 32 AS INT)) & 1) = 1"
+        for i in range(4))
+    pos_union = " UNION ALL ".join(
+        f"SELECT {_pos(i, 'c_custkey')} AS p FROM bcust" for i in range(4))
+    sql["q89_bloom_membership"] = f"""
+        WITH bcust AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        pos AS ({pos_union}),
+        word_rows AS (
+            SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT))
+                       AS bits
+            FROM pos GROUP BY 1
+        ),
+        bitmap AS (
+            SELECT list(COALESCE(b.bits, 0) ORDER BY r.range) AS words
+            FROM range(0, 2048) r LEFT JOIN word_rows b ON b.w = r.range
+        ),
+        probed AS (
+            SELECT o.o_custkey, ({probe_cond}) AS maybe,
+                   (o.o_custkey IN (SELECT c_custkey FROM bcust))
+                       AS is_member
+            FROM orders o, bitmap
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_maybe,
+               CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_members,
+               CAST(SUM(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_false_positives
+        FROM probed
     """
     return sql

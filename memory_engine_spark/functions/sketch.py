@@ -206,3 +206,73 @@ def hll_oracle_sql(table: str, col: str, group_cols: list[str] | None = None,
             AS hll_estimate
         FROM folded
     """
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (completes the sketch family: HLL, CMS, Bloom)
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(col: Column, i: int, m_bits: int) -> Column:
+    """i-th bit position of a value: md5('bloom<i>:' || value) word
+    mod m_bits — the same portable-hash construction as the HLL/CMS
+    draws, so build and probe reproduce identically in ANSI SQL."""
+    return (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.lit(f"bloom{i}"), col.cast("string"))), 1, 8),
+        16, 10).cast("long") % m_bits)
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 65536,
+                k: int = 4) -> DataFrame:
+    """Build a Bloom filter over a column as ONE row
+    (words array<long>): a dense bitmap of ``m_bits`` bits stored as
+    32-BIT words (32, not 64: word values stay < 2^32, so shifts and
+    ``bit_or`` never touch the sign bit — the cross-engine two's-
+    complement trap the 64-bit SimHash packing has to work around).
+
+    Spark ships runtime bloom-filter join pruning natively
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) — use that for
+    ad-hoc joins; THIS one is for a persisted, engine-portable
+    membership artifact (decontamination lists, seen-URL sets) that a
+    non-Spark consumer can probe with plain SQL.
+
+    Scale shape: k explode'd positions per value → one
+    map-side-combined bit_or groupBy over ≤ m_bits/32 word rows → a
+    single dense array row (broadcast at probe time). Probing is O(1)
+    per value: element_at + shift, no scan of the bitmap.
+    """
+    nw = m_bits // 32
+    c = F.col(col)
+    pos = (df.filter(c.isNotNull())
+           .select(F.explode(F.array(
+               *[_bloom_pos(c, i, m_bits) for i in range(k)])).alias("p")))
+    # pyspark's shiftleft() only takes a literal shift amount; the SQL
+    # function form accepts a column expression
+    word_rows = (pos.select(
+        F.floor(F.col("p") / 32).cast("long").alias("w"),
+        (F.col("p") % 32).cast("int").alias("b"))
+        .selectExpr("w", "cast(shiftleft(1L, b) as long) as v")
+        .groupBy("w").agg(F.expr("bit_or(v)").alias("bits")))
+    idx = df.sparkSession.range(nw).select(F.col("id").alias("w"))
+    return (idx.join(word_rows, "w", "left")
+            .select("w", F.coalesce(F.col("bits"), F.lit(0)).alias("bits"))
+            .agg(F.array_sort(F.collect_list(
+                F.struct("w", "bits"))).alias("e"))
+            .select(F.transform(F.col("e"),
+                                lambda s: s["bits"]).alias("words")))
+
+
+def bloom_probe(df: DataFrame, col: str, bloom: DataFrame,
+                m_bits: int = 65536, k: int = 4) -> DataFrame:
+    """Append ``maybe`` (boolean) to ``df``: true iff ALL k bit
+    positions of the value are set — no false negatives, false
+    positives at the classic (1−e^{−kn/m})^k rate. The one-row filter
+    broadcasts; each probe is k element_at + shift ops."""
+    c = F.col(col)
+    out = df.crossJoin(F.broadcast(bloom))
+    for i in range(k):
+        out = out.withColumn(f"_p{i}", _bloom_pos(c, i, m_bits))
+    cond = " AND ".join(
+        f"((shiftright(element_at(words, cast(_p{i} div 32 as int) + 1), "
+        f"cast(_p{i} % 32 as int)) & 1) = 1)" for i in range(k))
+    return (out.withColumn("maybe", F.expr(cond))
+            .drop("words", *[f"_p{i}" for i in range(k)]))

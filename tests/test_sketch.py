@@ -49,3 +49,29 @@ def test_hll_nulls_ignored(spark):
     [a] = sketch.hll_count_distinct(base, "v", p=8).collect()
     [b] = sketch.hll_count_distinct(with_nulls, "v", p=8).collect()
     assert a["hll_estimate"] == b["hll_estimate"]
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from memory_engine_spark.functions.sketch import bloom_build, bloom_probe
+    members = spark.range(0, 500).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, "v", m_bits=65536, k=4)
+    # probe members and 5000 non-members
+    probe = spark.range(0, 5500).select(F.col("id").alias("v"))
+    out = bloom_probe(probe, "v", bloom, m_bits=65536, k=4)
+    res = {r["v"]: r["maybe"] for r in out.collect()}
+    # no false negatives: every member reports maybe
+    assert all(res[v] for v in range(500))
+    # false-positive rate near (1 - e^(-kn/m))^k ≈ 0.08% for these params
+    fps = sum(1 for v in range(500, 5500) if res[v])
+    assert fps < 50  # << 1% of 5000
+
+
+def test_bloom_word_array_is_dense_and_32bit(spark):
+    from memory_engine_spark.functions.sketch import bloom_build
+    bloom = bloom_build(
+        spark.range(0, 10).select(F.col("id").alias("v")), "v",
+        m_bits=1024, k=2).first()
+    words = bloom["words"]
+    assert len(words) == 1024 // 32
+    assert all(0 <= w < (1 << 32) for w in words)  # sign bit never set
+    assert sum(bin(w).count("1") for w in words) <= 20  # ≤ k*n bits set
