@@ -1429,6 +1429,14 @@ def q89_bloom_membership(spark, sf):
                        .cast("long")).alias("n_false_positives")))
 
 
+def q90_label_propagation(spark, sf):
+    """Deterministic synchronous LPA communities after 3 rounds
+    (graph.label_propagation); oracle = the same three rounds unrolled
+    as SQL CTEs (generated below, like the pagerank oracle)."""
+    return (graph.label_propagation(_edges(spark, sf), n_iter=3)
+            .orderBy("node_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1475,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_substring_dedup": q87_substring_dedup,
         "q88_lm_perplexity": q88_lm_perplexity,
         "q89_bloom_membership": q89_bloom_membership,
+        "q90_label_propagation": q90_label_propagation,
     }
     out.update(_legacy_queries())
     return out
@@ -3635,4 +3644,26 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_false_positives
         FROM probed
     """
+
+    # q90: three LPA rounds unrolled (argmax by cnt DESC, label ASC;
+    # isolated fallback to own id mirrors the operator exactly).
+    lpa_ctes = ["lpa_nodes AS (SELECT DISTINCT from_id AS node_id "
+                "FROM edges_sym)",
+                "l0 AS (SELECT node_id, node_id AS label FROM lpa_nodes)"]
+    for i in range(1, 4):
+        lpa_ctes.append(f"""c{i} AS (
+            SELECT e.to_id AS node_id, l.label, COUNT(*) AS cnt
+            FROM edges_sym e JOIN l{i-1} l ON e.from_id = l.node_id
+            GROUP BY 1, 2)""")
+        lpa_ctes.append(f"""l{i} AS (
+            SELECT n.node_id, COALESCE(w.label, n.node_id) AS label
+            FROM lpa_nodes n LEFT JOIN (
+                SELECT node_id, label FROM (
+                    SELECT node_id, label, ROW_NUMBER() OVER (
+                        PARTITION BY node_id
+                        ORDER BY cnt DESC, label ASC) AS rk
+                    FROM c{i}) WHERE rk = 1) w USING (node_id))""")
+    sql["q90_label_propagation"] = (
+        f"WITH {EDGES_CTE}, " + ", ".join(lpa_ctes)
+        + " SELECT node_id, label FROM l3 ORDER BY node_id")
     return sql

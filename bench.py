@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q85_semdedup",           # IVF-clustered semantic dedup
     "q86_dsir_weights",       # hashed n-gram importance weights
     "q87_substring_dedup",    # exact-substring hot-window dedup
+    "q88_lm_perplexity",      # bigram-LM cross-entropy scoring
+    "q89_bloom_membership",   # Bloom bitmap build + probe audit
 ]
 
 

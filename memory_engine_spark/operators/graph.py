@@ -28,7 +28,7 @@ the same partitioning and only the frontier shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -465,3 +465,59 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         return out
     finally:
         oriented.unpersist()
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 5,
+                      directed: bool = False) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the GraphFrames ``labelPropagation`` shape) with fully
+    DETERMINISTIC semantics so it is oracle-checkable: labels start as
+    the node id; each round every node adopts the most frequent label
+    among its (symmetrized by default) neighbors, ties broken toward
+    the SMALLEST label; fixed ``n_iter`` rounds (no convergence test —
+    async/random variants are not reproducible cross-engine). The
+    reference clusters only by shared domain tags
+    (insight_discovery.py cluster patterns); this is the structural
+    upgrade of that grouping. Returns (node_id, label) where label =
+    community representative id.
+
+    Scale shape: the adjacency persists once, hash-partitioned; per
+    round ONLY the |V|-row label vector shuffles to meet it
+    (shuffle_hash — same discipline as pagerank), the (node, label)
+    count table reduces map-side, and the argmax is one row_number
+    window over counts partitioned by node. Labels checkpoint every
+    2nd round (and eagerly at the end, so the caller's actions never
+    recompute the loop against the unpersisted adjacency).
+    """
+    base = edges.select("from_id", "to_id")
+    adj = (base if directed else symmetrize(base)).persist()
+    nodes = (adj.select(F.col("from_id").alias("node_id"))
+             .unionByName(adj.select(F.col("to_id").alias("node_id")))
+             .distinct())
+    labels = (nodes.select("node_id", F.col("node_id").alias("label"))
+              .localCheckpoint())
+    try:
+        for it in range(n_iter):
+            counts = (adj.alias("e")
+                      .join(labels.alias("l").hint("shuffle_hash"),
+                            F.col("e.from_id") == F.col("l.node_id"))
+                      .groupBy(F.col("e.to_id").alias("node_id"),
+                               F.col("l.label").alias("label"))
+                      .agg(F.count(F.lit(1)).alias("cnt")))
+            w = Window.partitionBy("node_id").orderBy(
+                F.col("cnt").desc(), F.col("label").asc())
+            winners = (counts.withColumn("rk", F.row_number().over(w))
+                       .filter(F.col("rk") == 1)
+                       .select("node_id", "label"))
+            # isolated nodes (possible under directed=True: a pure
+            # source never RECEIVES a label) keep their own
+            labels = (nodes.alias("n")
+                      .join(winners.alias("w2"), "node_id", "left")
+                      .select("node_id",
+                              F.coalesce(F.col("w2.label"),
+                                         F.col("n.node_id")).alias("label")))
+            if it == n_iter - 1 or it % 2 == 1:
+                labels = labels.localCheckpoint()  # eager
+        return labels
+    finally:
+        adj.unpersist()

@@ -124,3 +124,30 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert all(hub > lv for lv in leaves)
     assert max(leaves) - min(leaves) < 1e-12
     assert abs(hub + sum(leaves) - 1.0) < 1e-9
+
+
+def test_label_propagation_separates_cliques(spark):
+    from memory_engine_spark.operators.graph import label_propagation
+    # two 4-cliques joined by nothing: every node must end up with its
+    # clique's minimum id as label
+    def clique(prefix, n):
+        ids = [f"{prefix}{i}" for i in range(n)]
+        return [(a, b) for a in ids for b in ids if a < b]
+    edges = spark.createDataFrame(
+        clique("a", 4) + clique("b", 4), "from_id string, to_id string")
+    out = {r["node_id"]: r["label"] for r in
+           label_propagation(edges, n_iter=4).collect()}
+    assert all(out[f"a{i}"] == out["a0"] for i in range(4))
+    assert all(out[f"b{i}"] == out["b0"] for i in range(4))
+    assert out["a0"] != out["b0"]
+
+
+def test_label_propagation_directed_source_keeps_own_label(spark):
+    from memory_engine_spark.operators.graph import label_propagation
+    # directed chain s -> x -> y: s never receives a label, keeps own
+    edges = spark.createDataFrame(
+        [("s", "x"), ("x", "y")], "from_id string, to_id string")
+    out = {r["node_id"]: r["label"] for r in
+           label_propagation(edges, n_iter=2, directed=True).collect()}
+    assert out["s"] == "s"
+    assert out["x"] == "s"   # x's only in-neighbor is s
