@@ -124,19 +124,21 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
     try:
         visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
         frontier, n_frontier = visited, visited.count()
-        n_visited = n_frontier
         for depth in range(1, max_depth + 1):
             nxt = (
                 adj.join(_maybe_broadcast(frontier, n_frontier),
                          adj.from_id == frontier.node_id)
                 .select(F.col("to_id").alias("node_id"))
                 .distinct()
-                # visited is the reached-node set — usually far smaller
-                # than the expansion output; broadcasting it makes the
-                # anti-join shuffle-free, leaving distinct's exchange as
-                # the hop's ONLY shuffle
-                .join(_maybe_broadcast(visited.select("node_id"), n_visited),
-                      "node_id", "left_anti")
+                # deliberately UN-hinted: a broadcast hint here triggers
+                # PushDownLeftSemiAntiJoin, which pushes the anti-join
+                # BELOW the distinct and the expansion join — anti-
+                # probing every adjacency row per hop (30% slower at 10×
+                # scale, worse with graph size). Left as a shuffle join,
+                # the left side reuses distinct's partitioning, only the
+                # |V|-row visited set ships, and AQE still converts to
+                # broadcast at runtime without the pushdown.
+                .join(visited.select("node_id"), "node_id", "left_anti")
                 .withColumn("hop_distance", F.lit(depth))
                 # lazy checkpoint + count = ONE job per hop: the count
                 # action materializes the checkpoint blocks as it runs,
@@ -147,7 +149,6 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
             n_frontier = nxt.count()
             if n_frontier == 0:
                 break
-            n_visited += n_frontier
             # Union of already-checkpointed frontiers: no re-materialize
             # of the growing visited set each hop (that copy is
             # O(|V|·depth) over the whole walk); the union plan depth
@@ -267,7 +268,9 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
-             directed: bool = False) -> DataFrame:
+             directed: bool = False,
+             prebuilt: tuple[DataFrame, DataFrame, int] | None = None
+             ) -> DataFrame:
     """Fixed-iteration PageRank over the edge table; returns
     (node_id, rank) after ``n_iter`` power iterations with uniform
     1/N start and teleport (1-d)/N.
@@ -281,36 +284,23 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
     nothing leaks anyway and no per-iteration scalar action is
     needed).
 
-    Scale design: the out-degree-weighted edge list is built once,
-    hash-partitioned on from_id, and persisted — per iteration ONLY
-    the rank vector (|V| rows) shuffles to meet it, then one groupBy
-    shuffle re-keys contributions to to_id; the |E|-row table never
-    moves again. localCheckpoint every SECOND iteration keeps the plan
-    shallow while halving per-iteration job count (each eager
-    checkpoint is a job); the final iteration stays un-checkpointed so
-    the caller's own action computes it exactly once. Driver-side
-    state is two scalars (N, iteration counter).
+    Scale design: the out-degree-weighted edge list is built once
+    (``pagerank_prepare`` — or pass its materialized triple via
+    ``prebuilt`` to reuse an offline-built index and skip the build
+    entirely), hash-partitioned on from_id, and persisted — per
+    iteration ONLY the rank vector (|V| rows) shuffles to meet it,
+    then one groupBy shuffle re-keys contributions to to_id; the
+    |E|-row table never moves again. localCheckpoint every SECOND
+    iteration keeps the plan shallow while halving per-iteration job
+    count (each eager checkpoint is a job); the final iteration stays
+    un-checkpointed so the caller's own action computes it exactly
+    once. Driver-side state is two scalars (N, iteration counter).
     """
-    spark = edges.sparkSession
-    base = edges.select("from_id", "to_id")
-    n_parts = spark.sparkContext.defaultParallelism
-    # ONE shuffle prepares everything: degrees() of the directed list
-    # yields the full endpoint set (= the node table) AND per-node
-    # degrees; the symmetrized out-degree is exactly out+in, so no
-    # second distinct/groupBy pass over the (2x larger) symmetrized
-    # edges is ever needed.
-    deg = degrees(base).persist()
-    n = deg.count()
-    nodes = deg.select("node_id")
-    od = F.col("degree") if not directed else F.col("out_degree")
-    adj = base if directed else symmetrize(base)
-    weighted = (adj.join(deg.select("node_id", od.alias("_od")),
-                         adj.from_id == F.col("node_id"))
-                .filter(F.col("_od") > 0)
-                .select("from_id", "to_id",
-                        (F.lit(1.0) / F.col("_od")).alias("w"))
-                .repartition(n_parts, F.col("from_id"))
-                .persist())
+    prebuilt_here = prebuilt is None
+    if prebuilt_here:
+        weighted, nodes, n = pagerank_prepare(edges, directed)
+    else:
+        weighted, nodes, n = prebuilt
     try:
         teleport = (1.0 - damping) / n
         ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
@@ -352,8 +342,43 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
                 ranks = ranks.localCheckpoint()
         return ranks
     finally:
-        weighted.unpersist()
-        deg.unpersist()
+        if prebuilt_here:
+            weighted.unpersist()
+
+
+def pagerank_prepare(edges: DataFrame, directed: bool = False
+                     ) -> tuple[DataFrame, DataFrame, int]:
+    """The offline half of pagerank: (weighted, nodes, n) where
+    ``weighted`` is the out-degree-weighted edge list, hash-partitioned
+    on from_id and persisted (materialized), and ``nodes`` is the
+    checkpointed endpoint set. This is an INDEX in the same sense as
+    the IVF cell assignment — build once per corpus snapshot,
+    materialize (e.g. parquet in a .derived dir), iterate many times;
+    pass the triple to ``pagerank(..., prebuilt=...)`` and the query
+    pays only the 2 |V|-row shuffles per iteration.
+
+    ONE shuffle prepares everything: degrees() of the directed list
+    yields the full endpoint set AND per-node degrees (symmetrized
+    out-degree = out+in), so no second pass over the 2× symmetrized
+    edges is ever needed."""
+    spark = edges.sparkSession
+    base = edges.select("from_id", "to_id")
+    n_parts = spark.sparkContext.defaultParallelism
+    deg = degrees(base).persist()
+    n = deg.count()
+    nodes = deg.select("node_id").localCheckpoint()
+    od = F.col("degree") if not directed else F.col("out_degree")
+    adj = base if directed else symmetrize(base)
+    weighted = (adj.join(deg.select("node_id", od.alias("_od")),
+                         adj.from_id == F.col("node_id"))
+                .filter(F.col("_od") > 0)
+                .select("from_id", "to_id",
+                        (F.lit(1.0) / F.col("_od")).alias("w"))
+                .repartition(n_parts, F.col("from_id"))
+                .persist())
+    weighted.count()
+    deg.unpersist()
+    return weighted, nodes, n
 
 
 def induced_subgraph(edges: DataFrame, node_ids: DataFrame) -> DataFrame:
