@@ -1486,6 +1486,19 @@ def q90_label_propagation(spark, sf):
             .orderBy("node_id"))
 
 
+def q91_hdr_quantiles(spark, sf):
+    """Order-price P50/P95/P99 per priority from the portable
+    log-bucketed quantile sketch (sketch.hdr_quantiles, HdrHistogram
+    idea): ≤1% relative error at scale=100, per-group state a few
+    hundred bucket rows — the latency-percentile structure that
+    replaces a full sort at 100 TB, with the ESTIMATE itself under
+    oracle check (native approx_percentile can't be)."""
+    orders = _t(spark, sf)["orders"]
+    return sketch.hdr_quantiles(orders, "o_totalprice",
+                                [0.5, 0.95, 0.99],
+                                group_cols=["o_orderpriority"], scale=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1533,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_lm_perplexity": q88_lm_perplexity,
         "q89_bloom_membership": q89_bloom_membership,
         "q90_label_propagation": q90_label_propagation,
+        "q91_hdr_quantiles": q91_hdr_quantiles,
     }
     out.update(_legacy_queries())
     return out
@@ -3715,4 +3729,29 @@ def oracle_sql() -> dict[str, str]:
     sql["q90_label_propagation"] = (
         f"WITH {EDGES_CTE}, " + ", ".join(lpa_ctes)
         + " SELECT node_id, label FROM l3 ORDER BY node_id")
+
+    # q91: identical log-bucket construction — floor(ln·100) buckets,
+    # cumulative counts, first bucket reaching q·N, geometric midpoint.
+    sql["q91_hdr_quantiles"] = """
+        WITH counts AS (
+            SELECT o_orderpriority,
+                   CAST(floor(ln(o_totalprice) * 100) AS BIGINT) AS b,
+                   COUNT(*) AS n
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT o_orderpriority, b,
+                   SUM(n) OVER (PARTITION BY o_orderpriority
+                                ORDER BY b) AS cum,
+                   SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+            FROM counts
+        ),
+        qs AS (SELECT unnest([0.5, 0.95, 0.99]::DOUBLE[]) AS q)
+        SELECT o_orderpriority, q,
+               ROUND(exp((MIN(b) + 0.5) / 100), 6) AS est
+        FROM cum, qs WHERE cum >= q * total
+        GROUP BY o_orderpriority, q
+        ORDER BY o_orderpriority, q
+    """
     return sql

@@ -276,3 +276,56 @@ def bloom_probe(df: DataFrame, col: str, bloom: DataFrame,
         f"cast(_p{i} % 32 as int)) & 1) = 1)" for i in range(k))
     return (out.withColumn("maybe", F.expr(cond))
             .drop("words", *[f"_p{i}" for i in range(k)]))
+
+
+# ---------------------------------------------------------------------------
+# Portable log-bucketed quantile sketch (HDR-histogram style)
+# ---------------------------------------------------------------------------
+
+def hdr_quantiles(df: DataFrame, col: str, quantiles: list[float],
+                  group_cols: list[str] | None = None,
+                  scale: int = 100) -> DataFrame:
+    """Quantile estimates from a log-bucketed histogram (the
+    HdrHistogram idea: bucket width grows geometrically, so relative
+    error is bounded by e^(1/scale) − 1 — 1% at scale=100 — while
+    per-group state is a few hundred (bucket, count) rows no matter
+    how many values flow in). Spark's native approx_percentile has the
+    same role but engine-private internals; like the HLL/CMS/Bloom
+    siblings this one is built from ln/floor/exp only, so the SAME
+    buckets — and therefore the same estimates — come out of any ANSI
+    engine, and the estimate itself is under oracle check.
+
+    bucket(x) = floor(ln(x)·scale); estimate for quantile q = the
+    geometric bucket midpoint exp((b+0.5)/scale) of the first bucket
+    whose cumulative count reaches q·N. Non-positive values are
+    excluded (log domain), mirroring latency/price-style usage.
+    Returns group_cols + (q, est).
+
+    Scale shape: one map-side-combined (group, bucket) count groupBy,
+    then a per-group cumulative window over ≤ a few hundred bucket
+    rows joined against the broadcast quantile list — nothing
+    data-sized ever re-shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols or [])
+    c = F.col(col)
+    counts = (df.filter(c > 0)
+              .select(*gcols,
+                      F.floor(F.log(c.cast("double")) * scale).alias("b"))
+              .groupBy(*gcols, "b").agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy(*gcols).orderBy("b") if gcols else W.orderBy("b")
+    cum = (counts
+           .withColumn("cum", F.sum("n").over(
+               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+           .withColumn("total", F.sum("n").over(
+               w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    hit = (cum.crossJoin(F.broadcast(qdf))
+           .filter(F.col("cum") >= F.col("q") * F.col("total"))
+           .groupBy(*gcols, "q").agg(F.min("b").alias("b")))
+    return (hit.select(*gcols, "q",
+                       F.round(F.exp((F.col("b") + 0.5) / scale), 6)
+                       .alias("est"))
+            .orderBy(*gcols, "q"))

@@ -75,3 +75,32 @@ def test_bloom_word_array_is_dense_and_32bit(spark):
     assert len(words) == 1024 // 32
     assert all(0 <= w < (1 << 32) for w in words)  # sign bit never set
     assert sum(bin(w).count("1") for w in words) <= 20  # ≤ k*n bits set
+
+
+def test_hdr_quantiles_within_relative_error_bound(spark):
+    import math
+    from memory_engine_spark.functions.sketch import hdr_quantiles
+    # lognormal-ish positive values with a deterministic spread
+    df = spark.range(1, 5001).selectExpr(
+        "exp(1.0 + (id % 997) / 150.0) as v")
+    qs = [0.5, 0.9, 0.99]
+    est = {r["q"]: r["est"] for r in
+           hdr_quantiles(df, "v", qs, scale=100).collect()}
+    exact = df.selectExpr(
+        *[f"percentile(v, {q}) as p{i}" for i, q in enumerate(qs)]).first()
+    bound = math.exp(1 / 100) - 1 + 0.01  # bucket width + midpoint slack
+    for i, q in enumerate(qs):
+        rel = abs(est[q] - exact[f"p{i}"]) / exact[f"p{i}"]
+        assert rel <= bound, (q, est[q], exact[f"p{i}"], rel)
+
+
+def test_hdr_quantiles_grouped_and_ignores_nonpositive(spark):
+    from memory_engine_spark.functions.sketch import hdr_quantiles
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", -5.0), ("a", 0.0),
+         ("b", 1000.0)], "g string, v double")
+    out = {(r["g"], r["q"]): r["est"] for r in
+           hdr_quantiles(df, "v", [0.5], group_cols=["g"]).collect()}
+    # median of {10,20,30} lands in 20's bucket; nonpositive excluded
+    assert abs(out[("a", 0.5)] - 20.0) / 20.0 < 0.02
+    assert abs(out[("b", 0.5)] - 1000.0) / 1000.0 < 0.02
