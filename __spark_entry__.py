@@ -1499,6 +1499,17 @@ def q91_hdr_quantiles(spark, sf):
                                 group_cols=["o_orderpriority"], scale=100)
 
 
+def q92_fuzzy_terms(spark, sf):
+    """Misspelling clusters over the corpus vocabulary: all term pairs
+    within edit distance 1 via SymSpell deletion-neighborhood blocking
+    (text.fuzzy_term_pairs) — candidates from an equi-join on deletion
+    keys, never a cross join, verified with exact levenshtein."""
+    docs = _t(spark, sf)["documents"]
+    vocab = docs.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    return (text.fuzzy_term_pairs(vocab, "term")
+            .orderBy("a", "b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1547,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_bloom_membership": q89_bloom_membership,
         "q90_label_propagation": q90_label_propagation,
         "q91_hdr_quantiles": q91_hdr_quantiles,
+        "q92_fuzzy_terms": q92_fuzzy_terms,
     }
     out.update(_legacy_queries())
     return out
@@ -3753,5 +3765,31 @@ def oracle_sql() -> dict[str, str]:
         FROM cum, qs WHERE cum >= q * total
         GROUP BY o_orderpriority, q
         ORDER BY o_orderpriority, q
+    """
+
+    # q92: same deletion-neighborhood construction, exact levenshtein
+    # verify (both engines ship the same Wagner-Fischer distance).
+    sql["q92_fuzzy_terms"] = f"""
+        WITH {TOKS_CTE},
+        terms AS (
+            SELECT DISTINCT unnest(toks) AS t FROM toks_t
+        ),
+        terms_f AS (
+            SELECT t FROM terms WHERE length(t) > 0 AND length(t) <= 24
+        ),
+        keys AS (
+            SELECT t, unnest(list_distinct(list_concat([t],
+                list_transform(range(1, length(t) + 1),
+                    i -> substr(t, 1, i::INT - 1)
+                         || substr(t, i::INT + 1, length(t)))))) AS k
+            FROM terms_f
+        ),
+        cand AS (
+            SELECT DISTINCT a.t AS a, b.t AS b
+            FROM keys a JOIN keys b USING (k) WHERE a.t < b.t
+        )
+        SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist
+        FROM cand WHERE levenshtein(a, b) <= 1
+        ORDER BY a, b
     """
     return sql

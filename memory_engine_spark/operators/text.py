@@ -397,3 +397,47 @@ def chunk_tokens(df: DataFrame, text_col: str, id_col: str,
             F.size("_chunk").cast("long").alias("n_chunk_tokens"),
             F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"))
     )
+
+
+def fuzzy_term_pairs(df: DataFrame, term_col: str,
+                     max_len: int = 24) -> DataFrame:
+    """All unordered pairs of distinct terms within edit distance 1,
+    via SymSpell-style DELETION-NEIGHBORHOOD blocking (Garbe's
+    symmetric delete algorithm): each term generates itself plus its
+    |term| single-character deletions as block keys; two terms with
+    levenshtein ≤ 1 MUST share a key (equal, or one is the other's
+    deletion, or both delete to the common core), so the candidate
+    join is an equi-join on the key — never a cross join — and exact
+    levenshtein verifies each candidate. The standard spelling-
+    normalization step of a text pipeline (cluster misspelled variants
+    before counting/matching).
+
+    Returns (a, b, dist) with a < b, dist ∈ {0 is impossible for
+    distinct terms, so always 1}. Terms longer than ``max_len`` are
+    skipped (deletion fan-out is |term|; web-scale junk tokens get
+    arbitrarily long — the cap bounds the explode exactly like
+    max_shingle_freq bounds the Jaccard join).
+
+    Scale shape: |term|+1 key rows per term → equi-join on the key →
+    per-key quadratic bounded by bucket size (terms sharing a deletion
+    core), verified JVM-side with levenshtein; distinct-pair dedup is
+    the only full shuffle and it carries (a, b) strings only.
+    """
+    terms = (df.select(F.col(term_col).alias("t")).distinct()
+             .filter((F.length("t") > 0) & (F.length("t") <= max_len)))
+    keys = terms.select(
+        "t",
+        F.explode(F.array_union(
+            F.array(F.col("t")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: F.concat(F.substring(F.col("t"), 1, i - 1),
+                                   F.col("t").substr(i + 1, F.length("t")))),
+        )).alias("k"))
+    a = keys.select(F.col("t").alias("a"), "k")
+    b = keys.select(F.col("t").alias("b"), "k")
+    return (a.join(b, "k")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct()
+            .withColumn("dist", F.levenshtein("a", "b"))
+            .filter(F.col("dist") <= 1))

@@ -403,3 +403,29 @@ def test_substring_dedup_short_docs_pass_through(spark):
                                  window=5, min_dup=2).collect()
     assert all(r["n_removed"] == 0 for r in rows)
     assert all(r["text"] == "same three words" for r in rows)
+
+
+def test_fuzzy_term_pairs_symspell_blocking(spark):
+    from memory_engine_spark.operators.text import fuzzy_term_pairs
+    df = spark.createDataFrame(
+        [("spark",), ("spork",), ("sprk",), ("spark",),  # dup term
+         ("hadoop",), ("hadoo",), ("zzzzz",)], "term string")
+    rows = sorted((r["a"], r["b"], r["dist"]) for r in
+                  fuzzy_term_pairs(df, "term").collect())
+    # substitution (spark/spork), deletions (spark/sprk, hadoop/hadoo)
+    assert rows == [("hadoo", "hadoop", 1), ("spark", "spork", 1),
+                    ("spark", "sprk", 1), ("spork", "sprk", 1)]
+
+
+def test_fuzzy_term_pairs_no_distance_2_pairs(spark):
+    from memory_engine_spark.operators.text import fuzzy_term_pairs
+    # transposition = levenshtein 2: must NOT pair
+    df = spark.createDataFrame([("abcd",), ("abdc",)], "term string")
+    assert fuzzy_term_pairs(df, "term").count() == 0
+
+
+def test_fuzzy_term_pairs_caps_long_terms(spark):
+    from memory_engine_spark.operators.text import fuzzy_term_pairs
+    long_t = "x" * 30
+    df = spark.createDataFrame([(long_t,), (long_t[:-1],)], "term string")
+    assert fuzzy_term_pairs(df, "term", max_len=24).count() == 0
