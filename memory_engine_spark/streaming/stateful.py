@@ -23,6 +23,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -188,3 +189,36 @@ def hll_estimate_from_registers(regs: DataFrame,
                  F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
                  ).otherwise(raw)
     return agg.select(*gcols, F.round(est, 4).alias("hll_estimate"))
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
+                         left_ts: str = "ts", right_ts: str = "ts",
+                         within_s: int = 3600,
+                         watermark_s: int = 7200) -> DataFrame:
+    """Watermarked stream-stream INNER join (the state-store-backed
+    enrichment join Structured Streaming is built for): left and right
+    streams pair on ``key`` when the right event lands within
+    ±``within_s`` of the left event. Both sides carry a
+    ``watermark_s`` watermark, and the time-range predicate is what
+    lets Spark EVICT join state — without it the state store grows
+    forever, the stream-stream-join version of an unbounded shuffle.
+    The reference's event system correlates events only within one
+    process (event_system.py pub/sub); this is the cross-stream
+    correlation upgrade. Right columns come back prefixed ``r_`` to
+    keep the joined schema collision-free.
+    """
+    lw = left.withWatermark(left_ts, f"{watermark_s} seconds").alias("l")
+    rw = (right.select(F.col(key).alias(f"r_{key}"),
+                       F.col(right_ts).alias(f"r_{right_ts}"),
+                       *[F.col(c).alias(f"r_{c}") for c in right.columns
+                         if c not in (key, right_ts)])
+          .withWatermark(f"r_{right_ts}", f"{watermark_s} seconds")
+          .alias("r"))
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.r_{key}"))
+        & (F.col(f"r.r_{right_ts}")
+           >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within_s} SECONDS"))
+        & (F.col(f"r.r_{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within_s} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner").drop(f"r_{key}")

@@ -163,3 +163,33 @@ def test_streaming_hll_matches_batch_across_restart(spark, bus, tmp_path):
         .first()["hll_estimate"]
     assert streamed_estimate() == batch2
     assert batch2 > batch1
+
+
+def test_stream_interval_join_pairs_within_window(spark, tmp_path):
+    from memory_engine_spark.streaming.stateful import stream_interval_join
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    clicks = EventBus(spark, str(tmp_path / "clicks"))
+    buys = EventBus(spark, str(tmp_path / "buys"))
+    clicks.publish(_events(spark, [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=3), 11, "click", 1.0, "{}")]))
+    buys.publish(_events(spark, [
+        # within 1h of user 10's click -> joins
+        (100, t0 + dt.timedelta(minutes=30), 10, "buy", 9.0, "{}"),
+        # 3h after user 10's click -> outside the interval
+        (101, t0 + dt.timedelta(hours=3), 10, "buy", 9.0, "{}"),
+        # different user at a joinable time -> no key match
+        (102, t0 + dt.timedelta(minutes=10), 99, "buy", 9.0, "{}")]))
+
+    joined = stream_interval_join(
+        clicks.stream(), buys.stream(), key="user_id", within_s=3600)
+    q = (joined.selectExpr("event_id", "r_event_id", "user_id")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = sorted((r["event_id"], r["r_event_id"])
+                  for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    assert rows == [(1, 100)]
