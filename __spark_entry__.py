@@ -1510,6 +1510,30 @@ def q92_fuzzy_terms(spark, sf):
             .orderBy("a", "b"))
 
 
+def q93_zorder_cells(spark, sf):
+    """Z-order (Morton) layout audit (functions/layout.zorder_key —
+    the Delta/Iceberg OPTIMIZE ZORDER key as a portable expression):
+    orders map to a 32-bit z-value over (custkey, order-day); rows
+    grouped by the top-10-bit z-cell show each cell spanning a TIGHT
+    hyper-rectangle in both dimensions — the property that makes
+    min/max pruning work on either predicate after a z-sorted write."""
+    from memory_engine_spark.functions import layout
+    orders = _t(spark, sf)["orders"]
+    days = F.datediff(F.col("o_orderdate").cast("date"),
+                      F.to_date(F.lit("1995-01-01")))
+    z = layout.zorder_key([F.col("o_custkey"), days], bits=16)
+    return (orders.select((z / F.lit(1 << 22)).cast("long").alias("cell"),
+                          "o_custkey", days.alias("d"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_custkey").alias("min_cust"),
+                 F.max("o_custkey").alias("max_cust"),
+                 F.min("d").alias("min_day"),
+                 F.max("d").alias("max_day"))
+            .orderBy(F.col("n").desc(), F.col("cell").asc())
+            .limit(20))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1559,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_label_propagation": q90_label_propagation,
         "q91_hdr_quantiles": q91_hdr_quantiles,
         "q92_fuzzy_terms": q92_fuzzy_terms,
+        "q93_zorder_cells": q93_zorder_cells,
     }
     out.update(_legacy_queries())
     return out
@@ -3791,5 +3816,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, CAST(levenshtein(a, b) AS INT) AS dist
         FROM cand WHERE levenshtein(a, b) <= 1
         ORDER BY a, b
+    """
+
+    # q93: the z-value expression is GENERATED from the same module as
+    # the Spark key (layout.zorder_key_sql), so the two cannot drift.
+    from memory_engine_spark.functions.layout import zorder_key_sql
+    zsql = zorder_key_sql(
+        ["o_custkey",
+         "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"],
+        bits=16)
+    sql["q93_zorder_cells"] = f"""
+        WITH z AS (
+            SELECT {zsql} // {1 << 22} AS cell, o_custkey,
+                   date_diff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS d
+            FROM orders
+        )
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+               CAST(MIN(d) AS INT) AS min_day,
+               CAST(MAX(d) AS INT) AS max_day
+        FROM z GROUP BY cell
+        ORDER BY n DESC, cell ASC LIMIT 20
     """
     return sql

@@ -104,3 +104,36 @@ def test_hdr_quantiles_grouped_and_ignores_nonpositive(spark):
     # median of {10,20,30} lands in 20's bucket; nonpositive excluded
     assert abs(out[("a", 0.5)] - 20.0) / 20.0 < 0.02
     assert abs(out[("b", 0.5)] - 1000.0) / 1000.0 < 0.02
+
+
+def test_zorder_key_prefix_locality_and_bounds(spark):
+    from memory_engine_spark.functions.layout import zorder_key
+    import pytest as _pytest
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 64, 8) for y in range(0, 64, 8)],
+        "x long, y long")
+    out = df.select("x", "y",
+                    zorder_key([F.col("x"), F.col("y")], bits=6).alias("z")) \
+        .collect()
+    zmap = {(r["x"], r["y"]): r["z"] for r in out}
+    # interleave correctness: bit i of x lands at position 2i, y at 2i+1
+    def ref(x, y):
+        z = 0
+        for i in range(6):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+    assert all(zmap[(x, y)] == ref(x, y) for (x, y) in zmap)
+    # prefix property: points in the same 32x32 quadrant share the
+    # top-2 bits of a 12-bit key
+    q00 = [z for (x, y), z in zmap.items() if x < 32 and y < 32]
+    q11 = [z for (x, y), z in zmap.items() if x >= 32 and y >= 32]
+    assert all(z >> 10 == 0 for z in q00)
+    assert all(z >> 10 == 3 for z in q11)
+    # clamp: negatives and overflow stay in range
+    edge = spark.createDataFrame([(-5, 1 << 40)], "x long, y long") \
+        .select(zorder_key([F.col("x"), F.col("y")], bits=6).alias("z")) \
+        .first()["z"]
+    assert 0 <= edge < (1 << 12)
+    with _pytest.raises(ValueError, match="62-bit"):
+        zorder_key([F.col("x"), F.col("y")], bits=32)
