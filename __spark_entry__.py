@@ -1534,6 +1534,20 @@ def q93_zorder_cells(spark, sf):
             .limit(20))
 
 
+def q94_resample_ffill(spark, sf):
+    """Gap-filled 6-hour resampling of per-user event values
+    (temporal.resample_ffill — the time_bucket_gapfill /
+    pandas-resample-ffill shape): dense per-key slot grid from
+    sequence+explode, ONE union-and-carry sort per key, forward-fill
+    via last(ignorenulls). Users < 20 keep the oracle bounded."""
+    from memory_engine_spark.operators import temporal
+    ev = _t(spark, sf)["events"].filter(F.col("user_id") < 20)
+    out = temporal.resample_ffill(ev, "user_id", "ts", ["value"],
+                                  step_s=21600)
+    return (out.select("user_id", "ts", F.round("value", 6).alias("value"))
+            .orderBy("user_id", "ts"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1584,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_hdr_quantiles": q91_hdr_quantiles,
         "q92_fuzzy_terms": q92_fuzzy_terms,
         "q93_zorder_cells": q93_zorder_cells,
+        "q94_resample_ffill": q94_resample_ffill,
     }
     out.update(_legacy_queries())
     return out
@@ -3838,5 +3853,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(d) AS INT) AS max_day
         FROM z GROUP BY cell
         ORDER BY n DESC, cell ASC LIMIT 20
+    """
+
+    # q94: same union-and-carry gap-fill — grid rows (NULL ord) sort
+    # after same-slot observations, last(v IGNORE NULLS) carries, the
+    # grid row wins the per-slot dedup.
+    sql["q94_resample_ffill"] = """
+        WITH obs AS (
+            SELECT user_id AS k, epoch_us(ts) // 21600000000 AS slot,
+                   epoch_us(ts) AS ord, value AS v
+            FROM events WHERE user_id < 20
+        ),
+        spans AS (
+            SELECT k, MIN(slot) AS lo, MAX(slot) AS hi FROM obs GROUP BY k
+        ),
+        grid AS (
+            SELECT k, unnest(range(lo, hi + 1)) AS slot,
+                   CAST(NULL AS BIGINT) AS ord, CAST(NULL AS DOUBLE) AS v
+            FROM spans
+        ),
+        unioned AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+        filled AS (
+            SELECT k, slot, ord,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY k
+                       ORDER BY slot ASC, ord ASC NULLS LAST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v
+            FROM unioned
+        ),
+        dedup AS (
+            SELECT k, slot, v, ROW_NUMBER() OVER (
+                       PARTITION BY k, slot
+                       ORDER BY ord DESC NULLS FIRST) AS rn
+            FROM filled
+        )
+        SELECT k AS user_id, make_timestamp(slot * 21600000000) AS ts,
+               ROUND(v, 6) AS value
+        FROM dedup WHERE rn = 1
+        ORDER BY user_id, ts
     """
     return sql

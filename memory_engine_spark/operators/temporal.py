@@ -172,3 +172,58 @@ def rollup_cascade(events: DataFrame, ts_col: str, dims: list[str],
         out = out.unionByName(level.withColumn("resolution", F.lit(res)))
     metrics = ["n_events"] + (["sum_value"] if value_col is not None else [])
     return out.select("resolution", "bucket", *dims, *metrics)
+
+
+def resample_ffill(df: DataFrame, key_col: str, ts_col: str,
+                   value_cols: list[str], step_s: int) -> DataFrame:
+    """Regularize an irregular time series per key: one row per
+    ``step_s``-second slot from each key's first to last observation,
+    values forward-filled from the most recent observation at or
+    before the slot (the gap-filling step before joins/windows that
+    assume a regular grid — TimescaleDB ``time_bucket_gapfill`` /
+    pandas ``resample().ffill()``). Slots before a key's first
+    observation don't exist (nothing to fill from); observations
+    within one slot resolve to the LATEST (max ts wins, ties by the
+    union order below).
+
+    Scale shape: the dense grid comes from per-key
+    sequence+explode of slot indices (first..last — never a global
+    calendar cross join); grid and observations union and sort ONCE
+    per key (the asof_join union-and-carry trick: a single shuffle on
+    the key, then last(ignorenulls) over the per-key window carries
+    values forward). Output rows = Σ_key span/step — the caller
+    chooses step_s to bound it.
+    """
+    e = F.unix_timestamp(F.col(ts_col))
+    slot = F.floor(e / step_s).cast("long")
+    obs = df.select(F.col(key_col).alias("_k"), slot.alias("_slot"),
+                    e.alias("_ord"),
+                    *[F.col(c).alias(c) for c in value_cols])
+    spans = obs.groupBy("_k").agg(F.min("_slot").alias("_lo"),
+                                  F.max("_slot").alias("_hi"))
+    grid = spans.select(
+        "_k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_slot"),
+        F.lit(None).cast("long").alias("_ord"),
+        *[F.lit(None).cast(dict(obs.dtypes)[c]).alias(c)
+          for c in value_cols])
+    # union-and-carry: grid rows sort AFTER same-slot observations
+    # (_ord null sorts last), so the running last(ignorenulls) hands
+    # each grid row the freshest observation at or before its slot
+    unioned = obs.unionByName(grid)
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("_k")
+         .orderBy(F.col("_slot").asc(), F.col("_ord").asc_nulls_last())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = unioned.select(
+        "_k", "_slot", "_ord",
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in value_cols])
+    # one row per (key, slot): the grid row (null _ord) carries the
+    # fully-resolved state, so it wins the dedup
+    dedup_w = W.partitionBy("_k", "_slot").orderBy(
+        F.col("_ord").desc_nulls_first())
+    return (filled.withColumn("_rn", F.row_number().over(dedup_w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_k").alias(key_col),
+                    F.to_timestamp(F.col("_slot") * step_s).alias(ts_col),
+                    *value_cols))

@@ -133,3 +133,32 @@ def test_rollup_cascade_levels_consistent(spark):
         assert sum(x["n_events"] for x in by_res[res]) == 100
         assert abs(sum(x["sum_value"] for x in by_res[res]) - 150.0) < 1e-9
     assert len(by_res["hour"]) > len(by_res["day"]) >= len(by_res["month"])
+
+
+def test_resample_ffill_fills_gaps_and_latest_wins(spark):
+    import datetime as dt
+    from memory_engine_spark.operators.temporal import resample_ffill
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(seconds=25), 2.0),   # same slot as :20
+        ("a", t0 + dt.timedelta(seconds=95), 5.0),   # slot 9, gap 2..8
+        ("b", t0 + dt.timedelta(seconds=10), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {(r["k"], r["ts"]): r["v"] for r in
+           resample_ffill(df, "k", "ts", ["v"], step_s=10).collect()}
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+    # slot 0 has one obs; slot 2 holds BOTH :20 and :25 -> latest wins
+    assert out[("a", at(0))] == 1.0
+    assert out[("a", at(20))] == 2.0
+    # gap slots carry the last value forward
+    assert out[("a", at(30))] == 2.0
+    assert out[("a", at(80))] == 2.0
+    assert out[("a", at(90))] == 5.0
+    # key b spans a single slot; no rows before its first observation
+    assert out[("b", at(10))] == 7.0
+    assert ("b", at(0)) not in out
+    # row count = sum of spans
+    assert len(out) == 10 + 1
