@@ -546,3 +546,35 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
         return labels
     finally:
         adj.unpersist()
+
+
+def k_core(edges: DataFrame, k: int, n_iter: int = 3,
+           directed: bool = False) -> DataFrame:
+    """k-core peeling (Seidman 1983; the degeneracy-ordering workhorse
+    for community/cohesion analysis): repeatedly delete nodes with
+    degree < k, ``n_iter`` synchronous rounds. Fixed rounds keep the
+    operator deterministic and oracle-unrollable (like pagerank/LPA);
+    converged ⇒ the exact k-core, else a superset that one more round
+    would shrink (callers needing exactness raise n_iter — each round
+    is cheap). Returns surviving (node_id, degree) with degrees in the
+    final peeled graph.
+
+    Scale shape: per round ONE map-side-combined degree groupBy plus
+    two semi-joins of the edge list against the survivor set; the edge
+    frame eagerly checkpoints each round — it feeds three consumers
+    next round (degree + both semi-join probes), and unmaterialized
+    that re-evaluation nests exponentially in rounds.
+    """
+    base = edges.select("from_id", "to_id")
+    cur = (base if directed else symmetrize(base)).localCheckpoint()
+    for _ in range(n_iter):
+        deg = cur.groupBy("from_id").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("from_id")
+        cur = (cur.join(keep, "from_id", "left_semi")
+               .join(keep.withColumnRenamed("from_id", "to_id"),
+                     "to_id", "left_semi")
+               .localCheckpoint())
+    return (cur.groupBy("from_id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("from_id").alias("node_id"),
+                    F.col("degree").cast("long").alias("degree")))

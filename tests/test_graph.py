@@ -151,3 +151,24 @@ def test_label_propagation_directed_source_keeps_own_label(spark):
            label_propagation(edges, n_iter=2, directed=True).collect()}
     assert out["s"] == "s"
     assert out["x"] == "s"   # x's only in-neighbor is s
+
+
+def test_k_core_peels_tendrils_keeps_clique(spark):
+    from memory_engine_spark.operators.graph import k_core
+    # a 4-clique (every node degree 3) with a pendant chain hanging
+    # off it: the chain peels away, the clique survives k=3 exactly
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "x"), ("x", "y")]
+    edges = spark.createDataFrame(clique + chain,
+                                  "from_id string, to_id string")
+    out = {r["node_id"]: r["degree"] for r in
+           k_core(edges, k=3, n_iter=3).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert all(d == 3 for d in out.values())
+
+
+def test_k_core_everything_below_k_vanishes(spark):
+    from memory_engine_spark.operators.graph import k_core
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "from_id string, to_id string")
+    assert k_core(edges, k=2, n_iter=3).count() == 0
