@@ -1554,6 +1554,18 @@ def q95_kcore(spark, sf):
     return graph.k_core(_edges(spark, sf), k=3, n_iter=3).orderBy("node_id")
 
 
+def q96_weighted_sssp(spark, sf):
+    """Weighted shortest distances from customer c_1 after 4
+    Bellman-Ford rounds (graph.weighted_sssp); edge weight is a
+    deterministic function of the relation type so the unrolled SQL
+    oracle reproduces every relaxation bit-for-bit."""
+    edges = _edges(spark, sf).withColumn(
+        "weight", ((F.length("relation_type") % 7) + 1) / F.lit(10.0))
+    return (graph.weighted_sssp(edges, "c_1", n_iter=4)
+            .select("node_id", F.round("dist", 6).alias("dist"))
+            .orderBy("node_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1606,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_zorder_cells": q93_zorder_cells,
         "q94_resample_ffill": q94_resample_ffill,
         "q95_kcore": q95_kcore,
+        "q96_weighted_sssp": q96_weighted_sssp,
     }
     out.update(_legacy_queries())
     return out
@@ -3917,4 +3930,23 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {EDGES_CTE}, " + ", ".join(kcore_ctes)
         + """ SELECT from_id AS node_id, CAST(COUNT(*) AS BIGINT) AS degree
           FROM e3 GROUP BY from_id ORDER BY node_id""")
+
+    # q96: four Bellman-Ford relaxations unrolled; weights derive from
+    # relation_type exactly as the Spark side does.
+    sssp_ctes = ["""wadj AS (
+            SELECT from_id, to_id,
+                   ((length(relation_type) % 7) + 1) / 10.0 AS w
+            FROM edges_sym)""",
+                 "d0 AS (SELECT 'c_1' AS node_id, 0.0 AS dist)"]
+    for i in range(1, 5):
+        sssp_ctes.append(f"""d{i} AS (
+            SELECT node_id, MIN(dist) AS dist FROM (
+                SELECT node_id, dist FROM d{i-1}
+                UNION ALL
+                SELECT e.to_id AS node_id, d.dist + e.w AS dist
+                FROM wadj e JOIN d{i-1} d ON e.from_id = d.node_id
+            ) GROUP BY node_id)""")
+    sql["q96_weighted_sssp"] = (
+        f"WITH {EDGES_CTE}, " + ", ".join(sssp_ctes)
+        + " SELECT node_id, ROUND(dist, 6) AS dist FROM d4 ORDER BY node_id")
     return sql

@@ -578,3 +578,45 @@ def k_core(edges: DataFrame, k: int, n_iter: int = 3,
             .agg(F.count(F.lit(1)).alias("degree"))
             .select(F.col("from_id").alias("node_id"),
                     F.col("degree").cast("long").alias("degree")))
+
+
+def weighted_sssp(edges: DataFrame, source: str, n_iter: int = 4,
+                  weight_col: str = "weight",
+                  directed: bool = False) -> DataFrame:
+    """Single-source WEIGHTED shortest distances via ``n_iter`` rounds
+    of synchronous Bellman-Ford relaxation — the weighted upgrade of
+    the reference's unweighted shortest path (sqlite_storage.py:
+    571-616), in the iterative-dataflow form (one relax = one join;
+    Pregel's SSSP example). Fixed rounds: exact for all paths of ≤
+    n_iter edges, an upper bound beyond (raise n_iter to the graph
+    diameter for exactness — each round is one join + one min-groupBy).
+    Deterministic and oracle-unrollable: distances accumulate in path
+    order, so equal plans produce bit-identical doubles on any engine.
+    Returns (node_id, dist) for nodes reached within n_iter hops.
+
+    Scale shape: the weighted adjacency persists once; per round only
+    the reached-distance vector (≤ |V| rows) joins it, and the
+    min-groupBy is map-side combined. Distances eagerly checkpoint per
+    round (two consumers: the next relax join and the union).
+    """
+    base = edges.select("from_id", "to_id", F.col(weight_col).alias("_w"))
+    if not directed:
+        base = base.unionByName(
+            base.select(F.col("to_id").alias("from_id"),
+                        F.col("from_id").alias("to_id"), "_w"))
+    adj = base.persist()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0.0)], "node_id string, dist double") \
+        .localCheckpoint()
+    try:
+        for _ in range(n_iter):
+            relax = (adj.join(dist.withColumnRenamed("node_id", "from_id")
+                              .hint("shuffle_hash"), "from_id")
+                     .select(F.col("to_id").alias("node_id"),
+                             (F.col("dist") + F.col("_w")).alias("dist")))
+            dist = (dist.unionByName(relax)
+                    .groupBy("node_id").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint())
+        return dist
+    finally:
+        adj.unpersist()

@@ -172,3 +172,27 @@ def test_k_core_everything_below_k_vanishes(spark):
     edges = spark.createDataFrame([("a", "b"), ("b", "c")],
                                   "from_id string, to_id string")
     assert k_core(edges, k=2, n_iter=3).count() == 0
+
+
+def test_weighted_sssp_picks_cheaper_longer_path(spark):
+    from memory_engine_spark.operators.graph import weighted_sssp
+    # direct edge s->t costs 10; the 3-hop detour costs 3 — with
+    # enough rounds the detour wins
+    edges = spark.createDataFrame(
+        [("s", "t", 10.0), ("s", "a", 1.0), ("a", "b", 1.0),
+         ("b", "t", 1.0)], "from_id string, to_id string, weight double")
+    out = {r["node_id"]: r["dist"] for r in
+           weighted_sssp(edges, "s", n_iter=4).collect()}
+    assert out["t"] == 3.0
+    assert out["a"] == 1.0 and out["b"] == 2.0 and out["s"] == 0.0
+
+
+def test_weighted_sssp_bounded_rounds_upper_bound(spark):
+    from memory_engine_spark.operators.graph import weighted_sssp
+    # with only 1 round, the direct (expensive) edge is all we know
+    edges = spark.createDataFrame(
+        [("s", "t", 10.0), ("s", "a", 1.0), ("a", "b", 1.0),
+         ("b", "t", 1.0)], "from_id string, to_id string, weight double")
+    out = {r["node_id"]: r["dist"] for r in
+           weighted_sssp(edges, "s", n_iter=1).collect()}
+    assert out["t"] == 10.0  # the bound, not yet the optimum
