@@ -1566,6 +1566,19 @@ def q96_weighted_sssp(spark, sf):
             .orderBy("node_id"))
 
 
+def q97_personalized_pagerank(spark, sf):
+    """Random-walk-with-restart neighborhood ranking from {c_1, s_1}
+    (graph.personalized_pagerank, 5 iterations, d=0.85) over the
+    offline pagerank index; top 30 by rounded rank. The sparse
+    formulation keeps the per-iteration vector at the reached set."""
+    prebuilt = _pr_index(spark, sf)
+    ranks = graph.personalized_pagerank(
+        None, ["c_1", "s_1"], damping=0.85, n_iter=5, prebuilt=prebuilt)
+    return (ranks.select("node_id", F.round("rank", 6).alias("rank"))
+            .orderBy(F.round("rank", 6).desc(), F.col("node_id").asc())
+            .limit(30))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1619,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_resample_ffill": q94_resample_ffill,
         "q95_kcore": q95_kcore,
         "q96_weighted_sssp": q96_weighted_sssp,
+        "q97_personalized_pagerank": q97_personalized_pagerank,
     }
     out.update(_legacy_queries())
     return out
@@ -3949,4 +3963,27 @@ def oracle_sql() -> dict[str, str]:
     sql["q96_weighted_sssp"] = (
         f"WITH {EDGES_CTE}, " + ", ".join(sssp_ctes)
         + " SELECT node_id, ROUND(dist, 6) AS dist FROM d4 ORDER BY node_id")
+
+    # q97: sparse PPR unrolled; teleport mass written as the same float
+    # EXPRESSION (1.0 - 0.85) / 2 the Spark side computes, because the
+    # literal 0.075 is a DIFFERENT double than Python's (1.0-0.85)/2.
+    ppr_ctes = ["""ppw AS (
+            SELECT from_id, to_id,
+                   1.0 / COUNT(*) OVER (PARTITION BY from_id) AS w
+            FROM edges_sym)""",
+                """tele AS (SELECT unnest(['c_1', 's_1']) AS node_id,
+                            (1.0 - 0.85) / 2 AS rank)""",
+                """pp0 AS (SELECT unnest(['c_1', 's_1']) AS node_id,
+                           1.0 / 2 AS rank)"""]
+    for i in range(1, 6):
+        ppr_ctes.append(f"""pp{i} AS (
+            SELECT node_id, SUM(rank) AS rank FROM (
+                SELECT w.to_id AS node_id, 0.85 * r.rank * w.w AS rank
+                FROM ppw w JOIN pp{i-1} r ON r.node_id = w.from_id
+                UNION ALL SELECT node_id, rank FROM tele
+            ) GROUP BY node_id)""")
+    sql["q97_personalized_pagerank"] = (
+        f"WITH {EDGES_CTE}, " + ", ".join(ppr_ctes)
+        + """ SELECT node_id, ROUND(rank, 6) AS rank FROM pp5
+          ORDER BY ROUND(rank, 6) DESC, node_id ASC LIMIT 30""")
     return sql

@@ -620,3 +620,45 @@ def weighted_sssp(edges: DataFrame, source: str, n_iter: int = 4,
         return dist
     finally:
         adj.unpersist()
+
+
+def personalized_pagerank(edges: DataFrame, sources: list[str],
+                          damping: float = 0.85, n_iter: int = 5,
+                          directed: bool = False,
+                          prebuilt: tuple[DataFrame, DataFrame, int] | None = None
+                          ) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SOURCE
+    set — the recommendation/similar-entities upgrade of q74's global
+    rank; Haveliwala WWW'02 topic-sensitive formulation): teleport
+    mass (1−d)/|S| flows only to ``sources``, so rank concentrates in
+    their neighborhoods. SPARSE by construction: a node appears only
+    once a walk reaches it — rank' rows = d·contributions ∪ teleport
+    rows, summed — so the per-iteration vector is the reached set, not
+    |V| (the property that makes per-user PPR fan-out viable at
+    scale). Fixed iterations, plain-double sums, round-6 output:
+    oracle-unrollable exactly like pagerank. Returns (node_id, rank).
+    """
+    if prebuilt is None:
+        weighted, _nodes, _n = pagerank_prepare(edges, directed)
+    else:
+        weighted, _nodes, _n = prebuilt
+    spark = edges.sparkSession if edges is not None else weighted.sparkSession
+    s = len(sources)
+    teleport = spark.createDataFrame(
+        [(x, (1.0 - damping) / s) for x in sources],
+        "node_id string, rank double").localCheckpoint()
+    ranks = spark.createDataFrame(
+        [(x, 1.0 / s) for x in sources],
+        "node_id string, rank double").localCheckpoint()
+    for it in range(n_iter):
+        contrib = (weighted.alias("e")
+                   .join(ranks.alias("r").hint("shuffle_hash"),
+                         F.col("e.from_id") == F.col("r.node_id"))
+                   .select(F.col("e.to_id").alias("node_id"),
+                           (F.lit(damping) * F.col("r.rank")
+                            * F.col("e.w")).alias("rank")))
+        ranks = (contrib.unionByName(teleport)
+                 .groupBy("node_id").agg(F.sum("rank").alias("rank")))
+        if it % 2 == 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks

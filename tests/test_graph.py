@@ -196,3 +196,18 @@ def test_weighted_sssp_bounded_rounds_upper_bound(spark):
     out = {r["node_id"]: r["dist"] for r in
            weighted_sssp(edges, "s", n_iter=1).collect()}
     assert out["t"] == 10.0  # the bound, not yet the optimum
+
+
+def test_personalized_pagerank_concentrates_near_sources(spark):
+    from memory_engine_spark.operators.graph import personalized_pagerank
+    # two separate stars; personalizing on hub "a" must rank a's
+    # satellites above the other component entirely
+    edges = spark.createDataFrame(
+        [("a", f"a{i}") for i in range(3)] + [("z", f"z{i}") for i in range(3)],
+        "from_id string, to_id string")
+    out = {r["node_id"]: r["rank"] for r in
+           personalized_pagerank(edges, ["a"], n_iter=4).collect()}
+    assert "z" not in out  # never reached: sparse vector stays local
+    assert out["a"] > max(out[f"a{i}"] for i in range(3))
+    # mass conservation: total ≈ 1 (teleport + walk, no dangling loss)
+    assert abs(sum(out.values()) - 1.0) < 0.35  # finite-iter tail loss only
