@@ -1579,6 +1579,16 @@ def q97_personalized_pagerank(spark, sf):
             .limit(30))
 
 
+def q98_hits(spark, sf):
+    """HITS hubs/authorities over the DIRECTED derived graph, 2
+    integer rounds (graph.hits) — exact bigint walk counts, so the
+    unrolled oracle matches bit-for-bit with no float hazard. Top 30
+    authorities, hub score carried alongside."""
+    out = graph.hits(_edges(spark, sf), n_iter=2)
+    return (out.orderBy(F.col("authority").desc(), F.col("node_id").asc())
+            .limit(30))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1633,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_kcore": q95_kcore,
         "q96_weighted_sssp": q96_weighted_sssp,
         "q97_personalized_pagerank": q97_personalized_pagerank,
+        "q98_hits": q98_hits,
     }
     out.update(_legacy_queries())
     return out
@@ -3986,4 +3997,28 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {EDGES_CTE}, " + ", ".join(ppr_ctes)
         + """ SELECT node_id, ROUND(rank, 6) AS rank FROM pp5
           ORDER BY ROUND(rank, 6) DESC, node_id ASC LIMIT 30""")
+
+    # q98: 2 integer HITS rounds unrolled over the DIRECTED edges.
+    hits_ctes = ["""hn AS (
+            SELECT DISTINCT node_id FROM (
+                SELECT from_id AS node_id FROM edges
+                UNION ALL SELECT to_id FROM edges))""",
+                 "a0 AS (SELECT node_id, 1::BIGINT AS a FROM hn)"]
+    for i in range(1, 3):
+        hits_ctes.append(f"""h{i} AS (
+            SELECT e.from_id AS node_id, SUM(x.a) AS h
+            FROM edges e JOIN a{i-1} x ON e.to_id = x.node_id
+            GROUP BY 1)""")
+        hits_ctes.append(f"""a{i} AS (
+            SELECT e.to_id AS node_id, SUM(x.h) AS a
+            FROM edges e JOIN h{i} x ON e.from_id = x.node_id
+            GROUP BY 1)""")
+    sql["q98_hits"] = (
+        f"WITH {EDGES_CTE}, " + ", ".join(hits_ctes)
+        + """ SELECT n.node_id,
+                 CAST(COALESCE(h.h, 0) AS BIGINT) AS hub,
+                 CAST(COALESCE(a.a, 0) AS BIGINT) AS authority
+          FROM hn n LEFT JOIN h2 h ON n.node_id = h.node_id
+                    LEFT JOIN a2 a ON n.node_id = a.node_id
+          ORDER BY authority DESC, n.node_id ASC LIMIT 30""")
     return sql

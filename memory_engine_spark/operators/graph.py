@@ -662,3 +662,55 @@ def personalized_pagerank(edges: DataFrame, sources: list[str],
         if it % 2 == 1 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def hits(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) in the UNNORMALIZED
+    integer formulation: a₀ = 1 for every node, then ``n_iter`` rounds
+    of h(u) = Σ_{u→v} a(v); a(v) = Σ_{u→v} h(u). With integer starts
+    every score stays an exact BIGINT (these are directed-walk counts),
+    so the operator is bit-exact cross-engine with NO float-ordering
+    hazard — normalization (score/max) happens once at readout where a
+    single rounded division is safe. Scores grow like (avg degree)^2k:
+    fine for ``n_iter`` ≤ 3 on any graph whose degree² · |walks| fits
+    int64 — the documented cap; ranking is invariant to the missing
+    normalization at every round.
+
+    Directed by definition (hub points, authority is pointed at).
+    Returns (node_id, hub bigint, authority bigint).
+
+    Scale shape: per round two map-side-combined groupBys over the
+    persisted edge list joined with the |V|-row score vector — the
+    pagerank shuffle discipline with integer payloads.
+    """
+    adj = edges.select("from_id", "to_id").persist()
+    nodes = (adj.select(F.col("from_id").alias("node_id"))
+             .unionByName(adj.select(F.col("to_id").alias("node_id")))
+             .distinct())
+    auth = nodes.select("node_id", F.lit(1).cast("long").alias("a")) \
+        .localCheckpoint()
+    hub = None
+    try:
+        for _ in range(n_iter):
+            hub = (adj.alias("e")
+                   .join(auth.alias("a").hint("shuffle_hash"),
+                         F.col("e.to_id") == F.col("a.node_id"))
+                   .groupBy(F.col("e.from_id").alias("node_id"))
+                   .agg(F.sum("a.a").alias("h"))
+                   .localCheckpoint())
+            auth = (adj.alias("e")
+                    .join(hub.alias("h").hint("shuffle_hash"),
+                          F.col("e.from_id") == F.col("h.node_id"))
+                    .groupBy(F.col("e.to_id").alias("node_id"))
+                    .agg(F.sum("h.h").alias("a"))
+                    .localCheckpoint())
+        return (nodes.alias("n")
+                .join(hub.alias("h"), "node_id", "left")
+                .join(auth.alias("a"), "node_id", "left")
+                .select("node_id",
+                        F.coalesce(F.col("h.h"), F.lit(0)).cast("long")
+                        .alias("hub"),
+                        F.coalesce(F.col("a.a"), F.lit(0)).cast("long")
+                        .alias("authority")))
+    finally:
+        adj.unpersist()

@@ -211,3 +211,18 @@ def test_personalized_pagerank_concentrates_near_sources(spark):
     assert out["a"] > max(out[f"a{i}"] for i in range(3))
     # mass conservation: total ≈ 1 (teleport + walk, no dangling loss)
     assert abs(sum(out.values()) - 1.0) < 0.35  # finite-iter tail loss only
+
+
+def test_hits_integer_rounds_hand_computed(spark):
+    from memory_engine_spark.operators.graph import hits
+    # u1,u2 -> m ; m -> t : after round 1, h(m)=1 (points at t),
+    # h(u_i)=1 (point at m); a(m)=h(u1)+h(u2)=2, a(t)=h(m)=1.
+    # Round 2: h(u_i)=a(m)=2, h(m)=a(t)=1; a(m)=h(u1)+h(u2)=4, a(t)=1.
+    edges = spark.createDataFrame(
+        [("u1", "m"), ("u2", "m"), ("m", "t")],
+        "from_id string, to_id string")
+    out = {r["node_id"]: (r["hub"], r["authority"]) for r in
+           hits(edges, n_iter=2).collect()}
+    assert out["m"] == (1, 4)
+    assert out["t"] == (0, 1)
+    assert out["u1"] == (2, 0) and out["u2"] == (2, 0)
