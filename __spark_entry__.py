@@ -1589,6 +1589,17 @@ def q98_hits(spark, sf):
             .limit(30))
 
 
+def q99_stratified_quota_sample(spark, sf):
+    """Exactly 5 docs per source, weighted by length without
+    replacement (corpus.stratified_weighted_sample — the fixed-quota
+    per-source sampler; q68's rate-based sibling only hits quotas in
+    expectation). A-ES md5 draws keep the selection engine-portable."""
+    docs = _t(spark, sf)["documents"]
+    out = corpus.stratified_weighted_sample(
+        docs, "source", "n_chars", k=5, id_col="doc_id")
+    return out.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1644,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_weighted_sssp": q96_weighted_sssp,
         "q97_personalized_pagerank": q97_personalized_pagerank,
         "q98_hits": q98_hits,
+        "q99_stratified_quota_sample": q99_stratified_quota_sample,
     }
     out.update(_legacy_queries())
     return out
@@ -4021,4 +4033,28 @@ def oracle_sql() -> dict[str, str]:
           FROM hn n LEFT JOIN h2 h ON n.node_id = h.node_id
                     LEFT JOIN a2 a ON n.node_id = a.node_id
           ORDER BY authority DESC, n.node_id ASC LIMIT 30""")
+
+    # q99: q80's A-ES key, ranked per stratum instead of globally.
+    sql["q99_stratified_quota_sample"] = """
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   -ln((CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                              substr(md5('aes:' || CAST(doc_id AS VARCHAR)),
+                                     1 + j::INT, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) + 1)
+                        / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE) AS _k
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY _k ASC, doc_id ASC) AS rn
+            FROM keyed
+        )
+        SELECT source, doc_id, n_chars FROM ranked
+        WHERE rn <= 5 ORDER BY source, doc_id
+    """
     return sql

@@ -365,3 +365,36 @@ def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
                             / F.col("n_bigrams"), 6).alias("cross_entropy"),
                     F.round(F.exp(-F.col("_sum_lp").cast("double")
                                   / F.col("n_bigrams")), 4).alias("ppl")))
+
+
+def stratified_weighted_sample(df: DataFrame, strata_col: str,
+                               weight_col: str, k: int, id_col: str,
+                               salt: str = "aes") -> DataFrame:
+    """EXACTLY ``k`` rows per stratum, weighted without replacement —
+    the per-source balanced-subset sampler (fixed quota per source/
+    language/domain; contrast ``stratified_sample``'s RATE-based
+    thinning, which only hits quotas in expectation). Same portable
+    A-ES construction as ``weighted_sample`` — md5 uniform draw,
+    exponential key −ln(u)/w — but the k smallest keys are taken PER
+    STRATUM via one row_number window instead of a global top-k.
+    Strata with fewer than k eligible rows return all of them.
+
+    Scale shape: one projection + one window partitioned by the
+    stratum (a single shuffle on the stratum key; skewed strata are
+    bounded by the same salting tools as any hot key). Deterministic
+    on any engine and partitioning, like every sampler in this module.
+    """
+    from pyspark.sql import Window as W
+
+    word = (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long"))
+    u = (word + 1) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = W.partitionBy(strata_col).orderBy(
+        F.col("_aes_key").asc(), F.col(id_col).asc())
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("_aes_key", key)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_aes_key", "_rn"))

@@ -174,3 +174,23 @@ def test_bigram_perplexity_short_docs_absent(spark):
     out = bigram_perplexity(raw, raw, "text", "doc_id",
                             n_buckets=64).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+def test_stratified_weighted_sample_exact_quota_and_determinism(spark):
+    from memory_engine_spark.operators.corpus import stratified_weighted_sample
+    rows = [(f"s{i % 3}", i, float(i + 1)) for i in range(60)]
+    rows.append(("tiny", 999, 1.0))  # stratum smaller than k
+    df = spark.createDataFrame(rows, "src string, doc_id long, w double")
+    out = stratified_weighted_sample(df, "src", "w", k=4, id_col="doc_id")
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"s0": 4, "s1": 4, "s2": 4, "tiny": 1}
+    # deterministic: identical call selects identical ids
+    again = stratified_weighted_sample(df, "src", "w", k=4, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    # zero/negative weights never win
+    df2 = df.withColumn("w", F.when(F.col("doc_id") < 30, -1.0)
+                        .otherwise(F.col("w")))
+    out2 = stratified_weighted_sample(df2, "src", "w", k=4, id_col="doc_id")
+    assert all(r["doc_id"] >= 30 for r in out2.collect())
