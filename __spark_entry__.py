@@ -1600,6 +1600,17 @@ def q99_stratified_quota_sample(spark, sf):
     return out.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
 
 
+def q100_tfidf_search(spark, sf):
+    """TF-IDF cosine retrieval over documents for the same query as
+    q63's BM25 (ranking.tfidf_cosine_search): vector-space scoring
+    with FULL-document norms, decimal-stable sums, top 20."""
+    from memory_engine_spark.operators.ranking import tfidf_cosine_search
+    docs = _t(spark, sf)["documents"]
+    return tfidf_cosine_search(docs, "text", "doc_id",
+                               ["spark", "join", "filter", "stream"],
+                               top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the newest operator
@@ -1656,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_personalized_pagerank": q97_personalized_pagerank,
         "q98_hits": q98_hits,
         "q99_stratified_quota_sample": q99_stratified_quota_sample,
+        "q100_tfidf_search": q100_tfidf_search,
     }
     out.update(_legacy_queries())
     return out
@@ -4056,5 +4068,54 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, doc_id, n_chars FROM ranked
         WHERE rn <= 5 ORDER BY source, doc_id
+    """
+
+    # q100: same tf·idf construction, decimal-summed norms/dots.
+    sql["q100_tfidf_search"] = f"""
+        WITH {TOKS_CTE},
+        tf AS (
+            SELECT doc_id, unnest(toks) AS term FROM toks_t
+        ),
+        tfc AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tfc GROUP BY 1
+        ),
+        w AS (
+            SELECT t.doc_id, t.term,
+                   t.tf * (ln((SELECT n + 1.0 FROM nn) / (d.df_t + 1.0))
+                           + 1.0) AS w
+            FROM tfc t JOIN dfreq d USING (term)
+        ),
+        norms AS (
+            SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE)) AS nrm
+            FROM w GROUP BY doc_id
+        ),
+        qw AS (
+            SELECT term, ln((SELECT n + 1.0 FROM nn) / (df_t + 1.0)) + 1.0
+                       AS qw
+            FROM dfreq
+            WHERE term IN ('spark', 'join', 'filter', 'stream')
+        ),
+        qn AS (
+            SELECT sqrt(CAST(SUM(CAST(ROUND(qw * qw, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE)) AS qnrm
+            FROM qw
+        ),
+        dots AS (
+            SELECT w.doc_id,
+                   CAST(SUM(CAST(ROUND(w.w * q.qw, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) AS dot
+            FROM w JOIN qw q USING (term)
+            GROUP BY w.doc_id
+        )
+        SELECT d.doc_id, ROUND(d.dot / (n.nrm * (SELECT qnrm FROM qn)), 6)
+                   AS score
+        FROM dots d JOIN norms n USING (doc_id)
+        ORDER BY score DESC, d.doc_id ASC LIMIT 20
     """
     return sql

@@ -141,3 +141,62 @@ def bm25_scores(df: "DataFrame", text_col: str, id_col: str,
     part = idf * F.col("tf") * (k1 + 1.0) / denom
     return (scored.groupBy("_id").agg(F.round(F.sum(part), 6).alias("score"))
             .select(F.col("_id").alias(id_col), "score"))
+
+
+def tfidf_cosine_search(df: "DataFrame", text_col: str, id_col: str,
+                        query_terms: list[str], top_k: int = 20) -> "DataFrame":
+    """TF-IDF cosine retrieval — BM25's classical sibling (salton's
+    vector-space model), completing the lexical-search family. Doc
+    weight = tf·idf with the same smoothed idf = ln((N+1)/(df+1)) + 1
+    as ``corpus.vocabulary``; query weight = idf (tf 1). Cosine uses
+    the FULL document norm (every term, not just matches), which is
+    what distinguishes it from a dot-product score.
+
+    Portability: the two big float sums — per-doc squared-norm over
+    the whole vocabulary and the per-doc dot product — accumulate as
+    round-9 DECIMALs (order-independent, the repo's standard recipe);
+    the square roots and the final division are single IEEE ops.
+    Returns the ``top_k`` (id, score) by cosine, ties to smaller id.
+
+    Scale shape: one explode → (doc, term) tf groupBy (map-side
+    combined); document frequencies reduce to |vocab| rows and join
+    back BROADCAST; norms are one more doc-keyed aggregate; only docs
+    matching ≥1 query term reach the final top-k
+    (TakeOrderedAndProject).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators.dedup import tokens
+
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = base.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df_t"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + 1.0)) + 1.0
+    w = (tf.join(F.broadcast(dfreq), "term")
+         .select("_id", "term", (F.col("tf") * idf).alias("w")))
+    norms = (w.groupBy("_id")
+             .agg(F.sum(F.round(F.col("w") * F.col("w"), 9)
+                        .cast("decimal(28,9)")).alias("_n2"))
+             .select("_id", F.sqrt(F.col("_n2").cast("double")).alias("_norm")))
+    qterms = [t for t in query_terms]
+    qw = (dfreq.filter(F.col("term").isin(qterms))
+          .select("term", idf.alias("qw")))
+    qnorm = (qw.agg(F.sum(F.round(F.col("qw") * F.col("qw"), 9)
+                          .cast("decimal(28,9)")).alias("_q2"))
+             .select(F.sqrt(F.col("_q2").cast("double")).alias("_qnorm")))
+    dots = (w.join(F.broadcast(qw), "term")
+            .groupBy("_id")
+            .agg(F.sum(F.round(F.col("w") * F.col("qw"), 9)
+                       .cast("decimal(28,9)")).alias("_dot")))
+    return (dots.join(norms, "_id")
+            .crossJoin(F.broadcast(qnorm))
+            .select(F.col("_id").alias(id_col),
+                    F.round(F.col("_dot").cast("double")
+                            / (F.col("_norm") * F.col("_qnorm")), 6)
+                    .alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(top_k))

@@ -184,3 +184,17 @@ def test_bm25_matches_manual_computation(spark):
     assert abs(out[1] - round(want1, 6)) < 1e-6
     assert 3 not in out                       # no query term
     assert out[1] > out[2]                    # more matches rank higher
+
+
+def test_tfidf_cosine_prefers_focused_match(spark):
+    from memory_engine_spark.operators.ranking import tfidf_cosine_search
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"),                       # pure match
+         (2, "spark and a lot of other words here now"), # diluted match
+         (3, "nothing relevant at all in this one")],
+        "doc_id long, text string")
+    rows = tfidf_cosine_search(docs, "text", "doc_id", ["spark"]).collect()
+    scores = {r["doc_id"]: r["score"] for r in rows}
+    assert 3 not in scores                # no query term -> absent
+    assert scores[1] > scores[2]          # full norm penalizes dilution
+    assert abs(scores[1] - 1.0) < 1e-6    # one-term doc, one-term query
