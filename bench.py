@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "q87_substring_dedup",    # exact-substring hot-window dedup
     "q88_lm_perplexity",      # bigram-LM cross-entropy scoring
     "q89_bloom_membership",   # Bloom bitmap build + probe audit
+    "q90_label_propagation",  # 3 synchronous LPA rounds
+    "q91_hdr_quantiles",      # log-bucketed percentile sketch
+    "q94_resample_ffill",     # gap-filled per-key time grid
+    "q97_personalized_pagerank",  # sparse random walk w/ restart
+    "q100_tfidf_search",      # vector-space retrieval, full norms
 ]
 
 

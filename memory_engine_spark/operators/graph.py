@@ -515,7 +515,12 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
     recompute the loop against the unpersisted adjacency).
     """
     base = edges.select("from_id", "to_id")
-    adj = (base if directed else symmetrize(base)).persist()
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    # hash-partitioned on the join key and persisted, like pagerank's
+    # prepared index: per round only the label vector shuffles to meet
+    # the edges — without this BOTH sides re-exchange every round
+    adj = ((base if directed else symmetrize(base))
+           .repartition(n_parts, F.col("from_id")).persist())
     nodes = (adj.select(F.col("from_id").alias("node_id"))
              .unionByName(adj.select(F.col("to_id").alias("node_id")))
              .distinct())
@@ -529,18 +534,26 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
                       .groupBy(F.col("e.to_id").alias("node_id"),
                                F.col("l.label").alias("label"))
                       .agg(F.count(F.lit(1)).alias("cnt")))
-            w = Window.partitionBy("node_id").orderBy(
-                F.col("cnt").desc(), F.col("label").asc())
-            winners = (counts.withColumn("rk", F.row_number().over(w))
-                       .filter(F.col("rk") == 1)
-                       .select("node_id", "label"))
-            # isolated nodes (possible under directed=True: a pure
-            # source never RECEIVES a label) keep their own
-            labels = (nodes.alias("n")
-                      .join(winners.alias("w2"), "node_id", "left")
-                      .select("node_id",
-                              F.coalesce(F.col("w2.label"),
-                                         F.col("n.node_id")).alias("label")))
+            # argmax(cnt) with min-label tie-break as ONE hash
+            # aggregate: min of struct(-cnt, label) — no window sort
+            # (the row_number formulation sorted the full count table
+            # per round; 8.8 s → under budget at sf0.1)
+            winners = (counts.groupBy("node_id")
+                       .agg(F.min_by("label", F.struct(
+                           (-F.col("cnt")).alias("nc"),
+                           F.col("label"))).alias("label")))
+            if directed:
+                # isolated under directed=True: a pure source never
+                # RECEIVES a label — keep its own
+                labels = (nodes.alias("n")
+                          .join(winners.alias("w2"), "node_id", "left")
+                          .select("node_id",
+                                  F.coalesce(F.col("w2.label"),
+                                             F.col("n.node_id"))
+                                  .alias("label")))
+            else:
+                # symmetrized graph: every node receives
+                labels = winners
             if it == n_iter - 1 or it % 2 == 1:
                 labels = labels.localCheckpoint()  # eager
         return labels
