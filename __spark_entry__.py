@@ -1614,13 +1614,42 @@ def q100_tfidf_search(spark, sf):
                                top_k=20)
 
 
+def q101_random_walks(spark, sf):
+    """node2vec-style walk corpus (graph.random_walks): 2 walks of
+    length 4 from each of 5 customers, neighbor choice by smallest
+    md5 draw — reproducible on any engine, so the walk corpus itself
+    is under oracle check (unrolled per step below)."""
+    starts = [f"c_{i}" for i in range(1, 6)]
+    return (graph.random_walks(_edges(spark, sf), starts, walk_len=4,
+                               walks_per_node=2)
+            .orderBy("walk_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
-    # checks the first ~50 registry entries, so the newest operator
-    # waves (q51+) are registered FIRST to be driver-proven natively;
-    # q01–q50 follow (driver-proven in rounds 1–2, all still covered by
-    # tools/oracle_check.py which runs every entry regardless of order).
+    # checks the first ~50 registry entries, so the NEWEST operator
+    # wave (round 3: q84–q101) registers first, then round 2's wave
+    # (q51–q83, driver-proven in r02/r03), then q01–q50 (rounds 1–2).
+    # tools/oracle_check.py still runs every entry regardless of order.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q84_line_dedup": q84_line_dedup,
+        "q85_semdedup": q85_semdedup,
+        "q86_dsir_weights": q86_dsir_weights,
+        "q87_substring_dedup": q87_substring_dedup,
+        "q88_lm_perplexity": q88_lm_perplexity,
+        "q89_bloom_membership": q89_bloom_membership,
+        "q90_label_propagation": q90_label_propagation,
+        "q91_hdr_quantiles": q91_hdr_quantiles,
+        "q92_fuzzy_terms": q92_fuzzy_terms,
+        "q93_zorder_cells": q93_zorder_cells,
+        "q94_resample_ffill": q94_resample_ffill,
+        "q95_kcore": q95_kcore,
+        "q96_weighted_sssp": q96_weighted_sssp,
+        "q97_personalized_pagerank": q97_personalized_pagerank,
+        "q98_hits": q98_hits,
+        "q99_stratified_quota_sample": q99_stratified_quota_sample,
+        "q100_tfidf_search": q100_tfidf_search,
+        "q101_random_walks": q101_random_walks,
         "q51_qa_confidence": q51_qa_confidence,
         "q52_contradiction_resolution": q52_contradiction_resolution,
         "q53_perspective_types": q53_perspective_types,
@@ -1654,23 +1683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_jaccard_capped": q81_jaccard_capped,
         "q82_content_gaps": q82_content_gaps,
         "q83_depth_gaps": q83_depth_gaps,
-        "q84_line_dedup": q84_line_dedup,
-        "q85_semdedup": q85_semdedup,
-        "q86_dsir_weights": q86_dsir_weights,
-        "q87_substring_dedup": q87_substring_dedup,
-        "q88_lm_perplexity": q88_lm_perplexity,
-        "q89_bloom_membership": q89_bloom_membership,
-        "q90_label_propagation": q90_label_propagation,
-        "q91_hdr_quantiles": q91_hdr_quantiles,
-        "q92_fuzzy_terms": q92_fuzzy_terms,
-        "q93_zorder_cells": q93_zorder_cells,
-        "q94_resample_ffill": q94_resample_ffill,
-        "q95_kcore": q95_kcore,
-        "q96_weighted_sssp": q96_weighted_sssp,
-        "q97_personalized_pagerank": q97_personalized_pagerank,
-        "q98_hits": q98_hits,
-        "q99_stratified_quota_sample": q99_stratified_quota_sample,
-        "q100_tfidf_search": q100_tfidf_search,
     }
     out.update(_legacy_queries())
     return out
@@ -4122,4 +4134,28 @@ def oracle_sql() -> dict[str, str]:
         FROM dots d JOIN norms n USING (doc_id)
         ORDER BY score DESC, d.doc_id ASC LIMIT 20
     """
+
+    # q101: 4 walk steps unrolled; each step picks the smallest
+    # md5('walk:'||walk||':'||step||':'||cand) draw, ties to smaller id.
+    walk_ctes = ["""w0 AS (
+            SELECT s.s || '#' || w.w AS walk_id, s.s AS start,
+                   s.s AS cur, s.s AS path
+            FROM (SELECT unnest(['c_1','c_2','c_3','c_4','c_5']) AS s) s,
+                 (SELECT unnest(['0','1']) AS w) w)"""]
+    for i in range(1, 5):
+        walk_ctes.append(f"""w{i} AS (
+            SELECT walk_id, start, nxt AS cur,
+                   path || '->' || nxt AS path
+            FROM (
+                SELECT c.walk_id, c.start, c.path, e.to_id AS nxt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.walk_id
+                           ORDER BY md5('walk:' || c.walk_id || ':{i}:'
+                                        || e.to_id) ASC,
+                                    e.to_id ASC) AS rn
+                FROM w{i-1} c JOIN edges_sym e ON e.from_id = c.cur)
+            WHERE rn = 1)""")
+    sql["q101_random_walks"] = (
+        f"WITH {EDGES_CTE}, " + ", ".join(walk_ctes)
+        + " SELECT walk_id, start, path FROM w4 ORDER BY walk_id")
     return sql

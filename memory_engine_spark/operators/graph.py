@@ -727,3 +727,70 @@ def hits(edges: DataFrame, n_iter: int = 2) -> DataFrame:
                         .alias("authority")))
     finally:
         adj.unpersist()
+
+
+def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
+                 walks_per_node: int = 1, directed: bool = False,
+                 salt: str = "walk") -> DataFrame:
+    """Deterministic random-walk corpus generation (the node2vec /
+    DeepWalk input step with p=q=1, Grover & Leskovec KDD'16 —
+    sequences for a downstream skip-gram embedding): from each start
+    node, ``walks_per_node`` walks of ``walk_len`` steps, where each
+    step's neighbor is chosen by the SMALLEST md5(salt:walk:step:cand)
+    draw — a uniform choice that is reproducible on any engine and
+    partitioning (the repo's A-ES trick applied to neighbor
+    selection), so the walk corpus is oracle-checkable and resumable.
+    Returns (walk_id, start, path) with path as an
+    '->'-joined string.
+
+    Scale shape: the walk frontier is |walks| rows; each step is one
+    join against the persisted adjacency (hash-partitioned on
+    from_id) plus one min_by groupBy — map-side combined, nothing
+    edge-sized ever re-shuffles. Dead ends (directed only) terminate
+    early and keep their prefix.
+    """
+    spark = edges.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    base = edges.select("from_id", "to_id")
+    adj = ((base if directed else symmetrize(base))
+           .repartition(n_parts, F.col("from_id")).persist())
+    try:
+        rows = [(f"{s}#{w}", s) for s in start_ids
+                for w in range(walks_per_node)]
+        walks = (spark.createDataFrame(rows, "walk_id string, start string")
+                 .select("walk_id", "start",
+                         F.col("start").alias("cur"),
+                         F.col("start").alias("path"))
+                 .localCheckpoint())
+        done = None
+        for step in range(1, walk_len + 1):
+            cand = (adj.join(walks.hint("shuffle_hash"),
+                             adj.from_id == walks.cur)
+                    .select("walk_id", "start", "path",
+                            F.col("to_id").alias("nxt"),
+                            F.md5(F.concat_ws(
+                                ":", F.lit(salt), F.col("walk_id"),
+                                F.lit(str(step)), F.col("to_id")))
+                            .alias("_draw")))
+            stepped = (cand.groupBy("walk_id")
+                       .agg(F.first("start").alias("start"),
+                            F.min_by(F.struct(
+                                F.col("nxt"), F.col("path")),
+                                F.struct("_draw", "nxt")).alias("_pick"))
+                       .select("walk_id", "start",
+                               F.col("_pick.nxt").alias("cur"),
+                               F.concat_ws("->", F.col("_pick.path"),
+                                           F.col("_pick.nxt"))
+                               .alias("path"))
+                       .localCheckpoint())
+            if directed:
+                # dead ends vanish from the join: bank their prefix
+                ended = walks.join(stepped.select("walk_id"),
+                                   "walk_id", "left_anti") \
+                    .select("walk_id", "start", "path")
+                done = ended if done is None else done.unionByName(ended)
+            walks = stepped
+        out = walks.select("walk_id", "start", "path")
+        return out if done is None else out.unionByName(done)
+    finally:
+        adj.unpersist()

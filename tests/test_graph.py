@@ -226,3 +226,36 @@ def test_hits_integer_rounds_hand_computed(spark):
     assert out["m"] == (1, 4)
     assert out["t"] == (0, 1)
     assert out["u1"] == (2, 0) and out["u2"] == (2, 0)
+
+
+def test_random_walks_deterministic_and_edge_following(spark):
+    from memory_engine_spark.operators.graph import random_walks
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "x")],
+        "from_id string, to_id string")
+    out = {r["walk_id"]: r["path"] for r in
+           random_walks(edges, ["a"], walk_len=3,
+                        walks_per_node=2).collect()}
+    assert set(out) == {"a#0", "a#1"}
+    for path in out.values():
+        hops = path.split("->")
+        assert hops[0] == "a" and len(hops) == 4
+        # every consecutive pair is a real (symmetrized) edge
+        sym = {("a", "b"), ("b", "c"), ("c", "d"), ("b", "x"),
+               ("b", "a"), ("c", "b"), ("d", "c"), ("x", "b")}
+        assert all((u, v) in sym for u, v in zip(hops, hops[1:]))
+    # identical rerun -> identical corpus
+    again = {r["walk_id"]: r["path"] for r in
+             random_walks(edges, ["a"], walk_len=3,
+                          walks_per_node=2).collect()}
+    assert again == out
+
+
+def test_random_walks_directed_dead_end_keeps_prefix(spark):
+    from memory_engine_spark.operators.graph import random_walks
+    edges = spark.createDataFrame(
+        [("a", "b")], "from_id string, to_id string")
+    out = {r["walk_id"]: r["path"] for r in
+           random_walks(edges, ["a"], walk_len=5, walks_per_node=1,
+                        directed=True).collect()}
+    assert out == {"a#0": "a->b"}  # b has no out-edges: banked prefix
