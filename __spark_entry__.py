@@ -1625,6 +1625,28 @@ def q101_random_walks(spark, sf):
             .orderBy("walk_id"))
 
 
+def q102_funnel(spark, sf):
+    """signup → view → click → purchase funnel per user
+    (temporal.funnel): earliest-greedy ordered matching, completed-
+    prefix length per user plus journey bounds."""
+    from memory_engine_spark.operators import temporal
+    ev = _t(spark, sf)["events"]
+    return (temporal.funnel(ev, "user_id", "ts", "event_type",
+                            ["signup", "view", "click", "purchase"])
+            .orderBy("user_id"))
+
+
+def q103_cohort_retention(spark, sf):
+    """Weekly cohort retention triangle (temporal.cohort_retention):
+    users bucketed by first-activity week, counted active per later
+    week offset."""
+    from memory_engine_spark.operators import temporal
+    ev = _t(spark, sf)["events"]
+    return (temporal.cohort_retention(ev, "user_id", "ts",
+                                      period_s=604800)
+            .orderBy("cohort", "period_offset"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -1650,6 +1672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_stratified_quota_sample": q99_stratified_quota_sample,
         "q100_tfidf_search": q100_tfidf_search,
         "q101_random_walks": q101_random_walks,
+        "q102_funnel": q102_funnel,
+        "q103_cohort_retention": q103_cohort_retention,
         "q51_qa_confidence": q51_qa_confidence,
         "q52_contradiction_resolution": q52_contradiction_resolution,
         "q53_perspective_types": q53_perspective_types,
@@ -4158,4 +4182,64 @@ def oracle_sql() -> dict[str, str]:
     sql["q101_random_walks"] = (
         f"WITH {EDGES_CTE}, " + ", ".join(walk_ctes)
         + " SELECT walk_id, start, path FROM w4 ORDER BY walk_id")
+
+    # q102: earliest-greedy funnel, each stage the min event time
+    # strictly after the previous stage's pick.
+    sql["q102_funnel"] = """
+        WITH s1 AS (
+            SELECT user_id AS k, MIN(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id AS k, MIN(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.k
+            WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id AS k, MIN(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.k
+            WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+        ),
+        s4 AS (
+            SELECT e.user_id AS k, MIN(e.ts) AS t
+            FROM events e JOIN s3 ON e.user_id = s3.k
+            WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+        )
+        SELECT s1.k AS user_id,
+               CASE WHEN s4.t IS NOT NULL THEN 4
+                    WHEN s3.t IS NOT NULL THEN 3
+                    WHEN s2.t IS NOT NULL THEN 2 ELSE 1 END AS n_steps,
+               s1.t AS step1_ts,
+               COALESCE(s4.t, s3.t, s2.t, s1.t) AS last_ts
+        FROM s1 LEFT JOIN s2 ON s1.k = s2.k
+                LEFT JOIN s3 ON s2.k = s3.k
+                LEFT JOIN s4 ON s3.k = s4.k
+        ORDER BY user_id
+    """
+
+    # q103: weekly cohorts from first activity, distinct-active counts
+    # per (cohort, offset).
+    sql["q103_cohort_retention"] = """
+        WITH acts AS (
+            SELECT DISTINCT user_id AS k,
+                   epoch_us(ts) // 604800000000 AS p
+            FROM events
+        ),
+        first AS (SELECT k, MIN(p) AS cohort FROM acts GROUP BY k),
+        sizes AS (SELECT cohort, COUNT(*) AS cohort_size
+                  FROM first GROUP BY cohort),
+        ret AS (
+            SELECT f.cohort, a.p - f.cohort AS period_offset,
+                   COUNT(DISTINCT a.k) AS n_active
+            FROM acts a JOIN first f ON a.k = f.k
+            GROUP BY 1, 2
+        )
+        SELECT r.cohort, r.period_offset,
+               CAST(r.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               ROUND(r.n_active / CAST(s.cohort_size AS DOUBLE), 6)
+                   AS retention
+        FROM ret r JOIN sizes s ON r.cohort = s.cohort
+        ORDER BY r.cohort, r.period_offset
+    """
     return sql

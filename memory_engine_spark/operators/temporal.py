@@ -227,3 +227,81 @@ def resample_ffill(df: DataFrame, key_col: str, ts_col: str,
             .select(F.col("_k").alias(key_col),
                     F.to_timestamp(F.col("_slot") * step_s).alias(ts_col),
                     *value_cols))
+
+
+def funnel(events: DataFrame, key_col: str, ts_col: str, type_col: str,
+           steps: list[str], within_s: float | None = None) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest strictly
+    time-ordered completion prefix of ``steps`` (the warehouse
+    MATCH_RECOGNIZE-lite / funnel chart query). Step k counts only if
+    it occurs AFTER the chosen step k−1 occurrence (earliest-greedy,
+    the standard funnel semantics — greedy-earliest maximizes the
+    completed prefix for per-step independence); ``within_s`` bounds
+    the whole journey from step 1. Returns
+    (key, n_steps, step1_ts, last_ts) with n_steps = length of the
+    completed prefix (keys missing step 1 are absent).
+
+    Scale shape: one filtered (key, step) min-aggregate per funnel
+    stage, each a broadcast-joined refinement of the previous — k
+    small aggregates over the filtered event set, no windows over raw
+    events, no self-join of the event table.
+    """
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(F.col(key_col).alias("_k"))
+           .agg(F.min(F.col(ts_col)).alias("t1"))
+           .withColumn("n_steps", F.lit(1))
+           .withColumn("_last", F.col("t1")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.filter(F.col(type_col) == step)
+               .select(F.col(key_col).alias("_k"),
+                       F.col(ts_col).alias("_ts")))
+        cond = F.col("_ts") > F.col("_last")
+        if within_s is not None:
+            cond = cond & (F.unix_timestamp("_ts")
+                           <= F.unix_timestamp("t1") + within_s)
+        # only keys that completed step i-1 may extend to step i —
+        # without this gate a key stuck at step 1 could "skip" to a
+        # later stage whose event type happens to occur after t1
+        live = cur.filter(F.col("n_steps") == i - 1) \
+            .select("_k", "t1", "_last")
+        hit = (nxt.join(live, "_k")
+               .filter(cond)
+               .groupBy("_k").agg(F.min("_ts").alias("_hit")))
+        cur = (cur.join(hit, "_k", "left")
+               .select("_k", "t1",
+                       F.when(F.col("_hit").isNotNull(), F.lit(i))
+                       .otherwise(F.col("n_steps")).alias("n_steps"),
+                       F.coalesce(F.col("_hit"), F.col("_last"))
+                       .alias("_last")))
+    return cur.select(F.col("_k").alias(key_col), "n_steps",
+                      F.col("t1").alias("step1_ts"),
+                      F.col("_last").alias("last_ts"))
+
+
+def cohort_retention(events: DataFrame, key_col: str, ts_col: str,
+                     period_s: int = 604800) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), counted as retained in every later period
+    they act in. Returns (cohort, period_offset, n_active,
+    cohort_size, retention) — the classic warehouse triangle chart.
+
+    Scale shape: one min-aggregate for first activity (map-side
+    combined), broadcast back onto the per-(key, period) distinct
+    activity set, then one (cohort, offset) count — no window over raw
+    events, shuffles keyed on user then cohort only.
+    """
+    e = F.unix_timestamp(F.col(ts_col))
+    acts = (events.select(F.col(key_col).alias("_k"),
+                          F.floor(e / period_s).cast("long").alias("p"))
+            .distinct())
+    first = acts.groupBy("_k").agg(F.min("p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    ret = (acts.join(first, "_k")
+           .groupBy("cohort", (F.col("p") - F.col("cohort"))
+                    .alias("period_offset"))
+           .agg(F.countDistinct("_k").alias("n_active")))
+    return (ret.join(F.broadcast(sizes), "cohort")
+            .select("cohort", "period_offset", "n_active", "cohort_size",
+                    F.round(F.col("n_active")
+                            / F.col("cohort_size"), 6).alias("retention")))

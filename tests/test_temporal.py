@@ -162,3 +162,63 @@ def test_resample_ffill_fills_gaps_and_latest_wins(spark):
     assert ("b", at(0)) not in out
     # row count = sum of spans
     assert len(out) == 10 + 1
+
+
+def test_funnel_ordered_matching_and_no_step_skipping(spark):
+    import datetime as dt
+    from memory_engine_spark.operators.temporal import funnel
+    t0 = dt.datetime(2024, 1, 1)
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+    rows = [
+        # u1 completes all: signup(0) view(10) click(20) purchase(30)
+        (1, at(0), "signup"), (1, at(10), "view"),
+        (1, at(20), "click"), (1, at(30), "purchase"),
+        # u2: view BEFORE signup -> stuck at 1 even though click later
+        (2, at(5), "view"), (2, at(10), "signup"), (2, at(20), "click"),
+        # u3: signup only
+        (3, at(0), "signup"),
+        # u4: no signup -> absent
+        (4, at(0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = {r["user_id"]: r for r in
+           funnel(df, "user_id", "ts", "et",
+                  ["signup", "view", "click", "purchase"]).collect()}
+    assert out[1]["n_steps"] == 4 and out[1]["last_ts"] == at(30)
+    # u2 must NOT skip to click: no view after signup
+    assert out[2]["n_steps"] == 1
+    assert out[3]["n_steps"] == 1
+    assert 4 not in out
+
+
+def test_funnel_within_bound(spark):
+    import datetime as dt
+    from memory_engine_spark.operators.temporal import funnel
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "signup"),
+            (1, t0 + dt.timedelta(seconds=100), "view")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = funnel(df, "user_id", "ts", "et", ["signup", "view"],
+                 within_s=50).collect()[0]
+    assert out["n_steps"] == 1  # view arrived outside the window
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+    from memory_engine_spark.operators.temporal import cohort_retention
+    day = 86400
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(days=1)),   # cohort 0, active d0+d1
+        (2, t0),                                    # cohort 0, d0 only
+        (3, t0 + dt.timedelta(days=1)),             # cohort 1, d1 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort"], r["period_offset"]):
+           (r["n_active"], r["cohort_size"], r["retention"]) for r in
+           cohort_retention(df, "user_id", "ts", period_s=day).collect()}
+    c0 = min(k[0] for k in out)
+    assert out[(c0, 0)] == (2, 2, 1.0)
+    assert out[(c0, 1)] == (1, 2, 0.5)
+    assert out[(c0 + 1, 0)] == (1, 1, 1.0)
