@@ -1647,6 +1647,13 @@ def q103_cohort_retention(spark, sf):
             .orderBy("cohort", "period_offset"))
 
 
+def q104_diameter(spark, sf):
+    """Diameter lower bound by the double-BFS 2-sweep heuristic
+    (graph.diameter_estimate from c_1); oracle = two recursive-CTE
+    BFS passes with the same deterministic farthest-node pick."""
+    return graph.diameter_estimate(_edges(spark, sf), "c_1", max_depth=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -1674,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_random_walks": q101_random_walks,
         "q102_funnel": q102_funnel,
         "q103_cohort_retention": q103_cohort_retention,
+        "q104_diameter": q104_diameter,
         "q51_qa_confidence": q51_qa_confidence,
         "q52_contradiction_resolution": q52_contradiction_resolution,
         "q53_perspective_types": q53_perspective_types,
@@ -4241,5 +4249,39 @@ def oracle_sql() -> dict[str, str]:
                    AS retention
         FROM ret r JOIN sizes s ON r.cohort = s.cohort
         ORDER BY r.cohort, r.period_offset
+    """
+
+    # q104: two recursive-CTE BFS passes; UNION (distinct) keeps the
+    # working set at (node, hop) pairs — no path enumeration.
+    sql["q104_diameter"] = f"""
+        WITH RECURSIVE {EDGES_CTE},
+        bfs1 AS (
+            SELECT 'c_1' AS node_id, 0 AS hop
+            UNION
+            SELECT e.to_id, b.hop + 1
+            FROM bfs1 b JOIN edges_sym e ON e.from_id = b.node_id
+            WHERE b.hop < 12
+        ),
+        ecc1 AS (
+            SELECT node_id, MIN(hop) AS h FROM bfs1 GROUP BY node_id
+        ),
+        far AS (
+            SELECT node_id FROM ecc1
+            ORDER BY h DESC, node_id ASC LIMIT 1
+        ),
+        bfs2 AS (
+            SELECT node_id, 0 AS hop FROM far
+            UNION
+            SELECT e.to_id, b.hop + 1
+            FROM bfs2 b JOIN edges_sym e ON e.from_id = b.node_id
+            WHERE b.hop < 12
+        ),
+        ecc2 AS (
+            SELECT node_id, MIN(hop) AS h FROM bfs2 GROUP BY node_id
+        )
+        SELECT (SELECT node_id FROM far) AS sweep2_start,
+               CAST(MAX(h) AS INT) AS diameter_lb,
+               CAST(COUNT(*) AS BIGINT) AS n_reached
+        FROM ecc2
     """
     return sql

@@ -794,3 +794,27 @@ def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
         return out if done is None else out.unionByName(done)
     finally:
         adj.unpersist()
+
+
+def diameter_estimate(edges: DataFrame, start_id: str,
+                      max_depth: int = 12) -> DataFrame:
+    """Graph diameter LOWER BOUND by the classic double-BFS sweep
+    (2-sweep heuristic, Magnien/Latapy/Habib JEA'09 — exact on trees,
+    typically tight on real graphs): BFS from ``start_id``, take the
+    farthest reached node (ties → smallest id, deterministic), BFS
+    again from it; the second eccentricity is the bound. Returns one
+    row (sweep2_start, diameter_lb, n_reached). Composes two ``k_hop``
+    runs — all the scale discipline (frontier broadcast, anti-join,
+    per-hop checkpoints) is inherited; the only extra driver state is
+    the 1-row farthest pick.
+    """
+    first = k_hop(edges, [start_id], max_depth)
+    far = (first.orderBy(F.col("hop_distance").desc(),
+                         F.col("node_id").asc())
+           .limit(1).collect()[0])
+    second = k_hop(edges, [far["node_id"]], max_depth)
+    return (second.agg(F.max("hop_distance").alias("diameter_lb"),
+                       F.count(F.lit(1)).alias("n_reached"))
+            .select(F.lit(far["node_id"]).alias("sweep2_start"),
+                    F.col("diameter_lb").cast("int").alias("diameter_lb"),
+                    F.col("n_reached").cast("long").alias("n_reached")))

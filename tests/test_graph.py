@@ -259,3 +259,16 @@ def test_random_walks_directed_dead_end_keeps_prefix(spark):
            random_walks(edges, ["a"], walk_len=5, walks_per_node=1,
                         directed=True).collect()}
     assert out == {"a#0": "a->b"}  # b has no out-edges: banked prefix
+
+
+def test_diameter_estimate_exact_on_path_graph(spark):
+    from memory_engine_spark.operators.graph import diameter_estimate
+    # path a-b-c-d-e: diameter 4; sweep from the middle finds an end,
+    # second sweep spans the whole path
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "from_id string, to_id string")
+    row = diameter_estimate(edges, "c", max_depth=10).collect()[0]
+    assert row["diameter_lb"] == 4
+    assert row["sweep2_start"] in ("a", "e")
+    assert row["n_reached"] == 5
