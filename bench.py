@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q94_resample_ffill",     # gap-filled per-key time grid
     "q97_personalized_pagerank",  # sparse random walk w/ restart
     "q100_tfidf_search",      # vector-space retrieval, full norms
+    "q102_funnel",            # ordered-step funnel aggregates
+    "q103_cohort_retention",  # cohort triangle
 ]
 
 
