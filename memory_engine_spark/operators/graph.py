@@ -493,7 +493,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def label_propagation(edges: DataFrame, n_iter: int = 5,
-                      directed: bool = False) -> DataFrame:
+                      directed: bool = False,
+                      prebuilt_adj: DataFrame | None = None) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, the GraphFrames ``labelPropagation`` shape) with fully
     DETERMINISTIC semantics so it is oracle-checkable: labels start as
@@ -514,13 +515,20 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
     2nd round (and eagerly at the end, so the caller's actions never
     recompute the loop against the unpersisted adjacency).
     """
-    base = edges.select("from_id", "to_id")
-    n_parts = edges.sparkSession.sparkContext.defaultParallelism
     # hash-partitioned on the join key and persisted, like pagerank's
     # prepared index: per round only the label vector shuffles to meet
-    # the edges — without this BOTH sides re-exchange every round
-    adj = ((base if directed else symmetrize(base))
-           .repartition(n_parts, F.col("from_id")).persist())
+    # the edges — without this BOTH sides re-exchange every round.
+    # Pass ``prebuilt_adj`` (an already-persisted, already-symmetrized
+    # adjacency) to amortize that build across calls, exactly like
+    # pagerank's ``prebuilt``.
+    built_here = prebuilt_adj is None
+    if built_here:
+        base = edges.select("from_id", "to_id")
+        n_parts = edges.sparkSession.sparkContext.defaultParallelism
+        adj = ((base if directed else symmetrize(base))
+               .repartition(n_parts, F.col("from_id")).persist())
+    else:
+        adj = prebuilt_adj
     nodes = (adj.select(F.col("from_id").alias("node_id"))
              .unionByName(adj.select(F.col("to_id").alias("node_id")))
              .distinct())
@@ -558,7 +566,8 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
                 labels = labels.localCheckpoint()  # eager
         return labels
     finally:
-        adj.unpersist()
+        if built_here:
+            adj.unpersist()
 
 
 def k_core(edges: DataFrame, k: int, n_iter: int = 3,
