@@ -1674,6 +1674,17 @@ def q104_diameter(spark, sf):
     return graph.diameter_estimate(_edges(spark, sf), "c_1", max_depth=12)
 
 
+def q105_rolling_zscore(spark, sf):
+    """Per-user rolling z-score anomalies over event values (trailing
+    20 rows, |z| > 2.5, synthesis.rolling_zscore_anomalies): decimal-
+    exact window sums make the flags engine-portable."""
+    ev = _t(spark, sf)["events"]
+    return (synthesis.rolling_zscore_anomalies(
+        ev, "user_id", "ts", "value", window_rows=20, z_threshold=2.5,
+        id_col="event_id")
+        .orderBy("user_id", "ts"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -1702,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_funnel": q102_funnel,
         "q103_cohort_retention": q103_cohort_retention,
         "q104_diameter": q104_diameter,
+        "q105_rolling_zscore": q105_rolling_zscore,
         "q51_qa_confidence": q51_qa_confidence,
         "q52_contradiction_resolution": q52_contradiction_resolution,
         "q53_perspective_types": q53_perspective_types,
@@ -4303,5 +4315,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(h) AS INT) AS diameter_lb,
                CAST(COUNT(*) AS BIGINT) AS n_reached
         FROM ecc2
+    """
+
+    # q105: same decimal-exact rolling sums; ties in ts break by
+    # event_id in the frame order on both sides.
+    sql["q105_rolling_zscore"] = """
+        WITH x AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6)))
+                        OVER w AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                                 * CAST(ROUND(value, 6) AS DECIMAL(18,6))
+                                 AS DECIMAL(38,12)))
+                        OVER w AS DOUBLE) AS s2,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT user_id, ts, value,
+                   ROUND(s1 / n, 6) AS mean_w,
+                   ROUND(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)),
+                         6) AS std_w,
+                   ROUND((value - s1 / n)
+                         / sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0)),
+                         4) AS z,
+                   n
+            FROM x
+        )
+        SELECT user_id, ts, value, mean_w, std_w, z
+        FROM scored
+        WHERE n >= 10 AND std_w > 0 AND abs(z) > 2.5
+        ORDER BY user_id, ts
     """
     return sql

@@ -260,3 +260,46 @@ def detect_contradictions(df: DataFrame, text_col: str, id_col: str,
     )
     from memory_engine_spark.operators.dedup import _materialize_release
     return _materialize_release(out, prepared)
+
+
+def rolling_zscore_anomalies(events: DataFrame, key_col: str, ts_col: str,
+                             value_col: str, window_rows: int = 20,
+                             z_threshold: float = 3.0,
+                             id_col: str | None = None) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each value is scored
+    against the mean/σ of its TRAILING ``window_rows`` observations
+    (itself included) — the streaming-monitor shape of the reference's
+    global IQR outliers (insight_discovery.py:1427-1497), localized in
+    time so level shifts don't mask spikes. Returns flagged rows
+    (key, ts, value, mean_w, std_w, z) where |z| > ``z_threshold``
+    and the window holds ≥ half its capacity (cold-start guard).
+
+    Portability note: built-in windowed avg/stddev accumulate floats
+    in an engine-private order (sliding add/remove vs segment trees),
+    which flaps cross-engine hashes. Here the window computes EXACT
+    decimal Σx and Σx² of the 6-dp-rounded values; mean and the
+    sample-σ formula sqrt((Σx² − (Σx)²/n)/(n−1)) then run as scalar
+    double ops on those exact sums — identical on any engine, at any
+    partitioning. One shuffle (the per-key sort)."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col).asc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(window_rows - 1), W.currentRow))
+    v = F.round(F.col(value_col), 6).cast("decimal(18,6)")
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,12)")).over(w).cast("double")
+    n = F.count(v).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))  # clamp -0.0 rounding
+    z = (F.col(value_col) - mean) / std
+    return (events.select(key_col, ts_col, value_col,
+                          F.round(mean, 6).alias("mean_w"),
+                          F.round(std, 6).alias("std_w"),
+                          F.round(z, 4).alias("z"),
+                          n.alias("_n"))
+            .filter((F.col("_n") >= window_rows / 2)
+                    & (F.col("std_w") > 0)
+                    & (F.abs(F.col("z")) > z_threshold))
+            .drop("_n"))
