@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q100_tfidf_search",      # vector-space retrieval, full norms
     "q102_funnel",            # ordered-step funnel aggregates
     "q103_cohort_retention",  # cohort triangle
+    "q105_rolling_zscore",    # decimal-exact rolling anomaly windows
 ]
 
 
