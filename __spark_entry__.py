@@ -1685,6 +1685,14 @@ def q105_rolling_zscore(spark, sf):
         .orderBy("user_id", "ts"))
 
 
+def q106_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction (graph.adamic_adar): top-30
+    non-adjacent pairs by Σ 1/ln(deg w) over shared neighbors, apex
+    degree capped at 50, decimal-summed addends."""
+    return graph.adamic_adar(_edges(spark, sf), max_hub_degree=50,
+                             top_k=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -1714,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_cohort_retention": q103_cohort_retention,
         "q104_diameter": q104_diameter,
         "q105_rolling_zscore": q105_rolling_zscore,
+        "q106_adamic_adar": q106_adamic_adar,
         "q51_qa_confidence": q51_qa_confidence,
         "q52_contradiction_resolution": q52_contradiction_resolution,
         "q53_perspective_types": q53_perspective_types,
@@ -4349,5 +4358,48 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         WHERE n >= 10 AND std_w > 0 AND abs(z) > 2.5
         ORDER BY user_id, ts
+    """
+
+    # q106: wedge join at the (degree-capped) shared neighbor, decimal
+    # addends, anti-join vs existing canonical edges.
+    sql["q106_adamic_adar"] = f"""
+        WITH {EDGES_CTE},
+        canon AS (
+            SELECT DISTINCT LEAST(from_id, to_id) AS u,
+                   GREATEST(from_id, to_id) AS v
+            FROM edges WHERE from_id <> to_id
+        ),
+        aa_adj AS (
+            SELECT u AS from_id, v AS to_id FROM canon
+            UNION ALL SELECT v, u FROM canon
+        ),
+        aa_deg AS (
+            SELECT from_id, COUNT(*) AS d FROM aa_adj GROUP BY 1
+        ),
+        mids AS (
+            SELECT from_id AS w,
+                   CAST(ROUND(1.0 / ln(CAST(d AS DOUBLE)), 9)
+                        AS DECIMAL(28,9)) AS aa
+            FROM aa_deg WHERE d BETWEEN 2 AND 50
+        ),
+        nb AS (
+            SELECT m.w, m.aa, a.to_id AS x
+            FROM aa_adj a JOIN mids m ON a.from_id = m.w
+        ),
+        pairs AS (
+            SELECT l.x AS u, r.x AS v, l.aa
+            FROM nb l JOIN nb r ON l.w = r.w AND l.aa = r.aa
+            WHERE l.x < r.x
+        ),
+        scored AS (
+            SELECT p.u, p.v, SUM(p.aa) AS s
+            FROM pairs p LEFT JOIN canon c
+              ON p.u = c.u AND p.v = c.v
+            WHERE c.u IS NULL
+            GROUP BY p.u, p.v
+        )
+        SELECT u AS a, v AS b, ROUND(CAST(s AS DOUBLE), 6) AS score
+        FROM scored
+        ORDER BY score DESC, a ASC, b ASC LIMIT 30
     """
     return sql

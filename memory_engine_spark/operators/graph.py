@@ -827,3 +827,45 @@ def diameter_estimate(edges: DataFrame, start_id: str,
             .select(F.lit(far["node_id"]).alias("sweep2_start"),
                     F.col("diameter_lb").cast("int").alias("diameter_lb"),
                     F.col("n_reached").cast("long").alias("n_reached")))
+
+
+def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
+                top_k: int = 30) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar, SocNets 2003):
+    score non-adjacent pairs by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — the
+    classic common-neighbor feature for edge recommendation, weighted
+    so rare shared neighbors count more. Returns the ``top_k``
+    (a, b, score) candidate pairs, a < b, EXCLUDING existing edges.
+
+    Scale shape: candidates come from the wedge join at the shared
+    neighbor — per-w quadratic in deg(w), so ``max_hub_degree`` caps
+    the apex degree (the same skew guard as max_shingle_freq; a
+    super-hub's wedges are also the least informative, 1/ln(deg)→0).
+    Per-wedge addends round to 9 dp and sum as DECIMAL(28,9): the
+    score is order-independent, hence oracle-checkable. Existing
+    edges drop via one anti-join on the canonical pair.
+    """
+    canon = (edges.select(F.least("from_id", "to_id").alias("u"),
+                          F.greatest("from_id", "to_id").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    adj = symmetrize(canon.select(F.col("u").alias("from_id"),
+                                  F.col("v").alias("to_id")))
+    deg = adj.groupBy("from_id").agg(F.count(F.lit(1)).alias("d"))
+    mids = (deg.filter((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
+            .select(F.col("from_id").alias("w"),
+                    F.round(1.0 / F.log(F.col("d").cast("double")), 9)
+                    .cast("decimal(28,9)").alias("aa")))
+    nb = (adj.join(mids, adj.from_id == mids.w)
+          .select("w", "aa", F.col("to_id").alias("x")))
+    pairs = (nb.alias("l").join(nb.alias("r"), ["w", "aa"])
+             .filter(F.col("l.x") < F.col("r.x"))
+             .select(F.col("l.x").alias("u"), F.col("r.x").alias("v"),
+                     "aa"))
+    scored = (pairs.join(canon, ["u", "v"], "left_anti")
+              .groupBy("u", "v").agg(F.sum("aa").alias("_s")))
+    return (scored.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                          F.round(F.col("_s").cast("double"), 6)
+                          .alias("score"))
+            .orderBy(F.col("score").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(top_k))

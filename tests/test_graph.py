@@ -272,3 +272,21 @@ def test_diameter_estimate_exact_on_path_graph(spark):
     assert row["diameter_lb"] == 4
     assert row["sweep2_start"] in ("a", "e")
     assert row["n_reached"] == 5
+
+
+def test_adamic_adar_scores_and_excludes_existing_edges(spark):
+    import math
+    from memory_engine_spark.operators.graph import adamic_adar
+    # star: hub h connects a,b,c ; plus edge a-b. Candidates through h:
+    # (a,c) and (b,c) score 1/ln(3); (a,b) is an existing edge -> out.
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")],
+        "from_id string, to_id string")
+    rows = {(r["a"], r["b"]): r["score"] for r in
+            adamic_adar(edges, top_k=10).collect()}
+    expect = round(1.0 / math.log(3), 6)
+    assert ("a", "b") not in rows
+    assert abs(rows[("a", "c")] - expect) < 1e-6
+    assert abs(rows[("b", "c")] - expect) < 1e-6
+    # hub cap: degree-1 and over-cap apexes contribute nothing
+    assert ("h", "a") not in rows  # adjacent anyway
