@@ -1420,9 +1420,10 @@ def q86_dsir_weights(spark, sf):
     """DSIR importance weights (corpus.dsir_importance, Xie et al.
     NeurIPS 2023): hashed unigram+bigram log-ratio scores of every
     document against the English-language target slice. Per-bucket
-    log-ratios round to 9 dp and sum as DECIMAL(28,9), so the weight
-    is order-independent and hash-stable cross-engine. Resampling =
-    feed log_weight to corpus.weighted_sample (q80)."""
+    log-ratios round to 6 dp and sum as DECIMAL(28,6), so the weight
+    is order-independent and hash-stable cross-engine (9 dp sat on a
+    JVM-vs-DuckDB ln() round-half tie — the r03 hash flap).
+    Resampling = feed log_weight to corpus.weighted_sample (q80)."""
     docs = _t(spark, sf)["documents"]
     out = corpus.dsir_importance(
         docs, docs.filter(F.col("lang") == "en"), "text", "doc_id",
@@ -3727,7 +3728,7 @@ def oracle_sql() -> dict[str, str]:
 
     # q86: same tokenization as q63's TOKS_CTE, unigram+bigram features,
     # q65's strpos-based md5→int bucket hash mod 8192, Laplace-smoothed
-    # per-bucket ln ratios rounded to 9 dp, decimal-summed per doc.
+    # per-bucket ln ratios rounded to 6 dp, decimal-summed per doc.
     sql["q86_dsir_weights"] = f"""
         WITH {TOKS_CTE},
         feats AS (
@@ -3757,7 +3758,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(
                        ln((COALESCE(t.n_tgt, 0) + 1.0) / (tt + 1.0 * 8192))
                      - ln((COALESCE(r.n_raw, 0) + 1.0) / (tr + 1.0 * 8192)),
-                       9) AS DECIMAL(28,9)) AS log_ratio
+                       6) AS DECIMAL(28,6)) AS log_ratio
             FROM raw_c r FULL JOIN tgt_c t ON r.b = t.b, tot
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,

@@ -212,13 +212,16 @@ def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
     weight(d) = Σ_{g ∈ ngrams(d)} ln( p_target(bucket(g)) /
                                       p_raw(bucket(g)) )
     with add-``smoothing`` Laplace estimates over the bucket vocabulary.
-    Per-bucket log-ratios are rounded to 9 dp and summed as
-    DECIMAL(28,9) so the sum is order-independent (float-sum ordering
-    is the classic cross-engine hash flap). Resampling = feed
-    ``log_weight`` to ``weighted_sample`` (Gumbel top-k on log weights
-    ≡ A-ES on weights).
+    Per-bucket log-ratios are rounded to 6 dp and summed as
+    DECIMAL(28,6) so the sum is order-independent (float-sum ordering
+    is the classic cross-engine hash flap). 6 dp, not 9: at 9 dp a
+    JVM-vs-DuckDB ``ln`` last-ulp disagreement can straddle a
+    round-half tie (the r03 q86 hash flap); at 6 dp the tie window is
+    a thousand times narrower and the weight ordering is unchanged.
+    Resampling = feed ``log_weight`` to ``weighted_sample`` (Gumbel
+    top-k on log weights ≡ A-ES on weights).
 
-    Returns (id, n_features, log_weight DECIMAL(28,9)).
+    Returns (id, n_features, log_weight DECIMAL(28,6)).
 
     Scale shape: two explode→groupBy(bucket) count passes (map-side
     combined; the bucket tables are ≤ n_buckets rows), then the scoring
@@ -252,34 +255,46 @@ def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
     # ONE tokenize+hash pass over the raw corpus, persisted as skinny
     # (_id, bucket) longs: the count pass, the totals action, and the
     # scoring join all read it — unpersisted, each consumer re-ran the
-    # full explode (measured 3× the query cost at sf0.1). CacheManager
-    # keys on the logical plan, so repeated calls reuse the entries.
+    # full explode (measured 3× the query cost at sf0.1). The three
+    # intermediates are released via _materialize_release once the
+    # scored result is pinned, matching the module-wide persist
+    # discipline (they must not outlive the call).
+    from .dedup import _materialize_release
+
     exploded = bucketed(df).persist()
     raw_c = exploded.groupBy("b").agg(F.count(F.lit(1)).alias("n")).persist()
     tgt_c = (bucketed(target).groupBy("b")
              .agg(F.count(F.lit(1)).alias("n")).persist())
-    totals = (raw_c.agg(F.sum("n")).first()[0] or 0,
-              tgt_c.agg(F.sum("n")).first()[0] or 0)
-    denom_r = float(totals[0]) + smoothing * n_buckets
-    denom_t = float(totals[1]) + smoothing * n_buckets
-    ratio = (raw_c.withColumnRenamed("n", "n_raw")
-             .join(tgt_c.withColumnRenamed("n", "n_tgt"), "b", "full")
-             .select("b", F.round(
-                 F.log((F.coalesce(F.col("n_tgt"), F.lit(0)) + smoothing)
-                       / F.lit(denom_t))
-                 - F.log((F.coalesce(F.col("n_raw"), F.lit(0)) + smoothing)
-                         / F.lit(denom_r)), 9)
-                 .cast("decimal(28,9)").alias("log_ratio")))
-    # buckets unseen in BOTH corpora share one constant ratio
-    default_ratio = (F.round(
-        F.log(F.lit(smoothing / denom_t)) - F.log(F.lit(smoothing / denom_r)),
-        9).cast("decimal(28,9)"))
-    return (exploded.join(F.broadcast(ratio), "b", "left")
-            .groupBy("_id")
-            .agg(F.count(F.lit(1)).alias("n_features"),
-                 F.sum(F.coalesce(F.col("log_ratio"), default_ratio))
-                 .alias("log_weight"))
-            .select(F.col("_id").alias(id_col), "n_features", "log_weight"))
+    try:
+        totals = (raw_c.agg(F.sum("n")).first()[0] or 0,
+                  tgt_c.agg(F.sum("n")).first()[0] or 0)
+        denom_r = float(totals[0]) + smoothing * n_buckets
+        denom_t = float(totals[1]) + smoothing * n_buckets
+        ratio = (raw_c.withColumnRenamed("n", "n_raw")
+                 .join(tgt_c.withColumnRenamed("n", "n_tgt"), "b", "full")
+                 .select("b", F.round(
+                     F.log((F.coalesce(F.col("n_tgt"), F.lit(0)) + smoothing)
+                           / F.lit(denom_t))
+                     - F.log((F.coalesce(F.col("n_raw"), F.lit(0))
+                              + smoothing) / F.lit(denom_r)), 6)
+                     .cast("decimal(28,6)").alias("log_ratio")))
+        # buckets unseen in BOTH corpora share one constant ratio
+        default_ratio = (F.round(
+            F.log(F.lit(smoothing / denom_t))
+            - F.log(F.lit(smoothing / denom_r)), 6).cast("decimal(28,6)"))
+        out = (exploded.join(F.broadcast(ratio), "b", "left")
+               .groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_features"),
+                    F.sum(F.coalesce(F.col("log_ratio"), default_ratio))
+                    .alias("log_weight"))
+               .select(F.col("_id").alias(id_col), "n_features",
+                       "log_weight"))
+        out = _materialize_release(out, exploded)
+    finally:
+        for frame in (raw_c, tgt_c):
+            frame.unpersist(False)
+        exploded.unpersist(False)
+    return out
 
 
 def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
