@@ -705,6 +705,11 @@ def hits(edges: DataFrame, n_iter: int = 2) -> DataFrame:
     persisted edge list joined with the |V|-row score vector — the
     pagerank shuffle discipline with integer payloads.
     """
+    if not 1 <= n_iter <= 3:
+        raise ValueError(
+            "hits: n_iter must be in [1, 3] — hub is produced inside the "
+            "loop (0 rounds has no readout) and unnormalized integer "
+            "scores overflow int64 beyond 3 rounds on dense graphs")
     adj = edges.select("from_id", "to_id").persist()
     nodes = (adj.select(F.col("from_id").alias("node_id"))
              .unionByName(adj.select(F.col("to_id").alias("node_id")))

@@ -196,8 +196,12 @@ def resample_ffill(df: DataFrame, key_col: str, ts_col: str,
     """
     e = F.unix_timestamp(F.col(ts_col))
     slot = F.floor(e / step_s).cast("long")
+    # _ord must be MICROsecond-resolution: the source timestamps carry
+    # microseconds, and the oracle breaks same-slot ties on epoch_us —
+    # whole-second _ord would tie two sub-second observations and
+    # forward-fill a nondeterministic value ("max ts wins" contract)
     obs = df.select(F.col(key_col).alias("_k"), slot.alias("_slot"),
-                    e.alias("_ord"),
+                    F.unix_micros(F.col(ts_col)).alias("_ord"),
                     *[F.col(c).alias(c) for c in value_cols])
     spans = obs.groupBy("_k").agg(F.min("_slot").alias("_lo"),
                                   F.max("_slot").alias("_hi"))
