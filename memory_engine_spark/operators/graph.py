@@ -492,9 +492,57 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         oriented.unpersist()
 
 
+LPA_SHIFT = 1 << 33  # packed argmax: key = -cnt·2³³ + nid
+
+
+def lpa_prepare(edges: DataFrame, directed: bool = False
+                ) -> dict[str, DataFrame]:
+    """Build the broadcast-regime LPA index once: an ORDER-PRESERVING
+    dense integer id map (node_id → nid, ranked by node_id so the
+    min-label tie-break survives the encoding) plus the int-encoded
+    adjacency, hash-partitioned on the per-round grouping key and
+    persisted. Order-preservation is what makes the encoded argmax
+    bit-identical to the string semantics; the global row_number sort
+    is acceptable exactly because this index only exists in the
+    broadcast regime (|V| bounded by ``broadcast_max_nodes``) — the
+    shuffle regime needs no encoding at all. Returns
+    ``{"ids": (node_id, nid), "adj": (src, dst)}``, both persisted;
+    caller owns unpersist (or materializes them to parquet, like the
+    pagerank index)."""
+    from pyspark.sql import Window as W
+
+    base = edges.select("from_id", "to_id")
+    sym = base if directed else symmetrize(base)
+    nodes = (sym.select(F.col("from_id").alias("node_id"))
+             .unionByName(sym.select(F.col("to_id").alias("node_id")))
+             .distinct())
+    ids = nodes.select(
+        "node_id",
+        (F.row_number().over(W.orderBy("node_id")) - 1)
+        .cast("long").alias("nid")).persist()
+    ids.count()
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    # undirected groups by src (labels looked up on dst — symmetric, so
+    # "received from in-neighbors" ≡ "received from out-neighbors");
+    # directed must group by dst (only in-neighbors send)
+    part_key = "dst" if directed else "src"
+    adj = (sym.join(ids, sym.from_id == ids.node_id)
+           .select(F.col("nid").alias("src"), "to_id")
+           .join(ids.select(F.col("node_id").alias("_tn"),
+                            F.col("nid").alias("dst")),
+                 F.col("to_id") == F.col("_tn"))
+           .select("src", "dst")
+           .repartition(n_parts, part_key).persist())
+    adj.count()
+    return {"ids": ids, "adj": adj}
+
+
 def label_propagation(edges: DataFrame, n_iter: int = 5,
                       directed: bool = False,
-                      prebuilt_adj: DataFrame | None = None) -> DataFrame:
+                      prebuilt_adj: DataFrame | None = None,
+                      prepared: dict[str, DataFrame] | None = None,
+                      strategy: str = "auto",
+                      broadcast_max_nodes: int = 4_000_000) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, the GraphFrames ``labelPropagation`` shape) with fully
     DETERMINISTIC semantics so it is oracle-checkable: labels start as
@@ -507,14 +555,100 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
     upgrade of that grouping. Returns (node_id, label) where label =
     community representative id.
 
-    Scale shape: the adjacency persists once, hash-partitioned; per
-    round ONLY the |V|-row label vector shuffles to meet it
-    (shuffle_hash — same discipline as pagerank), the (node, label)
-    count table reduces map-side, and the argmax is one row_number
-    window over counts partitioned by node. Labels checkpoint every
-    2nd round (and eagerly at the end, so the caller's actions never
-    recompute the loop against the unpersisted adjacency).
+    Two execution regimes, chosen by ``strategy``:
+
+    - ``"shuffle"`` — the 100 TB path: adjacency persists once,
+      hash-partitioned; per round ONLY the |V|-row label vector
+      shuffles to meet it (shuffle_hash — the pagerank discipline),
+      the (node, label) count table reduces map-side, and the argmax
+      is one min_by aggregate.
+    - ``"broadcast"`` — the small-|V| fast path (a 186k-node graph on
+      32 cores is scheduler-bound, not data-bound): node ids are
+      dictionary-encoded to dense longs (``lpa_prepare``), the label
+      vector broadcasts each round, and because the int adjacency is
+      pre-partitioned on the grouping key BOTH aggregations run
+      exchange-free — a round is one stage with two long-keyed
+      HashAggregates, zero shuffles. The argmax packs into one BIGINT
+      min (key = -cnt·2³³ + nid, exact while cnt < 2³⁰ and
+      |V| < 2³³ — guaranteed by the regime bound). Per-round label
+      checkpoint + driver collect is the explicit broadcast cost.
+    - ``"auto"`` — broadcast when |V| ≤ ``broadcast_max_nodes``
+      (≈100 MB of driver state), else shuffle: the same small-side
+      decision AQE makes for joins, lifted to the algorithm level.
     """
+    if prepared is not None or (
+            strategy == "broadcast") or (
+            strategy == "auto" and prebuilt_adj is None and
+            _lpa_small_enough(edges, directed, broadcast_max_nodes)):
+        return _lpa_broadcast(edges, n_iter, directed, prepared)
+    return _lpa_shuffle(edges, n_iter, directed, prebuilt_adj)
+
+
+def _lpa_small_enough(edges: DataFrame, directed: bool,
+                      cap: int) -> bool:
+    base = edges.select("from_id", "to_id")
+    n = (base.select(F.col("from_id").alias("n"))
+         .unionByName(base.select(F.col("to_id").alias("n")))
+         .distinct().count())
+    return n <= cap
+
+
+def _lpa_broadcast(edges: DataFrame, n_iter: int, directed: bool,
+                   prepared: dict[str, DataFrame] | None) -> DataFrame:
+    built_here = prepared is None
+    if built_here:
+        prepared = lpa_prepare(edges, directed)
+    ids, adj = prepared["ids"], prepared["adj"]
+    try:
+        labels = (ids.select(F.col("nid").alias("node"),
+                             F.col("nid").alias("label"))
+                  .localCheckpoint())
+        for _ in range(n_iter):
+            if directed:
+                recv, grp = "src", "dst"
+            else:
+                recv, grp = "dst", "src"
+            counts = (adj.alias("e")
+                      .join(F.broadcast(labels.alias("l")),
+                            F.col(f"e.{recv}") == F.col("l.node"))
+                      .groupBy(F.col(f"e.{grp}").alias("node"),
+                               F.col("l.label").alias("label"))
+                      .agg(F.count(F.lit(1)).alias("cnt")))
+            winners = (counts.groupBy("node")
+                       .agg(F.pmod(F.min(-F.col("cnt") * LPA_SHIFT
+                                         + F.col("label")),
+                                   F.lit(LPA_SHIFT)).alias("label")))
+            if directed:
+                # pure sources never RECEIVE a label — keep their own
+                winners = (ids.select(F.col("nid").alias("node")).alias("n")
+                           .join(F.broadcast(winners.alias("w")),
+                                 "node", "left")
+                           .select("node",
+                                   F.coalesce(F.col("w.label"),
+                                              F.col("n.node"))
+                                   .alias("label")))
+            # eager EVERY round: the next round's broadcast collects
+            # labels to the driver anyway — an unmaterialized chain
+            # would re-execute all prior rounds per broadcast build
+            labels = winners.localCheckpoint()
+        out = (labels.join(ids, labels.node == ids.nid)
+               .select("node_id", F.col("label").alias("_il"))
+               .join(ids.select(F.col("nid").alias("_il"),
+                                F.col("node_id").alias("label")), "_il")
+               .select("node_id", "label"))
+        if built_here:
+            # pin the decoded result before the index unpersists below —
+            # otherwise every caller action re-runs the id-map sort
+            out = out.localCheckpoint()
+        return out
+    finally:
+        if built_here:
+            ids.unpersist()
+            adj.unpersist()
+
+
+def _lpa_shuffle(edges: DataFrame, n_iter: int, directed: bool,
+                 prebuilt_adj: DataFrame | None) -> DataFrame:
     # hash-partitioned on the join key and persisted, like pagerank's
     # prepared index: per round only the label vector shuffles to meet
     # the edges — without this BOTH sides re-exchange every round.

@@ -142,6 +142,35 @@ def test_label_propagation_separates_cliques(spark):
     assert out["a0"] != out["b0"]
 
 
+def test_label_propagation_regimes_agree(spark):
+    from memory_engine_spark.operators.graph import (label_propagation,
+                                                     lpa_prepare)
+    # broadcast (int-encoded, packed argmax) and shuffle (string
+    # min_by) regimes must produce IDENTICAL labels — the dictionary
+    # encoding is order-preserving so tie-breaks cannot diverge.
+    # Barbell: two triangles bridged by one edge, plus a tail —
+    # exercises ties (bridge endpoints see both communities).
+    rows = [("a0", "a1"), ("a1", "a2"), ("a0", "a2"),
+            ("b0", "b1"), ("b1", "b2"), ("b0", "b2"),
+            ("a2", "b0"), ("b2", "c0"), ("c0", "c1")]
+    edges = spark.createDataFrame(rows, "from_id string, to_id string")
+    for n_iter in (1, 3):
+        got_b = {r["node_id"]: r["label"] for r in label_propagation(
+            edges, n_iter=n_iter, strategy="broadcast").collect()}
+        got_s = {r["node_id"]: r["label"] for r in label_propagation(
+            edges, n_iter=n_iter, strategy="shuffle").collect()}
+        assert got_b == got_s
+    # prepared-index entry point returns the same result as inline
+    prep = lpa_prepare(edges)
+    try:
+        got_p = {r["node_id"]: r["label"] for r in label_propagation(
+            None, n_iter=3, prepared=prep).collect()}
+        assert got_p == got_s
+    finally:
+        prep["ids"].unpersist()
+        prep["adj"].unpersist()
+
+
 def test_label_propagation_directed_source_keeps_own_label(spark):
     from memory_engine_spark.operators.graph import label_propagation
     # directed chain s -> x -> y: s never receives a label, keeps own
