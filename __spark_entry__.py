@@ -3897,18 +3897,18 @@ def oracle_sql() -> dict[str, str]:
         tgt_uni AS (SELECT a, SUM(c_ab) AS c_a FROM tgt_bi GROUP BY 1),
         model AS (
             SELECT a, b, CAST(ROUND(ln((c_ab + 0.1) / (c_a + 0.1 * 65536)),
-                              9) AS DECIMAL(28,9)) AS log_p
+                              6) AS DECIMAL(28,6)) AS log_p
             FROM tgt_bi JOIN tgt_uni USING (a)
         ),
         back AS (
-            SELECT a, CAST(ROUND(ln(0.1 / (c_a + 0.1 * 65536)), 9)
-                           AS DECIMAL(28,9)) AS log_backoff
+            SELECT a, CAST(ROUND(ln(0.1 / (c_a + 0.1 * 65536)), 6)
+                           AS DECIMAL(28,6)) AS log_backoff
             FROM tgt_uni
         ),
         scored AS (
             SELECT bi.doc_id,
                    COALESCE(m.log_p, k.log_backoff,
-                            CAST(ROUND(-ln(65536), 9) AS DECIMAL(28,9)))
+                            CAST(ROUND(-ln(65536), 6) AS DECIMAL(28,6)))
                        AS lp
             FROM bi LEFT JOIN model m ON bi.a = m.a AND bi.b = m.b
                     LEFT JOIN back k ON bi.a = k.a
@@ -4232,7 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         norms AS (
             SELECT doc_id,
-                   sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9)))
+                   sqrt(CAST(SUM(CAST(ROUND(w * w, 6) AS DECIMAL(28,6)))
                         AS DOUBLE)) AS nrm
             FROM w GROUP BY doc_id
         ),
@@ -4243,13 +4243,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ('spark', 'join', 'filter', 'stream')
         ),
         qn AS (
-            SELECT sqrt(CAST(SUM(CAST(ROUND(qw * qw, 9) AS DECIMAL(28,9)))
+            SELECT sqrt(CAST(SUM(CAST(ROUND(qw * qw, 6) AS DECIMAL(28,6)))
                         AS DOUBLE)) AS qnrm
             FROM qw
         ),
         dots AS (
             SELECT w.doc_id,
-                   CAST(SUM(CAST(ROUND(w.w * q.qw, 9) AS DECIMAL(28,9)))
+                   CAST(SUM(CAST(ROUND(w.w * q.qw, 6) AS DECIMAL(28,6)))
                         AS DOUBLE) AS dot
             FROM w JOIN qw q USING (term)
             GROUP BY w.doc_id
@@ -4430,8 +4430,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         mids AS (
             SELECT from_id AS w,
-                   CAST(ROUND(1.0 / ln(CAST(d AS DOUBLE)), 9)
-                        AS DECIMAL(28,9)) AS aa
+                   CAST(ROUND(1.0 / ln(CAST(d AS DOUBLE)), 6)
+                        AS DECIMAL(28,6)) AS aa
             FROM aa_deg WHERE d BETWEEN 2 AND 50
         ),
         nb AS (

@@ -325,8 +325,10 @@ def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
     bigrams take the per-``a`` backoff constant via a second broadcast
     join on the unigram table, and a global constant when ``a`` itself
     is unseen) and sums per doc — one doc-keyed shuffle. Per-bigram
-    log-probs round to 9 dp and sum as DECIMAL(28,9): cross-engine
-    hash-stable at any partitioning.
+    log-probs round to 6 dp and sum as DECIMAL(28,6): cross-engine
+    hash-stable at any partitioning (6 dp, not 9 — a last-ulp ln()
+    disagreement between engines can straddle a 9-dp round-half tie;
+    see dsir_importance).
     """
     from .dedup import tokens
 
@@ -353,15 +355,15 @@ def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
     model = (tgt_bi.join(tgt_uni, "a")
              .select("a", "b", F.round(
                  F.log((F.col("c_ab") + F.lit(k))
-                       / (F.col("c_a") + F.lit(k * B))), 9)
-                 .cast("decimal(28,9)").alias("log_p")))
+                       / (F.col("c_a") + F.lit(k * B))), 6)
+                 .cast("decimal(28,6)").alias("log_p")))
     # backoff when (a, b) unseen but a seen: ln(k / (c_a + kB));
     # when a itself unseen: ln(k / kB) = -ln(B)
     backoff_a = (tgt_uni.select("a", F.round(
-        F.log(F.lit(k) / (F.col("c_a") + F.lit(k * B))), 9)
-        .cast("decimal(28,9)").alias("log_backoff")))
+        F.log(F.lit(k) / (F.col("c_a") + F.lit(k * B))), 6)
+        .cast("decimal(28,6)").alias("log_backoff")))
     import math
-    unseen = F.lit(round(-math.log(B), 9)).cast("decimal(28,9)")
+    unseen = F.lit(round(-math.log(B), 6)).cast("decimal(28,6)")
 
     scored = (bigrams(df)
               .join(F.broadcast(model), ["a", "b"], "left")

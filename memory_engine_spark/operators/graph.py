@@ -980,8 +980,10 @@ def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
     neighbor — per-w quadratic in deg(w), so ``max_hub_degree`` caps
     the apex degree (the same skew guard as max_shingle_freq; a
     super-hub's wedges are also the least informative, 1/ln(deg)→0).
-    Per-wedge addends round to 9 dp and sum as DECIMAL(28,9): the
-    score is order-independent, hence oracle-checkable. Existing
+    Per-wedge addends round to 6 dp and sum as DECIMAL(28,6): the
+    score is order-independent, hence oracle-checkable (6 dp, not 9 —
+    a last-ulp ln() disagreement between engines can straddle a 9-dp
+    round-half tie; see corpus.dsir_importance). Existing
     edges drop via one anti-join on the canonical pair.
     """
     canon = (edges.select(F.least("from_id", "to_id").alias("u"),
@@ -992,8 +994,8 @@ def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
     deg = adj.groupBy("from_id").agg(F.count(F.lit(1)).alias("d"))
     mids = (deg.filter((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
             .select(F.col("from_id").alias("w"),
-                    F.round(1.0 / F.log(F.col("d").cast("double")), 9)
-                    .cast("decimal(28,9)").alias("aa")))
+                    F.round(1.0 / F.log(F.col("d").cast("double")), 6)
+                    .cast("decimal(28,6)").alias("aa")))
     nb = (adj.join(mids, adj.from_id == mids.w)
           .select("w", "aa", F.col("to_id").alias("x")))
     pairs = (nb.alias("l").join(nb.alias("r"), ["w", "aa"])

@@ -154,8 +154,11 @@ def tfidf_cosine_search(df: "DataFrame", text_col: str, id_col: str,
 
     Portability: the two big float sums — per-doc squared-norm over
     the whole vocabulary and the per-doc dot product — accumulate as
-    round-9 DECIMALs (order-independent, the repo's standard recipe);
-    the square roots and the final division are single IEEE ops.
+    round-6 DECIMALs (order-independent, the repo's standard recipe;
+    6 dp because the weights carry a ln() computed independently per
+    engine, and a last-ulp disagreement can straddle a 9-dp round-half
+    tie — see corpus.dsir_importance); the square roots and the final
+    division are single IEEE ops.
     Returns the ``top_k`` (id, score) by cosine, ties to smaller id.
 
     Scale shape: one explode → (doc, term) tf groupBy (map-side
@@ -179,19 +182,19 @@ def tfidf_cosine_search(df: "DataFrame", text_col: str, id_col: str,
     w = (tf.join(F.broadcast(dfreq), "term")
          .select("_id", "term", (F.col("tf") * idf).alias("w")))
     norms = (w.groupBy("_id")
-             .agg(F.sum(F.round(F.col("w") * F.col("w"), 9)
-                        .cast("decimal(28,9)")).alias("_n2"))
+             .agg(F.sum(F.round(F.col("w") * F.col("w"), 6)
+                        .cast("decimal(28,6)")).alias("_n2"))
              .select("_id", F.sqrt(F.col("_n2").cast("double")).alias("_norm")))
     qterms = [t for t in query_terms]
     qw = (dfreq.filter(F.col("term").isin(qterms))
           .select("term", idf.alias("qw")))
-    qnorm = (qw.agg(F.sum(F.round(F.col("qw") * F.col("qw"), 9)
-                          .cast("decimal(28,9)")).alias("_q2"))
+    qnorm = (qw.agg(F.sum(F.round(F.col("qw") * F.col("qw"), 6)
+                          .cast("decimal(28,6)")).alias("_q2"))
              .select(F.sqrt(F.col("_q2").cast("double")).alias("_qnorm")))
     dots = (w.join(F.broadcast(qw), "term")
             .groupBy("_id")
-            .agg(F.sum(F.round(F.col("w") * F.col("qw"), 9)
-                       .cast("decimal(28,9)")).alias("_dot")))
+            .agg(F.sum(F.round(F.col("w") * F.col("qw"), 6)
+                       .cast("decimal(28,6)")).alias("_dot")))
     return (dots.join(norms, "_id")
             .crossJoin(F.broadcast(qnorm))
             .select(F.col("_id").alias(id_col),
