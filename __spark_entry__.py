@@ -299,9 +299,13 @@ def q08_neighbors(spark, sf):
 
 
 def q09_khop(spark, sf):
-    """k-hop BFS with min hop_distance (sqlite_storage.py:662-699)."""
-    t = _t(spark, sf)
-    return graph.k_hop(_edges(spark, sf), ["c_1"], max_depth=3)
+    """k-hop BFS with min hop_distance (sqlite_storage.py:662-699).
+    Runs over the session-cached SYMMETRIZED adjacency (_sym_adj,
+    hash-partitioned on from_id) with directed=True — identical
+    reachability, but each hop scans the pre-built symmetric edge
+    list once instead of union-ing two scans of the directed one."""
+    return graph.k_hop(_sym_adj(spark, sf), ["c_1"], max_depth=3,
+                       directed=True)
 
 
 def q10_degree_hubs(spark, sf):
@@ -1545,6 +1549,34 @@ def _lpa_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _LPA_CACHE[key]
 
 
+def prepare_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Build/load EVERY offline index and named session cache for one
+    scale factor, eagerly: derived edges, IVF cells, PQ codebooks,
+    pagerank weighted-edge index, LPA dictionary index, symmetrized
+    adjacency. The reference pays these at INGEST time (JanusGraph
+    adjacency, Milvus IVF build happen on insert, not per query);
+    bench.py calls this before the timed section so per-query numbers
+    measure query plans, not one-time ETL — and so a hygiene pass can
+    snapshot the set of persistent RDDs that must survive inter-query
+    cache cleanup. Returns {index_name: build_or_load_seconds}."""
+    import time as _time
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("tables", lambda: _t(spark, sf_dir)),
+        ("edges", lambda: _edges(spark, sf_dir)),
+        ("ivf16", lambda: _ivf(spark, sf_dir, nlist=16)),
+        ("pq16_8", lambda: _pq(spark, sf_dir, nlist=16, m=8)),
+        ("pagerank", lambda: _pr_index(spark, sf_dir)),
+        ("lpa", lambda: _lpa_prep(spark, sf_dir)),
+        ("sym_adj", lambda: _sym_adj(spark, sf_dir)),
+    ]:
+        t0 = _time.time()
+        fn()
+        out[name] = round(_time.time() - t0, 3)
+    return out
+
+
 def q90_label_propagation(spark, sf):
     """Deterministic synchronous LPA communities after the reference
     5 rounds (graph.label_propagation, broadcast regime over the
@@ -1743,13 +1775,36 @@ def q106_adamic_adar(spark, sf):
                              top_k=30)
 
 
+def q107_enhancement_plan(spark, sf):
+    """Quality-enhancement orchestration
+    (quality.enhancement_plan ← quality_enhancement_engine.py:303-657):
+    the four recommendation generators — low graded content score,
+    contradiction membership, similarity-isolated documents, and
+    low-reliability sources — unioned and ranked by the reference's
+    (priority-string, −expected_improvement) key, top 20. Document
+    'edges' = the capped n-gram-Jaccard near-dup graph (q81's
+    pair generator), so fill_gap flags documents with NO near
+    neighbor; contradictions = q32's detector."""
+    docs = _t(spark, sf)["documents"]
+    pairs = synthesis.detect_contradictions(docs, "text", "doc_id",
+                                            topic_overlap=0.7)
+    sim = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                    threshold=0.3, max_shingle_freq=50)
+    sim_edges = sim.select(F.col("a").alias("from_id"),
+                           F.col("b").alias("to_id"))
+    return quality.enhancement_plan(
+        docs, sim_edges, pairs.select("a", "b"), "text", "doc_id",
+        "source", top_n=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
-    # wave (round 3: q84–q101) registers first, then round 2's wave
+    # wave (rounds 3-4: q84–q107) registers first, then round 2's wave
     # (q51–q83, driver-proven in r02/r03), then q01–q50 (rounds 1–2).
     # tools/oracle_check.py still runs every entry regardless of order.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q107_enhancement_plan": q107_enhancement_plan,
         "q84_line_dedup": q84_line_dedup,
         "q85_semdedup": q85_semdedup,
         "q86_dsir_weights": q86_dsir_weights,
@@ -2742,8 +2797,10 @@ def oracle_sql() -> dict[str, str]:
 
     sent_cnt = ("len(list_filter(string_split_regex(text, '[.!?]+'), "
                 "s -> len(trim(s)) > 10))")
-    sql["q54_quality_content_dimension"] = f"""
-        WITH comp AS (
+    # comp/scored CTE shared by q54 and q107 (the enhancement plan
+    # re-ranks the same graded content scores), defined once so the
+    # two oracles cannot drift.
+    content_comp = f"""comp AS (
             SELECT doc_id,
                 CAST(CASE WHEN len(text) < 50 THEN 0.2
                      WHEN len(text) < 100 THEN 0.5
@@ -2788,7 +2845,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, (length_score + structure_score + richness_score
                        + clarity_score + completeness_score) / 5.0 AS cs
             FROM comp
-        )
+        )"""
+
+    sql["q54_quality_content_dimension"] = f"""
+        WITH {content_comp}
         SELECT doc_id, ROUND(length_score, 6) AS length_score,
                ROUND(structure_score, 6) AS structure_score,
                ROUND(richness_score, 6) AS richness_score,
@@ -4454,4 +4514,119 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         ORDER BY score DESC, a ASC, b ASC LIMIT 30
     """
+
+    # q107: the four recommendation generators over the SHARED content
+    # CTE (q54), the q32 contradiction shape, the q81 capped-Jaccard
+    # pair shape, and the q37 reliability aggregate — unioned, ranked
+    # by the reference's (priority-string, -expected_improvement) key
+    # (quality_enhancement_engine.py:648 sorts by the enum VALUE, i.e.
+    # alphabetically — reproduced as-is), ties canonicalized by
+    # (action, item_id), top 20.
+    sql["q107_enhancement_plan"] = f"""
+        WITH {TOKS_CTE},
+        {content_comp},
+        cprep AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(toks),
+                       x -> NOT list_contains({_STOPWORDS_SQL}, x)
+                            AND NOT list_contains({_NEG_SQL}, x)) AS w,
+                   len(list_intersect(list_distinct(toks), {_NEG_SQL})) > 0
+                       AS has_neg
+            FROM toks_t
+        ),
+        cex AS (SELECT doc_id, unnest(w) AS k FROM cprep),
+        csz AS (SELECT doc_id, len(w) AS sz, has_neg FROM cprep),
+        cpair AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM cex a JOIN cex b ON a.k = b.k AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        contra AS (
+            SELECT a, b
+            FROM cpair JOIN csz sa ON sa.doc_id = a
+                       JOIN csz sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.7
+              AND sa.has_neg <> sb.has_neg
+        ),
+        conflicted AS (
+            SELECT DISTINCT CAST(x AS VARCHAR) AS item_id
+            FROM (SELECT a AS x FROM contra
+                  UNION ALL SELECT b FROM contra)
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                               i -> array_to_string(toks[i+1:i+3], ' '))
+            )) AS shingle
+            FROM toks_t
+        ),
+        kept AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= 50)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM kept a JOIN kept b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sim AS (
+            SELECT a, b
+            FROM common JOIN sizes sa ON sa.doc_id = a
+                        JOIN sizes sb ON sb.doc_id = b
+            WHERE c / (sa.sz + sb.sz - c) >= 0.3
+        ),
+        isolated AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT a FROM sim)
+              AND doc_id NOT IN (SELECT b FROM sim)
+        ),
+        relagg AS (
+            SELECT d.source, COUNT(*) AS n_items,
+                   AVG(ROUND(s.cs, 6)) AS avg_q,
+                   COALESCE(stddev_samp(ROUND(s.cs, 6)), 0.0) AS sd_q
+            FROM scored s JOIN documents d USING (doc_id)
+            GROUP BY d.source
+        ),
+        recs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS item_id,
+                   'improve_content' AS action,
+                   CASE WHEN ROUND(cs, 6) < 0.4 THEN 'high'
+                        ELSE 'medium' END AS priority,
+                   ROUND(0.6 - ROUND(cs, 6), 6) AS expected_improvement,
+                   CAST(0.8 AS DOUBLE) AS confidence,
+                   'medium' AS effort
+            FROM scored WHERE ROUND(cs, 6) < 0.6
+            UNION ALL
+            SELECT item_id, 'resolve_contradiction', 'high',
+                   CAST(0.3 AS DOUBLE), CAST(0.7 AS DOUBLE), 'high'
+            FROM conflicted
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'fill_gap', 'medium',
+                   CAST(0.4 AS DOUBLE), CAST(0.6 AS DOUBLE), 'high'
+            FROM isolated
+            UNION ALL
+            SELECT source, 'update_source', 'medium',
+                   CAST(0.3 AS DOUBLE),
+                   ROUND(LEAST(n_items / 100.0, CAST(1.0 AS DOUBLE)), 6),
+                   'medium'
+            FROM relagg
+            WHERE ROUND(0.6 * avg_q
+                        + 0.2 * GREATEST(CAST(0.0 AS DOUBLE), 1.0 - sd_q)
+                        + 0.2 * LEAST(n_items / 100.0,
+                                      CAST(1.0 AS DOUBLE)), 6) < 0.5
+        )
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY priority ASC, expected_improvement DESC,
+                            action ASC, item_id ASC) AS INTEGER) AS rank,
+               item_id, action, priority, expected_improvement,
+               confidence, effort
+        FROM recs
+        ORDER BY rank
+        LIMIT 20
+    """
+
     return sql

@@ -515,3 +515,116 @@ def depth_gaps(df: DataFrame, text_col: str, id_col: str,
                     F.lit("medium").alias("severity"),
                     F.round(0.5 + F.col("depth_score") * 0.3, 6)
                     .alias("priority_score")))
+
+
+def enhancement_plan(nodes: DataFrame, edges: DataFrame,
+                     contradiction_pairs: DataFrame, text_col: str,
+                     id_col: str, source_col: str,
+                     top_n: int = 20) -> DataFrame:
+    """Quality-enhancement orchestration
+    (quality_enhancement_engine.py:303-657): turn the assessment /
+    validation / gap / reliability signals this module already computes
+    into ONE prioritized, deterministic improvement plan — the
+    recommend step of the reference's enhance_knowledge_quality loop
+    (the apply step is a write-back the caller owns). Four
+    recommendation generators, mirroring
+    ``_generate_enhancement_recommendations`` (:555-651):
+
+    - ``improve_content`` — nodes whose graded content_score
+      (``content_dimension``) < 0.6; priority ``high`` below 0.4 else
+      ``medium``; expected improvement = 0.6 − score; confidence 0.8;
+      effort ``medium`` (:566-586).
+    - ``resolve_contradiction`` — every node appearing in a detected
+      contradiction pair; priority ``high``, improvement 0.3,
+      confidence 0.7, effort ``high`` (:589-603).
+    - ``fill_gap`` — isolated nodes (``relationship_gaps``); priority
+      ``medium`` (relationship gaps grade severity MEDIUM,
+      gap_detection.py:628), improvement 0.4, confidence 0.6
+      (gap_detection.py:633), effort ``high`` (:606-624).
+    - ``update_source`` — sources whose ``source_reliability`` over
+      the content score lands below 0.5 (QUESTIONABLE/UNRELIABLE,
+      source_reliability.py:30-31); priority ``medium``, improvement
+      0.3, confidence = the volume term min(n/100, 1) (the
+      deterministic core of _calculate_assessment_confidence,
+      source_reliability.py:1041-1054), effort ``medium`` (:627-645).
+
+    Ranking reproduces the reference's sort key
+    ``(priority.value, -expected_improvement)`` (:648) — note
+    priority.value is the enum STRING, so the order is alphabetical:
+    critical < high < low < medium... exactly as the reference ships
+    it; we keep that quirk for parity and break remaining ties by
+    (action, item_id) since the reference's residual order is Python
+    sort-stability over insertion order, which has no distributed
+    equivalent. Returns the top ``top_n`` rows as (rank, item_id,
+    action, priority, expected_improvement, confidence, effort).
+    ``item_id`` is a node id for node-scoped actions and the source
+    identifier for update_source, matching the reference's reuse of
+    the node_id field (:636).
+
+    Scale shape: one projection over nodes (content), one distinct
+    over the pair table, two anti-joins (isolated nodes), one
+    per-source aggregate — every generator is a scan or a map-side
+    combined groupBy; the final global sort is top-``top_n``
+    (TakeOrderedAndProject), never a full sort.
+    """
+    # item_id is STRING throughout: node ids and source identifiers
+    # share the column, as in the reference (:636)
+    scored = (content_dimension(nodes, text_col, id_col)
+              .select(id_col, "content_score"))
+    cs = scored.select(F.col(id_col).cast("string").alias("item_id"),
+                       "content_score")
+    rec_content = (cs.filter(F.col("content_score") < 0.6)
+                   .select("item_id",
+                           F.lit("improve_content").alias("action"),
+                           F.when(F.col("content_score") < 0.4, "high")
+                           .otherwise("medium").alias("priority"),
+                           F.round(0.6 - F.col("content_score"), 6)
+                           .alias("expected_improvement"),
+                           F.lit(0.8).alias("confidence"),
+                           F.lit("medium").alias("effort")))
+    pa, pb = contradiction_pairs.columns[0], contradiction_pairs.columns[1]
+    conflicted = (contradiction_pairs.select(
+        F.col(pa).cast("string").alias("item_id"))
+        .unionByName(contradiction_pairs.select(
+            F.col(pb).cast("string").alias("item_id")))
+        .distinct())
+    rec_contra = conflicted.select(
+        "item_id", F.lit("resolve_contradiction").alias("action"),
+        F.lit("high").alias("priority"),
+        F.lit(0.3).alias("expected_improvement"),
+        F.lit(0.7).alias("confidence"), F.lit("high").alias("effort"))
+    rec_gap = (relationship_gaps(nodes, edges, id_col)
+               .select(F.col(id_col).cast("string").alias("item_id"),
+                       F.lit("fill_gap").alias("action"),
+                       F.lit("medium").alias("priority"),
+                       F.lit(0.4).alias("expected_improvement"),
+                       F.lit(0.6).alias("confidence"),
+                       F.lit("high").alias("effort")))
+    rel = source_reliability(
+        nodes.select(F.col(source_col), F.col(id_col)).join(scored, id_col),
+        source_col, "content_score", id_col)
+    rec_source = (rel.filter(F.col("reliability") < 0.5)
+                  .select(F.col(source_col).cast("string")
+                          .alias("item_id"),
+                          F.lit("update_source").alias("action"),
+                          F.lit("medium").alias("priority"),
+                          F.lit(0.3).alias("expected_improvement"),
+                          F.round(F.least(F.col("n_items") / 100.0,
+                                          F.lit(1.0)), 6)
+                          .alias("confidence"),
+                          F.lit("medium").alias("effort")))
+    plan = (rec_content.unionByName(rec_contra)
+            .unionByName(rec_gap).unionByName(rec_source)
+            .orderBy(F.col("priority").asc(),
+                     F.col("expected_improvement").desc(),
+                     F.col("action").asc(), F.col("item_id").asc())
+            .limit(top_n))
+    from pyspark.sql import Window as W
+    return plan.select(
+        F.row_number().over(
+            W.orderBy(F.col("priority").asc(),
+                      F.col("expected_improvement").desc(),
+                      F.col("action").asc(), F.col("item_id").asc()))
+        .alias("rank"),
+        "item_id", "action", "priority", "expected_improvement",
+        "confidence", "effort")

@@ -333,3 +333,44 @@ def test_example_and_depth_gaps(spark):
     assert rows[0]["severity"] == "medium"
     assert abs(rows[0]["priority_score"]
                - round(0.5 + rows[0]["depth_score"] * 0.3, 6)) < 1e-9
+
+
+def test_enhancement_plan_orchestrates_and_ranks(spark):
+    from memory_engine_spark.operators.quality import enhancement_plan
+
+    # 1/2: rich, connected docs from a good source; 3: thin isolated
+    # doc from a one-doc source; 4/5: a contradiction pair.
+    rich = ("The comprehensive verified procedure is documented and "
+            "detailed. It is researched, cited and validated. " * 6)
+    nodes = spark.createDataFrame(
+        [(1, rich, "wiki"), (2, rich + " Further evidenced.", "wiki"),
+         (3, "ok", "blog"),
+         (4, "the database cache is fast and stable", "wiki"),
+         (5, "the database cache is not fast and stable", "wiki")],
+        "doc_id long, text string, source string")
+    edges = spark.createDataFrame(
+        [(1, 2), (4, 5)], "from_id long, to_id long")
+    pairs = spark.createDataFrame([(4, 5)], "a long, b long")
+    plan = enhancement_plan(nodes, edges, pairs, "text", "doc_id",
+                            "source", top_n=20).collect()
+    by_action = {}
+    for r in plan:
+        by_action.setdefault(r["action"], []).append(r)
+    # contradiction recs for both members of the pair
+    assert {r["item_id"] for r in by_action["resolve_contradiction"]} \
+        == {"4", "5"}
+    # doc 3 is isolated -> fill_gap
+    assert {r["item_id"] for r in by_action["fill_gap"]} == {"3"}
+    # thin docs score low -> improve_content present, and doc 3's
+    # expected improvement reflects 0.6 - content_score
+    imp = {r["item_id"]: r for r in by_action["improve_content"]}
+    assert "3" in imp
+    assert 0 < imp["3"]["expected_improvement"] <= 0.6
+    # reference sort quirk: priority strings ascending (high < medium),
+    # then improvement descending; ranks contiguous from 1
+    assert [r["rank"] for r in plan] == list(range(1, len(plan) + 1))
+    pri = [r["priority"] for r in plan]
+    assert pri == sorted(pri)
+    for a, b in zip(plan, plan[1:]):
+        if a["priority"] == b["priority"]:
+            assert a["expected_improvement"] >= b["expected_improvement"]
