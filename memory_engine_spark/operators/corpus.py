@@ -198,9 +198,41 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .drop("_aes_key"))
 
 
+def dsir_features(df: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int = 8192) -> DataFrame:
+    """The DSIR feature pass on its own: word unigrams+bigrams hashed
+    to bucket ids INSIDE the row expression (feature strings never
+    leave their source row), exploded to skinny (``_id``, ``b``) longs.
+    This is the expensive tokenize+md5 scan — in a real pipeline it is
+    INGEST-time work (like embedding generation), so callers can
+    materialize it once (e.g. to parquet next to the other offline
+    indexes) and pass it back to ``dsir_importance`` via ``feats=`` /
+    ``target_feats=``."""
+    from .dedup import tokens
+
+    def features(col):
+        toks = tokens(col)
+        bigrams = F.when(F.size(toks) >= 2, F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    def bucket(col):
+        return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+                .cast("long") % n_buckets)
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.transform(features(F.col(text_col)),
+                              lambda g: bucket(g))).alias("b"))
+
+
 def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
                     id_col: str, n_buckets: int = 8192,
-                    smoothing: float = 1.0) -> DataFrame:
+                    smoothing: float = 1.0,
+                    feats: DataFrame | None = None,
+                    target_feats: DataFrame | None = None) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance
     Resampling, Xie et al. NeurIPS 2023): score every raw-corpus
     document by how much its hashed n-gram distribution resembles a
@@ -228,43 +260,28 @@ def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
     pass joins the exploded corpus against the BROADCAST log-ratio
     table and sums per document — one shuffle on ``id``. The target
     corpus is typically tiny (a quality reference set); the raw pass
-    never materializes pairs and never shuffles text.
+    never materializes pairs and never shuffles text. The tokenize+md5
+    scan dominates the per-call cost — pass ``feats`` /
+    ``target_feats`` (materialized ``dsir_features`` output) to
+    amortize it across calls, exactly like the pagerank/LPA indexes;
+    prebuilt frames are NOT unpersisted here (caller owns them).
     """
-    from .dedup import tokens
-
-    def features(col):
-        toks = tokens(col)
-        bigrams = F.when(F.size(toks) >= 2, F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        )).otherwise(F.array().cast("array<string>"))
-        return F.concat(toks, bigrams)
-
-    def bucket(col):
-        return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
-                .cast("long") % n_buckets)
-
-    def bucketed(frame):
-        # hash to bucket ids INSIDE the row expression and explode
-        # longs — feature strings never leave their source row
-        return frame.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.transform(features(F.col(text_col)),
-                                  lambda g: bucket(g))).alias("b"))
-
     # ONE tokenize+hash pass over the raw corpus, persisted as skinny
     # (_id, bucket) longs: the count pass, the totals action, and the
     # scoring join all read it — unpersisted, each consumer re-ran the
-    # full explode (measured 3× the query cost at sf0.1). The three
-    # intermediates are released via _materialize_release once the
-    # scored result is pinned, matching the module-wide persist
-    # discipline (they must not outlive the call).
+    # full explode (measured 3× the query cost at sf0.1). The
+    # call-local intermediates are released via _materialize_release
+    # once the scored result is pinned, matching the module-wide
+    # persist discipline (they must not outlive the call).
     from .dedup import _materialize_release
 
-    exploded = bucketed(df).persist()
+    feats_here = feats is None
+    exploded = (dsir_features(df, text_col, id_col, n_buckets).persist()
+                if feats_here else feats)
+    tgt = (dsir_features(target, text_col, id_col, n_buckets)
+           if target_feats is None else target_feats)
     raw_c = exploded.groupBy("b").agg(F.count(F.lit(1)).alias("n")).persist()
-    tgt_c = (bucketed(target).groupBy("b")
-             .agg(F.count(F.lit(1)).alias("n")).persist())
+    tgt_c = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("n")).persist()
     try:
         totals = (raw_c.agg(F.sum("n")).first()[0] or 0,
                   tgt_c.agg(F.sum("n")).first()[0] or 0)
@@ -289,11 +306,12 @@ def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
                     .alias("log_weight"))
                .select(F.col("_id").alias(id_col), "n_features",
                        "log_weight"))
-        out = _materialize_release(out, exploded)
+        out = _materialize_release(out, raw_c)
     finally:
-        for frame in (raw_c, tgt_c):
-            frame.unpersist(False)
-        exploded.unpersist(False)
+        tgt_c.unpersist(False)
+        raw_c.unpersist(False)
+        if feats_here:
+            exploded.unpersist(False)
     return out
 
 

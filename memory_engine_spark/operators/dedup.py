@@ -600,7 +600,9 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def semdedup(embeddings: DataFrame, threshold: float, nlist: int = 16,
-             id_col: str = "node_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "node_id", vec_col: str = "embedding",
+             prebuilt_ivf: tuple[DataFrame, DataFrame] | None = None
+             ) -> DataFrame:
     """Semantic dedup over an embedding column (SemDeDup, Abbas et al.
     2023; extends the reference's embedding merge-gate
     `ingestion/merging.py:17-111` from pairwise-at-ingest to
@@ -621,14 +623,21 @@ def semdedup(embeddings: DataFrame, threshold: float, nlist: int = 16,
     the second reuses the first's exchange. Within-cell work is
     quadratic in cell size — the knob the paper itself turns (50k
     clusters for 600M points); size ``nlist`` ≈ n/1k so a cell's pairs
-    fit one task, and no cross-cell pair ever materializes.
+    fit one task, and no cross-cell pair ever materializes. The IVF
+    build itself (N·nlist·dim assignment scan) is INGEST-time work —
+    pass ``prebuilt_ivf=(centroids, assigned)`` (e.g. the offline
+    ``.derived`` index) to amortize it across calls.
     """
     from pyspark.sql import Window
 
     from ..functions.vector import cosine_similarity
     from .similarity import build_ivf_flat
 
-    centroids, assigned = build_ivf_flat(embeddings, nlist, id_col, vec_col)
+    if prebuilt_ivf is not None:
+        centroids, assigned = prebuilt_ivf
+    else:
+        centroids, assigned = build_ivf_flat(embeddings, nlist, id_col,
+                                             vec_col)
     ranked = (assigned.join(F.broadcast(centroids), "cell")
               .select(id_col, vec_col, "cell",
                       cosine_similarity(F.col(vec_col), F.col("centroid"))
