@@ -300,12 +300,13 @@ def q08_neighbors(spark, sf):
 
 def q09_khop(spark, sf):
     """k-hop BFS with min hop_distance (sqlite_storage.py:662-699).
-    Runs over the session-cached SYMMETRIZED adjacency (_sym_adj,
-    hash-partitioned on from_id) with directed=True — identical
-    reachability, but each hop scans the pre-built symmetric edge
-    list once instead of union-ing two scans of the directed one."""
-    return graph.k_hop(_sym_adj(spark, sf), ["c_1"], max_depth=3,
-                       directed=True)
+    Deliberately runs over the DIRECTED edge cache with symmetrize's
+    union-of-two-scans per hop: measured against the prebuilt
+    _sym_adj (directed=True — identical reachability), the union of
+    two in-memory scans is ~10% FASTER than one scan of the twice-as-
+    large symmetric table (2.10 vs 2.34 s clean at sf0.1) — the
+    round-4 retest of the verdict's reuse-_sym_adj hypothesis."""
+    return graph.k_hop(_edges(spark, sf), ["c_1"], max_depth=3)
 
 
 def q10_degree_hubs(spark, sf):
@@ -1826,6 +1827,54 @@ def q106_adamic_adar(spark, sf):
                              top_k=30)
 
 
+def q108_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail corpus split (corpus.rank_buckets over
+    corpus.bigram_perplexity, Wenzek et al. LREC 2020 §4.3): per-LANG
+    perplexity terciles with a full (ppl, doc_id) tiebreak so the tile
+    assignment is a total order — identical on any engine. head =
+    most target-like third; docs with <2 tokens have no perplexity
+    and are absent, as in q88."""
+    docs = _t(spark, sf)["documents"]
+    ppl = corpus.bigram_perplexity(
+        docs, docs.filter(F.col("lang") == "en"), "text", "doc_id",
+        n_buckets=65536, smoothing=0.1)
+    scored = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    out = corpus.rank_buckets(scored.select("doc_id", "lang", "ppl"),
+                              "ppl", "lang", "doc_id")
+    return out.orderBy("doc_id")
+
+
+def q109_rrf_fusion(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (ranking.rrf_fuse,
+    Cormack et al. SIGIR 2009): BM25 (q63) and TF-IDF cosine (q100)
+    top-20 lists for the same query, fused as Σ 1/(60+rank) — the
+    calibration-free lexical+vector combiner a search stack runs above
+    both scorers."""
+    from memory_engine_spark.operators.ranking import (bm25_scores,
+                                                       rrf_fuse,
+                                                       tfidf_cosine_search)
+    docs = _t(spark, sf)["documents"]
+    terms = ["spark", "join", "filter", "stream"]
+    bm = (bm25_scores(docs, "text", "doc_id", terms)
+          .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+          .limit(20))
+    tf = tfidf_cosine_search(docs, "text", "doc_id", terms, top_k=20)
+    return rrf_fuse([bm, tf], "doc_id", top_k=20)
+
+
+def q110_temperature_mixture(spark, sf):
+    """Temperature-scaled source mixing (corpus.temperature_mixture,
+    Brown et al. 2020 §2.2 / Conneau & Lample 2019 α-sampling): 100
+    docs apportioned across sources by n^0.3 largest-remainder quotas,
+    drawn per-source by the portable md5 uniform key."""
+    docs = _t(spark, sf)["documents"]
+    out = corpus.temperature_mixture(docs, "source", "doc_id",
+                                     alpha=0.3, k=100, salt="mix")
+    return (out.select("doc_id", "source", "n_source", "quota",
+                       "draw_rank")
+            .orderBy("source", "draw_rank"))
+
+
 def q107_enhancement_plan(spark, sf):
     """Quality-enhancement orchestration
     (quality.enhancement_plan ← quality_enhancement_engine.py:303-657):
@@ -1856,6 +1905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/oracle_check.py still runs every entry regardless of order.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q107_enhancement_plan": q107_enhancement_plan,
+        "q108_ccnet_buckets": q108_ccnet_buckets,
+        "q109_rrf_fusion": q109_rrf_fusion,
+        "q110_temperature_mixture": q110_temperature_mixture,
         "q84_line_dedup": q84_line_dedup,
         "q85_semdedup": q85_semdedup,
         "q86_dsir_weights": q86_dsir_weights,
@@ -3983,9 +4035,9 @@ def oracle_sql() -> dict[str, str]:
     # q88: hashed-bucket bigram LM trained on lang='en' rows, add-0.1
     # smoothing over 65536 buckets, per-a backoff then global unseen
     # constant; decimal log-prob sum, one double division at the end.
-    sql["q88_lm_perplexity"] = f"""
-        WITH {TOKS_CTE},
-        tok_rows AS (
+    # tokenize→bucket→bigram→model→scored CTE chain shared by q88 and
+    # q108 (the CCNet bucket split re-ranks the same perplexities).
+    lm_scored_ctes = f"""tok_rows AS (
             SELECT doc_id, pos,
                    CAST(list_sum(list_transform(range(0, 8),
                         j -> (strpos('0123456789abcdef',
@@ -4023,12 +4075,36 @@ def oracle_sql() -> dict[str, str]:
                        AS lp
             FROM bi LEFT JOIN model m ON bi.a = m.a AND bi.b = m.b
                     LEFT JOIN back k ON bi.a = k.a
-        )
+        )"""
+
+    sql["q88_lm_perplexity"] = f"""
+        WITH {TOKS_CTE},
+        {lm_scored_ctes}
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
                    AS cross_entropy,
                ROUND(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4) AS ppl
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # q108: the same perplexities dealt into per-language terciles with
+    # a full (ppl, doc_id) tiebreak — the tile assignment is a total
+    # order, so NTILE agrees across engines.
+    sql["q108_ccnet_buckets"] = f"""
+        WITH {TOKS_CTE},
+        {lm_scored_ctes},
+        ppl_t AS (
+            SELECT doc_id,
+                   ROUND(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4)
+                       AS ppl
+            FROM scored GROUP BY doc_id
+        )
+        SELECT p.doc_id, d.lang, p.ppl,
+               ['head', 'middle', 'tail'][NTILE(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY p.ppl ASC, p.doc_id ASC)] AS bucket
+        FROM ppl_t p JOIN documents d USING (doc_id)
+        ORDER BY p.doc_id
     """
 
     # q89: generated like the CMS/HLL oracles — the k probe positions
@@ -4678,6 +4754,72 @@ def oracle_sql() -> dict[str, str]:
         FROM recs
         ORDER BY rank
         LIMIT 20
+    """
+
+
+    # q109: RRF over the q63 and q100 result sets — their full SELECTs
+    # (including their own WITH chains) nest as CTE bodies, so the
+    # fused oracle can never drift from the per-system oracles.
+    sql["q109_rrf_fusion"] = f"""
+        WITH bm AS ({sql["q63_bm25"]}),
+        tf AS ({sql["q100_tfidf_search"]}),
+        bmr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS r
+            FROM bm
+        ),
+        tfr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS r
+            FROM tf
+        ),
+        u AS (SELECT doc_id, r FROM bmr
+              UNION ALL SELECT doc_id, r FROM tfr)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+               ROUND(SUM(1.0 / (60 + r)), 6) AS rrf_score
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 20
+    """
+
+    # q110: n^0.3 largest-remainder apportionment + per-source md5
+    # draws; shares round to 6 dp before the quota arithmetic (pow is
+    # engine-local floating point, same recipe as the ln() addends).
+    sql["q110_temperature_mixture"] = """
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_source FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(pow(n_source, 0.3)) AS tot FROM counts),
+        share AS (
+            SELECT source, n_source,
+                   ROUND(pow(n_source, 0.3) / tot, 6) AS p
+            FROM counts, tot
+        ),
+        base AS (
+            SELECT source, n_source,
+                   CAST(FLOOR(100.0 * p) AS BIGINT) AS base,
+                   100.0 * p - FLOOR(100.0 * p) AS rem
+            FROM share
+        ),
+        quota AS (
+            SELECT source, n_source,
+                   base + CASE WHEN ROW_NUMBER() OVER (
+                              ORDER BY rem DESC, source ASC)
+                          <= 100 - (SELECT SUM(base) FROM base)
+                          THEN 1 ELSE 0 END AS quota
+            FROM base
+        ),
+        drawn AS (
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC) AS INTEGER) AS draw_rank
+            FROM documents
+        )
+        SELECT d.doc_id, d.source, q.n_source, q.quota, d.draw_rank
+        FROM drawn d JOIN quota q USING (source)
+        WHERE d.draw_rank <= q.quota
+        ORDER BY d.source, d.draw_rank
     """
 
     return sql

@@ -433,3 +433,85 @@ def stratified_weighted_sample(df: DataFrame, strata_col: str,
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_aes_key", "_rn"))
+
+
+def rank_buckets(df: DataFrame, val_col: str, part_col: str, id_col: str,
+                 labels: tuple[str, ...] = ("head", "middle", "tail")
+                 ) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. LREC 2020
+    §4.3: partition each language's documents into perplexity terciles;
+    'head' = most target-like, the slice usually kept or up-sampled):
+    rank rows within ``part_col`` by (``val_col`` asc, ``id_col`` asc —
+    the full tiebreak makes the tile assignment a total order, hence
+    identical on any engine) and deal them into ``len(labels)``
+    equal-ish tiles (ntile semantics: earlier tiles take the extra
+    rows). Returns the input columns plus ``bucket``.
+
+    Scale shape: ONE window over the partition key — a single shuffle
+    on ``part_col``; at 100 TB the per-language sort is the
+    distributed-sort primitive Spark already does well, and skewed
+    languages can pre-split by salted subpartition + merge ranks if a
+    single language dominates the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(part_col).orderBy(F.col(val_col).asc(),
+                                        F.col(id_col).asc())
+    return df.select(
+        *df.columns,
+        F.element_at(F.array(*[F.lit(x) for x in labels]),
+                     F.ntile(len(labels)).over(w)).alias("bucket"))
+
+
+def temperature_mixture(df: DataFrame, source_col: str, id_col: str,
+                        alpha: float = 0.3, k: int = 100,
+                        salt: str = "mix") -> DataFrame:
+    """Temperature-scaled source mixing — the GPT-3 / multilingual-LM
+    data-mixing step (Brown et al. 2020 §2.2 dataset sampling weights;
+    Conneau & Lample 2019 α-scaling): per-source quotas proportional to
+    n_s^α (α<1 up-samples small sources), realized EXACTLY over one
+    pass with largest-remainder apportionment and the repo's portable
+    md5 uniform draw inside each source.
+
+    Quota construction (deterministic on any engine):
+    p_s = round(n_s^α / Σ_t n_t^α, 6); base_s = floor(k·p_s);
+    the k − Σ base_s leftovers go to the largest remainders
+    (ties → smaller source id). A quota larger than a source's
+    population yields that source's full population (no reallocation
+    pass — the deficit is visible in the output size, not silently
+    shifted). Shares round to 6 dp before the arithmetic because pow()
+    is engine-local floating point — same recipe as the ln() addends
+    elsewhere in this module.
+
+    Returns the sampled rows plus (n_source, quota, draw_rank).
+
+    Scale shape: one count aggregate (≤ |sources| rows, broadcast
+    back), one md5-keyed row_number window partitioned by source —
+    a single shuffle on the source key; A-ES-style, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    tot = counts.agg(F.sum(F.pow(F.col("n_source"), alpha)).alias("tot"))
+    share = (counts.crossJoin(F.broadcast(tot))
+             .select(source_col, "n_source",
+                     F.round(F.pow(F.col("n_source"), alpha) / F.col("tot"),
+                             6).alias("p")))
+    base = share.select(
+        source_col, "n_source",
+        F.floor(F.lit(float(k)) * F.col("p")).cast("long").alias("base"),
+        (F.lit(float(k)) * F.col("p")
+         - F.floor(F.lit(float(k)) * F.col("p"))).alias("rem"))
+    leftover = F.lit(k) - F.sum("base").over(W.partitionBy())
+    quota = base.select(
+        source_col, "n_source",
+        (F.col("base")
+         + F.when(F.row_number().over(
+             W.orderBy(F.col("rem").desc(), F.col(source_col).asc()))
+             <= leftover, 1).otherwise(0)).alias("quota"))
+    w = W.partitionBy(source_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        .asc(), F.col(id_col).asc())
+    return (df.withColumn("draw_rank", F.row_number().over(w))
+            .join(F.broadcast(quota), source_col)
+            .filter(F.col("draw_rank") <= F.col("quota")))

@@ -203,3 +203,43 @@ def tfidf_cosine_search(df: "DataFrame", text_col: str, id_col: str,
                     .alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(top_k))
+
+
+def rrf_fuse(systems: "list[DataFrame]", id_col: str,
+             score_col: str = "score", k: int = 60,
+             top_k: int = 20) -> "DataFrame":
+    """Reciprocal-rank fusion of ranked retrieval lists (Cormack et al.
+    SIGIR 2009): fused(d) = Σ_systems 1/(k + rank_s(d)) — the standard
+    way to combine lexical (BM25/TF-IDF) and vector retrieval without
+    score calibration, completing this module's hybrid-search story.
+    Each input is ranked by (``score_col`` desc, ``id_col`` asc) — the
+    full tiebreak makes every rank, and therefore the fused score, a
+    deterministic pure function of the inputs. Docs missing from a
+    system's list simply contribute nothing for it (the paper's
+    convention for top-k lists). Returns the ``top_k``
+    (id, n_systems, rrf_score), rrf rounded to 6 dp, ties to smaller
+    id. With a handful of systems the per-doc sum has ≤ |systems| IEEE
+    addends of identical doubles on any engine — commutative, so no
+    decimal accumulation is needed.
+
+    Scale shape: per system one window rank over an ALREADY-top-k list
+    (tiny), one union + one groupBy on the id — nothing corpus-sized
+    moves; the fusion cost is bounded by Σ list lengths.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ranked = []
+    for s in systems:
+        w = W.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        ranked.append(s.select(F.col(id_col),
+                               F.row_number().over(w).alias("_r")))
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    return (u.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_systems"),
+                 F.round(F.sum(1.0 / (F.lit(k) + F.col("_r"))), 6)
+                 .alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+            .limit(top_k))

@@ -194,3 +194,54 @@ def test_stratified_weighted_sample_exact_quota_and_determinism(spark):
                         .otherwise(F.col("w")))
     out2 = stratified_weighted_sample(df2, "src", "w", k=4, id_col="doc_id")
     assert all(r["doc_id"] >= 30 for r in out2.collect())
+
+
+def test_rank_buckets_deals_terciles_with_total_order(spark):
+    from memory_engine_spark.operators.corpus import rank_buckets
+
+    rows = [(i, "en", float(i)) for i in range(1, 10)]  # 9 rows -> 3/3/3
+    rows += [(100 + i, "fr", 1.0) for i in range(4)]    # ties -> id order
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = {(r["lang"], r["doc_id"]): r["bucket"]
+           for r in rank_buckets(df, "ppl", "lang", "doc_id").collect()}
+    assert [out[("en", i)] for i in range(1, 10)] == \
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # 4 tied rows in fr: ntile gives 2/1/1 with id as the tiebreak
+    assert [out[("fr", 100 + i)] for i in range(4)] == \
+        ["head", "head", "middle", "tail"]
+
+
+def test_temperature_mixture_quotas_and_determinism(spark):
+    from memory_engine_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, "source", "doc_id", alpha=0.3, k=50)
+    got = out.collect()
+    quotas = {}
+    for r in got:
+        quotas.setdefault(r["source"], set()).add(r["doc_id"])
+        assert r["draw_rank"] <= r["quota"]
+    # alpha=0.3 up-samples the small source far above its 10% share
+    n_small = len(quotas["small"])
+    assert len(quotas["big"]) + n_small == 50
+    assert n_small >= 15
+    # deterministic: same call, same rows
+    again = {r["doc_id"] for r in temperature_mixture(
+        df, "source", "doc_id", alpha=0.3, k=50).collect()}
+    assert again == {r["doc_id"] for r in got}
+
+
+def test_temperature_mixture_quota_exceeding_population(spark):
+    from memory_engine_spark.operators.corpus import temperature_mixture
+
+    rows = [(i, "big") for i in range(200)] + [(900, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, "source", "doc_id", alpha=0.1, k=100)
+    got = out.collect()
+    # tiny's quota exceeds its single row: it contributes what it has,
+    # and the total is visibly short of k (no silent reallocation)
+    tiny = [r for r in got if r["source"] == "tiny"]
+    assert len(tiny) == 1 and tiny[0]["quota"] > 1
+    assert len(got) < 100

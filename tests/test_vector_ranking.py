@@ -198,3 +198,23 @@ def test_tfidf_cosine_prefers_focused_match(spark):
     assert 3 not in scores                # no query term -> absent
     assert scores[1] > scores[2]          # full norm penalizes dilution
     assert abs(scores[1] - 1.0) < 1e-6    # one-term doc, one-term query
+
+
+def test_rrf_fuse_combines_ranked_lists(spark):
+    from memory_engine_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 3.0), (2, 2.0), (3, 1.0)],
+                              "doc_id long, score double")
+    b = spark.createDataFrame([(3, 9.0), (2, 5.0), (4, 1.0)],
+                              "doc_id long, score double")
+    out = {r["doc_id"]: r for r in
+           rrf_fuse([a, b], "doc_id", top_k=10).collect()}
+    # doc 2: rank 2 in both lists; docs 1/4 appear once
+    assert out[2]["n_systems"] == 2
+    assert abs(out[2]["rrf_score"] - round(2 / 62, 6)) < 1e-9
+    assert out[1]["n_systems"] == 1
+    assert abs(out[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    # doc 2 (two mid ranks) outranks any single-list doc
+    assert out[2]["rrf_score"] > out[3]["rrf_score"] or \
+        out[3]["n_systems"] == 2
+    assert out[2]["rrf_score"] > out[1]["rrf_score"]
