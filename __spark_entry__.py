@@ -1471,9 +1471,10 @@ def q86_dsir_weights(spark, sf):
     OFFLINE feature table (_dsir_feats — ingest-time work, like the
     pagerank/LPA indexes; target features = the same table semi-joined
     to the English doc ids, so nothing tokenizes twice). Per-bucket
-    log-ratios round to 6 dp and sum as DECIMAL(28,6), so the weight
-    is order-independent and hash-stable cross-engine (9 dp sat on a
-    JVM-vs-DuckDB ln() round-half tie — the r03 hash flap).
+    log-ratios quantize to BIGINT micro-units (floor(x*1e6+0.5), pure
+    double arithmetic) and sum as BIGINT, so the weight is
+    order-independent and carries no decimal-ROUND divergence (the
+    r03/r04 driver-gate flap came from dp-rounding ln() outputs).
     Resampling = feed log_weight to corpus.weighted_sample (q80)."""
     docs = _t(spark, sf)["documents"]
     feats = _dsir_feats(spark, sf)
@@ -1503,8 +1504,9 @@ def q88_lm_perplexity(spark, sf):
     """CCNet-style LM quality scoring (corpus.bigram_perplexity,
     Wenzek et al. LREC 2020): add-k bigram model trained on the
     English slice, every document scored by cross-entropy / ppl.
-    Hashed-bucket tokens and decimal-summed 9-dp log-probs keep the
-    model and the scores oracle-checkable."""
+    Hashed-bucket tokens and BIGINT micro-unit log-prob sums keep the
+    model and the scores oracle-checkable without decimal-ROUND
+    divergence."""
     docs = _t(spark, sf)["documents"]
     out = corpus.bigram_perplexity(
         docs, docs.filter(F.col("lang") == "en"), "text", "doc_id",
@@ -3940,7 +3942,9 @@ def oracle_sql() -> dict[str, str]:
 
     # q86: same tokenization as q63's TOKS_CTE, unigram+bigram features,
     # q65's strpos-based md5→int bucket hash mod 8192, Laplace-smoothed
-    # per-bucket ln ratios rounded to 6 dp, decimal-summed per doc.
+    # per-bucket ln ratios quantized to BIGINT micro-units
+    # (FLOOR(x*1e6+0.5) — pure double arithmetic, no engine ROUND),
+    # integer-summed per doc.
     sql["q86_dsir_weights"] = f"""
         WITH {TOKS_CTE},
         feats AS (
@@ -3967,14 +3971,14 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT SUM(n_tgt) FROM tgt_c) AS tt),
         ratio AS (
             SELECT COALESCE(r.b, t.b) AS b,
-                   CAST(ROUND(
+                   CAST(FLOOR((
                        ln((COALESCE(t.n_tgt, 0) + 1.0) / (tt + 1.0 * 8192))
-                     - ln((COALESCE(r.n_raw, 0) + 1.0) / (tr + 1.0 * 8192)),
-                       6) AS DECIMAL(28,6)) AS log_ratio
+                     - ln((COALESCE(r.n_raw, 0) + 1.0) / (tr + 1.0 * 8192))
+                       ) * 1000000.0 + 0.5) AS BIGINT) AS log_ratio
             FROM raw_c r FULL JOIN tgt_c t ON r.b = t.b, tot
         )
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
-               SUM(log_ratio) AS log_weight
+               CAST(SUM(log_ratio) AS BIGINT) AS log_weight
         FROM bucketed JOIN ratio USING (b)
         GROUP BY doc_id ORDER BY doc_id
     """
@@ -4034,7 +4038,8 @@ def oracle_sql() -> dict[str, str]:
 
     # q88: hashed-bucket bigram LM trained on lang='en' rows, add-0.1
     # smoothing over 65536 buckets, per-a backoff then global unseen
-    # constant; decimal log-prob sum, one double division at the end.
+    # constant; BIGINT micro-unit log-prob sum (FLOOR(x*1e6+0.5)),
+    # one double division + floor-quantized presentation at the end.
     # tokenize→bucket→bigram→model→scored CTE chain shared by q88 and
     # q108 (the CCNet bucket split re-ranks the same perplexities).
     lm_scored_ctes = f"""tok_rows AS (
@@ -4059,32 +4064,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         tgt_uni AS (SELECT a, SUM(c_ab) AS c_a FROM tgt_bi GROUP BY 1),
         model AS (
-            SELECT a, b, CAST(ROUND(ln((c_ab + 0.1) / (c_a + 0.1 * 65536)),
-                              6) AS DECIMAL(28,6)) AS log_p
+            SELECT a, b, CAST(FLOOR(ln((c_ab + 0.1) / (c_a + 0.1 * 65536))
+                              * 1000000.0 + 0.5) AS BIGINT) AS log_p
             FROM tgt_bi JOIN tgt_uni USING (a)
         ),
         back AS (
-            SELECT a, CAST(ROUND(ln(0.1 / (c_a + 0.1 * 65536)), 6)
-                           AS DECIMAL(28,6)) AS log_backoff
+            SELECT a, CAST(FLOOR(ln(0.1 / (c_a + 0.1 * 65536))
+                           * 1000000.0 + 0.5) AS BIGINT) AS log_backoff
             FROM tgt_uni
         ),
         scored AS (
             SELECT bi.doc_id,
                    COALESCE(m.log_p, k.log_backoff,
-                            CAST(ROUND(-ln(65536), 6) AS DECIMAL(28,6)))
-                       AS lp
+                            CAST(FLOOR(-ln(65536) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS lp
             FROM bi LEFT JOIN model m ON bi.a = m.a AND bi.b = m.b
                     LEFT JOIN back k ON bi.a = k.a
         )"""
 
     sql["q88_lm_perplexity"] = f"""
         WITH {TOKS_CTE},
-        {lm_scored_ctes}
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
-                   AS cross_entropy,
-               ROUND(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4) AS ppl
-        FROM scored GROUP BY doc_id ORDER BY doc_id
+        {lm_scored_ctes},
+        ent_t AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   -(CAST(SUM(lp) AS DOUBLE) / 1000000.0) / COUNT(*)
+                       AS ent
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               FLOOR(ent * 1000000.0 + 0.5) / 1000000.0 AS cross_entropy,
+               FLOOR(exp(ent) * 10000.0 + 0.5) / 10000.0 AS ppl
+        FROM ent_t ORDER BY doc_id
     """
 
     # q108: the same perplexities dealt into per-language terciles with
@@ -4095,7 +4105,8 @@ def oracle_sql() -> dict[str, str]:
         {lm_scored_ctes},
         ppl_t AS (
             SELECT doc_id,
-                   ROUND(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 4)
+                   FLOOR(exp(-(CAST(SUM(lp) AS DOUBLE) / 1000000.0)
+                             / COUNT(*)) * 10000.0 + 0.5) / 10000.0
                        AS ppl
             FROM scored GROUP BY doc_id
         )

@@ -244,16 +244,21 @@ def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
     weight(d) = Σ_{g ∈ ngrams(d)} ln( p_target(bucket(g)) /
                                       p_raw(bucket(g)) )
     with add-``smoothing`` Laplace estimates over the bucket vocabulary.
-    Per-bucket log-ratios are rounded to 6 dp and summed as
-    DECIMAL(28,6) so the sum is order-independent (float-sum ordering
-    is the classic cross-engine hash flap). 6 dp, not 9: at 9 dp a
-    JVM-vs-DuckDB ``ln`` last-ulp disagreement can straddle a
-    round-half tie (the r03 q86 hash flap); at 6 dp the tie window is
-    a thousand times narrower and the weight ordering is unchanged.
-    Resampling = feed ``log_weight`` to ``weighted_sample`` (Gumbel
-    top-k on log weights ≡ A-ES on weights).
+    Per-bucket log-ratios are quantized to BIGINT micro-units —
+    ``floor(x * 1e6 + 0.5)``, pure IEEE-double arithmetic with no
+    engine ROUND/DECIMAL involved — and summed as BIGINT, so the sum
+    is order-independent AND free of decimal-rounding divergence
+    (engine ROUND-on-double implementations disagree on apparent
+    half-ties; two rounds of dp-tuning failed at the r03/r04 driver
+    gate before the integer quantization). The only residual
+    cross-engine exposure is ``ln`` itself straddling a floor
+    boundary, a ~1e-10 event per bucket. Resampling = feed
+    ``log_weight`` (micro-units; ordering unchanged by the positive
+    scale) to ``weighted_sample`` (Gumbel top-k on log weights ≡ A-ES
+    on weights).
 
-    Returns (id, n_features, log_weight DECIMAL(28,6)).
+    Returns (id, n_features, log_weight BIGINT micro-units, i.e.
+    1e6 × Σ log-ratio).
 
     Scale shape: two explode→groupBy(bucket) count passes (map-side
     combined; the bucket tables are ≤ n_buckets rows), then the scoring
@@ -289,21 +294,23 @@ def dsir_importance(df: DataFrame, target: DataFrame, text_col: str,
         denom_t = float(totals[1]) + smoothing * n_buckets
         ratio = (raw_c.withColumnRenamed("n", "n_raw")
                  .join(tgt_c.withColumnRenamed("n", "n_tgt"), "b", "full")
-                 .select("b", F.round(
-                     F.log((F.coalesce(F.col("n_tgt"), F.lit(0)) + smoothing)
-                           / F.lit(denom_t))
-                     - F.log((F.coalesce(F.col("n_raw"), F.lit(0))
-                              + smoothing) / F.lit(denom_r)), 6)
-                     .cast("decimal(28,6)").alias("log_ratio")))
+                 .select("b", F.floor(
+                     (F.log((F.coalesce(F.col("n_tgt"), F.lit(0))
+                             + smoothing) / F.lit(denom_t))
+                      - F.log((F.coalesce(F.col("n_raw"), F.lit(0))
+                               + smoothing) / F.lit(denom_r)))
+                     * F.lit(1e6) + F.lit(0.5))
+                     .cast("long").alias("log_ratio")))
         # buckets unseen in BOTH corpora share one constant ratio
-        default_ratio = (F.round(
-            F.log(F.lit(smoothing / denom_t))
-            - F.log(F.lit(smoothing / denom_r)), 6).cast("decimal(28,6)"))
+        default_ratio = (F.floor(
+            (F.log(F.lit(smoothing / denom_t))
+             - F.log(F.lit(smoothing / denom_r)))
+            * F.lit(1e6) + F.lit(0.5)).cast("long"))
         out = (exploded.join(F.broadcast(ratio), "b", "left")
                .groupBy("_id")
                .agg(F.count(F.lit(1)).alias("n_features"),
                     F.sum(F.coalesce(F.col("log_ratio"), default_ratio))
-                    .alias("log_weight"))
+                    .cast("long").alias("log_weight"))
                .select(F.col("_id").alias(id_col), "n_features",
                        "log_weight"))
         out = _materialize_release(out, raw_c)
@@ -343,10 +350,13 @@ def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
     bigrams take the per-``a`` backoff constant via a second broadcast
     join on the unigram table, and a global constant when ``a`` itself
     is unseen) and sums per doc — one doc-keyed shuffle. Per-bigram
-    log-probs round to 6 dp and sum as DECIMAL(28,6): cross-engine
-    hash-stable at any partitioning (6 dp, not 9 — a last-ulp ln()
-    disagreement between engines can straddle a 9-dp round-half tie;
-    see dsir_importance).
+    log-probs are quantized to BIGINT micro-units (``floor(x * 1e6 +
+    0.5)``, pure IEEE-double arithmetic) and summed as BIGINT — the
+    sum is order-independent at any partitioning and carries no
+    engine ROUND/DECIMAL divergence (see dsir_importance for the
+    driver-gate history that forced integers). The final
+    cross-entropy / ppl are likewise floor-quantized doubles, not
+    engine-ROUNDed.
     """
     from .dedup import tokens
 
@@ -371,17 +381,18 @@ def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
     tgt_uni = (tgt_bi.groupBy("a").agg(F.sum("c_ab").alias("c_a")))
     k, B = float(smoothing), n_buckets
     model = (tgt_bi.join(tgt_uni, "a")
-             .select("a", "b", F.round(
+             .select("a", "b", F.floor(
                  F.log((F.col("c_ab") + F.lit(k))
-                       / (F.col("c_a") + F.lit(k * B))), 6)
-                 .cast("decimal(28,6)").alias("log_p")))
+                       / (F.col("c_a") + F.lit(k * B)))
+                 * F.lit(1e6) + F.lit(0.5))
+                 .cast("long").alias("log_p")))
     # backoff when (a, b) unseen but a seen: ln(k / (c_a + kB));
     # when a itself unseen: ln(k / kB) = -ln(B)
-    backoff_a = (tgt_uni.select("a", F.round(
-        F.log(F.lit(k) / (F.col("c_a") + F.lit(k * B))), 6)
-        .cast("decimal(28,6)").alias("log_backoff")))
+    backoff_a = (tgt_uni.select("a", F.floor(
+        F.log(F.lit(k) / (F.col("c_a") + F.lit(k * B)))
+        * F.lit(1e6) + F.lit(0.5)).cast("long").alias("log_backoff")))
     import math
-    unseen = F.lit(round(-math.log(B), 6)).cast("decimal(28,6)")
+    unseen = F.lit(int(math.floor(-math.log(B) * 1e6 + 0.5)))
 
     scored = (bigrams(df)
               .join(F.broadcast(model), ["a", "b"], "left")
@@ -389,17 +400,20 @@ def bigram_perplexity(df: DataFrame, target: DataFrame, text_col: str,
               .select("_id", F.coalesce(
                   F.col("log_p"), F.col("log_backoff"), unseen)
                   .alias("lp")))
+    # entropy in double from the exact BIGINT micro-sum: /1e6 then
+    # /count is IEEE-deterministic; the 6-dp / 4-dp presentation uses
+    # floor(x*scale+0.5)/scale — NOT engine ROUND, whose half-tie
+    # behavior differs between JVM BigDecimal and DuckDB nearbyint.
+    ent = (-(F.col("_sum_lp").cast("double") / F.lit(1e6))
+           / F.col("n_bigrams"))
     return (scored.groupBy("_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("lp").alias("_sum_lp"))
             .select(F.col("_id").alias(id_col), "n_bigrams",
-                    # ONE double division of the exact decimal sum —
-                    # IEEE-deterministic on both engines (decimal÷int
-                    # scale rules are NOT portable, so don't use them)
-                    F.round(-F.col("_sum_lp").cast("double")
-                            / F.col("n_bigrams"), 6).alias("cross_entropy"),
-                    F.round(F.exp(-F.col("_sum_lp").cast("double")
-                                  / F.col("n_bigrams")), 4).alias("ppl")))
+                    (F.floor(ent * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+                    .alias("cross_entropy"),
+                    (F.floor(F.exp(ent) * F.lit(1e4) + F.lit(0.5))
+                     / F.lit(1e4)).alias("ppl")))
 
 
 def stratified_weighted_sample(df: DataFrame, strata_col: str,

@@ -2,11 +2,19 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
 given SF, compare row count, column names, and order-insensitive values.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--exact] [--json OUT] [sf_dir] [query ...]
+
+``--exact`` compares canonical value strings BYTE-FOR-BYTE: floats use
+their full shortest ``repr`` (no 9-dp tolerance), so a single-ulp
+engine disagreement in any value fails the query. This predicts the
+driver's hash gate, which the tolerant default cannot (the r04 q86
+lesson: local 9-dp-tolerant green, driver hash red). ``--json OUT``
+writes a per-query result artifact (e.g. SELFCHECK_r5.json).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -20,6 +28,8 @@ from memory_engine_spark.session import get_spark
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+EXACT = False
+
 
 def canon(val):
     if val is None:
@@ -29,7 +39,7 @@ def canon(val):
             return "NaN"
         if val == int(val) and abs(val) < 1e15:
             return str(int(val))
-        return repr(round(val, 9))
+        return repr(val) if EXACT else repr(round(val, 9))
     if isinstance(val, bool):
         return str(int(val))
     return str(val)
@@ -41,8 +51,18 @@ def rows_key(columns, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    argv = sys.argv[1:]
+    json_out = None
+    if "--exact" in argv:
+        EXACT = True
+        argv.remove("--exact")
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -52,6 +72,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -63,10 +84,14 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"match": False, "err": f"spark: {e}"[:300]}
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s, no oracle)")
+            results[name] = {"match": True, "rows": len(srows),
+                             "oracle": False,
+                             "secs": round(time.time() - t0, 2)}
             continue
         try:
             orel = con.execute(oracles[name])
@@ -75,6 +100,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"match": False, "err": f"duckdb: {e}"[:300]}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -93,10 +119,23 @@ def main():
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
+            results[name] = {"match": False,
+                             "err": "; ".join(problems)[:300]}
         else:
             print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            results[name] = {"match": True, "rows": len(srows),
+                             "oracle": True,
+                             "secs": round(time.time() - t0, 2)}
 
     print()
+    if json_out:
+        n_ok = sum(1 for r in results.values() if r["match"])
+        with open(json_out, "w") as f:
+            json.dump({"mode": "exact" if EXACT else "tolerant",
+                       "sf_dir": sf_dir, "n_queries": len(results),
+                       "n_match": n_ok, "queries": results}, f, indent=1,
+                      sort_keys=True)
+        print(f"wrote {json_out} ({n_ok}/{len(results)} match)")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
