@@ -1659,12 +1659,27 @@ def q91_hdr_quantiles(spark, sf):
 
 
 def q92_fuzzy_terms(spark, sf):
-    """Misspelling clusters over the corpus vocabulary: all term pairs
-    within edit distance 1 via SymSpell deletion-neighborhood blocking
-    (text.fuzzy_term_pairs) — candidates from an equi-join on deletion
-    keys, never a cross join, verified with exact levenshtein."""
+    """Misspelling clusters over a noisy corpus vocabulary: all term
+    pairs within edit distance 1 via SymSpell deletion-neighborhood
+    blocking (text.fuzzy_term_pairs) — candidates from an equi-join on
+    deletion keys, never a cross join, verified with exact
+    levenshtein. The synthetic corpus has a clean closed vocabulary
+    (zero organic misspellings — the r04 vacuous-output finding), so
+    the workload simulates an OCR-noisy ingest batch: every 7th doc
+    re-emits its ≥3-char tokens with one deterministically chosen
+    character dropped (position = 1 + doc_id mod len), and the
+    operator clusters the typos back onto their source spellings."""
     docs = _t(spark, sf)["documents"]
-    vocab = docs.select(F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    toks = docs.select(F.col("doc_id"),
+                       F.explode(dedup.tokens(F.col("text"))).alias("term"))
+    pos = F.lit(1) + F.col("doc_id") % F.length("term")
+    typos = (toks.filter((F.col("doc_id") % 7 == 0)
+                         & (F.length("term") >= 3))
+             .select(F.concat(
+                 F.substring(F.col("term"), F.lit(1), pos - 1),
+                 F.col("term").substr(pos + 1, F.length("term")))
+                 .alias("term")))
+    vocab = toks.select("term").union(typos)
     return (text.fuzzy_term_pairs(vocab, "term")
             .orderBy("a", "b"))
 
@@ -4216,11 +4231,25 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # q92: same deletion-neighborhood construction, exact levenshtein
-    # verify (both engines ship the same Wagner-Fischer distance).
+    # verify (both engines ship the same Wagner-Fischer distance);
+    # the OCR-noise batch (every 7th doc, drop char at 1+doc_id%len)
+    # mirrors the Spark workload exactly.
     sql["q92_fuzzy_terms"] = f"""
         WITH {TOKS_CTE},
+        tok_rows AS (
+            SELECT doc_id, unnest(toks) AS term FROM toks_t
+        ),
+        typos AS (
+            SELECT substr(term, 1, (1 + doc_id % length(term))::INT - 1)
+                   || substr(term, (1 + doc_id % length(term))::INT + 1,
+                             length(term)) AS t
+            FROM tok_rows
+            WHERE doc_id % 7 = 0 AND length(term) >= 3
+        ),
         terms AS (
-            SELECT DISTINCT unnest(toks) AS t FROM toks_t
+            SELECT DISTINCT t
+            FROM (SELECT term AS t FROM tok_rows
+                  UNION ALL SELECT t FROM typos)
         ),
         terms_f AS (
             SELECT t FROM terms WHERE length(t) > 0 AND length(t) <= 24
