@@ -69,11 +69,39 @@ toks_t AS (
 # schema inspection) costs ~2s per call at 10 tables; cache per session+dir.
 _TABLE_CACHE: dict[tuple[int, str], dict] = {}
 
+# Persistent-RDD ids owned by the named session caches below. Every
+# builder records the ids it persists (diff of the JVM persistent-RDD
+# map around its miss path), so an external hygiene pass — bench.py's
+# inter-query drop_transient_caches — can unpersist everything EXCEPT
+# these, even for caches built lazily after the initial
+# prepare_indexes snapshot (the r04 ADVICE hazard: a late-built _ivf/
+# _pq variant lost its storage but kept its dict entry, silently
+# recomputing per query).
+_PINNED_RDD_IDS: set[int] = set()
+
+
+def _rdd_snap(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {e.getKey() for e in jmap.entrySet().toArray()}
+
+
+def _pin_new(spark: SparkSession, before: set[int]) -> None:
+    _PINNED_RDD_IDS.update(_rdd_snap(spark) - before)
+
+
+def pinned_rdd_ids() -> set[int]:
+    """RDD ids every named session cache currently owns (accumulated;
+    ids of since-unpersisted frames are harmless extras). Consult this
+    in addition to any startup snapshot before bulk-unpersisting."""
+    return set(_PINNED_RDD_IDS)
+
 
 def _t(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _TABLE_CACHE:
+        before = _rdd_snap(spark)
         _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+        _pin_new(spark, before)
     return _TABLE_CACHE[key]
 
 
@@ -95,6 +123,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _EDGES_CACHE:
         return _EDGES_CACHE[key]
+    before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
     dest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".derived", sf_name, "edges")
@@ -109,6 +138,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(dest).persist()
     except Exception:  # pragma: no cover — read-only checkout etc.
         df = graph_edges(_t(spark, sf_dir)).persist()
+    df.count()
+    _pin_new(spark, before)
     _EDGES_CACHE[key] = df
     return df
 
@@ -130,6 +161,7 @@ def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
     key = (id(spark), sf_dir, nlist)
     if key in _IVF_CACHE:
         return _IVF_CACHE[key]
+    before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".derived", sf_name, f"ivf{nlist}")
@@ -153,6 +185,7 @@ def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
         cents, assigned = similarity.build_ivf_flat(
             _t(spark, sf_dir)["embeddings"], nlist=nlist, id_col="vec_id")
         assigned = assigned.localCheckpoint()
+    _pin_new(spark, before)
     _IVF_CACHE[key] = (cents, assigned)
     return cents, assigned
 
@@ -174,6 +207,7 @@ def _pq(spark: SparkSession, sf_dir: str, nlist: int = 16, m: int = 8):
     key = (id(spark), sf_dir, nlist, m)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
+    before = _rdd_snap(spark)
     cents, assigned = _ivf(spark, sf_dir, nlist=nlist)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -206,6 +240,7 @@ def _pq(spark: SparkSession, sf_dir: str, nlist: int = 16, m: int = 8):
         books, codes_cell = _build()
         books = books.localCheckpoint()
         codes_cell = codes_cell.localCheckpoint()
+    _pin_new(spark, before)
     _PQ_CACHE[key] = (books, codes_cell)
     return books, codes_cell
 
@@ -1121,6 +1156,7 @@ def _pr_index(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key in _PR_CACHE:
         return _PR_CACHE[key]
+    before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".derived", sf_name, "pagerank")
@@ -1147,6 +1183,7 @@ def _pr_index(spark: SparkSession, sf_dir: str):
     except Exception:  # pragma: no cover — read-only checkout etc.
         weighted, nodes, n = graph.pagerank_prepare(
             _edges(spark, sf_dir), directed=False)
+    _pin_new(spark, before)
     _PR_CACHE[key] = (weighted, nodes, n)
     return _PR_CACHE[key]
 
@@ -1441,6 +1478,7 @@ def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key in _DSIR_CACHE:
         return _DSIR_CACHE[key]
+    before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
     dest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".derived", sf_name, "dsir8192")
@@ -1460,6 +1498,7 @@ def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "text", "doc_id",
                                   n_buckets=8192).persist()
     df.count()
+    _pin_new(spark, before)
     _DSIR_CACHE[key] = df
     return df
 
@@ -1545,11 +1584,13 @@ def _sym_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     friends), amortized across calls exactly like _pr_index."""
     key = (id(spark), sf_dir)
     if key not in _ADJ_CACHE:
+        before = _rdd_snap(spark)
         n_parts = spark.sparkContext.defaultParallelism
         adj = (graph.symmetrize(
             _edges(spark, sf_dir).select("from_id", "to_id"))
             .repartition(n_parts, F.col("from_id")).persist())
         adj.count()
+        _pin_new(spark, before)
         _ADJ_CACHE[key] = adj
     return _ADJ_CACHE[key]
 
@@ -1570,6 +1611,7 @@ def _lpa_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)
     if key in _LPA_CACHE:
         return _LPA_CACHE[key]
+    before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".derived", sf_name, "lpa")
@@ -1598,7 +1640,8 @@ def _lpa_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         ids, adj = prep["ids"], prep["adj"]
     ids.count()
     adj.count()
-    _LPA_CACHE[key] = {"ids": ids, "adj": adj}
+    _pin_new(spark, before)
+    _LPA_CACHE[key] = {"ids": ids, "adj": adj, "directed": False}
     return _LPA_CACHE[key]
 
 

@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "q87_substring_dedup",    # exact-substring hot-window dedup
     "q88_lm_perplexity",      # bigram-LM cross-entropy scoring
     "q89_bloom_membership",   # Bloom bitmap build + probe audit
-    "q90_label_propagation",  # 3 synchronous LPA rounds
+    "q90_label_propagation",  # 5 synchronous LPA rounds (reference shape)
     "q91_hdr_quantiles",      # log-bucketed percentile sketch
     "q94_resample_ffill",     # gap-filled per-key time grid
     "q97_personalized_pagerank",  # sparse random walk w/ restart
@@ -213,7 +213,13 @@ def main() -> None:
         # one JVM inflate each other's warm numbers 1.3-2x via storage
         # pressure): unpersist every RDD materialized since the index
         # snapshot — per-query pinned results and checkpoint blocks —
-        # while the named session indexes (the keep-set) stay resident.
+        # while the named session indexes stay resident. The keep-set
+        # is the startup snapshot PLUS entrymod.pinned_rdd_ids(), the
+        # live registry every named-cache builder appends to — so a
+        # cache built lazily AFTER prepare_indexes (an _ivf/_pq
+        # variant outside its fixed list) keeps its storage instead of
+        # silently recomputing every subsequent query (r04 ADVICE).
+        keep = keep | entrymod.pinned_rdd_ids()
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for e in jmap.entrySet().toArray():
             if e.getKey() not in keep:

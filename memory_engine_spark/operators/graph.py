@@ -506,9 +506,13 @@ def lpa_prepare(edges: DataFrame, directed: bool = False
     is acceptable exactly because this index only exists in the
     broadcast regime (|V| bounded by ``broadcast_max_nodes``) — the
     shuffle regime needs no encoding at all. Returns
-    ``{"ids": (node_id, nid), "adj": (src, dst)}``, both persisted;
-    caller owns unpersist (or materializes them to parquet, like the
-    pagerank index)."""
+    ``{"ids": (node_id, nid), "adj": (src, dst), "directed": bool}``,
+    frames persisted; caller owns unpersist (or materializes them to
+    parquet, like the pagerank index). The ``directed`` flag records
+    how the adjacency was built — ``_lpa_broadcast`` asserts it
+    matches the call, because an undirected-built (symmetrized,
+    src-partitioned) index silently computes the wrong communities
+    under ``directed=True``."""
     from pyspark.sql import Window as W
 
     base = edges.select("from_id", "to_id")
@@ -534,7 +538,7 @@ def lpa_prepare(edges: DataFrame, directed: bool = False
            .select("src", "dst")
            .repartition(n_parts, part_key).persist())
     adj.count()
-    return {"ids": ids, "adj": adj}
+    return {"ids": ids, "adj": adj, "directed": directed}
 
 
 def label_propagation(edges: DataFrame, n_iter: int = 5,
@@ -576,6 +580,10 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
       (≈100 MB of driver state), else shuffle: the same small-side
       decision AQE makes for joins, lifted to the algorithm level.
     """
+    if prepared is not None and strategy == "shuffle":
+        raise ValueError(
+            "label_propagation: prepared= is a broadcast-regime index; "
+            "strategy='shuffle' cannot use it (pass prebuilt_adj=)")
     if prepared is not None or (
             strategy == "broadcast") or (
             strategy == "auto" and prebuilt_adj is None and
@@ -598,6 +606,13 @@ def _lpa_broadcast(edges: DataFrame, n_iter: int, directed: bool,
     built_here = prepared is None
     if built_here:
         prepared = lpa_prepare(edges, directed)
+    elif prepared.get("directed", False) != directed:
+        raise ValueError(
+            f"label_propagation: prepared index was built with "
+            f"directed={prepared.get('directed', False)} but the call "
+            f"asked directed={directed}; rebuild via lpa_prepare(..., "
+            f"directed={directed}) — a symmetrized index under "
+            f"directed=True silently yields wrong communities")
     ids, adj = prepared["ids"], prepared["adj"]
     try:
         labels = (ids.select(F.col("nid").alias("node"),
