@@ -124,7 +124,20 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
     try:
         visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
         frontier, n_frontier = visited, visited.count()
+        prev_frontier = None
         for depth in range(1, max_depth + 1):
+            if directed:
+                # arbitrary back-edges: must exclude the FULL visited set
+                seen = visited.select("node_id")
+            else:
+                # undirected: a neighbor of a depth-d node has distance
+                # d-1, d, or d+1 — nothing older can reappear, so the
+                # anti-join needs only the LAST TWO frontiers (the
+                # GraphFrames/Pregel BFS trick). Ships O(|f_d|+|f_{d-1}|)
+                # rows instead of the whole O(|V|) visited set per hop.
+                seen = (frontier.select("node_id") if prev_frontier is None
+                        else frontier.select("node_id")
+                        .unionByName(prev_frontier.select("node_id")))
             nxt = (
                 adj.join(_maybe_broadcast(frontier, n_frontier),
                          adj.from_id == frontier.node_id)
@@ -136,9 +149,9 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
                 # probing every adjacency row per hop (30% slower at 10×
                 # scale, worse with graph size). Left as a shuffle join,
                 # the left side reuses distinct's partitioning, only the
-                # |V|-row visited set ships, and AQE still converts to
-                # broadcast at runtime without the pushdown.
-                .join(visited.select("node_id"), "node_id", "left_anti")
+                # frontier-sized seen set ships, and AQE still converts
+                # to broadcast at runtime without the pushdown.
+                .join(seen, "node_id", "left_anti")
                 .withColumn("hop_distance", F.lit(depth))
                 # lazy checkpoint + count = ONE job per hop: the count
                 # action materializes the checkpoint blocks as it runs,
@@ -155,6 +168,7 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
             # grows by one node per hop over cached blocks, which is flat
             # lineage for any practical max_depth.
             visited = visited.unionByName(nxt)
+            prev_frontier = frontier
             frontier = nxt
         return visited
     finally:
