@@ -283,8 +283,9 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
              directed: bool = False,
-             prebuilt: tuple[DataFrame, DataFrame, int] | None = None
-             ) -> DataFrame:
+             prebuilt: tuple[DataFrame, DataFrame, int] | None = None,
+             strategy: str = "auto",
+             broadcast_max_nodes: int = 4_000_000) -> DataFrame:
     """Fixed-iteration PageRank over the edge table; returns
     (node_id, rank) after ``n_iter`` power iterations with uniform
     1/N start and teleport (1-d)/N.
@@ -309,15 +310,63 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
     count (each eager checkpoint is a job); the final iteration stays
     un-checkpointed so the caller's own action computes it exactly
     once. Driver-side state is two scalars (N, iteration counter).
+
+    Like label_propagation, TWO regimes under ``strategy``:
+    ``"shuffle"`` (above) is the 100 TB path; ``"broadcast"`` is the
+    small-|V| fast path — the checkpointed rank vector broadcasts
+    each iteration instead of shuffling, so with ``weighted``
+    partitioned on **to_id** the whole iteration (map-side join +
+    partial/final sum) is ONE exchange-free stage. ``"auto"`` picks
+    broadcast when |V| ≤ ``broadcast_max_nodes`` (driver holds one
+    |V|-row float vector per broadcast — the same bound as LPA's
+    label vector). A from_id-partitioned ``prebuilt`` stays correct
+    under broadcast (the groupBy adds one bounded exchange) — pass a
+    to_id-partitioned index for the exchange-free plan.
     """
     prebuilt_here = prebuilt is None
     if prebuilt_here:
-        weighted, nodes, n = pagerank_prepare(edges, directed)
+        # explicit broadcast gets the exchange-free to_id layout; auto
+        # builds the shuffle-optimal from_id layout (still correct
+        # under broadcast, one bounded exchange) — only an offline
+        # index builder knows |V| cheaply enough to pick per-regime
+        weighted, nodes, n = pagerank_prepare(
+            edges, directed,
+            part_key="to_id" if strategy == "broadcast" else "from_id")
     else:
         weighted, nodes, n = prebuilt
+    use_broadcast = strategy == "broadcast" or (
+        strategy == "auto" and n <= broadcast_max_nodes)
     try:
         teleport = (1.0 - damping) / n
         ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
+        if use_broadcast:
+            ranks = ranks.localCheckpoint()
+            for it in range(n_iter):
+                contrib = (weighted.alias("e")
+                           .join(F.broadcast(ranks.alias("r")),
+                                 F.col("e.from_id") == F.col("r.node_id"))
+                           .select(F.col("e.to_id").alias("to_id"),
+                                   (F.col("r.rank") * F.col("e.w"))
+                                   .alias("c"))
+                           .groupBy("to_id").agg(F.sum("c").alias("s")))
+                new_rank = (F.lit(teleport) + F.lit(damping)
+                            * F.coalesce(F.col("s"), F.lit(0.0)))
+                if directed:
+                    ranks = (nodes.alias("n")
+                             .join(F.broadcast(contrib.alias("c")),
+                                   F.col("n.node_id") == F.col("c.to_id"),
+                                   "left")
+                             .select(F.col("n.node_id").alias("node_id"),
+                                     new_rank.alias("rank")))
+                else:
+                    ranks = contrib.select(
+                        F.col("to_id").alias("node_id"),
+                        new_rank.alias("rank"))
+                # every iteration: the next broadcast needs the vector
+                # materialized anyway, and one eager checkpoint IS the
+                # iteration's single job
+                ranks = ranks.localCheckpoint()
+            return ranks
         for it in range(n_iter):
             # shuffle_hash: the checkpointed rank vector re-shuffles to
             # the edges' from_id layout each round (|V| rows — the
@@ -360,12 +409,16 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
             weighted.unpersist()
 
 
-def pagerank_prepare(edges: DataFrame, directed: bool = False
+def pagerank_prepare(edges: DataFrame, directed: bool = False,
+                     part_key: str = "from_id"
                      ) -> tuple[DataFrame, DataFrame, int]:
     """The offline half of pagerank: (weighted, nodes, n) where
     ``weighted`` is the out-degree-weighted edge list, hash-partitioned
-    on from_id and persisted (materialized), and ``nodes`` is the
-    checkpointed endpoint set. This is an INDEX in the same sense as
+    on ``part_key`` and persisted (materialized), and ``nodes`` is the
+    checkpointed endpoint set. ``part_key="from_id"`` serves the
+    shuffle regime and personalized_pagerank's sparse-frontier joins;
+    ``"to_id"`` makes the broadcast regime's per-iteration
+    groupBy(to_id) exchange-free. This is an INDEX in the same sense as
     the IVF cell assignment — build once per corpus snapshot,
     materialize (e.g. parquet in a .derived dir), iterate many times;
     pass the triple to ``pagerank(..., prebuilt=...)`` and the query
@@ -388,7 +441,7 @@ def pagerank_prepare(edges: DataFrame, directed: bool = False
                 .filter(F.col("_od") > 0)
                 .select("from_id", "to_id",
                         (F.lit(1.0) / F.col("_od")).alias("w"))
-                .repartition(n_parts, F.col("from_id"))
+                .repartition(n_parts, F.col(part_key))
                 .persist())
     weighted.count()
     deg.unpersist()
