@@ -1780,8 +1780,12 @@ def q94_resample_ffill(spark, sf):
 
 def q95_kcore(spark, sf):
     """Cohesive subgraph via 3 rounds of k-core peeling (k=3,
-    graph.k_core); oracle = the same rounds unrolled as CTEs."""
-    return graph.k_core(_edges(spark, sf), k=3, n_iter=3).orderBy("node_id")
+    graph.k_core over the resident _sym_adj index — per-round state
+    is only the survivor id set); oracle = the same rounds unrolled
+    as CTEs."""
+    return graph.k_core(None, k=3, n_iter=3,
+                        prebuilt_adj=_sym_adj(spark, sf)) \
+        .orderBy("node_id")
 
 
 def q96_weighted_sssp(spark, sf):
@@ -1895,7 +1899,8 @@ def q105_rolling_zscore(spark, sf):
 def q106_adamic_adar(spark, sf):
     """Adamic-Adar link prediction (graph.adamic_adar): top-30
     non-adjacent pairs by Σ 1/ln(deg w) over shared neighbors, apex
-    degree capped at 50, decimal-summed addends."""
+    degree capped at 50, BIGINT micro-unit addends (exact integer
+    sum, no decimal-ROUND divergence)."""
     return graph.adamic_adar(_edges(spark, sf), max_hub_degree=50,
                              top_k=30)
 
@@ -4713,8 +4718,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         mids AS (
             SELECT from_id AS w,
-                   CAST(ROUND(1.0 / ln(CAST(d AS DOUBLE)), 6)
-                        AS DECIMAL(28,6)) AS aa
+                   CAST(FLOOR(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS aa
             FROM aa_deg WHERE d BETWEEN 2 AND 50
         ),
         nb AS (
@@ -4726,14 +4731,17 @@ def oracle_sql() -> dict[str, str]:
             FROM nb l JOIN nb r ON l.w = r.w AND l.aa = r.aa
             WHERE l.x < r.x
         ),
+        agg AS (
+            SELECT u, v, SUM(aa) AS s FROM pairs GROUP BY u, v
+        ),
         scored AS (
-            SELECT p.u, p.v, SUM(p.aa) AS s
-            FROM pairs p LEFT JOIN canon c
+            SELECT p.u, p.v, p.s
+            FROM agg p LEFT JOIN canon c
               ON p.u = c.u AND p.v = c.v
             WHERE c.u IS NULL
-            GROUP BY p.u, p.v
         )
-        SELECT u AS a, v AS b, ROUND(CAST(s AS DOUBLE), 6) AS score
+        SELECT u AS a, v AS b,
+               CAST(s AS DOUBLE) / 1000000.0 AS score
         FROM scored
         ORDER BY score DESC, a ASC, b ASC LIMIT 30
     """

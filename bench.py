@@ -61,6 +61,18 @@ BENCH_QUERIES = [
     "q102_funnel",            # ordered-step funnel aggregates
     "q103_cohort_retention",  # cohort triangle
     "q105_rolling_zscore",    # decimal-exact rolling anomaly windows
+    # round-3/4 graph + retrieval waves (benched from round 5)
+    "q95_kcore",              # survivor-set k-core peeling, 3 rounds
+    "q96_weighted_sssp",      # 4 Bellman-Ford relaxation rounds
+    "q98_hits",               # 2 integer HITS rounds
+    "q104_diameter",          # double-BFS 2-sweep: ~16 sequential
+                              #   frontier jobs — scheduler-bound on
+                              #   local mode, amortizes on a cluster
+    "q106_adamic_adar",       # wedge join + map-side pair pre-agg
+    "q107_enhancement_plan",  # quality-enhancement orchestration
+    "q108_ccnet_buckets",     # per-lang perplexity terciles
+    "q109_rrf_fusion",        # BM25+TFIDF reciprocal-rank fusion
+    "q110_temperature_mixture",  # temperature-scaled source mixing
 ]
 
 

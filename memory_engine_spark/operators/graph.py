@@ -787,7 +787,8 @@ def _lpa_shuffle(edges: DataFrame, n_iter: int, directed: bool,
 
 
 def k_core(edges: DataFrame, k: int, n_iter: int = 3,
-           directed: bool = False) -> DataFrame:
+           directed: bool = False,
+           prebuilt_adj: DataFrame | None = None) -> DataFrame:
     """k-core peeling (Seidman 1983; the degeneracy-ordering workhorse
     for community/cohesion analysis): repeatedly delete nodes with
     degree < k, ``n_iter`` synchronous rounds. Fixed rounds keep the
@@ -797,25 +798,53 @@ def k_core(edges: DataFrame, k: int, n_iter: int = 3,
     is cheap). Returns surviving (node_id, degree) with degrees in the
     final peeled graph.
 
-    Scale shape: per round ONE map-side-combined degree groupBy plus
-    two semi-joins of the edge list against the survivor set; the edge
-    frame eagerly checkpoints each round — it feeds three consumers
-    next round (degree + both semi-join probes), and unmaterialized
-    that re-evaluation nests exponentially in rounds.
+    Scale shape: the adjacency persists ONCE (pass an
+    already-symmetrized, hash-partitioned frame via ``prebuilt_adj``
+    to reuse a session index; ``directed`` is then ignored); the
+    per-round state is only the |V|-row SURVIVOR SET — each round is
+    two semi-joins of the resident adjacency against the (broadcast-
+    sized) survivor set feeding one map-side-combined degree groupBy,
+    and only the survivor ids checkpoint. Nothing |E|-sized ever
+    re-materializes per round (the r04 shape checkpointed the filtered
+    edge list every round — 3 full |E| writes that dominated the
+    query), which is also the 100 TB-correct state discipline:
+    iterative node state must be O(|V|), never O(|E|).
     """
-    base = edges.select("from_id", "to_id")
-    cur = (base if directed else symmetrize(base)).localCheckpoint()
-    for _ in range(n_iter):
-        deg = cur.groupBy("from_id").agg(F.count(F.lit(1)).alias("_d"))
-        keep = deg.filter(F.col("_d") >= k).select("from_id")
-        cur = (cur.join(keep, "from_id", "left_semi")
-               .join(keep.withColumnRenamed("from_id", "to_id"),
-                     "to_id", "left_semi")
-               .localCheckpoint())
-    return (cur.groupBy("from_id")
-            .agg(F.count(F.lit(1)).alias("degree"))
-            .select(F.col("from_id").alias("node_id"),
-                    F.col("degree").cast("long").alias("degree")))
+    built_here = prebuilt_adj is None
+    if built_here:
+        base = edges.select("from_id", "to_id")
+        adj = (base if directed else symmetrize(base)).persist()
+    else:
+        adj = prebuilt_adj.select("from_id", "to_id")
+    try:
+        survivors = None  # None = all nodes (round 1 needs no filter)
+        deg = None
+        for _ in range(n_iter):
+            cur = adj
+            if survivors is not None:
+                cur = (cur.join(survivors, "from_id", "left_semi")
+                       .join(survivors
+                             .withColumnRenamed("from_id", "to_id"),
+                             "to_id", "left_semi"))
+            deg = cur.groupBy("from_id").agg(
+                F.count(F.lit(1)).alias("_d"))
+            survivors = (deg.filter(F.col("_d") >= k).select("from_id")
+                         .localCheckpoint())
+        final = adj.join(survivors, "from_id", "left_semi") \
+            .join(survivors.withColumnRenamed("from_id", "to_id"),
+                  "to_id", "left_semi")
+        out = (final.groupBy("from_id")
+               .agg(F.count(F.lit(1)).alias("degree"))
+               .select(F.col("from_id").alias("node_id"),
+                       F.col("degree").cast("long").alias("degree")))
+        if built_here:
+            # materialize before releasing the call-local adjacency —
+            # the lazy plan must not recompute it post-unpersist
+            out = out.localCheckpoint()
+        return out
+    finally:
+        if built_here:
+            adj.unpersist(False)
 
 
 def weighted_sssp(edges: DataFrame, source: str, n_iter: int = 4,
@@ -1062,12 +1091,18 @@ def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
     neighbor — per-w quadratic in deg(w), so ``max_hub_degree`` caps
     the apex degree (the same skew guard as max_shingle_freq; a
     super-hub's wedges are also the least informative, 1/ln(deg)→0).
-    Per-wedge addends round to 6 dp and sum as DECIMAL(28,6): the
-    score is order-independent, hence oracle-checkable (6 dp, not 9 —
-    a last-ulp ln() disagreement between engines can straddle a 9-dp
-    round-half tie; see corpus.dsir_importance). Existing
-    edges drop via one anti-join on the canonical pair.
+    The wedge input is persisted hash-partitioned on w, so the
+    self-join is exchange-free; the wedge MULTISET then aggregates
+    FIRST (map-side partial sums compress it before its one (u,v)
+    shuffle) and the existing-edge anti-join runs on the far smaller
+    aggregated pair set, reusing the groupBy partitioning. Per-wedge
+    addends are BIGINT micro-units (``floor(1e6/ln d + 0.5)``, pure
+    double arithmetic — see corpus.dsir_importance for why hashed
+    ln-derived values must never pass through engine ROUND/DECIMAL)
+    and the score is their exact integer sum divided once by 1e6.
     """
+    spark = edges.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     canon = (edges.select(F.least("from_id", "to_id").alias("u"),
                           F.greatest("from_id", "to_id").alias("v"))
              .filter(F.col("u") != F.col("v")).distinct())
@@ -1076,19 +1111,25 @@ def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
     deg = adj.groupBy("from_id").agg(F.count(F.lit(1)).alias("d"))
     mids = (deg.filter((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
             .select(F.col("from_id").alias("w"),
-                    F.round(1.0 / F.log(F.col("d").cast("double")), 6)
-                    .cast("decimal(28,6)").alias("aa")))
+                    F.floor(F.lit(1e6) / F.log(F.col("d").cast("double"))
+                            + F.lit(0.5)).cast("long").alias("aa")))
     nb = (adj.join(mids, adj.from_id == mids.w)
-          .select("w", "aa", F.col("to_id").alias("x")))
-    pairs = (nb.alias("l").join(nb.alias("r"), ["w", "aa"])
-             .filter(F.col("l.x") < F.col("r.x"))
-             .select(F.col("l.x").alias("u"), F.col("r.x").alias("v"),
-                     "aa"))
-    scored = (pairs.join(canon, ["u", "v"], "left_anti")
-              .groupBy("u", "v").agg(F.sum("aa").alias("_s")))
-    return (scored.select(F.col("u").alias("a"), F.col("v").alias("b"),
-                          F.round(F.col("_s").cast("double"), 6)
-                          .alias("score"))
-            .orderBy(F.col("score").desc(), F.col("a").asc(),
-                     F.col("b").asc())
-            .limit(top_k))
+          .select("w", "aa", F.col("to_id").alias("x"))
+          .repartition(n_parts, "w").persist())
+    try:
+        pairs = (nb.alias("l").join(nb.alias("r"), ["w", "aa"])
+                 .filter(F.col("l.x") < F.col("r.x"))
+                 .select(F.col("l.x").alias("u"), F.col("r.x").alias("v"),
+                         "aa"))
+        agg = pairs.groupBy("u", "v").agg(F.sum("aa").alias("_s"))
+        scored = agg.join(canon, ["u", "v"], "left_anti")
+        return (scored.select(F.col("u").alias("a"),
+                              F.col("v").alias("b"),
+                              (F.col("_s").cast("double") / F.lit(1e6))
+                              .alias("score"))
+                .orderBy(F.col("score").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(top_k)
+                .localCheckpoint())
+    finally:
+        nb.unpersist(False)
