@@ -1975,13 +1975,67 @@ def q107_enhancement_plan(spark, sf):
         "source", top_n=20)
 
 
+def q111_khop_paths(spark, sf):
+    """k-hop BFS that also materializes ONE shortest path per reached
+    node (graph.k_hop_paths ← enhanced_mcp_endpoint.py:76-172, which
+    returns paths alongside nodes-by-distance): depth 2 from c_1 over
+    the symmetrized derived graph, ties broken toward the
+    lexicographically smallest path (array-min per node, identical
+    element-wise list comparison in both engines). The path rides the
+    frontier as an array column; output flattens it to a '>'-joined
+    string for the hash compare."""
+    out = graph.k_hop_paths(_edges(spark, sf), ["c_1"], max_depth=2)
+    return (out.select("node_id",
+                       F.col("hop_distance").cast("int")
+                       .alias("hop_distance"),
+                       F.concat_ws(">", "path").alias("path"))
+            .orderBy("node_id"))
+
+
+def q112_pattern_match(spark, sf):
+    """Graph pattern matching (graph.match_pattern ←
+    enhanced_mcp_endpoint.py:270-345): order nodes that (a) CONTAIN at
+    least one part, (b) have at least one supplier, and (c) were
+    placed by some customer — one semi-join per required edge type,
+    the motif-style conjunctive pattern. Returns matching node ids."""
+    edges = _edges(spark, sf)
+    nodes = (edges.select(F.col("from_id").alias("node_id"))
+             .unionByName(edges.select(F.col("to_id").alias("node_id")))
+             .distinct())
+    out = graph.match_pattern(
+        nodes, edges, F.col("node_id").startswith("o_"),
+        required_out=["contains", "supplied_by"],
+        required_in=["placed"])
+    return out.select("node_id").orderBy("node_id")
+
+
+def q113_diverse_page(spark, sf):
+    """Distributed greedy diversity selection
+    (ranking.diversify_topk ← result_ranker.py:570-602): the top-40
+    docs by the reference's word-Jaccard relevance to
+    'spark join filter stream', then 8 unrolled keep-unless-similar
+    rounds (Jaccard ≥ 0.7 to a kept row drops a candidate) — the
+    reference's driver-side O(page²) loop re-expressed as k tiny
+    dataflow rounds, so it is oracle-unrollable like pagerank/LPA."""
+    from memory_engine_spark.operators.ranking import diversify_topk
+    docs = _t(spark, sf)["documents"]
+    return (diversify_topk(docs, "text", "doc_id",
+                           "spark join filter stream",
+                           k=8, top_n=40, max_similarity=0.7)
+            .orderBy("picked_round"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
-    # wave (rounds 3-4: q84–q107) registers first, then round 2's wave
-    # (q51–q83, driver-proven in r02/r03), then q01–q50 (rounds 1–2).
-    # tools/oracle_check.py still runs every entry regardless of order.
+    # wave (round 5: q111+, then rounds 3-4: q84–q110) registers
+    # first, then round 2's wave (q51–q83, driver-proven in r02/r03),
+    # then q01–q50 (rounds 1–2). tools/oracle_check.py still runs
+    # every entry regardless of order.
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q111_khop_paths": q111_khop_paths,
+        "q112_pattern_match": q112_pattern_match,
+        "q113_diverse_page": q113_diverse_page,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4924,6 +4978,110 @@ def oracle_sql() -> dict[str, str]:
         FROM drawn d JOIN quota q USING (source)
         WHERE d.draw_rank <= q.quota
         ORDER BY d.source, d.draw_rank
+    """
+
+    # q111: two unrolled BFS hops carrying one lexicographically
+    # smallest path per node — candidates not yet visited, grouped by
+    # node with MIN over the equal-length path lists (element-wise
+    # list comparison, identical in both engines), exactly the
+    # operator's groupBy-min + anti-join per hop.
+    sql["q111_khop_paths"] = f"""
+        WITH {EDGES_CTE},
+        h0 AS (SELECT 'c_1' AS node_id, 0 AS hop_distance,
+                      ['c_1']::VARCHAR[] AS path),
+        h1 AS (
+            SELECT s.to_id AS node_id, 1 AS hop_distance,
+                   MIN(list_append(h.path, s.to_id)) AS path
+            FROM h0 h JOIN edges_sym s ON s.from_id = h.node_id
+            WHERE s.to_id NOT IN (SELECT node_id FROM h0)
+            GROUP BY s.to_id
+        ),
+        h2 AS (
+            SELECT s.to_id AS node_id, 2 AS hop_distance,
+                   MIN(list_append(h.path, s.to_id)) AS path
+            FROM h1 h JOIN edges_sym s ON s.from_id = h.node_id
+            WHERE s.to_id NOT IN (SELECT node_id FROM h0
+                                  UNION ALL SELECT node_id FROM h1)
+            GROUP BY s.to_id
+        ),
+        allhops AS (
+            SELECT * FROM h0 UNION ALL SELECT * FROM h1
+            UNION ALL SELECT * FROM h2
+        )
+        SELECT node_id, CAST(hop_distance AS INT) AS hop_distance,
+               array_to_string(path, '>') AS path
+        FROM allhops ORDER BY node_id
+    """
+
+    # q112: conjunctive motif — one semi-join (EXISTS) per required
+    # edge type, same shape as the operator.
+    sql["q112_pattern_match"] = f"""
+        WITH {EDGES_CTE},
+        nodes AS (
+            SELECT DISTINCT node_id FROM (
+                SELECT from_id AS node_id FROM edges
+                UNION ALL SELECT to_id FROM edges)
+        )
+        SELECT node_id FROM nodes n
+        WHERE node_id LIKE 'o\\_%' ESCAPE '\\'
+          AND EXISTS (SELECT 1 FROM edges e WHERE e.from_id = n.node_id
+                      AND e.relation_type = 'contains')
+          AND EXISTS (SELECT 1 FROM edges e WHERE e.from_id = n.node_id
+                      AND e.relation_type = 'supplied_by')
+          AND EXISTS (SELECT 1 FROM edges e WHERE e.to_id = n.node_id
+                      AND e.relation_type = 'placed')
+        ORDER BY node_id
+    """
+
+    # q113: the same 8 greedy-diversity rounds unrolled — per round,
+    # pick the lowest-rank undecided row, drop undecided rows with
+    # word-Jaccard >= 0.7 to it (identical int/int double division on
+    # both engines, so relevance and the drop decisions agree
+    # bit-for-bit).
+    _div_sim = ("(CASE WHEN len(list_distinct(list_concat(u.words, "
+                "p.words))) = 0 THEN 0.0 ELSE "
+                "CAST(len(list_distinct(list_intersect(u.words, p.words)))"
+                " AS DOUBLE) / len(list_distinct(list_concat(u.words, "
+                "p.words))) END)")
+    _div_rounds = []
+    for _i in range(1, 9):
+        _prev = f"u{_i - 1}"
+        _div_rounds.append(
+            f"p{_i} AS (SELECT * FROM {_prev} ORDER BY rnk LIMIT 1)")
+        _div_rounds.append(
+            f"u{_i} AS (SELECT u.doc_id, u.words, u.relevance, u.rnk "
+            f"FROM {_prev} u, p{_i} p WHERE u.rnk > p.rnk "
+            f"AND {_div_sim} < 0.7)")
+    _div_kept = " UNION ALL ".join(
+        f"SELECT doc_id, rnk, relevance, {_i} AS picked_round FROM p{_i}"
+        for _i in range(1, 9))
+    sql["q113_diverse_page"] = f"""
+        WITH {TOKS_CTE},
+        cand AS (
+            SELECT doc_id, list_distinct(toks) AS words,
+                   LEAST(CASE WHEN len(list_distinct(list_concat(
+                            list_distinct(toks),
+                            ['spark','join','filter','stream']))) = 0
+                         THEN 0.0
+                         ELSE CAST(len(list_distinct(list_intersect(
+                                list_distinct(toks),
+                                ['spark','join','filter','stream'])))
+                              AS DOUBLE)
+                              / len(list_distinct(list_concat(
+                                list_distinct(toks),
+                                ['spark','join','filter','stream'])))
+                         END * 2.0, 1.0) AS relevance
+            FROM toks_t
+        ),
+        u0 AS (
+            SELECT doc_id, words, relevance,
+                   CAST(ROW_NUMBER() OVER (ORDER BY relevance DESC,
+                        doc_id ASC) AS INT) AS rnk
+            FROM cand QUALIFY rnk <= 40
+        ),
+        {', '.join(_div_rounds)}
+        SELECT doc_id, rnk, relevance, picked_round
+        FROM ({_div_kept}) ORDER BY picked_round
     """
 
     return sql

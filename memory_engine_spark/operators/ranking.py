@@ -105,6 +105,74 @@ def greedy_diversity_filter(rows: list[dict], text_key: str,
     return kept
 
 
+def diversify_topk(df: DataFrame, text_col: str, id_col: str,
+                   query: str, k: int = 8, top_n: int = 40,
+                   max_similarity: float = 0.7) -> DataFrame:
+    """DISTRIBUTED greedy diversity selection — the unrolled-dataflow
+    form of ``greedy_diversity_filter`` (result_ranker.py:570-602),
+    which the reference (and our page-level variant above) runs as a
+    driver-side O(page²) loop. Candidates are the ``top_n`` rows by
+    the reference's word-Jaccard relevance to ``query`` (×2 capped 1,
+    result_ranker.py:228-245; tokens() tokenizer throughout — the
+    reference's raw ``str.split`` agrees on this corpus), ranked by
+    (relevance DESC, id ASC). Then ``k`` unrolled rounds: the
+    lowest-rank undecided row is KEPT, and every undecided row whose
+    word-Jaccard to it ≥ ``max_similarity`` is dropped — exactly the
+    sequential keep-unless-similar-to-a-kept-row chain, decided k
+    rows at a time. Deterministic, so the whole selection is
+    oracle-unrollable as k SQL rounds (like pagerank/LPA).
+
+    Returns (id, rnk, relevance, picked_round) for the ≤k kept rows.
+
+    Scale shape: relevance + rank is one projection + one top_n
+    window; each round is ONE tiny job — the 1-row pick broadcast-
+    cross-joins the undecided page (≤ top_n rows) and the survivor
+    set checkpoints. Candidate scoring is fully distributed; only the
+    O(k · top_n) selection chain iterates, carrying pages, never the
+    corpus.
+    """
+    from pyspark.sql import Window as W
+
+    qt = F.array_distinct(tokens(F.lit(query)))
+    ct = F.array_distinct(tokens(F.col(text_col)))
+    inter = F.size(F.array_intersect(ct, qt))
+    union = F.size(F.array_union(ct, qt))
+    rel = F.least(F.when(union == 0, 0.0).otherwise(inter / union) * 2.0,
+                  F.lit(1.0))
+    # orderBy+limit first = TakeOrderedAndProject (distributed top-k,
+    # each partition keeps only top_n); the row_number window then
+    # runs over ≤ top_n rows, never a global single-partition sort
+    top = (df.select(F.col(id_col), ct.alias("_words"),
+                     rel.alias("relevance"))
+           .orderBy(F.col("relevance").desc(), F.col(id_col).asc())
+           .limit(top_n))
+    ranked = top.withColumn("rnk", F.row_number().over(
+        W.orderBy(F.col("relevance").desc(), F.col(id_col).asc())))
+    undecided = ranked.localCheckpoint()
+    kept = None
+    for rnd in range(1, k + 1):
+        pick = (undecided.orderBy("rnk").limit(1)
+                .select(F.col(id_col).alias("_pid"),
+                        F.col("_words").alias("_pwords"),
+                        F.col("rnk").alias("_prnk"),
+                        F.col("relevance").alias("_prel")))
+        kept_row = pick.select(
+            F.col("_pid").alias(id_col), F.col("_prnk").alias("rnk"),
+            F.col("_prel").alias("relevance"),
+            F.lit(rnd).alias("picked_round"))
+        kept = kept_row if kept is None else kept.unionByName(kept_row)
+        pu = F.size(F.array_union(F.col("_words"), F.col("_pwords")))
+        sim = F.when(pu == 0, 0.0).otherwise(
+            F.size(F.array_intersect(F.col("_words"), F.col("_pwords")))
+            / pu)
+        undecided = (undecided.crossJoin(F.broadcast(pick))
+                     .filter((F.col("rnk") > F.col("_prnk"))
+                             & (sim < max_similarity))
+                     .select(id_col, "_words", "relevance", "rnk")
+                     .localCheckpoint())
+    return kept
+
+
 def bm25_scores(df: "DataFrame", text_col: str, id_col: str,
                 query_terms: list[str], k1: float = 1.2,
                 b: float = 0.75) -> "DataFrame":
