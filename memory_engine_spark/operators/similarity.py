@@ -327,6 +327,67 @@ def knn_join_brute(embeddings: DataFrame, k: int = 5,
             .select("qid", "nid", "nn_rank", "score"))
 
 
+def graph_beam_search(knn_graph: DataFrame, embeddings: DataFrame,
+                      query_vec: list[float], entry_ids: list,
+                      beam: int = 8, n_iter: int = 3, k: int = 5,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Graph-ANN beam search — the HNSW/NSW search loop (Malkov &
+    Yashunin, TPAMI'20) in its single-layer, fixed-round dataflow
+    form: from deterministic ``entry_ids``, keep a beam of the best
+    ``beam`` nodes by similarity to the query; each round expand the
+    beam's out-neighbors in the prebuilt kNN graph, score the
+    frontier, and re-select the top ``beam`` from beam ∪ frontier.
+    ``n_iter`` fixed rounds (no convergence test — same determinism
+    discipline as pagerank/LPA), ties broken by id, scores quantized
+    to BIGINT micro-units (floor(cos·1e6+0.5)) so selection AND
+    output are engine-portable. Returns the final beam's top ``k``
+    as (vec_id, score), score = micro/1e6.
+
+    The layer hierarchy is the part HNSW adds for log-entry routing;
+    with a good entry set and k-regular graph, beam rounds ≈ greedy
+    descent. Graph construction = ``knn_join`` over the offline IVF
+    index (the corpus-wide kNN graph a training pipeline builds
+    anyway for semantic dedup).
+
+    Scale shape: the beam is O(beam) rows; each round is one hash
+    join of the tiny beam against the |V|·k edge list plus one
+    id-keyed join against the vector store to score ≤ beam·k new
+    candidates, then a TakeOrdered top-beam — per-round shuffled
+    bytes are frontier-sized, never corpus-sized. Per-query latency
+    is n_iter sequential tiny jobs: batch many queries by unioning
+    their beams with a qid column (same plan, one extra key).
+    """
+    spark = embeddings.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = embeddings.select(
+        F.col(id_col).alias("_nid"),
+        F.floor(cosine_similarity(F.col(vec_col).cast("array<double>"), q)
+                * F.lit(1e6) + F.lit(0.5)).cast("long").alias("sc"))
+    entries = spark.createDataFrame(
+        [(x,) for x in entry_ids],
+        f"_nid {'string' if isinstance(entry_ids[0], str) else 'long'}")
+    beam_df = (entries.join(emb, "_nid")
+               .orderBy(F.col("sc").desc(), F.col("_nid").asc())
+               .limit(beam).localCheckpoint())
+    edges = knn_graph.select(F.col("qid").alias("_nid"),
+                             F.col("nid").alias("_to"))
+    for _ in range(n_iter):
+        frontier = (beam_df.select("_nid").join(edges, "_nid")
+                    .select(F.col("_to").alias("_nid")).distinct()
+                    .join(emb, "_nid"))
+        beam_df = (beam_df.unionByName(frontier)
+                   .groupBy("_nid").agg(F.max("sc").alias("sc"))
+                   .orderBy(F.col("sc").desc(), F.col("_nid").asc())
+                   .limit(beam).localCheckpoint())
+    return (beam_df
+            .orderBy(F.col("sc").desc(), F.col("_nid").asc())
+            .limit(k)
+            .select(F.col("_nid").alias(id_col),
+                    (F.col("sc").cast("double") / F.lit(1e6))
+                    .alias("score")))
+
+
 # ---------------------------------------------------------------------------
 # int8 embedding quantization
 # ---------------------------------------------------------------------------

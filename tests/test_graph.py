@@ -319,3 +319,58 @@ def test_adamic_adar_scores_and_excludes_existing_edges(spark):
     assert abs(rows[("b", "c")] - expect) < 1e-6
     # hub cap: degree-1 and over-cap apexes contribute nothing
     assert ("h", "a") not in rows  # adjacent anyway
+
+
+def test_k_core_prebuilt_adj_matches_inline(spark):
+    from memory_engine_spark.operators.graph import k_core, symmetrize
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),      # triangle: 2-core
+         ("c", "d")],                              # pendant: peeled
+        "from_id string, to_id string")
+    inline = {r["node_id"]: r["degree"]
+              for r in k_core(edges, k=2, n_iter=3).collect()}
+    pre = symmetrize(edges.select("from_id", "to_id")).persist()
+    via_idx = {r["node_id"]: r["degree"]
+               for r in k_core(None, k=2, n_iter=3,
+                               prebuilt_adj=pre).collect()}
+    pre.unpersist()
+    assert inline == via_idx == {"a": 2, "b": 2, "c": 2}
+
+
+def test_lpa_dispatch_guards(spark):
+    import pytest
+
+    from memory_engine_spark.operators.graph import (label_propagation,
+                                                     lpa_prepare)
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "from_id string, to_id string")
+    prep = lpa_prepare(edges, directed=False)
+    try:
+        with pytest.raises(ValueError, match="shuffle"):
+            label_propagation(edges, n_iter=1, prepared=prep,
+                              strategy="shuffle")
+        with pytest.raises(ValueError, match="directed"):
+            label_propagation(edges, n_iter=1, directed=True,
+                              prepared=prep)
+    finally:
+        prep["ids"].unpersist()
+        prep["adj"].unpersist()
+
+
+def test_pagerank_broadcast_matches_shuffle(spark):
+    from memory_engine_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "from_id string, to_id string")
+    sh = {r["node_id"]: round(r["rank"], 9)
+          for r in pagerank(edges, n_iter=4,
+                            strategy="shuffle").collect()}
+    bc = {r["node_id"]: round(r["rank"], 9)
+          for r in pagerank(edges, n_iter=4,
+                            strategy="broadcast").collect()}
+    assert sh.keys() == bc.keys()
+    for n in sh:
+        assert abs(sh[n] - bc[n]) < 1e-9

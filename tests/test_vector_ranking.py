@@ -218,3 +218,54 @@ def test_rrf_fuse_combines_ranked_lists(spark):
     assert out[2]["rrf_score"] > out[3]["rrf_score"] or \
         out[3]["n_systems"] == 2
     assert out[2]["rrf_score"] > out[1]["rrf_score"]
+
+
+def test_diversify_topk_matches_driver_side_filter(spark):
+    """The distributed unrolled selection must agree with the
+    reference-shaped driver-side greedy filter on the same page."""
+    from memory_engine_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [(1, "spark join filter stream"),        # rel 1.0, rank 1
+         (2, "spark join filter stream extra"),  # near-dup of 1
+         (3, "spark banana apple pear plum"),    # diverse
+         (4, "totally unrelated words here"),    # rel 0, diverse
+         (5, "stream filter join spark")],        # permutation of 1
+        "doc_id long, text string")
+    out = ranking.diversify_topk(docs, "text", "doc_id",
+                                 "spark join filter stream",
+                                 k=4, top_n=5, max_similarity=0.7)
+    rows = out.orderBy("picked_round").collect()
+    kept_ids = [r["doc_id"] for r in rows]
+    # rank order: 1 (rel 1.0) first; 2 and 5 dropped as near-dups of 1
+    assert kept_ids[0] == 1
+    assert 2 not in kept_ids and 5 not in kept_ids
+    assert 3 in kept_ids and 4 in kept_ids
+    assert [r["picked_round"] for r in rows] == list(
+        range(1, len(rows) + 1))
+
+
+def test_graph_beam_search_reaches_true_neighbor(spark):
+    """Beam search over an exact kNN graph from a far entry point must
+    walk to the query's true nearest neighbors."""
+    from memory_engine_spark.operators.similarity import (
+        graph_beam_search, knn_join_brute)
+
+    # 1-D chain embedded in 2-D: vec i = (i, 1). Nearest to vec 0 are
+    # small ids; entry at the far end forces multi-round descent.
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    g = knn_join_brute(emb, k=2, id_col="vec_id").select("qid", "nid")
+    # NSW-style BIDIRECTIONAL links: the directed kNN graph dead-ends
+    # where cosine crowding skews neighbor sets (e.g. node 3's two
+    # nearest are {4,5}), exactly why HNSW inserts reverse edges
+    g = g.unionByName(g.select(F.col("nid").alias("qid"),
+                               F.col("qid").alias("nid"))).distinct()
+    # the k=2 chain graph advances the beam ~1 id per round; 10
+    # rounds comfortably descends the 8-node chain from the far end
+    out = graph_beam_search(g, emb, [0.0, 1.0], [7], beam=3,
+                            n_iter=10, k=3, id_col="vec_id")
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids[0] == 0          # exact match found from the far end
+    assert set(ids) == {0, 1, 2}
