@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "q108_ccnet_buckets",     # per-lang perplexity terciles
     "q109_rrf_fusion",        # BM25+TFIDF reciprocal-rank fusion
     "q110_temperature_mixture",  # temperature-scaled source mixing
+    # round-5 wave
+    "q111_khop_paths",        # BFS carrying min-path arrays
+    "q112_pattern_match",     # conjunctive motif semi-joins
+    "q113_diverse_page",      # unrolled greedy-diversity rounds
+    "q114_beam_search",       # graph-ANN beam over offline kNN graph
+    "q115_media_features",    # Arrow mapInPandas media decode
+    "q116_export_roundtrip",  # JSON sink + schema-pinned re-import
 ]
 
 
