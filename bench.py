@@ -114,6 +114,7 @@ def scale_10x(spark, sf_dir: str) -> dict:
     from memory_engine_spark.operators.similarity import build_ivf_flat
 
     _sd_ivf: dict[int, tuple] = {}
+    _pr_prep: dict[int, tuple] = {}
 
     def prepare(name: str, factor: int) -> None:
         # untimed per-shape setup (the ingest-time index build)
@@ -124,6 +125,10 @@ def scale_10x(spark, sf_dir: str) -> dict:
                                              id_col="vec_id")
             assigned = assigned.localCheckpoint()
             _sd_ivf[factor] = (cents, assigned, emb)
+        if name == "pagerank_shuffle" and factor not in _pr_prep:
+            _pr_prep[factor] = graph.pagerank_prepare(
+                rep(edges, factor, str_cols=["from_id", "to_id"])
+                .select("from_id", "to_id"), directed=False)
 
     shapes = {
         "grouped_agg": lambda f: (
@@ -164,6 +169,21 @@ def scale_10x(spark, sf_dir: str) -> dict:
             dedup.substring_dedup(rep(t["documents"], f, shift_cols=["doc_id"]),
                                   "text", "doc_id", window=20,
                                   min_dup=2).count()),
+        # round-5 iterative-graph wave: survivor-set peeling keeps
+        # per-round state O(|V|); the SHUFFLE pagerank regime (the
+        # 100 TB path — index prebuilt untimed, like .derived) moves
+        # only the |V|-row rank vector per iteration, so both should
+        # scale near-linearly in |E|.
+        # 2 rounds, not q95's 3: the probe measures per-round scaling
+        # (each round is the same shape), and x10 materializes a 27M-row
+        # replicated adjacency inline — one fewer round keeps the probe
+        # inside the bench's wall budget without changing the signal.
+        "kcore_peel": lambda f: (
+            graph.k_core(rep(edges, f, str_cols=["from_id", "to_id"]),
+                         k=3, n_iter=2).count()),
+        "pagerank_shuffle": lambda f: (
+            graph.pagerank(None, n_iter=3, strategy="shuffle",
+                           prebuilt=_pr_prep[f]).count()),
     }
     # Compact JSON encoding — [x1_sec, x10_sec, wall_ratio,
     # per_row_ratio|null] per shape. per_row_ratio normalizes
@@ -198,6 +218,8 @@ def scale_10x(spark, sf_dir: str) -> dict:
               f"x10={times['x10']:.2f}s ratio={ratio}"
               f" rows {rows[1]}->{rows[10]} per-row-ratio={per_row}",
               file=sys.stderr)
+    for _w, _n, _c in _pr_prep.values():
+        _w.unpersist(False)
     return out
 
 
