@@ -2145,6 +2145,78 @@ def q116_export_roundtrip(spark, sf):
             .orderBy("doc_id"))
 
 
+def q117_session_windows(spark, sf):
+    """Native session-window aggregation
+    (streaming/stateful.session_aggregates — Spark ``session_window``,
+    the streaming counterpart of q59's window-function sessionizer)
+    run on the batch events frame: per-user sessions merge while
+    gaps stay under 30 minutes and close at last-event + gap
+    (window end exclusive, so a gap of EXACTLY 30 min starts a new
+    session — the >= boundary the oracle reproduces). First §2.9
+    streaming-semantics row with a value-level oracle."""
+    from memory_engine_spark.streaming.stateful import session_aggregates
+    ev = _t(spark, sf)["events"].filter(F.col("user_id") < 50)
+    out = session_aggregates(ev, "user_id", "ts", gap="30 minutes")
+    return (out.select("user_id",
+                       F.unix_micros("session_start").alias("start_us"),
+                       F.unix_micros("session_end").alias("end_us"),
+                       "n_events")
+            .orderBy("user_id", "start_us"))
+
+
+def q118_versioned_state(spark, sf):
+    """Versioned mutation + point-in-time reconstruction
+    (operators/versioning.RevisionLog ← revision_manager.py:55-407):
+    a deterministic CDC workload over the first 50 customers — base
+    snapshot (bal 0), commit 1 updates even keys (bal = 10·key),
+    commit 2 deletes keys %7==0 and updates the remaining %3==0 —
+    then ``state_as_of`` cut TEN changes into commit 2 (changes
+    within a commit are seq'd by object_id STRING order, the
+    log_changes_df contract). Exercises window-top-1 reconstruction,
+    delete semantics, snapshot carry-through, and a mid-commit
+    cutoff; the log lives in a per-call-reset temp dir so repeated
+    runs are identical."""
+    import os
+    import shutil
+    import tempfile
+
+    from memory_engine_spark.operators.versioning import RevisionLog
+    cust = _t(spark, sf)["customer"].filter(F.col("c_custkey") <= 50)
+    base = cust.select(F.col("c_custkey").cast("string")
+                       .alias("object_id"),
+                       F.lit('{"bal": 0}').alias("data"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"me_revlog_{os.path.basename(sf.rstrip('/')) or 'd'}")
+    shutil.rmtree(path, ignore_errors=True)
+    log = RevisionLog(spark, path)
+
+    def change(filt, ctype, bal_mult):
+        return (cust.filter(filt)
+                .select(F.lit("node").alias("object_type"),
+                        F.col("c_custkey").cast("string")
+                        .alias("object_id"),
+                        F.lit(ctype).alias("change_type"),
+                        F.lit('{"bal": 0}').alias("old_data"),
+                        F.when(F.lit(ctype) == "delete", F.lit("null"))
+                        .otherwise(F.concat(
+                            F.lit('{"bal": '),
+                            (F.col("c_custkey") * bal_mult).cast("string"),
+                            F.lit('}'))).alias("new_data")))
+
+    log.log_changes_df(change(F.col("c_custkey") % 2 == 0,
+                              "update", 10))
+    last_c1 = log._seq - 1  # last seq of commit 1 (inclusive cutoffs)
+    log.log_changes_df(
+        change(F.col("c_custkey") % 7 == 0, "delete", 0).unionByName(
+            change((F.col("c_custkey") % 7 != 0)
+                   & (F.col("c_custkey") % 3 == 0), "update", 100)))
+    out = log.state_as_of(last_c1 + 10, "node", base=base)
+    return (out.select(F.col("object_id").cast("long").alias("custkey"),
+                       "data")
+            .orderBy("custkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2159,6 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_beam_search": q114_beam_search,
         "q115_media_features": q115_media_features,
         "q116_export_roundtrip": q116_export_roundtrip,
+        "q117_session_windows": q117_session_windows,
+        "q118_versioned_state": q118_versioned_state,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5298,6 +5372,64 @@ def oracle_sql() -> dict[str, str]:
     sql["q116_export_roundtrip"] = """
         SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         FROM documents ORDER BY doc_id
+    """
+
+    # q117: session_window semantics as gaps-and-islands — a NEW
+    # session when the gap is >= 30 min (Spark's window end is
+    # exclusive: last_event + gap), end = last event + gap.
+    sql["q117_session_windows"] = """
+        WITH obs AS (
+            SELECT user_id, epoch_us(ts) AS us
+            FROM events WHERE user_id < 50
+        ),
+        flags AS (
+            SELECT user_id, us,
+                   CASE WHEN LAG(us) OVER w IS NULL
+                             OR us - LAG(us) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ),
+        sess AS (
+            SELECT user_id, us,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        )
+        SELECT user_id, MIN(us) AS start_us,
+               MAX(us) + 1800000000 AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, start_us
+    """
+
+    # q118: the same deterministic CDC workload replayed relationally —
+    # commit 2's intra-commit order is object_id STRING order (the
+    # log_changes_df contract), cut 10 changes in.
+    sql["q118_versioned_state"] = """
+        WITH keys AS (
+            SELECT c_custkey AS k FROM customer WHERE c_custkey <= 50
+        ),
+        b2 AS (
+            SELECT k, CASE WHEN k % 7 = 0 THEN 'delete'
+                      ELSE 'update' END AS ctype
+            FROM keys WHERE k % 7 = 0 OR k % 3 = 0
+        ),
+        b2rk AS (
+            SELECT k, ctype,
+                   ROW_NUMBER() OVER (ORDER BY CAST(k AS VARCHAR)) AS rk
+            FROM b2
+        ),
+        applied2 AS (SELECT k, ctype FROM b2rk WHERE rk <= 10)
+        SELECT k AS custkey,
+               CASE WHEN k IN (SELECT k FROM applied2
+                               WHERE ctype = 'update')
+                    THEN '{"bal": ' || CAST(k * 100 AS VARCHAR) || '}'
+                    WHEN k % 2 = 0
+                    THEN '{"bal": ' || CAST(k * 10 AS VARCHAR) || '}'
+                    ELSE '{"bal": 0}' END AS data
+        FROM keys
+        WHERE k NOT IN (SELECT k FROM applied2 WHERE ctype = 'delete')
+        ORDER BY custkey
     """
 
     return sql
