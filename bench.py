@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "q114_beam_search",       # graph-ANN beam over offline kNN graph
     "q115_media_features",    # Arrow mapInPandas media decode
     "q116_export_roundtrip",  # JSON sink + schema-pinned re-import
+    "q117_session_windows",   # native session_window aggregation
+    "q118_versioned_state",   # CDC log + point-in-time reconstruction
+    "q119_backup_restore",    # incremental backup + overlay restore
+    "q120_format_roundtrip",  # CSV+JSONL sinks, sniffed re-import
 ]
 
 
