@@ -2286,6 +2286,37 @@ def q120_format_roundtrip(spark, sf):
     return c.intersect(j).orderBy("doc_id")
 
 
+def q121_nlq_pipeline(spark, sf):
+    """Natural-language query processing end-to-end
+    (plans/nlq.parse_nl_query ← natural_language_processor.py:120-246
+    regex half + plans/compiler.compile_query): three NL questions
+    classify to the aggregation intent, extract their filters
+    ('from source X' → eq, 'containing Y' → contains), compile onto
+    the documents table (aliased to the reference's nodes-shaped
+    content/source columns), and execute. One row per question:
+    (question, intent, confidence, count) — the deterministic
+    regex-only path, no LLM in the loop (the provider seam stays
+    None, as the driver gate requires)."""
+    from memory_engine_spark.plans.nlq import parse_nl_query
+    docs = _t(spark, sf)["documents"].select(
+        F.col("doc_id"), F.col("text").alias("content"), "source")
+    questions = [
+        "how many documents from source src0",
+        "count documents containing data",
+        "how many documents from source src2",
+    ]
+    out = None
+    for q in questions:
+        parsed = parse_nl_query(q, entity="documents")
+        res = compile_query(docs, parsed.spec).select(
+            F.lit(q).alias("question"),
+            F.lit(parsed.intent).alias("intent"),
+            F.lit(parsed.confidence).alias("confidence"),
+            F.col("count").cast("long").alias("n"))
+        out = res if out is None else out.unionByName(res)
+    return out.orderBy("question")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2304,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_versioned_state": q118_versioned_state,
         "q119_backup_restore": q119_backup_restore,
         "q120_format_roundtrip": q120_format_roundtrip,
+        "q121_nlq_pipeline": q121_nlq_pipeline,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5518,6 +5550,26 @@ def oracle_sql() -> dict[str, str]:
     sql["q120_format_roundtrip"] = """
         SELECT doc_id, lang, source, n_chars
         FROM documents ORDER BY doc_id
+    """
+
+    # q121: the three regex-parsed NL questions as plain aggregates;
+    # intent/confidence are the parser's deterministic outputs.
+    sql["q121_nlq_pipeline"] = """
+        SELECT 'how many documents from source src0' AS question,
+               'aggregation' AS intent, 0.8 AS confidence,
+               (SELECT COUNT(*) FROM documents
+                WHERE source = 'src0') AS n
+        UNION ALL
+        SELECT 'count documents containing data',
+               'aggregation', 0.8,
+               (SELECT COUNT(*) FROM documents
+                WHERE text LIKE '%data%')
+        UNION ALL
+        SELECT 'how many documents from source src2',
+               'aggregation', 0.8,
+               (SELECT COUNT(*) FROM documents
+                WHERE source = 'src2')
+        ORDER BY question
     """
 
     return sql
