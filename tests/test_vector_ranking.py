@@ -269,3 +269,41 @@ def test_graph_beam_search_reaches_true_neighbor(spark):
     ids = [r["vec_id"] for r in out.collect()]
     assert ids[0] == 0          # exact match found from the far end
     assert set(ids) == {0, 1, 2}
+
+
+def test_diversify_topk_parity_with_driver_filter(spark):
+    """Property: on a randomized page the distributed unrolled rounds
+    must select exactly the first-k rows the reference-shaped
+    driver-side greedy filter keeps."""
+    import random
+
+    from memory_engine_spark.operators import ranking
+    from memory_engine_spark.operators.dedup import tokens as _  # noqa
+
+    rng = random.Random(7)
+    vocab = ["spark", "join", "filter", "stream", "scan", "sort",
+             "merge", "hash", "data", "row"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 8))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    query = "spark join filter stream"
+    out = ranking.diversify_topk(docs, "text", "doc_id", query,
+                                 k=6, top_n=25, max_similarity=0.7)
+    got = [r["doc_id"] for r in out.orderBy("picked_round").collect()]
+
+    # driver-side reference: rank by (jaccard(query)*2 cap 1 desc, id),
+    # then greedy keep-unless-similar over the top-25 page
+    qt = set(query.split())
+
+    def rel(t):
+        ct = set(t.split())
+        u = ct | qt
+        return min(2.0 * len(ct & qt) / len(u), 1.0) if u else 0.0
+
+    page = sorted(rows, key=lambda r: (-rel(r[1]), r[0]))[:25]
+    page_dicts = [{"doc_id": i, "t": t} for i, t in page]
+    kept = ranking.greedy_diversity_filter(page_dicts, "t",
+                                           max_similarity=0.7)
+    want = [d["doc_id"] for d in kept][:6]
+    assert got == want
