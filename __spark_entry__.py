@@ -2317,6 +2317,38 @@ def q121_nlq_pipeline(spark, sf):
     return out.orderBy("question")
 
 
+def q122_metadata_merge(spark, sf):
+    """Metadata right-wins merge (merging.merged_metadata ←
+    merging.py:154-196): per-customer metadata map A (segment +
+    balance band) merged with a sparse override map B (segment
+    rewritten for even keys, a new 'reviewed' key for keys %3==0);
+    B's values win on key collision, A's survive elsewhere. The
+    merged map EXPLODES to (custkey, key, value) rows so the oracle
+    states the same merge relationally — no JSON/map codecs in the
+    hash."""
+    from memory_engine_spark.operators.merging import merged_metadata
+    cust = _t(spark, sf)["customer"].filter(F.col("c_custkey") <= 100)
+    a = F.create_map(
+        F.lit("segment"), F.col("c_mktsegment"),
+        F.lit("band"),
+        F.when(F.col("c_acctbal") >= 0, F.lit("pos"))
+        .otherwise(F.lit("neg")))
+    b = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.create_map(F.lit("segment"), F.lit("OVERRIDE"),
+                            F.lit("reviewed"), F.lit("yes")))
+        .otherwise(F.create_map(F.lit("segment"), F.lit("OVERRIDE")))
+    ).otherwise(
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.create_map(F.lit("reviewed"), F.lit("yes"))))
+    merged = cust.select(F.col("c_custkey").alias("custkey"),
+                         merged_metadata(a, b).alias("m"))
+    return (merged.select("custkey",
+                          F.explode("m").alias("key", "value"))
+            .orderBy("custkey", "key"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2336,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_backup_restore": q119_backup_restore,
         "q120_format_roundtrip": q120_format_roundtrip,
         "q121_nlq_pipeline": q121_nlq_pipeline,
+        "q122_metadata_merge": q122_metadata_merge,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5550,6 +5583,25 @@ def oracle_sql() -> dict[str, str]:
     sql["q120_format_roundtrip"] = """
         SELECT doc_id, lang, source, n_chars
         FROM documents ORDER BY doc_id
+    """
+
+    # q122: the right-wins merge stated relationally, one SELECT per
+    # metadata key.
+    sql["q122_metadata_merge"] = """
+        WITH c AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+            FROM customer WHERE c_custkey <= 100
+        )
+        SELECT k AS custkey, 'band' AS key,
+               CASE WHEN bal >= 0 THEN 'pos' ELSE 'neg' END AS value
+        FROM c
+        UNION ALL
+        SELECT k, 'segment',
+               CASE WHEN k % 2 = 0 THEN 'OVERRIDE' ELSE seg END
+        FROM c
+        UNION ALL
+        SELECT k, 'reviewed', 'yes' FROM c WHERE k % 3 = 0
+        ORDER BY custkey, key
     """
 
     # q121: the three regex-parsed NL questions as plain aggregates;
