@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q118_versioned_state",   # CDC log + point-in-time reconstruction
     "q119_backup_restore",    # incremental backup + overlay restore
     "q120_format_roundtrip",  # CSV+JSONL sinks, sniffed re-import
+    "q121_nlq_pipeline",      # NL parse -> QuerySpec -> execute
+    "q122_metadata_merge",    # right-wins map merge, exploded
 ]
 
 
