@@ -2096,23 +2096,26 @@ def q114_beam_search(spark, sf):
 def q115_media_features(spark, sf):
     """Multimodal decode/feature-extract plumbing
     (multimodal.decode_features): documents re-cast as opaque binary
-    media payloads (media_id, kind='image', payload=utf8 bytes) run
-    through the Arrow-batched mapInPandas decode stage. The decoder
-    is the container's deterministic stand-in (md5-derived 4×4 'pixel'
-    block, column means — the real-codec seam is documented in
-    DECODERS), which makes even the Python-side feature math
-    oracle-reproducible in SQL: feature[j] = (b[j]+b[j+4]+b[j+8]+
-    b[j+12])/4 over the md5 digest bytes, exact in float32. Proves
+    media payloads — even doc_ids as kind='image', odd as 'audio' —
+    run through the Arrow-batched mapInPandas decode stage, which
+    dispatches per kind through the DECODERS seam. Both container
+    stand-ins are md5-derived and exact in float32, so the
+    Python-side feature math is oracle-reproducible in SQL: image
+    features are digest COLUMN means (b[j]+b[j+4]+b[j+8]+b[j+12])/4,
+    audio features digest ROW means (b[4j]+…+b[4j+3])/4 — distinct
+    maps, so the per-kind dispatch itself is value-checked. Proves
     the schema/batching/UDF plumbing end-to-end, not just the stub."""
     from memory_engine_spark.operators import multimodal
     docs = _t(spark, sf)["documents"]
     media = docs.select(
         F.concat(F.lit("m_"), F.col("doc_id")).alias("media_id"),
-        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio")
+        .alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"))
     out = multimodal.decode_features(media)
-    return (out.select(
-        "media_id",
+    return (out.join(media.select("media_id", "kind"), "media_id")
+            .select(
+        "media_id", "kind",
         *[F.col("feature")[i].cast("double").alias(f"f{i}")
           for i in range(4)],
         "n_bytes")
@@ -5477,13 +5480,15 @@ def oracle_sql() -> dict[str, str]:
         FROM b3 ORDER BY sc DESC, vid ASC LIMIT 5
     """
 
-    # q115: the deterministic fake decoder is md5-digest bytes
-    # reshaped 4×4, column means — reproduced from the hex digest via
-    # the strpos byte extraction; exact in float32, so /4 division
-    # compares byte-for-byte.
+    # q115: both deterministic fake decoders are md5-digest bytes —
+    # image = 4×4 column means, audio = row means — reproduced from
+    # the hex digest via the strpos byte extraction; exact in
+    # float32, so the /4 division compares byte-for-byte.
     sql["q115_media_features"] = """
         WITH bytes_t AS (
             SELECT 'm_' || doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image'
+                        ELSE 'audio' END AS kind,
                    list_transform(range(0, 16), i ->
                        (strpos('0123456789abcdef',
                                substr(md5(text), 2 * i::INT + 1, 1)) - 1)
@@ -5494,11 +5499,23 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes
             FROM documents
         )
-        SELECT media_id,
-               CAST(bs[1] + bs[5] + bs[9]  + bs[13] AS DOUBLE) / 4 AS f0,
-               CAST(bs[2] + bs[6] + bs[10] + bs[14] AS DOUBLE) / 4 AS f1,
-               CAST(bs[3] + bs[7] + bs[11] + bs[15] AS DOUBLE) / 4 AS f2,
-               CAST(bs[4] + bs[8] + bs[12] + bs[16] AS DOUBLE) / 4 AS f3,
+        SELECT media_id, kind,
+               CASE WHEN kind = 'image'
+                    THEN CAST(bs[1] + bs[5] + bs[9]  + bs[13] AS DOUBLE)
+                    ELSE CAST(bs[1] + bs[2] + bs[3]  + bs[4]  AS DOUBLE)
+               END / 4 AS f0,
+               CASE WHEN kind = 'image'
+                    THEN CAST(bs[2] + bs[6] + bs[10] + bs[14] AS DOUBLE)
+                    ELSE CAST(bs[5] + bs[6] + bs[7]  + bs[8]  AS DOUBLE)
+               END / 4 AS f1,
+               CASE WHEN kind = 'image'
+                    THEN CAST(bs[3] + bs[7] + bs[11] + bs[15] AS DOUBLE)
+                    ELSE CAST(bs[9] + bs[10] + bs[11] + bs[12] AS DOUBLE)
+               END / 4 AS f2,
+               CASE WHEN kind = 'image'
+                    THEN CAST(bs[4] + bs[8] + bs[12] + bs[16] AS DOUBLE)
+                    ELSE CAST(bs[13] + bs[14] + bs[15] + bs[16] AS DOUBLE)
+               END / 4 AS f3,
                CAST(n_bytes AS BIGINT) AS n_bytes
         FROM bytes_t ORDER BY media_id
     """

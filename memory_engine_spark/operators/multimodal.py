@@ -39,8 +39,21 @@ def fake_decode_image(payload: bytes) -> np.ndarray:
     return np.frombuffer(h, dtype=np.uint8).reshape(4, 4).astype(np.float32)
 
 
+def fake_decode_audio(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: the md5 digest as
+    four 4-'sample' frames (ROW means under ``decode_features``'s
+    ``mean(axis=0)`` readout — a different feature map than the image
+    decoder's column means, so per-kind dispatch is observable in the
+    output). Real impl: soundfile/ffmpeg — NotImplemented in this
+    container."""
+    h = hashlib.md5(payload or b"").digest()
+    return np.frombuffer(h, dtype=np.uint8).reshape(4, 4).T \
+        .astype(np.float32)
+
+
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "image": fake_decode_image,
+    "audio": fake_decode_audio,
 }
 
 

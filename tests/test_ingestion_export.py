@@ -183,11 +183,34 @@ def test_multimodal_decode_plumbing(spark):
 
 
 def test_multimodal_unknown_kind_raises(spark):
+    # 'video' has a frame-sampling schedule but no decoder in this
+    # container (image and audio both have deterministic stand-ins)
     df = spark.createDataFrame(
-        [("m1", "audio", bytearray(b"x"), "audio/wav", None, None, 2.0)],
+        [("m1", "video", bytearray(b"x"), "video/mp4", None, None, 2.0)],
         multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="no decoder"):
         multimodal.decode_features(df).collect()
+
+
+def test_multimodal_audio_decoder_dispatch(spark):
+    # image = digest column means, audio = row means: per-kind
+    # dispatch must produce DIFFERENT features for the same payload
+    import hashlib
+
+    import numpy as np
+    df = spark.createDataFrame(
+        [("i1", "image", bytearray(b"xyz"), "image/png", None, None, None),
+         ("a1", "audio", bytearray(b"xyz"), "audio/wav", None, None, None)],
+        multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"]
+           for r in multimodal.decode_features(df).collect()}
+    h = np.frombuffer(hashlib.md5(b"xyz").digest(), dtype=np.uint8)
+    img = [float(h[j::4].astype(np.float32).mean()) for j in range(4)]
+    aud = [float(h[4 * j:4 * j + 4].astype(np.float32).mean())
+           for j in range(4)]
+    assert [round(x, 4) for x in got["i1"]] == [round(x, 4) for x in img]
+    assert [round(x, 4) for x in got["a1"]] == [round(x, 4) for x in aud]
+    assert got["i1"] != got["a1"]
 
 
 def test_frame_sampling(spark):
