@@ -2352,6 +2352,46 @@ def q122_metadata_merge(spark, sf):
             .orderBy("custkey", "key"))
 
 
+_Q123_SEQ = [0]
+
+
+def q123_stream_tumbling(spark, sf):
+    """REAL Structured Streaming execution (SURVEY §2.9): the events
+    parquet runs through readStream (file source over a symlinked
+    dir — the source API needs a directory) into a tumbling 1-hour
+    window count per event_type, complete-output to a memory sink
+    under Trigger.AvailableNow — processes everything then stops, so
+    the final table is deterministic regardless of micro-batch
+    boundaries and the ORACLE is the plain batch tumbling aggregate.
+    The driver gate thereby value-checks an actual MicroBatchExecution
+    run, not a batch re-expression."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"me_stream_{os.path.basename(sf.rstrip('/')) or 'd'}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    os.symlink(os.path.join(sf, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = _t(spark, sf)["events"].schema
+    src = spark.readStream.schema(schema).parquet(d)
+    agg = (src.groupBy(F.window(F.col("ts"), "1 hour").alias("w"),
+                       "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    _Q123_SEQ[0] += 1
+    name = f"q123_sink_{os.getpid()}_{_Q123_SEQ[0]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.unix_micros("w.start").alias("ws_us"),
+                    "event_type", "n")
+            .orderBy("ws_us", "event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2372,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_format_roundtrip": q120_format_roundtrip,
         "q121_nlq_pipeline": q121_nlq_pipeline,
         "q122_metadata_merge": q122_metadata_merge,
+        "q123_stream_tumbling": q123_stream_tumbling,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5600,6 +5641,14 @@ def oracle_sql() -> dict[str, str]:
     sql["q120_format_roundtrip"] = """
         SELECT doc_id, lang, source, n_chars
         FROM documents ORDER BY doc_id
+    """
+
+    # q123: the streaming tumbling-window count equals the batch
+    # tumbling aggregate once AvailableNow has drained the source.
+    sql["q123_stream_tumbling"] = """
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type
     """
 
     # q122: the right-wins merge stated relationally, one SELECT per
