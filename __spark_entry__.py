@@ -2392,6 +2392,56 @@ def q123_stream_tumbling(spark, sf):
             .orderBy("ws_us", "event_type"))
 
 
+_Q124_SEQ = [0]
+
+
+def q124_stream_hll(spark, sf):
+    """Stateful STREAMING aggregation under the oracle gate
+    (streaming/stateful.streaming_hll_registers): per-event_type HLL
+    register state (max rank per md5 register — ≤256 state rows per
+    group no matter the cardinality) maintained by MicroBatchExecution
+    in update mode over the symlinked events file source, drained with
+    Trigger.AvailableNow; the sink's register rows fold to the
+    estimate batch-side (``hll_estimate_from_registers``). A re-MAX
+    over the sink collapses superseded update emissions, so the result
+    is micro-batch-boundary independent — and equals the portable
+    batch sketch the generated DuckDB oracle states."""
+    import os
+    import shutil
+    import tempfile
+
+    from memory_engine_spark.streaming.stateful import (
+        hll_estimate_from_registers, streaming_hll_registers)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"me_stream_hll_{os.path.basename(sf.rstrip('/')) or 'd'}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    os.symlink(os.path.join(sf, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = _t(spark, sf)["events"].schema
+    src = spark.readStream.schema(schema).parquet(d)
+    regs = streaming_hll_registers(src, "user_id",
+                                   group_cols=["event_type"], p=8)
+    _Q124_SEQ[0] += 1
+    name = f"q124_sink_{os.getpid()}_{_Q124_SEQ[0]}"
+    q = (regs.writeStream.outputMode("update").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    final_regs = (spark.table(name)
+                  .groupBy("event_type", "reg")
+                  .agg(F.max("max_rank").alias("max_rank")))
+    est = hll_estimate_from_registers(final_regs,
+                                      group_cols=["event_type"], p=8)
+    exact = (_t(spark, sf)["events"]
+             .groupBy("event_type")
+             .agg(F.count_distinct("user_id").cast("long")
+                  .alias("exact")))
+    return (est.join(exact, "event_type")
+            .select("event_type", "hll_estimate", "exact")
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2413,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_nlq_pipeline": q121_nlq_pipeline,
         "q122_metadata_merge": q122_metadata_merge,
         "q123_stream_tumbling": q123_stream_tumbling,
+        "q124_stream_hll": q124_stream_hll,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5649,6 +5700,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
                event_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type
+    """
+
+    # q124: the streaming register state folds to the SAME portable
+    # sketch the generated batch oracle computes (q77 machinery).
+    _hll124 = hll_oracle_sql("events", "user_id",
+                             group_cols=["event_type"], p=8)
+    sql["q124_stream_hll"] = f"""
+        WITH est AS ({_hll124}),
+        ex AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+            FROM events GROUP BY event_type
+        )
+        SELECT est.event_type, est.hll_estimate, ex.exact
+        FROM est JOIN ex USING (event_type)
+        ORDER BY est.event_type
     """
 
     # q122: the right-wins merge stated relationally, one SELECT per
