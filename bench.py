@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "q120_format_roundtrip",  # CSV+JSONL sinks, sniffed re-import
     "q121_nlq_pipeline",      # NL parse -> QuerySpec -> execute
     "q122_metadata_merge",    # right-wins map merge, exploded
+    "q123_stream_tumbling",   # REAL MicroBatchExecution tumbling agg
+    "q124_stream_hll",        # stateful streaming HLL registers
 ]
 
 
