@@ -2137,7 +2137,7 @@ def q116_export_roundtrip(spark, sf):
         "doc_id", "lang", "source", "n_chars", "text")
     dest = os.path.join(
         tempfile.gettempdir(),
-        f"me_roundtrip_{os.path.basename(sf.rstrip('/')) or 'd'}")
+        f"me_roundtrip_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
     export_mod.export_json(docs, dest)
     back = export_mod.import_json(
         spark, dest,
@@ -2190,7 +2190,7 @@ def q118_versioned_state(spark, sf):
                        F.lit('{"bal": 0}').alias("data"))
     path = os.path.join(
         tempfile.gettempdir(),
-        f"me_revlog_{os.path.basename(sf.rstrip('/')) or 'd'}")
+        f"me_revlog_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     log = RevisionLog(spark, path)
 
@@ -2245,7 +2245,7 @@ def q119_backup_restore(spark, sf):
         .otherwise(F.col("n_name")))
     bdir = os.path.join(
         tempfile.gettempdir(),
-        f"me_backup_{os.path.basename(sf.rstrip('/')) or 'd'}")
+        f"me_backup_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
     shutil.rmtree(bdir, ignore_errors=True)
     mgr = BackupManager(spark, bdir, verify=True)
     mgr.create_backup({"nation": nation}, backup_id="b_full",
@@ -2276,7 +2276,7 @@ def q120_format_roundtrip(spark, sf):
         "doc_id", "lang", "source", "n_chars")
     base = os.path.join(
         tempfile.gettempdir(),
-        f"me_formats_{os.path.basename(sf.rstrip('/')) or 'd'}")
+        f"me_formats_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     cdir, jdir = os.path.join(base, "c"), os.path.join(base, "j")
     formats.write_any(docs, cdir, fmt="csv")
@@ -2371,7 +2371,7 @@ def q123_stream_tumbling(spark, sf):
 
     d = os.path.join(
         tempfile.gettempdir(),
-        f"me_stream_{os.path.basename(sf.rstrip('/')) or 'd'}")
+        f"me_stream_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     os.symlink(os.path.join(sf, "events.parquet"),
@@ -2414,7 +2414,7 @@ def q124_stream_hll(spark, sf):
         hll_estimate_from_registers, streaming_hll_registers)
     d = os.path.join(
         tempfile.gettempdir(),
-        f"me_stream_hll_{os.path.basename(sf.rstrip('/')) or 'd'}")
+        f"me_stream_hll_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     os.symlink(os.path.join(sf, "events.parquet"),
@@ -2442,6 +2442,55 @@ def q124_stream_hll(spark, sf):
             .orderBy("event_type"))
 
 
+_Q125_SEQ = [0]
+
+
+def q125_stream_interval_join(spark, sf):
+    """Watermarked stream-stream INNER join under the oracle gate
+    (streaming/stateful.stream_interval_join): click events join view
+    events of the same user within ±1 h across two independent file
+    streams (both symlinked from the events parquet, filtered per
+    side). The watermark is set beyond the dataset's span, so no
+    state evicts before the AvailableNow drain and the emitted pair
+    set is micro-batch-boundary independent — equal to the batch
+    range join the oracle states. The state-eviction semantics
+    themselves are covered by the in/out-of-window streaming test."""
+    import os
+    import shutil
+    import tempfile
+
+    from memory_engine_spark.streaming.stateful import \
+        stream_interval_join
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"me_stream_ij_{os.path.basename(sf.rstrip('/')) or 'd'}"
+        f"_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    os.symlink(os.path.join(sf, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = _t(spark, sf)["events"].schema
+    clicks = (spark.readStream.schema(schema).parquet(d)
+              .filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    views = (spark.readStream.schema(schema).parquet(d)
+             .filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id"))
+    joined = stream_interval_join(clicks, views, "user_id",
+                                  within_s=3600,
+                                  watermark_s=10 ** 9)
+    _Q125_SEQ[0] += 1
+    name = f"q125_sink_{os.getpid()}_{_Q125_SEQ[0]}"
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id",
+                    F.unix_micros("ts").alias("click_us"),
+                    F.unix_micros("r_ts").alias("view_us"))
+            .orderBy("user_id", "click_us", "view_us"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2464,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_metadata_merge": q122_metadata_merge,
         "q123_stream_tumbling": q123_stream_tumbling,
         "q124_stream_hll": q124_stream_hll,
+        "q125_stream_interval_join": q125_stream_interval_join,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5716,6 +5766,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT est.event_type, est.hll_estimate, ex.exact
         FROM est JOIN ex USING (event_type)
         ORDER BY est.event_type
+    """
+
+    # q125: the drained stream-stream join equals the batch range join.
+    sql["q125_stream_interval_join"] = """
+        SELECT a.user_id,
+               epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'view'
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts))
+             <= 3600::BIGINT * 1000000
+        ORDER BY a.user_id, click_us, view_us
     """
 
     # q122: the right-wins merge stated relationally, one SELECT per
