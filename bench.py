@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q122_metadata_merge",    # right-wins map merge, exploded
     "q123_stream_tumbling",   # REAL MicroBatchExecution tumbling agg
     "q124_stream_hll",        # stateful streaming HLL registers
+    "q125_stream_interval_join",  # watermarked stream-stream join
 ]
 
 
