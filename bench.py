@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "q123_stream_tumbling",   # REAL MicroBatchExecution tumbling agg
     "q124_stream_hll",        # stateful streaming HLL registers
     "q125_stream_interval_join",  # watermarked stream-stream join
+                              #   (~1-2s of the number is MicroBatch
+                              #   query startup/teardown, paid per run)
 ]
 
 
