@@ -101,3 +101,26 @@ def test_rating_update_roundtrip(built_engine):
     after = built_engine.s.table("nodes").filter(
         F.col("node_id") == nid).first()["rating_truthfulness"]
     assert abs(after - min(1.0, before + 0.2)) < 1e-9
+
+
+def test_registry_and_oracles_consistent():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(qs) == set(oracles), (
+        "every queries() entry needs an oracle_sql() twin and vice versa")
+    assert len(qs) >= 125
+
+
+def test_q86_hashed_columns_are_integers(spark):
+    """Regression guard for the r03/r04 driver-hash flap: the DSIR
+    weight must stay a BIGINT micro-unit sum — never a decimal/double
+    produced by engine ROUND of ln()."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q86_dsir_weights"](
+        spark, "/root/testdata/sf0.001")
+    kinds = dict(df.dtypes)
+    assert kinds["log_weight"] == "bigint"
+    assert kinds["n_features"] == "bigint"
