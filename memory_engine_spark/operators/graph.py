@@ -1066,17 +1066,38 @@ def diameter_estimate(edges: DataFrame, start_id: str,
     runs — all the scale discipline (frontier broadcast, anti-join,
     per-hop checkpoints) is inherited; the only extra driver state is
     the 1-row farthest pick.
+
+    The ~16 sequential hop jobs are scheduler-bound on local mode
+    (frontiers are ≤ |V| rows; per-hop wall is stage latency, not
+    data), so the sweeps run under a temporarily REDUCED
+    ``spark.sql.shuffle.partitions`` — fewer reduce tasks per tiny
+    stage, same plans; restored on exit. At cluster scale hops carry
+    real data and the session default applies unchanged — the
+    override only ever LOWERS task counts for this operator's own
+    materializations (per-hop checkpoints inside ``k_hop``), never a
+    caller's.
     """
-    first = k_hop(edges, [start_id], max_depth)
-    far = (first.orderBy(F.col("hop_distance").desc(),
-                         F.col("node_id").asc())
-           .limit(1).collect()[0])
-    second = k_hop(edges, [far["node_id"]], max_depth)
-    return (second.agg(F.max("hop_distance").alias("diameter_lb"),
-                       F.count(F.lit(1)).alias("n_reached"))
-            .select(F.lit(far["node_id"]).alias("sweep2_start"),
-                    F.col("diameter_lb").cast("int").alias("diameter_lb"),
-                    F.col("n_reached").cast("long").alias("n_reached")))
+    spark = edges.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(max(8, int(old) // 4)))
+        first = k_hop(edges, [start_id], max_depth)
+        far = (first.orderBy(F.col("hop_distance").desc(),
+                             F.col("node_id").asc())
+               .limit(1).collect()[0])
+        second = k_hop(edges, [far["node_id"]], max_depth)
+        out = (second.agg(F.max("hop_distance").alias("diameter_lb"),
+                          F.count(F.lit(1)).alias("n_reached"))
+               .select(F.lit(far["node_id"]).alias("sweep2_start"),
+                       F.col("diameter_lb").cast("int")
+                       .alias("diameter_lb"),
+                       F.col("n_reached").cast("long")
+                       .alias("n_reached"))
+               .localCheckpoint())
+        return out
+    finally:
+        spark.conf.set(key, old)
 
 
 def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
