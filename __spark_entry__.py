@@ -2491,6 +2491,58 @@ def q125_stream_interval_join(spark, sf):
             .orderBy("user_id", "click_us", "view_us"))
 
 
+def q126_shipping_priority(spark, sf):
+    """TPC-H Q3-shape shipping-priority query: BUILDING-segment
+    customers' orders placed before the cutoff whose lineitems shipped
+    after it — customer is the broadcast dimension, the date filters
+    push to both fact scans, and the top-10 by revenue is a
+    TakeOrderedAndProject, never a full sort. Revenue accumulates in
+    DECIMAL (q76's partition-order-stable discipline)."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        t["lineitem"].filter(F.col("l_shipdate") > "1996-06-30")
+        .join(t["orders"].filter(F.col("o_orderdate") < "1996-07-01"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select("l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_date"), "o_orderpriority", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10))
+
+
+def q127_large_orders(spark, sf):
+    """TPC-H Q18-shape large-volume-customer query: orders whose total
+    lineitem quantity exceeds the threshold — the classic
+    aggregate-then-semi-join (the HAVING subquery becomes a pre-
+    aggregated join side; only qualifying orderkeys flow into the
+    enrichment joins). DECIMAL quantity sums keep the hash
+    partition-order-stable."""
+    t = _t(spark, sf)
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    return (big.join(t["orders"],
+                     F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(
+                t["customer"].select("c_custkey", "c_name")),
+                F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_date"),
+                    F.col("o_totalprice").alias("total_price"),
+                    F.col("sum_qty").cast("double").alias("sum_qty"))
+            .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+            .limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2514,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_stream_tumbling": q123_stream_tumbling,
         "q124_stream_hll": q124_stream_hll,
         "q125_stream_interval_join": q125_stream_interval_join,
+        "q126_shipping_priority": q126_shipping_priority,
+        "q127_large_orders": q127_large_orders,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5778,6 +5832,41 @@ def oracle_sql() -> dict[str, str]:
          AND abs(epoch_us(a.ts) - epoch_us(b.ts))
              <= 3600::BIGINT * 1000000
         ORDER BY a.user_id, click_us, view_us
+    """
+
+    # q126/q127: the Q3/Q18 shapes stated directly.
+    sql["q126_shipping_priority"] = """
+        SELECT l_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+               o_orderpriority,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND l_shipdate  > TIMESTAMP '1996-06-30'
+        GROUP BY l_orderkey, o_date, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """
+
+    sql["q127_large_orders"] = """
+        WITH big AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+        )
+        SELECT c_name, o_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+               o_totalprice AS total_price,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 50
     """
 
     # q122: the right-wins merge stated relationally, one SELECT per

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "q125_stream_interval_join",  # watermarked stream-stream join
                               #   (~1-2s of the number is MicroBatch
                               #   query startup/teardown, paid per run)
+    "q126_shipping_priority", # TPC-H Q3 shape, broadcast dim + top-k
+    "q127_large_orders",      # TPC-H Q18 shape, agg-then-semi-join
 ]
 
 
