@@ -2543,6 +2543,226 @@ def q127_large_orders(spark, sf):
             .limit(50))
 
 
+def q128_filter_matrix(spark, sf):
+    """Filter-registry matrix: one row per registry case — null policies
+    exclude/include/as_value (filter_processor.py:24-31,151-157),
+    case-insensitive folding (:171-175), map dot-path access (:186-223),
+    multi-format datetime coercion (:259-280), the regex guard
+    (invalid / >1000-char pattern → no match, :343-356), the second
+    query_language.py dialect's `null` op, and the set/range/string/array
+    operators. Each case runs through ``apply_filters`` (the compiled
+    conjunctive Column path), then collapses to (case, n, id_sum) so the
+    oracle checks exact match semantics, not just counts."""
+    import datetime
+
+    from memory_engine_spark.operators.filters import (
+        NULL_AS_VALUE, NULL_INCLUDE, FilterCondition as FC, apply_filters,
+        parse_datetime_multi,
+    )
+
+    t = _t(spark, sf)
+    did = F.col("doc_id")
+    pd_col = F.date_add(F.lit(datetime.date(1995, 1, 1)),
+                        (did % 400).cast("int"))
+    ds = (F.when(did % 3 == 0, F.date_format(pd_col, "yyyy-MM-dd"))
+          .when(did % 3 == 1, F.date_format(pd_col, "MM/dd/yyyy"))
+          .otherwise(F.date_format(pd_col, "dd-MM-yyyy")))
+    base = t["documents"].select(
+        "doc_id", "text", "source", "n_chars",
+        F.when(did % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang2"),
+        F.create_map(
+            F.lit("src"), F.col("source"),
+            F.lit("parity"), F.when(did % 2 == 0, "even").otherwise("odd"),
+        ).alias("props"),
+        ds.alias("ds"),
+        F.array(F.col("lang"), F.col("source")).alias("arr"),
+    ).withColumn("pts", parse_datetime_multi(F.col("ds")))
+
+    cases = [
+        ("c01_eq_ci", [FC("lang2", "eq", "EN", case_sensitive=False)]),
+        ("c02_ne_exclude", [FC("lang2", "ne", "en")]),
+        ("c03_ne_include", [FC("lang2", "ne", "en", null_policy=NULL_INCLUDE)]),
+        ("c04_ne_as_value", [FC("lang2", "ne", "en", null_policy=NULL_AS_VALUE)]),
+        ("c05_map_dot_path", [FC("props.parity", "eq", "even")]),
+        ("c06_datetime_coerce", [FC("pts", "date_range",
+                                    ("1995-03-01", "1995-09-30"))]),
+        ("c07_regex_valid", [FC("text", "regex", "[aeiou]{3}")]),
+        ("c08_regex_invalid", [FC("text", "regex", "(unclosed")]),
+        ("c09_regex_oversized", [FC("text", "regex", "x" * 1001)]),
+        ("c10_between", [FC("n_chars", "between", (100, 300))]),
+        ("c11_in", [FC("source", "in", ["src1", "src3", "src5"])]),
+        ("c12_not_in", [FC("source", "not_in", ["src0", "src2"])]),
+        ("c13_contains_ci", [FC("text", "contains", "THE",
+                                case_sensitive=False)]),
+        ("c14_starts_with", [FC("source", "starts_with", "src1")]),
+        ("c15_ends_with", [FC("source", "ends_with", "7")]),
+        ("c16_not_exists", [FC("lang2", "not_exists")]),
+        ("c17_not_empty", [FC("lang2", "not_empty")]),
+        ("c18_null_dialect", [FC("lang2", "null", True)]),
+        ("c19_array_contains", [FC("arr", "array_contains", "en")]),
+        ("c20_array_length", [FC("arr", "array_length", 2)]),
+        ("c21_conjunctive", [FC("lang2", "eq", "en"),
+                             FC("n_chars", "gt", 200),
+                             FC("source", "ends_with", "2")]),
+    ]
+    parts = [
+        apply_filters(base, conds).agg(
+            F.lit(name).alias("case"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_sum"),
+        ).select("case", "n", "id_sum")
+        for name, conds in cases
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("case")
+
+
+def q129_auto_relationships(spark, sf):
+    """Relationship-discovery strategies with typed edges: shared-tag
+    RELATED (confidence 0.5, relationship_extractor.py:484-615) over a
+    sparse synthetic tag space, plus SAME_DOMAIN (confidence 0.8,
+    :713-797). Both are tag/domain-blocked equi-joins — the blocking key
+    IS the shuffle key, so group sizes bound the pair fan-out (the
+    100 TB guard: no all-pairs)."""
+    base = _t(spark, sf)["documents"].filter(F.col("doc_id") < 300)
+    tag = lambda m: F.concat(F.lit("k"), ((F.col("doc_id") * m) % 199).cast("string"))
+    tagged = base.select(
+        "doc_id",
+        F.concat_ws(",", tag(1), tag(7), tag(13)).alias("tags"))
+    rel = discovery.related_by_shared_tag(tagged, "tags", "doc_id")
+    dom = discovery.same_domain(base.filter(F.col("doc_id") < 120),
+                                "source", "doc_id")
+    return (rel.unionByName(dom)
+            .select(F.col("a").cast("bigint").alias("a"),
+                    F.col("b").cast("bigint").alias("b"),
+                    "relation_type",
+                    F.col("confidence").cast("double").alias("confidence"))
+            .orderBy("relation_type", "a", "b"))
+
+
+def q130_merge_nodes(spark, sf):
+    """Node-merge fold (sqlite_storage.py:798-840): rewrite n_7's edges
+    onto n_3, drop the self-loop the rewrite creates (a seeded n_7→n_3
+    edge), dedup, and show the merged node's incident edges. The rewrite
+    is two CASE columns — no join, no shuffle beyond the final dedup."""
+    ed = (_edges(spark, sf)
+          .filter(F.col("relation_type").isin("in_region", "from_nation"))
+          .select("from_id", "to_id", "relation_type"))
+    seeded = ed.unionByName(spark.createDataFrame(
+        [("n_7", "n_3", "related")],
+        "from_id string, to_id string, relation_type string"))
+    nodes = (seeded.select(F.col("from_id").alias("node_id"))
+             .unionByName(seeded.select(F.col("to_id").alias("node_id")))
+             .distinct())
+    _, edges2 = graph.merge_nodes(nodes, seeded, keep_id="n_3", drop_id="n_7")
+    return (edges2.filter((F.col("from_id") == "n_3") | (F.col("to_id") == "n_3"))
+            .orderBy("from_id", "to_id", "relation_type"))
+
+
+def q131_ranking_components(spark, sf):
+    """Ranking sub-scores (result_ranker.py): freshness step decay
+    (:336-377), popularity log curve (:379-411), quality
+    0.4/0.4/0.2 (:322-334), and the normalized weighted combination
+    (:542-568). The ln()-derived popularity is quantized to BIGINT
+    micro-units BEFORE anything downstream consumes it (the q86
+    discipline: never hash engine-local transcendentals), so the
+    combined score is IEEE-deterministic double arithmetic over
+    already-exact micro values."""
+    from memory_engine_spark.operators import ranking as rk
+
+    t = _t(spark, sf)
+    did = F.col("doc_id")
+    d = t["documents"].select(
+        "doc_id",
+        (did % 500).cast("double").alias("age_days"),
+        ((did * 3) % 150).alias("access_count"),
+        ((did % 11).cast("double") / 10.0).alias("richness"),
+        (((did * 3) % 11).cast("double") / 10.0).alias("truthfulness"),
+        (((did * 7) % 11).cast("double") / 10.0).alias("stability"),
+    )
+    micro = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        micro(rk.freshness_score(F.col("age_days"))).alias("freshness_micro"),
+        micro(rk.popularity_score("access_count")).alias("popularity_micro"),
+        micro(rk.quality_rating_score(
+            "richness", "truthfulness", "stability")).alias("quality_micro"),
+    )
+    combined = rk.combined_score(
+        {"quality": F.col("quality_micro") / 1e6,
+         "freshness": F.col("freshness_micro") / 1e6,
+         "popularity": F.col("popularity_micro") / 1e6},
+        weights={"quality": 0.3, "freshness": 0.1, "popularity": 0.1})
+    return (scored.withColumn("combined_micro", micro(combined))
+            .orderBy(F.col("combined_micro").desc(), F.col("doc_id").asc()))
+
+
+def q132_event_throttle(spark, sf):
+    """Throttled micro-batch admission plan (event_system.py:355-375):
+    every event gets a 100-events/s processing slot via a declarative
+    row_number plan; per-slot occupancy and id ranges prove no slot
+    exceeds the rate. The ordering includes the event id tiebreak so
+    the plan is total-order deterministic."""
+    from memory_engine_spark.streaming.events import rate_limited_batches
+
+    ev = _t(spark, sf)["events"].select("event_id", "ts")
+    slotted = rate_limited_batches(ev, events_per_second=100,
+                                   order_cols=("ts", "event_id"))
+    return (slotted.groupBy("slot")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id"),
+                 F.sum("event_id").cast("bigint").alias("id_sum"))
+            .orderBy("slot"))
+
+
+def q133_having_prefilter(spark, sf):
+    """Aggregation request with the reference's having-as-PRE-filter
+    quirk (filter_processor.py:474-479): the `having` conditions filter
+    ROWS before aggregation, not groups after — plus the "|"-joined
+    composite group key (:595-600). DECIMAL sum keeps the total
+    partition-order-stable."""
+    from memory_engine_spark.operators.aggregates import Aggregation, aggregate
+    from memory_engine_spark.operators.filters import FilterCondition as FC
+
+    t = _t(spark, sf)
+    src = t["orders"].withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+    out = aggregate(
+        src,
+        aggs=[Aggregation("count"), Aggregation("sum", "price_dec", "total")],
+        group_by=["o_orderpriority", "o_orderstatus"],
+        having=[FC("o_totalprice", "gt", 150000.0)],
+        composite_key=True,
+    )
+    return (out.select("group_key",
+                       F.col("count").cast("bigint").alias("n"),
+                       F.round(F.col("total").cast("double"), 2).alias("total"))
+            .orderBy("group_key"))
+
+
+def q134_metric_conversions(spark, sf):
+    """Vector-store metric conversions (numpy_store.py:586-626): L2→
+    similarity 1/(1+d), ε-guarded cosine, raw inner product — all as
+    Catalyst higher-order functions (functions/vector.py), scored
+    against one inlined query vector with no join at all."""
+    from memory_engine_spark.functions import vector as V
+
+    t = _t(spark, sf)
+    qv = [float(x) for x in
+          t["embeddings"].filter("vec_id = 0").first()["embedding"]]
+    q = F.lit(qv).cast("array<double>")
+    e = t["embeddings"].filter(F.col("vec_id") < 200)
+    return (e.select(
+        "vec_id",
+        F.round(V.l2_similarity(F.col("embedding"), q), 6).alias("l2_sim"),
+        F.round(V.cosine_similarity(F.col("embedding"), q), 6).alias("cosine"),
+        F.round(V.dot(F.col("embedding"), q), 6).alias("ip"))
+        .orderBy("vec_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2568,6 +2788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_stream_interval_join": q125_stream_interval_join,
         "q126_shipping_priority": q126_shipping_priority,
         "q127_large_orders": q127_large_orders,
+        "q128_filter_matrix": q128_filter_matrix,
+        "q129_auto_relationships": q129_auto_relationships,
+        "q130_merge_nodes": q130_merge_nodes,
+        "q131_ranking_components": q131_ranking_components,
+        "q132_event_throttle": q132_event_throttle,
+        "q133_having_prefilter": q133_having_prefilter,
+        "q134_metric_conversions": q134_metric_conversions,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5906,6 +6133,227 @@ def oracle_sql() -> dict[str, str]:
                (SELECT COUNT(*) FROM documents
                 WHERE source = 'src2')
         ORDER BY question
+    """
+
+    # q128: filter-registry matrix — one SELECT per case over a shared
+    # base CTE mirroring the derived columns.
+    sql["q128_filter_matrix"] = """
+        WITH base AS (
+            SELECT doc_id, text, source, n_chars,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang2,
+                   CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+                   CASE
+                     WHEN doc_id % 3 = 0 THEN strftime(DATE '1995-01-01'
+                          + INTERVAL ((doc_id % 400)::INT) DAY, '%Y-%m-%d')
+                     WHEN doc_id % 3 = 1 THEN strftime(DATE '1995-01-01'
+                          + INTERVAL ((doc_id % 400)::INT) DAY, '%m/%d/%Y')
+                     ELSE strftime(DATE '1995-01-01'
+                          + INTERVAL ((doc_id % 400)::INT) DAY, '%d-%m-%Y')
+                   END AS ds,
+                   lang
+            FROM documents
+        ),
+        parsed AS (
+            SELECT *, COALESCE(
+                try_strptime(ds, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(ds, '%Y-%m-%dT%H:%M:%S'),
+                try_strptime(ds, '%Y-%m-%d'),
+                try_strptime(ds, '%m/%d/%Y'),
+                try_strptime(ds, '%d-%m-%Y')) AS pts
+            FROM base
+        )
+        SELECT "case", n::BIGINT AS n, id_sum::BIGINT AS id_sum FROM (
+            SELECT 'c01_eq_ci' AS "case", COUNT(*) AS n,
+                   COALESCE(SUM(doc_id), 0) AS id_sum
+            FROM parsed WHERE lower(lang2) = lower('EN')
+            UNION ALL
+            SELECT 'c02_ne_exclude', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE lang2 <> 'en'
+            UNION ALL
+            SELECT 'c03_ne_include', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE lang2 <> 'en' OR lang2 IS NULL
+            UNION ALL
+            SELECT 'c04_ne_as_value', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE lang2 IS DISTINCT FROM 'en'
+            UNION ALL
+            SELECT 'c05_map_dot_path', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE parity = 'even'
+            UNION ALL
+            SELECT 'c06_datetime_coerce', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE pts >= TIMESTAMP '1995-03-01'
+                          AND pts <= TIMESTAMP '1995-09-30'
+            UNION ALL
+            SELECT 'c07_regex_valid', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE regexp_matches(text, '[aeiou]{3}')
+            UNION ALL
+            SELECT 'c08_regex_invalid', 0, 0
+            UNION ALL
+            SELECT 'c09_regex_oversized', 0, 0
+            UNION ALL
+            SELECT 'c10_between', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE n_chars BETWEEN 100 AND 300
+            UNION ALL
+            SELECT 'c11_in', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE source IN ('src1', 'src3', 'src5')
+            UNION ALL
+            SELECT 'c12_not_in', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE source NOT IN ('src0', 'src2')
+            UNION ALL
+            SELECT 'c13_contains_ci', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE contains(lower(text), lower('THE'))
+            UNION ALL
+            SELECT 'c14_starts_with', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE starts_with(source, 'src1')
+            UNION ALL
+            SELECT 'c15_ends_with', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE ends_with(source, '7')
+            UNION ALL
+            SELECT 'c16_not_exists', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE lang2 IS NULL
+            UNION ALL
+            SELECT 'c17_not_empty', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE lang2 IS NOT NULL AND len(lang2) > 0
+            UNION ALL
+            SELECT 'c18_null_dialect', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE lang2 IS NULL
+            UNION ALL
+            SELECT 'c19_array_contains', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE list_contains([lang, source], 'en')
+            UNION ALL
+            SELECT 'c20_array_length', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE len([lang, source]) = 2
+            UNION ALL
+            SELECT 'c21_conjunctive', COUNT(*), COALESCE(SUM(doc_id), 0)
+            FROM parsed WHERE lang2 = 'en' AND n_chars > 200
+                          AND ends_with(source, '2')
+        ) ORDER BY "case"
+    """
+
+    # q129: shared-tag and same-domain discovery joins stated directly;
+    # UNION (not ALL) in tags = array_distinct.
+    sql["q129_auto_relationships"] = """
+        WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id < 300),
+        tags AS (
+            SELECT doc_id, 'k' || (doc_id % 199) AS k FROM base
+            UNION
+            SELECT doc_id, 'k' || ((doc_id * 7) % 199) FROM base
+            UNION
+            SELECT doc_id, 'k' || ((doc_id * 13) % 199) FROM base
+        ),
+        rel AS (
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM tags a JOIN tags b USING (k)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT a, b, 'RELATED' AS relation_type,
+               CAST(0.5 AS DOUBLE) AS confidence
+        FROM rel
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, 'SAME_DOMAIN', CAST(0.8 AS DOUBLE)
+        FROM base a JOIN base b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 120 AND b.doc_id < 120
+        ORDER BY relation_type, a, b
+    """
+
+    # q130: the CASE-rewrite merge fold stated relationally.
+    sql["q130_merge_nodes"] = f"""
+        WITH {EDGES_CTE},
+        ed AS (
+            SELECT from_id, to_id, relation_type FROM edges
+            WHERE relation_type IN ('in_region', 'from_nation')
+            UNION ALL SELECT 'n_7', 'n_3', 'related'
+        ),
+        rw AS (
+            SELECT DISTINCT
+                CASE WHEN from_id = 'n_7' THEN 'n_3' ELSE from_id END AS from_id,
+                CASE WHEN to_id = 'n_7' THEN 'n_3' ELSE to_id END AS to_id,
+                relation_type
+            FROM ed
+        )
+        SELECT from_id, to_id, relation_type FROM rw
+        WHERE from_id <> to_id AND (from_id = 'n_3' OR to_id = 'n_3')
+        ORDER BY from_id, to_id, relation_type
+    """
+
+    # q131: the score ladders stated directly; ln-derived popularity is
+    # micro-quantized BEFORE the combination (q86 discipline), and the
+    # weighted sum mirrors combined_score's fold order with the exact
+    # normalized-weight doubles (0.3/0.5 and 0.1/0.5 are exact in
+    # binary: 0.6 and 0.2).
+    sql["q131_ranking_components"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   (doc_id % 500)::DOUBLE AS age_days,
+                   ((doc_id * 3) % 150) AS access_count,
+                   (doc_id % 11)::DOUBLE / 10.0 AS richness,
+                   ((doc_id * 3) % 11)::DOUBLE / 10.0 AS truthfulness,
+                   ((doc_id * 7) % 11)::DOUBLE / 10.0 AS stability
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   FLOOR((CASE WHEN age_days <= 0 THEN 1.0
+                               WHEN age_days <= 7 THEN 0.9
+                               WHEN age_days <= 30 THEN 0.7
+                               WHEN age_days <= 90 THEN 0.5
+                               WHEN age_days <= 365 THEN 0.3
+                               ELSE 0.1 END) * 1e6 + 0.5)::BIGINT
+                       AS freshness_micro,
+                   FLOOR(LEAST(ln(access_count + 1.0) / ln(100.0), 1.0)
+                         * 1e6 + 0.5)::BIGINT AS popularity_micro,
+                   FLOOR((0.4 * richness + 0.4 * truthfulness
+                          + 0.2 * stability) * 1e6 + 0.5)::BIGINT
+                       AS quality_micro
+            FROM d
+        )
+        SELECT doc_id, freshness_micro, popularity_micro, quality_micro,
+               FLOOR((((0.0 + (quality_micro / 1e6) * 0.6)
+                       + (freshness_micro / 1e6) * 0.2)
+                      + (popularity_micro / 1e6) * 0.2) * 1e6 + 0.5)::BIGINT
+                   AS combined_micro
+        FROM m
+        ORDER BY combined_micro DESC, doc_id ASC
+    """
+
+    # q132: the row_number admission plan stated directly.
+    sql["q132_event_throttle"] = """
+        WITH rn AS (
+            SELECT event_id,
+                   row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+            FROM events
+        )
+        SELECT (rn // 100)::BIGINT AS slot,
+               COUNT(*)::BIGINT AS n,
+               MIN(event_id) AS min_id,
+               MAX(event_id) AS max_id,
+               SUM(event_id)::BIGINT AS id_sum
+        FROM rn GROUP BY 1 ORDER BY 1
+    """
+
+    # q133: having is a PRE-filter on rows, so it is a plain WHERE here.
+    sql["q133_having_prefilter"] = """
+        SELECT o_orderpriority || '|' || o_orderstatus AS group_key,
+               COUNT(*)::BIGINT AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM orders WHERE o_totalprice > 150000.0
+        GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY group_key
+    """
+
+    # q134: DuckDB's native list metrics against the same inlined query
+    # vector (the ROUND-6 float-compare precedent of q16/q17).
+    sql["q134_metric_conversions"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(1.0 / (1.0 + list_distance(embedding::DOUBLE[], qv)), 6)
+                   AS l2_sim,
+               ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                   AS cosine,
+               ROUND(list_inner_product(embedding::DOUBLE[], qv), 6) AS ip
+        FROM embeddings, q WHERE vec_id < 200 ORDER BY vec_id
     """
 
     return sql

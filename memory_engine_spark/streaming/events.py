@@ -165,13 +165,21 @@ class EventBus:
 
 
 def rate_limited_batches(df: DataFrame, events_per_second: int = DEFAULT_RATE_LIMIT,
-                         batch_seconds: float = 1.0) -> DataFrame:
+                         batch_seconds: float = 1.0,
+                         order_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
     """Throttling plan (event_system.py:355-375): assign each event a
     processing slot so no 1-second slot exceeds the rate; purely
     declarative (row_number over arrival order → slot = n // rate).
-    Returns df + (slot long)."""
+    Returns df + (slot long).
+
+    ``order_cols`` should include a unique tiebreak (e.g. the event id)
+    when timestamps can collide — row_number over a non-total order is
+    partition-order-dependent. The global window is a single-partition
+    sort by design: throttling is inherently a sequential admission
+    plan, and the frame it runs over is one subscriber's pending batch,
+    not the corpus."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("ts")
+    w = Window.orderBy(*order_cols)
     rn = F.row_number().over(w) - 1
     return df.withColumn("slot", F.floor(rn / F.lit(int(events_per_second * batch_seconds))).cast("long"))
