@@ -93,6 +93,17 @@ BENCH_QUERIES = [
                               #   query startup/teardown, paid per run)
     "q126_shipping_priority", # TPC-H Q3 shape, broadcast dim + top-k
     "q127_large_orders",      # TPC-H Q18 shape, agg-then-semi-join
+    "q128_filter_matrix",     # 21-case filter-registry matrix
+    "q129_auto_relationships",  # tag/domain-blocked discovery joins
+    "q130_merge_nodes",       # CASE-rewrite node merge fold
+    "q131_ranking_components",  # score ladders + weighted combination
+    "q132_event_throttle",    # row_number admission plan (1 sort)
+    "q133_having_prefilter",  # pre-filter agg + composite key
+    "q134_metric_conversions",  # HOF vector metrics vs inlined query
+    "q135_pubsub_replay",     # bus publish -> replay-from-ts -> filters
+    "q137_hash_embeddings",   # provider-seam embedding + cache join
+    # q136_task_queue is correctness-gated but not benched: it is a
+    # driver-side queue protocol (N log appends + drains), not a query.
 ]
 
 

@@ -106,6 +106,29 @@ class TaskQueue:
         )])
         return task_id
 
+    def submit_batch(self, tasks: list[tuple[str, dict, str]],
+                     max_retries: int = 3,
+                     ttl_s: float | None = None) -> list[str]:
+        """Set-oriented submission: one log append for N tasks
+        (``tasks`` = [(task_type, payload, priority), ...]). At scale
+        submission is a batch write, not a per-task round trip — the
+        reference's enqueue loop (async_queue_processor.py:154-170)
+        amortized into a single parquet append. ``submitted_at`` gets a
+        strictly increasing per-task offset so FIFO-within-priority
+        stays a total order even when the clock doesn't tick between
+        tasks."""
+        now = time.time()
+        ids = [str(uuid.uuid4()) for _ in tasks]
+        self._append([
+            (tid, ttype, json.dumps(payload, sort_keys=True),
+             TASK_PRIORITIES[priority], "pending", 0, max_retries,
+             None, None, now + i * 1e-6,
+             (now + ttl_s) if ttl_s is not None else None, 0, now)
+            for i, (tid, (ttype, payload, priority))
+            in enumerate(zip(ids, tasks))
+        ])
+        return ids
+
     def cancel(self, task_id: str) -> None:
         self._transition([task_id], "cancelled")
 

@@ -125,6 +125,25 @@ def test_task_queue_priority_retry_and_metrics(spark, tmp_path):
     assert m["avg_attempts_to_complete"] == 1.0
 
 
+def test_task_queue_submit_batch(spark, tmp_path):
+    """One log append for N tasks; FIFO-within-priority stays total
+    even when submitted in the same clock tick."""
+    q = TaskQueue(spark, str(tmp_path / "qb"))
+    ids = q.submit_batch(
+        [("echo", {"i": i}, "normal") for i in range(5)]
+        + [("echo", {"i": 99}, "critical")])
+    assert len(ids) == 6 and len(set(ids)) == 6
+    st = q.current_state()
+    assert st.count() == 6
+    assert st.filter(F.col("status") == "pending").count() == 6
+    claimed = q.claim(batch_size=3)
+    rows = claimed.orderBy(F.col("priority").desc()).collect()
+    # critical first, then the first two normals in submission order
+    # (the per-task submitted_at offset makes same-tick FIFO total)
+    assert rows[0]["task_id"] == ids[5]
+    assert {r["task_id"] for r in rows[1:]} == {ids[0], ids[1]}
+
+
 def test_task_queue_expiry_and_unroutable(spark, tmp_path):
     q = TaskQueue(spark, str(tmp_path / "qe"))
     t = q.submit("echo", {}, ttl_s=-1)          # already expired
