@@ -2877,6 +2877,20 @@ def q137_hash_embeddings(spark, sf):
         .orderBy("doc_id"))
 
 
+def q138_bpe_merges(spark, sf):
+    """BPE vocabulary induction (corpus.bpe_train — Sennrich et al.
+    2016): 10 merge rules learned from the documents word-frequency
+    table, argmax tie-broken (count desc, pair asc). The oracle unrolls
+    all 10 rounds as chained CTEs using the SAME delimiter-doubling
+    replace, so the greedy merge semantics themselves are engine-
+    checked, not just the counts."""
+    m = corpus.bpe_train(_t(spark, sf)["documents"], "text",
+                         n_merges=10, top_words=400)
+    return spark.createDataFrame(
+        m, "merge_round int, left_sym string, right_sym string, "
+           "pair_count bigint")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -2912,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_pubsub_replay": q135_pubsub_replay,
         "q136_task_queue": q136_task_queue,
         "q137_hash_embeddings": q137_hash_embeddings,
+        "q138_bpe_merges": q138_bpe_merges,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6529,6 +6544,45 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN agg USING (doc_id)
         ORDER BY d.doc_id
     """
+
+    # q138: all 10 BPE rounds unrolled as chained CTEs; each round
+    # recomputes pair counts, takes the deterministic argmax, and
+    # applies the merge with the SAME delimiter-doubling replace the
+    # operator uses (doubled separators survive non-overlapping
+    # replace(), reproducing the greedy left-to-right fold).
+    _bpe = ["""
+        wt AS (SELECT unnest(toks) AS word FROM toks_t),
+        wf AS (SELECT word, COUNT(*) AS freq FROM wt
+               GROUP BY 1 ORDER BY freq DESC, word ASC LIMIT 400),
+        w0 AS MATERIALIZED (
+               SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+                      freq
+               FROM wf)"""]
+    for k in range(1, 11):
+        _bpe.append(f"""
+        s{k} AS (SELECT string_split(w, ' ') AS s, freq FROM w{k - 1}),
+        px{k} AS (SELECT unnest(list_transform(range(1, len(s)),
+                         i -> {{'l': s[i], 'r': s[i + 1]}})) AS p, freq
+                  FROM s{k}),
+        pc{k} AS (SELECT p.l AS l, p.r AS r, SUM(freq)::BIGINT AS c
+                  FROM px{k} GROUP BY 1, 2),
+        best{k} AS MATERIALIZED (
+                    SELECT l, r, c FROM pc{k}
+                    ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        w{k} AS MATERIALIZED (
+                 SELECT trim(regexp_replace(
+                     replace('  ' || replace(w, ' ', '  ') || '  ',
+                             (SELECT ' ' || l || '  ' || r || ' '
+                              FROM best{k}),
+                             (SELECT ' ' || l || r || ' ' FROM best{k})),
+                     ' +', ' ', 'g')) AS w, freq
+                 FROM w{k - 1})""")
+    _bpe_rounds = "\n        UNION ALL\n".join(
+        f"        SELECT {k} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"c AS pair_count FROM best{k}" for k in range(1, 11))
+    sql["q138_bpe_merges"] = (
+        "WITH " + TOKS_CTE + "," + ",".join(_bpe)
+        + "\n" + _bpe_rounds + "\n        ORDER BY merge_round")
 
     # q134: DuckDB's native list metrics against the same inlined query
     # vector (the ROUND-6 float-compare precedent of q16/q17).

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q134_metric_conversions",  # HOF vector metrics vs inlined query
     "q135_pubsub_replay",     # bus publish -> replay-from-ts -> filters
     "q137_hash_embeddings",   # provider-seam embedding + cache join
+    "q138_bpe_merges",        # BPE trainer: 10 argmax+merge rounds
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]

@@ -245,3 +245,26 @@ def test_temperature_mixture_quota_exceeding_population(spark):
     tiny = [r for r in got if r["source"] == "tiny"]
     assert len(tiny) == 1 and tiny[0]["quota"] > 1
     assert len(got) < 100
+
+
+def test_bpe_train_greedy_merge_sequence(spark):
+    """Hand-computed BPE on a toy corpus: 'a t' (7 occurrences across
+    cat/sat/mat/hat) merges first, then 'c at' (4), then the tie
+    between 'h e' and 't h' (both 2) resolves lexicographically to
+    'h e', then 't he'; round 5 falls to the lexicographically first
+    count-1 pair 'a n'. Also exercises the a==b run-parity path."""
+    from memory_engine_spark.operators.corpus import bpe_train
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat cat cat",), ("a cat and a hat",)],
+        "text string")
+    m = bpe_train(df, "text", n_merges=5, top_words=50)
+    assert m == [(1, "a", "t", 7), (2, "c", "at", 4), (3, "h", "e", 2),
+                 (4, "t", "he", 2), (5, "a", "n", 1)]
+
+    # run parity: 'aaaa' merges greedily to [aa, aa] then to [aaaa]
+    df2 = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    m2 = bpe_train(df2, "text", n_merges=2, top_words=10)
+    assert m2[0][:3] == (1, "a", "a")   # 'a a' picked first
+    assert m2[1][:3] == (2, "aa", "aa")  # doubled-space replace kept
+                                         # the run parity: [aa, aa]
