@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "q135_pubsub_replay",     # bus publish -> replay-from-ts -> filters
     "q137_hash_embeddings",   # provider-seam embedding + cache join
     "q138_bpe_merges",        # BPE trainer: 10 argmax+merge rounds
+    "q139_subgraph_export",   # induced subgraph -> JSON sink -> import
+    "q140_migrate_verify",    # backend copy + symmetric exceptAll
+    "q141_synthesis_modes",   # synthesize orchestration, 3 modes
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]

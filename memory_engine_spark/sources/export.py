@@ -316,7 +316,10 @@ def import_with_merge(spark: SparkSession, path: str, existing: DataFrame,
 def migrate_and_verify(src: DataFrame, write_path: str, spark: SparkSession,
                        fmt: str = "parquet") -> bool:
     """Backend migration with verification (backend_migrator.py:1-463):
-    copy then check exceptAll both ways is empty."""
+    copy then check exceptAll both ways is empty. Column order is
+    realigned to the source before comparing — schema-on-read backends
+    (JSON sorts fields alphabetically) permute columns, which is a
+    layout change, not a data change."""
     getattr(src.write.mode("overwrite"), fmt)(write_path)
-    back = getattr(spark.read, fmt)(write_path)
+    back = getattr(spark.read, fmt)(write_path).select(*src.columns)
     return back.exceptAll(src).isEmpty() and src.exceptAll(back).isEmpty()
