@@ -2989,6 +2989,44 @@ def q141_synthesis_modes(spark, sf):
         .orderBy("mode", "insight"))
 
 
+def q142_export_formats(spark, sf):
+    """Graph export sinks byte-exact (data_exporter.py:244-617): the
+    nation→region graph writes through the Cypher, Gremlin, RDF/Turtle
+    and GraphML writers; every emitted LINE is read back and compared
+    against the oracle's string reconstruction — headers, footers,
+    label upper-casing, URI sanitization and all. (JSON and CSV sinks
+    are round-trip-proven by q116/q120.)"""
+    import os
+    import tempfile
+
+    from memory_engine_spark.sources import export as export_mod
+
+    edges = (_edges(spark, sf)
+             .filter(F.col("relation_type") == "in_region")
+             .select("from_id", "to_id", "relation_type"))
+    nodes = (edges.select(F.col("from_id").alias("node_id"))
+             .unionByName(edges.select(F.col("to_id").alias("node_id")))
+             .distinct())
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"me_q142_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    export_mod.export_cypher(nodes, edges, os.path.join(base, "g.cypher"))
+    export_mod.export_gremlin(nodes, edges, os.path.join(base, "g.gremlin"))
+    export_mod.export_rdf(nodes, edges, os.path.join(base, "g.ttl"))
+    export_mod.export_graphml(nodes, edges, os.path.join(base, "g.graphml"))
+    parts = [
+        spark.read.text(os.path.join(base, name)).select(
+            F.lit(fmt).alias("fmt"), F.col("value").alias("line"))
+        for fmt, name in [("cypher", "g.cypher"), ("gremlin", "g.gremlin"),
+                          ("rdf", "g.ttl"), ("graphml", "g.graphml")]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fmt", "line")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3028,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_subgraph_export": q139_subgraph_export,
         "q140_migrate_verify": q140_migrate_verify,
         "q141_synthesis_modes": q141_synthesis_modes,
+        "q142_export_formats": q142_export_formats,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6779,6 +6818,66 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'comprehensive', 'structural_anomalies',
                          (SELECT n FROM anom)
         ORDER BY mode, insight
+    """
+
+    # q142: every sink line reconstructed as a string — the writers'
+    # exact formats (quotes, headers, footers, IN_REGION upper-casing).
+    sql["q142_export_formats"] = """
+        WITH n AS (SELECT 'n_' || n_nationkey AS nid,
+                          'r_' || n_regionkey AS rid FROM nation),
+        nodes AS (SELECT DISTINCT nid AS id FROM n
+                  UNION SELECT DISTINCT rid FROM n)
+        SELECT fmt, line FROM (
+            SELECT 'cypher' AS fmt,
+                   'CREATE (:Node {node_id: ''' || id || '''});' AS line
+            FROM nodes
+            UNION ALL
+            SELECT 'cypher',
+                   'MATCH (a:Node {node_id: ''' || nid
+                   || '''}), (b:Node {node_id: ''' || rid
+                   || '''}) CREATE (a)-[:IN_REGION]->(b);'
+            FROM n
+            UNION ALL
+            SELECT 'gremlin',
+                   'g.addV(''Node'').property(id, ''' || id || ''');'
+            FROM nodes
+            UNION ALL
+            SELECT 'gremlin',
+                   'g.V(''' || nid || ''').addE(''in_region'').to(g.V('''
+                   || rid || '''));'
+            FROM n
+            UNION ALL
+            SELECT 'rdf',
+                   '@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .'
+            UNION ALL
+            SELECT 'rdf',
+                   '@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .'
+            UNION ALL
+            SELECT 'rdf', '@prefix kg: <http://memory-engine.org/kg#> .'
+            UNION ALL SELECT 'rdf', ''
+            UNION ALL
+            SELECT 'rdf', 'kg:node_' || id || ' rdf:type kg:Node .'
+            FROM nodes
+            UNION ALL
+            SELECT 'rdf', 'kg:node_' || nid || ' kg:in_region kg:node_'
+                          || rid || ' .'
+            FROM n
+            UNION ALL
+            SELECT 'graphml', '<?xml version="1.0" encoding="UTF-8"?>'
+            UNION ALL
+            SELECT 'graphml',
+                   '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+            UNION ALL
+            SELECT 'graphml', '  <graph id="G" edgedefault="directed">'
+            UNION ALL
+            SELECT 'graphml', '    <node id="' || id || '"/>' FROM nodes
+            UNION ALL
+            SELECT 'graphml', '    <edge source="' || nid || '" target="'
+                              || rid || '" label="in_region"/>'
+            FROM n
+            UNION ALL SELECT 'graphml', '  </graph>'
+            UNION ALL SELECT 'graphml', '</graphml>'
+        ) ORDER BY fmt, line
     """
 
     # q134: DuckDB's native list metrics against the same inlined query

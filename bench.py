@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q139_subgraph_export",   # induced subgraph -> JSON sink -> import
     "q140_migrate_verify",    # backend copy + symmetric exceptAll
     "q141_synthesis_modes",   # synthesize orchestration, 3 modes
+    "q142_export_formats",    # 4 graph sinks, line-exact
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]
