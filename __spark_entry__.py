@@ -3027,6 +3027,64 @@ def q142_export_formats(spark, sf):
     return out.orderBy("fmt", "line")
 
 
+def q143_import_merge(spark, sf):
+    """Import + validate + merge (data_importer.py:42-553): a CSV batch
+    re-imports through schema inference + type alignment, in-file
+    duplicate keys collapse to the DETERMINISTIC sorts-first survivor
+    (the 'AUPD_' rows beat their 'UPD_' twins), and the batch MERGEs
+    into the existing table — imported rows win on key conflict,
+    untouched rows pass through, new keys insert."""
+    import os
+    import tempfile
+
+    from memory_engine_spark.sources.export import export_csv, import_with_merge
+
+    cust = _t(spark, sf)["customer"]
+    existing = (cust.filter(F.col("c_custkey") <= 200)
+                .select("c_custkey", "c_name", "c_nationkey"))
+    upd = lambda pre: F.concat(F.lit(pre),
+                               F.col("c_custkey").cast("string")).alias("c_name")
+    inc1 = (cust.filter(F.col("c_custkey").between(101, 250))
+            .select("c_custkey", upd("UPD_"), "c_nationkey"))
+    inc2 = (cust.filter(F.col("c_custkey").between(101, 250)
+                        & (F.col("c_custkey") % 10 == 0))
+            .select("c_custkey", upd("AUPD_"), "c_nationkey"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"me_q143_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
+    export_csv(inc1.unionByName(inc2), path)
+    merged = import_with_merge(spark, path, existing, key="c_custkey",
+                               fmt="csv")
+    return merged.orderBy("c_custkey")
+
+
+def q144_chunked_results(spark, sf):
+    """Chunked streaming query results (enhanced_mcp.py:139-213 via
+    ``MemoryEngine.stream_query``): ONE job drained partition-at-a-time
+    through toLocalIterator, re-chunked at 100 rows with progress/done
+    metadata. The output is the per-chunk inventory (count, key range,
+    done flag) — the oracle re-derives it from row_number buckets."""
+    from memory_engine_spark.engine import MemoryEngine
+    from memory_engine_spark.session import EngineSession
+
+    s = EngineSession(spark)
+    s.register("orders", _t(spark, sf)["orders"])
+    eng = MemoryEngine(s)
+    spec = (QuerySpec("orders")
+            .filter("o_totalprice", "gt", 300000.0)
+            .sort("o_orderkey").page(0, 450)
+            .select("o_orderkey", "o_totalprice"))
+    rows = []
+    for i, ch in enumerate(eng.stream_query(spec, chunk_size=100)):
+        ks = [r["o_orderkey"] for r in ch["rows"]]
+        rows.append((i, len(ks), min(ks) if ks else None,
+                     max(ks) if ks else None, bool(ch["done"])))
+    return (spark.createDataFrame(
+        rows, "chunk_id int, n bigint, first_key bigint, "
+              "last_key bigint, done boolean")
+        .orderBy("chunk_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3067,6 +3125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_migrate_verify": q140_migrate_verify,
         "q141_synthesis_modes": q141_synthesis_modes,
         "q142_export_formats": q142_export_formats,
+        "q143_import_merge": q143_import_merge,
+        "q144_chunked_results": q144_chunked_results,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6878,6 +6938,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'graphml', '  </graph>'
             UNION ALL SELECT 'graphml', '</graphml>'
         ) ORDER BY fmt, line
+    """
+
+    # q143: the merge stated relationally — survivors, overrides,
+    # pass-throughs, inserts.
+    sql["q143_import_merge"] = """
+        WITH inc AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0
+                        THEN 'AUPD_' || c_custkey
+                        ELSE 'UPD_' || c_custkey END AS c_name,
+                   c_nationkey
+            FROM customer WHERE c_custkey BETWEEN 101 AND 250
+        )
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey FROM inc
+        ORDER BY c_custkey
+    """
+
+    # q144: chunk inventory from row_number buckets; done marks the
+    # final chunk only.
+    sql["q144_chunked_results"] = """
+        WITH q AS (
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+            FROM orders WHERE o_totalprice > 300000.0
+            ORDER BY o_orderkey LIMIT 450
+        )
+        SELECT (rn // 100)::INT AS chunk_id, COUNT(*)::BIGINT AS n,
+               MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+               (MAX(rn) = (SELECT MAX(rn) FROM q)) AS done
+        FROM q GROUP BY 1 ORDER BY 1
     """
 
     # q134: DuckDB's native list metrics against the same inlined query

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "q140_migrate_verify",    # backend copy + symmetric exceptAll
     "q141_synthesis_modes",   # synthesize orchestration, 3 modes
     "q142_export_formats",    # 4 graph sinks, line-exact
+    "q143_import_merge",      # CSV import + dedup survivor + upsert
+    "q144_chunked_results",   # toLocalIterator chunk drain
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]
