@@ -3085,6 +3085,37 @@ def q144_chunked_results(spark, sf):
         .orderBy("chunk_id"))
 
 
+def q145_vector_store_crud(spark, sf):
+    """Vector-store CRUD cycle (vector_store_interface.py add/update/
+    delete/search as set operations): 20 inserts + 10 in-place updates
+    via ``upsert`` (anti-join + union), a batch delete (anti-join),
+    then top-10 cosine search over the mutated store. The synthetic
+    vectors are integer-valued (exact in float32 transport), so the
+    whole cycle — including the search scores — is hash-checked."""
+    from memory_engine_spark.operators.merging import delete_rows, upsert
+
+    emb = _t(spark, sf)["embeddings"].select("vec_id", "embedding")
+
+    def synth(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (((F.col("id") + 1) * (j + 1)) % 7 - 3)
+                .cast("float")).alias("embedding"))
+
+    store = upsert(emb, synth(1000, 1020).unionByName(synth(0, 10)),
+                   "vec_id")
+    dead = (spark.range(0, 1020).filter(F.col("id") % 17 == 0)
+            .select(F.col("id").alias("vec_id")))
+    store = delete_rows(store, dead, "vec_id")
+    n_store = store.count()
+    qv = [float(((0 + 1) * (j + 1)) % 7 - 3) for j in range(64)]
+    return (similarity.topk_brute(store, qv, k=10, id_col="vec_id")
+            .select("vec_id", F.round("score", 6).alias("score"),
+                    F.lit(n_store).cast("bigint").alias("n_store")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3127,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_export_formats": q142_export_formats,
         "q143_import_merge": q143_import_merge,
         "q144_chunked_results": q144_chunked_results,
+        "q145_vector_store_crud": q145_vector_store_crud,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6971,6 +7003,33 @@ def oracle_sql() -> dict[str, str]:
                MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
                (MAX(rn) = (SELECT MAX(rn) FROM q)) AS done
         FROM q GROUP BY 1 ORDER BY 1
+    """
+
+    # q145: the CRUD cycle stated relationally — synthetic vectors
+    # regenerated with the same integer formula.
+    sql["q145_vector_store_crud"] = """
+        WITH ids AS (
+            SELECT unnest(range(1000, 1020)) AS id
+            UNION ALL SELECT unnest(range(0, 10))
+        ),
+        upd AS (
+            SELECT id AS vec_id,
+                   list_transform(range(1, 65),
+                       j -> CAST((id + 1) * j % 7 - 3 AS DOUBLE)) AS v
+            FROM ids
+        ),
+        store AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM upd)
+            UNION ALL SELECT vec_id, v FROM upd
+        ),
+        store2 AS (SELECT * FROM store WHERE vec_id % 17 <> 0),
+        q AS (SELECT v AS qv FROM upd WHERE vec_id = 0)
+        SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS score,
+               (SELECT COUNT(*) FROM store2)::BIGINT AS n_store
+        FROM store2, q
+        ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC
+        LIMIT 10
     """
 
     # q134: DuckDB's native list metrics against the same inlined query
