@@ -3116,6 +3116,35 @@ def q145_vector_store_crud(spark, sf):
                     F.lit(n_store).cast("bigint").alias("n_store")))
 
 
+def q146_skew_tools(spark, sf):
+    """Skew-mitigation toolkit (SURVEY §4.2): ``salted_join`` (small
+    side replicated ×8, big side salted — the hot key spreads over 8
+    tasks) and ``two_phase_count`` (per-(key,salt) partials, then key
+    totals). Both are RESULT-IDENTICAL to their unsalted forms, which
+    is exactly what the oracle states: the plain join/agg SQL. The
+    salt itself is random per run — the gate proves the invariant."""
+    from memory_engine_spark.operators.skew import salted_join, two_phase_count
+
+    t = _t(spark, sf)
+    big = (t["lineitem"].filter(F.col("l_orderkey") < 2000)
+           .select("l_orderkey",
+                   F.col("l_quantity").cast("decimal(18,2)").alias("qty")))
+    small = t["orders"].select(F.col("o_orderkey").alias("l_orderkey"),
+                               "o_orderpriority")
+    joined = (salted_join(big, small, "l_orderkey", salt_buckets=8)
+              .groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                   F.round(F.sum("qty").cast("double"), 2).alias("qty"))
+              .select(F.lit("salted_join").alias("section"),
+                      F.col("o_orderpriority").alias("key"), "n", "qty"))
+    counted = (two_phase_count(t["events"], "event_type", salt_buckets=8)
+               .select(F.lit("two_phase_count").alias("section"),
+                       F.col("event_type").alias("key"),
+                       F.col("count").cast("bigint").alias("n"),
+                       F.lit(None).cast("double").alias("qty")))
+    return joined.unionByName(counted).orderBy("section", "key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3159,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_import_merge": q143_import_merge,
         "q144_chunked_results": q144_chunked_results,
         "q145_vector_store_crud": q145_vector_store_crud,
+        "q146_skew_tools": q146_skew_tools,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -7030,6 +7060,23 @@ def oracle_sql() -> dict[str, str]:
         FROM store2, q
         ORDER BY list_cosine_similarity(v, qv) DESC, vec_id ASC
         LIMIT 10
+    """
+
+    # q146: the skew toolkit's invariant — identical results to the
+    # plain join/agg.
+    sql["q146_skew_tools"] = """
+        SELECT 'salted_join' AS section, o_orderpriority AS key,
+               COUNT(*)::BIGINT AS n,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey < 2000
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'two_phase_count', event_type, COUNT(*)::BIGINT,
+               CAST(NULL AS DOUBLE)
+        FROM events GROUP BY event_type
+        ORDER BY section, key
     """
 
     # q134: DuckDB's native list metrics against the same inlined query

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q143_import_merge",      # CSV import + dedup survivor + upsert
     "q144_chunked_results",   # toLocalIterator chunk drain
     "q145_vector_store_crud", # upsert/delete/search CRUD cycle
+    "q146_skew_tools",        # salted join + two-phase agg invariant
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]
