@@ -3145,6 +3145,22 @@ def q146_skew_tools(spark, sf):
     return joined.unionByName(counted).orderBy("section", "key")
 
 
+def q147_bpe_encode(spark, sf):
+    """BPE encoder (corpus.bpe_encode) over the rules q138's trainer
+    learns from the same corpus: per-document word and subword-piece
+    counts. The oracle re-derives the 10 merge rules with the q138 CTE
+    chain and applies them through the SAME delimiter-doubling replace
+    to the full distinct-word dictionary — so a single wrong merge
+    application in ANY word flips a doc's piece sum and fails the
+    hash. Scale shape: merges run once per DISTINCT word, the tiny
+    word→pieces dictionary broadcasts back, and the only full-width
+    shuffle keys on doc_id."""
+    docs = _t(spark, sf)["documents"]
+    m = corpus.bpe_train(docs, "text", n_merges=10, top_words=400)
+    return (corpus.bpe_encode(docs, "text", "doc_id", m)
+            .orderBy("doc_id").limit(200))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3189,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_chunked_results": q144_chunked_results,
         "q145_vector_store_crud": q145_vector_store_crud,
         "q146_skew_tools": q146_skew_tools,
+        "q147_bpe_encode": q147_bpe_encode,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6845,6 +6862,41 @@ def oracle_sql() -> dict[str, str]:
     sql["q138_bpe_merges"] = (
         "WITH " + TOKS_CTE + "," + ",".join(_bpe)
         + "\n" + _bpe_rounds + "\n        ORDER BY merge_round")
+
+    # q147: the ENCODER over the same derived rules — the trainer's
+    # best{k} CTEs feed the same delimiter-doubling replace chain,
+    # applied to the full distinct-word dictionary, then the doc-level
+    # piece sums come from a dictionary join back into the token
+    # stream (empty docs kept at 0 via the left join).
+    _enc = ["""
+        dictw AS (SELECT DISTINCT unnest(toks) AS word FROM toks_t),
+        e0 AS MATERIALIZED (
+               SELECT word,
+                      trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w
+               FROM dictw)"""]
+    for k in range(1, 11):
+        _enc.append(f"""
+        e{k} AS MATERIALIZED (
+                 SELECT word, trim(regexp_replace(
+                     replace('  ' || replace(w, ' ', '  ') || '  ',
+                             (SELECT ' ' || l || '  ' || r || ' '
+                              FROM best{k}),
+                             (SELECT ' ' || l || r || ' ' FROM best{k})),
+                     ' +', ' ', 'g')) AS w
+                 FROM e{k - 1})""")
+    sql["q147_bpe_encode"] = (
+        "WITH " + TOKS_CTE + "," + ",".join(_bpe) + "," + ",".join(_enc)
+        + """,
+        np AS (SELECT word, len(string_split(w, ' '))::BIGINT AS np
+               FROM e10),
+        dt AS (SELECT doc_id, unnest(toks) AS word FROM toks_t),
+        agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+                       SUM(np)::BIGINT AS n_pieces
+                FROM dt JOIN np USING (word) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(agg.n_words, 0)::BIGINT AS n_words,
+               COALESCE(agg.n_pieces, 0)::BIGINT AS n_pieces
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        ORDER BY d.doc_id LIMIT 200""")
 
     # q139: the nation→region closure stated directly (the induced
     # subgraph drops every cross-boundary from_nation edge).

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q144_chunked_results",   # toLocalIterator chunk drain
     "q145_vector_store_crud", # upsert/delete/search CRUD cycle
     "q146_skew_tools",        # salted join + two-phase agg invariant
+    "q147_bpe_encode",        # BPE encode via distinct-word dictionary
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]

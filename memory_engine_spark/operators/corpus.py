@@ -602,3 +602,58 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
         # 10 rounds of nested replace() otherwise recompute from scratch
         w = w.localCheckpoint()
     return merges
+
+
+def bpe_apply(col, merges: list[tuple[int, str, str, int]]):
+    """Column expression applying a pretrained BPE merge table, in
+    merge order, to a space-separated symbol string (the ``w`` encoding
+    ``bpe_train`` uses). Each rule is the same delimiter-doubling
+    replace as the trainer, so encode semantics are byte-identical to
+    the greedy left-to-right fold the rules were learned under."""
+    w = col
+    for _rnd, a, b, _cnt in merges:
+        doubled = F.concat(F.lit("  "),
+                           F.replace(w, F.lit(" "), F.lit("  ")),
+                           F.lit("  "))
+        merged = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        w = F.trim(F.regexp_replace(merged, " +", " "))
+    return w
+
+
+def bpe_encode(df: DataFrame, text_col: str, id_col: str,
+               merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Tokenize documents with a pretrained BPE merge table: per-row
+    word count and subword-piece count.
+
+    The scale shape is a DICTIONARY encode: merges apply once per
+    DISTINCT word (|V| rows — millions at 100 TB, not billions), the
+    tiny word→n_pieces dictionary broadcasts back into the exploded
+    token stream, and the only full-width shuffle keys on the row id
+    for the per-document sum. Rows with no tokens keep n_words =
+    n_pieces = 0 via the final left join (nothing silently drops).
+
+    Returns (id_col, n_words BIGINT, n_pieces BIGINT). Reference has
+    no subword tokenizer (whitespace heuristics only,
+    result_ranker.py:246-264); this is the encoder half of the
+    training-pipeline extension started by ``bpe_train``.
+    """
+    from memory_engine_spark.operators.dedup import tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    exploded = toks.select(id_col, F.explode("_toks").alias("word"))
+    dictionary = (exploded.select("word").distinct()
+                  .select("word", bpe_apply(
+                      F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+                      merges).alias("_enc"))
+                  .select("word", F.size(F.split("_enc", " "))
+                          .cast("bigint").alias("_np")))
+    agg = (exploded.join(F.broadcast(dictionary), "word")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum("_np").cast("bigint").alias("n_pieces")))
+    return (df.select(id_col).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).cast("bigint")
+                    .alias("n_words"),
+                    F.coalesce("n_pieces", F.lit(0)).cast("bigint")
+                    .alias("n_pieces")))

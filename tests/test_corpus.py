@@ -268,3 +268,22 @@ def test_bpe_train_greedy_merge_sequence(spark):
     assert m2[0][:3] == (1, "a", "a")   # 'a a' picked first
     assert m2[1][:3] == (2, "aa", "aa")  # doubled-space replace kept
                                          # the run parity: [aa, aa]
+
+
+def test_bpe_encode_piece_counts(spark):
+    """Encoding with a hand-built merge table: 'the' collapses to one
+    piece via t+h -> th+e, 'cat' stays 3 pieces (no rule touches it),
+    an empty doc keeps 0/0 through the left join, and out-of-vocab
+    words still char-split (encoder applies rules, not a closed
+    vocabulary)."""
+    from memory_engine_spark.operators.corpus import bpe_encode
+
+    merges = [(1, "t", "h", 0), (2, "th", "e", 0)]
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "thee"), (3, ""), (4, "zq the")],
+        "id bigint, text string")
+    got = {r["id"]: (r["n_words"], r["n_pieces"])
+           for r in bpe_encode(df, "text", "id", merges).collect()}
+    # the=1 piece, cat=3 -> doc1: 2 words, 4 pieces
+    # thee = [the, e] -> 2 pieces; zq = 2 pieces (no rules apply)
+    assert got == {1: (2, 4), 2: (1, 2), 3: (0, 0), 4: (2, 3)}
