@@ -1608,6 +1608,59 @@ def _sym_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ADJ_CACHE[key]
 
 
+_AA_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _aa_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Offline Adamic–Adar wedge index (graph.adamic_adar_prepare,
+    max_hub_degree=50): ``nb`` (apex, BIGINT addend, neighbor)
+    partitioned on the apex so the wedge self-join is exchange-free,
+    and ``canon`` (distinct undirected edges) partitioned on (u, v) so
+    the existing-edge anti-join reuses the pair aggregate's
+    partitioning. Materialized once per scale factor to
+    .derived/<sf>/aa50 (atomic tmp+rename, same protocol as _lpa_prep)
+    and session-cached — the three |E|-scale build shuffles move to
+    ingest time, the query pays only wedge self-join + aggregate."""
+    import os
+    import shutil
+
+    key = (id(spark), sf_dir)
+    if key in _AA_CACHE:
+        return _AA_CACHE[key]
+    before = _rdd_snap(spark)
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".derived", sf_name, "aa50")
+    n_parts = spark.sparkContext.defaultParallelism
+    try:
+        if not os.path.isdir(base):
+            prep = graph.adamic_adar_prepare(
+                _edges(spark, sf_dir), max_hub_degree=50)
+            tmp = base + f".tmp{os.getpid()}"
+            prep["nb"].write.mode("overwrite").parquet(
+                os.path.join(tmp, "nb"))
+            prep["canon"].write.mode("overwrite").parquet(
+                os.path.join(tmp, "canon"))
+            try:
+                os.rename(tmp, base)
+            except OSError:  # another process won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+        nb = (spark.read.parquet(os.path.join(base, "nb"))
+              .repartition(n_parts, "w").persist())
+        canon = (spark.read.parquet(os.path.join(base, "canon"))
+                 .repartition(n_parts, "u", "v").persist())
+    except Exception:  # pragma: no cover — read-only checkout etc.
+        prep = graph.adamic_adar_prepare(
+            _edges(spark, sf_dir), max_hub_degree=50)
+        nb = prep["nb"].repartition(n_parts, "w").persist()
+        canon = prep["canon"].repartition(n_parts, "u", "v").persist()
+    nb.count()
+    canon.count()
+    _pin_new(spark, before)
+    _AA_CACHE[key] = {"nb": nb, "canon": canon, "max_hub_degree": 50}
+    return _AA_CACHE[key]
+
+
 _LPA_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
@@ -1681,6 +1734,7 @@ def prepare_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("sym_adj", lambda: _sym_adj(spark, sf_dir)),
         ("dsir", lambda: _dsir_feats(spark, sf_dir)),
         ("knn_graph", lambda: _knn_graph(spark, sf_dir)),
+        ("aa50", lambda: _aa_index(spark, sf_dir)),
     ]:
         t0 = _time.time()
         fn()
@@ -1901,9 +1955,11 @@ def q106_adamic_adar(spark, sf):
     """Adamic-Adar link prediction (graph.adamic_adar): top-30
     non-adjacent pairs by Σ 1/ln(deg w) over shared neighbors, apex
     degree capped at 50, BIGINT micro-unit addends (exact integer
-    sum, no decimal-ROUND divergence)."""
-    return graph.adamic_adar(_edges(spark, sf), max_hub_degree=50,
-                             top_k=30)
+    sum, no decimal-ROUND divergence). Wedge input comes from the
+    offline .derived/<sf>/aa50 index (_aa_index) — the build shuffles
+    are ingest-time, the query pays wedge self-join + aggregate."""
+    return graph.adamic_adar(None, max_hub_degree=50, top_k=30,
+                             prebuilt=_aa_index(spark, sf))
 
 
 def q108_ccnet_buckets(spark, sf):

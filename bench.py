@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "q104_diameter",          # double-BFS 2-sweep: ~16 sequential
                               #   frontier jobs — scheduler-bound on
                               #   local mode, amortizes on a cluster
-    "q106_adamic_adar",       # wedge join + map-side pair pre-agg
+    "q106_adamic_adar",       # wedge self-join over offline aa50 index
     "q107_enhancement_plan",  # quality-enhancement orchestration
     "q108_ccnet_buckets",     # per-lang perplexity terciles
     "q109_rrf_fusion",        # BM25+TFIDF reciprocal-rank fusion

@@ -1100,8 +1100,35 @@ def diameter_estimate(edges: DataFrame, start_id: str,
         spark.conf.set(key, old)
 
 
-def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
-                top_k: int = 30) -> DataFrame:
+def adamic_adar_prepare(edges: DataFrame,
+                        max_hub_degree: int = 50) -> dict:
+    """Build the Adamic–Adar wedge input offline: ``canon`` (distinct
+    undirected edges, u < v) and ``nb`` (per mid-degree apex w: its
+    BIGINT micro-unit addend ``floor(1e6/ln d + 0.5)`` and each
+    neighbor x). Both are |E|-scale frames whose construction costs
+    three full shuffles (distinct, degree agg, join) — ingest-time
+    work by the same argument as ``pagerank_prepare``: amortize across
+    calls, so the query pays only the wedge self-join + aggregate.
+    The dict records ``max_hub_degree``; ``adamic_adar`` asserts it
+    matches (an index built under a different cap silently changes
+    scores — the LPA ``directed``-flag lesson)."""
+    canon = (edges.select(F.least("from_id", "to_id").alias("u"),
+                          F.greatest("from_id", "to_id").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    adj = symmetrize(canon.select(F.col("u").alias("from_id"),
+                                  F.col("v").alias("to_id")))
+    deg = adj.groupBy("from_id").agg(F.count(F.lit(1)).alias("d"))
+    mids = (deg.filter((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
+            .select(F.col("from_id").alias("w"),
+                    F.floor(F.lit(1e6) / F.log(F.col("d").cast("double"))
+                            + F.lit(0.5)).cast("long").alias("aa")))
+    nb = (adj.join(mids, adj.from_id == mids.w)
+          .select("w", "aa", F.col("to_id").alias("x")))
+    return {"nb": nb, "canon": canon, "max_hub_degree": max_hub_degree}
+
+
+def adamic_adar(edges: DataFrame | None, max_hub_degree: int = 50,
+                top_k: int = 30, prebuilt: dict | None = None) -> DataFrame:
     """Adamic–Adar link prediction (Adamic & Adar, SocNets 2003):
     score non-adjacent pairs by Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — the
     classic common-neighbor feature for edge recommendation, weighted
@@ -1121,22 +1148,24 @@ def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
     double arithmetic — see corpus.dsir_importance for why hashed
     ln-derived values must never pass through engine ROUND/DECIMAL)
     and the score is their exact integer sum divided once by 1e6.
+
+    ``prebuilt`` takes the :func:`adamic_adar_prepare` dict (already
+    partitioned/persisted by the caller's index layer); without it the
+    wedge input builds per call and is unpersisted before returning.
     """
-    spark = edges.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    canon = (edges.select(F.least("from_id", "to_id").alias("u"),
-                          F.greatest("from_id", "to_id").alias("v"))
-             .filter(F.col("u") != F.col("v")).distinct())
-    adj = symmetrize(canon.select(F.col("u").alias("from_id"),
-                                  F.col("v").alias("to_id")))
-    deg = adj.groupBy("from_id").agg(F.count(F.lit(1)).alias("d"))
-    mids = (deg.filter((F.col("d") >= 2) & (F.col("d") <= max_hub_degree))
-            .select(F.col("from_id").alias("w"),
-                    F.floor(F.lit(1e6) / F.log(F.col("d").cast("double"))
-                            + F.lit(0.5)).cast("long").alias("aa")))
-    nb = (adj.join(mids, adj.from_id == mids.w)
-          .select("w", "aa", F.col("to_id").alias("x"))
-          .repartition(n_parts, "w").persist())
+    own = prebuilt is None
+    if own:
+        spark = edges.sparkSession
+        n_parts = spark.sparkContext.defaultParallelism
+        prebuilt = adamic_adar_prepare(edges, max_hub_degree)
+        prebuilt["nb"] = (prebuilt["nb"]
+                          .repartition(n_parts, "w").persist())
+    elif prebuilt.get("max_hub_degree") != max_hub_degree:
+        raise ValueError(
+            f"prebuilt adamic-adar index was built with max_hub_degree="
+            f"{prebuilt.get('max_hub_degree')}, call asked for "
+            f"{max_hub_degree}")
+    nb, canon = prebuilt["nb"], prebuilt["canon"]
     try:
         pairs = (nb.alias("l").join(nb.alias("r"), ["w", "aa"])
                  .filter(F.col("l.x") < F.col("r.x"))
@@ -1153,4 +1182,5 @@ def adamic_adar(edges: DataFrame, max_hub_degree: int = 50,
                 .limit(top_k)
                 .localCheckpoint())
     finally:
-        nb.unpersist(False)
+        if own:
+            nb.unpersist(False)

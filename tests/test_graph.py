@@ -321,6 +321,25 @@ def test_adamic_adar_scores_and_excludes_existing_edges(spark):
     assert ("h", "a") not in rows  # adjacent anyway
 
 
+def test_adamic_adar_prebuilt_matches_and_validates_cap(spark):
+    import pytest
+    from memory_engine_spark.operators.graph import (adamic_adar,
+                                                     adamic_adar_prepare)
+
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")],
+        "from_id string, to_id string")
+    inline = sorted(map(tuple, adamic_adar(edges, top_k=10).collect()))
+    prep = adamic_adar_prepare(edges, max_hub_degree=50)
+    via_idx = sorted(map(tuple, adamic_adar(
+        None, max_hub_degree=50, top_k=10, prebuilt=prep).collect()))
+    assert inline == via_idx
+    # an index built under a different cap silently changes scores —
+    # must raise, not run
+    with pytest.raises(ValueError, match="max_hub_degree"):
+        adamic_adar(None, max_hub_degree=10, prebuilt=prep)
+
+
 def test_k_core_prebuilt_adj_matches_inline(spark):
     from memory_engine_spark.operators.graph import k_core, symmetrize
 
