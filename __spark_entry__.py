@@ -1608,6 +1608,35 @@ def _sym_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ADJ_CACHE[key]
 
 
+_DIR_ADJ_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _dir_adj(spark: SparkSession, sf_dir: str) -> dict:
+    """Session-cached DIRECTED adjacency in both hash layouts
+    (from_id- and to_id-partitioned) plus the distinct node set —
+    what directed iterative algorithms (HITS) consume: each round's
+    edge-side join then reuses a resident partitioning and only the
+    |V|-row score vector shuffles. The _pr_index secondary-layout
+    trade for the unweighted directed graph; source is the already-
+    derived edge parquet, so no .derived artifact of its own."""
+    key = (id(spark), sf_dir)
+    if key in _DIR_ADJ_CACHE:
+        return _DIR_ADJ_CACHE[key]
+    before = _rdd_snap(spark)
+    n_parts = spark.sparkContext.defaultParallelism
+    base = _edges(spark, sf_dir).select("from_id", "to_id")
+    a_from = base.repartition(n_parts, "from_id").persist()
+    a_to = base.repartition(n_parts, "to_id").persist()
+    nodes = (base.select(F.col("from_id").alias("node_id"))
+             .unionByName(base.select(F.col("to_id").alias("node_id")))
+             .distinct().localCheckpoint())
+    a_from.count()
+    a_to.count()
+    _pin_new(spark, before)
+    _DIR_ADJ_CACHE[key] = {"from": a_from, "to": a_to, "nodes": nodes}
+    return _DIR_ADJ_CACHE[key]
+
+
 _AA_CACHE: dict[tuple[int, str], dict] = {}
 
 
@@ -1735,6 +1764,7 @@ def prepare_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("dsir", lambda: _dsir_feats(spark, sf_dir)),
         ("knn_graph", lambda: _knn_graph(spark, sf_dir)),
         ("aa50", lambda: _aa_index(spark, sf_dir)),
+        ("dir_adj", lambda: _dir_adj(spark, sf_dir)),
     ]:
         t0 = _time.time()
         fn()
@@ -1872,8 +1902,10 @@ def q98_hits(spark, sf):
     """HITS hubs/authorities over the DIRECTED derived graph, 2
     integer rounds (graph.hits) — exact bigint walk counts, so the
     unrolled oracle matches bit-for-bit with no float hazard. Top 30
-    authorities, hub score carried alongside."""
-    out = graph.hits(_edges(spark, sf), n_iter=2)
+    authorities, hub score carried alongside. Adjacency comes from the
+    resident dual-layout _dir_adj index, so each round's joins reuse a
+    resident partitioning and only the score vector shuffles."""
+    out = graph.hits(None, n_iter=2, prebuilt_adj=_dir_adj(spark, sf))
     return (out.orderBy(F.col("authority").desc(), F.col("node_id").asc())
             .limit(30))
 

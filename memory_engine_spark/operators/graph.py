@@ -931,7 +931,8 @@ def personalized_pagerank(edges: DataFrame, sources: list[str],
     return ranks
 
 
-def hits(edges: DataFrame, n_iter: int = 2) -> DataFrame:
+def hits(edges: DataFrame | None, n_iter: int = 2,
+         prebuilt_adj: dict | None = None) -> DataFrame:
     """HITS hubs & authorities (Kleinberg, JACM'99) in the UNNORMALIZED
     integer formulation: a₀ = 1 for every node, then ``n_iter`` rounds
     of h(u) = Σ_{u→v} a(v); a(v) = Σ_{u→v} h(u). With integer starts
@@ -948,29 +949,41 @@ def hits(edges: DataFrame, n_iter: int = 2) -> DataFrame:
 
     Scale shape: per round two map-side-combined groupBys over the
     persisted edge list joined with the |V|-row score vector — the
-    pagerank shuffle discipline with integer payloads.
+    pagerank shuffle discipline with integer payloads. ``prebuilt_adj``
+    takes a resident dual-layout index ``{"from": adj partitioned on
+    from_id, "to": adj partitioned on to_id, "nodes": node ids}`` (the
+    _pr_index secondary-layout trade): each round's two joins then
+    reuse the resident partitioning and only the |V|-row score vector
+    shuffles — without it the |E|-row adjacency re-exchanges twice per
+    round.
     """
     if not 1 <= n_iter <= 3:
         raise ValueError(
             "hits: n_iter must be in [1, 3] — hub is produced inside the "
             "loop (0 rounds has no readout) and unnormalized integer "
             "scores overflow int64 beyond 3 rounds on dense graphs")
-    adj = edges.select("from_id", "to_id").persist()
-    nodes = (adj.select(F.col("from_id").alias("node_id"))
-             .unionByName(adj.select(F.col("to_id").alias("node_id")))
-             .distinct())
+    own = prebuilt_adj is None
+    if own:
+        adj = edges.select("from_id", "to_id").persist()
+        adj_from = adj_to = adj
+        nodes = (adj.select(F.col("from_id").alias("node_id"))
+                 .unionByName(adj.select(F.col("to_id").alias("node_id")))
+                 .distinct())
+    else:
+        adj_from, adj_to = prebuilt_adj["from"], prebuilt_adj["to"]
+        nodes = prebuilt_adj["nodes"]
     auth = nodes.select("node_id", F.lit(1).cast("long").alias("a")) \
         .localCheckpoint()
     hub = None
     try:
         for _ in range(n_iter):
-            hub = (adj.alias("e")
+            hub = (adj_to.alias("e")
                    .join(auth.alias("a").hint("shuffle_hash"),
                          F.col("e.to_id") == F.col("a.node_id"))
                    .groupBy(F.col("e.from_id").alias("node_id"))
                    .agg(F.sum("a.a").alias("h"))
                    .localCheckpoint())
-            auth = (adj.alias("e")
+            auth = (adj_from.alias("e")
                     .join(hub.alias("h").hint("shuffle_hash"),
                           F.col("e.from_id") == F.col("h.node_id"))
                     .groupBy(F.col("e.to_id").alias("node_id"))
@@ -985,7 +998,8 @@ def hits(edges: DataFrame, n_iter: int = 2) -> DataFrame:
                         F.coalesce(F.col("a.a"), F.lit(0)).cast("long")
                         .alias("authority")))
     finally:
-        adj.unpersist()
+        if own:
+            adj.unpersist()
 
 
 def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
