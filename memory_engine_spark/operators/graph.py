@@ -847,9 +847,10 @@ def k_core(edges: DataFrame, k: int, n_iter: int = 3,
             adj.unpersist(False)
 
 
-def weighted_sssp(edges: DataFrame, source: str, n_iter: int = 4,
+def weighted_sssp(edges: DataFrame | None, source: str, n_iter: int = 4,
                   weight_col: str = "weight",
-                  directed: bool = False) -> DataFrame:
+                  directed: bool = False,
+                  prebuilt_adj: DataFrame | None = None) -> DataFrame:
     """Single-source WEIGHTED shortest distances via ``n_iter`` rounds
     of synchronous Bellman-Ford relaxation — the weighted upgrade of
     the reference's unweighted shortest path (sqlite_storage.py:
@@ -865,14 +866,24 @@ def weighted_sssp(edges: DataFrame, source: str, n_iter: int = 4,
     the reached-distance vector (≤ |V| rows) joins it, and the
     min-groupBy is map-side combined. Distances eagerly checkpoint per
     round (two consumers: the next relax join and the union).
+    ``prebuilt_adj`` takes a RESIDENT adjacency — (from_id, to_id, _w),
+    ALREADY symmetrized if undirected traversal is wanted, ideally
+    hash-partitioned on from_id — so each relax join reuses the
+    resident partitioning and only the distance vector shuffles (the
+    weighted graph is an ingest artifact, like _pr_index's edge list).
     """
-    base = edges.select("from_id", "to_id", F.col(weight_col).alias("_w"))
-    if not directed:
-        base = base.unionByName(
-            base.select(F.col("to_id").alias("from_id"),
-                        F.col("from_id").alias("to_id"), "_w"))
-    adj = base.persist()
-    spark = edges.sparkSession
+    own = prebuilt_adj is None
+    if own:
+        base = edges.select("from_id", "to_id",
+                            F.col(weight_col).alias("_w"))
+        if not directed:
+            base = base.unionByName(
+                base.select(F.col("to_id").alias("from_id"),
+                            F.col("from_id").alias("to_id"), "_w"))
+        adj = base.persist()
+    else:
+        adj = prebuilt_adj.select("from_id", "to_id", "_w")
+    spark = adj.sparkSession
     dist = spark.createDataFrame([(source, 0.0)], "node_id string, dist double") \
         .localCheckpoint()
     try:
@@ -886,7 +897,8 @@ def weighted_sssp(edges: DataFrame, source: str, n_iter: int = 4,
                     .localCheckpoint())
         return dist
     finally:
-        adj.unpersist()
+        if own:
+            adj.unpersist()
 
 
 def personalized_pagerank(edges: DataFrame, sources: list[str],
