@@ -388,6 +388,76 @@ def graph_beam_search(knn_graph: DataFrame, embeddings: DataFrame,
                     .alias("score")))
 
 
+def hnsw_levels(embeddings: DataFrame, id_col: str = "vec_id",
+                p: int = 16, max_level: int = 2,
+                salt: str = "hnsw") -> DataFrame:
+    """Deterministic HNSW layer assignment (Malkov & Yashunin,
+    TPAMI'20 §4: node level drawn geometrically, P(level ≥ l) = p^-l)
+    with the randomness replaced by the repo's portable md5 draw: one
+    32-bit word w = md5word(salt:id); level = the largest l ≤
+    ``max_level`` with w % p^l == 0 — exactly the geometric
+    distribution, reproducible on any engine/partitioning (the A-ES
+    discipline applied to index construction). Returns (id, level int).
+    """
+    word = (F.conv(F.substring(F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long"))
+    lvl = F.lit(0)
+    for l in range(1, max_level + 1):
+        lvl = F.when(word % (p ** l) == 0, F.lit(l)).otherwise(lvl)
+    return embeddings.select(F.col(id_col), lvl.cast("int").alias("level"))
+
+
+def hnsw_search(base_graph: DataFrame, upper_graph: DataFrame,
+                levels: DataFrame, embeddings: DataFrame,
+                query_vec: list[float],
+                beam: int = 8, n_iter: int = 3, k: int = 5,
+                upper_beam: int = 4, upper_iter: int = 2,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Hierarchical graph-ANN search — HNSW's coarse-to-fine descent
+    as three deterministic stages, each SQL-unrollable:
+
+    1. TOP layer (level ≥ 2, |V|/p² nodes by construction — small
+       enough to scan outright; deeper hierarchies add layers, same
+       recurrence): score every node, keep the top 2 as entries.
+    2. MIDDLE layer (level ≥ 1): fixed-round beam search over the
+       layer's own kNN subgraph (``upper_graph``), seeded by the top
+       picks PLUS the layer's smallest id (the deterministic fallback
+       that keeps the stage non-empty when the top layer is — tiny
+       corpora draw no level-2 nodes).
+    3. BASE layer: :func:`graph_beam_search` over the full kNN graph,
+       seeded by the middle beam.
+
+    Each hand-off collects ≤ ``upper_beam`` ids (bounded, the nprobe-
+    cells precedent). Scores are BIGINT micro-units with id tiebreaks
+    throughout — selection AND output are engine-portable, so the
+    whole hierarchy (level draw, layer graphs, every beam round) can
+    be pinned by a SQL oracle, approximation error included.
+    """
+    lv = levels.select(F.col(id_col).alias("_nid"), "level")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = embeddings.select(
+        F.col(id_col).alias("_nid"),
+        F.floor(cosine_similarity(F.col(vec_col).cast("array<double>"), q)
+                * F.lit(1e6) + F.lit(0.5)).cast("long").alias("sc"))
+
+    top_rows = (lv.filter(F.col("level") >= 2).join(emb, "_nid")
+                .orderBy(F.col("sc").desc(), F.col("_nid").asc())
+                .limit(2).collect())
+    l1 = lv.filter(F.col("level") >= 1)
+    fallback = l1.orderBy(F.col("_nid").asc()).limit(1).collect()
+    entries1 = sorted({r["_nid"] for r in top_rows}
+                      | {r["_nid"] for r in fallback})
+    mid = graph_beam_search(upper_graph, embeddings, query_vec, entries1,
+                            beam=upper_beam, n_iter=upper_iter,
+                            k=upper_beam, id_col=id_col, vec_col=vec_col)
+    entries0 = sorted(r[id_col] for r in mid.collect())
+    return graph_beam_search(base_graph, embeddings, query_vec, entries0,
+                             beam=beam, n_iter=n_iter, k=k,
+                             id_col=id_col, vec_col=vec_col)
+
+
 # ---------------------------------------------------------------------------
 # int8 embedding quantization
 # ---------------------------------------------------------------------------

@@ -271,6 +271,54 @@ def test_graph_beam_search_reaches_true_neighbor(spark):
     assert set(ids) == {0, 1, 2}
 
 
+def test_hnsw_levels_geometric_and_deterministic(spark):
+    from memory_engine_spark.operators.similarity import hnsw_levels
+
+    emb = spark.createDataFrame(
+        [(i, [1.0]) for i in range(4096)],
+        "vec_id long, embedding array<float>")
+    lv = {r["vec_id"]: r["level"]
+          for r in hnsw_levels(emb, p=16).collect()}
+    n1 = sum(1 for v in lv.values() if v >= 1)
+    n2 = sum(1 for v in lv.values() if v >= 2)
+    # geometric: ~1/16 at level>=1 (256 expected), ~1/256 at >=2 (16)
+    assert 128 <= n1 <= 512 and 2 <= n2 <= 48
+    # deterministic: a second draw is identical
+    lv2 = {r["vec_id"]: r["level"]
+           for r in hnsw_levels(emb, p=16).collect()}
+    assert lv == lv2
+
+
+def test_hnsw_search_descends_to_true_neighbor(spark):
+    """Hierarchical search on the chain graph: the middle layer's own
+    kNN links fast-forward the descent, and the base beam lands on the
+    query's true neighbors even from an empty top layer (fallback
+    entry = smallest upper-layer id)."""
+    from memory_engine_spark.operators.similarity import (
+        hnsw_search, knn_join_brute)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(16)],
+        "vec_id long, embedding array<float>")
+    base = knn_join_brute(emb, k=2, id_col="vec_id").select("qid", "nid")
+    base = base.unionByName(base.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid"))).distinct()
+    # hand-assigned levels: every 4th node is upper-layer; none at top
+    levels = spark.createDataFrame(
+        [(i, 1 if i % 4 == 0 else 0) for i in range(16)],
+        "vec_id long, level int")
+    sub = emb.join(levels.filter("level >= 1"), "vec_id").select(
+        "vec_id", "embedding")
+    upper = knn_join_brute(sub, k=2, id_col="vec_id").select("qid", "nid")
+    upper = upper.unionByName(upper.select(
+        F.col("nid").alias("qid"), F.col("qid").alias("nid"))).distinct()
+    out = hnsw_search(base, upper, levels, emb, [15.0, 1.0],
+                      beam=3, n_iter=4, k=3, upper_beam=2, upper_iter=2)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids[0] == 15
+    assert set(ids) == {13, 14, 15}
+
+
 def test_diversify_topk_parity_with_driver_filter(spark):
     """Property: on a randomized page the distributed unrolled rounds
     must select exactly the first-k rows the reference-shaped
