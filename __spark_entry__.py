@@ -3370,7 +3370,14 @@ def q149_corpus_pipeline(spark, sf):
     fragments. One Catalyst plan end to end: the gate is a projection,
     dedup one hash shuffle, decontamination a broadcast fingerprint
     join, packing the q69 two-phase prefix sum."""
-    docs = _t(spark, sf)["documents"]
+    # Spread the single-file documents table before the regex-heavy
+    # stages: one tiny doc_id shuffle up front parallelizes the whole
+    # pipeline (at corpus scale the input arrives in many splits and
+    # this repartition is the no-op it should be — here it is the
+    # difference between 1 task and 32 doing the string work).
+    n_parts = spark.sparkContext.defaultParallelism
+    docs = (_t(spark, sf)["documents"]
+            .repartition(n_parts, "doc_id").localCheckpoint())
     # Corpus-tuned gate thresholds (Gopher's own paper tunes per
     # corpus): the canned stopword test is vacuous on this synthetic
     # vocabulary (no English stopwords exist → keep=false for ALL
@@ -3387,17 +3394,30 @@ def q149_corpus_pipeline(spark, sf):
                     & (F.col("ellipsis_line_ratio") <= 0.3)
                     & (F.col("alpha_word_ratio") >= 0.8))
             .select("doc_id"))
-    s1 = docs.join(kept, "doc_id")
+    # Checkpoint the gate output: FOUR downstream consumers (dedup,
+    # decontamination, packing, and the stage aggregates) would each
+    # re-run the regex-heavy signal projection otherwise. At corpus
+    # scale this is the standard stage-boundary materialization a
+    # pipeline writes between passes anyway.
+    # The explicit repartition before each checkpoint matters: the
+    # survivor frames are KB-sized but their downstream fingerprint/
+    # packing projections are CPU-heavy, so AQE's byte-based coalesce
+    # would fold them into one task (the q67 lesson, PLANS.md);
+    # a checkpointed explicit exchange pins the parallelism.
+    s1 = (docs.join(kept, "doc_id")
+          .repartition(n_parts, "doc_id").localCheckpoint())
     surv = (s1.select("doc_id",
                       F.md5(dedup.normalized(F.col("text"))).alias("_h"))
             .groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
-    s2 = s1.join(surv, "doc_id")
+    s2 = (s1.join(surv, "doc_id")
+          .repartition(n_parts, "doc_id").localCheckpoint())
     bench = docs.filter(F.col("source") == "src0")
     train = s2.filter(F.col("source") != "src0")
     contaminated = text.decontaminate(
         train, bench, "text", "doc_id", window=8).select("doc_id")
-    s3 = train.join(contaminated, "doc_id", "left_anti")
+    s3 = (train.join(contaminated, "doc_id", "left_anti")
+          .repartition(n_parts, "doc_id").localCheckpoint())
     packed = corpus.pack_sequences(
         s3, F.size(dedup.tokens(F.col("text"))), budget=512,
         id_col="doc_id", n_shards=8, salt="pack")
