@@ -3441,6 +3441,33 @@ def q149_corpus_pipeline(spark, sf):
             .orderBy("stage"))
 
 
+def q150_quality_probe(spark, sf):
+    """Model-based quality filter trained IN the engine
+    (corpus.logistic_probe — the fasttext/CCNet-style linear probe):
+    3 full-batch GD steps over 64-bucket hashed bag-of-words features,
+    label = doc contains the 'dup' marker token (the learnable signal
+    in this synthetic corpus: source labels are BoW-independent by
+    construction, so the probe instead demonstrates discovering a
+    marker token's hash bucket), then per-doc scoring. The oracle unrolls
+    all 3 steps — every z sum is BIGINT femto-units, every gradient
+    BIGINT pico-units, and the link is the RATIONAL fast sigmoid
+    0.5 + 0.5·z/(1+|z|), so no engine-local exp()/float-ordering ever
+    reaches a hashed value (the q86 discipline applied to training).
+    Output = every labeled doc's score, doc_id order."""
+    from memory_engine_spark.operators.dedup import tokens as _toks
+    docs = (_t(spark, sf)["documents"]
+            .withColumn("is_pos",
+                        F.array_contains(_toks(F.col("text")),
+                                         "dup").cast("int")))
+    n_pos, n_all = docs.agg(
+        F.sum("is_pos"), F.count(F.lit(1))).first()
+    _w, scored = corpus.logistic_probe(
+        docs, "text", "doc_id", "is_pos", dim=64, n_steps=3, lr=50.0,
+        pos_weight=n_all / (2.0 * n_pos),
+        neg_weight=n_all / (2.0 * (n_all - n_pos)))
+    return scored.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3488,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_bpe_encode": q147_bpe_encode,
         "q148_hnsw_search": q148_hnsw_search,
         "q149_corpus_pipeline": q149_corpus_pipeline,
+        "q150_quality_probe": q150_quality_probe,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6821,6 +6849,80 @@ def oracle_sql() -> dict[str, str]:
         FROM ptot
         ORDER BY stage
     """
+
+    # q150: 3 GD steps unrolled — feats once (materialized), then per
+    # step a femto-unit dot product, the rational fast-sigmoid link,
+    # a pico-unit gradient sum, and the weight update in the SAME
+    # association the Python driver uses.
+    _md5w = ("CAST(list_sum(list_transform(range(0, 8), "
+             "j_ -> (strpos('0123456789abcdef', "
+             "substr(md5(_tok), 1 + j_::INT, 1)) - 1) "
+             "* power(16, 7 - j_))) AS BIGINT)")
+    _gd = ["""
+        ftoks AS (SELECT doc_id, unnest(toks) AS _tok FROM toks_t),
+        fcnt AS (SELECT doc_id,
+                        CAST(%s %% 64 AS INT) AS j,
+                        COUNT(*) AS c
+                 FROM ftoks GROUP BY 1, 2),
+        fn AS (SELECT doc_id, COUNT(*) AS n FROM ftoks GROUP BY 1),
+        feats AS MATERIALIZED (
+            SELECT c.doc_id, c.j,
+                   CAST(c.c AS DOUBLE) / CAST(fn.n AS DOUBLE) AS x
+            FROM fcnt c JOIN fn USING (doc_id)
+            UNION ALL
+            SELECT doc_id, 64 AS j, 1.0 AS x FROM fn),
+        lbl AS MATERIALIZED (
+            SELECT t.doc_id,
+                   CASE WHEN list_contains(t.toks, 'dup')
+                        THEN 1 ELSE 0 END AS y
+            FROM toks_t t JOIN fn ON t.doc_id = fn.doc_id),
+        nd AS (SELECT COUNT(*) AS n FROM lbl),
+        cw AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                      / (2.0 * CAST((SELECT SUM(CASE WHEN
+                              list_contains(toks, 'dup') THEN 1 ELSE 0
+                              END) FROM toks_t) AS DOUBLE)) AS pw,
+                      CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                      / (2.0 * CAST((SELECT SUM(CASE WHEN
+                              list_contains(toks, 'dup') THEN 0 ELSE 1
+                              END) FROM toks_t) AS DOUBLE)) AS nw),
+        w0 AS (SELECT j::INT AS j, 0.0 AS w FROM range(0, 65) t(j))"""
+           % _md5w]
+    for k in range(1, 4):
+        _gd.append(f"""
+        z{k} AS (SELECT f.doc_id,
+                        SUM(CAST(FLOOR(w.w * f.x * 1e15 + 0.5)
+                                 AS BIGINT)) AS zm
+                 FROM feats f JOIN w{k - 1} w USING (j) GROUP BY 1),
+        p{k} AS (SELECT doc_id,
+                        0.5 + 0.5 * (CAST(zm AS DOUBLE) / 1e15)
+                            / (1.0 + abs(CAST(zm AS DOUBLE) / 1e15)) AS p
+                 FROM z{k}),
+        g{k} AS (SELECT f.j,
+                        SUM(CAST(FLOOR((p.p - CAST(l.y AS DOUBLE)) * f.x
+                                       * (CASE WHEN l.y = 1
+                                          THEN (SELECT pw FROM cw)
+                                          ELSE (SELECT nw FROM cw) END)
+                                       * 1e12 + 0.5) AS BIGINT)) AS gm
+                 FROM feats f JOIN p{k} p USING (doc_id)
+                 JOIN lbl l USING (doc_id) GROUP BY 1),
+        w{k} AS MATERIALIZED (
+            SELECT w.j,
+                   w.w - ((CAST(COALESCE(g.gm, 0) AS DOUBLE)
+                           / 1000000000000.0) * 50.0)
+                         / (SELECT n FROM nd) AS w
+            FROM w{k - 1} w LEFT JOIN g{k} g USING (j))""")
+    sql["q150_quality_probe"] = (
+        "WITH " + TOKS_CTE + "," + ",".join(_gd) + """,
+        zf AS (SELECT f.doc_id,
+                      SUM(CAST(FLOOR(w.w * f.x * 1e15 + 0.5)
+                               AS BIGINT)) AS zm
+               FROM feats f JOIN w3 w USING (j) GROUP BY 1)
+        SELECT z.doc_id, l.y AS label,
+               CAST(FLOOR((0.5 + 0.5 * (CAST(z.zm AS DOUBLE) / 1e15)
+                    / (1.0 + abs(CAST(z.zm AS DOUBLE) / 1e15)))
+                    * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS score
+        FROM zf z JOIN lbl l USING (doc_id)
+        ORDER BY z.doc_id""")
 
     # q115: both deterministic fake decoders are md5-digest bytes —
     # image = 4×4 column means, audio = row means — reproduced from

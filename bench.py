@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q147_bpe_encode",        # BPE encode via distinct-word dictionary
     "q148_hnsw_search",       # hierarchical HNSW beam descent
     "q149_corpus_pipeline",   # 4-stage corpus pipeline, one plan
+    "q150_quality_probe",     # 3 unrolled GD steps + scoring
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]

@@ -657,3 +657,120 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str,
                     .alias("n_words"),
                     F.coalesce("n_pieces", F.lit(0)).cast("bigint")
                     .alias("n_pieces")))
+
+
+def probe_features(df: DataFrame, text_col: str, id_col: str,
+                   dim: int = 64) -> DataFrame:
+    """Hashed bag-of-words features for the linear quality probe:
+    bucket j = md5word(token) % dim, x = bucket count / token count,
+    plus a bias feature (j = dim, x = 1.0). Rows without tokens drop
+    (no signal, and 0/0 is undefined on any engine). Returns
+    (id, j, x) — the exploded sparse feature matrix, ratios of
+    integers so every x is the same double everywhere."""
+    from memory_engine_spark.operators.dedup import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                     .alias("_tok"))
+    bucket = (F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10)
+              .cast("long") % dim).cast("int")
+    counts = (toks.select(id_col, bucket.alias("j"))
+              .groupBy(id_col, "j").agg(F.count(F.lit(1)).alias("c")))
+    n_tok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    feats = (counts.join(n_tok, id_col)
+             .select(id_col, "j",
+                     (F.col("c").cast("double") / F.col("n").cast("double"))
+                     .alias("x")))
+    bias = n_tok.select(id_col, F.lit(dim).cast("int").alias("j"),
+                        F.lit(1.0).alias("x"))
+    return feats.unionByName(bias)
+
+
+def logistic_probe(df: DataFrame, text_col: str, id_col: str,
+                   label_col, dim: int = 64, n_steps: int = 3,
+                   lr: float = 1.0, pos_weight: float = 1.0,
+                   neg_weight: float = 1.0) -> tuple[list[float], DataFrame]:
+    """Linear quality-probe classifier (the fasttext/CCNet-style
+    model-based corpus filter) trained END TO END in the engine:
+    ``n_steps`` full-batch gradient-descent steps over hashed
+    bag-of-words features, then per-document scoring. Returns
+    (weights, scored_df) with scored_df = (id, label, score).
+
+    Every step is oracle-unrollable because NOTHING depends on
+    engine-local transcendentals or float summation order (the q86
+    discipline applied to ML training):
+
+    - the link is the RATIONAL fast sigmoid p = 0.5 + 0.5·z/(1+|z|) —
+      pure IEEE arithmetic, bit-identical on any engine, unlike exp();
+    - per-document z sums as BIGINT femto-units
+      (floor(w_j·x_j·1e15 + 0.5)), so the dot product is
+      order-independent;
+    - the gradient Σ wt_y·(p−y)·x_j sums as BIGINT pico-units per
+      feature (``pos_weight``/``neg_weight`` = the standard class
+      re-balancing for skewed corpora — without it the bias gradient
+      of the majority class swamps the signal buckets);
+    - the weight update w − ((g/1e12)·lr)/n runs in the SAME
+      association driver-side and in SQL.
+
+    Scale shape: the sparse feature matrix builds once (explode +
+    two map-side-combined aggregates) and persists; each step is one
+    broadcast join against the (dim+1)-row weight table, one id-keyed
+    BIGINT sum, one feature-keyed BIGINT sum, and a (dim+1)-row
+    collect — the pagerank shuffle discipline with the rank vector
+    replaced by the weight vector.
+    """
+    spark = df.sparkSession
+    feats = probe_features(df, text_col, id_col, dim).persist()
+    labels = df.select(
+        F.col(id_col), F.col(label_col).cast("int").alias("y")
+    ).join(feats.select(id_col).distinct(), id_col)
+    n_docs = labels.count()
+    w = [0.0] * (dim + 1)
+    try:
+        for _ in range(n_steps):
+            wdf = spark.createDataFrame(
+                [(j, wj) for j, wj in enumerate(w)], "j int, w double")
+            z = (feats.join(F.broadcast(wdf), "j")
+                 .select(id_col,
+                         F.floor(F.col("w") * F.col("x") * F.lit(1e15)
+                                 + F.lit(0.5)).cast("long").alias("zt"))
+                 .groupBy(id_col).agg(F.sum("zt").alias("zm")))
+            p = (z.select(id_col,
+                          (F.col("zm").cast("double") / F.lit(1e15))
+                          .alias("zv"))
+                 .select(id_col,
+                         (F.lit(0.5) + F.lit(0.5) * F.col("zv")
+                          / (F.lit(1.0) + F.abs(F.col("zv"))))
+                         .alias("p")))
+            wt = F.when(F.col("y") == 1, F.lit(pos_weight)) \
+                .otherwise(F.lit(neg_weight))
+            grad = (feats.join(p, id_col).join(labels, id_col)
+                    .select("j", F.floor(
+                        (F.col("p") - F.col("y").cast("double"))
+                        * F.col("x") * wt * F.lit(1e12) + F.lit(0.5))
+                        .cast("long").alias("g"))
+                    .groupBy("j").agg(F.sum("g").alias("gm")))
+            gmap = {r["j"]: r["gm"] for r in grad.collect()}
+            w = [wj - ((gmap.get(j, 0) / 1e12) * lr) / n_docs
+                 for j, wj in enumerate(w)]
+        wdf = spark.createDataFrame(
+            [(j, wj) for j, wj in enumerate(w)], "j int, w double")
+        scored = (feats.join(F.broadcast(wdf), "j")
+                  .select(id_col,
+                          F.floor(F.col("w") * F.col("x") * F.lit(1e15)
+                                  + F.lit(0.5)).cast("long").alias("zt"))
+                  .groupBy(id_col).agg(F.sum("zt").alias("zm"))
+                  .select(id_col,
+                          (F.col("zm").cast("double") / F.lit(1e15))
+                          .alias("zv"))
+                  .select(id_col,
+                          (F.lit(0.5) + F.lit(0.5) * F.col("zv")
+                           / (F.lit(1.0) + F.abs(F.col("zv"))))
+                          .alias("p"))
+                  .join(labels, id_col)
+                  .select(id_col, F.col("y").alias("label"),
+                          (F.floor(F.col("p") * F.lit(1e6) + F.lit(0.5))
+                           .cast("double") / F.lit(1e6)).alias("score"))
+                  .localCheckpoint())
+        return w, scored
+    finally:
+        feats.unpersist(False)

@@ -287,3 +287,28 @@ def test_bpe_encode_piece_counts(spark):
     # the=1 piece, cat=3 -> doc1: 2 words, 4 pieces
     # thee = [the, e] -> 2 pieces; zq = 2 pieces (no rules apply)
     assert got == {1: (2, 4), 2: (1, 2), 3: (0, 0), 4: (2, 3)}
+
+
+def test_logistic_probe_learns_marker_token(spark):
+    """The probe must discover a perfectly-predictive marker token's
+    hash bucket: positives (docs containing 'zzz') end up scoring
+    strictly above every negative, and retraining is bit-identical
+    (the BIGINT-quantized GD is deterministic by construction)."""
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators.corpus import logistic_probe
+
+    rows = [(i, ("zzz alpha beta" if i % 3 == 0 else "alpha beta gamma"),
+             1 if i % 3 == 0 else 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, text string, y int")
+    w1, scored1 = logistic_probe(df, "text", "id", "y", dim=16,
+                                 n_steps=4, lr=50.0,
+                                 pos_weight=1.5, neg_weight=0.75)
+    s1 = {r["id"]: (r["label"], r["score"]) for r in scored1.collect()}
+    pos = [v for (l, v) in s1.values() if l == 1]
+    neg = [v for (l, v) in s1.values() if l == 0]
+    assert min(pos) > max(neg)
+    w2, _ = logistic_probe(df, "text", "id", "y", dim=16,
+                           n_steps=4, lr=50.0,
+                           pos_weight=1.5, neg_weight=0.75)
+    assert w1 == w2
