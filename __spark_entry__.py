@@ -3468,6 +3468,66 @@ def q150_quality_probe(spark, sf):
     return scored.orderBy("doc_id")
 
 
+def q152_int8_ann(spark, sf):
+    """int8-quantized ANN (similarity.topk_int8): candidates ranked by
+    the exact-integer dot product of the q71 codes, top-50 re-ranked
+    by exact float cosine. Query = vec 3's own code row, so BOTH
+    stages — the quantization, the integer candidate order, and the
+    re-rank — unroll to SQL and the compression's approximation error
+    is oracle-pinned. Top-10."""
+    emb = _t(spark, sf)["embeddings"]
+    qz = similarity.quantize_int8(emb, id_col="vec_id")
+    qrow = qz.filter("vec_id = 3").select("qvec").first()["qvec"]
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 3").first()["embedding"]]
+    return (similarity.topk_int8(emb, qvec, [int(v) for v in qrow],
+                                 k=10, n_candidates=50, id_col="vec_id")
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+
+
+_Q151_SEQ = [0]
+
+
+def q151_stream_dedup(spark, sf):
+    """The custom STATEFUL streaming dedup operator under the oracle
+    gate (streaming/stateful.streaming_dedup — applyInPandasWithState,
+    the reference's pub/sub at-most-once delivery semantics as real
+    MicroBatchExecution state): events stream through the symlinked
+    file source, the first row per (user_id, event_type) key passes,
+    later ones drop. The pre-dedup projection keeps ONLY
+    key-determined columns, so the surviving rows are independent of
+    arrival order and the drained sink equals the plain batch
+    DISTINCT — which is exactly what the oracle states. Output =
+    per-event_type distinct-user counts from the drained sink."""
+    import os
+    import shutil
+    import tempfile
+
+    from memory_engine_spark.streaming.stateful import streaming_dedup
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"me_sdedup_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    os.symlink(os.path.join(sf, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = _t(spark, sf)["events"].schema
+    src = (spark.readStream.schema(schema).parquet(d)
+           .select("user_id", "event_type",
+                   F.concat_ws("|", "user_id", "event_type").alias("k")))
+    deduped = streaming_dedup(src, key_col="k")
+    _Q151_SEQ[0] += 1
+    name = f"q151_sink_{os.getpid()}_{_Q151_SEQ[0]}"
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3516,6 +3576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_hnsw_search": q148_hnsw_search,
         "q149_corpus_pipeline": q149_corpus_pipeline,
         "q150_quality_probe": q150_quality_probe,
+        "q151_stream_dedup": q151_stream_dedup,
+        "q152_int8_ann": q152_int8_ann,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6923,6 +6985,66 @@ def oracle_sql() -> dict[str, str]:
                     * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS score
         FROM zf z JOIN lbl l USING (doc_id)
         ORDER BY z.doc_id""")
+
+    # q152: q71's quantization CTEs, integer-dot candidate ranking,
+    # exact-cosine re-rank — the same association as topk_int8.
+    sql["q152_int8_ann"] = """
+        WITH q AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qq AS (
+            SELECT vec_id, v, scale,
+                   CASE WHEN scale * 127.0 < 1e-10
+                        THEN list_transform(v, x -> 0)
+                        ELSE list_transform(v, x -> CAST(round(x / scale)
+                                                         AS INT)) END
+                       AS qvec
+            FROM q
+        ),
+        qv3 AS (SELECT qvec AS qq3, v AS v3 FROM qq WHERE vec_id = 3),
+        nq AS (SELECT CAST(list_sum(list_transform(qq3,
+                      x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nq
+               FROM qv3),
+        scored AS (
+            SELECT c.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(c.qvec) + 1),
+                        i_ -> CAST(c.qvec[i_] AS BIGINT)
+                              * CAST(q3.qq3[i_] AS BIGINT)))
+                        AS BIGINT) AS d,
+                   CAST(list_sum(list_transform(c.qvec,
+                        x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nv
+            FROM qq c, qv3 q3
+        ),
+        cand AS (
+            SELECT vec_id,
+                   CASE WHEN nv = 0 OR (SELECT nq FROM nq) = 0 THEN 0.0
+                        ELSE CAST(d AS DOUBLE)
+                             / (sqrt(CAST(nv AS DOUBLE))
+                                * sqrt(CAST((SELECT nq FROM nq)
+                                            AS DOUBLE))) END AS ascore
+            FROM scored
+            ORDER BY ascore DESC, vec_id ASC LIMIT 50
+        ),
+        rr AS (
+            SELECT c.vec_id,
+                   CAST(FLOOR(list_cosine_similarity(
+                        e.embedding::DOUBLE[], (SELECT v3 FROM qv3))
+                        * 1000000.0 + 0.5) AS BIGINT) AS sc
+            FROM cand c JOIN embeddings e USING (vec_id)
+            ORDER BY sc DESC, c.vec_id ASC LIMIT 10
+        )
+        SELECT vec_id, CAST(sc AS DOUBLE) / 1000000.0 AS score
+        FROM rr ORDER BY score DESC, vec_id ASC
+    """
+
+    # q151: the streaming dedup's drained sink equals batch DISTINCT.
+    sql["q151_stream_dedup"] = """
+        SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
 
     # q115: both deterministic fake decoders are md5-digest bytes —
     # image = 4×4 column means, audio = row means — reproduced from

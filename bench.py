@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "q148_hnsw_search",       # hierarchical HNSW beam descent
     "q149_corpus_pipeline",   # 4-stage corpus pipeline, one plan
     "q150_quality_probe",     # 3 unrolled GD steps + scoring
+    "q151_stream_dedup",      # stateful streaming dedup drain
+    "q152_int8_ann",          # int8 candidates + exact re-rank
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
 ]

@@ -388,6 +388,55 @@ def graph_beam_search(knn_graph: DataFrame, embeddings: DataFrame,
                     .alias("score")))
 
 
+def topk_int8(embeddings: DataFrame, query_vec: list[float],
+              query_qvec: list[int], k: int = 10,
+              n_candidates: int = 50, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Two-stage ANN over int8-quantized vectors: candidate generation
+    ranks by the INTEGER dot product of the per-vector-quantized codes
+    (cos ≈ d_int/(√Σv²·√Σq²) — all three aggregates are exact BIGINTs,
+    the only floats are two correctly-rounded sqrts and one division,
+    so candidate order is bit-identical on any engine), then the top
+    ``n_candidates`` re-rank by exact float cosine (micro-quantized).
+    The production memory trade: the scan touches 4×-smaller codes;
+    float vectors load only for ``n_candidates`` rows. Composes with
+    the IVF cell index at corpus scale (quantize within cells); the
+    flat scan here is the yardstick, like ``topk_brute``.
+
+    ``query_qvec`` must come from the SAME quantization scheme
+    (``quantize_int8`` — for an in-corpus query, read its code row).
+    Returns (id, score), score = exact cosine in micro-units/1e6.
+    """
+    import math
+
+    qz = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    nq = sum(int(v) * int(v) for v in query_qvec)
+    qlit = F.array(*[F.lit(int(v)).cast("int") for v in query_qvec])
+    d = F.aggregate(
+        F.zip_with(F.col("qvec"), qlit,
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nv = F.aggregate(F.col("qvec"), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x.cast("long") * x.cast("long"))
+    approx = F.when((nv == 0) | (F.lit(nq) == 0), F.lit(0.0)) \
+        .otherwise(d.cast("double")
+                   / (F.sqrt(nv.cast("double"))
+                      * F.lit(math.sqrt(float(nq)))))
+    cand = (qz.select(F.col(id_col), approx.alias("ascore"))
+            .orderBy(F.col("ascore").desc(), F.col(id_col).asc())
+            .limit(n_candidates))
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = F.floor(
+        cosine_similarity(F.col(vec_col).cast("array<double>"), qv)
+        * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (cand.join(embeddings, id_col)
+            .select(F.col(id_col), exact.alias("sc"))
+            .orderBy(F.col("sc").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, (F.col("sc").cast("double") / F.lit(1e6))
+                    .alias("score")))
+
+
 def hnsw_levels(embeddings: DataFrame, id_col: str = "vec_id",
                 p: int = 16, max_level: int = 2,
                 salt: str = "hnsw") -> DataFrame:

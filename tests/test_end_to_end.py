@@ -110,7 +110,7 @@ def test_registry_and_oracles_consistent():
     oracles = entrymod.oracle_sql()
     assert set(qs) == set(oracles), (
         "every queries() entry needs an oracle_sql() twin and vice versa")
-    assert len(qs) >= 150
+    assert len(qs) >= 152
 
 
 def test_q86_hashed_columns_are_integers(spark):

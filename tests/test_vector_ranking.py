@@ -355,3 +355,26 @@ def test_diversify_topk_parity_with_driver_filter(spark):
                                            max_similarity=0.7)
     want = [d["doc_id"] for d in kept][:6]
     assert got == want
+
+
+def test_topk_int8_recovers_brute_topk(spark):
+    """int8 candidate generation + exact re-rank must return the same
+    top-k (same ids, same micro-quantized scores) as the float brute
+    force when candidates cover the true neighbors."""
+    from memory_engine_spark.operators.similarity import (
+        quantize_int8, topk_brute, topk_int8)
+
+    import math
+    emb = spark.createDataFrame(
+        [(i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    qz = quantize_int8(emb, id_col="vec_id")
+    qrow = [int(v) for v in
+            qz.filter("vec_id = 5").first()["qvec"]]
+    qvec = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
+    got = [(r["vec_id"], r["score"]) for r in
+           topk_int8(emb, qvec, qrow, k=5, n_candidates=15,
+                     id_col="vec_id").collect()]
+    brute = [(r["vec_id"], round(r["score"], 6)) for r in
+             topk_brute(emb, qvec, k=5, id_col="vec_id").collect()]
+    assert [g[0] for g in got] == [b[0] for b in brute]
