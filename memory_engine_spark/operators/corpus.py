@@ -688,7 +688,9 @@ def probe_features(df: DataFrame, text_col: str, id_col: str,
 def logistic_probe(df: DataFrame, text_col: str, id_col: str,
                    label_col, dim: int = 64, n_steps: int = 3,
                    lr: float = 1.0, pos_weight: float = 1.0,
-                   neg_weight: float = 1.0) -> tuple[list[float], DataFrame]:
+                   neg_weight: float = 1.0,
+                   prebuilt_feats: DataFrame | None = None
+                   ) -> tuple[list[float], DataFrame]:
     """Linear quality-probe classifier (the fasttext/CCNet-style
     model-based corpus filter) trained END TO END in the engine:
     ``n_steps`` full-batch gradient-descent steps over hashed
@@ -716,10 +718,14 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
     broadcast join against the (dim+1)-row weight table, one id-keyed
     BIGINT sum, one feature-keyed BIGINT sum, and a (dim+1)-row
     collect — the pagerank shuffle discipline with the rank vector
-    replaced by the weight vector.
+    replaced by the weight vector. ``prebuilt_feats`` takes an
+    already-persisted probe_features frame (the feature matrix is the
+    ingest-time artifact; labels/steps are per-query).
     """
     spark = df.sparkSession
-    feats = probe_features(df, text_col, id_col, dim).persist()
+    own = prebuilt_feats is None
+    feats = (probe_features(df, text_col, id_col, dim).persist()
+             if own else prebuilt_feats)
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("int").alias("y")
     ).join(feats.select(id_col).distinct(), id_col)
@@ -773,4 +779,5 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
                   .localCheckpoint())
         return w, scored
     finally:
-        feats.unpersist(False)
+        if own:
+            feats.unpersist(False)
