@@ -69,15 +69,26 @@ toks_t AS (
 # schema inspection) costs ~2s per call at 10 tables; cache per session+dir.
 _TABLE_CACHE: dict[tuple[int, str], dict] = {}
 
-# Persistent-RDD ids owned by the named session caches below. Every
-# builder records the ids it persists (diff of the JVM persistent-RDD
-# map around its miss path), so an external hygiene pass — bench.py's
-# inter-query drop_transient_caches — can unpersist everything EXCEPT
-# these, even for caches built lazily after the initial
-# prepare_indexes snapshot (the r04 ADVICE hazard: a late-built _ivf/
-# _pq variant lost its storage but kept its dict entry, silently
-# recomputing per query).
-_PINNED_RDD_IDS: set[int] = set()
+# Size-budgeted LRU registry of the named session caches below (round-6
+# VERDICT item: round 5 pinned 8+ resident structures with no size
+# accounting, and SCALING.md r01 documented 6x probe inflation from
+# exactly that storage contention). Every builder records, under a
+# stable NAME, (a) the persistent-RDD ids it created — diff of the JVM
+# persistent-RDD map around its miss path — and (b) the Python dict +
+# key holding its handle, so eviction can both unpersist the JVM blocks
+# (looked up by id; no frame handle needed) and pop the dict entry so
+# the next access rebuilds from .derived parquet. Budget enforcement is
+# LRU (hit paths touch their entry) and runs at registration time; the
+# hygiene-pass contract (bench.py's drop_transient_caches consults
+# pinned_rdd_ids()) is unchanged.
+import itertools as _itertools
+
+_PIN_SEQ = _itertools.count()
+# name -> {"ids": set[int], "cache": dict, "key": hashable, "seq": int}
+_PIN_REGISTRY: dict[str, dict] = {}
+# Evicting the lazy table wrappers would orphan references other
+# builders hold; they also own ~no storage. Never evicted.
+_PIN_PROTECTED = {"tables"}
 
 
 def _rdd_snap(spark: SparkSession) -> set[int]:
@@ -85,15 +96,114 @@ def _rdd_snap(spark: SparkSession) -> set[int]:
     return {e.getKey() for e in jmap.entrySet().toArray()}
 
 
-def _pin_new(spark: SparkSession, before: set[int]) -> None:
-    _PINNED_RDD_IDS.update(_rdd_snap(spark) - before)
+def _pin_new(spark: SparkSession, before: set[int], name: str,
+             cache: dict | None = None, key=None) -> None:
+    _PIN_REGISTRY[name] = {"ids": _rdd_snap(spark) - before,
+                           "cache": cache, "key": key,
+                           "seq": next(_PIN_SEQ)}
+    evict_pins_to_budget(spark, protect={name})
+
+
+def _touch_pin(name: str) -> None:
+    if name in _PIN_REGISTRY:
+        _PIN_REGISTRY[name]["seq"] = next(_PIN_SEQ)
 
 
 def pinned_rdd_ids() -> set[int]:
-    """RDD ids every named session cache currently owns (accumulated;
-    ids of since-unpersisted frames are harmless extras). Consult this
+    """RDD ids every named session cache currently owns. Consult this
     in addition to any startup snapshot before bulk-unpersisting."""
-    return set(_PINNED_RDD_IDS)
+    out: set[int] = set()
+    for e in _PIN_REGISTRY.values():
+        out |= e["ids"]
+    return out
+
+
+def pinned_cache_sizes(spark: SparkSession) -> dict[str, int]:
+    """Bytes (memory + disk) currently held per named session cache,
+    from the JVM RDDStorageInfo. Entries whose blocks were evicted by
+    Spark itself report 0 — they still occupy a registry slot until
+    LRU-evicted here."""
+    info = {r.id(): int(r.memSize() + r.diskSize())
+            for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    return {name: sum(info.get(i, 0) for i in e["ids"])
+            for name, e in _PIN_REGISTRY.items()}
+
+
+def _frames_of(val):
+    """Yield every DataFrame inside a cache value (frame, tuple of
+    frames, layout dict, nested)."""
+    if isinstance(val, DataFrame):
+        yield val
+    elif isinstance(val, dict):
+        for v in val.values():
+            yield from _frames_of(v)
+    elif isinstance(val, (tuple, list)):
+        for v in val:
+            yield from _frames_of(v)
+
+
+def _evict_pin(spark: SparkSession, name: str) -> None:
+    e = _PIN_REGISTRY.pop(name, None)
+    if e is None:
+        return
+    # Dataset-level unpersist FIRST: unpersisting only the JVM RDD
+    # leaves the CacheManager's InMemoryRelation behind with storage
+    # level NONE, so a rebuilt identical plan "re-caches" into a
+    # relation that never stores blocks again (observed in the round-6
+    # registry test). Dataset.unpersist drops the CacheManager entry.
+    if e["cache"] is not None:
+        for df in _frames_of(e["cache"].get(e["key"])):
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
+        e["cache"].pop(e["key"], None)
+    # RDD-level sweep for blocks no Dataset handle covers
+    # (localCheckpoint block RDDs).
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for entry in jmap.entrySet().toArray():
+        if entry.getKey() in e["ids"]:
+            entry.getValue().unpersist(False)
+
+
+def pin_budget_bytes() -> int:
+    """Session cache budget; env-tunable. Default 8 GiB — ~6x the full
+    sf0.1 index set, so the bench never thrashes, while a long-lived
+    session (or a larger SF) gets bounded storage instead of unbounded
+    accumulation. On a real cluster this maps to a fraction of
+    aggregate executor storage memory."""
+    import os
+    return int(os.environ.get("SPARK_GRAFT_PIN_BUDGET_MB", "8192")) * (1 << 20)
+
+
+def evict_pins_to_budget(spark: SparkSession, budget: int | None = None,
+                         protect: set[str] = frozenset()) -> list[str]:
+    """Unpersist least-recently-used named caches until total pinned
+    bytes fit the budget. Evicted builders rebuild from their .derived
+    parquet on next touch (cheap re-read, not re-ETL). Returns evicted
+    names."""
+    budget = pin_budget_bytes() if budget is None else budget
+    sizes = pinned_cache_sizes(spark)
+    total = sum(sizes.values())
+    evicted: list[str] = []
+    for name in sorted(_PIN_REGISTRY, key=lambda n: _PIN_REGISTRY[n]["seq"]):
+        if total <= budget:
+            break
+        if name in _PIN_PROTECTED or name in protect:
+            continue
+        total -= sizes.get(name, 0)
+        _evict_pin(spark, name)
+        evicted.append(name)
+    return evicted
+
+
+def drop_all_pins(spark: SparkSession) -> list[str]:
+    """Evict every non-protected named cache (budget 0). bench.py calls
+    this before the scale_10x probe so the probe measures operator
+    scaling in a clean cache state, not session storage contention —
+    the r05 bfs_2hop 36.7s blow-up was exactly the latter (isolated
+    re-run: 9.3s; see SCALING.md round 6)."""
+    return evict_pins_to_budget(spark, budget=0)
 
 
 def _t(spark: SparkSession, sf_dir: str):
@@ -101,7 +211,8 @@ def _t(spark: SparkSession, sf_dir: str):
     if key not in _TABLE_CACHE:
         before = _rdd_snap(spark)
         _TABLE_CACHE[key] = load_tables(spark, sf_dir)
-        _pin_new(spark, before)
+        _pin_new(spark, before, "tables", _TABLE_CACHE, key)
+    _touch_pin("tables")
     return _TABLE_CACHE[key]
 
 
@@ -122,6 +233,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key in _EDGES_CACHE:
+        _touch_pin("edges")
         return _EDGES_CACHE[key]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -139,7 +251,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # pragma: no cover — read-only checkout etc.
         df = graph_edges(_t(spark, sf_dir)).persist()
     df.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "edges", _EDGES_CACHE, key)
     _EDGES_CACHE[key] = df
     return df
 
@@ -160,6 +272,7 @@ def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
 
     key = (id(spark), sf_dir, nlist)
     if key in _IVF_CACHE:
+        _touch_pin(f"ivf:{key[2:]}")
         return _IVF_CACHE[key]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -185,7 +298,7 @@ def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
         cents, assigned = similarity.build_ivf_flat(
             _t(spark, sf_dir)["embeddings"], nlist=nlist, id_col="vec_id")
         assigned = assigned.localCheckpoint()
-    _pin_new(spark, before)
+    _pin_new(spark, before, f"ivf:{key[2:]}", _IVF_CACHE, key)
     _IVF_CACHE[key] = (cents, assigned)
     return cents, assigned
 
@@ -206,6 +319,7 @@ def _pq(spark: SparkSession, sf_dir: str, nlist: int = 16, m: int = 8):
 
     key = (id(spark), sf_dir, nlist, m)
     if key in _PQ_CACHE:
+        _touch_pin(f"pq:{key[2:]}")
         return _PQ_CACHE[key]
     before = _rdd_snap(spark)
     cents, assigned = _ivf(spark, sf_dir, nlist=nlist)
@@ -240,7 +354,7 @@ def _pq(spark: SparkSession, sf_dir: str, nlist: int = 16, m: int = 8):
         books, codes_cell = _build()
         books = books.localCheckpoint()
         codes_cell = codes_cell.localCheckpoint()
-    _pin_new(spark, before)
+    _pin_new(spark, before, f"pq:{key[2:]}", _PQ_CACHE, key)
     _PQ_CACHE[key] = (books, codes_cell)
     return books, codes_cell
 
@@ -1160,6 +1274,7 @@ def _pr_index(spark: SparkSession, sf_dir: str, layout: str = "from"):
 
     key = (id(spark), sf_dir)
     if key in _PR_CACHE:
+        _touch_pin("pagerank")
         return _PR_CACHE[key][layout]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -1192,7 +1307,7 @@ def _pr_index(spark: SparkSession, sf_dir: str, layout: str = "from"):
             _edges(spark, sf_dir), directed=False)
         w_to = (w_from.repartition(n_parts, F.col("to_id")).persist())
         w_to.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "pagerank", _PR_CACHE, key)
     _PR_CACHE[key] = {"from": (w_from, nodes, n),
                       "to": (w_to, nodes, n)}
     return _PR_CACHE[key][layout]
@@ -1490,6 +1605,7 @@ def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key in _DSIR_CACHE:
+        _touch_pin("dsir")
         return _DSIR_CACHE[key]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -1511,7 +1627,7 @@ def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "text", "doc_id",
                                   n_buckets=8192).persist()
     df.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "dsir", _DSIR_CACHE, key)
     _DSIR_CACHE[key] = df
     return df
 
@@ -1603,8 +1719,9 @@ def _sym_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
             _edges(spark, sf_dir).select("from_id", "to_id"))
             .repartition(n_parts, F.col("from_id")).persist())
         adj.count()
-        _pin_new(spark, before)
+        _pin_new(spark, before, "sym_adj", _ADJ_CACHE, key)
         _ADJ_CACHE[key] = adj
+    _touch_pin("sym_adj")
     return _ADJ_CACHE[key]
 
 
@@ -1621,6 +1738,7 @@ def _weighted_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-vector shuffle per relaxation round."""
     key = (id(spark), sf_dir)
     if key in _WADJ_CACHE:
+        _touch_pin("weighted_adj")
         return _WADJ_CACHE[key]
     before = _rdd_snap(spark)
     n_parts = spark.sparkContext.defaultParallelism
@@ -1632,7 +1750,7 @@ def _weighted_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("from_id").alias("to_id"), "_w"))
     adj = sym.repartition(n_parts, "from_id").persist()
     adj.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "weighted_adj", _WADJ_CACHE, key)
     _WADJ_CACHE[key] = adj
     return adj
 
@@ -1650,6 +1768,7 @@ def _dir_adj(spark: SparkSession, sf_dir: str) -> dict:
     derived edge parquet, so no .derived artifact of its own."""
     key = (id(spark), sf_dir)
     if key in _DIR_ADJ_CACHE:
+        _touch_pin("dir_adj")
         return _DIR_ADJ_CACHE[key]
     before = _rdd_snap(spark)
     n_parts = spark.sparkContext.defaultParallelism
@@ -1661,7 +1780,7 @@ def _dir_adj(spark: SparkSession, sf_dir: str) -> dict:
              .distinct().localCheckpoint())
     a_from.count()
     a_to.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "dir_adj", _DIR_ADJ_CACHE, key)
     _DIR_ADJ_CACHE[key] = {"from": a_from, "to": a_to, "nodes": nodes}
     return _DIR_ADJ_CACHE[key]
 
@@ -1684,6 +1803,7 @@ def _aa_index(spark: SparkSession, sf_dir: str) -> dict:
 
     key = (id(spark), sf_dir)
     if key in _AA_CACHE:
+        _touch_pin("aa50")
         return _AA_CACHE[key]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -1714,7 +1834,7 @@ def _aa_index(spark: SparkSession, sf_dir: str) -> dict:
         canon = prep["canon"].repartition(n_parts, "u", "v").persist()
     nb.count()
     canon.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "aa50", _AA_CACHE, key)
     _AA_CACHE[key] = {"nb": nb, "canon": canon, "max_hub_degree": 50}
     return _AA_CACHE[key]
 
@@ -1734,6 +1854,7 @@ def _lpa_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     key = (id(spark), sf_dir)
     if key in _LPA_CACHE:
+        _touch_pin("lpa")
         return _LPA_CACHE[key]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -1764,7 +1885,7 @@ def _lpa_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         ids, adj = prep["ids"], prep["adj"]
     ids.count()
     adj.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "lpa", _LPA_CACHE, key)
     _LPA_CACHE[key] = {"ids": ids, "adj": adj, "directed": False}
     return _LPA_CACHE[key]
 
@@ -2162,6 +2283,7 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     if key in _KNNG_CACHE:
+        _touch_pin("knn_graph")
         return _KNNG_CACHE[key]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -2188,7 +2310,7 @@ def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # pragma: no cover — read-only checkout etc.
         df = _build().persist()
     df.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "knn_graph", _KNNG_CACHE, key)
     _KNNG_CACHE[key] = df
     return df
 
@@ -2207,8 +2329,9 @@ def _probe_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f = corpus.probe_features(
             _t(spark, sf_dir)["documents"], "text", "doc_id", 64).persist()
         f.count()
-        _pin_new(spark, before)
+        _pin_new(spark, before, "probe_feats", _PROBE_CACHE, key)
         _PROBE_CACHE[key] = f
+    _touch_pin("probe_feats")
     return _PROBE_CACHE[key]
 
 
@@ -2229,6 +2352,7 @@ def _hnsw_index(spark: SparkSession, sf_dir: str) -> dict:
 
     key = (id(spark), sf_dir)
     if key in _HNSW_CACHE:
+        _touch_pin("hnsw16")
         return _HNSW_CACHE[key]
     before = _rdd_snap(spark)
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
@@ -2265,7 +2389,7 @@ def _hnsw_index(spark: SparkSession, sf_dir: str) -> dict:
         levels, upper = levels.persist(), upper.persist()
     levels.count()
     upper.count()
-    _pin_new(spark, before)
+    _pin_new(spark, before, "hnsw16", _HNSW_CACHE, key)
     _HNSW_CACHE[key] = {"levels": levels, "upper": upper}
     return _HNSW_CACHE[key]
 

@@ -234,3 +234,43 @@ def test_module_registry_unstarted_provider_not_satisfying():
     assert out["p1"] == "error"
     assert out["app"] == "registered"   # p2 was not active when app ran
     assert out["p2"] == "active"
+
+
+def test_pin_registry_budget_and_rebuild(spark):
+    """Round-6 session-cache discipline: every named resident index
+    registers its RDD ids + byte sizes, LRU eviction enforces a budget,
+    and an evicted cache transparently rebuilds on next touch (from its
+    .derived parquet) instead of silently losing storage forever."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    em._edges(spark, sf)
+    em._sym_adj(spark, sf)
+    sizes = em.pinned_cache_sizes(spark)
+    assert "edges" in sizes and "sym_adj" in sizes
+    assert sizes["edges"] > 0 and sizes["sym_adj"] > 0
+
+    # budget 1 byte -> everything non-protected LRU-evicts, oldest first
+    evicted = em.evict_pins_to_budget(spark, budget=1)
+    assert "edges" in evicted and "sym_adj" in evicted
+    assert evicted.index("edges") < evicted.index("sym_adj")  # LRU order
+    assert sum(em.pinned_cache_sizes(spark).values()) <= 1
+
+    # evicted entry rebuilds on touch and re-registers with real bytes
+    df = em._edges(spark, sf)
+    assert df.count() > 0
+    assert em.pinned_cache_sizes(spark)["edges"] > 0
+
+    # automatic enforcement at registration time honors the env budget
+    import os
+    os.environ["SPARK_GRAFT_PIN_BUDGET_MB"] = "0"
+    try:
+        em._sym_adj(spark, sf)  # registering this must evict "edges"
+        s = em.pinned_cache_sizes(spark)
+        assert "edges" not in s  # LRU victim
+    finally:
+        del os.environ["SPARK_GRAFT_PIN_BUDGET_MB"]
+    em.drop_all_pins(spark)
