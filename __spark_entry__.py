@@ -3098,8 +3098,15 @@ def q135_pubsub_replay(spark, sf):
     from memory_engine_spark.streaming.events import EventBus, Subscriber
 
     ev = _t(spark, sf)["events"]
-    mid = ev.agg(F.max("event_id")).first()[0] // 2
-    cut = ev.filter(F.col("event_id") == mid).select("ts").first()[0]
+    mid_row = ev.agg(F.max("event_id")).first()
+    if mid_row[0] is None:
+        raise ValueError("q135: events table is empty — no replay cutoff")
+    # Nearest-below lookup (r05 ADVICE): max//2 need not be a present
+    # event_id (sparse/filtered id spaces); exact equality would crash
+    # on first()[0].
+    cut = (ev.filter(F.col("event_id") <= mid_row[0] // 2)
+           .orderBy(F.col("event_id").desc())
+           .select("ts").first()[0])
     root = os.path.join(
         tempfile.gettempdir(),
         f"me_bus_{os.path.basename(sf.rstrip('/')) or 'd'}_{os.getpid()}")
@@ -3428,8 +3435,11 @@ def q145_vector_store_crud(spark, sf):
 
     store = upsert(emb, synth(1000, 1020).unionByName(synth(0, 10)),
                    "vec_id")
-    dead = (spark.range(0, 1020).filter(F.col("id") % 17 == 0)
-            .select(F.col("id").alias("vec_id")))
+    # Delete set derived FROM THE STORE (r05 ADVICE): a literal
+    # range(0, 1020) id list silently diverges from the oracle's
+    # store-wide `vec_id % 17 <> 0` filter at any SF where the
+    # embeddings table has vec_id >= 1020.
+    dead = store.filter(F.col("vec_id") % 17 == 0).select("vec_id")
     store = delete_rows(store, dead, "vec_id")
     n_store = store.count()
     qv = [float(((0 + 1) * (j + 1)) % 7 - 3) for j in range(64)]
@@ -3605,10 +3615,15 @@ def q150_quality_probe(spark, sf):
                                          "dup").cast("int")))
     n_pos, n_all = docs.agg(
         F.sum("is_pos"), F.count(F.lit(1))).first()
+    # Degenerate label split (no positives / no negatives / empty
+    # corpus) would divide by zero — balanced class weights are
+    # meaningless there, so fall back to 1.0 (r05 ADVICE guard).
+    n_pos = n_pos or 0
+    degenerate = n_pos == 0 or n_pos == n_all
     _w, scored = corpus.logistic_probe(
         docs, "text", "doc_id", "is_pos", dim=64, n_steps=3, lr=50.0,
-        pos_weight=n_all / (2.0 * n_pos),
-        neg_weight=n_all / (2.0 * (n_all - n_pos)),
+        pos_weight=1.0 if degenerate else n_all / (2.0 * n_pos),
+        neg_weight=1.0 if degenerate else n_all / (2.0 * (n_all - n_pos)),
         prebuilt_feats=_probe_feats(spark, sf))
     return scored.orderBy("doc_id")
 
@@ -3626,7 +3641,8 @@ def q152_int8_ann(spark, sf):
     qvec = [float(x) for x in
             emb.filter("vec_id = 3").first()["embedding"]]
     return (similarity.topk_int8(emb, qvec, [int(v) for v in qrow],
-                                 k=10, n_candidates=50, id_col="vec_id")
+                                 k=10, n_candidates=50, id_col="vec_id",
+                                 prebuilt_qz=qz)
             .orderBy(F.col("score").desc(), F.col("vec_id").asc()))
 
 
@@ -7636,7 +7652,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, event_type, value
         FROM events
         WHERE ts >= (SELECT ts FROM events
-                     WHERE event_id = (SELECT MAX(event_id) // 2 FROM events))
+                     WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events)
+                     ORDER BY event_id DESC LIMIT 1)
           AND event_type IN ('click', 'view')
           AND value > 0.5
         ORDER BY event_id

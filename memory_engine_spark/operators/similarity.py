@@ -391,7 +391,8 @@ def graph_beam_search(knn_graph: DataFrame, embeddings: DataFrame,
 def topk_int8(embeddings: DataFrame, query_vec: list[float],
               query_qvec: list[int], k: int = 10,
               n_candidates: int = 50, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              prebuilt_qz: DataFrame | None = None) -> DataFrame:
     """Two-stage ANN over int8-quantized vectors: candidate generation
     ranks by the INTEGER dot product of the per-vector-quantized codes
     (cos ≈ d_int/(√Σv²·√Σq²) — all three aggregates are exact BIGINTs,
@@ -406,10 +407,18 @@ def topk_int8(embeddings: DataFrame, query_vec: list[float],
     ``query_qvec`` must come from the SAME quantization scheme
     (``quantize_int8`` — for an in-corpus query, read its code row).
     Returns (id, score), score = exact cosine in micro-units/1e6.
+
+    ``prebuilt_qz``: the resident/offline int8 code table (the
+    prebuilt_adj/prebuilt_feats seam). Without it the codes are
+    quantized inline FROM THE FLOAT VECTORS, so the candidate scan
+    reads the full-width column and the 4×-smaller-scan memory trade
+    does not hold (r05 ADVICE) — inline quantize is the own-build
+    fallback, not the production path.
     """
     import math
 
-    qz = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    qz = (prebuilt_qz if prebuilt_qz is not None
+          else quantize_int8(embeddings, id_col=id_col, vec_col=vec_col))
     nq = sum(int(v) * int(v) for v in query_qvec)
     qlit = F.array(*[F.lit(int(v)).cast("int") for v in query_qvec])
     d = F.aggregate(

@@ -321,5 +321,14 @@ def migrate_and_verify(src: DataFrame, write_path: str, spark: SparkSession,
     (JSON sorts fields alphabetically) permute columns, which is a
     layout change, not a data change."""
     getattr(src.write.mode("overwrite"), fmt)(write_path)
-    back = getattr(spark.read, fmt)(write_path).select(*src.columns)
+    back = getattr(spark.read, fmt)(write_path)
+    # A verifier REPORTS failure, it doesn't raise (r05 ADVICE): a
+    # lossy writer can drop a column entirely (JSON omits all-null
+    # fields), and duplicate source column names make the realigning
+    # select ambiguous — both are verification failures, not errors.
+    if len(set(src.columns)) != len(src.columns):
+        return False
+    if not set(src.columns) <= set(back.columns):
+        return False
+    back = back.select(*src.columns)
     return back.exceptAll(src).isEmpty() and src.exceptAll(back).isEmpty()

@@ -374,7 +374,10 @@ def test_topk_int8_recovers_brute_topk(spark):
     qvec = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
     got = [(r["vec_id"], r["score"]) for r in
            topk_int8(emb, qvec, qrow, k=5, n_candidates=15,
-                     id_col="vec_id").collect()]
+                     id_col="vec_id", prebuilt_qz=qz).collect()]
     brute = [(r["vec_id"], round(r["score"], 6)) for r in
              topk_brute(emb, qvec, k=5, id_col="vec_id").collect()]
-    assert [g[0] for g in got] == [b[0] for b in brute]
+    # ids AND micro-quantized scores (r05 ADVICE: ids alone let a
+    # re-rank scoring regression pass): topk_int8's floor(x*1e6+0.5)/1e6
+    # equals round(x, 6) away from exact half-microunit boundaries.
+    assert got == brute
