@@ -3689,6 +3689,70 @@ def q151_stream_dedup(spark, sf):
             .orderBy("event_type"))
 
 
+_Q153_SEQ = [0]
+
+
+def q153_dlq_lifecycle(spark, sf):
+    """The DLQ retry lifecycle under the oracle gate — the last
+    tests-only §2.9 row (r05 VERDICT item 3). Reference semantics
+    (event_system.py:88-98, :169-196, :453-489): an event gets
+    1 + MAX_RETRIES(=3) handler attempts (PENDING→IN_PROGRESS→FAILED→
+    RETRYING…), then DEAD_LETTERs; retry_failed_event re-runs dead
+    events, clearing the ones that now succeed. Driven as a REAL
+    MicroBatchExecution subscriber (EventBus.run_subscriber_per_event)
+    whose handler deterministically fails by event_id % 10:
+    0–5 succeed on attempt 1; 6–7 fail twice then succeed (attempt 3);
+    8–9 exhaust all 4 attempts → DLQ; a patched handler's manual
+    retry (attempt 5) clears bucket 8, bucket 9 stays dead. Output =
+    the per-(type, final status, attempts) census from the engine's
+    attempts LEDGER — every lifecycle transition is a parquet
+    artifact, not a log line — plus the post-retry DLQ size."""
+    import os
+    import shutil
+    import tempfile
+
+    from memory_engine_spark.streaming.events import EventBus, Subscriber
+
+    ev = _t(spark, sf)["events"]
+    _Q153_SEQ[0] += 1
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"me_dlq_{os.path.basename(sf.rstrip('/')) or 'd'}"
+        f"_{os.getpid()}_{_Q153_SEQ[0]}")
+    shutil.rmtree(root, ignore_errors=True)
+    bus = EventBus(spark, root, schema=ev.schema)
+    bus.publish(ev.filter(F.col("event_id") < 4000))
+
+    m = F.col("event_id") % 10
+
+    def flaky(batch, attempt):
+        # fails buckets 8-9 always, 6-7 until the 3rd attempt
+        return batch.filter((m >= 8) | ((m >= 6) & (F.lit(attempt) < 3)))
+
+    sub = Subscriber(name="census", handler=flaky,
+                     event_types=["click", "view"])
+    bus.run_subscriber_per_event(sub, once=True)
+    patched = Subscriber(name="census",
+                         handler=lambda batch, attempt: batch.filter(m == 9),
+                         event_types=["click", "view"])
+    bus.retry_dead_letters_per_event(patched)
+    n_dlq = bus.dead_letters().count()
+
+    per_event = (bus.attempts()
+                 .groupBy("event_id", "event_type")
+                 .agg(F.max("_attempt").alias("attempts"),
+                      F.max_by("_status", "_attempt").alias("final_status")))
+    out = (per_event.groupBy("event_type", "final_status", "attempts")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+           .withColumn("attempts", F.col("attempts").cast("bigint"))
+           .withColumn("n_dlq", F.lit(n_dlq).cast("bigint"))
+           .orderBy("event_type", "final_status", "attempts")
+           # materialize BEFORE the bus dir is deleted
+           .localCheckpoint())
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3739,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_quality_probe": q150_quality_probe,
         "q151_stream_dedup": q151_stream_dedup,
         "q152_int8_ann": q152_int8_ann,
+        "q153_dlq_lifecycle": q153_dlq_lifecycle,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -7205,6 +7270,32 @@ def oracle_sql() -> dict[str, str]:
     sql["q151_stream_dedup"] = """
         SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+    # q153: the per-event DLQ lifecycle stated directly from the
+    # deterministic failure buckets — 0-5 first-try, 6-7 two retries
+    # then success (attempt 3), 8 exhausts + manual-retry success
+    # (attempt 5), 9 permanently dead; DLQ after manual retry = the
+    # bucket-9 census.
+    sql["q153_dlq_lifecycle"] = """
+        WITH sub AS (
+            SELECT event_id, event_type, event_id % 10 AS m
+            FROM events
+            WHERE event_type IN ('click', 'view') AND event_id < 4000
+        ),
+        per_event AS (
+            SELECT event_type,
+                   CASE WHEN m = 9 THEN 'dead_letter'
+                        ELSE 'processed' END AS final_status,
+                   CASE WHEN m <= 5 THEN 1
+                        WHEN m <= 7 THEN 3
+                        ELSE 5 END::BIGINT AS attempts
+            FROM sub
+        )
+        SELECT event_type, final_status, attempts,
+               COUNT(*)::BIGINT AS n,
+               (SELECT COUNT(*) FROM sub WHERE m = 9)::BIGINT AS n_dlq
+        FROM per_event GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """
 
     # q115: both deterministic fake decoders are md5-digest bytes —

@@ -25,6 +25,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
                 "value double, props string")
@@ -116,6 +117,75 @@ class EventBus:
             query.awaitTermination()
         return query
 
+    def run_subscriber_per_event(self, sub: "Subscriber",
+                                 once: bool = True,
+                                 max_files_per_trigger: int | None = None,
+                                 log_attempts: bool = True):
+        """Per-EVENT retry + DLQ lifecycle, the reference's actual
+        granularity (event_system.py:88-98 PENDING→IN_PROGRESS→
+        PROCESSED | FAILED→RETRYING→DEAD_LETTER; :169-196 should_retry/
+        increment_retry caps retries at MAX_RETRIES, so an event gets
+        1 + MAX_RETRIES handler attempts before dead-lettering).
+
+        Spark-native per-event contract: ``sub.handler(batch, attempt)``
+        returns the DataFrame of rows it FAILED to process (None/empty =
+        all processed). Each retry round re-invokes the handler on only
+        the still-failing rows; survivors of the final round are
+        dead-lettered with ``_retries = MAX_RETRIES``. Every round
+        appends (event row, attempt, status) to the attempts ledger
+        (``attempts_dir``) — status uses the reference's enum names —
+        so the full lifecycle is a queryable artifact, not a log line.
+        Per-event outcomes are batch-independent (each event lives in
+        exactly one micro-batch), so the summary any oracle checks is
+        stable under micro-batch boundary changes."""
+        filtered_src = self.stream(max_files_per_trigger)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            pending = sub.apply_filters(batch_df).localCheckpoint()
+            for attempt in range(1, MAX_RETRIES + 2):
+                if pending.isEmpty():
+                    return
+                failed = sub.handler(pending, attempt)
+                failed = (failed.localCheckpoint() if failed is not None
+                          else pending.limit(0))
+                if log_attempts:
+                    done = pending.join(failed.select("event_id"),
+                                        "event_id", "left_anti")
+                    fail_status = ("retrying" if attempt <= MAX_RETRIES
+                                   else "dead_letter")
+                    (done.withColumn("_attempt", F.lit(attempt))
+                     .withColumn("_status", F.lit("processed"))
+                     .unionByName(
+                         failed.withColumn("_attempt", F.lit(attempt))
+                         .withColumn("_status", F.lit(fail_status)))
+                     .write.mode("append").parquet(self.attempts_dir))
+                pending = failed
+            if not pending.isEmpty():
+                self._dead_letter(pending, sub.name, "max retries exhausted")
+
+        writer = (filtered_src.writeStream
+                  .foreachBatch(process)
+                  .option("checkpointLocation",
+                          os.path.join(self.checkpoints, sub.name)))
+        if once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="1 second")
+        query = writer.start()
+        if once:
+            query.awaitTermination()
+        return query
+
+    @property
+    def attempts_dir(self) -> str:
+        return os.path.join(self.root, "attempts")
+
+    def attempts(self) -> DataFrame:
+        if not os.path.isdir(self.attempts_dir):
+            return self.spark.createDataFrame(
+                [], self.schema + ", _attempt int, _status string")
+        return self.spark.read.parquet(self.attempts_dir)
+
     # -- DLQ -------------------------------------------------------------------
     def _dead_letter(self, batch: DataFrame, sub_name: str, error: str) -> None:
         (batch.withColumn("_subscriber", F.lit(sub_name))
@@ -129,7 +199,15 @@ class EventBus:
             return self.spark.createDataFrame(
                 [], self.schema + ", _subscriber string, _error string, "
                                   "_retries int, _dlq_ts double")
-        return self.spark.read.parquet(self.dlq_dir).limit(DLQ_CAP)
+        dl = self.spark.read.parquet(self.dlq_dir)
+        # Deterministic cap: the reference's deque(maxlen=1000) keeps
+        # the NEWEST entries (event_system.py:453-460); a bare limit()
+        # keeps arbitrary partitions. The sort is bounded by the cap's
+        # own premise — the DLQ is small by contract.
+        w = Window.orderBy(F.col("_dlq_ts").desc(),
+                           F.col("event_id").desc())
+        return (dl.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= DLQ_CAP).drop("_rn"))
 
     def retry_dead_letters(self, sub: Subscriber) -> int:
         """Manual DLQ retry (event_system.py:477-489): re-run the handler
@@ -154,6 +232,50 @@ class EventBus:
             os.rename(tmp, self.dlq_dir)
             shutil.rmtree(bak, ignore_errors=True)
         return n
+
+    def retry_dead_letters_per_event(self, sub: Subscriber,
+                                     log_attempts: bool = True) -> int:
+        """Manual per-event DLQ retry (event_system.py:477-489
+        retry_failed_event: a retried event leaves the queue and goes
+        back to PENDING; events the handler still fails stay dead).
+        Handler contract as in ``run_subscriber_per_event`` — returns
+        the still-failing rows. Returns the number of events cleared."""
+        import shutil
+
+        dl = self.dead_letters().filter(F.col("_subscriber") == sub.name)
+        meta = ("_subscriber", "_error", "_retries", "_dlq_ts")
+        rows = dl.drop(*meta).localCheckpoint()
+        if rows.isEmpty():
+            return 0
+        attempt = MAX_RETRIES + 2  # after the 1 + MAX_RETRIES engine tries
+        failed = sub.handler(rows, attempt)
+        failed = (failed.localCheckpoint() if failed is not None
+                  else rows.limit(0))
+        cleared = rows.join(failed.select("event_id"), "event_id", "left_anti")
+        n_cleared = cleared.count()
+        if log_attempts:
+            (cleared.withColumn("_attempt", F.lit(attempt))
+             .withColumn("_status", F.lit("processed"))
+             .unionByName(failed.withColumn("_attempt", F.lit(attempt))
+                          .withColumn("_status", F.lit("dead_letter")))
+             .write.mode("append").parquet(self.attempts_dir))
+        if n_cleared:
+            all_dl = self.dead_letters()
+            # Clear only THIS subscriber's copies: another subscriber's
+            # dead letter for the same event_id stays queued.
+            mine = all_dl.filter(F.col("_subscriber") == sub.name)
+            keep_mine = mine.join(cleared.select("event_id"),
+                                  "event_id", "left_anti")
+            remaining = (all_dl.filter(F.col("_subscriber") != sub.name)
+                         .unionByName(keep_mine).localCheckpoint())
+            tmp, bak = self.dlq_dir + ".tmp", self.dlq_dir + ".bak"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(bak, ignore_errors=True)
+            remaining.write.mode("overwrite").parquet(tmp)
+            os.rename(self.dlq_dir, bak)
+            os.rename(tmp, self.dlq_dir)
+            shutil.rmtree(bak, ignore_errors=True)
+        return n_cleared
 
     # -- replay ------------------------------------------------------------------
     def replay(self, from_timestamp) -> DataFrame:

@@ -309,3 +309,76 @@ def test_dlq_retry_keeps_other_subscribers(spark, tmp_path):
     import os
     assert not os.path.exists(bus.dlq_dir + ".tmp")
     assert not os.path.exists(bus.dlq_dir + ".bak")
+
+def test_per_event_dlq_lifecycle(spark, tmp_path):
+    """Reference lifecycle at per-event granularity: 1 + MAX_RETRIES
+    attempts, dead-letter on exhaustion, manual retry clears only the
+    events the patched handler now processes, attempts ledger records
+    every transition with the reference's status names."""
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.streaming.events import EventBus, Subscriber
+
+    ev = spark.createDataFrame(
+        [(i, None, i, "click", 1.0, "{}") for i in range(20)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    bus = EventBus(spark, str(tmp_path / "bus"))
+    bus.publish(ev)
+
+    m = F.col("event_id") % 10
+    sub = Subscriber(
+        name="s", handler=lambda b, a: b.filter(
+            (m >= 8) | ((m >= 6) & (F.lit(a) < 3))))
+    bus.run_subscriber_per_event(sub, once=True)
+
+    # buckets 8,9 dead-lettered with _retries = MAX_RETRIES
+    dl = bus.dead_letters()
+    assert dl.count() == 4
+    assert {r["_retries"] for r in dl.collect()} == {3}
+
+    # ledger: bucket 0-5 -> 1 attempt; 6-7 -> retrying,retrying,processed
+    led = bus.attempts()
+    a7 = sorted((r["_attempt"], r["_status"])
+                for r in led.filter("event_id = 7").collect())
+    assert a7 == [(1, "retrying"), (2, "retrying"), (3, "processed")]
+    a9 = sorted((r["_attempt"], r["_status"])
+                for r in led.filter("event_id = 9").collect())
+    assert a9[-1] == (4, "dead_letter")
+
+    # manual per-event retry with a patched handler clears bucket 8 only
+    patched = Subscriber(name="s", handler=lambda b, a: b.filter(m == 9))
+    n = bus.retry_dead_letters_per_event(patched)
+    assert n == 2
+    left = sorted(r["event_id"] for r in bus.dead_letters().collect())
+    assert left == [9, 19]
+    # and the manual attempt is in the ledger at attempt MAX_RETRIES+2
+    # (re-read: the pre-retry frame's file listing is already fixed)
+    a8 = sorted((r["_attempt"], r["_status"])
+                for r in bus.attempts().filter("event_id = 8").collect())
+    assert a8[-1] == (5, "processed")
+
+
+def test_per_event_retry_keeps_other_subscribers(spark, tmp_path):
+    """Clearing one subscriber's dead letters must not clear another
+    subscriber's copy of the same event ids."""
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.streaming.events import EventBus, Subscriber
+
+    ev = spark.createDataFrame(
+        [(i, None, i, "click", 1.0, "{}") for i in range(4)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    bus = EventBus(spark, str(tmp_path / "bus2"))
+    bus.publish(ev)
+    fail_all = lambda b, a: b  # noqa: E731
+    for name in ("s1", "s2"):
+        bus.run_subscriber_per_event(
+            Subscriber(name=name, handler=fail_all), once=True)
+    assert bus.dead_letters().count() == 8
+    ok_all = Subscriber(name="s1", handler=lambda b, a: None)
+    assert bus.retry_dead_letters_per_event(ok_all) == 4
+    rest = bus.dead_letters()
+    assert rest.count() == 4
+    assert {r["_subscriber"] for r in rest.collect()} == {"s2"}
