@@ -3753,6 +3753,42 @@ def q153_dlq_lifecycle(spark, sf):
     return out
 
 
+Q154_PHRASES = [
+    "however the results disagree",        # opposing
+    "additionally it supports the claim",  # complementary
+    "alternatively another approach works",  # alternative
+    "experts believe this is good",        # stakeholder
+    "the methodology is sound",            # methodological
+    "plain",                               # none
+    "results are stable",                  # none
+]
+
+
+def q154_perspective_report(spark, sf):
+    """Per-topic PerspectiveAnalysisReport parity (r05 VERDICT item 5;
+    perspective_analysis.py:96-110,1440-1530): beyond q53's types +
+    consensus names, this carries the report's evidence summaries
+    (per-type doc counts, avg confidence/evidence-quality under the
+    reference's :896-947 formulas), the agreement matrix (summary
+    stats AND the sorted pair|sim string), disagreement areas (the 9
+    opposing keyword pairs, :1243-1254), and analysis_confidence
+    (:1343-1364) — topic = document source, one distributed plan."""
+    from memory_engine_spark.operators import perspectives as pers
+
+    docs = _t(spark, sf)["documents"]
+    # The synthetic corpus vocabulary contains no indicator keywords, so
+    # seed a deterministic per-doc stance phrase (doc_id % 7 — five
+    # indicator-bearing, two neutral) the oracle reproduces verbatim;
+    # the report operator itself sees ordinary text columns.
+    phr = F.array(*[F.lit(p) for p in Q154_PHRASES])
+    seeded = docs.withColumn(
+        "text",
+        F.concat(F.element_at(phr, (F.col("doc_id") % 7).cast("int") + 1),
+                 F.lit(" "), F.col("text")))
+    return (pers.perspective_report(seeded, "source", "text", "doc_id")
+            .orderBy("topic"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3804,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_stream_dedup": q151_stream_dedup,
         "q152_int8_ann": q152_int8_ann,
         "q153_dlq_lifecycle": q153_dlq_lifecycle,
+        "q154_perspective_report": q154_perspective_report,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -3866,7 +3903,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_depth_gaps": q83_depth_gaps,
     }
     out.update(_legacy_queries())
-    return out
+    # Driver-proof ROTATION (r05 VERDICT item 8): the driver samples the
+    # first ~50 registry entries, so without rotation q01–q83 never get
+    # a fresh driver proof (last one: r02/r03). Front = this round's new
+    # queries, then a tranche of the STALEST entries; the tranche
+    # advances each round (r06: q01–q16 + q51–q60).
+    new_this_round = ["q153_dlq_lifecycle", "q154_perspective_report",
+                      "q155_audio_features"]
+    stale = {f"q{i:02d}" for i in range(1, 17)} | \
+            {f"q{i}" for i in range(51, 61)}
+    front = ([n for n in new_this_round if n in out]
+             + [n for n in sorted(out) if n.split("_")[0] in stale])
+    rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        n: out[n] for n in front}
+    for n, fn in out.items():
+        rotated.setdefault(n, fn)
+    return rotated
 
 
 def _legacy_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7296,6 +7348,136 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*)::BIGINT AS n,
                (SELECT COUNT(*) FROM sub WHERE m = 9)::BIGINT AS n_dlq
         FROM per_event GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+    # q154: the perspective report unrolled — same micro-quantized
+    # arithmetic, same op order as operators/perspectives.py::
+    # perspective_report; reuses the q53 type_case / word-set fragments.
+    _rep_jac = ("(len(list_intersect("
+                + wset.format("a.rep") + ", " + wset.format("b.rep")
+                + "))::DOUBLE / len(list_distinct(list_concat("
+                + wset.format("a.rep") + ", " + wset.format("b.rep") + "))))")
+    _opp_kw = " OR ".join(
+        f"(contains(lower(a.rep), '{p}') AND contains(lower(b.rep), '{n}'))"
+        f" OR (contains(lower(a.rep), '{n}') AND contains(lower(b.rep), '{p}'))"
+        for p, n in [("positive", "negative"), ("good", "bad"),
+                     ("effective", "ineffective"), ("beneficial", "harmful"),
+                     ("increase", "decrease"), ("support", "oppose"),
+                     ("agree", "disagree"), ("should", "should not"),
+                     ("yes", "no")])
+    _tc = ", ".join(
+        f"SUM(CASE WHEN ptype = '{pt}' THEN n_docs ELSE 0 END)::BIGINT"
+        f" AS n_{pt}"
+        for pt in ("opposing", "complementary", "alternative",
+                   "stakeholder", "methodological"))
+    _phr_case = ("CASE doc_id % 7 "
+                 + " ".join(f"WHEN {i} THEN '{p}'"
+                            for i, p in enumerate(Q154_PHRASES))
+                 + " END")
+    sql["q154_perspective_report"] = f"""
+        WITH dseed AS (
+            SELECT source, doc_id, {_phr_case} || ' ' || text AS text
+            FROM documents
+        ),
+        d0 AS (
+            SELECT source AS topic, doc_id, text, {type_case} AS ptype,
+                   length(text) AS ln
+            FROM dseed
+        ),
+        d1 AS (
+            SELECT *, CASE WHEN ln < 2000 THEN LEAST(ln / 500.0, 1.0)
+                           ELSE 0.8 END AS ls
+            FROM d0 WHERE ptype <> 'none'
+        ),
+        d2 AS (
+            SELECT *, CAST(FLOOR((ls * 0.3 + 0.2) * 1000000.0 + 0.5)
+                           AS BIGINT) AS qm
+            FROM d1
+        ),
+        persp AS (
+            SELECT topic, ptype, COUNT(*) AS n_docs, SUM(qm) AS sum_qm,
+                   arg_min(text, doc_id) AS rep
+            FROM d2 GROUP BY 1, 2
+        ),
+        persp2 AS (
+            SELECT topic, ptype, n_docs, rep,
+                   LEAST(CAST(FLOOR((LEAST(n_docs / 5.0, 1.0) * 0.6 + 0.2)
+                                    * 1000000.0 + 0.5) AS BIGINT),
+                         950000) AS conf_micro,
+                   CAST(FLOOR(CAST(sum_qm AS DOUBLE) / n_docs + 0.5)
+                        AS BIGINT) AS eq_micro
+            FROM persp
+        ),
+        pairs AS (
+            SELECT a.topic, a.ptype AS pa, b.ptype AS pb,
+                   CAST(FLOOR(GREATEST({_rep_jac} * 0.5 - 0.2, 0.0)
+                              * 1000000.0 + 0.5) AS BIGINT) AS sim_micro,
+                   CASE WHEN a.ptype = 'opposing' OR b.ptype = 'opposing'
+                             OR {_opp_kw}
+                        THEN 1 ELSE 0 END AS opp
+            FROM persp2 a JOIN persp2 b
+                 ON a.topic = b.topic AND a.ptype < b.ptype
+        ),
+        pair_agg AS (
+            SELECT topic, COUNT(*) AS n_pairs, SUM(sim_micro) AS sum_sim,
+                   SUM(opp) AS n_opposing_pairs,
+                   string_agg(pa || '|' || pb || '|' || sim_micro, ';'
+                              ORDER BY pa || '|' || pb || '|' || sim_micro)
+                       AS matrix
+            FROM pairs GROUP BY 1
+        ),
+        dom AS (
+            SELECT topic, ptype AS dominant_type
+            FROM (SELECT topic, ptype, ROW_NUMBER() OVER (
+                      PARTITION BY topic
+                      ORDER BY n_docs DESC, ptype ASC) AS rk
+                  FROM persp2)
+            WHERE rk = 1
+        ),
+        tagg AS (
+            SELECT topic, COUNT(*) AS n_persp, {_tc},
+                   CAST(FLOOR(CAST(SUM(conf_micro) AS DOUBLE) / COUNT(*)
+                              + 0.5) AS BIGINT) AS avg_conf_micro,
+                   CAST(FLOOR(CAST(SUM(eq_micro) AS DOUBLE) / COUNT(*)
+                              + 0.5) AS BIGINT) AS avg_eq_micro
+            FROM persp2 GROUP BY 1
+        ),
+        fin AS (
+            SELECT t.*, d.dominant_type,
+                   COALESCE(p.n_pairs, 0) AS n_pairs0,
+                   p.n_pairs AS n_pairs_raw,
+                   COALESCE(p.n_opposing_pairs, 0) AS n_opp0,
+                   COALESCE(p.matrix, '') AS matrix0,
+                   CASE WHEN p.n_pairs IS NULL THEN 1000000
+                        ELSE CAST(FLOOR(CAST(p.sum_sim AS DOUBLE)
+                                        / p.n_pairs + 0.5) AS BIGINT)
+                   END AS avg_sim_micro
+            FROM tagg t JOIN dom d USING (topic)
+            LEFT JOIN pair_agg p USING (topic)
+        )
+        SELECT topic, n_persp::BIGINT AS n_perspectives, dominant_type,
+               n_opposing, n_complementary, n_alternative, n_stakeholder,
+               n_methodological,
+               CAST(avg_conf_micro AS DOUBLE) / 1000000.0 AS avg_confidence,
+               CAST(avg_eq_micro AS DOUBLE) / 1000000.0
+                   AS avg_evidence_quality,
+               n_pairs0::BIGINT AS n_pairs,
+               CAST(avg_sim_micro AS DOUBLE) / 1000000.0 AS avg_similarity,
+               n_opp0::BIGINT AS n_opposing_pairs,
+               CASE WHEN n_persp < 2 THEN 'strong_consensus'
+                    WHEN avg_sim_micro >= 800000 THEN 'strong_consensus'
+                    WHEN avg_sim_micro >= 600000 THEN 'moderate_consensus'
+                    WHEN avg_sim_micro >= 400000 THEN 'weak_consensus'
+                    WHEN avg_sim_micro >= 200000 THEN 'no_consensus'
+                    ELSE 'strong_disagreement' END AS consensus_level,
+               CAST(FLOOR(LEAST(LEAST(n_persp / 5.0, 1.0) * 0.4
+                                + (CAST(avg_conf_micro AS DOUBLE)
+                                   / 1000000.0) * 0.4
+                                + n_persp / 6.0 * 0.2, 0.95)
+                          * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                   AS analysis_confidence,
+               matrix0 AS matrix
+        FROM fin ORDER BY topic
     """
 
     # q115: both deterministic fake decoders are md5-digest bytes —

@@ -203,3 +203,155 @@ def perspective_consensus(df: DataFrame, stance_col: str, id_col: str,
         F.round(ratio, 6).alias("consensus_ratio"),
         consensus_level(ratio).alias("consensus"),
     )
+
+
+# -- comprehensive report (perspective_analysis.py:96-110,1440-1530) ---------
+
+# Verbatim from _are_perspectives_opposing (:1243-1254).
+OPPOSING_KEYWORD_PAIRS = [
+    ("positive", "negative"), ("good", "bad"),
+    ("effective", "ineffective"), ("beneficial", "harmful"),
+    ("increase", "decrease"), ("support", "oppose"),
+    ("agree", "disagree"), ("should", "should not"), ("yes", "no"),
+]
+
+
+def perspective_report(df: DataFrame, topic_col: str, text_col: str,
+                       id_col: str) -> DataFrame:
+    """Per-topic PerspectiveAnalysisReport fields
+    (perspective_analysis.py:96-110 dataclass; r05 VERDICT item 5: the
+    evidence summaries + agreement matrix the 6-type/consensus port
+    didn't carry).
+
+    Reference semantics, made deterministic and order-independent:
+
+    - One perspective per (topic, indicator type) present; docs with no
+      indicator join no perspective (:257-296 extracts only around
+      indicators). The perspective's viewpoint representative = the
+      text of its smallest doc id (the reference keeps the first
+      encountered viewpoint; arrival order isn't distributed-stable,
+      min-id is).
+    - confidence_score (:896-915): min(n/5,1)·0.6 + relevance·0.4
+      capped at 0.95, relevance = the reference's 0.5 default (no
+      relevance_score in the corpus schema).
+    - evidence_quality (:917-947): mean over docs of
+      length_score·0.3 + 0.5·0.4 (+ 0 for the absent metadata /
+      relationship components), length_score = min(len/500, 1) below
+      2000 chars else 0.8.
+    - agreement matrix (:1083-1128): pairwise 0.5·word-set-Jaccard of
+      the representatives − 0.2 cross-type penalty, floored at 0
+      (claims/evidence components drop out — no such columns here);
+      emitted both as summary stats and as the
+      "a|b|sim_micro" ;-joined sorted string.
+    - disagreement areas (:1240-1271): pairs opposing by the 9 keyword
+      pairs or an 'opposing'-typed member.
+    - consensus level (:1299-1309 thresholds) on the matrix average;
+      single-perspective topics are strong_consensus (:1284-1285).
+    - analysis_confidence (:1343-1364): min(n/5,1)·0.4 + avg
+      perspective confidence·0.4 + type-diversity·0.2, capped 0.95.
+
+    All float aggregates are BIGINT-micro-quantized before summing
+    (order-independent across partitions — the r05 q86 lesson).
+    """
+    from pyspark.sql.window import Window
+
+    topic = F.col(topic_col)
+    docs = (df.select(topic.alias("topic"),
+                      F.col(id_col).alias("_id"),
+                      F.col(text_col).alias("_txt"))
+            .withColumn("ptype", classify_perspective(F.col("_txt")))
+            .filter(F.col("ptype") != "none"))
+    ln = F.length("_txt")
+    length_score = F.when(ln < 2000, F.least(ln / F.lit(500.0), F.lit(1.0))) \
+        .otherwise(F.lit(0.8))
+    qual_micro = F.floor((length_score * 0.3 + 0.2) * 1e6 + 0.5).cast("long")
+
+    persp = (docs.withColumn("_qm", qual_micro)
+             .groupBy("topic", "ptype")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("_qm").alias("_sum_qm"),
+                  F.min_by("_txt", "_id").alias("_rep")))
+    conf_micro = F.least(
+        F.floor((F.least(F.col("n_docs") / F.lit(5.0), F.lit(1.0)) * 0.6
+                 + 0.2) * 1e6 + 0.5).cast("long"),
+        F.lit(950000).cast("long"))
+    eq_micro = F.floor(F.col("_sum_qm").cast("double") / F.col("n_docs")
+                       + 0.5).cast("long")
+    persp = persp.select("topic", "ptype", "n_docs",
+                         conf_micro.alias("conf_micro"),
+                         eq_micro.alias("eq_micro"), "_rep")
+
+    a = persp.select(*[F.col(c).alias(c + "_a") for c in persp.columns])
+    b = persp.select(*[F.col(c).alias(c + "_b") for c in persp.columns])
+    pairs = a.join(b, (F.col("topic_a") == F.col("topic_b"))
+                   & (F.col("ptype_a") < F.col("ptype_b")))
+    jacc = _word_set_jaccard(F.col("_rep_a"), F.col("_rep_b"))
+    sim_micro = F.floor(F.greatest(jacc * 0.5 - 0.2, F.lit(0.0)) * 1e6
+                        + 0.5).cast("long")
+    la, lb = F.lower("_rep_a"), F.lower("_rep_b")
+    opposing = (F.col("ptype_a") == "opposing") | (F.col("ptype_b") == "opposing")
+    for pos, neg in OPPOSING_KEYWORD_PAIRS:
+        opposing = opposing | \
+            (F.contains(la, F.lit(pos)) & F.contains(lb, F.lit(neg))) | \
+            (F.contains(la, F.lit(neg)) & F.contains(lb, F.lit(pos)))
+    pairs = pairs.select(
+        F.col("topic_a").alias("topic"), "ptype_a", "ptype_b",
+        sim_micro.alias("sim_micro"), opposing.cast("int").alias("opp"))
+
+    pair_agg = pairs.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sim_micro").alias("_sum_sim"),
+        F.sum("opp").alias("n_opposing_pairs"),
+        F.array_join(F.array_sort(F.collect_list(
+            F.concat_ws("|", "ptype_a", "ptype_b", "sim_micro"))), ";")
+        .alias("matrix"))
+
+    w = Window.partitionBy("topic").orderBy(F.col("n_docs").desc(),
+                                            F.col("ptype").asc())
+    dom = (persp.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1")
+           .select("topic", F.col("ptype").alias("dominant_type")))
+    type_cols = [
+        F.sum(F.when(F.col("ptype") == pt, F.col("n_docs")).otherwise(0))
+        .cast("bigint").alias(f"n_{pt}")
+        for pt in ("opposing", "complementary", "alternative",
+                   "stakeholder", "methodological")]
+    topic_agg = persp.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_perspectives"),
+        *type_cols,
+        F.floor(F.sum("conf_micro").cast("double")
+                / F.count(F.lit(1)) + 0.5).alias("_avg_conf_micro"),
+        F.floor(F.sum("eq_micro").cast("double")
+                / F.count(F.lit(1)) + 0.5).alias("_avg_eq_micro"))
+
+    out = (topic_agg.join(dom, "topic").join(pair_agg, "topic", "left"))
+    avg_sim_micro = F.when(
+        F.col("n_pairs").isNull(), F.lit(1000000).cast("long")).otherwise(
+        F.floor(F.col("_sum_sim").cast("double") / F.col("n_pairs") + 0.5)
+        .cast("long"))
+    level = (F.when(F.col("n_perspectives") < 2, "strong_consensus")
+             .when(avg_sim_micro >= 800000, "strong_consensus")
+             .when(avg_sim_micro >= 600000, "moderate_consensus")
+             .when(avg_sim_micro >= 400000, "weak_consensus")
+             .when(avg_sim_micro >= 200000, "no_consensus")
+             .otherwise("strong_disagreement"))
+    count_conf = F.least(F.col("n_perspectives") / F.lit(5.0), F.lit(1.0))
+    type_div = F.col("n_perspectives") / F.lit(6.0)
+    ac = F.least(count_conf * 0.4
+                 + (F.col("_avg_conf_micro") / F.lit(1e6)) * 0.4
+                 + type_div * 0.2, F.lit(0.95))
+    return out.select(
+        "topic",
+        F.col("n_perspectives").cast("bigint").alias("n_perspectives"),
+        "dominant_type", "n_opposing", "n_complementary", "n_alternative",
+        "n_stakeholder", "n_methodological",
+        (F.col("_avg_conf_micro").cast("double") / 1e6).alias("avg_confidence"),
+        (F.col("_avg_eq_micro").cast("double") / 1e6)
+        .alias("avg_evidence_quality"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        (avg_sim_micro.cast("double") / 1e6).alias("avg_similarity"),
+        F.coalesce(F.col("n_opposing_pairs"), F.lit(0)).cast("bigint")
+        .alias("n_opposing_pairs"),
+        level.alias("consensus_level"),
+        (F.floor(ac * 1e6 + 0.5).cast("double") / 1e6)
+        .alias("analysis_confidence"),
+        F.coalesce(F.col("matrix"), F.lit("")).alias("matrix"))

@@ -293,3 +293,43 @@ def test_cli_dedup_corpus_sessionize_backup(capsys, tmp_path):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["tables"]["region"] == 5
+
+
+def test_perspective_report_fields(spark):
+    """Report-level parity fields (perspective_analysis.py:96-110):
+    per-type doc counts, confidence/evidence formulas, opposing pair
+    detection, single-perspective topics as strong_consensus."""
+    from memory_engine_spark.operators.perspectives import perspective_report
+
+    rows = [
+        # topic t1: two perspectives, textually opposing ('good'/'bad')
+        ("t1", 1, "however this is good stuff"),           # opposing
+        ("t1", 2, "additionally it is bad stuff"),         # complementary
+        ("t1", 3, "additionally more of the same stuff"),  # complementary
+        # topic t2: single perspective
+        ("t2", 4, "the methodology is sound"),             # methodological
+        # topic t3: nothing classifiable
+        ("t3", 5, "plain text"),
+    ]
+    df = spark.createDataFrame(rows, "topic string, id long, text string")
+    out = {r["topic"]: r for r in
+           perspective_report(df, "topic", "text", "id").collect()}
+
+    assert set(out) == {"t1", "t2"}  # t3 has no perspectives at all
+    t1 = out["t1"]
+    assert t1["n_perspectives"] == 2
+    assert t1["n_opposing"] == 1 and t1["n_complementary"] == 2
+    assert t1["dominant_type"] == "complementary"
+    assert t1["n_pairs"] == 1
+    # 'opposing' member AND good/bad keyword pair both flag the pair
+    assert t1["n_opposing_pairs"] == 1
+    assert t1["matrix"].startswith("complementary|opposing|")
+    # confidence: [min(1/5,1)*0.6+0.2, min(2/5,1)*0.6+0.2] =
+    # [0.32, 0.44] -> avg 0.38
+    assert abs(t1["avg_confidence"] - 0.38) < 1e-9
+
+    t2 = out["t2"]
+    assert t2["n_perspectives"] == 1
+    assert t2["consensus_level"] == "strong_consensus"
+    assert t2["avg_similarity"] == 1.0 and t2["n_pairs"] == 0
+    assert t2["matrix"] == ""
