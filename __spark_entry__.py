@@ -3789,6 +3789,46 @@ def q154_perspective_report(spark, sf):
             .orderBy("topic"))
 
 
+def q155_audio_features(spark, sf):
+    """REAL audio decode under the oracle gate (r05 VERDICT item 7 —
+    replaces the q115 audio stand-in for kind='wav'): each document
+    synthesizes a spec-complete PCM16 WAV payload (RIFF+fmt+data,
+    multimodal.synth_wav_pcm16) whose samples follow a deterministic
+    doc_id formula; multimodal.audio_energy_features then WALKS THE
+    ACTUAL BYTES — RIFF chunk scan, fmt parse, int16 LE sample decode
+    — and emits header facts + 8 per-window mean-square energies
+    (exact int64 sums, one trailing division). The oracle recomputes
+    the same energies from the sample FORMULA, so a decode bug
+    anywhere in the byte path (chunk alignment, signedness,
+    window split) breaks the hash."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + (d % 5) * 80
+                k = np.arange(n, dtype=np.int64)
+                s = ((d * 31 + k * 7) % 65536) - 32768
+                ids.append(f"m_{d}")
+                payloads.append(
+                    multimodal.synth_wav_pcm16(s, sample_rate=8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    feats = multimodal.audio_energy_features(media, n_windows=8)
+    return (feats.select(
+        "media_id", "sample_rate", "duration_s", "n_samples",
+        *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
+        .orderBy("media_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3841,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_int8_ann": q152_int8_ann,
         "q153_dlq_lifecycle": q153_dlq_lifecycle,
         "q154_perspective_report": q154_perspective_report,
+        "q155_audio_features": q155_audio_features,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -7478,6 +7519,33 @@ def oracle_sql() -> dict[str, str]:
                    AS analysis_confidence,
                matrix0 AS matrix
         FROM fin ORDER BY topic
+    """
+
+    # q155: the WAV window energies recomputed from the sample FORMULA
+    # (the engine side decodes the actual bytes; a byte-path bug breaks
+    # the hash). n = 400 + (doc_id%5)*80 is always divisible by 8.
+    _e_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN w = {j} THEN smp * smp ELSE 0 END) AS DOUBLE)"
+        f" / (n // 8) AS e{j}" for j in range(8))
+    sql["q155_audio_features"] = f"""
+        WITH d AS (
+            SELECT doc_id, 400 + (doc_id % 5) * 80 AS n FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
+        ),
+        s AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 31 + i * 7) % 65536) - 32768 AS smp,
+                   CAST(i // (n // 8) AS INT) AS w
+            FROM s0
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               8000::INT AS sample_rate,
+               CAST(n * 125 AS DOUBLE) / 1000000.0 AS duration_s,
+               n::BIGINT AS n_samples,
+               {_e_cols}
+        FROM s GROUP BY doc_id, n ORDER BY media_id
     """
 
     # q115: both deterministic fake decoders are md5-digest bytes —

@@ -40,21 +40,142 @@ def fake_decode_image(payload: bytes) -> np.ndarray:
 
 
 def fake_decode_audio(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for an audio decoder: the md5 digest as
-    four 4-'sample' frames (ROW means under ``decode_features``'s
+    """Deterministic stand-in for COMPRESSED audio codecs (mp3/aac/ogg —
+    soundfile/ffmpeg territory, not in this container): the md5 digest
+    as four 4-'sample' frames (ROW means under ``decode_features``'s
     ``mean(axis=0)`` readout — a different feature map than the image
     decoder's column means, so per-kind dispatch is observable in the
-    output). Real impl: soundfile/ffmpeg — NotImplemented in this
-    container."""
+    output). WAV-PCM payloads never reach this: ``decode_audio``
+    routes RIFF/WAVE bytes through the REAL ``decode_wav_pcm`` path
+    (r05 VERDICT item 7)."""
     h = hashlib.md5(payload or b"").digest()
     return np.frombuffer(h, dtype=np.uint8).reshape(4, 4).T \
         .astype(np.float32)
 
 
+def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV-PCM decoder — no codec library needed, WAV PCM is
+    uncompressed: RIFF chunk walk (word-aligned), fmt parse, 8-bit
+    (unsigned, recentered) or 16-bit (signed LE) PCM, multi-channel
+    mixed to mono by integer mean (floor division — deterministic,
+    no float summation order). Returns (int32 mono samples,
+    sample_rate). Raises on non-RIFF payloads and non-PCM encodings
+    (the loud-fail stub contract of this module)."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        csize = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt ":
+            fmt = b[i + 8:i + 8 + csize]
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + csize]
+        i += 8 + csize + (csize & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = max(1, int.from_bytes(fmt[2:4], "little"))
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only PCM 8/16-bit supported (fmt={audio_fmt}, bits={bits})")
+    if bits == 16:
+        usable = len(data) // (2 * n_ch) * (2 * n_ch)
+        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.int32)
+    else:
+        usable = len(data) // n_ch * n_ch
+        x = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int32) - 128
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).sum(axis=1) // n_ch
+    return x.astype(np.int32), rate
+
+
+def wav_window_energy(payload: bytes, n_windows: int = 8) -> np.ndarray:
+    """Window-energy features over a REAL WAV-PCM decode: the mono
+    signal splits into ``n_windows`` equal windows (floor(n/k) samples
+    each; the sub-window remainder tail is dropped) and each window's
+    feature is its mean square energy sum(s²)/win — the int64
+    sum-of-squares is exact, the single trailing division is
+    IEEE-deterministic, so features are byte-reproducible by any
+    engine that can see the samples (MFCC-lite without the float FFT
+    a hash-gate could never pin)."""
+    x, _rate = decode_wav_pcm(payload)
+    xs = x.astype(np.int64)
+    win = max(1, len(xs) // n_windows)
+    out = np.zeros(n_windows, dtype=np.float64)
+    for w in range(n_windows):
+        seg = xs[w * win:(w + 1) * win]
+        if len(seg):
+            out[w] = float(int(seg @ seg)) / len(seg)
+    return out
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Audio decoder seam: RIFF/WAVE payloads take the REAL PCM
+    window-energy path; anything else (compressed codecs) falls back
+    to the deterministic stand-in."""
+    b = payload or b""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return wav_window_energy(b, n_windows=4).reshape(1, 4) \
+            .astype(np.float32)
+    return fake_decode_audio(b)
+
+
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "image": fake_decode_image,
-    "audio": fake_decode_audio,
+    "audio": decode_audio,
 }
+
+
+def synth_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000,
+                    n_channels: int = 1) -> bytes:
+    """Assemble a spec-complete mono/interleaved PCM16 WAV payload
+    (RIFF + fmt + data). Test/synthesis tooling for the decode path —
+    also the shape a real ingest job would emit after transcoding."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")            # PCM
+           + int(n_channels).to_bytes(2, "little")
+           + int(sample_rate).to_bytes(4, "little")
+           + int(byte_rate).to_bytes(4, "little")
+           + int(n_channels * 2).to_bytes(2, "little")  # block align
+           + (16).to_bytes(2, "little"))          # bits per sample
+    chunk = b"data" + len(data).to_bytes(4, "little") + data \
+        + (b"\x00" if len(data) & 1 else b"")
+    body = b"WAVE" + fmt + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_energy_features(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "media_id",
+                          n_windows: int = 8) -> DataFrame:
+    """REAL audio feature extraction as one Arrow ``mapInPandas``
+    stage: WAV-PCM decode → header facts (sample_rate, micro-exact
+    duration n·1e6//rate) → per-window mean-square energies
+    (``wav_window_energy``). Returns (id, sample_rate int,
+    duration_s double, n_samples long, energy array<double>)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                x, rate = decode_wav_pcm(b)
+                rows.append({
+                    id_col: mid, "sample_rate": rate,
+                    "duration_s": (len(x) * 1_000_000 // rate) / 1e6
+                    if rate else 0.0,
+                    "n_samples": len(x),
+                    "energy": wav_window_energy(b, n_windows).tolist()})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "sample_rate", "duration_s", "n_samples", "energy"])
+
+    out_schema = (f"{id_col} string, sample_rate int, duration_s double, "
+                  "n_samples long, energy array<double>")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
 
 
 def decode_features(df: DataFrame, kind_col: str = "kind",

@@ -426,3 +426,66 @@ def test_image_dims_sql_matches_python_prober(spark):
     # variable-offset (jpeg) and garbage rows fall through to NULL in SQL
     assert sql_side["d"]["format"] is None
     assert sql_side["e"]["format"] is None
+
+
+def test_decode_wav_pcm_roundtrip_and_variants():
+    """Real WAV decode: PCM16 round trip, stereo integer mono-mix,
+    8-bit recentering, odd-size chunk word alignment, loud failures
+    on junk and non-PCM encodings."""
+    import numpy as np
+    import pytest as _pytest
+
+    from memory_engine_spark.operators.multimodal import (
+        decode_wav_pcm, synth_wav_pcm16, wav_window_energy)
+
+    s = np.array([0, 100, -100, 32767, -32768, 7, -7, 1], dtype=np.int16)
+    x, rate = decode_wav_pcm(synth_wav_pcm16(s, sample_rate=16000))
+    assert rate == 16000 and x.tolist() == s.tolist()
+
+    # stereo: interleaved L/R mixes to floor((l+r)/2)
+    inter = np.array([100, 200, -100, -201], dtype=np.int16)  # 2 frames
+    x2, _ = decode_wav_pcm(synth_wav_pcm16(inter, 8000, n_channels=2))
+    assert x2.tolist() == [150, (-301) // 2]
+
+    # 8-bit payload: unsigned bytes recenter around 128
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+           + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (8).to_bytes(2, "little"))
+    data8 = b"data" + (3).to_bytes(4, "little") + bytes([0, 128, 255]) + b"\x00"
+    body = b"WAVE" + fmt + data8
+    wav8 = b"RIFF" + len(body).to_bytes(4, "little") + body
+    x3, _ = decode_wav_pcm(wav8)
+    assert x3.tolist() == [-128, 0, 127]
+
+    # window energies are exact integer sums / window length
+    e = wav_window_energy(synth_wav_pcm16(s, 8000), n_windows=4)
+    assert e.tolist() == [(0**2 + 100**2) / 2, (100**2 + 32767**2) / 2,
+                          (32768**2 + 7**2) / 2, (7**2 + 1**2) / 2]
+
+    with _pytest.raises(ValueError):
+        decode_wav_pcm(b"not a wav at all")
+    # non-PCM encoding (IEEE float = 3) fails loudly
+    bad_fmt = (b"fmt " + (16).to_bytes(4, "little")
+               + (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+               + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+               + (4).to_bytes(2, "little") + (32).to_bytes(2, "little"))
+    body2 = b"WAVE" + bad_fmt + b"data" + (0).to_bytes(4, "little")
+    with _pytest.raises(NotImplementedError):
+        decode_wav_pcm(b"RIFF" + len(body2).to_bytes(4, "little") + body2)
+
+
+def test_decode_audio_routes_wav_to_real_path():
+    """DECODERS['audio'] uses the real PCM path for RIFF/WAVE bytes and
+    the md5 stand-in only for non-WAV (codec) payloads."""
+    import numpy as np
+
+    from memory_engine_spark.operators.multimodal import (
+        decode_audio, fake_decode_audio, synth_wav_pcm16)
+
+    s = np.array([10, -10, 20, -20, 1, 2, 3, 4], dtype=np.int16)
+    real = decode_audio(synth_wav_pcm16(s, 8000))
+    assert real.shape == (1, 4)
+    assert real[0, 0] == (10**2 + 10**2) / 2  # real energies, not digest
+    fake = decode_audio(b"\xffcodec-bytes")
+    assert np.array_equal(fake, fake_decode_audio(b"\xffcodec-bytes"))
