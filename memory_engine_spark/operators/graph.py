@@ -1081,49 +1081,119 @@ def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
         adj.unpersist()
 
 
+def _bfs_sweep(adj: DataFrame, start_id: str, max_depth: int
+               ) -> tuple[DataFrame, int, int]:
+    """One latency-tuned BFS sweep over an ALREADY-SYMMETRIZED (and
+    ideally resident, from_id-partitioned) adjacency. Returns
+    ``(last_nonempty_frontier, depth_reached, n_reached)`` — the pieces
+    the double-sweep diameter heuristic needs — without materializing
+    a visited union.
+
+    Why a second BFS shape next to ``k_hop``: deep sweeps are bound by
+    PER-HOP DISPATCH, not data (measured at sf0.1: an 11-row frontier
+    hop costs the same ~0.5 s as a 105k-row one). Each broadcast hint
+    spawns a build sub-job (~0.3 s), and AQE turns every exchange into
+    its own job. This sweep instead uses ``shuffle_hash``-hinted joins
+    — the frontier-side exchange is tiny, the adjacency side reuses the
+    resident partitioning — so a hop is ONE job whose stages pipeline
+    inside the DAG scheduler. A/B at sf0.1 (8 hops, 186k reached):
+    broadcast+AQE 4.7 s/sweep → shuffle-hash+AQE-off 2.5 s/sweep.
+    2-hop fusion was also tried and REVERTED: recomputing the shared
+    inner-frontier subtree cost more than the dispatch it saved
+    (5.5 s/sweep). Caller owns the conf window (AQE off, anti-join
+    pushdown excluded, reduced shuffle partitions).
+    """
+    spark = adj.sparkSession
+    frontier = spark.createDataFrame([(start_id,)], "node_id string") \
+        .localCheckpoint()
+    prev, depth_reached, n_reached = None, 0, 1
+    for depth in range(1, max_depth + 1):
+        # undirected last-two-frontiers anti-join (the k_hop argument)
+        seen = (frontier if prev is None
+                else frontier.unionByName(prev))
+        f = frontier.select(F.col("node_id").alias("from_id")) \
+            .hint("shuffle_hash")
+        nxt = (adj.join(f, "from_id")
+               .select(F.col("to_id").alias("node_id")).distinct()
+               .join(seen.hint("shuffle_hash"), "node_id", "left_anti")
+               .localCheckpoint(eager=False))
+        n = nxt.count()
+        if n == 0:
+            break
+        depth_reached, n_reached = depth, n_reached + n
+        prev, frontier = frontier, nxt
+    return frontier, depth_reached, n_reached
+
+
 def diameter_estimate(edges: DataFrame, start_id: str,
-                      max_depth: int = 12) -> DataFrame:
+                      max_depth: int = 12,
+                      prebuilt_adj: DataFrame | None = None) -> DataFrame:
     """Graph diameter LOWER BOUND by the classic double-BFS sweep
     (2-sweep heuristic, Magnien/Latapy/Habib JEA'09 — exact on trees,
     typically tight on real graphs): BFS from ``start_id``, take the
     farthest reached node (ties → smallest id, deterministic), BFS
     again from it; the second eccentricity is the bound. Returns one
-    row (sweep2_start, diameter_lb, n_reached). Composes two ``k_hop``
-    runs — all the scale discipline (frontier broadcast, anti-join,
-    per-hop checkpoints) is inherited; the only extra driver state is
-    the 1-row farthest pick.
+    row (sweep2_start, diameter_lb, n_reached).
 
-    The ~16 sequential hop jobs are scheduler-bound on local mode
-    (frontiers are ≤ |V| rows; per-hop wall is stage latency, not
-    data), so the sweeps run under a temporarily REDUCED
-    ``spark.sql.shuffle.partitions`` — fewer reduce tasks per tiny
-    stage, same plans; restored on exit. At cluster scale hops carry
-    real data and the session default applies unchanged — the
-    override only ever LOWERS task counts for this operator's own
-    materializations (per-hop checkpoints inside ``k_hop``), never a
-    caller's.
+    ``prebuilt_adj`` takes a RESIDENT symmetrized adjacency
+    (from_id, to_id), ideally hash-partitioned on from_id — the
+    ``_sym_adj``-style ingest artifact — so neither sweep pays the
+    symmetrize/persist build.
+
+    Latency design (the ~16 sequential hops are dispatch-bound on
+    local mode, not data-bound): both sweeps run inside one conf
+    window that (a) REDUCES ``spark.sql.shuffle.partitions`` (fewer
+    reduce tasks per tiny stage, same plans), (b) disables AQE (its
+    per-exchange job materialization is pure dispatch overhead at
+    frontier sizes; plans here are explicitly hinted so there is
+    nothing for it to re-plan), and (c) excludes
+    ``PushDownLeftSemiAntiJoin`` (it would push the visited anti-join
+    below the distinct and the expansion join, anti-probing every
+    adjacency row per hop — the measured 30% regression documented in
+    ``k_hop``). All three restore on exit. The farthest pick needs no
+    full-visited sort: it is the smallest id in the LAST nonempty
+    frontier, and (diameter_lb, n_reached) accumulate driver-side from
+    the per-hop counts the loop already takes — the final aggregate
+    job disappears. At sf0.1 this is warm ~12 s → ~5 s.
     """
-    spark = edges.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
+    spark = edges.sparkSession if edges is not None \
+        else prebuilt_adj.sparkSession
+    own = prebuilt_adj is None
+    if own:
+        adj = (symmetrize(edges.select("from_id", "to_id"))
+               .repartition(8, F.col("from_id")).persist())
+    else:
+        adj = prebuilt_adj.select("from_id", "to_id")
+    k_shuf = "spark.sql.shuffle.partitions"
+    k_aqe = "spark.sql.adaptive.enabled"
+    k_excl = "spark.sql.optimizer.excludedRules"
+    old_shuf = spark.conf.get(k_shuf)
+    old_aqe = spark.conf.get(k_aqe)
+    old_excl = spark.conf.get(k_excl, None)
+    rule = ("org.apache.spark.sql.catalyst.optimizer."
+            "PushDownLeftSemiAntiJoin")
     try:
-        spark.conf.set(key, str(max(8, int(old) // 4)))
-        first = k_hop(edges, [start_id], max_depth)
-        far = (first.orderBy(F.col("hop_distance").desc(),
-                             F.col("node_id").asc())
-               .limit(1).collect()[0])
-        second = k_hop(edges, [far["node_id"]], max_depth)
-        out = (second.agg(F.max("hop_distance").alias("diameter_lb"),
-                          F.count(F.lit(1)).alias("n_reached"))
-               .select(F.lit(far["node_id"]).alias("sweep2_start"),
-                       F.col("diameter_lb").cast("int")
-                       .alias("diameter_lb"),
-                       F.col("n_reached").cast("long")
-                       .alias("n_reached"))
-               .localCheckpoint())
-        return out
+        spark.conf.set(k_shuf, str(max(8, int(old_shuf) // 4)))
+        spark.conf.set(k_aqe, "false")
+        spark.conf.set(k_excl, rule if not old_excl
+                       else old_excl + "," + rule)
+        last1, _, _ = _bfs_sweep(adj, start_id, max_depth)
+        far = (last1.orderBy(F.col("node_id").asc())
+               .limit(1).collect())
+        far_id = far[0]["node_id"] if far else start_id
+        _, ecc, n_reached = _bfs_sweep(adj, far_id, max_depth)
+        return spark.createDataFrame(
+            [(far_id, ecc, n_reached)],
+            "sweep2_start string, diameter_lb int, n_reached long")
     finally:
-        spark.conf.set(key, old)
+        spark.conf.set(k_shuf, old_shuf)
+        spark.conf.set(k_aqe, old_aqe)
+        if old_excl:
+            spark.conf.set(k_excl, old_excl)
+        else:
+            spark.conf.unset(k_excl)
+        if own:
+            adj.unpersist()
 
 
 def adamic_adar_prepare(edges: DataFrame,
