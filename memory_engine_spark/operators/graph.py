@@ -1119,9 +1119,23 @@ def _bfs_sweep(adj: DataFrame, start_id: str, max_depth: int
                .localCheckpoint(eager=False))
         n = nxt.count()
         if n == 0:
+            # the empty checkpoint block and the current prev both
+            # leave the window; only `frontier` escapes to the caller.
+            nxt.unpersist(False)
+            if prev is not None:
+                prev.unpersist(False)
             break
         depth_reached, n_reached = depth, n_reached + n
-        prev, frontier = frontier, nxt
+        # prev's predecessor is outside the two-frontier seen window
+        # after this hop — unpersist its checkpoint blocks now instead
+        # of pinning ~2|V| rows per sweep until ContextCleaner GC
+        # (round-6 ADVICE).
+        dead, prev, frontier = prev, frontier, nxt
+        if dead is not None:
+            dead.unpersist(False)
+    else:
+        if prev is not None:
+            prev.unpersist(False)
     return frontier, depth_reached, n_reached
 
 
@@ -1160,9 +1174,18 @@ def diameter_estimate(edges: DataFrame, start_id: str,
         else prebuilt_adj.sparkSession
     own = prebuilt_adj is None
     if own:
+        # Partition count follows the cluster (defaultParallelism), not
+        # a literal — a hardcoded 8 would funnel the whole symmetrized
+        # adjacency through 8 partitions on a 1000-executor cluster.
+        npart = spark.sparkContext.defaultParallelism
         adj = (symmetrize(edges.select("from_id", "to_id"))
-               .repartition(8, F.col("from_id")).persist())
+               .repartition(npart, F.col("from_id")).persist())
     else:
+        # CONTRACT: prebuilt_adj must already be SYMMETRIZED —
+        # _bfs_sweep's two-frontier anti-join is only correct on
+        # undirected adjacency; a directed one silently inflates
+        # diameter_lb/n_reached via depth<=d-2 revisits. _sym_adj is
+        # the intended producer; _dir_adj is NOT valid here.
         adj = prebuilt_adj.select("from_id", "to_id")
     k_shuf = "spark.sql.shuffle.partitions"
     k_aqe = "spark.sql.adaptive.enabled"
@@ -1181,14 +1204,22 @@ def diameter_estimate(edges: DataFrame, start_id: str,
         far = (last1.orderBy(F.col("node_id").asc())
                .limit(1).collect())
         far_id = far[0]["node_id"] if far else start_id
-        _, ecc, n_reached = _bfs_sweep(adj, far_id, max_depth)
+        last1.unpersist(False)
+        last2, ecc, n_reached = _bfs_sweep(adj, far_id, max_depth)
+        last2.unpersist(False)
         return spark.createDataFrame(
             [(far_id, ecc, n_reached)],
             "sweep2_start string, diameter_lb int, n_reached long")
     finally:
         spark.conf.set(k_shuf, old_shuf)
         spark.conf.set(k_aqe, old_aqe)
-        if old_excl:
+        # Restore an explicit prior value verbatim (including an
+        # explicit empty string); unset only if it was truly absent.
+        # NOTE: the conf window mutates session-wide settings — this
+        # call is not safe to run concurrently with other queries on
+        # the same SparkSession (fine for the single-threaded bench
+        # harness; a multi-tenant deployment would clone the session).
+        if old_excl is not None:
             spark.conf.set(k_excl, old_excl)
         else:
             spark.conf.unset(k_excl)

@@ -382,3 +382,50 @@ def test_per_event_retry_keeps_other_subscribers(spark, tmp_path):
     rest = bus.dead_letters()
     assert rest.count() == 4
     assert {r["_subscriber"] for r in rest.collect()} == {"s2"}
+
+
+def test_dlq_compaction_bounds_disk_and_keeps_newest(spark, tmp_path,
+                                                     monkeypatch):
+    """compact_dead_letters mirrors the reference deque(maxlen=1000)
+    (event_system.py:453-460): the parquet dir is rewritten down to the
+    newest DLQ_CAP rows, reads after compaction still work, and the
+    per-append file-count trigger keeps a pathological subscriber from
+    growing the dir unboundedly."""
+    import os
+
+    from memory_engine_spark.streaming import events as ev
+
+    monkeypatch.setattr(ev, "DLQ_CAP", 5)
+    bus = EventBus(spark, str(tmp_path / "bus_dlq"))
+    # 3 appends x 4 rows, strictly increasing _dlq_ts per append
+    for batch in range(3):
+        rows = _events(spark, n=4).withColumn(
+            "event_id", F.col("event_id") + F.lit(batch * 10))
+        bus._dead_letter(rows, "s", f"err{batch}")
+
+    capped = bus.dead_letters().collect()
+    assert len(capped) == 5
+    # newest-first: all of batch 2 (ids 20..23) + the max-id row of
+    # batch 1 (same _dlq_ts within an append -> event_id desc tiebreak)
+    assert sorted(r["event_id"] for r in capped) == [13, 20, 21, 22, 23]
+
+    bus.compact_dead_letters()
+    on_disk = spark.read.parquet(bus.dlq_dir)
+    assert on_disk.count() == 5
+    after = bus.dead_letters().collect()
+    assert sorted(r["event_id"] for r in after) == [13, 20, 21, 22, 23]
+
+    # retry after compaction still clears the queue
+    n = bus.retry_dead_letters(Subscriber("s", lambda df, bid: None))
+    assert n == 5
+    assert bus.dead_letters().count() == 0
+
+    # auto-trigger: with a tiny file threshold, repeated appends
+    # compact the dir instead of accumulating part files forever
+    monkeypatch.setattr(EventBus, "DLQ_COMPACT_FILES", 2)
+    for batch in range(6):
+        bus._dead_letter(_events(spark, n=2), "s", "boom")
+    n_parts = sum(1 for f in os.listdir(bus.dlq_dir)
+                  if f.endswith(".parquet"))
+    assert n_parts <= 2 + spark.sparkContext.defaultParallelism
+    assert bus.dead_letters().count() == 5
