@@ -117,8 +117,14 @@ BENCH_QUERIES = [
     "q150_quality_probe",     # 3 unrolled GD steps + scoring
     "q151_stream_dedup",      # stateful streaming dedup drain
     "q152_int8_ann",          # int8 candidates + exact re-rank
+    # round-6/7 wave
+    "q154_perspective_report",  # perspective-analysis report joins
+    "q155_audio_features",    # real WAV-PCM decode in mapInPandas
+    "q156_png_pixels",        # real PNG decode (zlib + unfilter)
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
+    # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol
+    # (its cost is stream lifecycle, already measured by q123-q125).
 ]
 
 
@@ -368,6 +374,19 @@ def main() -> None:
     # same probe re-run isolated: 9.3s; with only prepare_indexes pinned:
     # 9.9s — SCALING.md round 6). Queries legitimately share those
     # caches; a cold-cache scale probe does not.
+    # Prove (not assume) that the pin-registry budget never thrashed
+    # the timed section: under the 8 GiB default at sf0.1 no eviction
+    # should fire; a non-empty log here means warm numbers include
+    # silent rebuild churn (the round-6 VERDICT's +26% suspect).
+    # Taken BEFORE the hermetic scale probe drops every pin.
+    pinned_mb = {k: v >> 20
+                 for k, v in entrymod.pinned_cache_sizes(spark).items()}
+    n_evictions = len(entrymod.EVICTION_LOG)
+    print(f"# pinned caches after timed section: "
+          f"total={sum(pinned_mb.values())} MB {pinned_mb}", file=sys.stderr)
+    print(f"# pin evictions during run: {entrymod.EVICTION_LOG}",
+          file=sys.stderr)
+
     if os.environ.get("SPARK_GRAFT_SCALE10X", "1") != "0":
         entrymod.drop_all_pins(spark)
         drop_transient_caches(set())
@@ -389,6 +408,7 @@ def main() -> None:
         "cold_over_1_5x": cold_hot,
         "cold_total": round(sum(cold.values()), 3),
         "index_build_sec": index_build_sec,
+        "pin_evictions": n_evictions,
         "ingest_docs_per_sec": docs_per_sec,
         "scale_10x": scale,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -738,11 +738,15 @@ def _lpa_shuffle(edges: DataFrame, n_iter: int, directed: bool,
     # adjacency) to amortize that build across calls, exactly like
     # pagerank's ``prebuilt``.
     built_here = prebuilt_adj is None
+    adj_ids: set = set()
     if built_here:
         base = edges.select("from_id", "to_id")
         n_parts = edges.sparkSession.sparkContext.defaultParallelism
-        adj = ((base if directed else symmetrize(base))
-               .repartition(n_parts, F.col("from_id")).persist())
+        # localCheckpoint, not persist — identical-plan CacheManager
+        # dedupe vs the _sym_adj session index (see diameter_estimate).
+        adj, adj_ids = _lc_tracked(
+            (base if directed else symmetrize(base))
+            .repartition(n_parts, F.col("from_id")))
     else:
         adj = prebuilt_adj
     nodes = (adj.select(F.col("from_id").alias("node_id"))
@@ -783,7 +787,7 @@ def _lpa_shuffle(edges: DataFrame, n_iter: int, directed: bool,
         return labels
     finally:
         if built_here:
-            adj.unpersist()
+            _lc_free(edges.sparkSession, adj_ids)
 
 
 def k_core(edges: DataFrame, k: int, n_iter: int = 3,
@@ -1037,8 +1041,14 @@ def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
     spark = edges.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     base = edges.select("from_id", "to_id")
-    adj = ((base if directed else symmetrize(base))
-           .repartition(n_parts, F.col("from_id")).persist())
+    # localCheckpoint, not persist: the undirected plan is identical
+    # to the _sym_adj-style session index, and Dataset.persist dedupes
+    # identical plans into one CacheManager entry — the finally-block
+    # unpersist would drop the resident index's storage with it
+    # (see diameter_estimate).
+    adj, adj_ids = _lc_tracked(
+        (base if directed else symmetrize(base))
+        .repartition(n_parts, F.col("from_id")))
     try:
         rows = [(f"{s}#{w}", s) for s in start_ids
                 for w in range(walks_per_node)]
@@ -1078,11 +1088,40 @@ def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
         out = walks.select("walk_id", "start", "path")
         return out if done is None else out.unionByName(done)
     finally:
-        adj.unpersist()
+        _lc_free(spark, adj_ids)
+
+
+def _lc_tracked(df: DataFrame, eager: bool = True
+                ) -> tuple[DataFrame, set]:
+    """``localCheckpoint`` plus the JVM RDD ids it pinned (id-diff
+    around the call — lazy checkpoints register their RDD immediately,
+    before materialization). ``Dataset.unpersist()`` NEVER frees
+    checkpoint blocks: they have no CacheManager entry, so the only
+    handle is the JVM persistent-RDD map. Free with ``_lc_free`` once
+    the frame is provably dead — it is UNUSABLE afterwards (the
+    checkpoint truncated its lineage, so there is nothing to recompute
+    from)."""
+    sc = df.sparkSession.sparkContext
+    before = {e.getKey()
+              for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
+    out = df.localCheckpoint(eager=eager)
+    ids = {e.getKey()
+           for e in sc._jsc.getPersistentRDDs().entrySet().toArray()} - before
+    return out, ids
+
+
+def _lc_free(spark, ids: set) -> None:
+    """Drop the checkpoint blocks behind ``_lc_tracked`` ids."""
+    if not ids:
+        return
+    for e in spark.sparkContext._jsc.getPersistentRDDs() \
+            .entrySet().toArray():
+        if e.getKey() in ids:
+            e.getValue().unpersist(False)
 
 
 def _bfs_sweep(adj: DataFrame, start_id: str, max_depth: int
-               ) -> tuple[DataFrame, int, int]:
+               ) -> tuple[DataFrame, set, int, int]:
     """One latency-tuned BFS sweep over an ALREADY-SYMMETRIZED (and
     ideally resident, from_id-partitioned) adjacency. Returns
     ``(last_nonempty_frontier, depth_reached, n_reached)`` — the pieces
@@ -1104,39 +1143,40 @@ def _bfs_sweep(adj: DataFrame, start_id: str, max_depth: int
     pushdown excluded, reduced shuffle partitions).
     """
     spark = adj.sparkSession
-    frontier = spark.createDataFrame([(start_id,)], "node_id string") \
-        .localCheckpoint()
-    prev, depth_reached, n_reached = None, 0, 1
+    frontier, f_ids = _lc_tracked(
+        spark.createDataFrame([(start_id,)], "node_id string"))
+    prev, p_ids = None, set()
+    depth_reached, n_reached = 0, 1
     for depth in range(1, max_depth + 1):
         # undirected last-two-frontiers anti-join (the k_hop argument)
         seen = (frontier if prev is None
                 else frontier.unionByName(prev))
         f = frontier.select(F.col("node_id").alias("from_id")) \
             .hint("shuffle_hash")
-        nxt = (adj.join(f, "from_id")
-               .select(F.col("to_id").alias("node_id")).distinct()
-               .join(seen.hint("shuffle_hash"), "node_id", "left_anti")
-               .localCheckpoint(eager=False))
+        nxt, n_ids = _lc_tracked(
+            adj.join(f, "from_id")
+            .select(F.col("to_id").alias("node_id")).distinct()
+            .join(seen.hint("shuffle_hash"), "node_id", "left_anti"),
+            eager=False)
         n = nxt.count()
         if n == 0:
-            # the empty checkpoint block and the current prev both
-            # leave the window; only `frontier` escapes to the caller.
-            nxt.unpersist(False)
-            if prev is not None:
-                prev.unpersist(False)
+            # the empty checkpoint and the current prev both leave the
+            # window; only `frontier` (+ its ids) escapes to the caller.
+            _lc_free(spark, n_ids | p_ids)
             break
         depth_reached, n_reached = depth, n_reached + n
         # prev's predecessor is outside the two-frontier seen window
-        # after this hop — unpersist its checkpoint blocks now instead
-        # of pinning ~2|V| rows per sweep until ContextCleaner GC
+        # after this hop — free its checkpoint BLOCKS now (by JVM RDD
+        # id; Dataset.unpersist is a no-op on checkpoints) instead of
+        # pinning ~2|V| rows per sweep until ContextCleaner GC
         # (round-6 ADVICE).
-        dead, prev, frontier = prev, frontier, nxt
-        if dead is not None:
-            dead.unpersist(False)
+        dead_ids = p_ids
+        prev, p_ids = frontier, f_ids
+        frontier, f_ids = nxt, n_ids
+        _lc_free(spark, dead_ids)
     else:
-        if prev is not None:
-            prev.unpersist(False)
-    return frontier, depth_reached, n_reached
+        _lc_free(spark, p_ids)
+    return frontier, f_ids, depth_reached, n_reached
 
 
 def diameter_estimate(edges: DataFrame, start_id: str,
@@ -1177,9 +1217,17 @@ def diameter_estimate(edges: DataFrame, start_id: str,
         # Partition count follows the cluster (defaultParallelism), not
         # a literal — a hardcoded 8 would funnel the whole symmetrized
         # adjacency through 8 partitions on a 1000-executor cluster.
+        # localCheckpoint, NOT persist: this plan is byte-identical to
+        # the _sym_adj session index's, and Dataset.persist dedupes
+        # identical analyzed plans into ONE CacheManager entry — the
+        # finally-block unpersist would then silently drop the
+        # resident index's storage too (observed: sym_adj 37 MB -> 0
+        # mid-bench; every later _sym_adj consumer recomputes).
+        # Checkpoint blocks are per-RDD, never plan-shared.
         npart = spark.sparkContext.defaultParallelism
-        adj = (symmetrize(edges.select("from_id", "to_id"))
-               .repartition(npart, F.col("from_id")).persist())
+        adj, adj_ids = _lc_tracked(
+            symmetrize(edges.select("from_id", "to_id"))
+            .repartition(npart, F.col("from_id")))
     else:
         # CONTRACT: prebuilt_adj must already be SYMMETRIZED —
         # _bfs_sweep's two-frontier anti-join is only correct on
@@ -1200,13 +1248,13 @@ def diameter_estimate(edges: DataFrame, start_id: str,
         spark.conf.set(k_aqe, "false")
         spark.conf.set(k_excl, rule if not old_excl
                        else old_excl + "," + rule)
-        last1, _, _ = _bfs_sweep(adj, start_id, max_depth)
+        last1, l1_ids, _, _ = _bfs_sweep(adj, start_id, max_depth)
         far = (last1.orderBy(F.col("node_id").asc())
                .limit(1).collect())
         far_id = far[0]["node_id"] if far else start_id
-        last1.unpersist(False)
-        last2, ecc, n_reached = _bfs_sweep(adj, far_id, max_depth)
-        last2.unpersist(False)
+        _lc_free(spark, l1_ids)
+        _, l2_ids, ecc, n_reached = _bfs_sweep(adj, far_id, max_depth)
+        _lc_free(spark, l2_ids)
         return spark.createDataFrame(
             [(far_id, ecc, n_reached)],
             "sweep2_start string, diameter_lb int, n_reached long")
@@ -1224,7 +1272,7 @@ def diameter_estimate(edges: DataFrame, start_id: str,
         else:
             spark.conf.unset(k_excl)
         if own:
-            adj.unpersist()
+            _lc_free(spark, adj_ids)
 
 
 def adamic_adar_prepare(edges: DataFrame,

@@ -393,3 +393,54 @@ def test_pagerank_broadcast_matches_shuffle(spark):
     assert sh.keys() == bc.keys()
     for n in sh:
         assert abs(sh[n] - bc[n]) < 1e-9
+
+
+def _persistent_ids(spark):
+    return {e.getKey() for e in
+            spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray()}
+
+
+def test_diameter_own_build_does_not_kill_identical_plan_cache(spark):
+    """Dataset.persist dedupes identical analyzed plans into ONE
+    CacheManager entry, so an operator that persists + unpersists a
+    scratch adjacency whose plan equals a resident session index's
+    silently drops the index's storage (observed: sym_adj 37 MB -> 0
+    mid-bench after diameter's own-build moved to the same
+    defaultParallelism partitioning). The own-build path must
+    therefore use localCheckpoint (plan-unique blocks)."""
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.operators.graph import (
+        diameter_estimate, symmetrize,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "from_id string, to_id string")
+    n_parts = spark.sparkContext.defaultParallelism
+    resident = (symmetrize(edges.select("from_id", "to_id"))
+                .repartition(n_parts, F.col("from_id")).persist())
+    resident.count()
+    try:
+        assert resident.storageLevel.useMemory
+        row = diameter_estimate(edges, "a", max_depth=6).collect()[0]
+        assert row["diameter_lb"] == 3
+        # the resident identical-plan cache must still be cached
+        assert resident.storageLevel.useMemory
+    finally:
+        resident.unpersist()
+
+
+def test_diameter_frees_its_checkpoint_blocks(spark):
+    """Every sweep frontier and the own-build adjacency are
+    localCheckpoint blocks with no CacheManager entry; the r06 ADVICE
+    leak pinned ~2|V| rows per sweep until GC. diameter_estimate must
+    leave the JVM persistent-RDD map exactly as it found it."""
+    from memory_engine_spark.operators.graph import diameter_estimate
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(20)],
+        "from_id string, to_id string")
+    before = _persistent_ids(spark)
+    diameter_estimate(edges, "n10", max_depth=25).collect()
+    leaked = _persistent_ids(spark) - before
+    assert leaked == set(), f"leaked persistent RDDs: {leaked}"

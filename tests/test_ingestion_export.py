@@ -489,3 +489,109 @@ def test_decode_audio_routes_wav_to_real_path():
     assert real[0, 0] == (10**2 + 10**2) / 2  # real energies, not digest
     fake = decode_audio(b"\xffcodec-bytes")
     assert np.array_equal(fake, fake_decode_audio(b"\xffcodec-bytes"))
+
+
+def test_png_unfilter_spec_vectors():
+    """decode_png_pixels against HAND-COMPUTED spec vectors (W3C PNG
+    §9.2/§9.4), independent of synth_png — a mutually-cancelling
+    filter bug in the encode/decode pair would survive roundtrip
+    tests AND the q156 oracle (decode(synth(px)) == px either way),
+    so the unfilter arithmetic must be pinned against the spec
+    directly. Grayscale 3x3, one row per filter type."""
+    import zlib
+
+    import numpy as np
+
+    # Row 0, filter 1 (Sub, bpp=1): filt [5, 7, 250]
+    #   recon: 5, 5+7=12, (12+250)%256=6
+    # Row 1, filter 2 (Up): filt [200, 100, 251]
+    #   recon: (200+5)%256=205, (100+12)%256=112, (251+6)%256=1
+    # Row 2, filter 4 (Paeth): filt [10, 20, 30], prev=[205,112,1]
+    #   k=0: left=0, up=205, ul=0 -> p=205-0? paeth(0,205,0): p=a+b-c=205,
+    #        pa=205, pb=0, pc=205 -> pb smallest -> up=205; recon=(10+205)%256=215
+    #   k=1: left=215, up=112, ul=205 -> p=215+112-205=122,
+    #        pa=|122-215|=93, pb=|122-112|=10, pc=|122-205|=83 -> pb -> 112;
+    #        recon=(20+112)%256=132
+    #   k=2: left=132, up=1, ul=112 -> p=132+1-112=21,
+    #        pa=89, pb=20, pc=91 -> pb -> 1; recon=(30+1)%256=31
+    scanlines = bytes([1, 5, 7, 250,
+                       2, 200, 100, 251,
+                       4, 10, 20, 30])
+    ihdr = ((3).to_bytes(4, "big") + (3).to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0]))
+
+    def chunk(ctype, data):
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(scanlines))
+           + chunk(b"IEND", b""))
+    px = multimodal.decode_png_pixels(png)
+    expected = np.array([[5, 12, 6],
+                         [205, 112, 1],
+                         [215, 132, 31]], dtype=np.uint8)[:, :, None]
+    assert (px == expected).all()
+
+    # Average filter vector (filter 3), RGB so bpp=3:
+    # prev row raw = [10, 20, 30, 40, 50, 60], filt=[100,100,100,200,200,200]
+    #   k<3: left=0 -> recon = (filt + prev//2) % 256
+    #     k=0: 100+5=105; k=1: 100+10=110; k=2: 100+15=115
+    #   k=3: left=105, prev=40 -> (200+(105+40)//2)%256=(200+72)%256=16
+    #   k=4: left=110, prev=50 -> (200+80)%256=24
+    #   k=5: left=115, prev=60 -> (200+87)%256=31
+    scan2 = bytes([0, 10, 20, 30, 40, 50, 60,
+                   3, 100, 100, 100, 200, 200, 200])
+    ihdr2 = ((2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+             + bytes([8, 2, 0, 0, 0]))
+    png2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr2)
+            + chunk(b"IDAT", zlib.compress(scan2))
+            + chunk(b"IEND", b""))
+    px2 = multimodal.decode_png_pixels(png2)
+    expected2 = np.array([[[10, 20, 30], [40, 50, 60]],
+                          [[105, 110, 115], [16, 24, 31]]], dtype=np.uint8)
+    assert (px2 == expected2).all()
+
+
+def test_png_roundtrip_all_filters_and_stats(spark):
+    """synth_png -> decode_png_pixels roundtrip over every filter type
+    and channel count, plus the png_pixel_stats mapInPandas stage."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, (7, 5, ch)).astype(np.uint8)
+        b = multimodal.synth_png(px, row_filters=[r % 5 for r in range(7)])
+        out = multimodal.decode_png_pixels(b)
+        assert (out == px).all()
+
+    px = rng.randint(0, 256, (4, 6, 3)).astype(np.uint8)
+    payload = multimodal.synth_png(px, row_filters=[4, 3, 2, 1])
+    df = spark.createDataFrame([("m1", bytearray(payload))],
+                               "media_id string, payload binary")
+    row = multimodal.png_pixel_stats(df).collect()[0]
+    flat = px.astype(np.int64)
+    assert (row["width"], row["height"], row["channels"]) == (6, 4, 3)
+    assert row["csum"] == flat.sum(axis=(0, 1)).tolist()
+    assert row["csqsum"] == (flat * flat).sum(axis=(0, 1)).tolist()
+
+
+def test_png_decoder_loud_fail_contract():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_png_pixels(b"not a png")
+    # 16-bit depth is out of scope and must raise, not mis-decode
+    import zlib
+
+    def chunk(ctype, data):
+        return (len(data).to_bytes(4, "big") + ctype + data
+                + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+    ihdr = ((1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes([16, 0, 0, 0, 0]))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_png_pixels(png)
