@@ -390,6 +390,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALE10X", "1") != "0":
         entrymod.drop_all_pins(spark)
         drop_transient_caches(set())
+        # Nudge the JVM toward a clean heap before the probe: after
+        # ~90 queries x 3 runs the probe's absolute walls carry
+        # JVM-state variance BOTH directions (r07 A/B: bfs_2hop x10 =
+        # 9.1 s probe-first vs 12.4 s here; kcore_peel 61.8 s
+        # probe-first vs 29.6 s here — cold JIT hurts more than heap
+        # helps). The ratios are the signal; see SCALING.md round 7.
+        spark._jvm.System.gc()
         scale = scale_10x(spark, sf_dir)
     else:
         scale = {}
