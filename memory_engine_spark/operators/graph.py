@@ -1244,7 +1244,14 @@ def diameter_estimate(edges: DataFrame, start_id: str,
     rule = ("org.apache.spark.sql.catalyst.optimizer."
             "PushDownLeftSemiAntiJoin")
     try:
-        spark.conf.set(k_shuf, str(max(8, int(old_shuf) // 4)))
+        # Frontier stages are dispatch-bound, not data-bound: at sf0.1
+        # the whole sweep moves ≤105k rows/hop, so fewer reduce tasks
+        # per tiny stage wins. Measured warm (2 sweeps, 16 hops):
+        # 32 shuffle partitions 5.9 s, 8 → 5.35 s, 4 → 4.72 s,
+        # 2 → 4.92 s, 1 → 6.23 s (too few tasks for the 105k-row
+        # hops). //8 keeps the choice proportional on a cluster where
+        # the session default is sized to real data.
+        spark.conf.set(k_shuf, str(max(4, int(old_shuf) // 8)))
         spark.conf.set(k_aqe, "false")
         spark.conf.set(k_excl, rule if not old_excl
                        else old_excl + "," + rule)
