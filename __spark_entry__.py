@@ -3945,6 +3945,63 @@ def q156_png_pixels(spark, sf):
         .orderBy("media_id"))
 
 
+def q157_bmp_gif_pixels(spark, sf):
+    """REAL BMP + GIF pixel decode under the oracle gate (closes the
+    image-format set q156 opened: PNG/BMP/GIF all have
+    dependency-free decoders now; JPEG alone stays a stand-in). Each
+    document synthesizes BOTH a spec-complete 24-bit bottom-up BMP
+    (4-byte row padding) and a single-frame GIF89a whose pixel
+    indices run through a REAL pure-Python LZW encode
+    (multimodal.synth_bmp / synth_gif); multimodal.image_pixel_stats
+    then WALKS THE BYTES — BGR de-swizzle + row un-padding for BMP,
+    sub-block reassembly + variable-width LZW + palette lookup for
+    GIF — into exact int64 per-channel sums. The oracle recomputes
+    both from the formulas, so a padding, byte-order, bit-packing, or
+    LZW-table bug anywhere breaks the hash. (Encode/decode pairs are
+    additionally pinned by an encoder-independent hand-assembled GIF
+    byte vector in tests.)"""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                # BMP: direct-pixel formula
+                w, h = 4 + (d % 5) * 2, 3 + (d % 3) * 2
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 3)
+                px = ((d * 13 + r * 11 + c * 3 + ch * 7) % 256) \
+                    .astype(np.uint8)
+                ids.append(f"bmp_{d}")
+                payloads.append(multimodal.synth_bmp(px))
+                # GIF: 8-color palette + index formula
+                gw, gh = 6 + (d % 4) * 2, 4 + (d % 2) * 3
+                pal = ((d * 17 + np.arange(8).reshape(8, 1) * 29
+                        + np.arange(3).reshape(1, 3) * 5) % 256) \
+                    .astype(np.uint8)
+                gr = np.arange(gh).reshape(gh, 1)
+                gc = np.arange(gw).reshape(1, gw)
+                idx = ((d + gr * 5 + gc) % 8).astype(np.uint8)
+                ids.append(f"gif_{d}")
+                payloads.append(multimodal.synth_gif(idx, pal))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    stats = multimodal.image_pixel_stats(media)
+    return (stats.select(
+        "media_id", "width", "height", "channels",
+        *[F.col("csum")[i].alias(f"s{i}") for i in range(3)],
+        *[F.col("csqsum")[i].alias(f"q{i}") for i in range(3)])
+        .orderBy("media_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is deliberate: the driver's correctness gate
     # checks the first ~50 registry entries, so the NEWEST operator
@@ -3999,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_perspective_report": q154_perspective_report,
         "q155_audio_features": q155_audio_features,
         "q156_png_pixels": q156_png_pixels,
+        "q157_bmp_gif_pixels": q157_bmp_gif_pixels,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4068,7 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # advances each round (r06: q01–q16 + q51–q60; r07: q17–q50 +
     # q61–q83 — more than the sample window holds, so the overflow
     # tail rolls into r08's tranche naturally).
-    new_this_round = ["q156_png_pixels"]
+    new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -7698,6 +7756,58 @@ def oracle_sql() -> dict[str, str]:
                SUM(CASE WHEN ch = 1 THEN v * v END)::BIGINT AS q1,
                SUM(CASE WHEN ch = 2 THEN v * v END)::BIGINT AS q2
         FROM px GROUP BY doc_id, w, h ORDER BY media_id
+    """
+
+    # q157: the BMP direct-pixel formula and the GIF palette+index
+    # composition replayed relationally — same exact-BIGINT shape as
+    # q156, two media rows per document.
+    sql["q157_bmp_gif_pixels"] = """
+        WITH d AS (SELECT doc_id FROM documents),
+        bmp_px AS (
+            SELECT doc_id, 4 + (doc_id % 5) * 2 AS w,
+                   3 + (doc_id % 3) * 2 AS h, ch,
+                   (doc_id * 13 + r * 11 + c * 3 + ch * 7) % 256 AS v
+            FROM (
+                SELECT doc_id, w, h, r, c, unnest(range(0, 3)) AS ch
+                FROM (
+                    SELECT doc_id, w, h, r, unnest(range(0, w)) AS c
+                    FROM (
+                        SELECT doc_id, w, h, unnest(range(0, h)) AS r
+                        FROM (SELECT doc_id,
+                                     4 + (doc_id % 5) * 2 AS w,
+                                     3 + (doc_id % 3) * 2 AS h
+                              FROM d))))
+        ),
+        gif_px AS (
+            SELECT doc_id, 6 + (doc_id % 4) * 2 AS w,
+                   4 + (doc_id % 2) * 3 AS h, ch,
+                   (doc_id * 17 + ((doc_id + r * 5 + c) % 8) * 29
+                    + ch * 5) % 256 AS v
+            FROM (
+                SELECT doc_id, w, h, r, c, unnest(range(0, 3)) AS ch
+                FROM (
+                    SELECT doc_id, w, h, r, unnest(range(0, w)) AS c
+                    FROM (
+                        SELECT doc_id, w, h, unnest(range(0, h)) AS r
+                        FROM (SELECT doc_id,
+                                     6 + (doc_id % 4) * 2 AS w,
+                                     4 + (doc_id % 2) * 3 AS h
+                              FROM d))))
+        ),
+        both_px AS (
+            SELECT 'bmp_' || doc_id AS media_id, w, h, ch, v FROM bmp_px
+            UNION ALL
+            SELECT 'gif_' || doc_id AS media_id, w, h, ch, v FROM gif_px
+        )
+        SELECT media_id, w::INT AS width, h::INT AS height,
+               3::INT AS channels,
+               SUM(CASE WHEN ch = 0 THEN v END)::BIGINT AS s0,
+               SUM(CASE WHEN ch = 1 THEN v END)::BIGINT AS s1,
+               SUM(CASE WHEN ch = 2 THEN v END)::BIGINT AS s2,
+               SUM(CASE WHEN ch = 0 THEN v * v END)::BIGINT AS q0,
+               SUM(CASE WHEN ch = 1 THEN v * v END)::BIGINT AS q1,
+               SUM(CASE WHEN ch = 2 THEN v * v END)::BIGINT AS q2
+        FROM both_px GROUP BY media_id, w, h ORDER BY media_id
     """
 
     # q115: both deterministic fake decoders are md5-digest bytes —

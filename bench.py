@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q154_perspective_report",  # perspective-analysis report joins
     "q155_audio_features",    # real WAV-PCM decode in mapInPandas
     "q156_png_pixels",        # real PNG decode (zlib + unfilter)
+    "q157_bmp_gif_pixels",    # real BMP + GIF (pure-LZW) decode
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -256,21 +256,35 @@ def synth_png(pixels: np.ndarray, row_filters=None) -> bytes:
             + chunk(b"IEND", b""))
 
 
-def png_pixel_stats(df: DataFrame, payload_col: str = "payload",
-                    id_col: str = "media_id") -> DataFrame:
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the REAL pixel decoders (PNG/BMP/GIF);
+    unknown formats raise (loud-fail — this seam is for callers that
+    need pixels, not the feature fallback ``decode_image`` offers)."""
+    b = payload or b""
+    if len(b) >= 8 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(b)
+    if len(b) >= 2 and b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    if len(b) >= 3 and b[:3] == b"GIF":
+        return decode_gif_pixels(b)
+    raise NotImplementedError("no real pixel decoder for this format")
+
+
+def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
     """REAL image feature extraction as one Arrow ``mapInPandas``
-    stage: PNG decode (``decode_png_pixels``) → per-channel integer
-    pixel statistics. Sums and sums-of-squares are exact int64, so the
-    output is byte-reproducible by any engine that can see the pixels
-    — a filter/unfilter, chunk-walk, or inflate bug anywhere breaks
-    them. Returns (id, width, height, channels,
+    stage: pixel decode (PNG/BMP/GIF by magic bytes) → per-channel
+    integer pixel statistics. Sums and sums-of-squares are exact
+    int64, so the output is byte-reproducible by any engine that can
+    see the pixels — a filter/unfilter, LZW, chunk-walk, or inflate
+    bug anywhere breaks them. Returns (id, width, height, channels,
     csum array<long>, csqsum array<long>)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                px = decode_png_pixels(b).astype(np.int64)
+                px = decode_pixels(b).astype(np.int64)
                 rows.append({
                     id_col: mid,
                     "width": px.shape[1], "height": px.shape[0],
@@ -285,6 +299,10 @@ def png_pixel_stats(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
 
 
+# q156 and its tests predate the BMP/GIF decoders; same stage.
+png_pixel_stats = image_pixel_stats
+
+
 def decode_audio(payload: bytes) -> np.ndarray:
     """Audio decoder seam: RIFF/WAVE payloads take the REAL PCM
     window-energy path; anything else (compressed codecs) falls back
@@ -296,16 +314,258 @@ def decode_audio(payload: bytes) -> np.ndarray:
     return fake_decode_audio(b)
 
 
+def decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """REAL BMP pixel decoder — BMP is uncompressed, so this is pure
+    byte layout: BITMAPINFOHEADER parse, 24-bit BGR rows padded to
+    4-byte boundaries, bottom-up storage (top-down when height is
+    negative). Returns (H, W, 3) uint8 RGB. Compressed (RLE) or
+    non-24-bit BMPs raise (loud-fail contract)."""
+    b = payload or b""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    h, w = abs(height), abs(width)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(b) < data_off + h * stride:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(b[data_off:data_off + h * stride],
+                         dtype=np.uint8).reshape(h, stride)[:, :w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
+def synth_bmp(pixels: np.ndarray) -> bytes:
+    """Assemble a spec-complete 24-bit uncompressed BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up, 4-byte row
+    padding) from an (H, W, 3) uint8 RGB array — the encode twin of
+    ``decode_bmp_pixels``."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    info = ((40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+            + b"\x00" * 16)
+    off = 14 + 40
+    head = (b"BM" + (off + len(body)).to_bytes(4, "little")
+            + b"\x00" * 4 + off.to_bytes(4, "little"))
+    return head + info + bytes(body)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int
+                    ) -> list[int]:
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width min+1..12 bits, little-endian bit packing, clear + EOI
+    codes, the classic KwKwK first-entry special case."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(1 << min_code_size)] + [[], []]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out[:n_pixels]
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + [prev[0]]  # KwKwK
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out[:n_pixels]
+    return out[:n_pixels]
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """REAL GIF pixel decoder — pure-Python LZW (GIF's only
+    compression) + palette lookup: logical screen descriptor, global
+    color table, first image descriptor, sub-block reassembly,
+    variable-width LZW, palette indexing. Non-interlaced single-frame
+    GIFs with a global color table; anything else raises. Returns
+    (H, W, 3) uint8 RGB."""
+    b = payload or b""
+    if len(b) < 13 or b[:3] != b"GIF":
+        raise ValueError("not a GIF payload")
+    flags = b[10]
+    if not flags & 0x80:
+        raise NotImplementedError("GIF without global color table")
+    gct_size = 2 << (flags & 0x07)
+    i = 13
+    palette = np.frombuffer(b[i:i + 3 * gct_size], dtype=np.uint8) \
+        .reshape(gct_size, 3)
+    i += 3 * gct_size
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[i + 5:i + 7], "little")
+            h = int.from_bytes(b[i + 7:i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if iflags & 0x80:  # local color table overrides
+                lct_size = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    b[i:i + 3 * lct_size], dtype=np.uint8) \
+                    .reshape(lct_size, 3)
+                i += 3 * lct_size
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                n = b[i]
+                data += b[i + 1:i + 1 + n]
+                i += 1 + n
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            return palette[np.array(idx, dtype=np.int32)] \
+                .reshape(h, w, 3)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("no image descriptor in GIF")
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (the decode twin): dictionary of pixel
+    strings, clear emitted up-front, codes little-endian bit-packed,
+    width grows after the code that fills the current width."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(1 << min_code_size)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    cur: tuple = ()
+    for px in indices:
+        nxt = cur + (px,)
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {(i,): i for i in range(1 << min_code_size)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = (px,)
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synth_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Assemble a spec-complete single-frame GIF89a (logical screen
+    descriptor + global color table + image descriptor + LZW data
+    sub-blocks + trailer) from an (H, W) uint8 index array and an
+    (N, 3) palette — the encode twin of ``decode_gif_pixels``."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    bits = max(1, int(len(pal) - 1).bit_length())
+    gct_size = 1 << bits
+    pal_full = np.zeros((gct_size, 3), dtype=np.uint8)
+    pal_full[:len(pal)] = pal
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode([int(v) for v in idx.ravel()], min_code)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (b"GIF89a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0x80 | (bits - 1), 0, 0])
+            + pal_full.tobytes()
+            + b"\x2C" + b"\x00" * 4
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00" + bytes([min_code]) + bytes(blocks) + b"\x00"
+            + b"\x3B")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decoder seam: PNG payloads take the REAL stdlib-zlib
-    pixel path (flattened to (H·W, C) so ``decode_features``'s
-    mean(axis=0) readout yields per-channel means); other formats
-    (JPEG/GIF pixel decode — codec-library territory) fall back to
-    the deterministic stand-in."""
+    """Image decoder seam: PNG (stdlib zlib + spec unfilters), BMP
+    (pure byte layout), and GIF (pure-Python LZW) payloads take REAL
+    pixel paths (flattened to (H·W, C) so ``decode_features``'s
+    mean(axis=0) readout yields per-channel means); JPEG — the one
+    format whose decode genuinely needs codec machinery (Huffman +
+    IDCT with spec-defined rounding) — falls back to the
+    deterministic stand-in."""
     b = payload or b""
     if len(b) >= 8 and b[:8] == b"\x89PNG\r\n\x1a\n":
         px = decode_png_pixels(b)
         return px.reshape(-1, px.shape[2]).astype(np.float32)
+    if len(b) >= 2 and b[:2] == b"BM":
+        px = decode_bmp_pixels(b)
+        return px.reshape(-1, 3).astype(np.float32)
+    if len(b) >= 3 and b[:3] == b"GIF":
+        px = decode_gif_pixels(b)
+        return px.reshape(-1, 3).astype(np.float32)
     return fake_decode_image(b)
 
 

@@ -595,3 +595,67 @@ def test_png_decoder_loud_fail_contract():
            + chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
         multimodal.decode_png_pixels(png)
+
+
+def test_bmp_gif_roundtrip_and_hand_vector():
+    """BMP/GIF decoders: encode-twin roundtrips (odd widths exercise
+    BMP row padding; 256-entry palettes exercise LZW width growth)
+    plus a HAND-ASSEMBLED GIF byte vector (spec appendix F bit
+    packing) that is independent of our own encoder — the
+    mutually-cancelling-bug guard, as with PNG."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for (h, w) in [(5, 7), (1, 1), (8, 3)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (multimodal.decode_bmp_pixels(
+            multimodal.synth_bmp(px)) == px).all()
+    for npal, (h, w) in [(4, (6, 8)), (256, (40, 50)), (2, (3, 3))]:
+        pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+        idx = rng.randint(0, npal, (h, w)).astype(np.uint8)
+        out = multimodal.decode_gif_pixels(multimodal.synth_gif(idx, pal))
+        assert (out == pal[idx]).all()
+
+    # 3x1, 2-color palette, indices [1,0,1], min_code=2:
+    # codes clear(4),1,0,1,eoi(5) at width 3, LSB-first packing
+    bits = []
+    for code in (4, 1, 0, 1, 5):
+        for k in range(3):
+            bits.append((code >> k) & 1)
+    by = bytearray()
+    for off in range(0, len(bits), 8):
+        v = 0
+        for i, bit in enumerate(bits[off:off + 8]):
+            v |= bit << i
+        by.append(v)
+    gif = (b"GIF89a" + (3).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + bytes([0x80, 0, 0])
+           + bytes([10, 20, 30, 200, 210, 220])
+           + b"\x2C" + b"\x00" * 4 + (3).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + b"\x00" + bytes([2])
+           + bytes([len(by)]) + bytes(by) + b"\x00" + b"\x3B")
+    out = multimodal.decode_gif_pixels(gif)
+    exp = np.array([[[200, 210, 220], [10, 20, 30], [200, 210, 220]]],
+                   dtype=np.uint8)
+    assert (out == exp).all()
+
+
+def test_image_decoder_dispatch_and_loud_fail():
+    import numpy as np
+    import pytest as _pytest
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    for payload in (multimodal.synth_bmp(px),
+                    multimodal.synth_png(px),
+                    multimodal.synth_gif(px[:, :, 0] % 4,
+                                         np.arange(12, dtype=np.uint8)
+                                         .reshape(4, 3))):
+        out = multimodal.decode_pixels(payload)
+        assert out.shape[2] == 3
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_pixels(b"\xff\xd8jpegish")
+    with _pytest.raises(NotImplementedError):
+        # RLE-compressed BMP must raise, not mis-decode
+        bad = bytearray(multimodal.synth_bmp(px))
+        bad[30] = 1
+        multimodal.decode_bmp_pixels(bytes(bad))
