@@ -364,6 +364,52 @@ def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qz
 
 
+_INT8C_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def _int8_cells(spark: SparkSession, sf_dir: str, nlist: int = 16
+                ) -> DataFrame:
+    """Offline int8-codes-by-IVF-cell artifact (.derived/<sf>/int8c):
+    the `_int8_codes` table joined with the `_ivf` coarse assignment
+    and written partitionBy("cell") — so `topk_ivf_int8`'s probe-cell
+    IN filter is static partition pruning on a codes scan that is
+    already 4× smaller than the float column (FAISS keeps IVF_SQ8
+    lists contiguous per cell for the same reason). Atomic
+    tmp+rename; in-memory fallback on read-only checkouts."""
+    import os
+    import shutil
+
+    key = (id(spark), sf_dir, nlist)
+    if key in _INT8C_CACHE:
+        _touch_pin("int8c")
+        return _INT8C_CACHE[key]
+    before = _rdd_snap(spark)
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".derived", sf_name, f"int8c{nlist}")
+
+    def _build() -> DataFrame:
+        _, assigned = _ivf(spark, sf_dir, nlist=nlist)
+        return _int8_codes(spark, sf_dir).select("vec_id", "qvec") \
+            .join(assigned.select("vec_id", "cell"), "vec_id")
+
+    try:
+        if not os.path.isdir(base):
+            tmp = base + f".tmp{os.getpid()}"
+            _build().write.mode("overwrite").partitionBy("cell") \
+                .parquet(tmp)
+            try:
+                os.rename(tmp, base)
+            except OSError:  # another process won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+        cc = spark.read.parquet(base)
+    except Exception:  # pragma: no cover — read-only checkout etc.
+        cc = _build().localCheckpoint()
+    _pin_new(spark, before, "int8c", _INT8C_CACHE, key)
+    _INT8C_CACHE[key] = cc
+    return cc
+
+
 _PQ_CACHE: dict[tuple[int, str, int, int], tuple[DataFrame, DataFrame]] = {}
 
 
@@ -1980,6 +2026,7 @@ def prepare_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("hnsw16", lambda: _hnsw_index(spark, sf_dir)),
         ("probe_feats", lambda: _probe_feats(spark, sf_dir)),
         ("int8", lambda: _int8_codes(spark, sf_dir)),
+        ("int8c", lambda: _int8_cells(spark, sf_dir, nlist=16)),
     ]:
         t0 = _time.time()
         fn()
@@ -3945,6 +3992,30 @@ def q156_png_pixels(spark, sf):
         .orderBy("media_id"))
 
 
+def q158_ivf_int8_ann(spark, sf):
+    """IVF-bucketed int8 ANN (similarity.topk_ivf_int8 — the FAISS
+    IVF_SQ8 shape): probe 8 of 16 cells by centroid cosine, rank
+    candidates inside the probed cells by the exact-integer dot
+    product of the offline int8 codes (the `.derived/<sf>/int8c`
+    codes-by-cell artifact — partition-pruned AND 4× smaller than the
+    float scan), top-50 re-ranked by exact float cosine. Query =
+    vec 3's own code row (q152's convention), so the coarse probe,
+    the quantized candidate order, and the re-rank all unroll to SQL
+    and the composed index's approximation error is oracle-pinned.
+    Top-10."""
+    cents, _ = _ivf(spark, sf, nlist=16)
+    cc = _int8_cells(spark, sf, nlist=16)
+    emb = _t(spark, sf)["embeddings"]
+    qrow = _int8_codes(spark, sf).filter("vec_id = 3") \
+        .select("qvec").first()["qvec"]
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 3").first()["embedding"]]
+    return (similarity.topk_ivf_int8(
+        cc, cents, qvec, [int(v) for v in qrow], emb,
+        k=10, nprobe=8, n_candidates=50, id_col="vec_id")
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc()))
+
+
 def q157_bmp_gif_pixels(spark, sf):
     """REAL BMP + GIF pixel decode under the oracle gate (closes the
     image-format set q156 opened: PNG/BMP/GIF all have
@@ -4057,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_audio_features": q155_audio_features,
         "q156_png_pixels": q156_png_pixels,
         "q157_bmp_gif_pixels": q157_bmp_gif_pixels,
+        "q158_ivf_int8_ann": q158_ivf_int8_ann,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4126,7 +4198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # advances each round (r06: q01–q16 + q51–q60; r07: q17–q50 +
     # q61–q83 — more than the sample window holds, so the overflow
     # tail rolls into r08's tranche naturally).
-    new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels"]
+    new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
+                      "q158_ivf_int8_ann"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -7756,6 +7829,86 @@ def oracle_sql() -> dict[str, str]:
                SUM(CASE WHEN ch = 1 THEN v * v END)::BIGINT AS q1,
                SUM(CASE WHEN ch = 2 THEN v * v END)::BIGINT AS q2
         FROM px GROUP BY doc_id, w, h ORDER BY media_id
+    """
+
+    # q158: q36's first-16-seed cell assignment + probe composed with
+    # q152's int8 quantization — candidate ranking restricted to the
+    # probed cells; exact BIGINT dot/norms, micro-quantized re-rank.
+    sql["q158_ivf_int8_ann"] = """
+        WITH seeds AS (
+            SELECT vec_id AS cell, embedding::DOUBLE[] AS centroid
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        qf AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 3),
+        assign AS (
+            SELECT e.vec_id, s.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[],
+                                    s.centroid) DESC,
+                                s.cell ASC) AS rk
+            FROM embeddings e, seeds s
+        ),
+        cells AS (SELECT vec_id, cell FROM assign WHERE rk = 1),
+        probe AS (
+            SELECT s.cell FROM seeds s, qf
+            ORDER BY list_cosine_similarity(s.centroid, qf.qv) DESC,
+                     s.cell ASC
+            LIMIT 8
+        ),
+        q AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS scale
+            FROM embeddings
+        ),
+        qq AS (
+            SELECT vec_id, v, scale,
+                   CASE WHEN scale * 127.0 < 1e-10
+                        THEN list_transform(v, x -> 0)
+                        ELSE list_transform(v, x -> CAST(round(x / scale)
+                                                         AS INT)) END
+                       AS qvec
+            FROM q
+        ),
+        qv3 AS (SELECT qvec AS qq3, v AS v3 FROM qq WHERE vec_id = 3),
+        nq AS (SELECT CAST(list_sum(list_transform(qq3,
+                      x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nq
+               FROM qv3),
+        scored AS (
+            SELECT c.vec_id,
+                   CAST(list_sum(list_transform(range(1, len(c.qvec) + 1),
+                        i_ -> CAST(c.qvec[i_] AS BIGINT)
+                              * CAST(q3.qq3[i_] AS BIGINT)))
+                        AS BIGINT) AS d,
+                   CAST(list_sum(list_transform(c.qvec,
+                        x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nv
+            FROM qq c
+            JOIN cells cl USING (vec_id)
+            JOIN probe p ON cl.cell = p.cell, qv3 q3
+        ),
+        cand AS (
+            SELECT vec_id,
+                   CASE WHEN nv = 0 OR (SELECT nq FROM nq) = 0 THEN 0.0
+                        ELSE CAST(d AS DOUBLE)
+                             / (sqrt(CAST(nv AS DOUBLE))
+                                * sqrt(CAST((SELECT nq FROM nq)
+                                            AS DOUBLE))) END AS ascore
+            FROM scored
+            ORDER BY ascore DESC, vec_id ASC LIMIT 50
+        ),
+        rr AS (
+            SELECT c.vec_id,
+                   CAST(FLOOR(list_cosine_similarity(
+                        e.embedding::DOUBLE[], (SELECT v3 FROM qv3))
+                        * 1000000.0 + 0.5) AS BIGINT) AS sc
+            FROM cand c JOIN embeddings e USING (vec_id)
+            ORDER BY sc DESC, c.vec_id ASC LIMIT 10
+        )
+        SELECT vec_id, CAST(sc AS DOUBLE) / 1000000.0 AS score
+        FROM rr ORDER BY score DESC, vec_id ASC
     """
 
     # q157: the BMP direct-pixel formula and the GIF palette+index

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q155_audio_features",    # real WAV-PCM decode in mapInPandas
     "q156_png_pixels",        # real PNG decode (zlib + unfilter)
     "q157_bmp_gif_pixels",    # real BMP + GIF (pure-LZW) decode
+    "q158_ivf_int8_ann",      # IVF_SQ8-shape: pruned cells + int8 scan
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

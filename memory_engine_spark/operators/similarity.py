@@ -446,6 +446,69 @@ def topk_int8(embeddings: DataFrame, query_vec: list[float],
                     .alias("score")))
 
 
+def topk_ivf_int8(codes_cells: DataFrame, centroids: DataFrame,
+                  query_vec: list[float], query_qvec: list[int],
+                  embeddings: DataFrame, k: int = 10, nprobe: int = 8,
+                  n_candidates: int = 50, id_col: str = "node_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """IVF-bucketed int8 ANN — the production composition of the
+    coarse quantizer (``topk_ivf``) and the scalar quantizer
+    (``topk_int8``); the FAISS IVF_SQ8 shape (Milvus index family,
+    milvus_store.py:56-110). Three stages: (1) probe the ``nprobe``
+    nearest cells by centroid cosine (tiny collect, like topk_ivf);
+    (2) rank candidates INSIDE the probed cells by the exact-integer
+    dot product of the int8 codes — the cell-IN filter is static
+    partition pruning on the .derived codes-by-cell parquet, and the
+    scan touches 4×-smaller codes; (3) re-rank the surviving
+    ``n_candidates`` by exact float cosine (micro-quantized), joining
+    the float vectors for only those rows. At 100 TB the candidate
+    scan reads (nprobe/nlist) × (1/4) of the float brute-force bytes
+    — the two memory levers compose multiplicatively, which is why
+    both indexes are offline artifacts. All candidate-order
+    arithmetic is exact BIGINTs + correctly-rounded sqrt, so the
+    result (including the compression's ranking error) is
+    bit-reproducible cross-engine.
+
+    ``codes_cells``: (id, qvec array<int>, cell) — the offline join of
+    the int8 code table with the IVF assignment, written
+    partitionBy(cell). ``query_qvec`` must come from the same
+    quantization scheme. Returns (id, score)."""
+    import math
+
+    q = F.lit(query_vec).cast("array<double>")
+    probe = [r["cell"] for r in
+             centroids.select(
+                 "cell",
+                 cosine_similarity(F.col("centroid"), q).alias("s"))
+             .orderBy(F.col("s").desc(), F.col("cell").asc())
+             .limit(nprobe).collect()]
+    nq = sum(int(v) * int(v) for v in query_qvec)
+    qlit = F.array(*[F.lit(int(v)).cast("int") for v in query_qvec])
+    d = F.aggregate(
+        F.zip_with(F.col("qvec"), qlit,
+                   lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nv = F.aggregate(F.col("qvec"), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x.cast("long") * x.cast("long"))
+    approx = F.when((nv == 0) | (F.lit(nq) == 0), F.lit(0.0)) \
+        .otherwise(d.cast("double")
+                   / (F.sqrt(nv.cast("double"))
+                      * F.lit(math.sqrt(float(nq)))))
+    cand = (codes_cells.filter(F.col("cell").isin(probe))
+            .select(F.col(id_col), approx.alias("ascore"))
+            .orderBy(F.col("ascore").desc(), F.col(id_col).asc())
+            .limit(n_candidates))
+    exact = F.floor(
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q)
+        * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (cand.join(embeddings, id_col)
+            .select(F.col(id_col), exact.alias("sc"))
+            .orderBy(F.col("sc").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, (F.col("sc").cast("double") / F.lit(1e6))
+                    .alias("score")))
+
+
 def hnsw_levels(embeddings: DataFrame, id_col: str = "vec_id",
                 p: int = 16, max_level: int = 2,
                 salt: str = "hnsw") -> DataFrame:

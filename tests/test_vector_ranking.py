@@ -381,3 +381,51 @@ def test_topk_int8_recovers_brute_topk(spark):
     # re-rank scoring regression pass): topk_int8's floor(x*1e6+0.5)/1e6
     # equals round(x, 6) away from exact half-microunit boundaries.
     assert got == brute
+
+
+def test_topk_ivf_int8_recall_and_pruning(spark):
+    """The composed IVF+int8 index: with all cells probed it must
+    equal the float brute force exactly (ids AND micro-quantized
+    scores); with a partial probe it must only return vectors from
+    the probed cells (the partition-pruning contract) at reasonable
+    recall."""
+    import math
+
+    from memory_engine_spark.operators.similarity import (
+        build_ivf_flat, quantize_int8, topk_brute, topk_ivf_int8)
+
+    emb = spark.createDataFrame(
+        [(i, [math.cos(i / 9.0), math.sin(i / 9.0), (i % 5) / 5.0])
+         for i in range(60)],
+        "vec_id long, embedding array<float>")
+    cents, assigned = build_ivf_flat(emb, nlist=6, id_col="vec_id")
+    qz = quantize_int8(emb, id_col="vec_id")
+    codes_cells = qz.select("vec_id", "qvec") \
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+    qrow = [int(v) for v in qz.filter("vec_id = 7").first()["qvec"]]
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 7").first()["embedding"]]
+
+    full = [(r["vec_id"], r["score"]) for r in
+            topk_ivf_int8(codes_cells, cents, qvec, qrow, emb,
+                          k=5, nprobe=6, n_candidates=60,
+                          id_col="vec_id").collect()]
+    brute = [(r["vec_id"], round(r["score"], 6)) for r in
+             topk_brute(emb, qvec, k=5, id_col="vec_id").collect()]
+    assert full == brute
+
+    partial = topk_ivf_int8(codes_cells, cents, qvec, qrow, emb,
+                            k=5, nprobe=2, n_candidates=20,
+                            id_col="vec_id")
+    got_ids = {r["vec_id"] for r in partial.collect()}
+    from memory_engine_spark.functions.vector import cosine_similarity
+    probed = {r["cell"] for r in cents.select(
+        "cell", cosine_similarity(
+            F.col("centroid"),
+            F.lit(qvec).cast("array<double>")).alias("s"))
+        .orderBy(F.desc("s"), "cell").limit(2).collect()}
+    allowed = {r["vec_id"] for r in
+               assigned.filter(F.col("cell").isin(list(probed))).collect()}
+    # every result must come from a probed cell; recall vs brute >= 3/5
+    assert got_ids <= allowed
+    assert len(got_ids & {i for i, _ in brute}) >= 3
