@@ -4016,6 +4016,92 @@ def q158_ivf_int8_ann(spark, sf):
         .orderBy(F.col("score").desc(), F.col("vec_id").asc()))
 
 
+def q159_g711_audio(spark, sf):
+    """REAL compressed-audio decode under the oracle gate (upgrades
+    the `fake_decode_audio` stand-in for the telephony codecs): each
+    document synthesizes a spec-complete ITU-T G.711 WAV — even
+    doc_ids μ-law (fmt tag 7), odd A-law (tag 6), 18-byte fmt chunk
+    with cbSize — whose LINEAR samples follow a deterministic doc_id
+    formula, companded by `ulaw_encode`/`alaw_encode` (verified
+    against the Sun g711.c scalar reference on all 65536 inputs);
+    `audio_energy_features` then WALKS THE ACTUAL BYTES — RIFF walk,
+    fmt-tag dispatch, 256-entry expand LUTs — and emits window
+    energies over the DECODED (quantized) samples. The oracle replays
+    the full compand→expand quantizer in pure integer SQL (segment
+    CASE ladders), so an encode table, bias, segment-boundary, or
+    byte-path bug anywhere breaks the hash."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 320 + (d % 5) * 80
+                k = np.arange(n, dtype=np.int64)
+                s = ((d * 37 + k * 11) % 65536) - 32768
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                ids.append(f"m_{d}")
+                payloads.append(
+                    multimodal.synth_wav_g711(s, law=law, sample_rate=8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    feats = multimodal.audio_energy_features(media, n_windows=8)
+    return (feats.select(
+        "media_id", "audio_fmt", "sample_rate", "n_samples",
+        *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
+        .orderBy("media_id"))
+
+
+def q160_avi_frame_sample(spark, sf):
+    """REAL video container decode + frame sampling under the oracle
+    gate (executes what `sample_frames` only schedules): each
+    document synthesizes a spec-shaped AVI (RIFF hdrl/strl headers,
+    rational frame rate in strh, LIST movi of '00db' raw 24-bit DIB
+    frames, idx1) whose frame pixels follow a deterministic
+    (doc_id, frame, row, col, channel) formula;
+    `multimodal.avi_frame_stats` WALKS THE ACTUAL BYTES — nested
+    LIST recursion, strh rate/scale, bottom-up padded BGR rasters —
+    sampling every 0.5 s (stride round(0.5·fps)=2 at fps 4) and
+    emitting exact int64 pixel sums per sampled frame. The oracle
+    regenerates the sampled grid with a stepped range(), so a
+    container-walk, stride, frame-index, or sampling-arithmetic bug
+    breaks the hash."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 6 + (d % 4) * 2
+                w, h = 8 + (d % 3) * 4, 6
+                f = np.arange(nf).reshape(nf, 1, 1, 1)
+                r = np.arange(h).reshape(1, h, 1, 1)
+                c = np.arange(w).reshape(1, 1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 1, 3)
+                px = ((d * 31 + f * 13 + r * 17 + c * 7 + ch * 5) % 256) \
+                    .astype(np.uint8)
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_avi(px, fps=4))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return (multimodal.avi_frame_stats(media, every_s=0.5)
+            .orderBy("media_id", "frame_idx"))
+
+
 def q157_bmp_gif_pixels(spark, sf):
     """REAL BMP + GIF pixel decode under the oracle gate (closes the
     image-format set q156 opened: PNG/BMP/GIF all have
@@ -4129,6 +4215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_png_pixels": q156_png_pixels,
         "q157_bmp_gif_pixels": q157_bmp_gif_pixels,
         "q158_ivf_int8_ann": q158_ivf_int8_ann,
+        "q159_g711_audio": q159_g711_audio,
+        "q160_avi_frame_sample": q160_avi_frame_sample,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4199,7 +4287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q61–q83 — more than the sample window holds, so the overflow
     # tail rolls into r08's tranche naturally).
     new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
-                      "q158_ivf_int8_ann"]
+                      "q158_ivf_int8_ann", "q159_g711_audio",
+                      "q160_avi_frame_sample"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -7795,6 +7884,125 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_e_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q159: the full G.711 compand→expand quantizer replayed in pure
+    # integer SQL (μ-law: bias-132 segment ladder; A-law: 13-bit fold
+    # + Sun g711.c segment table), applied to the sample formula; the
+    # engine side decodes the actual companded bytes, so any codec or
+    # byte-path bug breaks the hash. n = 320 + (doc_id%5)*80 is always
+    # divisible by 8.
+    _g_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN w = {j} THEN q * q ELSE 0 END) AS DOUBLE)"
+        f" / (n // 8) AS e{j}" for j in range(8))
+    sql["q159_g711_audio"] = f"""
+        WITH d AS (
+            SELECT doc_id, 320 + (doc_id % 5) * 80 AS n FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
+        ),
+        raw AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 37 + i * 11) % 65536) - 32768 AS s,
+                   CAST(i // (n // 8) AS INT) AS w
+            FROM s0
+        ),
+        u1 AS (  -- mu-law: biased magnitude, segment, step
+            SELECT *, LEAST(ABS(s), 32635) + 132 AS m FROM raw
+        ),
+        u2 AS (
+            SELECT *, CASE WHEN m < 256 THEN 1 WHEN m < 512 THEN 2
+                           WHEN m < 1024 THEN 4 WHEN m < 2048 THEN 8
+                           WHEN m < 4096 THEN 16 WHEN m < 8192 THEN 32
+                           WHEN m < 16384 THEN 64 ELSE 128 END AS sh
+            FROM u1
+        ),
+        uq AS (
+            SELECT doc_id, i,
+                   (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                   * ((((m // (sh * 8)) % 16) * 8 + 132) * sh - 132) AS qu
+            FROM u2
+        ),
+        a1 AS (  -- A-law: 13-bit arithmetic shift, negative fold
+            SELECT doc_id, i, s >= 0 AS pos,
+                   CASE WHEN s >= 0
+                        THEN CAST(FLOOR(s / 8.0) AS BIGINT)
+                        ELSE -CAST(FLOOR(s / 8.0) AS BIGINT) - 1 END AS v
+            FROM raw
+        ),
+        a2 AS (
+            SELECT *, CASE WHEN v < 32 THEN 0 WHEN v < 64 THEN 1
+                           WHEN v < 128 THEN 2 WHEN v < 256 THEN 3
+                           WHEN v < 512 THEN 4 WHEN v < 1024 THEN 5
+                           WHEN v < 2048 THEN 6 ELSE 7 END AS seg
+            FROM a1
+        ),
+        a3 AS (
+            SELECT *, (v // (CASE seg WHEN 0 THEN 2 WHEN 1 THEN 2
+                                      WHEN 2 THEN 4 WHEN 3 THEN 8
+                                      WHEN 4 THEN 16 WHEN 5 THEN 32
+                                      WHEN 6 THEN 64 ELSE 128 END)) % 16
+                          AS mant
+            FROM a2
+        ),
+        aq AS (
+            SELECT doc_id, i,
+                   (CASE WHEN pos THEN 1 ELSE -1 END)
+                   * (CASE WHEN seg = 0 THEN mant * 16 + 8
+                           ELSE (mant * 16 + 264)
+                                * (CASE seg WHEN 1 THEN 1 WHEN 2 THEN 2
+                                            WHEN 3 THEN 4 WHEN 4 THEN 8
+                                            WHEN 5 THEN 16 WHEN 6 THEN 32
+                                            ELSE 64 END) END) AS qa
+            FROM a3
+        ),
+        q AS (
+            SELECT r.doc_id, r.n, r.w,
+                   CASE WHEN r.doc_id % 2 = 0 THEN uq.qu ELSE aq.qa END AS q
+            FROM raw r
+            JOIN uq ON uq.doc_id = r.doc_id AND uq.i = r.i
+            JOIN aq ON aq.doc_id = r.doc_id AND aq.i = r.i
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS INT)
+                   AS audio_fmt,
+               8000::INT AS sample_rate,
+               n::BIGINT AS n_samples,
+               {_g_cols}
+        FROM q GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q160: the sampled-frame pixel grid regenerated with a stepped
+    # range() (stride 2 = round(0.5s x 4fps)); exact BIGINT sums per
+    # sampled frame. The engine side walks the actual AVI bytes.
+    sql["q160_avi_frame_sample"] = """
+        WITH d AS (
+            SELECT doc_id, 6 + (doc_id % 4) * 2 AS nf,
+                   8 + (doc_id % 3) * 4 AS w, 6 AS h
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, nf, w, h, unnest(range(0, nf, 2)) AS f FROM d
+        ),
+        cells AS (
+            SELECT doc_id, nf, w, h, f, r, c, unnest(range(0, 3)) AS ch
+            FROM (SELECT doc_id, nf, w, h, f, r, unnest(range(0, w)) AS c
+                  FROM (SELECT doc_id, nf, w, h, f,
+                               unnest(range(0, h)) AS r FROM fr))
+        ),
+        px AS (
+            SELECT doc_id, nf, w, h, f,
+                   (doc_id * 31 + f * 13 + r * 17 + c * 7 + ch * 5) % 256
+                       AS v
+            FROM cells
+        )
+        SELECT 'm_' || doc_id AS media_id, nf::INT AS n_frames,
+               4::INT AS fps, w::INT AS width, h::INT AS height,
+               f::INT AS frame_idx, (f * 250)::BIGINT AS ts_ms,
+               SUM(v)::BIGINT AS psum, SUM(v * v)::BIGINT AS psqsum
+        FROM px GROUP BY doc_id, nf, w, h, f
+        ORDER BY media_id, frame_idx
     """
 
     # q156: the PNG pixel formula replayed relationally — per-channel

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q156_png_pixels",        # real PNG decode (zlib + unfilter)
     "q157_bmp_gif_pixels",    # real BMP + GIF (pure-LZW) decode
     "q158_ivf_int8_ann",      # IVF_SQ8-shape: pruned cells + int8 scan
+    "q159_g711_audio",        # real G.711 mu/A-law decode (WAV 7/6)
+    "q160_avi_frame_sample",  # real AVI container walk + frame sampling
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

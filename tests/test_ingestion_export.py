@@ -439,12 +439,12 @@ def test_decode_wav_pcm_roundtrip_and_variants():
         decode_wav_pcm, synth_wav_pcm16, wav_window_energy)
 
     s = np.array([0, 100, -100, 32767, -32768, 7, -7, 1], dtype=np.int16)
-    x, rate = decode_wav_pcm(synth_wav_pcm16(s, sample_rate=16000))
-    assert rate == 16000 and x.tolist() == s.tolist()
+    x, rate, tag = decode_wav_pcm(synth_wav_pcm16(s, sample_rate=16000))
+    assert rate == 16000 and tag == 1 and x.tolist() == s.tolist()
 
     # stereo: interleaved L/R mixes to floor((l+r)/2)
     inter = np.array([100, 200, -100, -201], dtype=np.int16)  # 2 frames
-    x2, _ = decode_wav_pcm(synth_wav_pcm16(inter, 8000, n_channels=2))
+    x2, _, _ = decode_wav_pcm(synth_wav_pcm16(inter, 8000, n_channels=2))
     assert x2.tolist() == [150, (-301) // 2]
 
     # 8-bit payload: unsigned bytes recenter around 128
@@ -455,7 +455,7 @@ def test_decode_wav_pcm_roundtrip_and_variants():
     data8 = b"data" + (3).to_bytes(4, "little") + bytes([0, 128, 255]) + b"\x00"
     body = b"WAVE" + fmt + data8
     wav8 = b"RIFF" + len(body).to_bytes(4, "little") + body
-    x3, _ = decode_wav_pcm(wav8)
+    x3, _, _ = decode_wav_pcm(wav8)
     assert x3.tolist() == [-128, 0, 127]
 
     # window energies are exact integer sums / window length
@@ -659,3 +659,112 @@ def test_image_decoder_dispatch_and_loud_fail():
         bad = bytearray(multimodal.synth_bmp(px))
         bad[30] = 1
         multimodal.decode_bmp_pixels(bytes(bad))
+
+
+def test_g711_codec_spec_vectors_and_roundtrip():
+    """ITU-T G.711 compand/expand pinned against an INDEPENDENT scalar
+    transcription of the Sun g711.c reference (all 65536 16-bit
+    inputs), plus the spec anchor points (silence = 0xFF mu-law /
+    0xD5 A-law) and the expand->compand identity (exact for all 256
+    A-law codes; all mu-law codes except 0x7F, the negative-zero the
+    complement folds onto 0xFF)."""
+    import numpy as np
+
+    def ref_lin2ulaw(s):
+        sign = 0x80 if s < 0 else 0
+        if s < 0:
+            s = -s
+        s = min(s, 32635) + 0x84
+        e = 7
+        for i in range(8):
+            if s < (256 << i):
+                e = i
+                break
+        return ~(sign | (e << 4) | ((s >> (e + 3)) & 0x0F)) & 0xFF
+
+    seg_aend = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def ref_lin2alaw(s):
+        p = s >> 3
+        if p >= 0:
+            mask = 0xD5
+        else:
+            mask, p = 0x55, -p - 1
+        seg = 8
+        for i, t in enumerate(seg_aend):
+            if p <= t:
+                seg = i
+                break
+        aval = (seg << 4) | ((p >> 1) & 0x0F if seg < 2
+                             else (p >> seg) & 0x0F)
+        return aval ^ mask
+
+    allv = np.arange(-32768, 32768, dtype=np.int64)
+    assert (multimodal.ulaw_encode(allv)
+            == np.array([ref_lin2ulaw(int(v)) for v in allv])).all()
+    assert (multimodal.alaw_encode(allv)
+            == np.array([ref_lin2alaw(int(v)) for v in allv])).all()
+    assert multimodal.ulaw_encode([0])[0] == 0xFF
+    assert multimodal.alaw_encode([0])[0] == 0xD5
+    codes = np.arange(256, dtype=np.uint8)
+    ui = multimodal.ulaw_encode(multimodal.ulaw_decode(codes))
+    ai = multimodal.alaw_encode(multimodal.alaw_decode(codes))
+    assert [int(c) for c in codes[ui != codes]] == [0x7F]
+    assert (ai == codes).all()
+    # quantization error bounded by the top-segment step
+    qe = np.abs(multimodal.ulaw_decode(multimodal.ulaw_encode(allv)) - allv)
+    assert qe.max() <= 1024  # 644 measured; clip region dominates
+    qe = np.abs(multimodal.alaw_decode(multimodal.alaw_encode(allv)) - allv)
+    assert qe.max() <= 512
+
+
+def test_g711_wav_decode_path():
+    """decode_wav_pcm dispatches fmt tags 6/7 through the expand LUTs
+    and reports the tag; the 18-byte fmt chunk (cbSize) parses."""
+    import numpy as np
+
+    s = ((np.arange(400, dtype=np.int64) * 11 + 37) % 65536) - 32768
+    for law, tag, enc, dec in (
+            ("ulaw", 7, multimodal.ulaw_encode, multimodal.ulaw_decode),
+            ("alaw", 6, multimodal.alaw_encode, multimodal.alaw_decode)):
+        x, rate, t = multimodal.decode_wav_pcm(
+            multimodal.synth_wav_g711(s, law=law, sample_rate=8000))
+        assert (rate, t) == (8000, tag)
+        assert x.tolist() == dec(enc(s)).tolist()
+
+
+def test_avi_container_roundtrip_and_sampling(spark):
+    """synth_avi -> decode_avi_frames is exact (nested LIST walk,
+    rational rate, bottom-up padded BGR rasters, odd widths), the
+    loud-fail contract rejects compressed streams, and
+    avi_frame_stats samples stride round(every_s*fps) with exact
+    int64 sums."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(11)
+    fr = rng.integers(0, 256, size=(7, 5, 9, 3), dtype=np.uint8)
+    avi = multimodal.synth_avi(fr, fps=6)
+    dec, fps = multimodal.decode_avi_frames(avi)
+    assert fps == 6 and (dec == fr).all()
+    with _pytest.raises(NotImplementedError):
+        bad = bytearray(avi)
+        # strf biCompression lives right after biBitCount; flip it
+        i = avi.find(b"strf")
+        bad[i + 8 + 16] = 1
+        multimodal.decode_avi_frames(bytes(bad))
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+    df = spark.createDataFrame([("v1", bytearray(avi))],
+                               "media_id string, payload binary")
+    out = multimodal.avi_frame_stats(df, every_s=0.5).collect()
+    # stride = round(0.5 * 6) = 3 -> frames 0, 3, 6
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    for r in out:
+        px = fr[r["frame_idx"]].astype(np.int64)
+        assert r["psum"] == int(px.sum())
+        assert r["psqsum"] == int((px * px).sum())
+        assert (r["n_frames"], r["fps"], r["width"], r["height"]) \
+            == (7, 6, 9, 5)
+        assert r["ts_ms"] == r["frame_idx"] * 1000 // 6
