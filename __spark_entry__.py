@@ -4059,6 +4059,48 @@ def q159_g711_audio(spark, sf):
         .orderBy("media_id"))
 
 
+def q161_ima_adpcm_audio(spark, sf):
+    """REAL stateful-codec decode under the oracle gate: IMA (DVI4)
+    ADPCM — WAV fmt tag 0x11, 4 bits/sample, a per-sample
+    predictor + step-index STATE MACHINE (unlike q159's stateless
+    G.711 tables). Each document synthesizes a single-block ADPCM WAV
+    (header sample + packed nibbles + fact chunk) from a
+    deterministic sample formula; `decode_wav_pcm` walks the actual
+    bytes — fact-chunk sample count, nibble unpack, the vpdiff
+    accumulation — and window energies run over the DECODED stream.
+    The oracle replays the encoder state machine as a RECURSIVE CTE
+    (one iteration per sample; encoder and decoder share the vpdiff
+    arithmetic exactly, so the decoded stream IS the encoder's
+    predictor walk). Any step-table, index-clamp, nibble-order, or
+    chunk bug desynchronizes the state and breaks the hash."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 97 + (d % 4) * 32
+                k = np.arange(n, dtype=np.int64)
+                s = ((d * 41 + k * 13) % 65536) - 32768
+                ids.append(f"m_{d}")
+                payloads.append(
+                    multimodal.synth_wav_ima(s, sample_rate=8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    feats = multimodal.audio_energy_features(media, n_windows=8)
+    return (feats.select(
+        "media_id", "audio_fmt", "sample_rate", "n_samples",
+        *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
+        .orderBy("media_id"))
+
+
 def q160_avi_frame_sample(spark, sf):
     """REAL video container decode + frame sampling under the oracle
     gate (executes what `sample_frames` only schedules): each
@@ -4217,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_ivf_int8_ann": q158_ivf_int8_ann,
         "q159_g711_audio": q159_g711_audio,
         "q160_avi_frame_sample": q160_avi_frame_sample,
+        "q161_ima_adpcm_audio": q161_ima_adpcm_audio,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4288,7 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail rolls into r08's tranche naturally).
     new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
                       "q158_ivf_int8_ann", "q159_g711_audio",
-                      "q160_avi_frame_sample"]
+                      "q160_avi_frame_sample", "q161_ima_adpcm_audio"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -7971,6 +8014,73 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_g_cols}
         FROM q GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q161: the IMA-ADPCM encoder STATE MACHINE replayed as a
+    # recursive CTE — one iteration per sample, state (pred, idx) per
+    # doc; encoder and decoder share the vpdiff accumulation exactly,
+    # so the decoded stream the engine extracts from the actual bytes
+    # equals this predictor walk. All integer arithmetic; the step
+    # table joins by index.
+    _ima_steps = ",".join(str(v) for v in [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767])
+    _stp = "p.step"
+    _ad = "ABS(m.s - t.pred)"
+    _d4 = f"({_ad} >= {_stp})"
+    _r2 = f"({_ad} - CASE WHEN {_d4} THEN {_stp} ELSE 0 END)"
+    _d2 = f"({_r2} >= {_stp} // 2)"
+    _r1 = f"({_r2} - CASE WHEN {_d2} THEN {_stp} // 2 ELSE 0 END)"
+    _d1 = f"({_r1} >= {_stp} // 4)"
+    _vpd = (f"({_stp} // 8 + CASE WHEN {_d4} THEN {_stp} ELSE 0 END"
+            f" + CASE WHEN {_d2} THEN {_stp} // 2 ELSE 0 END"
+            f" + CASE WHEN {_d1} THEN {_stp} // 4 ELSE 0 END)")
+    _dmag = (f"(CASE WHEN {_d4} THEN 4 ELSE 0 END"
+             f" + CASE WHEN {_d2} THEN 2 ELSE 0 END"
+             f" + CASE WHEN {_d1} THEN 1 ELSE 0 END)")
+    _iadd = (f"(CASE {_dmag} WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6"
+             f" WHEN 7 THEN 8 ELSE -1 END)")
+    _i_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN k // (n // 8) = {j} THEN pred * pred "
+        f"ELSE 0 END) AS DOUBLE) / (n // 8) AS e{j}" for j in range(8))
+    sql["q161_ima_adpcm_audio"] = f"""
+        WITH RECURSIVE
+        dd AS (SELECT doc_id, 97 + (doc_id % 4) * 32 AS n FROM documents),
+        smp AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 41 + i * 13) % 65536) - 32768 AS s
+            FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dd)
+        ),
+        steps AS (
+            SELECT (ROW_NUMBER() OVER ())::BIGINT - 1 AS idx, step
+            FROM (SELECT unnest([{_ima_steps}]) AS step)
+        ),
+        st AS (
+            SELECT m.doc_id, m.n, 0::BIGINT AS k, m.s::BIGINT AS pred,
+                   0::BIGINT AS idx
+            FROM smp m WHERE m.i = 0
+            UNION ALL
+            SELECT t.doc_id, t.n, t.k + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CASE WHEN m.s < t.pred THEN t.pred - {_vpd}
+                            ELSE t.pred + {_vpd} END)),
+                   GREATEST(0, LEAST(88, t.idx + {_iadd}))
+            FROM st t
+            JOIN smp m ON m.doc_id = t.doc_id AND m.i = t.k + 1
+            JOIN steps p ON p.idx = t.idx
+            WHERE t.k + 1 < t.n
+        )
+        SELECT 'm_' || doc_id AS media_id, 17::INT AS audio_fmt,
+               8000::INT AS sample_rate, n::BIGINT AS n_samples,
+               {_i_cols}
+        FROM st WHERE k // (n // 8) < 8
+        GROUP BY doc_id, n ORDER BY media_id
     """
 
     # q160: the sampled-frame pixel grid regenerated with a stepped

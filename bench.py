@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q158_ivf_int8_ann",      # IVF_SQ8-shape: pruned cells + int8 scan
     "q159_g711_audio",        # real G.711 mu/A-law decode (WAV 7/6)
     "q160_avi_frame_sample",  # real AVI container walk + frame sampling
+    "q161_ima_adpcm_audio",   # real stateful IMA-ADPCM decode (fmt 0x11)
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -141,6 +141,115 @@ def alaw_encode(samples: np.ndarray) -> np.ndarray:
     return (((seg << 4) | mant) ^ mask).astype(np.uint8)
 
 
+# IMA (DVI4) ADPCM — WAV fmt tag 0x11: a genuinely STATEFUL codec
+# (per-sample predictor + step-index state machine), 4 bits/sample.
+# The encoder and decoder share the vpdiff accumulation exactly, so
+# the decoded stream equals the predictor sequence the encoder walked
+# — which is what lets q161's oracle replay it as a recursive CTE.
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]  # symmetric in sign bit
+
+
+def ima_adpcm_encode(samples: np.ndarray, init_index: int = 0) -> bytes:
+    """Encode one IMA-ADPCM block (IMA 'Recommended Practices' rev 3.0
+    / the MS WAVE 0x11 layout): 4-byte header (first sample verbatim
+    as int16 LE + initial step index), then 4-bit deltas packed low
+    nibble first. Sample count must be odd (header sample + nibble
+    pairs)."""
+    s = np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+    if len(s) < 1 or (len(s) - 1) % 2:
+        raise ValueError("IMA block needs 1 + 2k samples")
+    pred, idx = int(s[0]), int(init_index)
+    nib = []
+    for v in s[1:]:
+        step = _IMA_STEP_TABLE[idx]
+        diff = int(v) - pred
+        sign = 8 if diff < 0 else 0
+        if sign:
+            diff = -diff
+        delta, vpd = 0, step >> 3
+        if diff >= step:
+            delta, diff, vpd = 4, diff - step, vpd + step
+        if diff >= step >> 1:
+            delta, diff, vpd = delta | 2, diff - (step >> 1), vpd + (step >> 1)
+        if diff >= step >> 2:
+            delta, vpd = delta | 1, vpd + (step >> 2)
+        pred = pred - vpd if sign else pred + vpd
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_TABLE[delta]))
+        nib.append(delta | sign)
+    out = bytearray((int(s[0]) & 0xFFFF).to_bytes(2, "little")
+                    + bytes([init_index, 0]))
+    for lo, hi in zip(nib[0::2], nib[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def ima_adpcm_decode(block: bytes, n_samples: int) -> np.ndarray:
+    """Decode one IMA-ADPCM block: header sample emitted verbatim,
+    then the predictor/step-index state machine over the nibbles
+    (vpdiff = step/8 + bit-gated step, step/2, step/4 — identical to
+    the encoder's accumulation, so round-trip is exact by
+    construction)."""
+    if len(block) < 4:
+        raise ValueError("truncated IMA block")
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    idx = block[2]
+    nib = []
+    for b in block[4:]:
+        nib.append(b & 0x0F)
+        nib.append(b >> 4)
+    if n_samples - 1 > len(nib):
+        raise ValueError("IMA block shorter than advertised sample count")
+    out = [pred]
+    for k in range(n_samples - 1):
+        m = nib[k]
+        step = _IMA_STEP_TABLE[idx]
+        vpd = step >> 3
+        if m & 4:
+            vpd += step
+        if m & 2:
+            vpd += step >> 1
+        if m & 1:
+            vpd += step >> 2
+        pred = pred - vpd if m & 8 else pred + vpd
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_TABLE[m & 7]))
+        out.append(pred)
+    return np.array(out, dtype=np.int32)
+
+
+def synth_wav_ima(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Assemble a spec-complete single-block IMA-ADPCM WAV (fmt tag
+    0x11, 4 bits/sample, cbSize=2 extension carrying samples-per-
+    block, plus the fact chunk non-PCM formats require). The encode
+    twin of ``decode_wav_pcm``'s ADPCM branch."""
+    n = len(samples)
+    block = ima_adpcm_encode(samples)
+    fmt = (b"fmt " + (20).to_bytes(4, "little")
+           + (0x11).to_bytes(2, "little")
+           + (1).to_bytes(2, "little")               # mono
+           + int(sample_rate).to_bytes(4, "little")
+           + (int(sample_rate) * len(block) // max(1, n))
+           .to_bytes(4, "little")                    # approx byte rate
+           + len(block).to_bytes(2, "little")        # block align
+           + (4).to_bytes(2, "little")               # bits per sample
+           + (2).to_bytes(2, "little")               # cbSize
+           + n.to_bytes(2, "little"))                # samples per block
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+    chunk = b"data" + len(block).to_bytes(4, "little") + block \
+        + (b"\x00" if len(block) & 1 else b"")
+    body = b"WAVE" + fmt + fact + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def synth_wav_g711(samples: np.ndarray, law: str = "ulaw",
                    sample_rate: int = 8000) -> bytes:
     """Assemble a spec-complete G.711 WAV payload (RIFF + 18-byte fmt
@@ -174,15 +283,17 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
     the ITU-T G.711 companded telephony codecs — A-law (tag 6) and
     μ-law (tag 7), 8-bit log-PCM expanded to 16-bit linear through
     the exact integer segment formulas (``alaw_decode`` /
-    ``ulaw_decode``). Multi-channel mixes to mono by integer mean
-    (floor division — deterministic, no float summation order).
-    Returns (int32 mono samples, sample_rate, audio_fmt_tag). Raises
-    on non-RIFF payloads and unsupported encodings (the loud-fail
-    stub contract of this module)."""
+    ``ulaw_decode``) — and single-block IMA ADPCM (tag 0x11, the
+    stateful 4-bit predictor codec; sample count from the fact
+    chunk). Multi-channel mixes to mono by integer mean (floor
+    division — deterministic, no float summation order). Returns
+    (int32 mono samples, sample_rate, audio_fmt_tag). Raises on
+    non-RIFF payloads and unsupported encodings (the loud-fail stub
+    contract of this module)."""
     b = payload or b""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    i, fmt, data = 12, None, None
+    i, fmt, data, fact = 12, None, None, None
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         csize = int.from_bytes(b[i + 4:i + 8], "little")
@@ -190,6 +301,8 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
             fmt = b[i + 8:i + 8 + csize]
         elif cid == b"data":
             data = b[i + 8:i + 8 + csize]
+        elif cid == b"fact" and csize >= 4:
+            fact = int.from_bytes(b[i + 8:i + 12], "little")
         i += 8 + csize + (csize & 1)
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError("missing fmt/data chunk")
@@ -208,6 +321,10 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
         codes = np.frombuffer(data[:usable], dtype=np.uint8)
         x = (alaw_decode(codes) if audio_fmt == 6
              else ulaw_decode(codes)).astype(np.int32)
+    elif audio_fmt == 0x11 and bits == 4 and n_ch == 1:
+        n_samples = fact if fact is not None \
+            else 1 + (len(data) - 4) * 2
+        x = ima_adpcm_decode(data, n_samples)
     else:
         raise NotImplementedError(
             f"only PCM 8/16-bit and G.711 supported "

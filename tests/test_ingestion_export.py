@@ -768,3 +768,38 @@ def test_avi_container_roundtrip_and_sampling(spark):
         assert (r["n_frames"], r["fps"], r["width"], r["height"]) \
             == (7, 6, 9, 5)
         assert r["ts_ms"] == r["frame_idx"] * 1000 // 6
+
+
+def test_ima_adpcm_codec_and_wav_path():
+    """IMA-ADPCM: encoder/decoder share the vpdiff state machine so
+    decode(encode(s)) is exactly the encoder's predictor walk; the
+    header sample passes through verbatim; the WAV 0x11 wrapper
+    (fact chunk, nibble packing) decodes through decode_wav_pcm; a
+    truncated block fails loudly. Also pins the first decoded values
+    of a HAND-WALKED vector (independent of the implementation)."""
+    import numpy as np
+    import pytest as _pytest
+
+    # hand-walked: s0=0 idx0=0 step=7; s1=100: diff=100>=7 -> delta|=4,
+    # diff 93, vpd 0+7; 93>=3 -> delta|=2, diff 90, vpd 10; 90>=1 ->
+    # delta|=1, vpd 11 -> pred 11, idx 0+8=8 (step 16)
+    # s2=100: diff 89>=16 -> d4, diff 73, vpd 2+16; 73>=8 -> d2, diff 65,
+    # vpd 26; 65>=4 -> d1, vpd 30 -> pred 41, idx 8+8=16 (step 34)
+    s = np.array([0, 100, 100, 100, 100], dtype=np.int64)
+    dec = multimodal.ima_adpcm_decode(multimodal.ima_adpcm_encode(s), 5)
+    assert dec[:3].tolist() == [0, 11, 41]
+
+    n = 161
+    k = np.arange(n, dtype=np.int64)
+    sig = ((k * 13 + 41) % 65536) - 32768
+    wav = multimodal.synth_wav_ima(sig, sample_rate=8000)
+    x, rate, tag = multimodal.decode_wav_pcm(wav)
+    assert (rate, tag) == (8000, 0x11)
+    assert x[0] == sig[0]
+    ref = multimodal.ima_adpcm_decode(
+        multimodal.ima_adpcm_encode(sig), n)
+    assert x.tolist() == ref.tolist()
+    with _pytest.raises(ValueError):
+        multimodal.ima_adpcm_encode(sig[:4])  # even count: no pairing
+    with _pytest.raises(ValueError):
+        multimodal.ima_adpcm_decode(b"\x00\x00\x00\x00", 100)
