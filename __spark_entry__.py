@@ -4059,6 +4059,77 @@ def q159_g711_audio(spark, sf):
         .orderBy("media_id"))
 
 
+def q162_jpeg_pixels(spark, sf):
+    """REAL baseline JPEG decode under the oracle gate (finishes the
+    image pillar: PNG/BMP/GIF/JPEG all decode from actual bytes):
+    each document synthesizes a spec-complete grayscale baseline JPEG
+    (Annex K luminance quant + Huffman tables, 16×16 = 4 MCUs) whose
+    QUANTIZED coefficients follow a deterministic
+    (doc_id, block, u, v) formula — sparse low-frequency coefficients
+    plus a lone zigzag-40 coefficient on every third (doc+block) to
+    force ZRL runs; `decode_jpeg_gray` then WALKS THE ACTUAL BYTES —
+    segment parse, canonical Huffman rebuild, bit-unstuffing, DC
+    prediction across the 4 blocks, EXTEND sign recovery, dezigzag,
+    dequant, and the exact fixed-point integer IDCT — and emits exact
+    per-block pixel sums. The oracle replays dequant+IDCT
+    relationally (coefficient grid × cosine fixed-point table joined
+    twice), so a Huffman, bit-order, predictor, zigzag, or transform
+    bug anywhere breaks the hash."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        zz40 = multimodal._JPEG_ZZ[40]
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blocks = []
+                for b in range(4):
+                    blk = [0] * 64
+                    for u in range(8):
+                        for v in range(8):
+                            if u + v <= 2:
+                                blk[u * 8 + v] = \
+                                    ((d * 7 + b * 11 + u * 5 + v * 3) % 9) - 4
+                    if (d + b) % 3 == 0:
+                        blk[zz40] = ((d + b) % 5) - 2
+                    blocks.append(blk)
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_jpeg_gray(blocks, 16, 16))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = multimodal.decode_jpeg_gray(bytes(payload)) \
+                    .astype(np.int64)
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    rows.append({
+                        "media_id": mid, "bx": bx, "by": by,
+                        "psum": int(blk.sum()),
+                        "psqsum": int((blk * blk).sum())})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "bx", "by", "psum", "psqsum"])
+
+    return (media.mapInPandas(
+        stats, "media_id string, bx int, by int, psum long, psqsum long")
+        .orderBy("media_id", "by", "bx"))
+
+
 def q161_ima_adpcm_audio(spark, sf):
     """REAL stateful-codec decode under the oracle gate: IMA (DVI4)
     ADPCM — WAV fmt tag 0x11, 4 bits/sample, a per-sample
@@ -4260,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_g711_audio": q159_g711_audio,
         "q160_avi_frame_sample": q160_avi_frame_sample,
         "q161_ima_adpcm_audio": q161_ima_adpcm_audio,
+        "q162_jpeg_pixels": q162_jpeg_pixels,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4331,7 +4403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail rolls into r08's tranche naturally).
     new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
                       "q158_ivf_int8_ann", "q159_g711_audio",
-                      "q160_avi_frame_sample", "q161_ima_adpcm_audio"]
+                      "q160_avi_frame_sample", "q161_ima_adpcm_audio",
+                      "q162_jpeg_pixels"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8014,6 +8087,70 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_g_cols}
         FROM q GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q162: JPEG dequant + fixed-point IDCT replayed relationally —
+    # the coefficient formula joined against the 13-bit cosine table
+    # twice (vertical u→y, horizontal v→x), exact int64 products,
+    # power-of-two FLOOR division (exact in double), clamp, per-block
+    # sums. The engine side Huffman-decodes the actual bytes to reach
+    # the same coefficients.
+    from memory_engine_spark.operators import multimodal as _mm
+    _ja = ",".join(f"({u},{x},{_mm._JPEG_IDCT_A[u][x]})"
+                   for u in range(8) for x in range(8))
+    _jq = ",".join(f"({u},{v},{_mm._JPEG_QTAB[u * 8 + v]})"
+                   for u in range(8) for v in range(8))
+    _jz40 = _mm._JPEG_ZZ[40]
+    _jhalf, _jdiv = 1 << (2 * _mm._JPEG_K + 1), \
+        float(1 << (2 * _mm._JPEG_K + 2))
+    sql["q162_jpeg_pixels"] = f"""
+        WITH blocks AS (
+            SELECT doc_id, unnest(range(0, 4)) AS b FROM documents
+        ),
+        base AS (
+            SELECT doc_id, b, u, v,
+                   ((doc_id * 7 + b * 11 + u * 5 + v * 3) % 9) - 4 AS qc
+            FROM (SELECT doc_id, b, u, unnest(range(0, 8)) AS v
+                  FROM (SELECT doc_id, b, unnest(range(0, 8)) AS u
+                        FROM blocks))
+            WHERE u + v <= 2
+        ),
+        extra AS (
+            SELECT doc_id, b, {_jz40 // 8} AS u, {_jz40 % 8} AS v,
+                   ((doc_id + b) % 5) - 2 AS qc
+            FROM blocks WHERE (doc_id + b) % 3 = 0
+        ),
+        coefs AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
+        atab(u, x, a) AS (VALUES {_ja}),
+        qtab(u, v, q) AS (VALUES {_jq}),
+        contrib AS (
+            SELECT c.doc_id, c.b, ay.x AS y, ax.x AS x,
+                   SUM(c.qc * q.q * ay.a * ax.a) AS s
+            FROM coefs c
+            JOIN qtab q ON q.u = c.u AND q.v = c.v
+            JOIN atab ay ON ay.u = c.u
+            JOIN atab ax ON ax.u = c.v
+            GROUP BY c.doc_id, c.b, ay.x, ax.x
+        ),
+        grid AS (
+            SELECT doc_id, b, y, x
+            FROM (SELECT doc_id, b, y, unnest(range(0, 8)) AS x
+                  FROM (SELECT doc_id, b, unnest(range(0, 8)) AS y
+                        FROM blocks))
+        ),
+        px AS (
+            SELECT g.doc_id, g.b,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((COALESCE(c.s, 0) + {_jhalf})
+                                  / {_jdiv}) AS BIGINT) + 128)) AS p
+            FROM grid g
+            LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.b = g.b
+                                AND c.y = g.y AND c.x = g.x
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               (b % 2)::INT AS bx, (b // 2)::INT AS by,
+               SUM(p)::BIGINT AS psum, SUM(p * p)::BIGINT AS psqsum
+        FROM px GROUP BY doc_id, b ORDER BY media_id, by, bx
     """
 
     # q161: the IMA-ADPCM encoder STATE MACHINE replayed as a

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q159_g711_audio",        # real G.711 mu/A-law decode (WAV 7/6)
     "q160_avi_frame_sample",  # real AVI container walk + frame sampling
     "q161_ima_adpcm_audio",   # real stateful IMA-ADPCM decode (fmt 0x11)
+    "q162_jpeg_pixels",       # real baseline JPEG decode (huffman+IDCT)
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -9,11 +9,13 @@ struct. Header METADATA extraction (PNG/JPEG/GIF/BMP/WAV dimensions,
 sample rate, duration — ``probe_media_headers`` / ``image_dims_sql``)
 is REAL pure-byte parsing, and so are the pixel/sample decoders with a
 pure-Python/stdlib path: PNG (zlib + spec unfilters), BMP, GIF (LZW),
-WAV-PCM, G.711 μ-law/A-law, and AVI video (container walk + raw DIB
-frames + frame sampling). Only perceptual codecs (JPEG, mp3/aac) stay
-stubbed behind ``DECODERS`` because no media libraries ship in this
-container — swap a real decoder in at the same seam (same signature)
-on a cluster with codecs installed.
+baseline grayscale JPEG (Huffman entropy decode + exact fixed-point
+IDCT), WAV-PCM, G.711 μ-law/A-law, stateful IMA-ADPCM, and AVI video
+(container walk + raw DIB frames + frame sampling). Only perceptual
+audio codecs (mp3/aac) and color-subsampled JPEG stay stubbed behind
+``DECODERS`` because no media libraries ship in this container — swap
+a real decoder in at the same seam (same signature) on a cluster with
+codecs installed.
 
 Scale notes: media rows are LARGE — the pipeline repartitions by
 byte-size budget, not row count, and decode stages must run AFTER
@@ -23,6 +25,7 @@ filters/projections so only surviving rows pay decode cost.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Callable, Iterator
 
 import numpy as np
@@ -498,9 +501,11 @@ def synth_png(pixels: np.ndarray, row_filters=None) -> bytes:
 
 
 def decode_pixels(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch over the REAL pixel decoders (PNG/BMP/GIF);
-    unknown formats raise (loud-fail — this seam is for callers that
-    need pixels, not the feature fallback ``decode_image`` offers)."""
+    """Magic-byte dispatch over the REAL pixel decoders
+    (PNG/BMP/GIF/baseline JPEG — grayscale JPEG broadcasts to 3
+    channels); unknown formats raise (loud-fail — this seam is for
+    callers that need pixels, not the feature fallback
+    ``decode_image`` offers)."""
     b = payload or b""
     if len(b) >= 8 and b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(b)
@@ -508,6 +513,9 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         return decode_bmp_pixels(b)
     if len(b) >= 3 and b[:3] == b"GIF":
         return decode_gif_pixels(b)
+    if len(b) >= 2 and b[:2] == b"\xFF\xD8":
+        g = decode_jpeg_gray(b)
+        return np.repeat(g[:, :, None], 3, axis=2)
     raise NotImplementedError("no real pixel decoder for this format")
 
 
@@ -787,6 +795,277 @@ def synth_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
             + w.to_bytes(2, "little") + h.to_bytes(2, "little")
             + b"\x00" + bytes([min_code]) + bytes(blocks) + b"\x00"
             + b"\x3B")
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG (ITU-T T.81): Huffman entropy decode + DC prediction
+# + dezigzag + dequant + EXACT fixed-point integer IDCT. Grayscale
+# (single-component) baseline sequential — the full segment/entropy/
+# transform pipeline with zero codec dependencies. The IDCT is the
+# spec's float transform in 13-bit fixed point, so decoded pixels are a
+# deterministic integer function of the quantized coefficients — which
+# is what lets q162's oracle replay dequant+IDCT relationally. (T.81
+# does not mandate one IDCT; this pair pins one, exactly.)
+# ---------------------------------------------------------------------------
+
+_JPEG_ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+_JPEG_QTAB = [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+              14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+              18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+              92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+              100, 103, 99]  # Annex K luminance
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]  # Annex K luminance AC
+_JPEG_K = 13
+_JPEG_IDCT_A = [
+    [int(math.floor(((1 / math.sqrt(2)) if u == 0 else 1.0)
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * (1 << _JPEG_K) + 0.5))
+     for x in range(8)] for u in range(8)]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman code assignment (T.81 Annex C)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_idct_block(F: list[int]) -> np.ndarray:
+    """Exact fixed-point 8×8 inverse DCT: S = Σ F[u,v]·A[u][y]·A[v][x]
+    in int64, pixel = clamp(((S + 2^(2K+1)) >> (2K+2)) + 128)."""
+    half, sh = 1 << (2 * _JPEG_K + 1), 2 * _JPEG_K + 2
+    out = np.zeros((8, 8), dtype=np.int64)
+    for y in range(8):
+        for x in range(8):
+            s = 0
+            for u in range(8):
+                ay = _JPEG_IDCT_A[u][y]
+                for v in range(8):
+                    f = F[u * 8 + v]
+                    if f:
+                        s += f * ay * _JPEG_IDCT_A[v][x]
+            out[y, x] = ((s + half) >> sh) + 128
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def synth_jpeg_gray(coef_blocks: list[list[int]], w: int, h: int) -> bytes:
+    """Assemble a spec-complete baseline grayscale JPEG (SOI, DQT,
+    SOF0, DHT with the Annex K luminance tables, SOS, entropy-coded
+    data with 0xFF byte stuffing, EOI) from already-QUANTIZED 8×8
+    coefficient blocks in raster order (left-to-right, top-to-bottom
+    MCUs). The encode twin of ``decode_jpeg_gray`` — coefficients in,
+    so the decoded output is the exact integer IDCT of these blocks."""
+    dc_c = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_c = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    buf, acc, n = bytearray(), 0, 0
+
+    def put(code: int, ln: int):
+        nonlocal acc, n
+        if not ln:
+            return
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        n += ln
+        while n >= 8:
+            b = (acc >> (n - 8)) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)  # byte stuffing
+            n -= 8
+            acc &= (1 << n) - 1
+
+    prev_dc = 0
+    for blk in coef_blocks:
+        zz = [blk[_JPEG_ZZ[i]] for i in range(64)]
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        s = abs(diff).bit_length()
+        put(*dc_c[s])
+        put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        k = 1
+        while k < 64:
+            if all(v == 0 for v in zz[k:]):
+                put(*ac_c[0x00])  # EOB
+                break
+            run = 0
+            while zz[k] == 0:
+                run += 1
+                k += 1
+            while run >= 16:
+                put(*ac_c[0xF0])  # ZRL
+                run -= 16
+            s = abs(zz[k]).bit_length()
+            put(*ac_c[(run << 4) | s])
+            put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+            k += 1
+    if n:
+        put((1 << (8 - n)) - 1, 8 - n)  # pad with 1s
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0x00])
+              + bytes(_JPEG_QTAB[_JPEG_ZZ[i]] for i in range(64)))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+              + bytes(_JPEG_DC_VALS) + bytes([0x10])
+              + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xFF\xD8" + dqt + sof + dht + sos + bytes(buf) + b"\xFF\xD9"
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """REAL baseline JPEG decode (grayscale, T.81 baseline
+    sequential): segment walk (DQT dezigzagged, SOF0, DHT canonical
+    code rebuild, SOS), MSB-first bit reader with 0xFF00 unstuffing,
+    Huffman symbol decode, DC prediction across MCUs, AC
+    run-length/EOB/ZRL, T.81 EXTEND sign recovery, dequant, and the
+    exact fixed-point integer IDCT. Returns (H, W) uint8. Multi-
+    component (color) scans raise (loud-fail contract)."""
+    b = payload or b""
+    if len(b) < 4 or b[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    i, qt, w, h = 2, None, None, None
+    dc_tbl: dict | None = None
+    ac_tbl: dict | None = None
+    data = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad segment marker")
+        m = b[i + 1]
+        if m == 0xD9:
+            break
+        ln = int.from_bytes(b[i + 2:i + 4], "big")
+        p = b[i + 4:i + 2 + ln]
+        if m == 0xDB:
+            if p[0] != 0x00:
+                raise NotImplementedError("only 8-bit qtable 0 supported")
+            qt = [0] * 64
+            for zi in range(64):
+                qt[_JPEG_ZZ[zi]] = p[1 + zi]
+        elif m == 0xC0:
+            h = int.from_bytes(p[1:3], "big")
+            w = int.from_bytes(p[3:5], "big")
+            if p[0] != 8 or p[5] != 1 or p[7] != 0x11:
+                raise NotImplementedError(
+                    "only 8-bit single-component 1x1 baseline supported")
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline SOF0 supported")
+        elif m == 0xC4:
+            j = 0
+            while j < len(p):
+                tc = p[j] >> 4
+                bits = list(p[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(p[j + 17:j + 17 + nv])
+                tbl, code, k = {}, 0, 0
+                for lnn in range(1, 17):
+                    for _ in range(bits[lnn - 1]):
+                        tbl[(lnn, code)] = vals[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                if tc == 0:
+                    dc_tbl = tbl
+                else:
+                    ac_tbl = tbl
+                j += 17 + nv
+        elif m == 0xDA:
+            data = b[i + 2 + ln:len(b) - 2]
+            break
+        i += 2 + ln
+    if qt is None or w is None or dc_tbl is None or ac_tbl is None \
+            or data is None:
+        raise ValueError("missing DQT/SOF0/DHT/SOS segment")
+
+    pos, acc, nbits = 0, 0, 0
+
+    def bit() -> int:
+        nonlocal pos, acc, nbits
+        if nbits == 0:
+            if pos >= len(data):
+                raise ValueError("entropy data underrun")
+            v = data[pos]
+            pos += 1
+            if v == 0xFF:
+                if pos >= len(data) or data[pos] != 0x00:
+                    raise ValueError("marker inside entropy data")
+                pos += 1
+            acc, nbits = v, 8
+        nbits -= 1
+        return (acc >> nbits) & 1
+
+    def bits_read(k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | bit()
+        return v
+
+    def symbol(tbl: dict) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | bit()
+            ln += 1
+            if (ln, code) in tbl:
+                return tbl[(ln, code)]
+        raise ValueError("invalid huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            s = symbol(dc_tbl)
+            pred += extend(bits_read(s), s)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = symbol(ac_tbl)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = extend(bits_read(sym & 15), sym & 15)
+                k += 1
+            F = [0] * 64
+            for zi in range(64):
+                F[_JPEG_ZZ[zi]] = zz[zi] * qt[_JPEG_ZZ[zi]]
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _jpeg_idct_block(F)
+    return out[:h, :w]
 
 
 def decode_image(payload: bytes) -> np.ndarray:

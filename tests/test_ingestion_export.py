@@ -652,8 +652,11 @@ def test_image_decoder_dispatch_and_loud_fail():
                                          .reshape(4, 3))):
         out = multimodal.decode_pixels(payload)
         assert out.shape[2] == 3
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
+        # malformed JPEG now reaches the real baseline decoder
         multimodal.decode_pixels(b"\xff\xd8jpegish")
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_pixels(b"\x00\x01no-such-format")
     with _pytest.raises(NotImplementedError):
         # RLE-compressed BMP must raise, not mis-decode
         bad = bytearray(multimodal.synth_bmp(px))
@@ -803,3 +806,45 @@ def test_ima_adpcm_codec_and_wav_path():
         multimodal.ima_adpcm_encode(sig[:4])  # even count: no pairing
     with _pytest.raises(ValueError):
         multimodal.ima_adpcm_decode(b"\x00\x00\x00\x00", 100)
+
+
+def test_jpeg_baseline_codec():
+    """Baseline JPEG: (1) a DC-only block decodes to the hand-computed
+    flat level (qc=8 -> F=128 -> floor((128*5793^2 + 2^27)/2^28)+128
+    = 144 everywhere — pins the fixed-point IDCT scaling end to end);
+    (2) random sparse blocks roundtrip through the full entropy
+    pipeline (Huffman, DC prediction, ZRL, byte stuffing) to exactly
+    the integer IDCT of the coefficients; (3) malformed payloads and
+    progressive SOF fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    dc_only = [0] * 64
+    dc_only[0] = 8
+    out = multimodal.decode_jpeg_gray(
+        multimodal.synth_jpeg_gray([dc_only], 8, 8))
+    assert out.shape == (8, 8) and (out == 144).all()
+
+    rng = np.random.default_rng(13)
+    blocks = []
+    for b in range(4):
+        blk = [0] * 64
+        for _ in range(6):
+            blk[int(rng.integers(0, 64))] = int(rng.integers(-40, 41))
+        blk[multimodal._JPEG_ZZ[63]] = 1  # force max-run ZRL handling
+        blocks.append(blk)
+    dec = multimodal.decode_jpeg_gray(
+        multimodal.synth_jpeg_gray(blocks, 16, 16))
+    for b in range(4):
+        by, bx = divmod(b, 2)
+        F = [blocks[b][i] * multimodal._JPEG_QTAB[i] for i in range(64)]
+        assert (dec[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                == multimodal._jpeg_idct_block(F)).all()
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(b"\xff\xd8\x00garbage")
+    prog = bytearray(multimodal.synth_jpeg_gray([dc_only], 8, 8))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # progressive SOF
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_gray(bytes(prog))
