@@ -4130,6 +4130,78 @@ def q162_jpeg_pixels(spark, sf):
         .orderBy("media_id", "by", "bx"))
 
 
+def q163_jpeg_color(spark, sf):
+    """REAL baseline COLOR JPEG decode under the oracle gate (extends
+    q162 to the 3-component interleaved scan): per document a 4:4:4
+    YCbCr JPEG — two quant tables (Annex K luminance + chrominance),
+    four Huffman tables (separate luma/chroma DC+AC), per-component
+    DC predictors across interleaved MCUs — whose quantized
+    coefficients follow a (doc_id, block, component, u, v) formula;
+    `decode_jpeg_color` walks the actual bytes (multi-table
+    DQT/DHT, SOS table bindings, interleaved MCU entropy decode,
+    integer IDCT per component) and applies the JFIF YCbCr→RGB
+    conversion in exact 16-bit fixed point. The oracle replays
+    dequant+IDCT per component AND the fixed-point color conversion
+    relationally; per-block per-channel exact sums. A table-binding,
+    predictor-interleave, or color-convert bug breaks the hash."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                comps = []
+                for ci in range(3):
+                    blocks = []
+                    for b in range(4):
+                        blk = [0] * 64
+                        for u in range(8):
+                            for v in range(8):
+                                if u + v <= 2:
+                                    blk[u * 8 + v] = ((d * 7 + b * 11
+                                                       + ci * 13 + u * 5
+                                                       + v * 3) % 9) - 4
+                        blocks.append(blk)
+                    comps.append(blocks)
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_jpeg_color(comps, 16, 16))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = multimodal.decode_jpeg_color(bytes(payload)) \
+                    .astype(np.int64)
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    rows.append({
+                        "media_id": mid, "bx": bx, "by": by,
+                        "rsum": int(blk[:, :, 0].sum()),
+                        "gsum": int(blk[:, :, 1].sum()),
+                        "bsum": int(blk[:, :, 2].sum()),
+                        "sqsum": int((blk * blk).sum())})
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "bx", "by", "rsum", "gsum", "bsum", "sqsum"])
+
+    return (media.mapInPandas(
+        stats, "media_id string, bx int, by int, rsum long, gsum long, "
+               "bsum long, sqsum long")
+        .orderBy("media_id", "by", "bx"))
+
+
 def q161_ima_adpcm_audio(spark, sf):
     """REAL stateful-codec decode under the oracle gate: IMA (DVI4)
     ADPCM — WAV fmt tag 0x11, 4 bits/sample, a per-sample
@@ -4332,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_avi_frame_sample": q160_avi_frame_sample,
         "q161_ima_adpcm_audio": q161_ima_adpcm_audio,
         "q162_jpeg_pixels": q162_jpeg_pixels,
+        "q163_jpeg_color": q163_jpeg_color,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4404,7 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
                       "q158_ivf_int8_ann", "q159_g711_audio",
                       "q160_avi_frame_sample", "q161_ima_adpcm_audio",
-                      "q162_jpeg_pixels"]
+                      "q162_jpeg_pixels", "q163_jpeg_color"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8151,6 +8224,84 @@ def oracle_sql() -> dict[str, str]:
                (b % 2)::INT AS bx, (b // 2)::INT AS by,
                SUM(p)::BIGINT AS psum, SUM(p * p)::BIGINT AS psqsum
         FROM px GROUP BY doc_id, b ORDER BY media_id, by, bx
+    """
+
+    # q163: q162's relational dequant+IDCT per COMPONENT (two quant
+    # tables selected by component), pivoted to (Y, Cb, Cr) per pixel,
+    # then the JFIF fixed-point color conversion — FLOOR of
+    # power-of-two divisions, exact in doubles — and per-block
+    # per-channel sums.
+    _jqc = ",".join(
+        f"({t},{u},{v},{(_mm._JPEG_QTAB if t == 0 else _mm._JPEG_QTAB_C)[u * 8 + v]})"
+        for t in (0, 1) for u in range(8) for v in range(8))
+    sql["q163_jpeg_color"] = f"""
+        WITH blocks AS (
+            SELECT doc_id, unnest(range(0, 4)) AS b FROM documents
+        ),
+        comps AS (
+            SELECT doc_id, b, unnest(range(0, 3)) AS ci FROM blocks
+        ),
+        coefs AS (
+            SELECT doc_id, b, ci, u, v,
+                   ((doc_id * 7 + b * 11 + ci * 13 + u * 5 + v * 3) % 9)
+                       - 4 AS qc
+            FROM (SELECT doc_id, b, ci, u, unnest(range(0, 8)) AS v
+                  FROM (SELECT doc_id, b, ci, unnest(range(0, 8)) AS u
+                        FROM comps))
+            WHERE u + v <= 2
+        ),
+        atab(u, x, a) AS (VALUES {_ja}),
+        qtab(t, u, v, q) AS (VALUES {_jqc}),
+        contrib AS (
+            SELECT c.doc_id, c.b, c.ci, ay.x AS y, ax.x AS x,
+                   SUM(c.qc * q.q * ay.a * ax.a) AS s
+            FROM coefs c
+            JOIN qtab q ON q.t = CASE WHEN c.ci = 0 THEN 0 ELSE 1 END
+                       AND q.u = c.u AND q.v = c.v
+            JOIN atab ay ON ay.u = c.u
+            JOIN atab ax ON ax.u = c.v
+            GROUP BY c.doc_id, c.b, c.ci, ay.x, ax.x
+        ),
+        grid AS (
+            SELECT doc_id, b, ci, y, x
+            FROM (SELECT doc_id, b, ci, y, unnest(range(0, 8)) AS x
+                  FROM (SELECT doc_id, b, ci, unnest(range(0, 8)) AS y
+                        FROM comps))
+        ),
+        plane AS (
+            SELECT g.doc_id, g.b, g.ci, g.y, g.x,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((COALESCE(c.s, 0) + {_jhalf})
+                                  / {_jdiv}) AS BIGINT) + 128)) AS p
+            FROM grid g
+            LEFT JOIN contrib c ON c.doc_id = g.doc_id AND c.b = g.b
+                                AND c.ci = g.ci AND c.y = g.y
+                                AND c.x = g.x
+        ),
+        ycc AS (
+            SELECT doc_id, b, y, x,
+                   MAX(CASE WHEN ci = 0 THEN p END) AS yy,
+                   MAX(CASE WHEN ci = 1 THEN p END) - 128 AS cb,
+                   MAX(CASE WHEN ci = 2 THEN p END) - 128 AS cr
+            FROM plane GROUP BY doc_id, b, y, x
+        ),
+        rgb AS (
+            SELECT doc_id, b,
+                   LEAST(255, GREATEST(0, yy + CAST(FLOOR(
+                       (91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+                   LEAST(255, GREATEST(0, yy - CAST(FLOOR(
+                       (22554 * cb + 46802 * cr + 32768) / 65536.0)
+                       AS BIGINT))) AS g,
+                   LEAST(255, GREATEST(0, yy + CAST(FLOOR(
+                       (116130 * cb + 32768) / 65536.0) AS BIGINT))) AS bl
+            FROM ycc
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               (b % 2)::INT AS bx, (b // 2)::INT AS by,
+               SUM(r)::BIGINT AS rsum, SUM(g)::BIGINT AS gsum,
+               SUM(bl)::BIGINT AS bsum,
+               SUM(r * r + g * g + bl * bl)::BIGINT AS sqsum
+        FROM rgb GROUP BY doc_id, b ORDER BY media_id, by, bx
     """
 
     # q161: the IMA-ADPCM encoder STATE MACHINE replayed as a

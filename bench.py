@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "q160_avi_frame_sample",  # real AVI container walk + frame sampling
     "q161_ima_adpcm_audio",   # real stateful IMA-ADPCM decode (fmt 0x11)
     "q162_jpeg_pixels",       # real baseline JPEG decode (huffman+IDCT)
+    "q163_jpeg_color",        # 3-component 4:4:4 JPEG + JFIF YCbCr
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -9,10 +9,11 @@ struct. Header METADATA extraction (PNG/JPEG/GIF/BMP/WAV dimensions,
 sample rate, duration — ``probe_media_headers`` / ``image_dims_sql``)
 is REAL pure-byte parsing, and so are the pixel/sample decoders with a
 pure-Python/stdlib path: PNG (zlib + spec unfilters), BMP, GIF (LZW),
-baseline grayscale JPEG (Huffman entropy decode + exact fixed-point
-IDCT), WAV-PCM, G.711 μ-law/A-law, stateful IMA-ADPCM, and AVI video
+baseline JPEG — grayscale and 4:4:4 color with the JFIF YCbCr
+conversion (Huffman entropy decode + exact fixed-point IDCT) —
+WAV-PCM, G.711 μ-law/A-law, stateful IMA-ADPCM, and AVI video
 (container walk + raw DIB frames + frame sampling). Only perceptual
-audio codecs (mp3/aac) and color-subsampled JPEG stay stubbed behind
+audio codecs (mp3/aac) and subsampled-JPEG upsampling stay stubbed behind
 ``DECODERS`` because no media libraries ship in this container — swap
 a real decoder in at the same seam (same signature) on a cluster with
 codecs installed.
@@ -514,8 +515,7 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     if len(b) >= 3 and b[:3] == b"GIF":
         return decode_gif_pixels(b)
     if len(b) >= 2 and b[:2] == b"\xFF\xD8":
-        g = decode_jpeg_gray(b)
-        return np.repeat(g[:, :, None], 3, axis=2)
+        return decode_jpeg_color(b)  # grayscale broadcasts to 3ch
     raise NotImplementedError("no real pixel decoder for this format")
 
 
@@ -835,6 +835,33 @@ _JPEG_AC_VALS = [
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]  # Annex K luminance AC
+_JPEG_QTAB_C = [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99,
+                99, 24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99,
+                99, 99] + [99] * 32  # Annex K chrominance
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]  # Annex K chrominance AC
+# JFIF YCbCr -> RGB in 16-bit fixed point (libjpeg's rounded constants);
+# floor((k·(c-128) + 2^15) >> 16) keeps the conversion exactly integer.
+_JPEG_FIX_RCR = 91881    # 1.402
+_JPEG_FIX_GCB = 22554    # 0.344136
+_JPEG_FIX_GCR = 46802    # 0.714136
+_JPEG_FIX_BCB = 116130   # 1.772
 _JPEG_K = 13
 _JPEG_IDCT_A = [
     [int(math.floor(((1 / math.sqrt(2)) if u == 0 else 1.0)
@@ -873,6 +900,65 @@ def _jpeg_idct_block(F: list[int]) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+class _JpegBitWriter:
+    """MSB-first bit packer with T.81 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, code: int, ln: int):
+        if not ln:
+            return
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_put_block(bw: _JpegBitWriter, blk: list[int], dc_c: dict,
+                    ac_c: dict, prev_dc: int) -> int:
+    """Entropy-encode one quantized 8×8 block (raster order in):
+    zigzag, DC diff category + amplitude, AC run/size with EOB and
+    ZRL. Returns the new DC predictor."""
+    zz = [blk[_JPEG_ZZ[i]] for i in range(64)]
+    diff = zz[0] - prev_dc
+    s = abs(diff).bit_length()
+    bw.put(*dc_c[s])
+    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    k = 1
+    while k < 64:
+        if all(v == 0 for v in zz[k:]):
+            bw.put(*ac_c[0x00])  # EOB
+            break
+        run = 0
+        while zz[k] == 0:
+            run += 1
+            k += 1
+        while run >= 16:
+            bw.put(*ac_c[0xF0])  # ZRL
+            run -= 16
+        s = abs(zz[k]).bit_length()
+        bw.put(*ac_c[(run << 4) | s])
+        bw.put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+        k += 1
+    return zz[0]
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) \
+        + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
 def synth_jpeg_gray(coef_blocks: list[list[int]], w: int, h: int) -> bytes:
     """Assemble a spec-complete baseline grayscale JPEG (SOI, DQT,
     SOF0, DHT with the Annex K luminance tables, SOS, entropy-coded
@@ -882,78 +968,77 @@ def synth_jpeg_gray(coef_blocks: list[list[int]], w: int, h: int) -> bytes:
     so the decoded output is the exact integer IDCT of these blocks."""
     dc_c = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_c = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    buf, acc, n = bytearray(), 0, 0
-
-    def put(code: int, ln: int):
-        nonlocal acc, n
-        if not ln:
-            return
-        acc = (acc << ln) | (code & ((1 << ln) - 1))
-        n += ln
-        while n >= 8:
-            b = (acc >> (n - 8)) & 0xFF
-            buf.append(b)
-            if b == 0xFF:
-                buf.append(0x00)  # byte stuffing
-            n -= 8
-            acc &= (1 << n) - 1
-
+    bw = _JpegBitWriter()
     prev_dc = 0
     for blk in coef_blocks:
-        zz = [blk[_JPEG_ZZ[i]] for i in range(64)]
-        diff = zz[0] - prev_dc
-        prev_dc = zz[0]
-        s = abs(diff).bit_length()
-        put(*dc_c[s])
-        put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        k = 1
-        while k < 64:
-            if all(v == 0 for v in zz[k:]):
-                put(*ac_c[0x00])  # EOB
-                break
-            run = 0
-            while zz[k] == 0:
-                run += 1
-                k += 1
-            while run >= 16:
-                put(*ac_c[0xF0])  # ZRL
-                run -= 16
-            s = abs(zz[k]).bit_length()
-            put(*ac_c[(run << 4) | s])
-            put(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
-            k += 1
-    if n:
-        put((1 << (8 - n)) - 1, 8 - n)  # pad with 1s
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) \
-            + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    dqt = seg(0xDB, bytes([0x00])
-              + bytes(_JPEG_QTAB[_JPEG_ZZ[i]] for i in range(64)))
-    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-              + bytes([1, 1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
-              + bytes(_JPEG_DC_VALS) + bytes([0x10])
-              + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xFF\xD8" + dqt + sof + dht + sos + bytes(buf) + b"\xFF\xD9"
+        prev_dc = _jpeg_put_block(bw, blk, dc_c, ac_c, prev_dc)
+    dqt = _jpeg_seg(0xDB, bytes([0x00])
+                    + bytes(_JPEG_QTAB[_JPEG_ZZ[i]] for i in range(64)))
+    sof = _jpeg_seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                    + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                    + bytes(_JPEG_DC_VALS) + bytes([0x10])
+                    + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xFF\xD8" + dqt + sof + dht + sos + bw.flush() + b"\xFF\xD9"
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """REAL baseline JPEG decode (grayscale, T.81 baseline
-    sequential): segment walk (DQT dezigzagged, SOF0, DHT canonical
-    code rebuild, SOS), MSB-first bit reader with 0xFF00 unstuffing,
-    Huffman symbol decode, DC prediction across MCUs, AC
-    run-length/EOB/ZRL, T.81 EXTEND sign recovery, dequant, and the
-    exact fixed-point integer IDCT. Returns (H, W) uint8. Multi-
-    component (color) scans raise (loud-fail contract)."""
+def synth_jpeg_color(coef_blocks: list[list[list[int]]], w: int,
+                     h: int) -> bytes:
+    """Assemble a spec-complete baseline COLOR JPEG: 3 components
+    (YCbCr ids 1/2/3), 4:4:4 (all sampling factors 1×1 — every MCU
+    interleaves one block of each component), two DQTs (Annex K
+    luminance for Y, chrominance for Cb/Cr), four DHTs (separate
+    luma/chroma DC+AC tables), per-component DC predictors.
+    ``coef_blocks`` is [Y_blocks, Cb_blocks, Cr_blocks], each a list
+    of already-QUANTIZED raster-order 8×8 blocks."""
+    lum = (_jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+           _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS))
+    chr_ = (_jpeg_huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+            _jpeg_huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C))
+    tabs = [lum, chr_, chr_]
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for mcu in range(len(coef_blocks[0])):
+        for ci in range(3):
+            dc_c, ac_c = tabs[ci]
+            preds[ci] = _jpeg_put_block(
+                bw, coef_blocks[ci][mcu], dc_c, ac_c, preds[ci])
+    dqt = _jpeg_seg(0xDB, bytes([0x00])
+                    + bytes(_JPEG_QTAB[_JPEG_ZZ[i]] for i in range(64))
+                    + bytes([0x01])
+                    + bytes(_JPEG_QTAB_C[_JPEG_ZZ[i]] for i in range(64)))
+    sof = _jpeg_seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                    + w.to_bytes(2, "big")
+                    + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                    + bytes(_JPEG_DC_VALS) + bytes([0x10])
+                    + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+                    + bytes([0x01]) + bytes(_JPEG_DC_BITS_C)
+                    + bytes(_JPEG_DC_VALS_C) + bytes([0x11])
+                    + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xFF\xD8" + dqt + sof + dht + sos + bw.flush() + b"\xFF\xD9"
+
+
+def _decode_jpeg_planes(payload: bytes) -> tuple[list[np.ndarray], int, int]:
+    """REAL baseline JPEG decode core (T.81 baseline sequential,
+    1- or 3-component 4:4:4): segment walk (multi-table DQT
+    dezigzagged, SOF0 component list, DHT canonical rebuild keyed by
+    (class, id), SOS table bindings), MSB-first bit reader with
+    0xFF00 unstuffing, Huffman symbol decode, per-component DC
+    prediction across interleaved MCUs, AC run-length/EOB/ZRL, T.81
+    EXTEND sign recovery, dequant, and the exact fixed-point integer
+    IDCT. Returns (component planes, width, height). Progressive
+    SOFs, subsampling, and 16-bit qtables raise (loud-fail)."""
     b = payload or b""
     if len(b) < 4 or b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
-    i, qt, w, h = 2, None, None, None
-    dc_tbl: dict | None = None
-    ac_tbl: dict | None = None
+    i, w, h = 2, None, None
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int]] | None = None
+    scan: dict[int, tuple[int, int]] | None = None
     data = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -964,23 +1049,35 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         ln = int.from_bytes(b[i + 2:i + 4], "big")
         p = b[i + 4:i + 2 + ln]
         if m == 0xDB:
-            if p[0] != 0x00:
-                raise NotImplementedError("only 8-bit qtable 0 supported")
-            qt = [0] * 64
-            for zi in range(64):
-                qt[_JPEG_ZZ[zi]] = p[1 + zi]
+            j = 0
+            while j + 65 <= len(p) + 1 and j < len(p):
+                if p[j] >> 4 != 0:
+                    raise NotImplementedError("only 8-bit qtables")
+                t = [0] * 64
+                for zi in range(64):
+                    t[_JPEG_ZZ[zi]] = p[j + 1 + zi]
+                qts[p[j] & 15] = t
+                j += 65
         elif m == 0xC0:
             h = int.from_bytes(p[1:3], "big")
             w = int.from_bytes(p[3:5], "big")
-            if p[0] != 8 or p[5] != 1 or p[7] != 0x11:
+            nf = p[5]
+            if p[0] != 8 or nf not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit single-component 1x1 baseline supported")
+                    "only 8-bit 1- or 3-component baseline supported")
+            comps = []
+            for c in range(nf):
+                cid, samp, tq = p[6 + 3 * c], p[7 + 3 * c], p[8 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "only 1x1 sampling (4:4:4) supported")
+                comps.append((cid, tq))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline SOF0 supported")
         elif m == 0xC4:
             j = 0
             while j < len(p):
-                tc = p[j] >> 4
+                tc, th = p[j] >> 4, p[j] & 15
                 bits = list(p[j + 1:j + 17])
                 nv = sum(bits)
                 vals = list(p[j + 17:j + 17 + nv])
@@ -991,16 +1088,16 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                         k += 1
                         code += 1
                     code <<= 1
-                if tc == 0:
-                    dc_tbl = tbl
-                else:
-                    ac_tbl = tbl
+                huff[(tc, th)] = tbl
                 j += 17 + nv
         elif m == 0xDA:
+            scan = {}
+            for c in range(p[0]):
+                scan[p[1 + 2 * c]] = (p[2 + 2 * c] >> 4, p[2 + 2 * c] & 15)
             data = b[i + 2 + ln:len(b) - 2]
             break
         i += 2 + ln
-    if qt is None or w is None or dc_tbl is None or ac_tbl is None \
+    if not qts or w is None or comps is None or scan is None \
             or data is None:
         raise ValueError("missing DQT/SOF0/DHT/SOS segment")
 
@@ -1040,32 +1137,69 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-    pred = 0
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comps]
+    preds = [0] * len(comps)
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            s = symbol(dc_tbl)
-            pred += extend(bits_read(s), s)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = symbol(ac_tbl)
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = extend(bits_read(sym & 15), sym & 15)
-                k += 1
-            F = [0] * 64
-            for zi in range(64):
-                F[_JPEG_ZZ[zi]] = zz[zi] * qt[_JPEG_ZZ[zi]]
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _jpeg_idct_block(F)
-    return out[:h, :w]
+            for ci, (cid, tq) in enumerate(comps):
+                td, ta = scan[cid]
+                dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+                zz = [0] * 64
+                s = symbol(dc_tbl)
+                preds[ci] += extend(bits_read(s), s)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = symbol(ac_tbl)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = extend(bits_read(sym & 15), sym & 15)
+                    k += 1
+                qt = qts[tq]
+                F = [0] * 64
+                for zi in range(64):
+                    F[_JPEG_ZZ[zi]] = zz[zi] * qt[_JPEG_ZZ[zi]]
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _jpeg_idct_block(F)
+    return [pl[:h, :w] for pl in planes], w, h
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Grayscale baseline JPEG decode (see ``_decode_jpeg_planes``).
+    Returns (H, W) uint8; color scans raise (use
+    ``decode_jpeg_color``)."""
+    planes, _, _ = _decode_jpeg_planes(payload)
+    if len(planes) != 1:
+        raise NotImplementedError(
+            "multi-component scan: use decode_jpeg_color")
+    return planes[0]
+
+
+def decode_jpeg_color(payload: bytes) -> np.ndarray:
+    """Color baseline JPEG decode: component planes from
+    ``_decode_jpeg_planes``, then the JFIF YCbCr→RGB conversion in
+    exact 16-bit fixed point — R = clamp(Y + ⌊(91881·(Cr−128) +
+    2^15) / 2^16⌋) etc., floor semantics on negatives — so the RGB
+    output is a deterministic integer function of the coefficients
+    (the q163 oracle replays the same conversion). Grayscale scans
+    broadcast to 3 channels. Returns (H, W, 3) uint8."""
+    planes, _, _ = _decode_jpeg_planes(payload)
+    if len(planes) == 1:
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    y = planes[0].astype(np.int64)
+    cb = planes[1].astype(np.int64) - 128
+    cr = planes[2].astype(np.int64) - 128
+    half = 1 << 15
+    r = y + ((_JPEG_FIX_RCR * cr + half) >> 16)
+    g = y - ((_JPEG_FIX_GCB * cb + _JPEG_FIX_GCR * cr + half) >> 16)
+    bl = y + ((_JPEG_FIX_BCB * cb + half) >> 16)
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
 
 
 def decode_image(payload: bytes) -> np.ndarray:

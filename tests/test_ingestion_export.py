@@ -848,3 +848,56 @@ def test_jpeg_baseline_codec():
     prog[i + 1] = 0xC2  # progressive SOF
     with _pytest.raises(NotImplementedError):
         multimodal.decode_jpeg_gray(bytes(prog))
+
+
+def test_jpeg_color_codec():
+    """Color baseline JPEG (4:4:4): interleaved-MCU decode recovers
+    each component's exact integer IDCT (separate luma/chroma quant +
+    Huffman tables, per-component DC predictors), and the YCbCr->RGB
+    conversion matches the 16-bit fixed-point formula. Neutral chroma
+    (Cb=Cr=128, zero chroma coefficients) must decode to R=G=B=Y."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+
+    def rand_blocks(n):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            for _ in range(5):
+                blk[int(rng.integers(0, 64))] = int(rng.integers(-30, 31))
+            out.append(blk)
+        return out
+
+    ycc = [rand_blocks(4), rand_blocks(4), rand_blocks(4)]
+    jp = multimodal.synth_jpeg_color(ycc, 16, 16)
+    planes, w, h = multimodal._decode_jpeg_planes(jp)
+    assert (w, h) == (16, 16) and len(planes) == 3
+    qts = [multimodal._JPEG_QTAB, multimodal._JPEG_QTAB_C,
+           multimodal._JPEG_QTAB_C]
+    refs = []
+    for ci in range(3):
+        ref = np.zeros((16, 16), np.uint8)
+        for b in range(4):
+            by, bx = divmod(b, 2)
+            F = [ycc[ci][b][i] * qts[ci][i] for i in range(64)]
+            ref[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                multimodal._jpeg_idct_block(F)
+        refs.append(ref.astype(np.int64))
+        assert (planes[ci] == ref).all()
+    rgb = multimodal.decode_jpeg_color(jp).astype(np.int64)
+    y, cb, cr = refs[0], refs[1] - 128, refs[2] - 128
+    assert (rgb[:, :, 0] == np.clip(
+        y + ((91881 * cr + 32768) >> 16), 0, 255)).all()
+    assert (rgb[:, :, 1] == np.clip(
+        y - ((22554 * cb + 46802 * cr + 32768) >> 16), 0, 255)).all()
+    assert (rgb[:, :, 2] == np.clip(
+        y + ((116130 * cb + 32768) >> 16), 0, 255)).all()
+
+    # neutral chroma -> gray image (pins the -128 centering + signs)
+    zero = [[0] * 64 for _ in range(4)]
+    jp2 = multimodal.synth_jpeg_color([ycc[0], zero, zero], 16, 16)
+    rgb2 = multimodal.decode_jpeg_color(jp2)
+    assert (rgb2[:, :, 0] == rgb2[:, :, 1]).all()
+    assert (rgb2[:, :, 1] == rgb2[:, :, 2]).all()
+    assert (rgb2[:, :, 0] == planes[0]).all()
