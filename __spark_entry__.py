@@ -4202,6 +4202,80 @@ def q163_jpeg_color(spark, sf):
         .orderBy("media_id", "by", "bx"))
 
 
+def q164_jpeg_420(spark, sf):
+    """REAL 4:2:0 subsampled JPEG decode under the oracle gate — the
+    dominant real-world JPEG shape, and the last stubbed image path:
+    per document a 32×16 two-MCU scan where Y is sampled 2×2 (four Y
+    blocks per MCU, T.81 §A.2.3 row-major order) and Cb/Cr 1×1 (one
+    half-resolution block per MCU). `decode_jpeg_color` walks the
+    actual bytes — per-MCU interleave (Y00 Y01 Y10 Y11 Cb Cr),
+    per-component DC prediction chains across MCUs, per-component
+    IDCT — then upsamples chroma by replication and applies the
+    fixed-point JFIF conversion. The oracle replays the whole thing
+    relationally, with the pixel→block/plane index arithmetic
+    (m = X//16, j = (Y//8)·2 + (X%16)//8, chroma (Y//2, (X%16)//2))
+    in SQL — an interleave-order, predictor, or upsampling bug moves
+    pixels and breaks the hash. Per-8×8-block RGB sums (8 rows/doc)."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+
+                def blk(seed):
+                    out = [0] * 64
+                    for u in range(8):
+                        for v in range(8):
+                            if u + v <= 2:
+                                out[u * 8 + v] = \
+                                    ((seed + u * 5 + v * 3) % 9) - 4
+                    return out
+
+                yb = [blk(d * 7 + m * 17 + j * 11)
+                      for m in range(2) for j in range(4)]
+                cbb = [blk(d * 7 + m * 17 + 13) for m in range(2)]
+                crb = [blk(d * 7 + m * 17 + 26) for m in range(2)]
+                ids.append(f"m_{d}")
+                payloads.append(
+                    multimodal.synth_jpeg_420(yb, cbb, crb, 32, 16))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = multimodal.decode_jpeg_color(bytes(payload)) \
+                    .astype(np.int64)
+                for by in range(2):
+                    for bx in range(4):
+                        blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                        rows.append({
+                            "media_id": mid, "bx": bx, "by": by,
+                            "rsum": int(blk[:, :, 0].sum()),
+                            "gsum": int(blk[:, :, 1].sum()),
+                            "bsum": int(blk[:, :, 2].sum()),
+                            "sqsum": int((blk * blk).sum())})
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "bx", "by", "rsum", "gsum", "bsum", "sqsum"])
+
+    return (media.mapInPandas(
+        stats, "media_id string, bx int, by int, rsum long, gsum long, "
+               "bsum long, sqsum long")
+        .orderBy("media_id", "by", "bx"))
+
+
 def q161_ima_adpcm_audio(spark, sf):
     """REAL stateful-codec decode under the oracle gate: IMA (DVI4)
     ADPCM — WAV fmt tag 0x11, 4 bits/sample, a per-sample
@@ -4405,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_ima_adpcm_audio": q161_ima_adpcm_audio,
         "q162_jpeg_pixels": q162_jpeg_pixels,
         "q163_jpeg_color": q163_jpeg_color,
+        "q164_jpeg_420": q164_jpeg_420,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4477,7 +4552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
                       "q158_ivf_int8_ann", "q159_g711_audio",
                       "q160_avi_frame_sample", "q161_ima_adpcm_audio",
-                      "q162_jpeg_pixels", "q163_jpeg_color"]
+                      "q162_jpeg_pixels", "q163_jpeg_color",
+                      "q164_jpeg_420"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8302,6 +8378,107 @@ def oracle_sql() -> dict[str, str]:
                SUM(bl)::BIGINT AS bsum,
                SUM(r * r + g * g + bl * bl)::BIGINT AS sqsum
         FROM rgb GROUP BY doc_id, b ORDER BY media_id, by, bx
+    """
+
+    # q164: the 4:2:0 pixel-to-plane index arithmetic in SQL — the
+    # luma block id j = (Y//8)*2 + (X%16)//8 within MCU m = X//16,
+    # chroma at half resolution (Y//2, (X%16)//2) — composed with the
+    # same relational dequant+IDCT and fixed-point color conversion.
+    sql["q164_jpeg_420"] = f"""
+        WITH mcus AS (
+            SELECT doc_id, unnest(range(0, 2)) AS m FROM documents
+        ),
+        ycoefs AS (
+            SELECT doc_id, m, j, u, v,
+                   ((doc_id * 7 + m * 17 + j * 11 + u * 5 + v * 3) % 9)
+                       - 4 AS qc
+            FROM (SELECT doc_id, m, j, u, unnest(range(0, 8)) AS v
+                  FROM (SELECT doc_id, m, j, unnest(range(0, 8)) AS u
+                        FROM (SELECT doc_id, m, unnest(range(0, 4)) AS j
+                              FROM mcus)))
+            WHERE u + v <= 2
+        ),
+        ccoefs AS (
+            SELECT doc_id, m, ci, u, v,
+                   ((doc_id * 7 + m * 17 + ci * 13 + u * 5 + v * 3) % 9)
+                       - 4 AS qc
+            FROM (SELECT doc_id, m, ci, u, unnest(range(0, 8)) AS v
+                  FROM (SELECT doc_id, m, ci, unnest(range(0, 8)) AS u
+                        FROM (SELECT doc_id, m, unnest(range(1, 3)) AS ci
+                              FROM mcus)))
+            WHERE u + v <= 2
+        ),
+        atab(u, x, a) AS (VALUES {_ja}),
+        qtab(t, u, v, q) AS (VALUES {_jqc}),
+        ycontrib AS (
+            SELECT c.doc_id, c.m, c.j, ay.x AS y, ax.x AS x,
+                   SUM(c.qc * q.q * ay.a * ax.a) AS s
+            FROM ycoefs c
+            JOIN qtab q ON q.t = 0 AND q.u = c.u AND q.v = c.v
+            JOIN atab ay ON ay.u = c.u
+            JOIN atab ax ON ax.u = c.v
+            GROUP BY c.doc_id, c.m, c.j, ay.x, ax.x
+        ),
+        ccontrib AS (
+            SELECT c.doc_id, c.m, c.ci, ay.x AS y, ax.x AS x,
+                   SUM(c.qc * q.q * ay.a * ax.a) AS s
+            FROM ccoefs c
+            JOIN qtab q ON q.t = 1 AND q.u = c.u AND q.v = c.v
+            JOIN atab ay ON ay.u = c.u
+            JOIN atab ax ON ax.u = c.v
+            GROUP BY c.doc_id, c.m, c.ci, ay.x, ax.x
+        ),
+        grid AS (
+            SELECT doc_id, gy, gx,
+                   gx // 16 AS m,
+                   (gy // 8) * 2 + (gx % 16) // 8 AS j,
+                   gy % 8 AS ly, gx % 8 AS lx,
+                   gy // 2 AS cy, (gx % 16) // 2 AS cx
+            FROM (SELECT doc_id, gy, unnest(range(0, 32)) AS gx
+                  FROM (SELECT doc_id, unnest(range(0, 16)) AS gy
+                        FROM documents))
+        ),
+        ycc AS (
+            SELECT g.doc_id, g.gy, g.gx,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((COALESCE(yc.s, 0) + {_jhalf})
+                                  / {_jdiv}) AS BIGINT) + 128)) AS yy,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((COALESCE(cb.s, 0) + {_jhalf})
+                                  / {_jdiv}) AS BIGINT) + 128)) - 128
+                       AS cb,
+                   LEAST(255, GREATEST(0,
+                       CAST(FLOOR((COALESCE(cr.s, 0) + {_jhalf})
+                                  / {_jdiv}) AS BIGINT) + 128)) - 128
+                       AS cr
+            FROM grid g
+            LEFT JOIN ycontrib yc ON yc.doc_id = g.doc_id AND yc.m = g.m
+                                  AND yc.j = g.j AND yc.y = g.ly
+                                  AND yc.x = g.lx
+            LEFT JOIN ccontrib cb ON cb.doc_id = g.doc_id AND cb.m = g.m
+                                  AND cb.ci = 1 AND cb.y = g.cy
+                                  AND cb.x = g.cx
+            LEFT JOIN ccontrib cr ON cr.doc_id = g.doc_id AND cr.m = g.m
+                                  AND cr.ci = 2 AND cr.y = g.cy
+                                  AND cr.x = g.cx
+        ),
+        rgb AS (
+            SELECT doc_id, gy // 8 AS by, gx // 8 AS bx,
+                   LEAST(255, GREATEST(0, yy + CAST(FLOOR(
+                       (91881 * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+                   LEAST(255, GREATEST(0, yy - CAST(FLOOR(
+                       (22554 * cb + 46802 * cr + 32768) / 65536.0)
+                       AS BIGINT))) AS g,
+                   LEAST(255, GREATEST(0, yy + CAST(FLOOR(
+                       (116130 * cb + 32768) / 65536.0) AS BIGINT))) AS bl
+            FROM ycc
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               bx::INT AS bx, by::INT AS by,
+               SUM(r)::BIGINT AS rsum, SUM(g)::BIGINT AS gsum,
+               SUM(bl)::BIGINT AS bsum,
+               SUM(r * r + g * g + bl * bl)::BIGINT AS sqsum
+        FROM rgb GROUP BY doc_id, by, bx ORDER BY media_id, by, bx
     """
 
     # q161: the IMA-ADPCM encoder STATE MACHINE replayed as a

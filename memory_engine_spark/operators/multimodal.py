@@ -9,11 +9,11 @@ struct. Header METADATA extraction (PNG/JPEG/GIF/BMP/WAV dimensions,
 sample rate, duration — ``probe_media_headers`` / ``image_dims_sql``)
 is REAL pure-byte parsing, and so are the pixel/sample decoders with a
 pure-Python/stdlib path: PNG (zlib + spec unfilters), BMP, GIF (LZW),
-baseline JPEG — grayscale and 4:4:4 color with the JFIF YCbCr
-conversion (Huffman entropy decode + exact fixed-point IDCT) —
-WAV-PCM, G.711 μ-law/A-law, stateful IMA-ADPCM, and AVI video
+baseline JPEG — grayscale, 4:4:4 and subsampled 4:2:0 color with the
+JFIF YCbCr conversion (Huffman entropy decode + exact fixed-point
+IDCT) — WAV-PCM, G.711 μ-law/A-law, stateful IMA-ADPCM, and AVI video
 (container walk + raw DIB frames + frame sampling). Only perceptual
-audio codecs (mp3/aac) and subsampled-JPEG upsampling stay stubbed behind
+audio codecs (mp3/aac) stay stubbed behind
 ``DECODERS`` because no media libraries ship in this container — swap
 a real decoder in at the same seam (same signature) on a cluster with
 codecs installed.
@@ -882,22 +882,18 @@ def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict:
     return codes
 
 
+_JPEG_A_MAT = np.array(_JPEG_IDCT_A, dtype=np.int64)  # [u][x]
+
+
 def _jpeg_idct_block(F: list[int]) -> np.ndarray:
     """Exact fixed-point 8×8 inverse DCT: S = Σ F[u,v]·A[u][y]·A[v][x]
-    in int64, pixel = clamp(((S + 2^(2K+1)) >> (2K+2)) + 128)."""
+    = (Aᵀ·F·A) as two int64 matrix multiplies (exact — worst-case
+    |S| ≤ 64·(2047·255)·2^26 < 2^63), pixel =
+    clamp(((S + 2^(2K+1)) >> (2K+2)) + 128)."""
     half, sh = 1 << (2 * _JPEG_K + 1), 2 * _JPEG_K + 2
-    out = np.zeros((8, 8), dtype=np.int64)
-    for y in range(8):
-        for x in range(8):
-            s = 0
-            for u in range(8):
-                ay = _JPEG_IDCT_A[u][y]
-                for v in range(8):
-                    f = F[u * 8 + v]
-                    if f:
-                        s += f * ay * _JPEG_IDCT_A[v][x]
-            out[y, x] = ((s + half) >> sh) + 128
-    return np.clip(out, 0, 255).astype(np.uint8)
+    Fm = np.asarray(F, dtype=np.int64).reshape(8, 8)
+    s = _JPEG_A_MAT.T @ Fm @ _JPEG_A_MAT
+    return np.clip(((s + half) >> sh) + 128, 0, 255).astype(np.uint8)
 
 
 class _JpegBitWriter:
@@ -1021,16 +1017,60 @@ def synth_jpeg_color(coef_blocks: list[list[list[int]]], w: int,
     return b"\xFF\xD8" + dqt + sof + dht + sos + bw.flush() + b"\xFF\xD9"
 
 
-def _decode_jpeg_planes(payload: bytes) -> tuple[list[np.ndarray], int, int]:
-    """REAL baseline JPEG decode core (T.81 baseline sequential,
-    1- or 3-component 4:4:4): segment walk (multi-table DQT
-    dezigzagged, SOF0 component list, DHT canonical rebuild keyed by
-    (class, id), SOS table bindings), MSB-first bit reader with
-    0xFF00 unstuffing, Huffman symbol decode, per-component DC
-    prediction across interleaved MCUs, AC run-length/EOB/ZRL, T.81
-    EXTEND sign recovery, dequant, and the exact fixed-point integer
-    IDCT. Returns (component planes, width, height). Progressive
-    SOFs, subsampling, and 16-bit qtables raise (loud-fail)."""
+def synth_jpeg_420(y_blocks: list[list[int]], cb_blocks: list[list[int]],
+                   cr_blocks: list[list[int]], w: int, h: int) -> bytes:
+    """Assemble a baseline 4:2:0 COLOR JPEG — the dominant real-world
+    shape: Y sampled 2×2 (four Y blocks per MCU, row-major per T.81
+    §A.2.3), Cb/Cr 1×1 (one block each per MCU covering the same
+    16×16 pixels at half resolution). ``y_blocks`` holds 4 blocks per
+    MCU in MCU order; ``cb_blocks``/``cr_blocks`` one per MCU. Same
+    tables as ``synth_jpeg_color``."""
+    lum = (_jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+           _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS))
+    chr_ = (_jpeg_huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+            _jpeg_huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C))
+    bw = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for m in range(len(cb_blocks)):
+        for j in range(4):
+            preds[0] = _jpeg_put_block(
+                bw, y_blocks[4 * m + j], lum[0], lum[1], preds[0])
+        preds[1] = _jpeg_put_block(bw, cb_blocks[m], chr_[0], chr_[1],
+                                   preds[1])
+        preds[2] = _jpeg_put_block(bw, cr_blocks[m], chr_[0], chr_[1],
+                                   preds[2])
+    dqt = _jpeg_seg(0xDB, bytes([0x00])
+                    + bytes(_JPEG_QTAB[_JPEG_ZZ[i]] for i in range(64))
+                    + bytes([0x01])
+                    + bytes(_JPEG_QTAB_C[_JPEG_ZZ[i]] for i in range(64)))
+    sof = _jpeg_seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                    + w.to_bytes(2, "big")
+                    + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                    + bytes(_JPEG_DC_VALS) + bytes([0x10])
+                    + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+                    + bytes([0x01]) + bytes(_JPEG_DC_BITS_C)
+                    + bytes(_JPEG_DC_VALS_C) + bytes([0x11])
+                    + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xFF\xD8" + dqt + sof + dht + sos + bw.flush() + b"\xFF\xD9"
+
+
+def _decode_jpeg_planes(payload: bytes) \
+        -> tuple[list[np.ndarray], int, int, list[tuple[int, int]]]:
+    """REAL baseline JPEG decode core (T.81 baseline sequential, 1 or
+    3 components, sampling factors 1–2 — covers 4:4:4, 4:2:2 and the
+    dominant 4:2:0): segment walk (multi-table DQT dezigzagged, SOF0
+    component list with per-component sampling, DHT canonical rebuild
+    keyed by (class, id), SOS table bindings), MSB-first bit reader
+    with 0xFF00 unstuffing, Huffman symbol decode, per-component DC
+    prediction across interleaved MCUs (hi×vi blocks per component
+    per MCU, row-major — the T.81 §A.2.3 order), AC
+    run-length/EOB/ZRL, T.81 EXTEND sign recovery, dequant, and the
+    exact fixed-point integer IDCT. Returns (subsampled component
+    planes, width, height, [(hi, vi)] per component). Progressive
+    SOFs, sampling factors > 2, and 16-bit qtables raise
+    (loud-fail)."""
     b = payload or b""
     if len(b) < 4 or b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
@@ -1068,10 +1108,11 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[list[np.ndarray], int, int]:
             comps = []
             for c in range(nf):
                 cid, samp, tq = p[6 + 3 * c], p[7 + 3 * c], p[8 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "only 1x1 sampling (4:4:4) supported")
-                comps.append((cid, tq))
+                        "only sampling factors 1-2 supported")
+                comps.append((cid, tq, hi, vi))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline SOF0 supported")
         elif m == 0xC4:
@@ -1136,45 +1177,58 @@ def _decode_jpeg_planes(payload: bytes) -> tuple[list[np.ndarray], int, int]:
     def extend(v: int, s: int) -> int:
         return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comps]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((my * vi * 8, mx * hi * 8), dtype=np.uint8)
+              for (_, _, hi, vi) in comps]
     preds = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, tq) in enumerate(comps):
+    for myi in range(my):
+        for mxi in range(mx):
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
                 td, ta = scan[cid]
                 dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
-                zz = [0] * 64
-                s = symbol(dc_tbl)
-                preds[ci] += extend(bits_read(s), s)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = symbol(ac_tbl)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = extend(bits_read(sym & 15), sym & 15)
-                    k += 1
                 qt = qts[tq]
-                F = [0] * 64
-                for zi in range(64):
-                    F[_JPEG_ZZ[zi]] = zz[zi] * qt[_JPEG_ZZ[zi]]
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                    _jpeg_idct_block(F)
-    return [pl[:h, :w] for pl in planes], w, h
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz = [0] * 64
+                        s = symbol(dc_tbl)
+                        preds[ci] += extend(bits_read(s), s)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = symbol(ac_tbl)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = extend(bits_read(sym & 15), sym & 15)
+                            k += 1
+                        F = [0] * 64
+                        for zi in range(64):
+                            F[_JPEG_ZZ[zi]] = zz[zi] * qt[_JPEG_ZZ[zi]]
+                        py = (myi * vi + byi) * 8
+                        px = (mxi * hi + bxi) * 8
+                        planes[ci][py:py + 8, px:px + 8] = \
+                            _jpeg_idct_block(F)
+    cropped = []
+    for ci, (_, _, hi, vi) in enumerate(comps):
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        cropped.append(planes[ci][:ch, :cw])
+    return cropped, w, h, [(hi, vi) for (_, _, hi, vi) in comps]
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     """Grayscale baseline JPEG decode (see ``_decode_jpeg_planes``).
     Returns (H, W) uint8; color scans raise (use
     ``decode_jpeg_color``)."""
-    planes, _, _ = _decode_jpeg_planes(payload)
+    planes, _, _, _ = _decode_jpeg_planes(payload)
     if len(planes) != 1:
         raise NotImplementedError(
             "multi-component scan: use decode_jpeg_color")
@@ -1183,18 +1237,28 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 
 def decode_jpeg_color(payload: bytes) -> np.ndarray:
     """Color baseline JPEG decode: component planes from
-    ``_decode_jpeg_planes``, then the JFIF YCbCr→RGB conversion in
-    exact 16-bit fixed point — R = clamp(Y + ⌊(91881·(Cr−128) +
+    ``_decode_jpeg_planes``, subsampled chroma upsampled by pixel
+    REPLICATION (nearest — chroma pixel (y, x) reads plane
+    (y·vi//vmax, x·hi//hmax); deterministic, no interpolation
+    convention to disagree on), then the JFIF YCbCr→RGB conversion
+    in exact 16-bit fixed point — R = clamp(Y + ⌊(91881·(Cr−128) +
     2^15) / 2^16⌋) etc., floor semantics on negatives — so the RGB
     output is a deterministic integer function of the coefficients
-    (the q163 oracle replays the same conversion). Grayscale scans
-    broadcast to 3 channels. Returns (H, W, 3) uint8."""
-    planes, _, _ = _decode_jpeg_planes(payload)
+    (the q163/q164 oracles replay the same conversion). Grayscale
+    scans broadcast to 3 channels. Returns (H, W, 3) uint8."""
+    planes, w, h, samps = _decode_jpeg_planes(payload)
     if len(planes) == 1:
         return np.repeat(planes[0][:, :, None], 3, axis=2)
-    y = planes[0].astype(np.int64)
-    cb = planes[1].astype(np.int64) - 128
-    cr = planes[2].astype(np.int64) - 128
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    full = []
+    for pl, (hi, vi) in zip(planes, samps):
+        up = np.repeat(np.repeat(pl, vmax // vi, axis=0),
+                       hmax // hi, axis=1)
+        full.append(up[:h, :w])
+    y = full[0].astype(np.int64)
+    cb = full[1].astype(np.int64) - 128
+    cr = full[2].astype(np.int64) - 128
     half = 1 << 15
     r = y + ((_JPEG_FIX_RCR * cr + half) >> 16)
     g = y - ((_JPEG_FIX_GCB * cb + _JPEG_FIX_GCR * cr + half) >> 16)

@@ -871,7 +871,7 @@ def test_jpeg_color_codec():
 
     ycc = [rand_blocks(4), rand_blocks(4), rand_blocks(4)]
     jp = multimodal.synth_jpeg_color(ycc, 16, 16)
-    planes, w, h = multimodal._decode_jpeg_planes(jp)
+    planes, w, h, samps = multimodal._decode_jpeg_planes(jp)
     assert (w, h) == (16, 16) and len(planes) == 3
     qts = [multimodal._JPEG_QTAB, multimodal._JPEG_QTAB_C,
            multimodal._JPEG_QTAB_C]
@@ -901,3 +901,49 @@ def test_jpeg_color_codec():
     assert (rgb2[:, :, 0] == rgb2[:, :, 1]).all()
     assert (rgb2[:, :, 1] == rgb2[:, :, 2]).all()
     assert (rgb2[:, :, 0] == planes[0]).all()
+
+
+def test_jpeg_420_subsampled():
+    """4:2:0: the per-MCU interleave (Y00 Y01 Y10 Y11 Cb Cr) places
+    each Y block at its T.81 row-major position across two MCUs, the
+    chroma planes come back at half resolution, and upsampling is
+    2x2 replication. A swapped interleave or a column-major Y order
+    would move whole blocks."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+
+    def rand_blocks(n):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            for _ in range(5):
+                blk[int(rng.integers(0, 64))] = int(rng.integers(-25, 26))
+            out.append(blk)
+        return out
+
+    yb, cbb, crb = rand_blocks(8), rand_blocks(2), rand_blocks(2)
+    jp = multimodal.synth_jpeg_420(yb, cbb, crb, 32, 16)
+    planes, w, h, samps = multimodal._decode_jpeg_planes(jp)
+    assert (w, h) == (32, 16) and samps == [(2, 2), (1, 1), (1, 1)]
+    assert planes[0].shape == (16, 32) and planes[1].shape == (8, 16)
+    for m in range(2):
+        for j in range(4):
+            byi, bxi = divmod(j, 2)
+            F = [yb[4 * m + j][i] * multimodal._JPEG_QTAB[i]
+                 for i in range(64)]
+            assert (planes[0][byi * 8:(byi + 1) * 8,
+                              m * 16 + bxi * 8:m * 16 + bxi * 8 + 8]
+                    == multimodal._jpeg_idct_block(F)).all()
+    rgb = multimodal.decode_jpeg_color(jp)
+    assert rgb.shape == (16, 32, 3)
+    # chroma replication: the 2x2 pixel group shares one chroma sample,
+    # so R - Y is constant within each group
+    y = planes[0].astype(np.int64)
+    rr = rgb[:, :, 0].astype(np.int64)
+    d = rr - y
+    # only where no clamping occurred (interior check on one group)
+    interior = (rr > 0) & (rr < 255)
+    g00, g01 = d[0::2, 0::2], d[0::2, 1::2]
+    m00 = interior[0::2, 0::2] & interior[0::2, 1::2]
+    assert (g00[m00] == g01[m00]).all()
