@@ -1674,6 +1674,28 @@ def _probe_one(b: bytes) -> dict:
         out.update(format="bmp", mime="image/bmp",
                    width=abs(int.from_bytes(b[18:22], "little", signed=True)),
                    height=abs(int.from_bytes(b[22:26], "little", signed=True)))
+    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        out.update(format="avi", mime="video/x-msvideo")
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            csize = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"LIST" and b[i + 8:i + 12] == b"hdrl":
+                j = i + 12
+                while j + 8 <= i + 8 + csize:
+                    if b[j:j + 4] == b"avih" and j + 48 <= len(b):
+                        uspf = int.from_bytes(b[j + 8:j + 12], "little")
+                        nf = int.from_bytes(b[j + 24:j + 28], "little")
+                        out["width"] = int.from_bytes(
+                            b[j + 40:j + 44], "little")
+                        out["height"] = int.from_bytes(
+                            b[j + 44:j + 48], "little")
+                        out["duration_s"] = (nf * uspf) / 1e6
+                        break
+                    j += 8 + int.from_bytes(b[j + 4:j + 8], "little")
+                    j += j & 1
+                break
+            i += 8 + csize + (csize & 1)
     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         out.update(format="wav", mime="audio/wav")
         i, byte_rate, data_size = 12, None, None

@@ -388,10 +388,12 @@ def _wav(sample_rate, byte_rate, data_size):
 
 
 def test_probe_media_headers_real_formats(spark):
+    avi1 = multimodal.synth_avi(
+        np.zeros((12, 6, 10, 3), dtype=np.uint8), fps=4)
     rows = [("png1", _png(640, 480)), ("jpg1", _jpeg(1024, 768)),
             ("gif1", _gif(320, 200)), ("bmp1", _bmp(800, -600)),
-            ("wav1", _wav(16000, 32000, 64000)), ("junk", b"\x00\x01\x02"),
-            ("empty", b"")]
+            ("wav1", _wav(16000, 32000, 64000)), ("avi1", bytearray(avi1)),
+            ("junk", b"\x00\x01\x02"), ("empty", b"")]
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     out = {r["media_id"]: r for r in
            multimodal.probe_media_headers(df).collect()}
@@ -404,6 +406,9 @@ def test_probe_media_headers_real_formats(spark):
     assert (out["bmp1"]["width"], out["bmp1"]["height"]) == (800, 600)
     assert out["wav1"]["sample_rate"] == 16000
     assert out["wav1"]["duration_s"] == 2.0
+    assert (out["avi1"]["format"], out["avi1"]["width"],
+            out["avi1"]["height"]) == ("avi", 10, 6)
+    assert out["avi1"]["duration_s"] == 3.0  # 12 frames / 4 fps
     assert out["junk"]["format"] is None
     assert out["empty"]["n_bytes"] == 0
 
