@@ -920,6 +920,13 @@ class _JpegBitWriter:
             self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
         return bytes(self.buf)
 
+    def restart(self, n: int):
+        """Byte-align (1-padded) and emit RSTn — marker bytes bypass
+        stuffing by contract (a stuffed marker would be 0xFF00)."""
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _jpeg_put_block(bw: _JpegBitWriter, blk: list[int], dc_c: dict,
                     ac_c: dict, prev_dc: int) -> int:
@@ -1018,7 +1025,8 @@ def synth_jpeg_color(coef_blocks: list[list[list[int]]], w: int,
 
 
 def synth_jpeg_420(y_blocks: list[list[int]], cb_blocks: list[list[int]],
-                   cr_blocks: list[list[int]], w: int, h: int) -> bytes:
+                   cr_blocks: list[list[int]], w: int, h: int,
+                   restart_interval: int = 0) -> bytes:
     """Assemble a baseline 4:2:0 COLOR JPEG — the dominant real-world
     shape: Y sampled 2×2 (four Y blocks per MCU, row-major per T.81
     §A.2.3), Cb/Cr 1×1 (one block each per MCU covering the same
@@ -1031,7 +1039,13 @@ def synth_jpeg_420(y_blocks: list[list[int]], cb_blocks: list[list[int]],
             _jpeg_huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C))
     bw = _JpegBitWriter()
     preds = [0, 0, 0]
-    for m in range(len(cb_blocks)):
+    n_mcus = len(cb_blocks)
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0, 0, 0]
         for j in range(4):
             preds[0] = _jpeg_put_block(
                 bw, y_blocks[4 * m + j], lum[0], lum[1], preds[0])
@@ -1053,7 +1067,10 @@ def synth_jpeg_420(y_blocks: list[list[int]], cb_blocks: list[list[int]],
                     + bytes(_JPEG_DC_VALS_C) + bytes([0x11])
                     + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C))
     sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return b"\xFF\xD8" + dqt + sof + dht + sos + bw.flush() + b"\xFF\xD9"
+    dri = (_jpeg_seg(0xDD, restart_interval.to_bytes(2, "big"))
+           if restart_interval else b"")
+    return b"\xFF\xD8" + dqt + sof + dht + dri + sos + bw.flush() \
+        + b"\xFF\xD9"
 
 
 def _decode_jpeg_planes(payload: bytes) \
@@ -1080,6 +1097,7 @@ def _decode_jpeg_planes(payload: bytes) \
     comps: list[tuple[int, int]] | None = None
     scan: dict[int, tuple[int, int]] | None = None
     data = None
+    ri = 0
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("bad segment marker")
@@ -1131,6 +1149,8 @@ def _decode_jpeg_planes(payload: bytes) \
                     code <<= 1
                 huff[(tc, th)] = tbl
                 j += 17 + nv
+        elif m == 0xDD:
+            ri = int.from_bytes(p[0:2], "big")  # DRI restart interval
         elif m == 0xDA:
             scan = {}
             for c in range(p[0]):
@@ -1184,8 +1204,31 @@ def _decode_jpeg_planes(payload: bytes) \
     planes = [np.zeros((my * vi * 8, mx * hi * 8), dtype=np.uint8)
               for (_, _, hi, vi) in comps]
     preds = [0] * len(comps)
+    rst_expect = 0
+
+    def restart_sync():
+        """T.81 §E.2.4: at a restart boundary, discard the partial
+        byte, consume the RSTn marker (bare in the entropy stream —
+        never stuffed), verify the modulo-8 cycle, reset all DC
+        predictors."""
+        nonlocal pos, nbits, rst_expect
+        nbits = 0
+        if pos + 2 > len(data) or data[pos] != 0xFF \
+                or not (0xD0 <= data[pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        if data[pos + 1] - 0xD0 != rst_expect:
+            raise ValueError("restart marker out of sequence")
+        rst_expect = (rst_expect + 1) & 7
+        pos += 2
+        for ci in range(len(preds)):
+            preds[ci] = 0
+
+    mcu_idx = 0
     for myi in range(my):
         for mxi in range(mx):
+            if ri and mcu_idx and mcu_idx % ri == 0:
+                restart_sync()
+            mcu_idx += 1
             for ci, (cid, tq, hi, vi) in enumerate(comps):
                 td, ta = scan[cid]
                 dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]

@@ -952,3 +952,37 @@ def test_jpeg_420_subsampled():
     g00, g01 = d[0::2, 0::2], d[0::2, 1::2]
     m00 = interior[0::2, 0::2] & interior[0::2, 1::2]
     assert (g00[m00] == g01[m00]).all()
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn (T.81 E.2.4): a 4-MCU 4:2:0 scan encoded with restart
+    intervals 1 and 2 decodes IDENTICALLY to the no-restart encoding
+    (proves the encoder's predictor reset + byte-align mirrors the
+    decoder's), and an out-of-sequence RSTn fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(31)
+
+    def rand_blocks(n):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            for _ in range(5):
+                blk[int(rng.integers(0, 64))] = int(rng.integers(-25, 26))
+            out.append(blk)
+        return out
+
+    yb, cbb, crb = rand_blocks(16), rand_blocks(4), rand_blocks(4)
+    base = multimodal.decode_jpeg_color(
+        multimodal.synth_jpeg_420(yb, cbb, crb, 64, 16))
+    for ri in (1, 2):
+        jp = multimodal.synth_jpeg_420(yb, cbb, crb, 64, 16,
+                                       restart_interval=ri)
+        assert (multimodal.decode_jpeg_color(jp) == base).all()
+    jp = multimodal.synth_jpeg_420(yb, cbb, crb, 64, 16,
+                                   restart_interval=2)
+    bad = bytearray(jp)
+    bad[jp.find(b"\xff\xd0") + 1] = 0xD5
+    with _pytest.raises(ValueError, match="restart marker"):
+        multimodal.decode_jpeg_color(bytes(bad))
