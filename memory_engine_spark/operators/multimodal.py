@@ -1094,10 +1094,10 @@ def _decode_jpeg_planes(payload: bytes) \
     i, w, h = 2, None, None
     qts: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
-    comps: list[tuple[int, int]] | None = None
+    comps: list[tuple[int, int, int, int]] | None = None  # (id, tq, hi, vi)
     scan: dict[int, tuple[int, int]] | None = None
     data = None
-    ri = 0
+    ri = 0  # DRI restart interval (MCUs); 0 = none
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("bad segment marker")
@@ -1717,6 +1717,25 @@ def _probe_one(b: bytes) -> dict:
         out.update(format="bmp", mime="image/bmp",
                    width=abs(int.from_bytes(b[18:22], "little", signed=True)),
                    height=abs(int.from_bytes(b[22:26], "little", signed=True)))
+    elif b[:3] == b"ID3" or (len(b) >= 4 and b[0] == 0xFF
+                             and (b[1] & 0xE0) == 0xE0):
+        # MPEG audio: ID3v2 tag skip (syncsafe size) + first frame
+        # header parse — metadata only; the codec itself is a stub.
+        out.update(format="mp3", mime="audio/mpeg")
+        j = 0
+        if b[:3] == b"ID3" and len(b) >= 10:
+            j = 10 + ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+                      | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        if j + 4 <= len(b) and b[j] == 0xFF and (b[j + 1] & 0xE0) == 0xE0:
+            ver = (b[j + 1] >> 3) & 3    # 3 = MPEG-1
+            layer = (b[j + 1] >> 1) & 3  # 1 = Layer III
+            if ver == 3 and layer == 1:
+                br = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                      192, 224, 256, 320, 0][b[j + 2] >> 4]
+                sr = [44100, 48000, 32000, 0][(b[j + 2] >> 2) & 3]
+                if br and sr:
+                    out["sample_rate"] = sr
+                    out["duration_s"] = (len(b) - j) * 8 / (br * 1000)
     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         out.update(format="avi", mime="video/x-msvideo")
         i = 12

@@ -393,6 +393,10 @@ def test_probe_media_headers_real_formats(spark):
     rows = [("png1", _png(640, 480)), ("jpg1", _jpeg(1024, 768)),
             ("gif1", _gif(320, 200)), ("bmp1", _bmp(800, -600)),
             ("wav1", _wav(16000, 32000, 64000)), ("avi1", bytearray(avi1)),
+            ("mp31", bytearray(b"ID3\x04\x00\x00\x00\x00\x00\x08"
+                               + b"\x00" * 8
+                               + bytes([0xFF, 0xFB, 0x90, 0x00])
+                               + b"\x00" * 412)),
             ("junk", b"\x00\x01\x02"), ("empty", b"")]
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     out = {r["media_id"]: r for r in
@@ -409,6 +413,8 @@ def test_probe_media_headers_real_formats(spark):
     assert (out["avi1"]["format"], out["avi1"]["width"],
             out["avi1"]["height"]) == ("avi", 10, 6)
     assert out["avi1"]["duration_s"] == 3.0  # 12 frames / 4 fps
+    assert out["mp31"]["format"] == "mp3"
+    assert out["mp31"]["sample_rate"] == 44100  # ID3v2 skipped
     assert out["junk"]["format"] is None
     assert out["empty"]["n_bytes"] == 0
 
