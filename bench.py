@@ -151,6 +151,47 @@ def scale_10x(spark, sf_dir: str) -> dict:
 
     t = load_tables(spark, sf_dir)
 
+    def _media_decode_probe(docs):
+        from memory_engine_spark.operators import multimodal
+
+        def synth(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids, payloads = [], []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    blocks = []
+                    for b in range(4):
+                        blk = [0] * 64
+                        for u in range(8):
+                            for v in range(8):
+                                if u + v <= 2:
+                                    blk[u * 8 + v] = \
+                                        ((d * 7 + b * 11 + u * 5
+                                          + v * 3) % 9) - 4
+                        blocks.append(blk)
+                    ids.append(f"m_{d}")
+                    payloads.append(
+                        multimodal.synth_jpeg_gray(blocks, 16, 16))
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+        def stats(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    px = multimodal.decode_jpeg_gray(bytes(payload)) \
+                        .astype("int64")
+                    rows.append({"media_id": mid, "psum": int(px.sum())})
+                yield pd.DataFrame(rows, columns=["media_id", "psum"])
+
+        return (docs.mapInPandas(synth, "media_id string, payload binary")
+                .mapInPandas(stats, "media_id string, psum long"))
+
     def rep(df, factor, shift_cols=(), str_cols=()):
         rdf = df.select(
             "*", F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("_r"))
@@ -237,6 +278,13 @@ def scale_10x(spark, sf_dir: str) -> dict:
         "pagerank_shuffle": lambda f: (
             graph.pagerank(None, n_iter=3, strategy="shuffle",
                            prebuilt=_pr_prep[f]).count()),
+        # round-7 codec wave: the Arrow mapInPandas decode stages are
+        # per-row Python with no cross-row state, so wall-clock must
+        # scale linearly in rows — the probe synthesizes and fully
+        # decodes a baseline JPEG per (replicated) doc.
+        "media_decode": lambda f: _media_decode_probe(
+            rep(t["documents"].select("doc_id"), f,
+                shift_cols=["doc_id"])).count(),
     }
     # Compact JSON encoding — [x1_sec, x10_sec, wall_ratio,
     # per_row_ratio|null] per shape. per_row_ratio normalizes
