@@ -4361,6 +4361,52 @@ def q160_avi_frame_sample(spark, sf):
             .orderBy("media_id", "frame_idx"))
 
 
+def q165_mp4_frame_sample(spark, sf):
+    """REAL ISO-BMFF (MP4) demux + frame sampling under the oracle
+    gate — q160's twin for the other canonical video container
+    (reference treats video as opaque attachments; a training
+    pipeline must demux it). Each document synthesizes a spec-shaped
+    MP4 (ftyp/mdat/moov with real stts/stsz/stsc/stco sample tables,
+    'raw ' RGB24 sample entry) whose frame pixels follow a
+    deterministic (doc_id, frame, row, col, channel) formula;
+    `multimodal.mp4_frame_stats` WALKS THE ACTUAL BYTES — box tree,
+    mdhd timescale, stsc run resolution, stco chunk offsets, stsz
+    accumulation — sampling every 0.4 s (stride round(0.4·5)=2 at
+    fps 5) into exact int64 pixel sums. The oracle regenerates the
+    sampled grid with a stepped range(), so a box-walk, sample-
+    resolution, stride, or raster bug breaks the hash. Scale
+    posture: stco/stsz offsets are the row-group analogue — frames
+    are independently sliceable, so demux parallelizes by sample
+    with no cross-frame state (same argument as AVI idx1)."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 5 + d % 5
+                w, h = 6 + (d % 3) * 4, 4 + (d % 2) * 2
+                f = np.arange(nf).reshape(nf, 1, 1, 1)
+                r = np.arange(h).reshape(1, h, 1, 1)
+                c = np.arange(w).reshape(1, 1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 1, 3)
+                px = ((d * 29 + f * 19 + r * 11 + c * 7 + ch * 3) % 256) \
+                    .astype(np.uint8)
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_mp4(px, fps=5))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return (multimodal.mp4_frame_stats(media, every_s=0.4)
+            .orderBy("media_id", "frame_idx"))
+
+
 def q157_bmp_gif_pixels(spark, sf):
     """REAL BMP + GIF pixel decode under the oracle gate (closes the
     image-format set q156 opened: PNG/BMP/GIF all have
@@ -4480,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_jpeg_pixels": q162_jpeg_pixels,
         "q163_jpeg_color": q163_jpeg_color,
         "q164_jpeg_420": q164_jpeg_420,
+        "q165_mp4_frame_sample": q165_mp4_frame_sample,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4553,7 +4600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q158_ivf_int8_ann", "q159_g711_audio",
                       "q160_avi_frame_sample", "q161_ima_adpcm_audio",
                       "q162_jpeg_pixels", "q163_jpeg_color",
-                      "q164_jpeg_420"]
+                      "q164_jpeg_420", "q165_mp4_frame_sample"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8575,6 +8622,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'm_' || doc_id AS media_id, nf::INT AS n_frames,
                4::INT AS fps, w::INT AS width, h::INT AS height,
                f::INT AS frame_idx, (f * 250)::BIGINT AS ts_ms,
+               SUM(v)::BIGINT AS psum, SUM(v * v)::BIGINT AS psqsum
+        FROM px GROUP BY doc_id, nf, w, h, f
+        ORDER BY media_id, frame_idx
+    """
+
+    # q165: q160's relational replay for the MP4 container — stepped
+    # sampled-frame grid (stride 2 at fps 5), exact BIGINT pixel sums.
+    # The Spark side must get identical numbers out of a real box-tree
+    # walk + stsc/stco/stsz sample resolution.
+    sql["q165_mp4_frame_sample"] = """
+        WITH d AS (
+            SELECT doc_id, 5 + doc_id % 5 AS nf,
+                   6 + (doc_id % 3) * 4 AS w,
+                   4 + (doc_id % 2) * 2 AS h
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, nf, w, h, unnest(range(0, nf, 2)) AS f FROM d
+        ),
+        cells AS (
+            SELECT doc_id, nf, w, h, f, r, c, unnest(range(0, 3)) AS ch
+            FROM (SELECT doc_id, nf, w, h, f, r, unnest(range(0, w)) AS c
+                  FROM (SELECT doc_id, nf, w, h, f,
+                               unnest(range(0, h)) AS r FROM fr))
+        ),
+        px AS (
+            SELECT doc_id, nf, w, h, f,
+                   (doc_id * 29 + f * 19 + r * 11 + c * 7 + ch * 3) % 256
+                       AS v
+            FROM cells
+        )
+        SELECT 'm_' || doc_id AS media_id, nf::INT AS n_frames,
+               5::INT AS fps, w::INT AS width, h::INT AS height,
+               f::INT AS frame_idx, (f * 200)::BIGINT AS ts_ms,
                SUM(v)::BIGINT AS psum, SUM(v * v)::BIGINT AS psqsum
         FROM px GROUP BY doc_id, nf, w, h, f
         ORDER BY media_id, frame_idx

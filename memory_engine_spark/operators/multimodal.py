@@ -1567,6 +1567,278 @@ def avi_frame_stats(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
 
 
+def _box(btype: bytes, payload: bytes) -> bytes:
+    """One ISO-BMFF box: u32 big-endian size (incl. the 8-byte header)
+    + fourcc + payload."""
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    """FullBox: version byte + 24-bit flags before the payload."""
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_UNITY_MATRIX = b"".join(
+    v.to_bytes(4, "big") for v in
+    (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000))
+
+
+def synth_mp4(frames: np.ndarray, fps: int = 5,
+              timescale: int = 600) -> bytes:
+    """Assemble a spec-shaped ISO-BMFF (MP4) file with an uncompressed
+    'raw ' RGB24 video track (ISO 14496-12 box layout; QuickTime 'raw '
+    sample entry, top-down unpadded RGB rows): ftyp → mdat (samples
+    back-to-back) → moov(mvhd, trak(tkhd, mdia(mdhd, hdlr 'vide',
+    minf(vmhd, dinf/dref, stbl(stsd/stts/stsc/stsz/stco))))). The
+    sample tables are REAL — stts carries the uniform frame delta
+    (timescale/fps), stsz the per-sample byte sizes, stsc/stco the
+    single all-samples chunk whose absolute file offset points into
+    mdat — so the decode twin must resolve samples the way any MP4
+    demuxer does. ``timescale`` must be divisible by ``fps``. The
+    encode twin of ``decode_mp4_frames``."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    nf, h, w, _ = fr.shape
+    if timescale % fps:
+        raise ValueError("timescale must be a multiple of fps")
+    delta = timescale // fps
+    duration = nf * delta
+    samples = [fr[f].tobytes() for f in range(nf)]  # top-down RGB rows
+
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big")
+                + b"isom" + b"iso2")
+    mdat = _box(b"mdat", b"".join(samples))
+    first_sample_off = len(ftyp) + 8            # into mdat's payload
+
+    mvhd = _full(b"mvhd", 0, 0,
+                 (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + timescale.to_bytes(4, "big")
+                 + duration.to_bytes(4, "big")
+                 + (0x00010000).to_bytes(4, "big")      # rate 1.0
+                 + (0x0100).to_bytes(2, "big")          # volume 1.0
+                 + b"\x00" * 10 + _MP4_UNITY_MATRIX
+                 + b"\x00" * 24 + (2).to_bytes(4, "big"))
+    tkhd = _full(b"tkhd", 0, 7,                         # enabled|in movie
+                 (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big") + b"\x00" * 4
+                 + duration.to_bytes(4, "big") + b"\x00" * 8
+                 + (0).to_bytes(2, "big") + (0).to_bytes(2, "big")
+                 + (0).to_bytes(2, "big") + b"\x00" * 2
+                 + _MP4_UNITY_MATRIX
+                 + (w << 16).to_bytes(4, "big")          # 16.16 fixed
+                 + (h << 16).to_bytes(4, "big"))
+    mdhd = _full(b"mdhd", 0, 0,
+                 (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + timescale.to_bytes(4, "big")
+                 + duration.to_bytes(4, "big")
+                 + (0x55C4).to_bytes(2, "big")          # 'und'
+                 + (0).to_bytes(2, "big"))
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\x00" * 4 + b"vide" + b"\x00" * 12
+                 + b"VideoHandler\x00")
+    # VisualSampleEntry 'raw ' (uncompressed RGB), depth 24
+    entry = (b"\x00" * 6 + (1).to_bytes(2, "big")       # data_ref_index
+             + (0).to_bytes(2, "big") + (0).to_bytes(2, "big")
+             + b"\x00" * 12
+             + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+             + (0x00480000).to_bytes(4, "big")          # 72 dpi
+             + (0x00480000).to_bytes(4, "big")
+             + b"\x00" * 4 + (1).to_bytes(2, "big")     # frame_count
+             + b"\x00" * 32                             # compressorname
+             + (24).to_bytes(2, "big")
+             + (0xFFFF).to_bytes(2, "big"))             # predefined -1
+    stsd = _full(b"stsd", 0, 0,
+                 (1).to_bytes(4, "big") + _box(b"raw ", entry))
+    stts = _full(b"stts", 0, 0,
+                 (1).to_bytes(4, "big") + nf.to_bytes(4, "big")
+                 + delta.to_bytes(4, "big"))
+    stsc = _full(b"stsc", 0, 0,
+                 (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                 + nf.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsz = _full(b"stsz", 0, 0,
+                 (0).to_bytes(4, "big") + nf.to_bytes(4, "big")
+                 + b"".join(len(s).to_bytes(4, "big") for s in samples))
+    stco = _full(b"stco", 0, 0,
+                 (1).to_bytes(4, "big")
+                 + first_sample_off.to_bytes(4, "big"))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full(b"dref", 0, 0,
+                 (1).to_bytes(4, "big") + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", _full(b"vmhd", 0, 1, b"\x00" * 8)
+                + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Iterate (fourcc, payload_start, payload_end) over the sibling
+    boxes in b[start:end]. Handles size==0 (to end-of-enclosure) and
+    size==1 (64-bit largesize) per ISO 14496-12 §4.2."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i:i + 4], "big")
+        btype = b[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = int.from_bytes(b[i + 8:i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            raise ValueError(f"box {btype!r} overruns its enclosure")
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_find(b: bytes, start: int, end: int, path: list[bytes]
+              ) -> tuple[int, int] | None:
+    """Resolve a nested box path (first match at each level)."""
+    for btype, s, e in _mp4_boxes(b, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _mp4_find(b, s, e, path[1:])
+    return None
+
+
+def decode_mp4_frames(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL ISO-BMFF (MP4) demux for the 'raw ' RGB24 subset: box walk
+    to moov/trak/mdia, mdhd timescale, stsd sample-entry validation
+    (fourcc 'raw ', depth 24), then sample resolution the way any MP4
+    reader does — stsc runs → samples per chunk, stco → chunk file
+    offsets, stsz → per-sample sizes accumulated within each chunk —
+    and each sample slices straight out of the file bytes (NOT assumed
+    contiguous in mdat). stts's uniform delta gives fps =
+    timescale // delta. Returns ((n, H, W, 3) uint8 RGB, fps).
+    Non-'raw ' codecs or non-24-bit depth raise (honest-contract
+    seam, like AVI's compressed streams)."""
+    b = payload or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+    stbl = _mp4_find(b, 0, len(b),
+                     [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+    mdhd = _mp4_find(b, 0, len(b), [b"moov", b"trak", b"mdia", b"mdhd"])
+    if stbl is None or mdhd is None:
+        raise ValueError("missing moov/trak/mdia structure")
+    ms, me = mdhd
+    mversion = b[ms]
+    timescale = int.from_bytes(
+        b[ms + 20:ms + 24] if mversion == 1 else b[ms + 12:ms + 16], "big")
+
+    boxes = {t: (s, e) for t, s, e in _mp4_boxes(b, *stbl)}
+    for need in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+        if need not in boxes:
+            raise ValueError(f"missing {need.decode()} in stbl")
+
+    s, e = boxes[b"stsd"]
+    entry = next(_mp4_boxes(b, s + 8, e), None)
+    if entry is None:
+        raise ValueError("empty stsd")
+    fourcc, es, ee = entry
+    if fourcc != b"raw ":
+        raise NotImplementedError(
+            f"only uncompressed 'raw ' RGB tracks supported "
+            f"(sample entry {fourcc!r})")
+    w = int.from_bytes(b[es + 24:es + 26], "big")
+    h = int.from_bytes(b[es + 26:es + 28], "big")
+    depth = int.from_bytes(b[es + 74:es + 76], "big")
+    if depth != 24:
+        raise NotImplementedError(f"only 24-bit raw RGB (depth={depth})")
+
+    s, e = boxes[b"stts"]
+    n_tt = int.from_bytes(b[s + 4:s + 8], "big")
+    if n_tt < 1:
+        raise ValueError("empty stts")
+    delta = int.from_bytes(b[s + 12:s + 16], "big")
+    fps = timescale // delta if delta else 0
+
+    s, e = boxes[b"stsz"]
+    fixed = int.from_bytes(b[s + 4:s + 8], "big")
+    n_samples = int.from_bytes(b[s + 8:s + 12], "big")
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        sizes = [int.from_bytes(b[s + 12 + 4 * i:s + 16 + 4 * i], "big")
+                 for i in range(n_samples)]
+
+    s, e = boxes[b"stco"]
+    n_chunks = int.from_bytes(b[s + 4:s + 8], "big")
+    chunk_offs = [int.from_bytes(b[s + 8 + 4 * i:s + 12 + 4 * i], "big")
+                  for i in range(n_chunks)]
+
+    s, e = boxes[b"stsc"]
+    n_runs = int.from_bytes(b[s + 4:s + 8], "big")
+    runs = [(int.from_bytes(b[s + 8 + 12 * i:s + 12 + 12 * i], "big"),
+             int.from_bytes(b[s + 12 + 12 * i:s + 16 + 12 * i], "big"))
+            for i in range(n_runs)]        # (first_chunk 1-based, spc)
+
+    # chunk index -> samples_per_chunk from the stsc run table
+    offsets: list[int] = []
+    si = 0
+    for ci in range(n_chunks):
+        spc = 0
+        for first, n in runs:
+            if first <= ci + 1:
+                spc = n
+        pos = chunk_offs[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError(f"stsc/stco resolve {si} of {n_samples} samples")
+
+    out = np.empty((n_samples, h, w, 3), dtype=np.uint8)
+    need = w * h * 3
+    for fi, (o, sz) in enumerate(zip(offsets, sizes)):
+        if sz != need or o + sz > len(b):
+            raise ValueError(f"sample {fi} size/offset out of range")
+        out[fi] = np.frombuffer(b[o:o + sz], dtype=np.uint8) \
+            .reshape(h, w, 3)
+    return out, fps
+
+
+def mp4_frame_stats(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id",
+                    every_s: float = 0.5) -> DataFrame:
+    """``avi_frame_stats``'s ISO-BMFF twin: MP4 demux → stride
+    sampling at k = max(1, round(every_s·fps)) → exact int64 pixel
+    sums per sampled frame, all in one Arrow ``mapInPandas`` stage.
+    Same output schema as the AVI path, so downstream consumers are
+    container-agnostic."""
+    cols = [id_col, "n_frames", "fps", "width", "height",
+            "frame_idx", "ts_ms", "psum", "psqsum"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                fr, fps = decode_mp4_frames(b)
+                k = max(1, int(every_s * fps + 0.5))
+                for fi in range(0, len(fr), k):
+                    px = fr[fi].astype(np.int64)
+                    rows.append({
+                        id_col: mid, "n_frames": len(fr), "fps": fps,
+                        "width": int(fr.shape[2]),
+                        "height": int(fr.shape[1]),
+                        "frame_idx": fi,
+                        "ts_ms": fi * 1000 // fps if fps else 0,
+                        "psum": int(px.sum()),
+                        "psqsum": int((px * px).sum())})
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = (f"{id_col} string, n_frames int, fps int, width int, "
+                  "height int, frame_idx int, ts_ms long, psum long, "
+                  "psqsum long")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
 def decode_features(df: DataFrame, kind_col: str = "kind",
                     payload_col: str = "payload",
                     id_col: str = "media_id") -> DataFrame:
@@ -1736,6 +2008,27 @@ def _probe_one(b: bytes) -> dict:
                 if br and sr:
                     out["sample_rate"] = sr
                     out["duration_s"] = (len(b) - j) * 8 / (br * 1000)
+    elif len(b) >= 12 and b[4:8] == b"ftyp":
+        out.update(format="mp4", mime="video/mp4")
+        try:
+            mvhd = _mp4_find(b, 0, len(b), [b"moov", b"mvhd"])
+            if mvhd is not None:
+                s, _ = mvhd
+                if b[s] == 1:       # version 1: 64-bit times
+                    ts = int.from_bytes(b[s + 20:s + 24], "big")
+                    dur = int.from_bytes(b[s + 24:s + 32], "big")
+                else:
+                    ts = int.from_bytes(b[s + 12:s + 16], "big")
+                    dur = int.from_bytes(b[s + 16:s + 20], "big")
+                if ts:
+                    out["duration_s"] = round(dur / ts, 6)
+            tkhd = _mp4_find(b, 0, len(b), [b"moov", b"trak", b"tkhd"])
+            if tkhd is not None:
+                _, e = tkhd
+                out["width"] = int.from_bytes(b[e - 8:e - 4], "big") >> 16
+                out["height"] = int.from_bytes(b[e - 4:e], "big") >> 16
+        except ValueError:
+            pass                    # malformed box tree: format-only probe
     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         out.update(format="avi", mime="video/x-msvideo")
         i = 12

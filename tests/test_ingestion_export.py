@@ -784,6 +784,106 @@ def test_avi_container_roundtrip_and_sampling(spark):
         assert r["ts_ms"] == r["frame_idx"] * 1000 // 6
 
 
+def test_mp4_container_roundtrip_and_sampling(spark):
+    """synth_mp4 -> decode_mp4_frames is exact (box walk, stsd 'raw '
+    validation, stts/stsz/stsc/stco sample resolution), the loud-fail
+    contract rejects compressed codecs, mp4_frame_stats samples with
+    exact int64 sums, and the header probe reads mvhd/tkhd."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(13)
+    fr = rng.integers(0, 256, size=(8, 5, 9, 3), dtype=np.uint8)
+    mp4 = multimodal.synth_mp4(fr, fps=6)
+    dec, fps = multimodal.decode_mp4_frames(mp4)
+    assert fps == 6 and (dec == fr).all()
+    with _pytest.raises(NotImplementedError):
+        bad = bytearray(mp4)
+        i = mp4.find(b"raw ", 16)   # sample-entry fourcc, past ftyp
+        bad[i:i + 4] = b"avc1"
+        multimodal.decode_mp4_frames(bytes(bad))
+    with _pytest.raises(ValueError):
+        multimodal.decode_mp4_frames(b"\x00\x00\x00\x08vide1234")
+
+    df = spark.createDataFrame([("v1", bytearray(mp4))],
+                               "media_id string, payload binary")
+    out = multimodal.mp4_frame_stats(df, every_s=0.5).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    for r in out:
+        px = fr[r["frame_idx"]].astype(np.int64)
+        assert r["psum"] == int(px.sum())
+        assert r["psqsum"] == int((px * px).sum())
+        assert (r["n_frames"], r["fps"], r["width"], r["height"]) \
+            == (8, 6, 9, 5)
+
+    p = multimodal._probe_one(mp4)
+    assert (p["format"], p["width"], p["height"]) == ("mp4", 9, 5)
+    assert abs(p["duration_s"] - 8 / 6) < 1e-6
+
+
+def test_mp4_hand_assembled_two_chunk_vector():
+    """Encoder-independent ISO-BMFF byte vector (like the GIF one):
+    two chunks resolved through a 2-run stsc table, with junk bytes
+    BETWEEN the chunks inside mdat — a decoder that assumes samples
+    are contiguous (ignoring stco/stsc/stsz) reads the gap and fails
+    the pixel compare."""
+    import numpy as np
+
+    def box(t, payload):
+        return (len(payload) + 8).to_bytes(4, "big") + t + payload
+
+    def full(t, payload, version=0, flags=0):
+        return box(t, bytes([version]) + flags.to_bytes(3, "big")
+                   + payload)
+
+    def u32(*vs):
+        return b"".join(v.to_bytes(4, "big") for v in vs)
+
+    w, h = 2, 1
+    s0, s1, s2 = (bytes(range(6)), bytes(range(10, 16)),
+                  bytes(range(20, 26)))
+    ftyp = box(b"ftyp", b"isom" + u32(0x200))          # 16 bytes
+    mdat = box(b"mdat", s0 + s1 + b"XXXX" + s2)        # gap between chunks
+    assert len(ftyp) == 16
+    off0, off2 = 24, 24 + 6 + 6 + 4                    # absolute offsets
+    matrix = u32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(b"mvhd", u32(0, 0, 1000, 1000, 0x10000)[:20]
+                + (0x0100).to_bytes(2, "big") + b"\x00" * 10
+                + matrix + b"\x00" * 24 + u32(2))
+    tkhd = full(b"tkhd", u32(0, 0, 1, 0, 1000) + b"\x00" * 8
+                + b"\x00" * 8 + matrix + u32(w << 16, h << 16), flags=7)
+    mdhd = full(b"mdhd", u32(0, 0, 30, 30)
+                + (0x55C4).to_bytes(2, "big") + b"\x00" * 2)
+    hdlr = full(b"hdlr", u32(0) + b"vide" + b"\x00" * 12 + b"V\x00")
+    entry = (b"\x00" * 6 + (1).to_bytes(2, "big") + b"\x00" * 16
+             + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+             + u32(0x480000, 0x480000, 0)
+             + (1).to_bytes(2, "big") + b"\x00" * 32
+             + (24).to_bytes(2, "big") + b"\xff\xff")
+    stbl = box(b"stbl",
+               full(b"stsd", u32(1) + box(b"raw ", entry))
+               + full(b"stts", u32(1, 3, 10))          # 3 samples, fps 3
+               + full(b"stsc", u32(2, 1, 2, 1, 2, 1, 1))  # runs (1,2),(2,1)
+               + full(b"stsz", u32(0, 3, 6, 6, 6))
+               + full(b"stco", u32(2, off0, off2)))
+    minf = box(b"minf", full(b"vmhd", b"\x00" * 8, flags=1)
+               + box(b"dinf", full(b"dref", u32(1)
+                                   + full(b"url ", b"", flags=1)))
+               + stbl)
+    moov = box(b"moov", mvhd + box(b"trak", tkhd
+                                   + box(b"mdia", mdhd + hdlr + minf)))
+    payload = ftyp + mdat + moov
+
+    fr, fps = multimodal.decode_mp4_frames(payload)
+    assert fps == 3 and fr.shape == (3, 1, 2, 3)
+    want = np.array([list(s0), list(s1), list(s2)],
+                    dtype=np.uint8).reshape(3, 1, 2, 3)
+    assert (fr == want).all()
+    p = multimodal._probe_one(payload)
+    assert (p["format"], p["width"], p["height"], p["duration_s"]) \
+        == ("mp4", 2, 1, 1.0)
+
+
 def test_ima_adpcm_codec_and_wav_path():
     """IMA-ADPCM: encoder/decoder share the vpdiff state machine so
     decode(encode(s)) is exactly the encoder's predictor walk; the
