@@ -3905,6 +3905,21 @@ def q154_perspective_report(spark, sf):
             .orderBy("topic"))
 
 
+def _media_docs(spark, sf):
+    """doc_id source for the codec queries, repartitioned to the
+    cluster's parallelism BEFORE the Arrow synth/decode stages. The
+    small-SF documents table is a single parquet file → one scan
+    partition → every downstream ``mapInPandas`` codec stage would
+    run on ONE core (measured: q166 6.8 s → 0.9 s warm at sf0.1 from
+    this change alone). The round-robin exchange moves only the
+    doc_id longs — negligible next to per-row decode. At 100 TB the
+    scan itself provides the parallelism and this repartition
+    collapses to a cheap rebalance; it is the module-docstring
+    "repartition by byte budget" rule applied at the query seam."""
+    return (_t(spark, sf)["documents"].select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+
 def q155_audio_features(spark, sf):
     """REAL audio decode under the oracle gate (r05 VERDICT item 7 —
     replaces the q115 audio stand-in for kind='wav'): each document
@@ -3919,7 +3934,7 @@ def q155_audio_features(spark, sf):
     window split) breaks the hash."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -3962,7 +3977,7 @@ def q156_png_pixels(spark, sf):
     filter bug would survive this oracle.)"""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4032,7 +4047,7 @@ def q159_g711_audio(spark, sf):
     byte-path bug anywhere breaks the hash."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4077,7 +4092,7 @@ def q162_jpeg_pixels(spark, sf):
     bug anywhere breaks the hash."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4146,7 +4161,7 @@ def q163_jpeg_color(spark, sf):
     predictor-interleave, or color-convert bug breaks the hash."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4218,7 +4233,7 @@ def q164_jpeg_420(spark, sf):
     pixels and breaks the hash. Per-8×8-block RGB sums (8 rows/doc)."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4292,7 +4307,7 @@ def q161_ima_adpcm_audio(spark, sf):
     chunk bug desynchronizes the state and breaks the hash."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4334,7 +4349,7 @@ def q160_avi_frame_sample(spark, sf):
     breaks the hash."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4380,7 +4395,7 @@ def q165_mp4_frame_sample(spark, sf):
     with no cross-frame state (same argument as AVI idx1)."""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4407,6 +4422,62 @@ def q165_mp4_frame_sample(spark, sf):
             .orderBy("media_id", "frame_idx"))
 
 
+def q166_flac_audio(spark, sf):
+    """REAL FLAC decode under the oracle gate — the canonical
+    LOSSLESS audio codec (RFC 9639), fully decodable with zero
+    dependencies because prediction + Rice residuals are exact
+    integer math (unlike the perceptual mp3/aac stubs, whose float
+    filterbanks genuinely need codec libs). Each document synthesizes
+    a spec-shaped mono 16-bit FLAC whose samples follow a
+    deterministic formula and whose SUBFRAME TYPES rotate per
+    (doc_id + frame): fixed orders 0-4, an LPC subframe (generic
+    quantized-coefficient path), and verbatim — plus partial last
+    blocks and partition-order-1 Rice. `multimodal.
+    flac_audio_features` WALKS THE ACTUAL BYTES — metadata-block
+    walk, CRC-8-verified frame headers, Huffman-free but
+    bit-serial Rice decode, predictor recurrences, CRC-16 footers —
+    into 8 exact window energies. The oracle recomputes them from
+    the sample FORMULA, so a bit-reader, Rice, warmup, or recurrence
+    bug breaks the hash; encode/decode bug cancellation is pinned
+    separately by a hand-assembled byte vector in tests (wasted
+    bits + escaped raw partitions). Scale posture: FLAC frames are
+    independently decodable (byte-aligned, CRC-bounded) — the
+    parallelism unit at 100 TB is the frame, like ADPCM's block."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _media_docs(spark, sf)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 96 + (d % 4) * 32
+                k = np.arange(n, dtype=np.int64)
+                s = ((d * 37 + k * 13) % 2048) - 1024
+
+                def plan(fi, d=d):
+                    r = (d + fi) % 7
+                    if r < 5:
+                        return ("fixed", r)
+                    return ("lpc", 2) if r == 5 else ("verbatim", 0)
+
+                ids.append(f"m_{d}")
+                payloads.append(
+                    multimodal.synth_flac(s, subframe_plan=plan))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    feats = multimodal.flac_audio_features(media, n_windows=8)
+    return (feats.select(
+        "media_id", "sample_rate", "duration_s", "n_samples",
+        *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
+        .orderBy("media_id"))
+
+
 def q157_bmp_gif_pixels(spark, sf):
     """REAL BMP + GIF pixel decode under the oracle gate (closes the
     image-format set q156 opened: PNG/BMP/GIF all have
@@ -4424,7 +4495,7 @@ def q157_bmp_gif_pixels(spark, sf):
     byte vector in tests.)"""
     from memory_engine_spark.operators import multimodal
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
+    docs = _media_docs(spark, sf)
 
     def synth(batches):
         import numpy as np
@@ -4527,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_jpeg_color": q163_jpeg_color,
         "q164_jpeg_420": q164_jpeg_420,
         "q165_mp4_frame_sample": q165_mp4_frame_sample,
+        "q166_flac_audio": q166_flac_audio,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4600,7 +4672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q158_ivf_int8_ann", "q159_g711_audio",
                       "q160_avi_frame_sample", "q161_ima_adpcm_audio",
                       "q162_jpeg_pixels", "q163_jpeg_color",
-                      "q164_jpeg_420", "q165_mp4_frame_sample"]
+                      "q164_jpeg_420", "q165_mp4_frame_sample",
+                      "q166_flac_audio"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8625,6 +8698,34 @@ def oracle_sql() -> dict[str, str]:
                SUM(v)::BIGINT AS psum, SUM(v * v)::BIGINT AS psqsum
         FROM px GROUP BY doc_id, nf, w, h, f
         ORDER BY media_id, frame_idx
+    """
+
+    # q166: q155's window-energy replay over the FLAC sample formula —
+    # FLAC is lossless, so decode must reproduce the formula samples
+    # EXACTLY; the energies are exact int64 sums with one trailing
+    # IEEE division on both sides.
+    _f_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN w = {j} THEN smp * smp ELSE 0 END) AS "
+        f"DOUBLE) / (n // 8) AS e{j}" for j in range(8))
+    sql["q166_flac_audio"] = f"""
+        WITH d AS (
+            SELECT doc_id, 96 + (doc_id % 4) * 32 AS n FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
+        ),
+        s AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 37 + i * 13) % 2048) - 1024 AS smp,
+                   CAST(i // (n // 8) AS INT) AS w
+            FROM s0
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               8000::INT AS sample_rate,
+               CAST(n * 125 AS DOUBLE) / 1000000.0 AS duration_s,
+               n::BIGINT AS n_samples,
+               {_f_cols}
+        FROM s GROUP BY doc_id, n ORDER BY media_id
     """
 
     # q165: q160's relational replay for the MP4 container — stepped

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q163_jpeg_color",        # 3-component 4:4:4 JPEG + JFIF YCbCr
     "q164_jpeg_420",          # 4:2:0 subsampled JPEG (dominant shape)
     "q165_mp4_frame_sample",  # real ISO-BMFF demux + frame sampling
+    "q166_flac_audio",        # real FLAC decode (Rice + predictors)
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -784,6 +784,134 @@ def test_avi_container_roundtrip_and_sampling(spark):
         assert r["ts_ms"] == r["frame_idx"] * 1000 // 6
 
 
+def test_flac_roundtrip_all_subframe_types(spark):
+    """synth_flac -> decode_flac is lossless across constant /
+    verbatim / fixed(0-4) / LPC subframes, partial last blocks, and
+    worst-case noise residuals; both CRCs catch corruption; the
+    Arrow feature stage matches a NumPy recompute."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(7)
+    for d in range(10):
+        n = 64 + (d % 4) * 32 + (16 if d % 5 == 0 else 0)
+        k = np.arange(n, dtype=np.int64)
+        s = ((d * 37 + k * 13) % 2048) - 1024
+
+        def plan(fi, d=d):
+            r = (d + fi) % 7
+            if r < 5:
+                return ("fixed", r)
+            return ("lpc", 2) if r == 5 else ("verbatim", 0)
+
+        dec, sr = multimodal.decode_flac(
+            multimodal.synth_flac(s, subframe_plan=plan))
+        assert sr == 8000 and (dec == s).all()
+    s = np.full(100, -123, dtype=np.int64)
+    dec, _ = multimodal.decode_flac(
+        multimodal.synth_flac(s, subframe_plan=lambda fi: ("const", 0)))
+    assert (dec == s).all()
+    s = rng.integers(-32768, 32768, size=200).astype(np.int64)
+    flac = multimodal.synth_flac(s, subframe_plan=lambda fi: ("fixed", 4))
+    dec, _ = multimodal.decode_flac(flac)
+    assert (dec == s).all()
+    bad = bytearray(flac)
+    bad[-10] ^= 0x40
+    with _pytest.raises(ValueError, match="CRC-16"):
+        multimodal.decode_flac(bytes(bad))
+    bad = bytearray(flac)
+    bad[4 + 4 + 34 + 4] ^= 0x01        # first frame's number byte
+    with _pytest.raises(ValueError, match="CRC-8"):
+        multimodal.decode_flac(bytes(bad))
+    with _pytest.raises(ValueError):
+        multimodal.decode_flac(b"NOPE")
+
+    df = spark.createDataFrame([("a1", bytearray(flac))],
+                               "media_id string, payload binary")
+    row = multimodal.flac_audio_features(df, n_windows=4).collect()[0]
+    xs = s.astype(np.int64)
+    assert row["n_samples"] == 200 and row["sample_rate"] == 8000
+    for w in range(4):
+        seg = xs[w * 50:(w + 1) * 50]
+        assert row["energy"][w] == float(int(seg @ seg)) / 50
+
+
+def test_flac_hand_assembled_vector():
+    """Encoder-independent FLAC byte vector: hand-built STREAMINFO +
+    two frames exercising paths synth_flac never emits — wasted
+    bits (frame 0, fixed order 1 at 15 effective bits) and the
+    5-bit Rice method with an ESCAPED raw-bits partition (frame 1,
+    fixed order 0). A decoder bug that synth/decode share cannot
+    cancel here: expected samples are hand-computed."""
+    import numpy as np
+
+    class W:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, v, n):
+            self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+        def bytes(self):
+            while len(self.bits) % 8:
+                self.bits.append(0)
+            return bytes(int("".join(map(str, self.bits[i:i + 8])), 2)
+                         for i in range(0, len(self.bits), 8))
+
+    def crc8(data):
+        c = 0
+        for byte in data:
+            c ^= byte
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07 if c & 0x80 else c << 1) & 0xFF
+        return c
+
+    def crc16(data):
+        c = 0
+        for byte in data:
+            c ^= byte << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005 if c & 0x8000
+                     else c << 1) & 0xFFFF
+        return c
+
+    si = W()
+    si.put(2, 16), si.put(4, 16), si.put(0, 24), si.put(0, 24)
+    si.put(8000, 20), si.put(0, 3), si.put(15, 5), si.put(6, 36)
+    stream = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+              + si.bytes() + b"\x00" * 16)
+
+    # frame 0: bs 4, fixed order 1, wasted=1 -> stored [3,4,5,6],
+    # decoded [6,8,10,12]; residuals [1,1,1], rice p=1 (u=2: "01"+"0")
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])
+    hdr += bytes([crc8(hdr)])
+    w = W()
+    w.put(0, 1), w.put(0b001001, 6), w.put(1, 1)   # fixed o1, wasted flag
+    w.put(1, 1)                                    # unary 0 -> wasted 1
+    w.put(3, 15)                                   # warmup at eff bits
+    w.put(0b00, 2), w.put(0, 4), w.put(1, 4)       # method 0, po 0, p 1
+    for _ in range(3):
+        w.put(0b010, 3)                            # u=2: q=1,rem=0
+    f0 = hdr + w.bytes()
+    f0 += crc16(f0).to_bytes(2, "big")
+
+    # frame 1: bs 2, fixed order 0, method-1 ESCAPE raw 5-bit [3, -4]
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x01, 0x01])
+    hdr += bytes([crc8(hdr)])
+    w = W()
+    w.put(0, 1), w.put(0b001000, 6), w.put(0, 1)
+    w.put(0b01, 2), w.put(0, 4)                    # method 1, po 0
+    w.put(0x1F, 5), w.put(5, 5)                    # escape, 5 raw bits
+    w.put(0b00011, 5), w.put(0b11100, 5)           # 3, -4
+    f1 = hdr + w.bytes()
+    f1 += crc16(f1).to_bytes(2, "big")
+
+    dec, sr = multimodal.decode_flac(stream + f0 + f1)
+    assert sr == 8000
+    assert dec.tolist() == [6, 8, 10, 12, 3, -4]
+    np.testing.assert_array_equal(dec.dtype.type, np.int32)
+
+
 def test_mp4_container_roundtrip_and_sampling(spark):
     """synth_mp4 -> decode_mp4_frames is exact (box walk, stsd 'raw '
     validation, stts/stsz/stsc/stco sample resolution), the loud-fail
