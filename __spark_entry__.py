@@ -4478,6 +4478,47 @@ def q166_flac_audio(spark, sf):
         .orderBy("media_id"))
 
 
+def q167_flac_stereo(spark, sf):
+    """STEREO FLAC with real interchannel decorrelation under the
+    oracle gate — the codec feature q166's mono path can't reach:
+    per frame the synth rotates ALL FOUR channel assignments
+    (independent, left/side, right/side, mid/side — side carried at
+    17 bits, mid's dropped low bit recovered from side parity).
+    Left/right samples follow independent doc_id formulas;
+    `multimodal.flac_audio_features` decodes the actual bytes and
+    emits 4 exact window energies PER CHANNEL (channel-major). The
+    oracle recomputes both channels from the formulas, so a
+    decorrelation, parity, side-width (bps+1), or channel-order bug
+    breaks the hash. Scale posture identical to q166: the frame is
+    the parallelism unit."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _media_docs(spark, sf)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + (d % 4) * 32
+                k = np.arange(n, dtype=np.int64)
+                lft = ((d * 41 + k * 17) % 2048) - 1024
+                rgt = ((d * 23 + k * 29) % 2048) - 1024
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_flac_stereo(lft, rgt))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    feats = multimodal.flac_audio_features(media, n_windows=4)
+    return (feats.select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
+        .orderBy("media_id"))
+
+
 def q157_bmp_gif_pixels(spark, sf):
     """REAL BMP + GIF pixel decode under the oracle gate (closes the
     image-format set q156 opened: PNG/BMP/GIF all have
@@ -4599,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_jpeg_420": q164_jpeg_420,
         "q165_mp4_frame_sample": q165_mp4_frame_sample,
         "q166_flac_audio": q166_flac_audio,
+        "q167_flac_stereo": q167_flac_stereo,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4673,7 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q160_avi_frame_sample", "q161_ima_adpcm_audio",
                       "q162_jpeg_pixels", "q163_jpeg_color",
                       "q164_jpeg_420", "q165_mp4_frame_sample",
-                      "q166_flac_audio"]
+                      "q166_flac_audio", "q167_flac_stereo"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8725,6 +8767,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(n * 125 AS DOUBLE) / 1000000.0 AS duration_s,
                n::BIGINT AS n_samples,
                {_f_cols}
+        FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q167: both stereo channels replayed from their formulas —
+    # channel-major window energies (e0-e3 left, e4-e7 right). FLAC
+    # stereo decorrelation is lossless, so decode must return the
+    # formula samples exactly per channel.
+    _l_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN w = {j} THEN lv * lv ELSE 0 END) AS "
+        f"DOUBLE) / (n // 4) AS e{j}" for j in range(4))
+    _r_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN w = {j} THEN rv * rv ELSE 0 END) AS "
+        f"DOUBLE) / (n // 4) AS e{j + 4}" for j in range(4))
+    sql["q167_flac_stereo"] = f"""
+        WITH d AS (
+            SELECT doc_id, 64 + (doc_id % 4) * 32 AS n FROM documents
+        ),
+        s0 AS (
+            SELECT doc_id, n, unnest(range(0, n)) AS i FROM d
+        ),
+        s AS (
+            SELECT doc_id, n, i,
+                   ((doc_id * 41 + i * 17) % 2048) - 1024 AS lv,
+                   ((doc_id * 23 + i * 29) % 2048) - 1024 AS rv,
+                   CAST(i // (n // 4) AS INT) AS w
+            FROM s0
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               8000::INT AS sample_rate,
+               2::INT AS n_channels,
+               n::BIGINT AS n_samples,
+               {_l_cols}, {_r_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
     """
 

@@ -1555,60 +1555,138 @@ def synth_flac(samples: np.ndarray, sample_rate: int = 8000,
 
         kind, order = subframe_plan(fi)
         bw = _FlacBitW()
-        if kind == "const" or (kind == "fixed" and bs <= order):
-            if not (blk == blk[0]).all():
-                kind = "verbatim"       # constant only encodes constants
-        if kind == "const" and (blk == blk[0]).all():
-            bw.put(0, 1)
-            bw.put(0b000000, 6)
-            bw.put(0, 1)
-            bw.put(int(blk[0]) & 0xFFFF, 16)
-        elif kind == "verbatim":
-            bw.put(0, 1)
-            bw.put(0b000001, 6)
-            bw.put(0, 1)
-            for v in blk:
-                bw.put(int(v) & 0xFFFF, 16)
-        else:
-            if kind == "lpc":
-                coeffs, shift, precision = [2, -1], 0, 15
-                order = len(coeffs)
-                bw.put(0, 1)
-                bw.put(0b100000 | (order - 1), 6)
-                bw.put(0, 1)
-                for v in blk[:order]:
-                    bw.put(int(v) & 0xFFFF, 16)
-                bw.put(precision - 1, 4)
-                bw.put(shift, 5)
-                for c in coeffs:
-                    bw.put(c & ((1 << precision) - 1), precision)
-                pred = np.array([
-                    sum(c * int(blk[i - 1 - j])
-                        for j, c in enumerate(coeffs)) >> shift
-                    for i in range(order, bs)], dtype=np.int64)
-                resid = blk[order:] - pred
-            else:                       # fixed
-                bw.put(0, 1)
-                bw.put(0b001000 | order, 6)
-                bw.put(0, 1)
-                for v in blk[:order]:
-                    bw.put(int(v) & 0xFFFF, 16)
-                resid = np.diff(blk, n=order) if order else blk.copy()
-            po = 1 if bs % 2 == 0 and bs // 2 > order else 0
-            bw.put(0b00, 2)             # 4-bit Rice params
-            bw.put(po, 4)
-            pos = 0
-            for pi in range(1 << po):
-                cnt = (bs >> po) - (order if pi == 0 else 0)
-                part = resid[pos:pos + cnt]
-                pos += cnt
-                p = _flac_rice_params(part)
-                bw.put(p, 4)
-                for r in part:
-                    u = (int(r) << 1) ^ (int(r) >> 63)
-                    bw.put_unary(u >> p)
-                    if p:
-                        bw.put(u & ((1 << p) - 1), p)
+        _flac_write_subframe(bw, blk, kind, order, 16)
+        frame = bytes(hdr) + bw.bytes()
+        out += frame + _flac_crc16(frame).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _flac_write_subframe(bw: _FlacBitW, blk: np.ndarray, kind: str,
+                         order: int, bits: int) -> None:
+    """Emit one subframe at ``bits`` sample width (17 for a stereo
+    side channel). Constant falls back to verbatim on non-constant
+    input; fixed orders ≥ block size likewise."""
+    bs = len(blk)
+    mask = (1 << bits) - 1
+    if kind == "const" or (kind == "fixed" and bs <= order):
+        if not (blk == blk[0]).all():
+            kind = "verbatim"           # constant only encodes constants
+    if kind == "const" and (blk == blk[0]).all():
+        bw.put(0, 1)
+        bw.put(0b000000, 6)
+        bw.put(0, 1)
+        bw.put(int(blk[0]) & mask, bits)
+        return
+    if kind == "verbatim":
+        bw.put(0, 1)
+        bw.put(0b000001, 6)
+        bw.put(0, 1)
+        for v in blk:
+            bw.put(int(v) & mask, bits)
+        return
+    if kind == "lpc":
+        coeffs, shift, precision = [2, -1], 0, 15
+        order = len(coeffs)
+        bw.put(0, 1)
+        bw.put(0b100000 | (order - 1), 6)
+        bw.put(0, 1)
+        for v in blk[:order]:
+            bw.put(int(v) & mask, bits)
+        bw.put(precision - 1, 4)
+        bw.put(shift, 5)
+        for c in coeffs:
+            bw.put(c & ((1 << precision) - 1), precision)
+        pred = np.array([
+            sum(c * int(blk[i - 1 - j])
+                for j, c in enumerate(coeffs)) >> shift
+            for i in range(order, bs)], dtype=np.int64)
+        resid = blk[order:] - pred
+    else:                               # fixed
+        bw.put(0, 1)
+        bw.put(0b001000 | order, 6)
+        bw.put(0, 1)
+        for v in blk[:order]:
+            bw.put(int(v) & mask, bits)
+        resid = np.diff(blk, n=order) if order else blk.copy()
+    po = 1 if bs % 2 == 0 and bs // 2 > order else 0
+    bw.put(0b00, 2)                     # 4-bit Rice params
+    bw.put(po, 4)
+    pos = 0
+    for pi in range(1 << po):
+        cnt = (bs >> po) - (order if pi == 0 else 0)
+        part = resid[pos:pos + cnt]
+        pos += cnt
+        p = _flac_rice_params(part)
+        bw.put(p, 4)
+        for r in part:
+            u = (int(r) << 1) ^ (int(r) >> 63)
+            bw.put_unary(u >> p)
+            if p:
+                bw.put(u & ((1 << p) - 1), p)
+
+
+_FLAC_CH_CODE = {"indep": 0b0001, "ls": 0b1000,
+                 "rs": 0b1001, "ms": 0b1010}
+
+
+def synth_flac_stereo(left: np.ndarray, right: np.ndarray,
+                      sample_rate: int = 8000, block_size: int = 64,
+                      mode_plan=None) -> bytes:
+    """Stereo FLAC with REAL interchannel decorrelation — the codec's
+    remaining core feature beyond the mono path: per frame the plan
+    picks independent, left/side, right/side, or mid/side coding
+    (side = L−R at 17 bits; mid = (L+R)>>1 with the dropped low bit
+    recoverable from side's parity — the lossless trick). Stored
+    channels encode as fixed subframes of rotating order. Default
+    plan rotates all four modes. The decode twin must reproduce
+    (left, right) exactly."""
+    l_s = np.asarray(left, dtype=np.int64)
+    r_s = np.asarray(right, dtype=np.int64)
+    if len(l_s) != len(r_s):
+        raise ValueError("channel length mismatch")
+    n = len(l_s)
+    if mode_plan is None:
+        def mode_plan(fi):
+            return ("indep", "ls", "rs", "ms")[fi % 4]
+
+    head = bytearray(b"fLaC")
+    info = _FlacBitW()
+    last_bs = n % block_size or block_size
+    info.put(min(block_size, last_bs), 16)
+    info.put(block_size, 16)
+    info.put(0, 24)
+    info.put(0, 24)
+    info.put(sample_rate, 20)
+    info.put(1, 3)                      # channels - 1 (stereo)
+    info.put(15, 5)
+    info.put(n, 36)
+    body = info.bytes() + b"\x00" * 16
+    head += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    out = bytearray(head)
+    for fi, start in enumerate(range(0, n, block_size)):
+        lb = l_s[start:start + block_size]
+        rb = r_s[start:start + block_size]
+        bs = len(lb)
+        mode = mode_plan(fi)
+        hdr = bytearray(b"\xff\xf8")
+        hdr.append(0x60)
+        hdr.append((_FLAC_CH_CODE[mode] << 4) | 0x08)
+        hdr += _flac_utf8(fi)
+        hdr.append(bs - 1)
+        hdr.append(_flac_crc8(bytes(hdr)))
+        side = lb - rb
+        if mode == "indep":
+            stored = [(lb, 16), (rb, 16)]
+        elif mode == "ls":
+            stored = [(lb, 16), (side, 17)]
+        elif mode == "rs":
+            stored = [(side, 17), (rb, 16)]
+        else:                           # ms
+            stored = [((lb + rb) >> 1, 16), (side, 17)]
+        bw = _FlacBitW()
+        for c, (blk, bits) in enumerate(stored):
+            _flac_write_subframe(bw, blk, "fixed", (fi + c) % 5, bits)
         frame = bytes(hdr) + bw.bytes()
         out += frame + _flac_crc16(frame).to_bytes(2, "big")
     return bytes(out)
@@ -1619,20 +1697,81 @@ _FLAC_BS_CODE = {1: 192, **{i: 576 << (i - 2) for i in range(2, 6)},
 _FLAC_SS_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+def _flac_read_subframe(r: _FlacBitR, bs: int, sub_bps: int) -> list:
+    """One subframe at ``sub_bps`` effective width (17 for a side
+    channel): constant / verbatim / fixed(0-4) / LPC, wasted bits,
+    Rice residuals in both partition methods incl. escaped raw."""
+    r.read(1)                           # subframe pad bit
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff = sub_bps - wasted
+    if stype == 0b000000:
+        blk = [r.read_signed(eff)] * bs
+    elif stype == 0b000001:
+        blk = [r.read_signed(eff) for _ in range(bs)]
+    else:
+        if stype >> 3 == 0b001:
+            order = stype & 0x07
+            if order > 4:
+                raise ValueError(f"reserved fixed order {order}")
+            coeffs, shift = _FLAC_FIXED_COEFFS[order], 0
+            blk = [r.read_signed(eff) for _ in range(order)]
+        elif stype >> 5 == 1:
+            order = (stype & 0x1F) + 1
+            blk = [r.read_signed(eff) for _ in range(order)]
+            precision = r.read(4) + 1
+            shift = r.read_signed(5)
+            coeffs = [r.read_signed(precision)
+                      for _ in range(order)]
+        else:
+            raise ValueError(f"reserved subframe type {stype:06b}")
+        method = r.read(2)
+        if method not in (0, 1):
+            raise ValueError(f"reserved residual method {method}")
+        pbits, esc = (4, 0xF) if method == 0 else (5, 0x1F)
+        po = r.read(4)
+        resid: list[int] = []
+        for pi in range(1 << po):
+            cnt = (bs >> po) - (order if pi == 0 else 0)
+            p = r.read(pbits)
+            if p == esc:
+                raw = r.read(5)
+                resid += [r.read_signed(raw) if raw else 0
+                          for _ in range(cnt)]
+            else:
+                for _ in range(cnt):
+                    u = (r.read_unary() << p) | (r.read(p) if p
+                                                 else 0)
+                    resid.append((u >> 1) ^ -(u & 1))
+        for i, rv in enumerate(resid):
+            pred = sum(c * blk[order + i - 1 - j]
+                       for j, c in enumerate(coeffs))
+            blk.append(rv + (pred >> shift if shift >= 0
+                             else pred << -shift))
+    if wasted:
+        blk = [v << wasted for v in blk]
+    return blk
+
+
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL FLAC decode (mono subset): magic + metadata-block walk
+    """REAL FLAC decode (mono + stereo): magic + metadata-block walk
     (STREAMINFO parsed, others skipped via the is-last flag), then per
     frame — sync + CRC-8-verified header (all blocksize/sample-size
-    code forms, UTF-8 coded number), subframes constant / verbatim /
-    fixed(0-4) / LPC(any order, signed quantized coeffs + shift),
-    wasted-bits unpacking, Rice residuals in both partition methods
-    incl. the escaped raw-bits form, and a CRC-16-verified footer.
-    Returns (int32 samples, sample_rate). Stereo/multi-channel raises
-    NotImplementedError (honest subset seam)."""
+    code forms, UTF-8 coded number), per-channel subframes
+    (constant / verbatim / fixed(0-4) / LPC, wasted bits, Rice
+    residuals in both partition methods incl. the escaped raw-bits
+    form), the four stereo channel assignments (independent,
+    left/side, right/side, mid/side — side at bps+1, mid's dropped
+    low bit recovered from side parity), and a CRC-16-verified
+    footer. Returns (int32 samples — shape (n,) mono, (n, 2) stereo —
+    and sample_rate). >2 channels raises NotImplementedError (honest
+    subset seam)."""
     b = payload or b""
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
-    pos, sr, bps, total = 4, None, None, None
+    pos, sr, bps, total, n_ch = 4, None, None, None, 1
     while True:
         if pos + 4 > len(b):
             raise ValueError("truncated metadata")
@@ -1643,8 +1782,10 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             r.read(64)                  # block sizes, frame sizes
             r.read(16)
             sr = r.read(20)
-            if r.read(3) != 0:
-                raise NotImplementedError("only mono FLAC supported")
+            n_ch = r.read(3) + 1
+            if n_ch > 2:
+                raise NotImplementedError(
+                    "only mono/stereo FLAC supported")
             bps = r.read(5) + 1
             total = r.read(36)
         pos += 4 + blen
@@ -1653,8 +1794,9 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     if sr is None:
         raise ValueError("missing STREAMINFO")
 
-    out: list[int] = []
-    while len(out) < total:
+    frames: list[np.ndarray] = []
+    decoded = 0
+    while decoded < total:
         fstart = pos
         r = _FlacBitR(b, pos)
         if r.read(14) != 0b11111111111110:
@@ -1666,8 +1808,16 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         ch = r.read(4)
         ss_code = r.read(3)
         r.read(1)
-        if ch != 0:
-            raise NotImplementedError("only mono FLAC supported")
+        if ch <= 7:
+            mode, f_nch = "indep", ch + 1
+            if f_nch > 2:
+                raise NotImplementedError(
+                    "only mono/stereo FLAC supported")
+        elif ch in (0b1000, 0b1001, 0b1010):
+            mode = {0b1000: "ls", 0b1001: "rs", 0b1010: "ms"}[ch]
+            f_nch = 2
+        else:
+            raise ValueError(f"reserved channel assignment {ch:04b}")
         lead = r.read(8)                # UTF-8 coded number
         n_follow = 0
         while lead & (0x80 >> n_follow):
@@ -1693,65 +1843,38 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("frame header CRC-8 mismatch")
         r.read(8)                       # consume the CRC byte
 
-        r.read(1)                       # subframe pad bit
-        stype = r.read(6)
-        wasted = 0
-        if r.read(1):
-            wasted = r.read_unary() + 1
-        eff = fbps - wasted
-        if stype == 0b000000:
-            blk = [r.read_signed(eff)] * bs
-        elif stype == 0b000001:
-            blk = [r.read_signed(eff) for _ in range(bs)]
-        else:
-            if stype >> 3 == 0b001:
-                order = stype & 0x07
-                if order > 4:
-                    raise ValueError(f"reserved fixed order {order}")
-                coeffs, shift = _FLAC_FIXED_COEFFS[order], 0
-                blk = [r.read_signed(eff) for _ in range(order)]
-            elif stype >> 5 == 1:
-                order = (stype & 0x1F) + 1
-                blk = [r.read_signed(eff) for _ in range(order)]
-                precision = r.read(4) + 1
-                shift = r.read_signed(5)
-                coeffs = [r.read_signed(precision)
-                          for _ in range(order)]
-            else:
-                raise ValueError(f"reserved subframe type {stype:06b}")
-            method = r.read(2)
-            if method not in (0, 1):
-                raise ValueError(f"reserved residual method {method}")
-            pbits, esc = (4, 0xF) if method == 0 else (5, 0x1F)
-            po = r.read(4)
-            resid: list[int] = []
-            for pi in range(1 << po):
-                cnt = (bs >> po) - (order if pi == 0 else 0)
-                p = r.read(pbits)
-                if p == esc:
-                    raw = r.read(5)
-                    resid += [r.read_signed(raw) if raw else 0
-                              for _ in range(cnt)]
-                else:
-                    for _ in range(cnt):
-                        u = (r.read_unary() << p) | (r.read(p) if p
-                                                     else 0)
-                        resid.append((u >> 1) ^ -(u & 1))
-            for i, rv in enumerate(resid):
-                pred = sum(c * blk[order + i - 1 - j]
-                           for j, c in enumerate(coeffs))
-                blk.append(rv + (pred >> shift if shift >= 0
-                                 else pred << -shift))
-        if wasted:
-            blk = [v << wasted for v in blk]
+        chans = []
+        for c in range(f_nch):
+            side_ch = ((mode == "ls" and c == 1)
+                       or (mode == "rs" and c == 0)
+                       or (mode == "ms" and c == 1))
+            chans.append(_flac_read_subframe(
+                r, bs, fbps + (1 if side_ch else 0)))
+        if mode == "ls":
+            lch = chans[0]
+            rch = [a - s for a, s in zip(chans[0], chans[1])]
+            chans = [lch, rch]
+        elif mode == "rs":
+            rch = chans[1]
+            lch = [a + s for a, s in zip(chans[1], chans[0])]
+            chans = [lch, rch]
+        elif mode == "ms":
+            lch, rch = [], []
+            for m_v, s_v in zip(chans[0], chans[1]):
+                m2 = (m_v << 1) | (s_v & 1)   # recover dropped low bit
+                lch.append((m2 + s_v) >> 1)
+                rch.append((m2 - s_v) >> 1)
+            chans = [lch, rch]
         r.align()
         crc_pos = r.byte_pos()
         if _flac_crc16(b[fstart:crc_pos]) != int.from_bytes(
                 b[crc_pos:crc_pos + 2], "big"):
             raise ValueError("frame CRC-16 mismatch")
         pos = crc_pos + 2
-        out += blk
-    return np.array(out[:total], dtype=np.int32), sr
+        frames.append(np.array(chans, dtype=np.int32).T)
+        decoded += bs
+    out = np.concatenate(frames, axis=0)[:total]
+    return (out[:, 0] if n_ch == 1 else out), sr
 
 
 def flac_audio_features(df: DataFrame, payload_col: str = "payload",
@@ -1759,32 +1882,39 @@ def flac_audio_features(df: DataFrame, payload_col: str = "payload",
                         n_windows: int = 8) -> DataFrame:
     """``audio_energy_features``'s FLAC twin: real FLAC decode →
     header facts + per-window mean-square energies (exact int64
-    sums, one trailing division), one Arrow ``mapInPandas`` stage."""
+    sums, one trailing division), one Arrow ``mapInPandas`` stage.
+    Stereo payloads emit channel-major energies (all of channel 0's
+    windows, then channel 1's) so the array length is
+    n_windows × n_channels; mono output is unchanged."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
                 x, rate = decode_flac(b)
-                xs = x.astype(np.int64)
-                win = max(1, len(xs) // n_windows)
+                x2 = x[:, None] if x.ndim == 1 else x
+                n = x2.shape[0]
+                win = max(1, n // n_windows)
                 en = []
-                for w in range(n_windows):
-                    seg = xs[w * win:(w + 1) * win]
-                    en.append(float(int(seg @ seg)) / len(seg)
-                              if len(seg) else 0.0)
+                for c in range(x2.shape[1]):
+                    xs = x2[:, c].astype(np.int64)
+                    for w in range(n_windows):
+                        seg = xs[w * win:(w + 1) * win]
+                        en.append(float(int(seg @ seg)) / len(seg)
+                                  if len(seg) else 0.0)
                 rows.append({
                     id_col: mid, "sample_rate": rate,
-                    "duration_s": (len(xs) * 1_000_000 // rate) / 1e6
+                    "n_channels": x2.shape[1],
+                    "duration_s": (n * 1_000_000 // rate) / 1e6
                     if rate else 0.0,
-                    "n_samples": len(xs), "energy": en})
+                    "n_samples": n, "energy": en})
             yield pd.DataFrame(rows, columns=[
-                id_col, "sample_rate", "duration_s", "n_samples",
-                "energy"])
+                id_col, "sample_rate", "n_channels", "duration_s",
+                "n_samples", "energy"])
 
     out_schema = (f"{id_col} string, sample_rate int, "
-                  "duration_s double, n_samples long, "
-                  "energy array<double>")
+                  "n_channels int, duration_s double, "
+                  "n_samples long, energy array<double>")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
 
 

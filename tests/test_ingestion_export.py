@@ -836,6 +836,41 @@ def test_flac_roundtrip_all_subframe_types(spark):
         assert row["energy"][w] == float(int(seg @ seg)) / 50
 
 
+def test_flac_stereo_decorrelation_roundtrip(spark):
+    """All four stereo channel assignments roundtrip losslessly —
+    independent, left/side, right/side, mid/side (side at 17 bits;
+    mid's dropped low bit recovered from side parity, exercised by
+    odd l+r sums) — and the feature stage emits channel-major
+    energies."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 96
+    lft = rng.integers(-32768, 32768, size=n).astype(np.int64)
+    rgt = rng.integers(-32768, 32768, size=n).astype(np.int64)
+    rgt[0] = lft[0] + 1                 # force odd l+r at the seam
+    for mode in ("indep", "ls", "rs", "ms"):
+        dec, sr = multimodal.decode_flac(
+            multimodal.synth_flac_stereo(
+                lft, rgt, mode_plan=lambda fi, m=mode: m))
+        assert dec.shape == (n, 2) and sr == 8000
+        assert (dec[:, 0] == lft).all() and (dec[:, 1] == rgt).all(), mode
+    flac = multimodal.synth_flac_stereo(lft, rgt)   # rotating plan
+    dec, _ = multimodal.decode_flac(flac)
+    assert (dec[:, 0] == lft).all() and (dec[:, 1] == rgt).all()
+
+    df = spark.createDataFrame([("s1", bytearray(flac))],
+                               "media_id string, payload binary")
+    row = multimodal.flac_audio_features(df, n_windows=4).collect()[0]
+    assert row["n_channels"] == 2 and row["n_samples"] == n
+    win = n // 4
+    for c, sig in enumerate((lft, rgt)):
+        for w in range(4):
+            seg = sig[w * win:(w + 1) * win]
+            assert row["energy"][c * 4 + w] \
+                == float(int(seg @ seg)) / win
+
+
 def test_flac_hand_assembled_vector():
     """Encoder-independent FLAC byte vector: hand-built STREAMINFO +
     two frames exercising paths synth_flac never emits — wasted
