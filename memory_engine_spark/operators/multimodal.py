@@ -2483,6 +2483,46 @@ def image_dims_sql(payload_col):
     )
 
 
+def _ebml_vint(b: bytes, i: int, mask_marker: bool) -> tuple[int, int]:
+    """One EBML variable-length integer (ID keeps its marker bit,
+    sizes mask it). Returns (value, next_offset)."""
+    if i >= len(b) or b[i] == 0:
+        raise ValueError("bad EBML vint")
+    ln = 8 - b[i].bit_length() + 1
+    if i + ln > len(b):
+        raise ValueError("truncated EBML vint")
+    v = b[i] & (0xFF >> ln) if mask_marker else b[i]
+    for k in range(1, ln):
+        v = (v << 8) | b[i + k]
+    if mask_marker and v == (1 << (7 * ln)) - 1:
+        return -1, i + ln                   # unknown size (streaming)
+    return v, i + ln
+
+
+def _ebml_children(b: bytes, start: int, end: int):
+    """Iterate (element_id, payload_start, payload_end) over EBML
+    siblings; unknown-size elements extend to the parent's end."""
+    i = start
+    while i < end:
+        eid, j = _ebml_vint(b, i, False)
+        size, k = _ebml_vint(b, j, True)
+        pe = end if size < 0 else k + size
+        if pe > end:
+            raise ValueError("EBML element overruns parent")
+        yield eid, k, pe
+        i = pe
+
+
+def _ebml_find(b: bytes, start: int, end: int, path: list[int]):
+    """Resolve a nested EBML element path (first match per level)."""
+    for eid, s, e in _ebml_children(b, start, end):
+        if eid == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _ebml_find(b, s, e, path[1:])
+    return None
+
+
 def _probe_one(b: bytes) -> dict:
     """Parse one payload's header. Formats: PNG, JPEG (SOF marker
     scan), GIF, BMP, WAV (RIFF chunk walk). Returns dict of
@@ -2540,6 +2580,74 @@ def _probe_one(b: bytes) -> dict:
                 if br and sr:
                     out["sample_rate"] = sr
                     out["duration_s"] = (len(b) - j) * 8 / (br * 1000)
+    elif b[:4] == b"OggS":
+        # Ogg page walk: first packet identifies the codec (Vorbis ID
+        # header / OpusHead), the LAST non-negative granule position
+        # gives duration in the codec's granule timescale (Vorbis:
+        # sample rate; Opus: fixed 48 kHz minus pre-skip).
+        out.update(format="ogg", mime="application/ogg")
+        i, gran, gran_rate, preskip, first = 0, None, None, 0, True
+        while i + 27 <= len(b) and b[i:i + 4] == b"OggS":
+            nseg = b[i + 26]
+            seg_end = i + 27 + nseg
+            if seg_end > len(b):
+                break
+            plen = sum(b[i + 27:seg_end])
+            g = int.from_bytes(b[i + 6:i + 14], "little", signed=True)
+            if g >= 0:
+                gran = g
+            if first and plen:
+                p = b[seg_end:seg_end + plen]
+                if p[:7] == b"\x01vorbis" and len(p) >= 16:
+                    out["mime"] = "audio/ogg"
+                    out["sample_rate"] = int.from_bytes(
+                        p[12:16], "little")
+                    gran_rate = out["sample_rate"]
+                elif p[:8] == b"OpusHead" and len(p) >= 16:
+                    out["mime"] = "audio/opus"
+                    preskip = int.from_bytes(p[10:12], "little")
+                    out["sample_rate"] = int.from_bytes(
+                        p[12:16], "little")
+                    gran_rate = 48000       # Opus granules are 48 kHz
+                first = False
+            i = seg_end + plen
+        if gran and gran_rate:
+            out["duration_s"] = round(
+                max(0, gran - preskip) / gran_rate, 6)
+    elif b[:4] == b"\x1aE\xdf\xa3":
+        # Matroska/WebM: EBML vint walk — DocType for the mime,
+        # Segment/Info for TimestampScale (ns) + float Duration,
+        # Segment/Tracks/TrackEntry/Video for pixel dimensions.
+        out.update(format="mkv", mime="video/x-matroska")
+        try:
+            dt = _ebml_find(b, 0, len(b), [0x1A45DFA3, 0x4282])
+            if dt and b[dt[0]:dt[1]].rstrip(b"\x00") == b"webm":
+                out.update(format="webm", mime="video/webm")
+            seg = _ebml_find(b, 0, len(b), [0x18538067])
+            if seg is not None:
+                tscale, dur = 1_000_000, None
+                info = _ebml_find(b, seg[0], seg[1], [0x1549A966])
+                if info is not None:
+                    for eid, s, e in _ebml_children(b, *info):
+                        if eid == 0x2AD7B1:
+                            tscale = int.from_bytes(b[s:e], "big")
+                        elif eid == 0x4489:
+                            import struct
+                            dur = struct.unpack(
+                                ">f" if e - s == 4 else ">d",
+                                b[s:e])[0]
+                if dur is not None:
+                    out["duration_s"] = round(dur * tscale / 1e9, 6)
+                vid = _ebml_find(b, seg[0], seg[1],
+                                 [0x1654AE6B, 0xAE, 0xE0])
+                if vid is not None:
+                    for eid, s, e in _ebml_children(b, *vid):
+                        if eid == 0xB0:
+                            out["width"] = int.from_bytes(b[s:e], "big")
+                        elif eid == 0xBA:
+                            out["height"] = int.from_bytes(b[s:e], "big")
+        except ValueError:
+            pass                    # malformed EBML: format-only probe
     elif len(b) >= 12 and b[4:8] == b"ftyp":
         out.update(format="mp4", mime="video/mp4")
         try:

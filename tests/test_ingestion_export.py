@@ -836,6 +836,74 @@ def test_flac_roundtrip_all_subframe_types(spark):
         assert row["energy"][w] == float(int(seg @ seg)) / 50
 
 
+def test_probe_ogg_and_matroska_headers():
+    """Hand-assembled Ogg (Vorbis + Opus) and Matroska/WebM (EBML)
+    byte vectors for the metadata probe: codec id from the first
+    packet, duration from the last granule (Opus minus pre-skip,
+    at the fixed 48 kHz granule rate), EBML DocType/TimestampScale/
+    Duration/PixelWidth/PixelHeight."""
+    import struct
+
+    def ogg_page(serial, seq, granule, payload, htype=0):
+        lace = []
+        rem = len(payload)
+        while rem >= 255:
+            lace.append(255)
+            rem -= 255
+        lace.append(rem)
+        return (b"OggS\x00" + bytes([htype])
+                + granule.to_bytes(8, "little", signed=True)
+                + serial.to_bytes(4, "little")
+                + seq.to_bytes(4, "little") + b"\x00" * 4
+                + bytes([len(lace)]) + bytes(lace) + payload)
+
+    vorbis_id = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                 + bytes([2]) + (44100).to_bytes(4, "little")
+                 + b"\x00" * 12 + b"\x01")
+    ogg_v = (ogg_page(7, 0, 0, vorbis_id, htype=2)
+             + ogg_page(7, 1, 88200, b"\x00" * 10, htype=4))
+    p = multimodal._probe_one(ogg_v)
+    assert (p["format"], p["mime"]) == ("ogg", "audio/ogg")
+    assert p["sample_rate"] == 44100 and p["duration_s"] == 2.0
+
+    opus_head = (b"OpusHead\x01" + bytes([2])
+                 + (312).to_bytes(2, "little")
+                 + (16000).to_bytes(4, "little") + b"\x00" * 3)
+    ogg_o = (ogg_page(9, 0, 0, opus_head, htype=2)
+             + ogg_page(9, 1, 48312, b"\x00" * 4, htype=4))
+    p = multimodal._probe_one(ogg_o)
+    assert p["mime"] == "audio/opus" and p["sample_rate"] == 16000
+    assert p["duration_s"] == 1.0      # (48312 - 312 preskip) / 48000
+
+    def ebml(eid, payload):
+        nid = (eid.bit_length() + 7) // 8
+        size = len(payload)
+        return (eid.to_bytes(nid, "big")
+                + bytes([0x80 | size]) + payload)
+
+    header = ebml(0x1A45DFA3, ebml(0x4282, b"webm"))
+    info = ebml(0x1549A966,
+                ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                + ebml(0x4489, struct.pack(">d", 2500.0)))
+    video = ebml(0xE0, ebml(0xB0, (640).to_bytes(2, "big"))
+                 + ebml(0xBA, (360).to_bytes(2, "big")))
+    tracks = ebml(0x1654AE6B, ebml(0xAE, video))
+    segment = ebml(0x18538067, info + tracks)
+    p = multimodal._probe_one(header + segment)
+    assert (p["format"], p["mime"]) == ("webm", "video/webm")
+    assert p["duration_s"] == 2.5      # 2500 ticks x 1e6 ns
+    assert (p["width"], p["height"]) == (640, 360)
+
+    # unknown-size Segment (streaming form) still resolves children
+    unk = (ebml(0x18538067, b"")[:4] + b"\xff" + info)
+    p = multimodal._probe_one(header + unk)
+    assert p["duration_s"] == 2.5
+
+    # malformed EBML after the magic: format-only, no crash
+    p = multimodal._probe_one(b"\x1aE\xdf\xa3\x00\x00")
+    assert p["format"] == "mkv" and p["duration_s"] is None
+
+
 def test_flac_stereo_decorrelation_roundtrip(spark):
     """All four stereo channel assignments roundtrip losslessly —
     independent, left/side, right/side, mid/side (side at 17 bits;
