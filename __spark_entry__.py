@@ -4519,6 +4519,33 @@ def q167_flac_stereo(spark, sf):
         .orderBy("media_id"))
 
 
+def q168_ivf_append_probe(spark, sf):
+    """Incremental IVF index maintenance under the oracle gate
+    (Milvus insert-then-search parity, milvus_store.py:112-140 —
+    production vector stores take inserts WITHOUT rebuilding): the
+    embeddings table splits into a base corpus and a delta batch
+    (vec_id ≥ 16 with vec_id % 10 == 7); the index is built on base
+    only (frozen first-16 centroids — ids 0-15 are all in base, so
+    they equal a full build's seeds), the delta is APPENDED via
+    `similarity.ivf_append` (per-row assignment against frozen
+    centroids; at scale: new parquet files per cell partition, no
+    rewrite), and the probe (qv = vec 5, k=12, nprobe=4) runs over
+    base ∪ delta. The ORACLE builds the index over the FULL table in
+    one shot — for IVF-FLAT with frozen centroids append ≡ rebuild
+    exactly, and the byte-exact hash IS that equivalence proof."""
+    emb = _t(spark, sf)["embeddings"]
+    is_delta = (F.col("vec_id") >= 16) & (F.col("vec_id") % 10 == 7)
+    cents, base_assigned = similarity.build_ivf_flat(
+        emb.filter(~is_delta), nlist=16, id_col="vec_id")
+    full = similarity.ivf_append(base_assigned, cents,
+                                 emb.filter(is_delta), id_col="vec_id")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 5").first()["embedding"]]
+    return (similarity.topk_ivf(full, cents, qv, k=12, nprobe=4,
+                                id_col="vec_id")
+            .select("vec_id", F.round("score", 6).alias("score")))
+
+
 def q157_bmp_gif_pixels(spark, sf):
     """REAL BMP + GIF pixel decode under the oracle gate (closes the
     image-format set q156 opened: PNG/BMP/GIF all have
@@ -4641,6 +4668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_mp4_frame_sample": q165_mp4_frame_sample,
         "q166_flac_audio": q166_flac_audio,
         "q167_flac_stereo": q167_flac_stereo,
+        "q168_ivf_append_probe": q168_ivf_append_probe,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4715,7 +4743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q160_avi_frame_sample", "q161_ima_adpcm_audio",
                       "q162_jpeg_pixels", "q163_jpeg_color",
                       "q164_jpeg_420", "q165_mp4_frame_sample",
-                      "q166_flac_audio", "q167_flac_stereo"]
+                      "q166_flac_audio", "q167_flac_stereo",
+                      "q168_ivf_append_probe"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8768,6 +8797,42 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q168: the incremental-append equivalence proof — the oracle
+    # builds the IVF index over the FULL table in one shot (q36's
+    # relational replay with qv=5, nprobe=4, k=12); the Spark side
+    # builds on base and APPENDS the delta, so any append-path bug
+    # (assignment drift, lost rows, wrong cell) breaks the hash.
+    sql["q168_ivf_append_probe"] = """
+        WITH seeds AS (
+            SELECT vec_id AS cell, embedding::DOUBLE[] AS centroid
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+              WHERE vec_id = 5),
+        assign AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v, s.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[],
+                                    s.centroid) DESC,
+                                s.cell ASC) AS rk
+            FROM embeddings e, seeds s
+        ),
+        cells AS (SELECT vec_id, v, cell FROM assign WHERE rk = 1),
+        probe AS (
+            SELECT s.cell FROM seeds s, q
+            ORDER BY list_cosine_similarity(s.centroid, q.qv) DESC,
+                     s.cell ASC
+            LIMIT 4
+        )
+        SELECT c.vec_id,
+               ROUND(list_cosine_similarity(c.v, q.qv), 6) AS score
+        FROM cells c JOIN probe p ON c.cell = p.cell, q
+        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id ASC
+        LIMIT 12
     """
 
     # q167: both stereo channels replayed from their formulas —

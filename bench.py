@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q165_mp4_frame_sample",  # real ISO-BMFF demux + frame sampling
     "q166_flac_audio",        # real FLAC decode (Rice + predictors)
     "q167_flac_stereo",       # stereo decorrelation (L/S, R/S, M/S)
+    "q168_ivf_append_probe",  # incremental IVF append = rebuild proof
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -138,6 +138,26 @@ def _assign(embeddings: DataFrame, centroids: DataFrame,
     return best.select(id_col, vec_col, "cell")
 
 
+def ivf_append(assigned: DataFrame, centroids: DataFrame,
+               new_vecs: DataFrame, id_col: str = "node_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Incremental IVF maintenance (Milvus insert-then-search parity,
+    milvus_store.py:112-140): assign a DELTA batch against the FROZEN
+    centroids — the same ``_assign`` the build uses — and union with
+    the existing codes. For IVF-FLAT this is EXACTLY equivalent to a
+    full rebuild over base ∪ delta (per-row assignment has no
+    cross-row state once centroids are frozen), so inserts never
+    force an index rebuild. At 100 TB the delta lands as new parquet
+    files under each cell partition of the offline index
+    (partitionBy-append), leaving existing files untouched and probe
+    partition-pruning intact; recall drift from a stale centroid set
+    is a retrain policy decision, not a correctness issue — the probe
+    re-scores exactly inside probed cells either way."""
+    delta = _assign(new_vecs, centroids, id_col, vec_col)
+    return assigned.select(id_col, vec_col, "cell") \
+        .unionByName(delta.select(id_col, vec_col, "cell"))
+
+
 def topk_ivf(assigned: DataFrame, centroids: DataFrame, query_vec: list[float],
              k: int = 50, nprobe: int = 8,
              id_col: str = "node_id", vec_col: str = "embedding") -> DataFrame:

@@ -35,6 +35,42 @@ def test_semantic_search_finds_same_text(spark):
     assert {r["node_id"] for r in out2.collect()} == {"n1", "n3"}
 
 
+def test_ivf_append_equals_rebuild(spark):
+    """Incremental IVF maintenance: building on a base corpus and
+    appending a delta batch against the frozen centroids yields
+    EXACTLY the assignment a full rebuild produces (per-row
+    assignment has no cross-row state), and the probe over the
+    appended index equals the probe over the rebuilt one."""
+    import random
+
+    from memory_engine_spark.operators.similarity import (build_ivf_flat,
+                                                          ivf_append,
+                                                          topk_ivf)
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(90)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    base = emb.filter("vec_id < 8 OR vec_id % 5 != 2")
+    delta = emb.filter("vec_id >= 8 AND vec_id % 5 = 2")
+    assert delta.count() > 0
+
+    cents_b, assigned_b = build_ivf_flat(base, nlist=8, id_col="vec_id")
+    appended = ivf_append(assigned_b, cents_b, delta, id_col="vec_id")
+    cents_f, assigned_f = build_ivf_flat(emb, nlist=8, id_col="vec_id")
+
+    got = {(r["vec_id"], r["cell"]) for r in appended.collect()}
+    want = {(r["vec_id"], r["cell"]) for r in assigned_f.collect()}
+    assert got == want                      # append == rebuild, exactly
+
+    qv = rows[5][1]
+    top_a = [(r["vec_id"], round(r["score"], 9)) for r in
+             topk_ivf(appended, cents_b, qv, k=7, nprobe=3,
+                      id_col="vec_id").collect()]
+    top_f = [(r["vec_id"], round(r["score"], 9)) for r in
+             topk_ivf(assigned_f, cents_f, qv, k=7, nprobe=3,
+                      id_col="vec_id").collect()]
+    assert top_a == top_f
+
+
 def test_knn_join_recall_vs_brute(spark):
     import random
 
