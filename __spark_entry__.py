@@ -4519,6 +4519,52 @@ def q167_flac_stereo(spark, sf):
         .orderBy("media_id"))
 
 
+def q169_html_extract(spark, sf):
+    """HTML main-content extraction under the oracle gate
+    (trafilatura/jusText-style, simplified — the step a web corpus
+    runs BEFORE every text filter): each document renders into a
+    deterministic HTML page with real boilerplate — head (title/
+    style/script with a raw '<' inside), a nav of links, an
+    ad-block div, an entity-bearing trailer paragraph — and
+    `text.html_main_content` extracts the main text: head/script/
+    style dropped wholesale, block split at block-level tags, link-
+    dominated blocks removed by the exact integer density test
+    (2·anchor_chars > text_chars), survivors stitched in order and
+    entity-decoded. Everything is JVM Column expressions over the
+    Java∩RE2 regex subset, so the oracle replays the pipeline
+    verbatim; md5 of the final text pins every step. Scale shape:
+    posexplode per block + one groupBy(id) — no window, no Python."""
+    from memory_engine_spark.operators.text import html_main_content
+
+    # single-file scan → 1 partition; the regex-heavy block explode
+    # needs the cluster (same rationale as _media_docs)
+    docs = (_t(spark, sf)["documents"].select("doc_id", "source", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+    esc = F.replace(
+        F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                  F.lit("<"), F.lit("&lt;")),
+        F.lit(">"), F.lit("&gt;"))
+    html = F.concat(
+        F.lit('<html><head><title>t</title><style>p{c:red}</style>'
+              '<script>if(a<b){x(1)}</script></head><body>'
+              '<nav><a href="/">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a></nav><h1>'),
+        F.col("source"),
+        F.lit('</h1><p>'), esc,
+        F.lit(' <a href="/ref">ref</a></p>'
+              '<div><a href="/b">Buy now</a> '
+              '<a href="/s">Subscribe today</a> ok</div>'
+              '<p>See &amp; read &lt;more&gt;&nbsp;here</p>'
+              '</body></html>'))
+    out = html_main_content(
+        docs.select("doc_id", html.alias("html")), "html", "doc_id")
+    return (out.select(
+        "doc_id", F.md5("text").alias("text_hash"),
+        "n_blocks", "n_kept",
+        F.length("text").cast("int").alias("n_chars"))
+        .orderBy("doc_id"))
+
+
 def q168_ivf_append_probe(spark, sf):
     """Incremental IVF index maintenance under the oracle gate
     (Milvus insert-then-search parity, milvus_store.py:112-140 —
@@ -4669,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_flac_audio": q166_flac_audio,
         "q167_flac_stereo": q167_flac_stereo,
         "q168_ivf_append_probe": q168_ivf_append_probe,
+        "q169_html_extract": q169_html_extract,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4744,7 +4791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q162_jpeg_pixels", "q163_jpeg_color",
                       "q164_jpeg_420", "q165_mp4_frame_sample",
                       "q166_flac_audio", "q167_flac_stereo",
-                      "q168_ivf_append_probe"]
+                      "q168_ivf_append_probe", "q169_html_extract"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8797,6 +8844,89 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q169: the whole HTML pipeline replayed verbatim — the patterns
+    # live in the Java∩RE2 subset (no backrefs/lookaround), the
+    # link-density test is exact integer math, and md5 of the final
+    # text pins head-drop, block split, density filter, stitch order,
+    # and entity decode all at once.
+    sql["q169_html_extract"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><title>t</title><style>p{c:red}</style>'
+                   || '<script>if(a<b){x(1)}</script></head><body>'
+                   || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+                   || '<a href="/c">Contact</a></nav><h1>'
+                   || source || '</h1><p>'
+                   || replace(replace(replace(text, '&', '&amp;'),
+                              '<', '&lt;'), '>', '&gt;')
+                   || ' <a href="/ref">ref</a></p>'
+                   || '<div><a href="/b">Buy now</a> '
+                   || '<a href="/s">Subscribe today</a> ok</div>'
+                   || '<p>See &amp; read &lt;more&gt;&nbsp;here</p>'
+                   || '</body></html>' AS html
+            FROM documents
+        ),
+        nh AS (
+            SELECT doc_id,
+                   regexp_replace(html,
+                       '(?s)<head[^>]*>.*?</head>'
+                       || '|(?s)<script[^>]*>.*?</script>'
+                       || '|(?s)<style[^>]*>.*?</style>|(?s)<!--.*?-->',
+                       ' ', 'g') AS body
+            FROM h
+        ),
+        parts AS (
+            SELECT doc_id,
+                   regexp_split_to_array(body,
+                       '</?(?:p|div|nav|h1|h2|h3|ul|ol|li|body|html'
+                       || '|table|tr|td)[^>]*>') AS ps
+            FROM nh
+        ),
+        blk AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   ps[CAST(i AS INT)] AS frag
+            FROM parts, LATERAL unnest(range(1, len(ps) + 1)) AS t(i)
+        ),
+        scored AS (
+            SELECT doc_id, pos,
+                   trim(regexp_replace(regexp_replace(
+                       frag, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+                       AS txt,
+                   COALESCE(list_sum(list_transform(
+                       regexp_extract_all(frag,
+                           '(?s)<a[^>]*>(.*?)</a>', 1),
+                       x -> length(trim(regexp_replace(regexp_replace(
+                           x, '<[^>]*>', ' ', 'g'),
+                           '\\s+', ' ', 'g'))))), 0) AS link_n
+            FROM blk
+        ),
+        agg AS (
+            SELECT doc_id,
+                   COUNT(*) FILTER (WHERE length(txt) > 0) AS n_blocks,
+                   COUNT(*) FILTER (WHERE length(txt) > 0
+                                    AND 2 * link_n <= length(txt))
+                       AS n_kept,
+                   COALESCE(string_agg(txt, ' ' ORDER BY pos)
+                       FILTER (WHERE length(txt) > 0
+                               AND 2 * link_n <= length(txt)), '')
+                       AS raw
+            FROM scored GROUP BY doc_id
+        ),
+        fin AS (
+            SELECT doc_id, n_blocks, n_kept,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(raw,
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&nbsp;', ' '), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS ftext
+            FROM agg
+        )
+        SELECT doc_id, md5(ftext) AS text_hash,
+               n_blocks::INT AS n_blocks, n_kept::INT AS n_kept,
+               length(ftext)::INT AS n_chars
+        FROM fin ORDER BY doc_id
     """
 
     # q168: the incremental-append equivalence proof — the oracle

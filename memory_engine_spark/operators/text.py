@@ -441,3 +441,88 @@ def fuzzy_term_pairs(df: DataFrame, term_col: str,
             .select("a", "b").distinct()
             .withColumn("dist", F.levenshtein("a", "b"))
             .filter(F.col("dist") <= 1))
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (trafilatura/jusText-style, simplified):
+# the web-corpus step BEFORE every text filter in a pretraining pipeline.
+# Everything is JVM-side Column expressions (regexp_replace / split /
+# posexplode / aggregate) — no Python in the hot path — and every regex
+# sticks to the Java∩RE2 common subset (non-greedy, (?s), classes;
+# NO backreferences or lookaround) so the same patterns run in the
+# DuckDB oracle verbatim.
+# ---------------------------------------------------------------------------
+
+HTML_BLOCK_RE = r"</?(?:p|div|nav|h1|h2|h3|ul|ol|li|body|html|table|tr|td)[^>]*>"
+_HTML_DROP_RE = ("(?s)<head[^>]*>.*?</head>|(?s)<script[^>]*>.*?</script>"
+                 "|(?s)<style[^>]*>.*?</style>|(?s)<!--.*?-->")
+_HTML_LINK_RE = r"(?s)<a[^>]*>(.*?)</a>"
+
+
+def html_clean_block(col) -> Column:
+    """Tag-strip + whitespace-collapse + trim — the canonical block
+    text the link-density test measures."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(col, "<[^>]*>", " "), r"\s+", " "))
+
+
+def html_entity_decode(col) -> Column:
+    """The five entities a text pipeline must fold (&amp; decoded
+    LAST, per the standard double-escape rule)."""
+    out = F.replace(col, F.lit("&lt;"), F.lit("<"))
+    out = F.replace(out, F.lit("&gt;"), F.lit(">"))
+    out = F.replace(out, F.lit("&quot;"), F.lit('"'))
+    out = F.replace(out, F.lit("&nbsp;"), F.lit(" "))
+    return F.replace(out, F.lit("&amp;"), F.lit("&"))
+
+
+def html_main_content(df: DataFrame, html_col: str = "html",
+                      id_col: str = "doc_id") -> DataFrame:
+    """HTML → main text: (1) drop head/script/style/comments wholesale,
+    (2) split the body into blocks at block-level tags, (3) per block
+    compute the LINK DENSITY — total anchor-text chars vs block text
+    chars, both through the same clean() — and drop link-dominated
+    blocks (2·link_chars > chars: navs, footers, ad units), (4) stitch
+    survivors back in document order, entity-decode, re-collapse.
+    Returns (id, text, n_blocks, n_kept). The density test is exact
+    integer arithmetic so the operator is byte-reproducible
+    cross-engine (q169).
+
+    Scale shape: posexplode fans each doc into its blocks (bounded by
+    doc size), everything per-block is a scalar expression, and the
+    stitch-back is one groupBy(id) with an array_sort — no window, no
+    Python. 100-TB posture: runs straight after the WARC/CC scan,
+    before any tokenization, so everything downstream sees plain text."""
+    frag = F.col("_frag")
+    txt = html_clean_block(frag)
+    links = F.expr(f"regexp_extract_all(_frag, '{_HTML_LINK_RE}', 1)")
+    link_n = F.aggregate(links, F.lit(0),
+                         lambda a, x: a + F.length(html_clean_block(x)))
+    blocks = (df.select(
+        id_col,
+        F.posexplode(F.split(
+            F.regexp_replace(F.col(html_col), _HTML_DROP_RE, " "),
+            HTML_BLOCK_RE)).alias("_pos", "_frag"))
+        .select(id_col, "_pos", txt.alias("_txt"),
+                link_n.alias("_link_n")))
+    scored = blocks.select(
+        id_col, "_pos", "_txt",
+        (F.length("_txt") > 0).alias("_nonempty"),
+        ((F.length("_txt") > 0)
+         & (2 * F.col("_link_n") <= F.length("_txt"))).alias("_keep"))
+    stitched = (scored.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_nonempty"), 1).otherwise(0))
+        .cast("int").alias("n_blocks"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("_keep"),
+                    F.struct(F.col("_pos"), F.col("_txt"))))),
+                lambda s: s["_txt"]), " ")
+        .alias("_raw")))
+    final = F.trim(F.regexp_replace(
+        html_entity_decode(F.col("_raw")), r"\s+", " "))
+    return stitched.select(id_col, final.alias("text"),
+                           "n_blocks", "n_kept")

@@ -429,3 +429,32 @@ def test_fuzzy_term_pairs_caps_long_terms(spark):
     long_t = "x" * 30
     df = spark.createDataFrame([(long_t,), (long_t[:-1],)], "term string")
     assert fuzzy_term_pairs(df, "term", max_len=24).count() == 0
+
+
+def test_html_main_content_extraction(spark):
+    """Head/script/style/comments drop wholesale (raw '<' inside
+    script must not derail the tag stripper), link-dominated blocks
+    drop by the exact integer density test, survivors stitch in
+    document order, entities decode (&amp; last), and an all-links
+    page yields an empty main text with the counts telling the story."""
+    page = ('<html><head><title>T</title><style>a{x:1}</style>'
+            '<script>if(a<b){y()}</script></head><body>'
+            '<!-- tracking pixel -->'
+            '<nav><a href="/">Home</a> <a href="/x">About us</a></nav>'
+            '<p>First &amp; second &lt;para&gt; with '
+            '<a href="/r"><b>bold ref</b></a> inline</p>'
+            '<div><a href="/b">Buy</a> <a href="/s">Sub</a></div>'
+            '<p></p><p>tail&nbsp;words here</p></body></html>')
+    allnav = ('<html><body><nav><a href="/1">One</a> '
+              '<a href="/2">Two</a></nav></body></html>')
+    df = spark.createDataFrame([("d1", page), ("d2", allnav)],
+                               "doc_id string, html string")
+    out = {r["doc_id"]: r for r in
+           text.html_main_content(df, "html", "doc_id").collect()}
+    # nav (2*9 > 13 chars) and ad div (2*6 > 7) dropped; two real
+    # paragraphs survive; the bold anchor text stays in the content.
+    assert out["d1"]["text"] == ("First & second <para> with bold ref "
+                                 "inline tail words here")
+    assert (out["d1"]["n_blocks"], out["d1"]["n_kept"]) == (4, 2)
+    assert out["d2"]["text"] == ""
+    assert (out["d2"]["n_blocks"], out["d2"]["n_kept"]) == (1, 0)
