@@ -4565,6 +4565,54 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q170_warc_parse(spark, sf):
+    """REAL WARC (ISO 28500) record parsing under the oracle gate —
+    the Common Crawl container every web-corpus pipeline starts
+    from. Each document synthesizes a 3-record WARC file (warcinfo,
+    request, response) whose response body DELIBERATELY contains
+    CRLF CRLF — a parser that splits records on blank lines instead
+    of honoring Content-Length framing truncates it and breaks the
+    md5. `formats.warc_records` walks the actual bytes (version
+    line, header block, Content-Length slice, record separator,
+    HTTP status/header parse inside response blocks) and emits
+    per-record facts; body bytes never leave the executor — only
+    length + digest shuffle. The oracle regenerates the facts from
+    the template. Scale posture: Common Crawl gzips one member per
+    record so object-store range reads split cleanly; the Arrow
+    stage's unit is the file/member, no cross-record state."""
+    from memory_engine_spark.sources.formats import (synth_warc,
+                                                     warc_records)
+
+    docs = (_t(spark, sf)["documents"].select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                body = f"doc:{txt}\r\n\r\ntail".encode()
+                http = (b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html\r\n"
+                        b"Content-Length: %d\r\n\r\n" % len(body)
+                        + body)
+                uri = f"http://ex.org/doc/{d}"
+                ids.append(f"m_{d}")
+                payloads.append(synth_warc([
+                    {"warc_type": "warcinfo",
+                     "block": b"software: spark-graft\r\n"},
+                    {"warc_type": "request", "uri": uri,
+                     "block": b"GET / HTTP/1.1\r\nHost: ex.org\r\n\r\n"},
+                    {"warc_type": "response", "uri": uri,
+                     "block": http}]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return warc_records(media).orderBy("media_id", "rec_idx")
+
+
 def q168_ivf_append_probe(spark, sf):
     """Incremental IVF index maintenance under the oracle gate
     (Milvus insert-then-search parity, milvus_store.py:112-140 —
@@ -4716,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_flac_stereo": q167_flac_stereo,
         "q168_ivf_append_probe": q168_ivf_append_probe,
         "q169_html_extract": q169_html_extract,
+        "q170_warc_parse": q170_warc_parse,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4791,7 +4840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q162_jpeg_pixels", "q163_jpeg_color",
                       "q164_jpeg_420", "q165_mp4_frame_sample",
                       "q166_flac_audio", "q167_flac_stereo",
-                      "q168_ivf_append_probe", "q169_html_extract"]
+                      "q168_ivf_append_probe", "q169_html_extract",
+                      "q170_warc_parse"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8844,6 +8894,36 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q170: the WARC record facts regenerated from the template — the
+    # md5 pins Content-Length framing (the body embeds CRLF CRLF);
+    # strlen (BYTE length) on both sides, since Content-Length counts
+    # bytes, not characters.
+    sql["q170_warc_parse"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'doc:' || text || chr(13) || chr(10) || chr(13)
+                       || chr(10) || 'tail' AS body
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, body, unnest(range(0, 3)) AS rec_idx FROM d
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               rec_idx::INT AS rec_idx,
+               CASE rec_idx WHEN 0 THEN 'warcinfo'
+                            WHEN 1 THEN 'request'
+                            ELSE 'response' END AS warc_type,
+               CASE WHEN rec_idx >= 1
+                    THEN 'http://ex.org/doc/' || doc_id END AS uri,
+               CASE WHEN rec_idx = 2 THEN 200 END::INT AS http_status,
+               CASE WHEN rec_idx = 2 THEN 'text/html' END
+                   AS content_type,
+               (CASE WHEN rec_idx = 2 THEN strlen(body)
+                     ELSE 0 END)::BIGINT AS body_len,
+               CASE WHEN rec_idx = 2 THEN md5(body) END AS body_md5
+        FROM r ORDER BY media_id, rec_idx
     """
 
     # q169: the whole HTML pipeline replayed verbatim — the patterns

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q167_flac_stereo",       # stereo decorrelation (L/S, R/S, M/S)
     "q168_ivf_append_probe",  # incremental IVF append = rebuild proof
     "q169_html_extract",      # HTML main-content + link-density filter
+    "q170_warc_parse",        # WARC Content-Length-framed record walk
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

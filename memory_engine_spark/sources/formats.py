@@ -121,3 +121,120 @@ def compact(spark: SparkSession, path: str, target_files: int,
     os.rename(tmp, p)
     if read_any(spark, p, fmt).count() == expected:
         shutil.rmtree(bak, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500) — the Common Crawl container, the byte format every
+# web-corpus pipeline starts from. Records are Content-Length framed
+# (headers CRLF CRLF block CRLF CRLF): a parser that splits on blank
+# lines instead of honoring Content-Length corrupts any record whose
+# payload itself contains CRLF CRLF — the synth deliberately embeds
+# one. Parsing is an Arrow ``mapInPandas`` stage (per-file bytes in,
+# per-record facts out); at 100 TB the parallelism unit is the .warc.gz
+# member (Common Crawl ships one gzip member per record precisely so
+# object-store range reads can split them).
+# ---------------------------------------------------------------------------
+
+
+def synth_warc(records: list[dict]) -> bytes:
+    """Assemble a spec-shaped WARC/1.0 file. Each record dict:
+    ``warc_type`` (warcinfo/request/response), ``uri`` (optional),
+    ``block`` (bytes — for responses: the full HTTP message). The
+    encode twin of ``parse_warc``."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        block = rec["block"]
+        hdrs = [b"WARC/1.0",
+                b"WARC-Type: " + rec["warc_type"].encode(),
+                b"WARC-Record-ID: <urn:uuid:%08d>" % i,
+                b"WARC-Date: 2024-01-01T00:00:00Z"]
+        if rec.get("uri"):
+            hdrs.append(b"WARC-Target-URI: " + rec["uri"].encode())
+        if rec["warc_type"] == "response":
+            hdrs.append(b"Content-Type: application/http;msgtype=response")
+        hdrs.append(b"Content-Length: %d" % len(block))
+        out += b"\r\n".join(hdrs) + b"\r\n\r\n" + block + b"\r\n\r\n"
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """REAL WARC parse: walk Content-Length-framed records; for
+    ``response`` records additionally parse the HTTP status line +
+    headers and slice the body after the HTTP header terminator.
+    Returns per record: rec_idx, warc_type, uri, http_status,
+    content_type, body (bytes; empty for non-response records)."""
+    b = payload or b""
+    recs = []
+    i = 0
+    while i < len(b):
+        if b[i:i + 5] != b"WARC/":
+            raise ValueError(f"bad WARC version line at offset {i}")
+        hdr_end = b.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header")
+        headers = {}
+        for line in b[i:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get(b"content-length", b"-1"))
+        if clen < 0 or hdr_end + 4 + clen > len(b):
+            raise ValueError("missing/overrunning Content-Length")
+        block = b[hdr_end + 4:hdr_end + 4 + clen]
+        rec = {"rec_idx": len(recs),
+               "warc_type": headers.get(b"warc-type", b"").decode(),
+               "uri": headers.get(b"warc-target-uri", b"").decode(),
+               "http_status": None, "content_type": None, "body": b""}
+        if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+            http_end = block.find(b"\r\n\r\n")
+            if http_end < 0:
+                raise ValueError("truncated HTTP header in response")
+            lines = block[:http_end].split(b"\r\n")
+            parts = lines[0].split(b" ", 2)
+            rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+            for line in lines[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    rec["content_type"] = v.strip().decode()
+            rec["body"] = block[http_end + 4:]
+        recs.append(rec)
+        i = hdr_end + 4 + clen
+        if b[i:i + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing record separator at offset {i}")
+        i += 4
+    return recs
+
+
+def warc_records(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """WARC → per-record facts as one Arrow ``mapInPandas`` stage:
+    (id, rec_idx, warc_type, uri, http_status, content_type,
+    body_len, body_md5). Body bytes stay executor-side — only the
+    digest and length cross into the result, so a 100-TB crawl's
+    record inventory is shuffle-light."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for rec in parse_warc(b):
+                    rows.append({
+                        id_col: mid, "rec_idx": rec["rec_idx"],
+                        "warc_type": rec["warc_type"],
+                        "uri": rec["uri"] or None,
+                        "http_status": rec["http_status"],
+                        "content_type": rec["content_type"],
+                        "body_len": len(rec["body"]),
+                        "body_md5": hashlib.md5(rec["body"]).hexdigest()
+                        if rec["body"] else None})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "rec_idx", "warc_type", "uri", "http_status",
+                "content_type", "body_len", "body_md5"])
+
+    out_schema = (f"{id_col} string, rec_idx int, warc_type string, "
+                  "uri string, http_status int, content_type string, "
+                  "body_len long, body_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

@@ -836,6 +836,55 @@ def test_flac_roundtrip_all_subframe_types(spark):
         assert row["energy"][w] == float(int(seg @ seg)) / 50
 
 
+def test_warc_parse_framing_and_spark_stage(spark):
+    """WARC parsing honors Content-Length framing (hand-assembled
+    byte vector whose response body embeds CRLF CRLF — a blank-line
+    splitter truncates it), parses HTTP status/headers inside
+    response blocks, and the Spark stage emits per-record facts."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from memory_engine_spark.sources.formats import (parse_warc,
+                                                     synth_warc,
+                                                     warc_records)
+    body = b"<p>A\r\n\r\nB tricky</p>"
+    http = (b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+            b"\r\n" + body)
+    # hand-assembled, encoder-independent bytes
+    hand = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://h.org/\r\n"
+            b"Content-Length: " + str(len(http)).encode()
+            + b"\r\n\r\n" + http + b"\r\n\r\n")
+    recs = parse_warc(hand)
+    assert len(recs) == 1 and recs[0]["http_status"] == 404
+    assert recs[0]["body"] == body          # CRLFCRLF survived framing
+
+    w = synth_warc([
+        {"warc_type": "warcinfo", "block": b"software: t\r\n"},
+        {"warc_type": "request", "uri": "http://h.org/",
+         "block": b"GET / HTTP/1.1\r\n\r\n"},
+        {"warc_type": "response", "uri": "http://h.org/",
+         "block": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                  b"\r\nhello"}])
+    out = parse_warc(w)
+    assert [r["warc_type"] for r in out] == ["warcinfo", "request",
+                                             "response"]
+    assert out[2]["body"] == b"hello"
+    with _pytest.raises(ValueError):
+        parse_warc(b"NOPE/1.0\r\n\r\n")
+    with _pytest.raises(ValueError):
+        parse_warc(w[:-6])                  # lost record separator
+
+    df = spark.createDataFrame([("w1", bytearray(w))],
+                               "media_id string, payload binary")
+    rows = {r["rec_idx"]: r for r in warc_records(df).collect()}
+    assert rows[0]["body_md5"] is None and rows[0]["body_len"] == 0
+    assert rows[2]["http_status"] == 200
+    assert rows[2]["content_type"] == "text/plain"
+    assert rows[2]["body_md5"] == hashlib.md5(b"hello").hexdigest()
+
+
 def test_probe_ogg_and_matroska_headers():
     """Hand-assembled Ogg (Vorbis + Opus) and Matroska/WebM (EBML)
     byte vectors for the metadata probe: codec id from the first
