@@ -4565,6 +4565,41 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q171_url_normalize(spark, sf):
+    """URL canonicalization under the oracle gate — the crawl-dedup
+    prerequisite (the same page arrives as scheme/host case variants,
+    default ports, fragments, tracking params, shuffled query order;
+    URL-dedup without canonicalization undercounts badly). Each
+    document renders a deliberately-messy URL (upper-case scheme and
+    host, rotating :80/:443/:8080/empty ports, empty-vs-real paths,
+    utm_/fbclid tracking params, fragment); `text.url_normalize`
+    lowers scheme+host, strips only the MATCHING default port, drops
+    fragment + trackers, sorts surviving params, and maps the empty
+    path to '/'. Pure Column expressions in the Java∩RE2 subset —
+    the oracle replays every step. Scale shape: scan-side projection,
+    no shuffle at all; at 100 TB this runs inside the WARC scan."""
+    from memory_engine_spark.operators.text import url_host, url_normalize
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, "HTTP").otherwise("https")
+    port = (F.when(d % 4 == 0, ":80").when(d % 4 == 1, ":443")
+            .when(d % 4 == 2, ":8080").otherwise(""))
+    path = F.when(d % 3 == 0, "").otherwise(
+        F.concat(F.lit("/Cat"), (d % 7).cast("string"), F.lit("/item")))
+    query = F.concat(
+        F.lit("?utm_source=feed&b="), (d % 3).cast("string"),
+        F.lit("&a=1"),
+        F.when(d % 2 == 0, "&fbclid=XYZ").otherwise(F.lit("")))
+    url = F.concat(scheme, F.lit("://WWW.Site"), (d % 5).cast("string"),
+                   F.lit(".ORG"), port, path, query,
+                   F.lit("#sec"), (d % 4).cast("string"))
+    return (docs.select(
+        "doc_id", url_normalize(url).alias("url_norm"),
+        url_host(url).alias("host"))
+        .orderBy("doc_id"))
+
+
 def q170_warc_parse(spark, sf):
     """REAL WARC (ISO 28500) record parsing under the oracle gate —
     the Common Crawl container every web-corpus pipeline starts
@@ -4765,6 +4800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_ivf_append_probe": q168_ivf_append_probe,
         "q169_html_extract": q169_html_extract,
         "q170_warc_parse": q170_warc_parse,
+        "q171_url_normalize": q171_url_normalize,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4841,7 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q164_jpeg_420", "q165_mp4_frame_sample",
                       "q166_flac_audio", "q167_flac_stereo",
                       "q168_ivf_append_probe", "q169_html_extract",
-                      "q170_warc_parse"]
+                      "q170_warc_parse", "q171_url_normalize"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8894,6 +8930,70 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q171: the canonicalization replayed step-for-step — same regexes
+    # (Java∩RE2 subset), same default-port CASE, same tracker prefix
+    # filter, same bytewise param sort.
+    sql["q171_url_normalize"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
+                         ELSE 'https' END)
+                   || '://WWW.Site' || (doc_id % 5) || '.ORG'
+                   || (CASE doc_id % 4 WHEN 0 THEN ':80'
+                       WHEN 1 THEN ':443' WHEN 2 THEN ':8080'
+                       ELSE '' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN ''
+                       ELSE '/Cat' || (doc_id % 7) || '/item' END)
+                   || '?utm_source=feed&b=' || (doc_id % 3) || '&a=1'
+                   || (CASE WHEN doc_id % 2 = 0 THEN '&fbclid=XYZ'
+                       ELSE '' END)
+                   || '#sec' || (doc_id % 4) AS url
+            FROM documents
+        ),
+        nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+               FROM d),
+        parts AS (
+            SELECT doc_id, u,
+                   lower(regexp_extract(u,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(u,
+                       '^[^:/?]+://([^/?]+)', 1)) AS hostport,
+                   regexp_extract(u,
+                       '^[^:/?]+://[^/?]*(/[^?]*)?', 1) AS path,
+                   regexp_extract(u, '\\?(.*)$', 1) AS query
+            FROM nf
+        ),
+        norm AS (
+            SELECT doc_id, scheme, path,
+                   CASE WHEN scheme = 'http'
+                             AND hostport LIKE '%:80'
+                        THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https'
+                             AND hostport LIKE '%:443'
+                        THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   regexp_replace(hostport, ':[0-9]+$', '')
+                       AS bare_host,
+                   array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p <> ''
+                            AND NOT (starts_with(p, 'utm_')
+                                     OR starts_with(p, 'fbclid')
+                                     OR starts_with(p, 'gclid')
+                                     OR starts_with(p, 'msclkid')
+                                     OR starts_with(p, 'mc_eid')))),
+                       '&') AS qnorm
+            FROM parts
+        )
+        SELECT doc_id,
+               scheme || '://' || host
+               || (CASE WHEN path = '' THEN '/' ELSE path END)
+               || (CASE WHEN qnorm = '' THEN ''
+                   ELSE '?' || qnorm END) AS url_norm,
+               bare_host AS host
+        FROM norm ORDER BY doc_id
     """
 
     # q170: the WARC record facts regenerated from the template — the

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q168_ivf_append_probe",  # incremental IVF append = rebuild proof
     "q169_html_extract",      # HTML main-content + link-density filter
     "q170_warc_parse",        # WARC Content-Length-framed record walk
+    "q171_url_normalize",     # URL canonicalization (scan-side, 0-shuffle)
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -526,3 +526,54 @@ def html_main_content(df: DataFrame, html_col: str = "html",
         html_entity_decode(F.col("_raw")), r"\s+", " "))
     return stitched.select(id_col, final.alias("text"),
                            "n_blocks", "n_kept")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the crawl-dedup prerequisite: the same page
+# arrives under scheme/host case variants, default ports, fragments,
+# tracking params, and shuffled query order; dedup-by-URL without
+# canonicalization undercounts duplicates badly. Pure Column
+# expressions in the Java∩RE2 regex subset (q169's rule), so the
+# DuckDB oracle replays it verbatim.
+# ---------------------------------------------------------------------------
+
+_URL_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def url_normalize(col) -> Column:
+    """Canonical URL: lowercase scheme+host, strip the scheme's
+    default port (:80 http / :443 https), drop the fragment, drop
+    tracking params (utm_*, fbclid, gclid, msclkid, mc_eid), sort the
+    surviving query params bytewise, empty path → '/'. Path case and
+    non-default ports are PRESERVED (paths are case-sensitive per
+    RFC 3986; a real port difference is a real origin difference)."""
+    u = F.regexp_replace(col, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[^:/?]+://([^/?]+)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, "^[^:/?]+://[^/?]*(/[^?]*)?", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~F.exists(
+            F.array(*[F.lit(t) for t in _URL_TRACKING_PREFIXES]),
+            lambda t: p.startswith(t)))
+    qnorm = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(path == "", "/").otherwise(path),
+        F.when(qnorm == "", "").otherwise(F.concat(F.lit("?"), qnorm)))
+
+
+def url_host(col) -> Column:
+    """Lowercased host (port stripped) — the crawl-politeness /
+    per-site aggregation key."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(col, "^[^:/?]+://([^/?]+)", 1)),
+        ":[0-9]+$", "")

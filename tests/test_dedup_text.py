@@ -458,3 +458,26 @@ def test_html_main_content_extraction(spark):
     assert (out["d1"]["n_blocks"], out["d1"]["n_kept"]) == (4, 2)
     assert out["d2"]["text"] == ""
     assert (out["d2"]["n_blocks"], out["d2"]["n_kept"]) == (1, 0)
+
+
+def test_url_normalize_canonical_forms(spark):
+    """Scheme/host lowering, matching-default-port strip (http:443
+    kept!), fragment + tracker drop, bytewise param sort, empty
+    path -> '/'."""
+    cases = [
+        ("HTTP://WWW.Ex.ORG:80/A/b?utm_source=x&b=2&a=1#frag",
+         "http://www.ex.org/A/b?a=1&b=2", "www.ex.org"),
+        ("https://Ex.org:443/", "https://ex.org/", "ex.org"),
+        ("http://ex.org:443/p", "http://ex.org:443/p", "ex.org"),
+        ("https://ex.org:8080?fbclid=z&z=9",
+         "https://ex.org:8080/?z=9", "ex.org"),
+        ("http://EX.org", "http://ex.org/", "ex.org"),
+        ("http://ex.org/p?utm_a=1&utm_b=2", "http://ex.org/p",
+         "ex.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    out = df.select(text.url_normalize(F.col("url")).alias("n"),
+                    text.url_host(F.col("url")).alias("h")).collect()
+    for (u, want_n, want_h), row in zip(cases, out):
+        assert row["n"] == want_n, (u, row["n"])
+        assert row["h"] == want_h, (u, row["h"])
