@@ -4866,10 +4866,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Driver-proof ROTATION (r05 VERDICT item 8): the driver samples the
     # first ~50 registry entries, so without rotation q01–q83 never get
     # a fresh driver proof (last one: r02/r03). Front = this round's new
-    # queries, then a tranche of the STALEST entries; the tranche
-    # advances each round (r06: q01–q16 + q51–q60; r07: q17–q50 +
-    # q61–q83 — more than the sample window holds, so the overflow
-    # tail rolls into r08's tranche naturally).
+    # queries (q156–q171, 16 entries), then a tranche of the STALEST
+    # entries; the tranche advances each round (r06: q01–q16 + q51–q60;
+    # r07: q17–q50 + q61–q83 — more than the sample window holds, so
+    # the overflow tail rolls into r08's tranche naturally).
     new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
                       "q158_ivf_int8_ann", "q159_g711_audio",
                       "q160_avi_frame_sample", "q161_ima_adpcm_audio",
