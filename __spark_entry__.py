@@ -4565,6 +4565,59 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q172_robots_gate(spark, sf):
+    """robots.txt evaluation under the oracle gate (RFC 9309 — the
+    crawl frontier's fetch gate): five hosts carry synthetic robots
+    files (multi-agent groups with comments, Allow/Disallow incl. a
+    '*.log$' wildcard rule, a catch-all '*' group that must NOT
+    apply when the exact 'sparkbot' group exists, and one star-only
+    host); each document contributes a (host, path) URL hitting a
+    different precedence case. `crawl.parse_robots` +
+    `crawl.robots_allowed` run the whole evaluator relationally —
+    line explode, window-based group formation, rule→regex
+    translation, broadcast join, longest-rule-octets max_by with
+    Allow winning ties — and the ORACLE replays every one of those
+    steps in SQL, so a group-scoping, precedence, anchor, or escape
+    bug breaks the hash. Scale shape: rules broadcast (robots are
+    ≤500 KiB/host by spec); the URL side is one broadcast join +
+    one groupBy — no windows on the big side."""
+    from memory_engine_spark.operators import crawl
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 5).cast("string")
+    host = F.concat(F.lit("site"), h, F.lit(".org"))
+    path = (F.when(d % 6 == 0,
+                   F.concat(F.lit("/h"), h, F.lit("/private/x")))
+            .when(d % 6 == 1,
+                  F.concat(F.lit("/h"), h, F.lit("/private/ok/p")))
+            .when(d % 6 == 2,
+                  F.concat(F.lit("/pub/p"), (d % 7).cast("string")))
+            .when(d % 6 == 3,
+                  F.concat(F.lit("/logs/a"), (d % 3).cast("string"),
+                           F.lit(".log")))
+            .when(d % 6 == 4, F.lit("/logs/b.log.bak"))
+            .otherwise(F.concat(F.lit("/h"), h, F.lit("/private"))))
+    urls = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    i = F.col("id").cast("string")
+    hosts = spark.range(5).select(
+        F.concat(F.lit("site"), i, F.lit(".org")).alias("host"),
+        F.when(F.col("id") < 4, F.concat(
+            F.lit("# policy\nUser-agent: SparkBot\n"
+                  "User-agent: helper\n"),
+            F.lit("Disallow: /h"), i, F.lit("/private\n"),
+            F.lit("Allow: /h"), i, F.lit("/private/ok\n"),
+            F.lit("Disallow: /logs/*.log$\n\n"
+                  "User-agent: *\nDisallow: /\n")))
+        .otherwise(F.lit("User-agent: *\nDisallow: /logs\n"))
+        .alias("robots_txt"))
+    robots = crawl.parse_robots(hosts)
+    out = crawl.robots_allowed(urls, robots, agent="sparkbot")
+    return (out.select("doc_id", "host", "path", "allowed",
+                       "matched_rule")
+            .orderBy("doc_id"))
+
+
 def q171_url_normalize(spark, sf):
     """URL canonicalization under the oracle gate — the crawl-dedup
     prerequisite (the same page arrives as scheme/host case variants,
@@ -4801,6 +4854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_html_extract": q169_html_extract,
         "q170_warc_parse": q170_warc_parse,
         "q171_url_normalize": q171_url_normalize,
+        "q172_robots_gate": q172_robots_gate,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4877,7 +4931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q164_jpeg_420", "q165_mp4_frame_sample",
                       "q166_flac_audio", "q167_flac_stereo",
                       "q168_ivf_append_probe", "q169_html_extract",
-                      "q170_warc_parse", "q171_url_normalize"]
+                      "q170_warc_parse", "q171_url_normalize",
+                      "q172_robots_gate"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8930,6 +8985,127 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q172: the ENTIRE robots evaluator replayed relationally — line
+    # explode, comment strip, window-based UA-group formation (lag +
+    # running sum), exact-token-over-star scoping, rule→regex
+    # translation (same escape order), longest-rule-octets arg_max
+    # with Allow winning ties. Rule lengths are all distinct per
+    # host, so matched_rule is deterministic cross-engine.
+    sql["q172_robots_gate"] = """
+        WITH u AS (
+            SELECT doc_id, 'site' || (doc_id % 5) || '.org' AS host,
+                   CASE doc_id % 6
+                     WHEN 0 THEN '/h' || (doc_id % 5) || '/private/x'
+                     WHEN 1 THEN '/h' || (doc_id % 5) || '/private/ok/p'
+                     WHEN 2 THEN '/pub/p' || (doc_id % 7)
+                     WHEN 3 THEN '/logs/a' || (doc_id % 3) || '.log'
+                     WHEN 4 THEN '/logs/b.log.bak'
+                     ELSE '/h' || (doc_id % 5) || '/private'
+                   END AS path
+            FROM documents
+        ),
+        rb AS (
+            SELECT 'site' || i || '.org' AS host,
+                   CASE WHEN i < 4 THEN
+                     '# policy' || chr(10)
+                     || 'User-agent: SparkBot' || chr(10)
+                     || 'User-agent: helper' || chr(10)
+                     || 'Disallow: /h' || i || '/private' || chr(10)
+                     || 'Allow: /h' || i || '/private/ok' || chr(10)
+                     || 'Disallow: /logs/*.log$' || chr(10) || chr(10)
+                     || 'User-agent: *' || chr(10)
+                     || 'Disallow: /' || chr(10)
+                   ELSE 'User-agent: *' || chr(10)
+                        || 'Disallow: /logs' || chr(10)
+                   END AS txt
+            FROM (SELECT unnest(range(0, 5)) AS i)
+        ),
+        lns AS (
+            SELECT host, CAST(ln AS INT) AS ln,
+                   trim(regexp_replace(ls[CAST(ln AS INT)],
+                                       '#.*$', '')) AS line
+            FROM (SELECT host, string_split(txt, chr(10)) AS ls
+                  FROM rb),
+                 LATERAL unnest(range(1, len(ls) + 1)) AS t(ln)
+        ),
+        fields AS (
+            SELECT host, ln,
+                   lower(regexp_extract(line,
+                       '^([A-Za-z-]+)\\s*:', 1)) AS field,
+                   trim(regexp_extract(line,
+                       '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
+            FROM lns
+            WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+                  IN ('user-agent', 'allow', 'disallow')
+        ),
+        marked AS (
+            SELECT host, ln, field, value,
+                   (field = 'user-agent') AS is_ua,
+                   COALESCE(lag(field = 'user-agent') OVER (
+                       PARTITION BY host ORDER BY ln), false) AS prev_ua
+            FROM fields
+        ),
+        grp AS (
+            SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY host ORDER BY ln) AS g
+            FROM marked
+        ),
+        agents AS (
+            SELECT host, g,
+                   bool_or(lower(value) = 'sparkbot') AS has_agent,
+                   bool_or(value = '*') AS has_star
+            FROM grp WHERE is_ua GROUP BY host, g
+        ),
+        scoped AS (
+            SELECT r.host, (r.field = 'allow') AS allow,
+                   r.value AS rule, a.has_agent AS e
+            FROM grp r JOIN agents a ON r.host = a.host AND r.g = a.g
+            WHERE NOT r.is_ua AND r.value <> ''
+                  AND (a.has_agent OR a.has_star)
+        ),
+        pick AS (
+            SELECT host, MAX(CASE WHEN e THEN 1 ELSE 0 END) AS hx
+            FROM scoped GROUP BY host
+        ),
+        rules AS (
+            SELECT s.host, s.allow, s.rule, length(s.rule) AS rule_len,
+                   '^' || replace(replace(replace(replace(replace(
+                         replace(replace(replace(replace(replace(
+                         replace(replace(replace(
+                         CASE WHEN s.rule LIKE '%$'
+                              THEN substring(s.rule, 1,
+                                             length(s.rule) - 1)
+                              ELSE s.rule END,
+                         '\\', '\\\\'), '.', '\\.'), '+', '\\+'),
+                         '?', '\\?'), '(', '\\('), ')', '\\)'),
+                         '[', '\\['), ']', '\\]'), '{', '\\{'),
+                         '}', '\\}'), '|', '\\|'), '^', '\\^'),
+                         '*', '.*')
+                   || CASE WHEN s.rule LIKE '%$' THEN '$' ELSE '' END
+                       AS rule_re
+            FROM scoped s JOIN pick p ON s.host = p.host
+            WHERE (s.e AND p.hx = 1) OR (NOT s.e AND p.hx = 0)
+        ),
+        hits AS (
+            SELECT u2.host, u2.path,
+                   arg_max(struct_pack(al := r.allow, ru := r.rule),
+                           [r.rule_len,
+                            CASE WHEN r.allow THEN 1 ELSE 0 END])
+                       AS best
+            FROM (SELECT DISTINCT host, path FROM u) u2
+            JOIN rules r ON u2.host = r.host
+            WHERE regexp_matches(u2.path, r.rule_re)
+            GROUP BY u2.host, u2.path
+        )
+        SELECT u.doc_id, u.host, u.path,
+               COALESCE(h.best.al, true) AS allowed,
+               h.best.ru AS matched_rule
+        FROM u LEFT JOIN hits h
+            ON u.host = h.host AND u.path = h.path
+        ORDER BY u.doc_id
     """
 
     # q171: the canonicalization replayed step-for-step — same regexes

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q169_html_extract",      # HTML main-content + link-density filter
     "q170_warc_parse",        # WARC Content-Length-framed record walk
     "q171_url_normalize",     # URL canonicalization (scan-side, 0-shuffle)
+    "q172_robots_gate",       # RFC 9309 robots evaluator (broadcast join)
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -481,3 +481,52 @@ def test_url_normalize_canonical_forms(spark):
     for (u, want_n, want_h), row in zip(cases, out):
         assert row["n"] == want_n, (u, row["n"])
         assert row["h"] == want_h, (u, row["h"])
+
+
+def test_robots_parse_and_eval(spark):
+    """RFC 9309: UA-group formation (multi-agent groups, exact token
+    beats '*', winning-token groups merge), longest-rule-octets
+    precedence with Allow winning ties, '*' and '$' wildcards,
+    empty-Disallow = allow-all, robots-less host = allowed."""
+    from memory_engine_spark.operators import crawl
+
+    r1 = ("# crawl policy\n"
+          "User-agent: SparkBot\n"
+          "User-agent: otherbot\n"
+          "Disallow: /private\n"
+          "Allow: /private/ok\n"
+          "Disallow: /tmp/*.log$\n"
+          "Allow: /dir\n"
+          "Disallow: /dir\n"
+          "\n"
+          "User-agent: *\n"
+          "Disallow: /\n")
+    r2 = "User-agent: *\nDisallow: /\nUser-agent: nobody\nDisallow:\n"
+    robots = crawl.parse_robots(
+        spark.createDataFrame([("h1", r1), ("h2", r2)],
+                              "host string, robots_txt string"))
+    rows = {(r["host"], r["rule"], r["allow"])
+            for r in robots.collect()}
+    assert ("h1", "/private", False) in rows
+    assert ("h1", "/private/ok", True) in rows
+    assert ("h2", "/", False) in rows
+    # empty Disallow dropped; the nobody group contributes no rules
+    assert not any(h == "h2" and rule == "" for h, rule, _ in rows)
+
+    urls = spark.createDataFrame(
+        [("h1", "/private/x"), ("h1", "/private/ok/page"),
+         ("h1", "/public"), ("h1", "/tmp/a.log"),
+         ("h1", "/tmp/a.log.bak"), ("h1", "/dir/page"),
+         ("h2", "/anything"), ("h3", "/no/robots")],
+        "host string, path string")
+    out = {(r["host"], r["path"]): (r["allowed"], r["matched_rule"])
+           for r in crawl.robots_allowed(urls, robots,
+                                         agent="sparkbot").collect()}
+    assert out[("h1", "/private/x")] == (False, "/private")
+    assert out[("h1", "/private/ok/page")] == (True, "/private/ok")
+    assert out[("h1", "/public")] == (True, None)     # no match
+    assert out[("h1", "/tmp/a.log")] == (False, "/tmp/*.log$")
+    assert out[("h1", "/tmp/a.log.bak")][0] is True   # $ anchor holds
+    assert out[("h1", "/dir/page")] == (True, "/dir") # tie -> Allow
+    assert out[("h2", "/anything")] == (False, "/")   # '*' group
+    assert out[("h3", "/no/robots")] == (True, None)  # robots-less
