@@ -4565,6 +4565,47 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q173_gzip_members(spark, sf):
+    """Multi-member gzip splitting under the oracle gate — the
+    byte-level mechanism behind q170's scale claim (Common Crawl
+    compresses one WARC record per gzip member so object-store range
+    reads split at member boundaries; a reader that treats the file
+    as ONE stream cannot parallelize). Each document synthesizes a
+    (2 + doc_id%3)-member gzip whose member bodies follow a
+    deterministic formula; `formats.gzip_members` walks the actual
+    bytes — fresh inflate per member, `unused_data` handoff, eof +
+    trailing-garbage validation — and emits per-member digests. The
+    oracle regenerates the facts from the formula, so a member-
+    boundary or inflate-state bug breaks the hash. Compressed bytes
+    are never hashed (compressor output is environment-specific);
+    the DECODED side is what correctness means."""
+    from memory_engine_spark.sources.formats import gzip_members
+
+    docs = (_t(spark, sf)["documents"].select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                blob = b""
+                for k in range(2 + d % 3):
+                    o = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    body = f"doc {d} member {k} {txt}".encode()
+                    blob += o.compress(body) + o.flush()
+                ids.append(f"m_{d}")
+                payloads.append(blob)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return gzip_members(media).orderBy("media_id", "member_idx")
+
+
 def q172_robots_gate(spark, sf):
     """robots.txt evaluation under the oracle gate (RFC 9309 — the
     crawl frontier's fetch gate): five hosts carry synthetic robots
@@ -4855,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_warc_parse": q170_warc_parse,
         "q171_url_normalize": q171_url_normalize,
         "q172_robots_gate": q172_robots_gate,
+        "q173_gzip_members": q173_gzip_members,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4932,7 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q166_flac_audio", "q167_flac_stereo",
                       "q168_ivf_append_probe", "q169_html_extract",
                       "q170_warc_parse", "q171_url_normalize",
-                      "q172_robots_gate"]
+                      "q172_robots_gate", "q173_gzip_members"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -8985,6 +9027,27 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q173: per-member facts regenerated from the body formula —
+    # compressed bytes are never hashed (compressor output varies by
+    # build); the decoded member inventory is the contract.
+    sql["q173_gzip_members"] = """
+        WITH d AS (
+            SELECT doc_id, text, 2 + doc_id % 3 AS nm FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, unnest(range(0, nm)) AS k FROM d
+        ),
+        b AS (
+            SELECT doc_id, k,
+                   'doc ' || doc_id || ' member ' || k || ' ' || text
+                       AS body
+            FROM m
+        )
+        SELECT 'm_' || doc_id AS media_id, k::INT AS member_idx,
+               strlen(body)::BIGINT AS n_bytes, md5(body) AS body_md5
+        FROM b ORDER BY media_id, member_idx
     """
 
     # q172: the ENTIRE robots evaluator replayed relationally — line

@@ -238,3 +238,58 @@ def warc_records(df: DataFrame, payload_col: str = "payload",
                   "uri string, http_status int, content_type string, "
                   "body_len long, body_md5 string")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+def split_gzip_members(payload: bytes) -> list[bytes]:
+    """Split a MULTI-MEMBER gzip stream into its decompressed members
+    (RFC 1952 allows concatenated members; Common Crawl compresses
+    one WARC record per member precisely so an object-store range
+    read can start at any member boundary). stdlib zlib only:
+    each member inflates with a fresh decompressobj(wbits=31) and
+    ``unused_data`` marks where the next member starts. Truncated
+    members or non-gzip trailing bytes raise."""
+    import zlib
+
+    b = payload or b""
+    members: list[bytes] = []
+    while b:
+        if b[:2] != b"\x1f\x8b":
+            raise ValueError(
+                f"member {len(members)}: not a gzip header")
+        obj = zlib.decompressobj(wbits=31)
+        try:
+            out = obj.decompress(b)
+        except zlib.error as exc:
+            raise ValueError(f"member {len(members)}: {exc}") from exc
+        if not obj.eof:
+            raise ValueError(f"member {len(members)}: truncated")
+        members.append(out)
+        b = obj.unused_data
+    return members
+
+
+def gzip_members(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """Multi-member gzip → per-member facts as one Arrow
+    ``mapInPandas`` stage: (id, member_idx, n_bytes, body_md5).
+    Like ``warc_records``, only digests and lengths shuffle."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for k, body in enumerate(split_gzip_members(b)):
+                    rows.append({
+                        id_col: mid, "member_idx": k,
+                        "n_bytes": len(body),
+                        "body_md5": hashlib.md5(body).hexdigest()})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "member_idx", "n_bytes", "body_md5"])
+
+    out_schema = (f"{id_col} string, member_idx int, n_bytes long, "
+                  "body_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

@@ -1372,3 +1372,36 @@ def test_jpeg_restart_markers():
     bad[jp.find(b"\xff\xd0") + 1] = 0xD5
     with _pytest.raises(ValueError, match="restart marker"):
         multimodal.decode_jpeg_color(bytes(bad))
+
+
+def test_gzip_member_split_and_stage(spark):
+    """Multi-member gzip splits at member boundaries (fresh inflate +
+    unused_data handoff), empty members survive, truncation and
+    trailing garbage raise, and the Spark stage emits digests."""
+    import hashlib
+    import zlib
+
+    import pytest as _pytest
+
+    from memory_engine_spark.sources.formats import (gzip_members,
+                                                     split_gzip_members)
+
+    def gz(data):
+        o = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return o.compress(data) + o.flush()
+
+    blob = gz(b"first member") + gz(b"") + gz(b"third\x00bin\xff")
+    assert split_gzip_members(blob) == [b"first member", b"",
+                                        b"third\x00bin\xff"]
+    with _pytest.raises(ValueError, match="truncated"):
+        split_gzip_members(blob[:-4])
+    with _pytest.raises(ValueError, match="not a gzip header"):
+        split_gzip_members(blob + b"JUNK")
+
+    df = spark.createDataFrame([("g1", bytearray(blob))],
+                               "media_id string, payload binary")
+    rows = {r["member_idx"]: r for r in gzip_members(df).collect()}
+    assert rows[0]["n_bytes"] == 12
+    assert rows[1]["n_bytes"] == 0
+    assert rows[2]["body_md5"] == hashlib.md5(b"third\x00bin\xff") \
+        .hexdigest()
