@@ -4565,6 +4565,50 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q174_charset_decode(spark, sf):
+    """Charset detection + transcoding under the oracle gate — HTTP
+    bodies are NOT all UTF-8, and a pipeline that assumes so mangles
+    every Latin-1 page. Each document's payload rotates through four
+    real encodings: plain UTF-8 with a non-ASCII char, Latin-1 (whose
+    0xE9 'é' byte is INVALID standalone UTF-8 — the detection
+    trigger), BOM'd UTF-16-LE, and UTF-8-sig; `formats.
+    decode_text_payloads` sniffs (BOMs first, then strict UTF-8
+    validation, Latin-1 fallback — validation ORDER is the whole
+    algorithm), strips the BOM, transcodes, and emits the md5 of the
+    UTF-8 re-encoding. The oracle regenerates the expected decoded
+    strings as SQL literals (DuckDB md5 hashes UTF-8 bytes, the same
+    canonical form), so a detection-order, BOM-strip, or transcode
+    bug breaks the hash."""
+    from memory_engine_spark.sources.formats import decode_text_payloads
+
+    docs = (_t(spark, sf)["documents"].select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = f"doc {d} café {d % 7}"
+                v = d % 4
+                if v == 0:
+                    b = (base + " snow ☃").encode("utf-8")
+                elif v == 1:
+                    b = (base + " æther").encode("latin-1")
+                elif v == 2:
+                    b = b"\xff\xfe" + (base + " utf16").encode("utf-16-le")
+                else:
+                    b = b"\xef\xbb\xbf" + (base + " sig").encode("utf-8")
+                ids.append(f"m_{d}")
+                payloads.append(b)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return decode_text_payloads(media).orderBy("media_id")
+
+
 def q173_gzip_members(spark, sf):
     """Multi-member gzip splitting under the oracle gate — the
     byte-level mechanism behind q170's scale claim (Common Crawl
@@ -4897,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_url_normalize": q171_url_normalize,
         "q172_robots_gate": q172_robots_gate,
         "q173_gzip_members": q173_gzip_members,
+        "q174_charset_decode": q174_charset_decode,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -4974,7 +5019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q166_flac_audio", "q167_flac_stereo",
                       "q168_ivf_append_probe", "q169_html_extract",
                       "q170_warc_parse", "q171_url_normalize",
-                      "q172_robots_gate", "q173_gzip_members"]
+                      "q172_robots_gate", "q173_gzip_members",
+                      "q174_charset_decode"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9027,6 +9073,33 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q174: expected decoded strings regenerated as SQL literals (the
+    # source file is UTF-8; DuckDB md5 hashes the string's UTF-8
+    # bytes — the same canonical re-encoding the Spark stage emits).
+    sql["q174_charset_decode"] = """
+        WITH d AS (
+            SELECT doc_id, 'doc ' || doc_id || ' café ' || (doc_id % 7)
+                       AS base,
+                   doc_id % 4 AS v
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, v,
+                   CASE v WHEN 0 THEN base || ' snow ☃'
+                          WHEN 1 THEN base || ' æther'
+                          WHEN 2 THEN base || ' utf16'
+                          ELSE base || ' sig' END AS txt,
+                   CASE v WHEN 0 THEN 'utf-8'
+                          WHEN 1 THEN 'latin-1'
+                          WHEN 2 THEN 'utf-16-le'
+                          ELSE 'utf-8-sig' END AS charset
+            FROM d
+        )
+        SELECT 'm_' || doc_id AS media_id, charset,
+               length(txt)::BIGINT AS n_chars, md5(txt) AS text_md5
+        FROM t ORDER BY media_id
     """
 
     # q173: per-member facts regenerated from the body formula —

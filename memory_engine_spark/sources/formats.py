@@ -293,3 +293,58 @@ def gzip_members(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, member_idx int, n_bytes long, "
                   "body_md5 string")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+def sniff_text_encoding(b: bytes) -> str:
+    """Charset detection the way a crawl pipeline actually does it:
+    BOMs first (UTF-8-sig, UTF-16 LE/BE), then strict UTF-8
+    validation, Latin-1 as the can't-fail fallback (every byte
+    string is valid Latin-1 — which is why validation ORDER is the
+    whole algorithm)."""
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if b[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if b[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    try:
+        b.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def decode_text_payloads(df: DataFrame, payload_col: str = "payload",
+                         id_col: str = "media_id") -> DataFrame:
+    """bytes → text with charset detection, as one Arrow
+    ``mapInPandas`` stage: (id, charset, n_chars, text_md5) where
+    text_md5 hashes the decoded text re-encoded as UTF-8 — the
+    canonical form everything downstream sees. HTTP bodies are NOT
+    all UTF-8; a pipeline that assumes so silently mangles every
+    Latin-1 page (the most common real-world corruption)."""
+    import hashlib
+
+    _BOM_STRIP = {"utf-8-sig": 3, "utf-16-le": 2, "utf-16-be": 2}
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                enc = sniff_text_encoding(b)
+                body = b[_BOM_STRIP.get(enc, 0):]
+                txt = body.decode(
+                    {"utf-8-sig": "utf-8"}.get(enc, enc))
+                rows.append({
+                    id_col: mid, "charset": enc,
+                    "n_chars": len(txt),
+                    "text_md5": hashlib.md5(
+                        txt.encode("utf-8")).hexdigest()})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "charset", "n_chars", "text_md5"])
+
+    out_schema = (f"{id_col} string, charset string, n_chars long, "
+                  "text_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

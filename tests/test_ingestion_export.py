@@ -1405,3 +1405,42 @@ def test_gzip_member_split_and_stage(spark):
     assert rows[1]["n_bytes"] == 0
     assert rows[2]["body_md5"] == hashlib.md5(b"third\x00bin\xff") \
         .hexdigest()
+
+
+def test_charset_sniff_and_decode(spark):
+    """BOMs beat content sniffing, invalid-UTF-8 bytes trigger the
+    Latin-1 fallback, BOM bytes are stripped before decode, and the
+    md5 canonicalizes through UTF-8 re-encoding."""
+    import hashlib
+
+    from memory_engine_spark.sources.formats import (
+        decode_text_payloads, sniff_text_encoding)
+
+    assert sniff_text_encoding("café".encode("utf-8")) == "utf-8"
+    assert sniff_text_encoding(
+        "café".encode("latin-1")) == "latin-1"
+    assert sniff_text_encoding(
+        b"\xef\xbb\xbfhi") == "utf-8-sig"
+    assert sniff_text_encoding(
+        b"\xff\xfe" + "hi".encode("utf-16-le")) == "utf-16-le"
+    assert sniff_text_encoding(
+        b"\xfe\xff" + "hi".encode("utf-16-be")) == "utf-16-be"
+
+    rows = [("u8", "naïve ☃".encode("utf-8")),
+            ("l1", "naïve".encode("latin-1")),
+            ("u16", b"\xff\xfe" + "naïve".encode("utf-16-le")),
+            ("sig", b"\xef\xbb\xbf" + "naïve".encode("utf-8"))]
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in rows],
+        "media_id string, payload binary")
+    out = {r["media_id"]: r
+           for r in decode_text_payloads(df).collect()}
+    assert out["u8"]["charset"] == "utf-8"
+    assert out["l1"]["charset"] == "latin-1"
+    assert out["u16"]["charset"] == "utf-16-le"
+    assert out["sig"]["charset"] == "utf-8-sig"
+    for key, want in (("l1", "naïve"), ("u16", "naïve"),
+                      ("sig", "naïve")):
+        assert out[key]["n_chars"] == len(want)
+        assert out[key]["text_md5"] == hashlib.md5(
+            want.encode("utf-8")).hexdigest()
