@@ -4565,6 +4565,60 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q175_sitemap_parse(spark, sf):
+    """Sitemap XML parsing under the oracle gate (sitemaps.org —
+    crawl discovery's other input next to q172's robots gate): most
+    documents render a <urlset> with 1 + doc_id%3 <url> entries
+    (whitespace-padded <loc>; <lastmod>/<priority> only on entries
+    before the last → the last entry exercises the spec default
+    priority 0.5); every 7th document
+    renders a <sitemapindex> of child sitemap pointers instead —
+    `crawl.parse_sitemap` must dispatch on the document kind and
+    parse both shapes with the same field machinery. The oracle
+    replays the entry grid + defaults, so a block-regex, trim,
+    kind-dispatch, or default bug breaks the hash. Scale shape:
+    scan-side explode, bounded by the spec's 50k-URL cap, zero
+    shuffle."""
+    from memory_engine_spark.operators import crawl
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+    d = F.col("doc_id")
+    h = (d % 5).cast("string")
+
+    def url_entry(k):
+        loc = F.concat(F.lit("\n  <url><loc>  https://site"), h,
+                       F.lit(".org/p"), (d % 7).cast("string"),
+                       F.lit(f"/{k} </loc>"))
+        lastmod = F.concat(F.lit("<lastmod>2024-0"),
+                           ((d + k) % 9 + 1).cast("string"),
+                           F.lit("-15</lastmod>"))
+        prio = F.lit(f"<priority>0.{k + 3}</priority>")
+        return F.concat(
+            loc,
+            F.when(F.lit(k) < (d % 3), lastmod).otherwise(F.lit("")),
+            F.when(F.lit(k) < (d % 3), prio).otherwise(F.lit("")),
+            F.lit("</url>"))
+
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        url_entry(0),
+        F.when(d % 3 >= 1, url_entry(1)).otherwise(F.lit("")),
+        F.when(d % 3 >= 2, url_entry(2)).otherwise(F.lit("")),
+        F.lit("\n</urlset>"))
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.lit("\n <sitemap><loc> https://site"), h,
+        F.lit(".org/sitemap-a.xml </loc>"
+              "<lastmod>2024-02-01</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>https://site"), h,
+        F.lit(".org/sitemap-b.xml</loc></sitemap>\n</sitemapindex>"))
+    xml = F.when(d % 7 == 0, index).otherwise(urlset)
+    sm = docs.select(F.col("doc_id").alias("host"),
+                     xml.alias("sitemap_xml"))
+    return (crawl.parse_sitemap(sm, "sitemap_xml", "host")
+            .orderBy("host", "url_idx"))
+
+
 def q174_charset_decode(spark, sf):
     """Charset detection + transcoding under the oracle gate — HTTP
     bodies are NOT all UTF-8, and a pipeline that assumes so mangles
@@ -4942,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_robots_gate": q172_robots_gate,
         "q173_gzip_members": q173_gzip_members,
         "q174_charset_decode": q174_charset_decode,
+        "q175_sitemap_parse": q175_sitemap_parse,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5020,7 +5075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q168_ivf_append_probe", "q169_html_extract",
                       "q170_warc_parse", "q171_url_normalize",
                       "q172_robots_gate", "q173_gzip_members",
-                      "q174_charset_decode"]
+                      "q174_charset_decode", "q175_sitemap_parse"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9073,6 +9128,47 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q175: the sitemap entry grid replayed — kind dispatch by doc,
+    # per-entry optional fields, spec default priority 0.5.
+    sql["q175_sitemap_parse"] = """
+        WITH d AS (
+            SELECT doc_id, doc_id % 5 AS h, doc_id % 3 AS nm,
+                   doc_id % 7 AS p
+            FROM documents
+        ),
+        us AS (
+            SELECT doc_id, h, nm, p, unnest(range(0, nm + 1)) AS k
+            FROM d WHERE p <> 0
+        ),
+        urlset AS (
+            SELECT doc_id AS host, 'urlset' AS kind,
+                   k::INT AS url_idx,
+                   'https://site' || h || '.org/p' || p || '/' || k
+                       AS loc,
+                   CASE WHEN k < nm
+                        THEN '2024-0' || ((doc_id + k) % 9 + 1)
+                             || '-15' END AS lastmod,
+                   CASE WHEN k < nm
+                        THEN ('0.' || (k + 3))::DOUBLE
+                        ELSE 0.5 END AS priority
+            FROM us
+        ),
+        idx AS (
+            SELECT doc_id AS host, 'sitemapindex' AS kind,
+                   k::INT AS url_idx,
+                   'https://site' || h || '.org/sitemap-'
+                   || (CASE k WHEN 0 THEN 'a' ELSE 'b' END)
+                   || '.xml' AS loc,
+                   CASE WHEN k = 0 THEN '2024-02-01' END AS lastmod,
+                   0.5 AS priority
+            FROM (SELECT doc_id, h, unnest(range(0, 2)) AS k
+                  FROM d WHERE p = 0)
+        )
+        SELECT * FROM urlset
+        UNION ALL SELECT * FROM idx
+        ORDER BY host, url_idx
     """
 
     # q174: expected decoded strings regenerated as SQL literals (the

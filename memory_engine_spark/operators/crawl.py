@@ -131,3 +131,40 @@ def robots_allowed(urls: DataFrame, robots: DataFrame,
                     F.coalesce(F.col("_best.allow"), F.lit(True))
                     .alias("allowed"),
                     F.col("_best.rule").alias("matched_rule")))
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml",
+                  host_col: str = "host") -> DataFrame:
+    """Sitemap XML → URL inventory (sitemaps.org protocol): both
+    document kinds (<urlset> of <url> entries; <sitemapindex> of
+    child <sitemap> pointers) parsed with the same relational
+    machinery as q169's HTML path — regexp_extract_all over entry
+    blocks, posexplode, per-entry field extraction with whitespace
+    trimming, spec default priority 0.5. Returns (host, kind,
+    url_idx, loc, lastmod, priority). Regexes stay in the Java∩RE2
+    subset so the oracle replays the parse verbatim.
+
+    Scale shape: one scan-side explode per sitemap file (the spec
+    caps a sitemap at 50k URLs / 50 MB — bounded fan-out), no
+    shuffle until whatever joins the frontier does downstream."""
+    kind = F.when(
+        F.col(xml_col).rlike("<sitemapindex[^>]*>"), "sitemapindex") \
+        .otherwise("urlset")
+    blocks = (df.select(
+        host_col, kind.alias("kind"),
+        F.posexplode(F.expr(
+            f"regexp_extract_all({xml_col}, "
+            f"CASE WHEN {xml_col} rlike '<sitemapindex[^>]*>' "
+            f"THEN '(?s)<sitemap>(.*?)</sitemap>' "
+            f"ELSE '(?s)<url>(.*?)</url>' END, 1)"))
+        .alias("url_idx", "_blk")))
+    loc = F.trim(F.regexp_extract("_blk", r"(?s)<loc>(.*?)</loc>", 1))
+    lastmod = F.trim(F.regexp_extract(
+        "_blk", r"(?s)<lastmod>(.*?)</lastmod>", 1))
+    prio = F.trim(F.regexp_extract(
+        "_blk", r"(?s)<priority>(.*?)</priority>", 1))
+    return blocks.select(
+        host_col, "kind", "url_idx", loc.alias("loc"),
+        F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+        F.coalesce(F.when(prio == "", None).otherwise(prio)
+                   .cast("double"), F.lit(0.5)).alias("priority"))

@@ -530,3 +530,30 @@ def test_robots_parse_and_eval(spark):
     assert out[("h1", "/dir/page")] == (True, "/dir") # tie -> Allow
     assert out[("h2", "/anything")] == (False, "/")   # '*' group
     assert out[("h3", "/no/robots")] == (True, None)  # robots-less
+
+
+def test_sitemap_parse_both_kinds(spark):
+    """urlset and sitemapindex dispatch, whitespace-trimmed <loc>,
+    optional lastmod, spec default priority 0.5."""
+    from memory_engine_spark.operators import crawl
+
+    us = ('<?xml version="1.0"?><urlset>'
+          '<url><loc>  https://a.org/x </loc>'
+          '<lastmod>2024-03-01</lastmod>'
+          '<priority>0.8</priority></url>'
+          '<url><loc>https://a.org/y</loc></url></urlset>')
+    si = ('<sitemapindex><sitemap><loc> https://b.org/s1.xml </loc>'
+          '</sitemap><sitemap><loc>https://b.org/s2.xml</loc>'
+          '<lastmod>2024-01-02</lastmod></sitemap></sitemapindex>')
+    df = spark.createDataFrame([("a", us), ("b", si)],
+                               "host string, sitemap_xml string")
+    out = {(r["host"], r["url_idx"]): r
+           for r in crawl.parse_sitemap(df).collect()}
+    assert out[("a", 0)]["loc"] == "https://a.org/x"
+    assert out[("a", 0)]["priority"] == 0.8
+    assert out[("a", 0)]["lastmod"] == "2024-03-01"
+    assert out[("a", 1)]["priority"] == 0.5      # spec default
+    assert out[("a", 1)]["lastmod"] is None
+    assert out[("b", 0)]["kind"] == "sitemapindex"
+    assert out[("b", 0)]["loc"] == "https://b.org/s1.xml"
+    assert out[("b", 1)]["lastmod"] == "2024-01-02"
