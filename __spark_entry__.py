@@ -4565,6 +4565,43 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q176_pdf_text(spark, sf):
+    """REAL PDF text extraction under the oracle gate (ISO 32000
+    subset) — PDF corpora are a standard pretraining source, and the
+    text layer is pure structure: each document synthesizes a
+    multi-page PDF (1 + doc_id%3 pages) with a REAL xref table,
+    object graph (catalog → pages tree → page → FlateDecode'd
+    content stream), Tj on even pages and kerned TJ arrays on odd
+    ones, and parentheses IN the text so string escaping is
+    exercised; `formats.pdf_texts` walks startxref → xref offsets →
+    trailer /Root → /Kids order → /Length-sliced streams → inflate →
+    text operators. The oracle regenerates per-page texts from the
+    formula, so an xref-offset, stream-slice, filter, operator, or
+    escape bug breaks the hash. Scale posture: PDFs parallelize by
+    FILE (the xref is per-document state); the Arrow stage's unit is
+    the document, digests only shuffle."""
+    from memory_engine_spark.sources.formats import pdf_texts, synth_pdf
+
+    docs = (_t(spark, sf)["documents"].select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pages = [f"Doc {d} page {k} (sec {d % 7}) body"
+                         for k in range(1 + d % 3)]
+                ids.append(f"m_{d}")
+                payloads.append(synth_pdf(pages))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return pdf_texts(media).orderBy("media_id", "page_idx")
+
+
 def q175_sitemap_parse(spark, sf):
     """Sitemap XML parsing under the oracle gate (sitemaps.org —
     crawl discovery's other input next to q172's robots gate): most
@@ -4997,6 +5034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_gzip_members": q173_gzip_members,
         "q174_charset_decode": q174_charset_decode,
         "q175_sitemap_parse": q175_sitemap_parse,
+        "q176_pdf_text": q176_pdf_text,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5075,7 +5113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q168_ivf_append_probe", "q169_html_extract",
                       "q170_warc_parse", "q171_url_normalize",
                       "q172_robots_gate", "q173_gzip_members",
-                      "q174_charset_decode", "q175_sitemap_parse"]
+                      "q174_charset_decode", "q175_sitemap_parse",
+                      "q176_pdf_text"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9130,6 +9169,27 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY doc_id, n ORDER BY media_id
     """
 
+    # q176: per-page texts regenerated from the formula — the texts
+    # contain parentheses, so the md5 additionally pins PDF string
+    # escaping on both twins.
+    sql["q176_pdf_text"] = """
+        WITH d AS (
+            SELECT doc_id, 1 + doc_id % 3 AS np FROM documents
+        ),
+        p AS (
+            SELECT doc_id, unnest(range(0, np)) AS k FROM d
+        ),
+        t AS (
+            SELECT doc_id, k,
+                   'Doc ' || doc_id || ' page ' || k || ' (sec '
+                   || (doc_id % 7) || ') body' AS txt
+            FROM p
+        )
+        SELECT 'm_' || doc_id AS media_id, k::INT AS page_idx,
+               strlen(txt)::BIGINT AS n_chars, md5(txt) AS text_md5
+        FROM t ORDER BY media_id, page_idx
+    """
+
     # q175: the sitemap entry grid replayed — kind dispatch by doc,
     # per-entry optional fields, spec default priority 0.5.
     sql["q175_sitemap_parse"] = """
@@ -9324,8 +9384,8 @@ def oracle_sql() -> dict[str, str]:
         hits AS (
             SELECT u2.host, u2.path,
                    arg_max(struct_pack(al := r.allow, ru := r.rule),
-                           [r.rule_len,
-                            CASE WHEN r.allow THEN 1 ELSE 0 END])
+                           r.rule_len * 2
+                           + CASE WHEN r.allow THEN 1 ELSE 0 END)
                        AS best
             FROM (SELECT DISTINCT host, path FROM u) u2
             JOIN rules r ON u2.host = r.host

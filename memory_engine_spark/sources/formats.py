@@ -348,3 +348,220 @@ def decode_text_payloads(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, charset string, n_chars long, "
                   "text_md5 string")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (ISO 32000 subset) — PDF corpora are a standard
+# pretraining source, and the text layer is recoverable with stdlib
+# only: the document is an OBJECT GRAPH located by the xref table
+# (startxref → xref offsets → trailer /Root → /Pages → /Kids →
+# /Contents), page content is a (usually FlateDecode'd) operator
+# stream, and text arrives via the Tj / TJ operators with PDF string
+# escapes. The parser walks that real structure — a reader that greps
+# for parentheses without xref/object framing breaks on the synth's
+# multi-page files. Honest-subset seams: non-Flate filters and
+# encrypted documents raise.
+# ---------------------------------------------------------------------------
+
+
+def synth_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Assemble a spec-shaped PDF: header, catalog → pages tree →
+    per-page objects with FlateDecode'd (or raw) content streams
+    ('BT /F1 12 Tf 72 720 Td (…) Tj ET', with TJ arrays every other
+    page), a Type1 font, a REAL xref table with byte-exact offsets,
+    trailer + startxref. The encode twin of ``pdf_page_texts``."""
+    import zlib
+
+    def esc(s: str) -> bytes:
+        return (s.replace("\\", r"\\").replace("(", r"\(")
+                .replace(")", r"\)").encode("latin-1"))
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids ["
+            + b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
+            + b"] /Count %d >>" % n_pages),
+        font_num: (b"<< /Type /Font /Subtype /Type1 "
+                   b"/BaseFont /Helvetica >>"),
+    }
+    streams: dict[int, bytes] = {}
+    for i, text in enumerate(pages):
+        page_num, cont_num = 3 + 2 * i, 4 + 2 * i
+        objs[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> "
+            b">> >>" % (cont_num, font_num))
+        if i % 2 == 0:
+            body = b"BT /F1 12 Tf 72 720 Td (" + esc(text) + b") Tj ET"
+        else:                       # TJ array with kerning numbers
+            half = len(text) // 2
+            body = (b"BT /F1 12 Tf 72 720 Td [(" + esc(text[:half])
+                    + b") -120 (" + esc(text[half:]) + b")] TJ ET")
+        streams[cont_num] = zlib.compress(body) if compress else body
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(set(objs) | set(streams)):
+        offsets[num] = len(out)
+        if num in objs:
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        else:
+            s = streams[num]
+            filt = b" /Filter /FlateDecode" if compress else b""
+            out += (b"%d 0 obj\n<< /Length %d%s >>\nstream\n"
+                    % (num, len(s), filt)
+                    + s + b"\nendstream\nendobj\n")
+    xref_off = len(out)
+    maxn = max(offsets)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (maxn + 1)
+    for num in range(1, maxn + 1):
+        out += (b"%010d 00000 n \n" % offsets[num]
+                if num in offsets else b"0000000000 65535 f \n")
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF\n" % (maxn + 1, xref_off))
+    return bytes(out)
+
+
+def _pdf_unescape(b: bytes) -> str:
+    """PDF literal-string unescape: \\ \\( \\) \\n \\r \\t and
+    3-digit octal codes."""
+    out, i = [], 0
+    while i < len(b):
+        c = b[i]
+        if c == 0x5C and i + 1 < len(b):        # backslash
+            n = b[i + 1]
+            if n in b"nrt":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9}[n])
+                i += 2
+            elif 0x30 <= n <= 0x37:             # octal
+                j = i + 1
+                oct_digits = []
+                while j < len(b) and len(oct_digits) < 3 \
+                        and 0x30 <= b[j] <= 0x37:
+                    oct_digits.append(b[j])
+                    j += 1
+                out.append(int(bytes(oct_digits), 8) & 0xFF)
+                i = j
+            else:
+                out.append(n)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out).decode("latin-1")
+
+
+def pdf_page_texts(payload: bytes) -> list[str]:
+    """REAL PDF text extraction: startxref → xref table → trailer
+    /Root → catalog /Pages → /Kids page order → per page /Contents →
+    stream slice by /Length → FlateDecode when filtered → Tj and TJ
+    text operators with string unescaping. Returns the per-page text
+    in Kids order. Encrypted PDFs and non-Flate filters raise."""
+    import re
+    import zlib
+
+    b = payload or b""
+    if b[:5] != b"%PDF-":
+        raise ValueError("not a PDF payload")
+    tail = b[-256:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not m:
+        raise ValueError("missing startxref")
+    xref_off = int(m.group(1))
+    if b[xref_off:xref_off + 4] != b"xref":
+        raise ValueError("startxref does not point at an xref table")
+    mx = re.match(rb"xref\s+(\d+)\s+(\d+)\s*\n", b[xref_off:])
+    if not mx:
+        raise ValueError("malformed xref header")
+    first, count = int(mx.group(1)), int(mx.group(2))
+    entries_at = xref_off + mx.end()
+    offsets: dict[int, int] = {}
+    for k in range(count):
+        e = b[entries_at + 20 * k:entries_at + 20 * (k + 1)]
+        if e[17:18] == b"n":
+            offsets[first + k] = int(e[:10])
+    trailer_at = b.find(b"trailer", entries_at + 20 * count)
+    if trailer_at < 0:
+        raise ValueError("missing trailer")
+    trailer = b[trailer_at:trailer_at + 512]
+    if b"/Encrypt" in trailer:
+        raise NotImplementedError("encrypted PDFs not supported")
+    mroot = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
+    if not mroot:
+        raise ValueError("trailer has no /Root")
+
+    def obj(num: int) -> bytes:
+        off = offsets.get(num)
+        if off is None:
+            raise ValueError(f"object {num} not in xref")
+        end = b.find(b"endobj", off)
+        return b[off:end if end > 0 else len(b)]
+
+    catalog = obj(int(mroot.group(1)))
+    mp = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog)
+    if not mp:
+        raise ValueError("catalog has no /Pages")
+    mk = re.search(rb"/Kids\s*\[([^\]]*)\]", obj(int(mp.group(1))))
+    if not mk:
+        raise ValueError("pages tree has no /Kids")
+    kids = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", mk.group(1))]
+
+    texts = []
+    for pg in kids:
+        page = obj(pg)
+        mc = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
+        if not mc:
+            texts.append("")
+            continue
+        cont = obj(int(mc.group(1)))
+        ml = re.search(rb"/Length\s+(\d+)", cont)
+        ms = re.search(rb"stream\r?\n", cont)
+        if not ml or not ms:
+            raise ValueError(f"page {pg}: malformed content stream")
+        raw = cont[ms.end():ms.end() + int(ml.group(1))]
+        mf = re.search(rb"/Filter\s*/(\w+)", cont)
+        if mf and mf.group(1) == b"FlateDecode":
+            raw = zlib.decompress(raw)
+        elif mf:
+            raise NotImplementedError(
+                f"filter {mf.group(1).decode()} not supported")
+        parts = []
+        strpat = rb"\(((?:\\.|[^()\\])*)\)"
+        for mm in re.finditer(strpat + rb"\s*Tj", raw):
+            parts.append(_pdf_unescape(mm.group(1)))
+        for mm in re.finditer(rb"\[((?:" + strpat
+                              + rb"|[^\[\]])*)\]\s*TJ", raw):
+            parts.extend(_pdf_unescape(x)
+                         for x in re.findall(strpat, mm.group(1)))
+        texts.append("".join(parts))
+    return texts
+
+
+def pdf_texts(df: DataFrame, payload_col: str = "payload",
+              id_col: str = "media_id") -> DataFrame:
+    """PDF → per-page text facts as one Arrow ``mapInPandas`` stage:
+    (id, page_idx, n_chars, text_md5) — digests only, like the WARC
+    and gzip stages."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for k, txt in enumerate(pdf_page_texts(b)):
+                    rows.append({
+                        id_col: mid, "page_idx": k,
+                        "n_chars": len(txt),
+                        "text_md5": hashlib.md5(
+                            txt.encode("utf-8")).hexdigest()})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "page_idx", "n_chars", "text_md5"])
+
+    out_schema = (f"{id_col} string, page_idx int, n_chars long, "
+                  "text_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

@@ -557,3 +557,46 @@ def test_sitemap_parse_both_kinds(spark):
     assert out[("b", 0)]["kind"] == "sitemapindex"
     assert out[("b", 0)]["loc"] == "https://b.org/s1.xml"
     assert out[("b", 1)]["lastmod"] == "2024-01-02"
+
+
+def test_crawl_pipeline_end_to_end(spark):
+    """Integration: the full crawl front composed — a gzip'd WARC
+    whose response body is Latin-1 HTML flows through member split →
+    record parse → charset transcode → main-content extraction →
+    canonical URL, each stage the real operator."""
+    import zlib
+
+    from memory_engine_spark.sources.formats import (
+        parse_warc, sniff_text_encoding, split_gzip_members,
+        synth_warc)
+
+    html = ('<html><head><script>x<y</script></head><body>'
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+            '<p>Café naïve content</p></body></html>')
+    body = html.encode("latin-1")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + body)
+    warc = synth_warc([{"warc_type": "response",
+                        "uri": "HTTP://Site.ORG:80/a/b?utm_x=1&k=v#f",
+                        "block": http}])
+    o = zlib.compressobj(6, zlib.DEFLATED, 31)
+    payload = o.compress(warc) + o.flush()
+
+    members = split_gzip_members(payload)
+    assert len(members) == 1
+    rec = parse_warc(members[0])[0]
+    assert rec["http_status"] == 200
+    enc = sniff_text_encoding(rec["body"])
+    assert enc == "latin-1"
+    page = rec["body"].decode(enc)
+
+    df = spark.createDataFrame([(rec["uri"], page)],
+                               "url string, html string")
+    row = df.select(
+        text.url_normalize(F.col("url")).alias("u"),
+        F.col("html")).collect()[0]
+    assert row["u"] == "http://site.org/a/b?k=v"
+    out = text.html_main_content(
+        df.select(F.lit("d").alias("doc_id"), "html")).collect()[0]
+    assert out["text"] == "Café naïve content"
+    assert (out["n_blocks"], out["n_kept"]) == (2, 1)

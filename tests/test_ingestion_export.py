@@ -1444,3 +1444,42 @@ def test_charset_sniff_and_decode(spark):
         assert out[key]["n_chars"] == len(want)
         assert out[key]["text_md5"] == hashlib.md5(
             want.encode("utf-8")).hexdigest()
+
+
+def test_pdf_text_extraction(spark):
+    """PDF roundtrip through the REAL structure (xref offsets, object
+    graph, /Length-sliced FlateDecode streams, Tj + TJ operators,
+    string escapes incl. octal), the Spark stage, and loud-fail
+    contracts for junk / truncation / unsupported filters."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from memory_engine_spark.sources.formats import (pdf_page_texts,
+                                                     pdf_texts,
+                                                     synth_pdf)
+    pages = ["Hello (world) one", "Back\\slash two", "Three"]
+    for compress in (True, False):
+        assert pdf_page_texts(synth_pdf(pages, compress)) == pages
+    # octal escape decoded (\101 = 'A') — same-LENGTH patch of a raw
+    # stream (changing lengths would invalidate /Length and the xref
+    # offsets, which the strict parser rightly rejects)
+    raw = synth_pdf(["ABCD"], compress=False)
+    assert pdf_page_texts(raw) == ["ABCD"]
+    patched = raw.replace(b"(ABCD) Tj", b"(\\101) Tj")
+    assert pdf_page_texts(patched) == ["A"]
+
+    with _pytest.raises(ValueError):
+        pdf_page_texts(b"NOPE")
+    with _pytest.raises(ValueError):
+        pdf_page_texts(synth_pdf(["x"])[:-30])
+
+    blob = synth_pdf(pages)
+    df = spark.createDataFrame([("p1", bytearray(blob))],
+                               "media_id string, payload binary")
+    rows = {r["page_idx"]: r for r in pdf_texts(df).collect()}
+    assert len(rows) == 3
+    for k, txt in enumerate(pages):
+        assert rows[k]["n_chars"] == len(txt)
+        assert rows[k]["text_md5"] == hashlib.md5(
+            txt.encode("utf-8")).hexdigest()

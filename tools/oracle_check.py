@@ -71,6 +71,18 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        # Prefix selection ("q172" → q172_robots_gate); an argument
+        # matching nothing is a HARD error — a silently-empty filter
+        # once turned targeted checks into vacuous ALL MATCH runs.
+        selected = {n for n in qs
+                    if any(n == o or n.startswith(o) for o in only)}
+        unmatched = [o for o in only
+                     if not any(n == o or n.startswith(o) for n in qs)]
+        if unmatched:
+            print(f"ERROR: no query matches {unmatched}")
+            sys.exit(2)
+        only = selected
     failures = []
     results = {}
     for name, fn in qs.items():
