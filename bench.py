@@ -204,6 +204,21 @@ def scale_10x(spark, sf_dir: str) -> dict:
         return (docs.mapInPandas(synth, "media_id string, payload binary")
                 .mapInPandas(stats, "media_id string, psum long"))
 
+    def _html_probe(docs):
+        from pyspark.sql import functions as F
+
+        from memory_engine_spark.operators.text import html_main_content
+
+        html = F.concat(
+            F.lit("<html><head><script>x<y</script></head><body>"
+                  "<nav><a href='/'>Home</a> <a href='/a'>About</a>"
+                  "</nav><p>"),
+            F.col("text"),
+            F.lit(" <a href='/r'>ref</a></p><div><a href='/b'>Buy"
+                  "</a> <a href='/s'>Now</a></div></body></html>"))
+        return html_main_content(
+            docs.select("doc_id", html.alias("html")), "html", "doc_id")
+
     def rep(df, factor, shift_cols=(), str_cols=()):
         rdf = df.select(
             "*", F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("_r"))
@@ -296,6 +311,12 @@ def scale_10x(spark, sf_dir: str) -> dict:
         # decodes a baseline JPEG per (replicated) doc.
         "media_decode": lambda f: _media_decode_probe(
             rep(t["documents"].select("doc_id"), f,
+                shift_cols=["doc_id"])).count(),
+        # crawl wave: HTML extraction is pure JVM regex + one groupBy
+        # — wall-clock must scale linearly in docs (whole-stage
+        # codegen, no Python boundary).
+        "html_extract": lambda f: _html_probe(
+            rep(t["documents"].select("doc_id", "source", "text"), f,
                 shift_cols=["doc_id"])).count(),
     }
     # Compact JSON encoding — [x1_sec, x10_sec, wall_ratio,
