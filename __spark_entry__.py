@@ -4565,6 +4565,31 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q177_span_corruption(spark, sf):
+    """T5-style span corruption under the oracle gate (Raffel et al.
+    2020 §3.1.4 — the denoising-objective prep a seq2seq pretraining
+    pipeline runs over every document): deterministic md5 coin per
+    token (~20%), consecutive masked tokens collapse to one span,
+    the input swaps each span for an ordinal <extra_id_k> sentinel
+    and the target lists sentinel+hidden tokens with a terminal
+    sentinel. `corpus.span_corrupt` is pure relational machinery —
+    posexplode, gaps-and-islands span grouping (pos − row_number),
+    two ordered re-aggregations, per-document windows only — and
+    the oracle replays every step (the md5→int coin via the q65 hex
+    trick), so a span-boundary, sentinel-order, or coin bug breaks
+    the hash. Input+target reconstruct the original exactly (pinned
+    by a pytest invariant)."""
+    from memory_engine_spark.operators.corpus import span_corrupt
+
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    out = span_corrupt(docs, "text", "doc_id")
+    return (out.select(
+        "doc_id", F.md5("input_text").alias("input_md5"),
+        F.md5("target_text").alias("target_md5"),
+        "n_spans", "n_masked")
+        .orderBy("doc_id"))
+
+
 def q176_pdf_text(spark, sf):
     """REAL PDF text extraction under the oracle gate (ISO 32000
     subset) — PDF corpora are a standard pretraining source, and the
@@ -5035,6 +5060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_charset_decode": q174_charset_decode,
         "q175_sitemap_parse": q175_sitemap_parse,
         "q176_pdf_text": q176_pdf_text,
+        "q177_span_corruption": q177_span_corruption,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5114,7 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q170_warc_parse", "q171_url_normalize",
                       "q172_robots_gate", "q173_gzip_members",
                       "q174_charset_decode", "q175_sitemap_parse",
-                      "q176_pdf_text"]
+                      "q176_pdf_text", "q177_span_corruption"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9167,6 +9193,78 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q177: the whole denoising transform replayed — md5 coin via the
+    # q65 hex trick, the same gaps-and-islands grouping, ordered
+    # string_aggs; md5 of input/target pins token order, sentinel
+    # numbering, and span boundaries at once.
+    sql["q177_span_corruption"] = """
+        WITH toks AS (
+            SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+                   parts[CAST(i AS INT)] AS tok
+            FROM (SELECT doc_id, text,
+                         string_split(text, ' ') AS parts
+                  FROM documents),
+                 LATERAL unnest(range(1, len(parts) + 1)) AS t(i)
+        ),
+        coin AS (
+            SELECT doc_id, pos, tok,
+                   (CAST(list_sum(list_transform(range(0, 4),
+                        j -> (strpos('0123456789abcdef',
+                              substr(md5('t5:' || doc_id || ':' || pos),
+                                     j::INT + 1, 1)) - 1)
+                             * power(16, 3 - j))) AS BIGINT) % 5 = 0)
+                       AS m
+            FROM toks
+        ),
+        masked AS (
+            SELECT doc_id, pos, tok,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM coin WHERE m
+        ),
+        spans AS (
+            SELECT doc_id, grp, MIN(pos) AS strt,
+                   COUNT(*) AS n_toks,
+                   string_agg(tok, ' ' ORDER BY pos) AS hidden
+            FROM masked GROUP BY doc_id, grp
+        ),
+        ks AS (
+            SELECT doc_id, strt, n_toks, hidden,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY strt) - 1 AS k
+            FROM spans
+        ),
+        inp AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS input_text
+            FROM (
+                SELECT doc_id, pos, tok FROM coin WHERE NOT m
+                UNION ALL
+                SELECT doc_id, strt AS pos,
+                       '<extra_id_' || k || '>' AS tok
+                FROM ks
+            ) GROUP BY doc_id
+        ),
+        tgt AS (
+            SELECT doc_id, COUNT(*) AS n_spans,
+                   SUM(n_toks) AS n_masked,
+                   string_agg('<extra_id_' || k || '> ' || hidden,
+                              ' ' ORDER BY k) AS t
+            FROM ks GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               md5(COALESCE(i.input_text, d.text)) AS input_md5,
+               md5(CASE WHEN t.t IS NULL THEN '<extra_id_0>'
+                        ELSE t.t || ' <extra_id_'
+                             || t.n_spans || '>' END) AS target_md5,
+               COALESCE(t.n_spans, 0)::INT AS n_spans,
+               COALESCE(t.n_masked, 0)::BIGINT AS n_masked
+        FROM documents d
+        LEFT JOIN inp i USING (doc_id)
+        LEFT JOIN tgt t USING (doc_id)
+        ORDER BY d.doc_id
     """
 
     # q176: per-page texts regenerated from the formula — the texts

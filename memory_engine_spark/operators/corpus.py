@@ -781,3 +781,83 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
     finally:
         if own:
             feats.unpersist(False)
+
+
+def span_corrupt(df: DataFrame, text_col: str, id_col: str,
+                 mask_denom: int = 5,
+                 salt: str = "t5") -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    denoising-objective prep step: ~1/``mask_denom`` of whitespace
+    tokens are masked by a DETERMINISTIC md5 coin (same trick as
+    ``hash_split`` — stable across runs, partitions, and engines),
+    CONSECUTIVE masked tokens collapse into one span, the input
+    replaces each span with an ordinal ``<extra_id_k>`` sentinel, and
+    the target lists each sentinel + its hidden tokens, closed by a
+    terminal sentinel. Returns (id, input_text, target_text,
+    n_spans, n_masked).
+
+    Relational shape (no Python anywhere): posexplode → md5 coin →
+    gaps-and-islands span grouping (pos − row_number over masked
+    tokens), sentinel numbering by span start, then two ordered
+    re-aggregations. Windows run per document — bounded frames.
+    A document with no masked tokens yields the original text and a
+    bare ``<extra_id_0>`` target."""
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+    coin = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(id_col).cast("string"),
+        F.col("pos").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % mask_denom == 0)
+    toks = toks.select(id_col, "pos", "tok", coin.alias("m"))
+
+    wm = Window.partitionBy(id_col).orderBy("pos")
+    masked = (toks.filter("m")
+              .withColumn("_grp", F.col("pos") - F.row_number().over(wm)))
+    spans = (masked.groupBy(id_col, "_grp")
+             .agg(F.min("pos").alias("start"),
+                  F.count("*").alias("n_toks"),
+                  F.array_join(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("pos", "tok"))),
+                      lambda s: s["tok"]), " ").alias("hidden")))
+    ws = Window.partitionBy(id_col).orderBy("start")
+    spans = spans.withColumn("k", F.row_number().over(ws) - 1)
+
+    sentinels = spans.select(
+        id_col, F.col("start").alias("pos"),
+        F.concat(F.lit("<extra_id_"), F.col("k").cast("string"),
+                 F.lit(">")).alias("tok"))
+    inputs = (toks.filter(~F.col("m")).select(id_col, "pos", "tok")
+              .unionByName(sentinels)
+              .groupBy(id_col)
+              .agg(F.array_join(F.transform(
+                  F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                  lambda s: s["tok"]), " ").alias("input_text")))
+    targets = (spans.groupBy(id_col)
+               .agg(F.count("*").alias("n_spans"),
+                    F.sum("n_toks").cast("long").alias("n_masked"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(F.struct(
+                            "k",
+                            F.concat(F.lit("<extra_id_"),
+                                     F.col("k").cast("string"),
+                                     F.lit("> "), F.col("hidden"))
+                            .alias("piece")))),
+                        lambda s: s["piece"]), " ").alias("_tgt")))
+    base = df.select(id_col, F.col(text_col).alias("_orig"))
+    out = (base.join(inputs, id_col, "left")
+           .join(targets, id_col, "left"))
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0)).cast("int")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("input_text"), F.col("_orig"))
+        .alias("input_text"),
+        F.concat(
+            F.when(F.col("_tgt").isNull(), F.lit(""))
+            .otherwise(F.concat(F.col("_tgt"), F.lit(" "))),
+            F.lit("<extra_id_"), n_spans.cast("string"), F.lit(">"))
+        .alias("target_text"),
+        n_spans.alias("n_spans"),
+        F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
+        .alias("n_masked"))

@@ -312,3 +312,36 @@ def test_logistic_probe_learns_marker_token(spark):
                            n_steps=4, lr=50.0,
                            pos_weight=1.5, neg_weight=0.75)
     assert w1 == w2
+
+
+def test_span_corrupt_reconstruction_invariant(spark):
+    """T5 span corruption: sentinels are ordinal by span position,
+    consecutive masked tokens share one span, the terminal sentinel
+    index equals n_spans, and splicing each target span back into
+    its input sentinel reconstructs the original token sequence
+    exactly — for every document in a 40-doc property sweep."""
+    from memory_engine_spark.operators.corpus import span_corrupt
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(5 + i % 23)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = span_corrupt(df, "text", "doc_id").collect()
+    orig = dict(rows)
+    assert len(out) == 40
+    for r in out:
+        spans = {}
+        parts = r["target_text"].split("<extra_id_")
+        assert parts[0] == ""
+        for p in parts[1:]:
+            k, rest = p.split(">", 1)
+            spans[int(k)] = rest.strip()
+        assert max(spans) == r["n_spans"]      # terminal sentinel
+        assert spans[max(spans)] == ""
+        recon = r["input_text"]
+        for k in range(r["n_spans"]):
+            assert f"<extra_id_{k}>" in recon
+            recon = recon.replace(f"<extra_id_{k}>", spans[k], 1)
+        assert recon.split() == orig[r["doc_id"]].split()
+        n_hidden = sum(len(v.split()) for k, v in spans.items()
+                       if k < r["n_spans"])
+        assert n_hidden == r["n_masked"]
