@@ -4565,6 +4565,40 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q178_chat_render(spark, sf):
+    """SFT example assembly under the oracle gate: multi-turn
+    conversations (2 + doc_id%2 rounds, user/assistant texts sliced
+    from the document) render into the chat-template training string
+    WHILE emitting the per-assistant-turn LOSS-MASK offsets
+    (asst_start, asst_len) a trainer needs to compute loss on
+    assistant tokens only. `corpus.render_chat` derives the offsets
+    from an exclusive prefix-sum window over per-turn block lengths;
+    the oracle replays the template + window arithmetic, and the
+    render_md5 + offsets pair means an off-by-one anywhere (template
+    literal lengths, prefix sum, 1-based indexing) breaks the hash.
+    The substr invariant (rendered[start:start+len] == assistant
+    text) is pinned separately in tests."""
+    from memory_engine_spark.operators.corpus import render_chat
+
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    d = F.col("doc_id")
+    r = F.col("round")
+    turns = (docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), (d % 2 + 1).cast("int")))
+        .alias("round"))
+        .select(
+            "doc_id", "round",
+            F.concat(F.lit("Q"), r.cast("string"), F.lit(" "),
+                     F.col("text").substr(1 + r * 20, F.lit(24)))
+            .alias("user_msg"),
+            F.concat(F.lit("A"), r.cast("string"), F.lit(" "),
+                     F.col("text").substr(5 + r * 10, F.lit(18)))
+            .alias("asst_msg")))
+    return (render_chat(turns)
+            .orderBy("doc_id", "round"))
+
+
 def q177_span_corruption(spark, sf):
     """T5-style span corruption under the oracle gate (Raffel et al.
     2020 §3.1.4 — the denoising-objective prep a seq2seq pretraining
@@ -5061,6 +5095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_sitemap_parse": q175_sitemap_parse,
         "q176_pdf_text": q176_pdf_text,
         "q177_span_corruption": q177_span_corruption,
+        "q178_chat_render": q178_chat_render,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5140,7 +5175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q170_warc_parse", "q171_url_normalize",
                       "q172_robots_gate", "q173_gzip_members",
                       "q174_charset_decode", "q175_sitemap_parse",
-                      "q176_pdf_text", "q177_span_corruption"]
+                      "q176_pdf_text", "q177_span_corruption",
+                      "q178_chat_render"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9193,6 +9229,52 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q178: template + prefix-sum window arithmetic replayed; literal
+    # lengths computed with length() (not hand-counted), so the hash
+    # pins the exact template byte layout and the 1-based offsets.
+    sql["q178_chat_render"] = """
+        WITH t AS (
+            SELECT doc_id, CAST(r AS INT) AS round,
+                   'Q' || r || ' ' || substr(text, 1 + r * 20, 24)
+                       AS u,
+                   'A' || r || ' ' || substr(text, 5 + r * 10, 18)
+                       AS a
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, 2 + doc_id % 2)) AS r
+                  FROM documents)
+        ),
+        b AS (
+            SELECT doc_id, round, u, a,
+                   '<|user|>' || u || '<|end|>'
+                   || '<|assistant|>' || a || '<|end|>' AS blk
+            FROM t
+        ),
+        p AS (
+            SELECT doc_id, round, u, a, blk,
+                   length('<|system|>You are helpful.<|end|>')
+                   + COALESCE(SUM(length(blk)) OVER (
+                         PARTITION BY doc_id ORDER BY round
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS prefix
+            FROM b
+        ),
+        rend AS (
+            SELECT doc_id,
+                   '<|system|>You are helpful.<|end|>'
+                   || string_agg(blk, '' ORDER BY round) AS s
+            FROM b GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.round,
+               (p.prefix + length('<|user|>') + length(p.u)
+                + length('<|end|>') + length('<|assistant|>')
+                + 1)::BIGINT AS asst_start,
+               length(p.a)::BIGINT AS asst_len,
+               md5(rend.s) AS render_md5,
+               length(rend.s)::BIGINT AS total_chars
+        FROM p JOIN rend ON p.doc_id = rend.doc_id
+        ORDER BY p.doc_id, p.round
     """
 
     # q177: the whole denoising transform replayed — md5 coin via the

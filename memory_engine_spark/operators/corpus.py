@@ -861,3 +861,53 @@ def span_corrupt(df: DataFrame, text_col: str, id_col: str,
         n_spans.alias("n_spans"),
         F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
         .alias("n_masked"))
+
+
+CHAT_SYS = "<|system|>You are helpful.<|end|>"
+CHAT_U0, CHAT_U1 = "<|user|>", "<|end|>"
+CHAT_A0, CHAT_A1 = "<|assistant|>", "<|end|>"
+
+
+def render_chat(turns: DataFrame, id_col: str = "doc_id",
+                round_col: str = "round", user_col: str = "user_msg",
+                asst_col: str = "asst_msg") -> DataFrame:
+    """SFT example assembly: render a multi-turn conversation into
+    the training string AND emit the LOSS-MASK span per assistant
+    turn — the (start, len) character offsets a trainer needs to
+    compute loss on assistant tokens only. Offsets come from an
+    exclusive prefix-sum window over per-turn block lengths (ordered
+    by round, per conversation — bounded frames), so the arithmetic
+    is exact and SQL-replayable; `substr(rendered, asst_start,
+    asst_len) == asst_msg` is the invariant (pinned in tests and by
+    the q178 oracle's hash). Returns one row per (id, round):
+    (id, round, asst_start 1-based, asst_len, render_md5,
+    total_chars)."""
+    u_block = F.concat(F.lit(CHAT_U0), F.col(user_col), F.lit(CHAT_U1))
+    a_block = F.concat(F.lit(CHAT_A0), F.col(asst_col), F.lit(CHAT_A1))
+    t = turns.select(
+        id_col, round_col, user_col, asst_col,
+        (F.length(u_block) + F.length(a_block)).alias("_blk_len"),
+        F.concat(u_block, a_block).alias("_block"))
+    w = (Window.partitionBy(id_col).orderBy(round_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = t.withColumn(
+        "_prefix",
+        F.lit(len(CHAT_SYS)) + F.coalesce(F.sum("_blk_len").over(w),
+                                          F.lit(0)))
+    spans = t.select(
+        id_col, round_col,
+        (F.col("_prefix") + F.length(F.lit(CHAT_U0))
+         + F.length(F.col(user_col)) + F.length(F.lit(CHAT_U1))
+         + F.length(F.lit(CHAT_A0)) + 1).cast("long")
+        .alias("asst_start"),
+        F.length(F.col(asst_col)).cast("long").alias("asst_len"))
+    rendered = (t.groupBy(id_col).agg(
+        F.concat(F.lit(CHAT_SYS), F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(round_col, "_block"))),
+                lambda s: s["_block"]), "")).alias("_rendered")))
+    return (spans.join(rendered, id_col)
+            .select(id_col, round_col, "asst_start", "asst_len",
+                    F.md5("_rendered").alias("render_md5"),
+                    F.length("_rendered").cast("long")
+                    .alias("total_chars")))

@@ -345,3 +345,37 @@ def test_span_corrupt_reconstruction_invariant(spark):
         n_hidden = sum(len(v.split()) for k, v in spans.items()
                        if k < r["n_spans"])
         assert n_hidden == r["n_masked"]
+
+
+def test_render_chat_loss_mask_invariant(spark):
+    """substr(rendered, asst_start, asst_len) == the assistant text,
+    for every turn of multi-turn conversations with varied lengths;
+    render_md5/total_chars are conversation-level constants."""
+    import hashlib
+
+    from memory_engine_spark.operators import corpus
+
+    convs = {1: [("hi", "hello there"), ("more?", "sure — here")],
+             2: [("x", "y")],
+             3: [("a b", ""), ("", "final answer"), ("q", "z9")]}
+    rows = [(cid, r, u, a)
+            for cid, turns in convs.items()
+            for r, (u, a) in enumerate(turns)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, round int, user_msg string, asst_msg string")
+    out = corpus.render_chat(df).collect()
+    rendered = {}
+    for cid, turns in convs.items():
+        s = corpus.CHAT_SYS
+        for u, a in turns:
+            s += (corpus.CHAT_U0 + u + corpus.CHAT_U1
+                  + corpus.CHAT_A0 + a + corpus.CHAT_A1)
+        rendered[cid] = s
+    assert len(out) == len(rows)
+    for r in out:
+        s = rendered[r["doc_id"]]
+        want = convs[r["doc_id"]][r["round"]][1]
+        got = s[r["asst_start"] - 1:r["asst_start"] - 1 + r["asst_len"]]
+        assert got == want, (r["doc_id"], r["round"], got, want)
+        assert r["render_md5"] == hashlib.md5(s.encode()).hexdigest()
+        assert r["total_chars"] == len(s)
