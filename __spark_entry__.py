@@ -4565,6 +4565,51 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q179_tiff_pixels(spark, sf):
+    """REAL TIFF decode under the oracle gate — the scan-corpus image
+    format the q156/q157/q162 wave left out, and the one where BYTE
+    ORDER is part of the wire format: each document synthesizes a
+    baseline RGB TIFF alternating 'II' little / 'MM' big endian
+    (doc_id%2) and uncompressed / PackBits strips (doc_id%3==0),
+    always multi-strip (RowsPerStrip=2, short last strip);
+    `multimodal.image_pixel_stats` dispatches on the TIFF magic and
+    walks the IFD → strip table → PackBits inflate into exact int64
+    per-channel sums. The oracle replays the pixel formula, so an
+    endianness, IFD-layout, strip-offset, or PackBits bug breaks the
+    hash."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = _media_docs(spark, sf)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 4, 4 + d % 3
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 3)
+                px = ((d * 19 + r * 13 + c * 7 + ch * 5) % 256) \
+                    .astype(np.uint8)
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_tiff(
+                    px, big_endian=(d % 2 == 1),
+                    packbits=(d % 3 == 0)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    stats = multimodal.image_pixel_stats(media)
+    return (stats.select(
+        "media_id", "width", "height", "channels",
+        *[F.col("csum")[i].alias(f"s{i}") for i in range(3)],
+        *[F.col("csqsum")[i].alias(f"q{i}") for i in range(3)])
+        .orderBy("media_id"))
+
+
 def q178_chat_render(spark, sf):
     """SFT example assembly under the oracle gate: multi-turn
     conversations (2 + doc_id%2 rounds, user/assistant texts sliced
@@ -5096,6 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_pdf_text": q176_pdf_text,
         "q177_span_corruption": q177_span_corruption,
         "q178_chat_render": q178_chat_render,
+        "q179_tiff_pixels": q179_tiff_pixels,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5176,7 +5222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q172_robots_gate", "q173_gzip_members",
                       "q174_charset_decode", "q175_sitemap_parse",
                       "q176_pdf_text", "q177_span_corruption",
-                      "q178_chat_render"]
+                      "q178_chat_render", "q179_tiff_pixels"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9229,6 +9275,39 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q179: q156's per-channel formula replay with the q179 constants
+    # — the Spark side must get identical sums out of a real IFD walk
+    # + strip reassembly in BOTH byte orders.
+    sql["q179_tiff_pixels"] = """
+        WITH d AS (
+            SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+            FROM documents
+        ),
+        rows_t AS (
+            SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM d
+        ),
+        cells AS (
+            SELECT doc_id, w, h, r, unnest(range(0, w)) AS c
+            FROM rows_t
+        ),
+        px AS (
+            SELECT doc_id, w, h, ch,
+                   (doc_id * 19 + r * 13 + c * 7 + ch * 5) % 256 AS v
+            FROM (SELECT doc_id, w, h, r, c,
+                         unnest(range(0, 3)) AS ch
+                  FROM cells)
+        )
+        SELECT 'm_' || doc_id AS media_id,
+               w::INT AS width, h::INT AS height, 3::INT AS channels,
+               SUM(CASE WHEN ch = 0 THEN v END)::BIGINT AS s0,
+               SUM(CASE WHEN ch = 1 THEN v END)::BIGINT AS s1,
+               SUM(CASE WHEN ch = 2 THEN v END)::BIGINT AS s2,
+               SUM(CASE WHEN ch = 0 THEN v * v END)::BIGINT AS q0,
+               SUM(CASE WHEN ch = 1 THEN v * v END)::BIGINT AS q1,
+               SUM(CASE WHEN ch = 2 THEN v * v END)::BIGINT AS q2
+        FROM px GROUP BY doc_id, w, h ORDER BY media_id
     """
 
     # q178: template + prefix-sum window arithmetic replayed; literal

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q176_pdf_text",          # PDF xref walk + stream text extraction
     "q177_span_corruption",   # T5 denoising prep (gaps-and-islands)
     "q178_chat_render",       # SFT template + loss-mask offsets
+    "q179_tiff_pixels",       # TIFF II/MM + multi-strip + PackBits
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -516,6 +516,8 @@ def decode_pixels(payload: bytes) -> np.ndarray:
         return decode_gif_pixels(b)
     if len(b) >= 2 and b[:2] == b"\xFF\xD8":
         return decode_jpeg_color(b)  # grayscale broadcasts to 3ch
+    if len(b) >= 4 and (b[:4] == b"II*\x00" or b[:4] == b"MM\x00*"):
+        return decode_tiff_pixels(b)
     raise NotImplementedError("no real pixel decoder for this format")
 
 
@@ -2553,6 +2555,25 @@ def _probe_one(b: bytes) -> dict:
                            width=int.from_bytes(b[i + 7:i + 9], "big"))
                 break
             i += 2 + length
+    elif len(b) >= 8 and (b[:4] == b"II*\x00" or b[:4] == b"MM\x00*"):
+        out.update(format="tiff", mime="image/tiff")
+        try:
+            bo = "little" if b[:2] == b"II" else "big"
+            ifd = int.from_bytes(b[4:8], bo)
+            nent = int.from_bytes(b[ifd:ifd + 2], bo)
+            for k in range(nent):
+                e = ifd + 2 + 12 * k
+                tag = int.from_bytes(b[e:e + 2], bo)
+                typ = int.from_bytes(b[e + 2:e + 4], bo)
+                val = (int.from_bytes(b[e + 8:e + 10], bo)
+                       if typ == 3 else
+                       int.from_bytes(b[e + 8:e + 12], bo))
+                if tag == 256:
+                    out["width"] = val
+                elif tag == 257:
+                    out["height"] = val
+        except Exception:
+            pass                    # malformed IFD: format-only probe
     elif b[:3] == b"GIF" and len(b) >= 10:
         out.update(format="gif", mime="image/gif",
                    width=int.from_bytes(b[6:8], "little"),
@@ -2735,3 +2756,193 @@ def probe_media_headers(df: DataFrame, payload_col: str = "payload",
                   "width int, height int, sample_rate int, "
                   "duration_s double, n_bytes long")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF (6.0 baseline RGB subset): both byte orders ('II' little /
+# 'MM' big — the tag that trips naive readers), IFD entry walk,
+# multi-strip assembly via StripOffsets/StripByteCounts/RowsPerStrip,
+# uncompressed and PackBits strips. Scan-corpus TIFFs are the one
+# common image format q156/q157/q162 left out.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF §9): runs ≥3 → (257-n, byte); literals
+    otherwise."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and run < 128
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + run
+            while j < len(data) and j - i < 128:
+                nxt = 1
+                while (j + nxt < len(data) and nxt < 3
+                       and data[j + nxt] == data[j]):
+                    nxt += 1
+                if nxt >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits inflate to exactly ``expect`` bytes (TIFF §9:
+    n=128 is a noop)."""
+    out = bytearray()
+    i = 0
+    while len(out) < expect:
+        if i >= len(data):
+            raise ValueError("PackBits underrun")
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expect:
+        raise ValueError("PackBits overrun")
+    return bytes(out)
+
+
+def synth_tiff(pixels: np.ndarray, big_endian: bool = False,
+               packbits: bool = False, rows_per_strip: int = 2) -> bytes:
+    """Assemble a baseline RGB TIFF: byte-order mark, IFD with the
+    nine required tags, REAL multi-strip layout (RowsPerStrip rows
+    per strip, last strip short), optional PackBits strips. The
+    encode twin of ``decode_tiff_pixels``."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bo = "big" if big_endian else "little"
+
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = px[r0:r0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+
+    # layout: header(8) | bits-per-sample array(6) | strips | IFD
+    bps_off = 8
+    data_off = bps_off + 6
+    strip_offs = []
+    pos = data_off
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+
+    def ent(tag, typ, count, value):
+        e = tag.to_bytes(2, bo) + typ.to_bytes(2, bo) \
+            + count.to_bytes(4, bo)
+        if typ == 3 and count == 1:         # SHORT packed left-aligned
+            e += value.to_bytes(2, bo) + b"\x00\x00"
+        else:
+            e += value.to_bytes(4, bo)
+        return e
+
+    n_strips = len(strips)
+    extra = b""
+    if n_strips == 1:
+        so_val, sc_val = strip_offs[0], len(strips[0])
+    else:                                   # offset arrays after IFD
+        arr_off = ifd_off + 2 + 9 * 12 + 4
+        so_val, sc_val = arr_off, arr_off + 4 * n_strips
+        extra = (b"".join(o.to_bytes(4, bo) for o in strip_offs)
+                 + b"".join(len(s).to_bytes(4, bo) for s in strips))
+    entries = [
+        ent(256, 4, 1, w), ent(257, 4, 1, h),
+        ent(258, 3, 3, bps_off),            # [8,8,8] stored at bps_off
+        ent(259, 3, 1, 32773 if packbits else 1),
+        ent(262, 3, 1, 2),                  # RGB
+        ent(273, 4, n_strips, so_val),
+        ent(277, 3, 1, 3),
+        ent(278, 4, 1, rows_per_strip),
+        ent(279, 4, 1 if n_strips == 1 else n_strips, sc_val),
+    ]
+    header = ((b"MM" if big_endian else b"II")
+              + (42).to_bytes(2, bo) + ifd_off.to_bytes(4, bo))
+    bps = b"".join((8).to_bytes(2, bo) for _ in range(3))
+    ifd = (len(entries).to_bytes(2, bo) + b"".join(entries)
+           + (0).to_bytes(4, bo))
+    return header + bps + b"".join(strips) + ifd + extra
+
+
+def decode_tiff_pixels(payload: bytes) -> np.ndarray:
+    """REAL TIFF decode (baseline RGB subset): byte-order dispatch
+    ('II'/'MM' + the 42 check), first-IFD entry walk, strip
+    reassembly from StripOffsets/StripByteCounts honoring
+    RowsPerStrip (short last strip), uncompressed or PackBits.
+    Non-RGB photometric, other compressions, or bits≠8 raise."""
+    b = payload or b""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "little" if b[:2] == b"II" else "big"
+    if int.from_bytes(b[2:4], bo) != 42:
+        raise ValueError("bad TIFF magic number")
+    ifd = int.from_bytes(b[4:8], bo)
+    n = int.from_bytes(b[ifd:ifd + 2], bo)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        tag = int.from_bytes(b[e:e + 2], bo)
+        typ = int.from_bytes(b[e + 2:e + 4], bo)
+        cnt = int.from_bytes(b[e + 4:e + 8], bo)
+        if typ == 3 and cnt == 1:
+            val = int.from_bytes(b[e + 8:e + 10], bo)
+        else:
+            val = int.from_bytes(b[e + 8:e + 12], bo)
+        tags[tag] = (typ, cnt, val)
+
+    def req(tag):
+        if tag not in tags:
+            raise ValueError(f"missing required TIFF tag {tag}")
+        return tags[tag][2]
+
+    w, h = req(256), req(257)
+    comp = tags.get(259, (3, 1, 1))[2]
+    if tags.get(262, (3, 1, 2))[2] != 2:
+        raise NotImplementedError("only RGB photometric supported")
+    if tags.get(277, (3, 1, 3))[2] != 3:
+        raise NotImplementedError("only 3 samples/pixel supported")
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"compression {comp} not supported")
+    _, bps_cnt, bps_val = tags.get(258, (3, 1, 8))
+    if bps_cnt == 3:
+        if any(int.from_bytes(b[bps_val + 2 * i:bps_val + 2 * i + 2],
+                              bo) != 8 for i in range(3)):
+            raise NotImplementedError("only 8 bits/sample supported")
+    rps = tags.get(278, (4, 1, h))[2]
+    _, so_cnt, so_val = tags[273] if 273 in tags else (0, 0, None)
+    if so_val is None:
+        raise ValueError("missing StripOffsets")
+    _, sc_cnt, sc_val = tags[279]
+    if so_cnt == 1:
+        offs, cnts = [so_val], [sc_val]
+    else:
+        offs = [int.from_bytes(b[so_val + 4 * i:so_val + 4 * i + 4],
+                               bo) for i in range(so_cnt)]
+        cnts = [int.from_bytes(b[sc_val + 4 * i:sc_val + 4 * i + 4],
+                               bo) for i in range(sc_cnt)]
+
+    out = bytearray()
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        rows = min(rps, h - i * rps)
+        expect = rows * w * 3
+        raw = b[o:o + c]
+        if len(raw) != c:
+            raise ValueError(f"strip {i} out of range")
+        out += (_packbits_decode(raw, expect) if comp == 32773
+                else raw)
+    if len(out) != h * w * 3:
+        raise ValueError("strip assembly size mismatch")
+    return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)

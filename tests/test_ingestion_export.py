@@ -1483,3 +1483,42 @@ def test_pdf_text_extraction(spark):
         assert rows[k]["n_chars"] == len(txt)
         assert rows[k]["text_md5"] == hashlib.md5(
             txt.encode("utf-8")).hexdigest()
+
+
+def test_tiff_codec_endianness_strips_packbits(spark):
+    """TIFF roundtrips across II/MM byte orders, multi-strip layout
+    with short last strips, and PackBits; a hand-assembled PackBits
+    vector pins the run/literal/noop semantics independently of the
+    encoder; the probe reads dimensions from both byte orders."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(21)
+    for be in (False, True):
+        for pb in (False, True):
+            px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+            t = multimodal.synth_tiff(px, big_endian=be, packbits=pb)
+            assert (multimodal.decode_tiff_pixels(t) == px).all()
+            p = multimodal._probe_one(t)
+            assert (p["format"], p["width"], p["height"]) \
+                == ("tiff", 7, 5)
+    # hand vector: literal(2 bytes) + run(3x 0xAB) + noop + literal(1)
+    hand = bytes([1, 0x10, 0x20, 254, 0xAB, 128, 0, 0x30])
+    assert multimodal._packbits_decode(hand, 6) \
+        == bytes([0x10, 0x20, 0xAB, 0xAB, 0xAB, 0x30])
+    with _pytest.raises(ValueError):
+        multimodal._packbits_decode(hand[:3], 6)
+    with _pytest.raises(NotImplementedError):
+        bad = bytearray(multimodal.synth_tiff(
+            np.zeros((2, 2, 3), dtype=np.uint8)))
+        i = bad.find((259).to_bytes(2, "little"))
+        bad[i + 8] = 5                      # LZW compression tag
+        multimodal.decode_tiff_pixels(bytes(bad))
+
+    df = spark.createDataFrame(
+        [("t1", bytearray(multimodal.synth_tiff(
+            np.full((4, 6, 3), 9, dtype=np.uint8), packbits=True)))],
+        "media_id string, payload binary")
+    row = multimodal.image_pixel_stats(df).collect()[0]
+    assert (row["width"], row["height"]) == (6, 4)
+    assert row["csum"][0] == 4 * 6 * 9
