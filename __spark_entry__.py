@@ -4565,6 +4565,29 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q180_bleu_eval(spark, sf):
+    """Corpus BLEU evaluation under the oracle gate (Papineni et al.
+    2002 — the eval-side n-gram metric an LLM data/eval pipeline runs
+    at scale): each document yields a (candidate, reference) pair by
+    shifted word windows (cand = words 3..18, ref = words 1..20 —
+    real partial n-gram overlap and a brevity-penalty-active length
+    gap); `corpus.bleu_report` computes CLIPPED modified precisions
+    for n=1..4 via per-n gram explodes + an inner join on (id, gram)
+    — exact integer components — plus the unsmoothed sentence BLEU
+    (ln/exp only in the final rounded-6dp scalar). The oracle
+    replays all four n-gram clip joins and the BP formula, so a
+    clipping, windowing, or BP bug breaks the hash."""
+    from memory_engine_spark.operators.corpus import bleu_report
+
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 3, 16)).alias("cand"),
+        F.concat_ws(" ", F.slice(toks, 1, 20)).alias("ref"))
+    return bleu_report(pairs).orderBy("doc_id")
+
+
 def q179_tiff_pixels(spark, sf):
     """REAL TIFF decode under the oracle gate — the scan-corpus image
     format the q156/q157/q162 wave left out, and the one where BYTE
@@ -5142,6 +5165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_span_corruption": q177_span_corruption,
         "q178_chat_render": q178_chat_render,
         "q179_tiff_pixels": q179_tiff_pixels,
+        "q180_bleu_eval": q180_bleu_eval,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5222,7 +5246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q172_robots_gate", "q173_gzip_members",
                       "q174_charset_decode", "q175_sitemap_parse",
                       "q176_pdf_text", "q177_span_corruption",
-                      "q178_chat_render", "q179_tiff_pixels"]
+                      "q178_chat_render", "q179_tiff_pixels",
+                      "q180_bleu_eval"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9275,6 +9300,76 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q180: all four clipped n-gram precisions + BP replayed; the
+    # per-n CTE groups are generated to keep the join structure
+    # identical across n. Integer components pin the counts exactly;
+    # bleu itself is ln/exp at rounded 6dp on both sides.
+    _g_ctes = []
+    for n in range(1, 5):
+        _g_ctes.append(f"""
+        cg{n} AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tc) - {n} + 2),
+                             i -> array_to_string(
+                                 tc[CAST(i AS INT):CAST(i AS INT) + {n} - 1],
+                                 ' '))) AS g
+                  FROM p WHERE len(tc) >= {n})
+            GROUP BY doc_id, g
+        ),
+        rg{n} AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tr) - {n} + 2),
+                             i -> array_to_string(
+                                 tr[CAST(i AS INT):CAST(i AS INT) + {n} - 1],
+                                 ' '))) AS g
+                  FROM p WHERE len(tr) >= {n})
+            GROUP BY doc_id, g
+        ),
+        c{n} AS (
+            SELECT a.doc_id,
+                   SUM(LEAST(a.nc, b.nr)) AS clip{n}
+            FROM cg{n} a JOIN rg{n} b USING (doc_id, g)
+            GROUP BY a.doc_id
+        ),
+        t{n} AS (
+            SELECT doc_id, SUM(nc) AS tot{n} FROM cg{n}
+            GROUP BY doc_id
+        )""")
+    _joins = "".join(
+        f" LEFT JOIN c{n} USING (doc_id) LEFT JOIN t{n} USING (doc_id)"
+        for n in range(1, 5))
+    _cols = ", ".join(
+        f"COALESCE(clip{n}, 0)::BIGINT AS clip{n}" for n in range(1, 5)
+    ) + ", " + ", ".join(
+        f"COALESCE(tot{n}, 0)::BIGINT AS tot{n}" for n in range(1, 5))
+    _pn = " + ".join(
+        f"ln(COALESCE(clip{n}, 0)::DOUBLE / COALESCE(tot{n}, 1))"
+        for n in range(1, 5))
+    _zero = " OR ".join(
+        f"COALESCE(clip{n}, 0) = 0 OR COALESCE(tot{n}, 0) = 0"
+        for n in range(1, 5))
+    sql["q180_bleu_eval"] = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   string_split(text, ' ')[3:18] AS tc,
+                   string_split(text, ' ')[1:20] AS tr
+            FROM documents
+        ),{",".join(_g_ctes)}
+        SELECT p.doc_id,
+               len(tc)::BIGINT AS cand_len,
+               len(tr)::BIGINT AS ref_len,
+               {_cols},
+               ROUND(CASE WHEN {_zero} THEN 0.0
+                     ELSE (CASE WHEN len(tc) >= len(tr) THEN 1.0
+                           ELSE exp(1.0 - len(tr)::DOUBLE / len(tc))
+                           END)
+                          * exp(({_pn}) / 4) END, 6) AS bleu
+        FROM p{_joins}
+        ORDER BY p.doc_id
     """
 
     # q179: q156's per-channel formula replay with the q179 constants

@@ -911,3 +911,72 @@ def render_chat(turns: DataFrame, id_col: str = "doc_id",
                     F.md5("_rendered").alias("render_md5"),
                     F.length("_rendered").cast("long")
                     .alias("total_chars")))
+
+
+def bleu_report(pairs: DataFrame, cand_col: str = "cand",
+                ref_col: str = "ref", id_col: str = "doc_id",
+                max_n: int = 4) -> DataFrame:
+    """Corpus BLEU components per (candidate, reference) pair
+    (Papineni et al. 2002): for n = 1..max_n the CLIPPED n-gram match
+    count (per-gram min of candidate and reference occurrences — the
+    'modified precision' trick that stops word-spam inflation) and
+    the candidate total, plus lengths and the smoothed sentence BLEU
+    (epsilon-free: pairs with any zero precision get bleu 0, the
+    uns-moothed original). All counts are exact integers; only the
+    final bleu does float math (ln/exp, emitted rounded to 6dp —
+    same both engines at this precision). Relational shape: one
+    n-gram explode per side per n, groupBy counts, an inner join on
+    (id, gram) for clipping — no windows, no Python."""
+    toks_c = F.split(F.col(cand_col), " ")
+    toks_r = F.split(F.col(ref_col), " ")
+    base = pairs.select(
+        id_col, toks_c.alias("_tc"), toks_r.alias("_tr"),
+        F.size(toks_c).cast("long").alias("cand_len"),
+        F.size(toks_r).cast("long").alias("ref_len"))
+
+    def grams(tok_col, n):
+        # sequence(0, -1) DESCENDS in Spark — guard short inputs
+        return F.when(
+            F.size(tok_col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok_col) - n),
+                lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = base.select(id_col, "cand_len", "ref_len")
+    for n in range(1, max_n + 1):
+        cg = (base.select(id_col, F.explode(grams(F.col("_tc"), n))
+                          .alias("g"))
+              .groupBy(id_col, "g").agg(F.count("*").alias("nc")))
+        rg = (base.select(id_col, F.explode(grams(F.col("_tr"), n))
+                          .alias("g"))
+              .groupBy(id_col, "g").agg(F.count("*").alias("nr")))
+        clip = (cg.join(rg, [id_col, "g"])
+                .groupBy(id_col)
+                .agg(F.sum(F.least("nc", "nr")).alias(f"clip{n}")))
+        tot = (cg.groupBy(id_col)
+               .agg(F.sum("nc").alias(f"tot{n}")))
+        out = (out.join(clip, id_col, "left").join(tot, id_col, "left")
+               .withColumn(f"clip{n}",
+                           F.coalesce(F.col(f"clip{n}"), F.lit(0))
+                           .cast("long"))
+               .withColumn(f"tot{n}",
+                           F.coalesce(F.col(f"tot{n}"), F.lit(0))
+                           .cast("long")))
+    logsum = None
+    any_zero = F.lit(False)
+    for n in range(1, max_n + 1):
+        p = F.col(f"clip{n}") / F.col(f"tot{n}")
+        any_zero = any_zero | (F.col(f"clip{n}") == 0) \
+            | (F.col(f"tot{n}") == 0)
+        term = F.log(p)
+        logsum = term if logsum is None else logsum + term
+    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)) \
+        .otherwise(F.exp(1.0 - F.col("ref_len") / F.col("cand_len")))
+    bleu = F.when(any_zero, F.lit(0.0)) \
+        .otherwise(bp * F.exp(logsum / max_n))
+    return out.select(
+        id_col, "cand_len", "ref_len",
+        *[F.col(f"clip{n}") for n in range(1, max_n + 1)],
+        *[F.col(f"tot{n}") for n in range(1, max_n + 1)],
+        F.round(bleu, 6).alias("bleu"))

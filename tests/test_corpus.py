@@ -379,3 +379,27 @@ def test_render_chat_loss_mask_invariant(spark):
         assert got == want, (r["doc_id"], r["round"], got, want)
         assert r["render_md5"] == hashlib.md5(s.encode()).hexdigest()
         assert r["total_chars"] == len(s)
+
+
+def test_bleu_report_hand_computed(spark):
+    """Clipped modified precisions against hand-computed counts:
+    word-spam clipping ('the the the the' vs 'the cat' clips to 1),
+    per-n components for a 1-substitution pair, perfect match -> 1.0,
+    zero 4-gram overlap -> unsmoothed 0, short-input guard."""
+    from memory_engine_spark.operators.corpus import bleu_report
+
+    pairs = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat sat on the mat"),
+         (2, "the the the the", "the cat"),
+         (3, "a b c d e f", "a b x d e f"),
+         (4, "short", "a much longer reference here")],
+        "doc_id long, cand string, ref string")
+    out = {r["doc_id"]: r for r in bleu_report(pairs).collect()}
+    assert out[1]["bleu"] == 1.0
+    assert (out[2]["clip1"], out[2]["tot1"]) == (1, 4)
+    assert out[2]["bleu"] == 0.0
+    r3 = out[3]
+    assert (r3["clip1"], r3["tot1"], r3["clip2"], r3["tot2"],
+            r3["clip3"], r3["tot3"], r3["clip4"], r3["tot4"]) \
+        == (5, 6, 3, 5, 1, 4, 0, 3)
+    assert out[4]["clip1"] == 0 and out[4]["bleu"] == 0.0
