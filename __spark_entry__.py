@@ -4565,6 +4565,48 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q181_tar_entries(spark, sf):
+    """REAL TAR (ustar) archive walking under the oracle gate —
+    dataset tarballs (WebDataset shards among them) are the other
+    archive a pipeline must enumerate. Each document synthesizes a
+    (2 + doc_id%2)-member tar whose member bodies follow a
+    deterministic formula (one member is empty — the zero-size
+    padding edge); `formats.tar_entries` walks the real 512-byte
+    block protocol: checksum verification with the field blanked
+    (the classic trap), octal sizes, padding skip, zero-block
+    terminator. The synth/parse pair is additionally cross-validated
+    against the STDLIB tarfile module in BOTH directions in tests —
+    an independent third implementation, stronger than a hand
+    vector. The oracle regenerates the entry facts from the
+    formula. Scale posture: tar members are sequential (sizes gate
+    the walk) but SHARDS are the parallel unit — exactly
+    WebDataset's design."""
+    from memory_engine_spark.sources.formats import (synth_tar,
+                                                     tar_entries)
+
+    docs = (_t(spark, sf)["documents"].select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                entries = []
+                for k in range(2 + d % 2):
+                    body = (b"" if k == 1 and d % 3 == 0 else
+                            f"shard {d} member {k} {txt}".encode())
+                    entries.append((f"doc{d}/part{k}.txt", body))
+                ids.append(f"m_{d}")
+                payloads.append(synth_tar(entries))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return tar_entries(media).orderBy("media_id", "entry_idx")
+
+
 def q180_bleu_eval(spark, sf):
     """Corpus BLEU evaluation under the oracle gate (Papineni et al.
     2002 — the eval-side n-gram metric an LLM data/eval pipeline runs
@@ -5166,6 +5208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_chat_render": q178_chat_render,
         "q179_tiff_pixels": q179_tiff_pixels,
         "q180_bleu_eval": q180_bleu_eval,
+        "q181_tar_entries": q181_tar_entries,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5247,7 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q174_charset_decode", "q175_sitemap_parse",
                       "q176_pdf_text", "q177_span_corruption",
                       "q178_chat_render", "q179_tiff_pixels",
-                      "q180_bleu_eval"]
+                      "q180_bleu_eval", "q181_tar_entries"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9300,6 +9343,29 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q181: entry facts from the member formula; the empty-member
+    # case pins zero-size padding arithmetic.
+    sql["q181_tar_entries"] = """
+        WITH d AS (
+            SELECT doc_id, text, 2 + doc_id % 2 AS ne FROM documents
+        ),
+        e AS (
+            SELECT doc_id, text, unnest(range(0, ne)) AS k FROM d
+        ),
+        b AS (
+            SELECT doc_id, k,
+                   CASE WHEN k = 1 AND doc_id % 3 = 0 THEN ''
+                        ELSE 'shard ' || doc_id || ' member ' || k
+                             || ' ' || text END AS body
+            FROM e
+        )
+        SELECT 'm_' || doc_id AS media_id, k::INT AS entry_idx,
+               'doc' || doc_id || '/part' || k || '.txt' AS name,
+               strlen(body)::BIGINT AS n_bytes,
+               md5(body) AS body_md5
+        FROM b ORDER BY media_id, entry_idx
     """
 
     # q180: all four clipped n-gram precisions + BP replayed; the

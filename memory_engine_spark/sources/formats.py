@@ -565,3 +565,97 @@ def pdf_texts(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, page_idx int, n_chars long, "
                   "text_md5 string")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TAR (ustar) — dataset tarballs (WebDataset shards among them) are
+# the other archive format a training pipeline must walk. 512-byte
+# block protocol: checksummed headers (the checksum is computed with
+# its own field blanked — the classic trap), octal sizes, content
+# padded to block boundary, two zero blocks as terminator.
+# ---------------------------------------------------------------------------
+
+
+def synth_tar(entries: list[tuple[str, bytes]]) -> bytes:
+    """Assemble a ustar archive. The encode twin of ``parse_tar``."""
+    out = bytearray()
+    for name, data in entries:
+        hdr = bytearray(512)
+        nb = name.encode()
+        hdr[0:len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"
+        hdr[116:124] = b"0000000\x00"
+        hdr[124:136] = ("%011o" % len(data)).encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"
+        hdr[148:156] = b" " * 8                  # checksum blanked
+        hdr[156] = ord("0")                      # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        out += hdr + data
+        if len(data) % 512:
+            out += b"\x00" * (512 - len(data) % 512)
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def parse_tar(payload: bytes) -> list[dict]:
+    """REAL ustar walk: per 512-block header — checksum verification
+    (field blanked during the sum), NUL-stripped name, octal size,
+    regular-file filter — content slice + padding skip, zero-block
+    terminator. Returns [{name, size, body}]. A corrupted header
+    checksum or truncated member raises."""
+    b = payload or b""
+    out = []
+    i = 0
+    while i + 512 <= len(b):
+        hdr = b[i:i + 512]
+        if hdr == b"\x00" * 512:
+            break
+        stored = int(hdr[148:156].rstrip(b"\x00 ").lstrip(b" ") or b"0",
+                     8)
+        blanked = hdr[:148] + b" " * 8 + hdr[156:]
+        if sum(blanked) != stored:
+            raise ValueError(f"bad tar header checksum at offset {i}")
+        name = hdr[:100].rstrip(b"\x00").decode()
+        size = int(hdr[124:136].rstrip(b"\x00 ") or b"0", 8)
+        typeflag = hdr[156:157]
+        i += 512
+        if i + size > len(b):
+            raise ValueError(f"truncated tar member {name!r}")
+        if typeflag in (b"0", b"\x00"):
+            out.append({"name": name, "size": size,
+                        "body": b[i:i + size]})
+        i += size + ((512 - size % 512) % 512)
+    else:
+        raise ValueError("missing tar terminator blocks")
+    return out
+
+
+def tar_entries(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """TAR → per-entry facts as one Arrow ``mapInPandas`` stage:
+    (id, entry_idx, name, n_bytes, body_md5) — digests only, like
+    the WARC/gzip/PDF stages."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for k, e in enumerate(parse_tar(b)):
+                    rows.append({
+                        id_col: mid, "entry_idx": k,
+                        "name": e["name"], "n_bytes": e["size"],
+                        "body_md5": hashlib.md5(e["body"]).hexdigest()})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "entry_idx", "name", "n_bytes", "body_md5"])
+
+    out_schema = (f"{id_col} string, entry_idx int, name string, "
+                  "n_bytes long, body_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
