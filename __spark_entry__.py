@@ -4565,6 +4565,48 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q182_zip_entries(spark, sf):
+    """REAL ZIP parsing under the oracle gate — THROUGH the central
+    directory, the way a correct reader works: EOCD found by a
+    backwards tail scan, central entries give methods/sizes/offsets,
+    local headers re-read for their own name/extra lengths, Deflate
+    members inflate raw, CRC-32 + size verified per member. Each
+    document synthesizes a 3-member ZIP alternating Stored/Deflate
+    whose FIRST member body embeds a fake 'PK\\x03\\x04' signature —
+    a forward-scanning reader desynchronizes on it and fails the
+    digest. Twins cross-validated against stdlib zipfile in BOTH
+    directions in tests. The oracle regenerates entry facts from the
+    member formula (method from the synth's alternation rule).
+    Scale posture: the central directory is the row-group analogue —
+    (offset, csize) per member enables random access, so archive
+    members parallelize without scanning."""
+    from memory_engine_spark.sources.formats import (synth_zip,
+                                                     zip_entries)
+
+    docs = (_t(spark, sf)["documents"].select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                entries = [
+                    (f"doc{d}/m0", b"PK\x03\x04 decoy "
+                     + f"body {d} 0 {txt}".encode()),
+                    (f"doc{d}/m1", f"body {d} 1 {txt}".encode()),
+                    (f"doc{d}/m2", f"body {d} 2".encode()),
+                ]
+                ids.append(f"m_{d}")
+                payloads.append(synth_zip(entries, deflate_every=2))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return zip_entries(media).orderBy("media_id", "entry_idx")
+
+
 def q181_tar_entries(spark, sf):
     """REAL TAR (ustar) archive walking under the oracle gate —
     dataset tarballs (WebDataset shards among them) are the other
@@ -5209,6 +5251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_tiff_pixels": q179_tiff_pixels,
         "q180_bleu_eval": q180_bleu_eval,
         "q181_tar_entries": q181_tar_entries,
+        "q182_zip_entries": q182_zip_entries,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5290,7 +5333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q174_charset_decode", "q175_sitemap_parse",
                       "q176_pdf_text", "q177_span_corruption",
                       "q178_chat_render", "q179_tiff_pixels",
-                      "q180_bleu_eval", "q181_tar_entries"]
+                      "q180_bleu_eval", "q181_tar_entries",
+                      "q182_zip_entries"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9343,6 +9387,37 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q182: entry facts from the member formula; method follows the
+    # synth's deflate_every=2 alternation (members 1 are Deflate),
+    # and the first member's decoy local-header signature is inert
+    # for a central-directory reader — which is what the hash proves.
+    sql["q182_zip_entries"] = """
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+        ),
+        e AS (
+            SELECT doc_id, text, unnest(range(0, 3)) AS k FROM d
+        ),
+        b AS (
+            SELECT doc_id, k,
+                   CASE k
+                     WHEN 0 THEN 'PK' || chr(3) || chr(4)
+                                 || ' decoy body ' || doc_id || ' 0 '
+                                 || text
+                     WHEN 1 THEN 'body ' || doc_id || ' 1 ' || text
+                     ELSE 'body ' || doc_id || ' 2'
+                   END AS body,
+                   CASE WHEN k % 2 = 1 THEN 8 ELSE 0 END AS method
+            FROM e
+        )
+        SELECT 'm_' || doc_id AS media_id, k::INT AS entry_idx,
+               'doc' || doc_id || '/m' || k AS name,
+               method::INT AS method,
+               strlen(body)::BIGINT AS n_bytes,
+               md5(body) AS body_md5
+        FROM b ORDER BY media_id, entry_idx
     """
 
     # q181: entry facts from the member formula; the empty-member

@@ -659,3 +659,140 @@ def tar_entries(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, entry_idx int, name string, "
                   "n_bytes long, body_md5 string")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# ZIP — the other dataset archive. The CENTRAL DIRECTORY is the real
+# index (EOCD scanned backwards from the tail → cd offset → entries →
+# local-header offsets); a reader that scans forward for 'PK\x03\x04'
+# signatures breaks on member bodies that happen to contain one — the
+# tests embed exactly that. Stored + Deflate members, CRC-32 and size
+# verification per member.
+# ---------------------------------------------------------------------------
+
+
+def synth_zip(entries: list[tuple[str, bytes]],
+              deflate_every: int = 2) -> bytes:
+    """Assemble a ZIP: local headers + data, central directory, EOCD.
+    Every ``deflate_every``-th member is Deflate-compressed (raw
+    zlib, wbits=-15), the rest Stored. The encode twin of
+    ``parse_zip``."""
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    for i, (name, data) in enumerate(entries):
+        nb = name.encode()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        if i % deflate_every == deflate_every - 1:
+            method = 8
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = co.compress(data) + co.flush()
+        else:
+            method, blob = 0, data
+        off = len(out)
+        local = (b"PK\x03\x04" + (20).to_bytes(2, "little")
+                 + b"\x00\x00" + method.to_bytes(2, "little")
+                 + b"\x00\x00\x00\x00"
+                 + crc.to_bytes(4, "little")
+                 + len(blob).to_bytes(4, "little")
+                 + len(data).to_bytes(4, "little")
+                 + len(nb).to_bytes(2, "little") + b"\x00\x00")
+        out += local + nb + blob
+        central += (b"PK\x01\x02" + (20).to_bytes(2, "little")
+                    + (20).to_bytes(2, "little")
+                    + b"\x00\x00" + method.to_bytes(2, "little")
+                    + b"\x00\x00\x00\x00"
+                    + crc.to_bytes(4, "little")
+                    + len(blob).to_bytes(4, "little")
+                    + len(data).to_bytes(4, "little")
+                    + len(nb).to_bytes(2, "little")
+                    + b"\x00\x00" * 3          # extra, comment, disk
+                    + b"\x00\x00"              # internal attrs
+                    + b"\x00\x00\x00\x00"      # external attrs
+                    + off.to_bytes(4, "little") + nb)
+    cd_off = len(out)
+    out += central
+    out += (b"PK\x05\x06" + b"\x00" * 4
+            + len(entries).to_bytes(2, "little") * 2
+            + len(central).to_bytes(4, "little")
+            + cd_off.to_bytes(4, "little") + b"\x00\x00")
+    return bytes(out)
+
+
+def parse_zip(payload: bytes) -> list[dict]:
+    """REAL ZIP parse THROUGH the central directory: EOCD located by
+    a BACKWARDS scan of the tail (comments may contain the
+    signature), central entries give method/crc/sizes/name and the
+    local-header offset, the LOCAL header is re-read for its own
+    name/extra lengths (they may differ from central), Deflate
+    members inflate with raw zlib, and CRC-32 + size verify per
+    member. Returns [{name, method, size, body}]."""
+    import zlib
+
+    b = payload or b""
+    tail = b[-(0xFFFF + 22):] if len(b) > 0xFFFF + 22 else b
+    e = tail.rfind(b"PK\x05\x06")
+    if e < 0:
+        raise ValueError("missing EOCD record")
+    eocd = len(b) - len(tail) + e
+    n = int.from_bytes(b[eocd + 10:eocd + 12], "little")
+    cd_off = int.from_bytes(b[eocd + 16:eocd + 20], "little")
+    out = []
+    p = cd_off
+    for _ in range(n):
+        if b[p:p + 4] != b"PK\x01\x02":
+            raise ValueError(f"bad central entry at {p}")
+        method = int.from_bytes(b[p + 10:p + 12], "little")
+        crc = int.from_bytes(b[p + 16:p + 20], "little")
+        csize = int.from_bytes(b[p + 20:p + 24], "little")
+        usize = int.from_bytes(b[p + 24:p + 28], "little")
+        nlen = int.from_bytes(b[p + 28:p + 30], "little")
+        elen = int.from_bytes(b[p + 30:p + 32], "little")
+        clen = int.from_bytes(b[p + 32:p + 34], "little")
+        off = int.from_bytes(b[p + 42:p + 46], "little")
+        name = b[p + 46:p + 46 + nlen].decode()
+        p += 46 + nlen + elen + clen
+        if b[off:off + 4] != b"PK\x03\x04":
+            raise ValueError(f"bad local header for {name!r}")
+        lnlen = int.from_bytes(b[off + 26:off + 28], "little")
+        lelen = int.from_bytes(b[off + 28:off + 30], "little")
+        data = b[off + 30 + lnlen + lelen:
+                 off + 30 + lnlen + lelen + csize]
+        if method == 8:
+            data = zlib.decompress(data, -15)
+        elif method != 0:
+            raise NotImplementedError(f"compression method {method}")
+        if len(data) != usize or (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"member {name!r} fails size/CRC check")
+        out.append({"name": name, "method": method,
+                    "size": usize, "body": data})
+    return out
+
+
+def zip_entries(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """ZIP → per-entry facts as one Arrow ``mapInPandas`` stage:
+    (id, entry_idx, name, method, n_bytes, body_md5)."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for k, e in enumerate(parse_zip(b)):
+                    rows.append({
+                        id_col: mid, "entry_idx": k,
+                        "name": e["name"], "method": e["method"],
+                        "n_bytes": e["size"],
+                        "body_md5": hashlib.md5(e["body"]).hexdigest()})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "entry_idx", "name", "method", "n_bytes",
+                "body_md5"])
+
+    out_schema = (f"{id_col} string, entry_idx int, name string, "
+                  "method int, n_bytes long, body_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

@@ -1568,3 +1568,51 @@ def test_tar_ustar_cross_validated(spark):
     assert rows[1]["n_bytes"] == 0
     assert rows[2]["body_md5"] == hashlib.md5(
         bytes(range(256)) * 3).hexdigest()
+
+
+def test_zip_central_directory_cross_validated(spark):
+    """ZIP parse goes THROUGH the central directory (a decoy
+    'PK\\x03\\x04' inside a member body is inert), stdlib zipfile
+    accepts our synth and we read stdlib's output (Stored+Deflate),
+    CRC corruption is caught, and the Spark stage emits digests."""
+    import hashlib
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from memory_engine_spark.sources.formats import (parse_zip,
+                                                     synth_zip,
+                                                     zip_entries)
+    entries = [("a.txt", b"fake sig PK\x03\x04 embedded"),
+               ("b/c.bin", bytes(range(200)) * 5),
+               ("empty", b"")]
+    blob = synth_zip(entries)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    for name, data in entries:
+        assert zf.read(name) == data
+    out = parse_zip(blob)
+    assert [(e["name"], e["body"]) for e in out] == entries
+    assert out[0]["method"] == 0 and out[1]["method"] == 8
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as w:
+        w.writestr("s.txt", b"hello", compress_type=zipfile.ZIP_STORED)
+        w.writestr("d.txt", b"x" * 500,
+                   compress_type=zipfile.ZIP_DEFLATED)
+    assert [(e["name"], e["body"]) for e in parse_zip(buf.getvalue())] \
+        == [("s.txt", b"hello"), ("d.txt", b"x" * 500)]
+
+    bad = bytearray(blob)
+    bad[blob.find(b"fake") + 1] ^= 1
+    with _pytest.raises(ValueError, match="CRC"):
+        parse_zip(bytes(bad))
+    with _pytest.raises(ValueError, match="EOCD"):
+        parse_zip(b"PK\x03\x04 not a real zip")
+
+    df = spark.createDataFrame([("z1", bytearray(blob))],
+                               "media_id string, payload binary")
+    rows = {r["entry_idx"]: r for r in zip_entries(df).collect()}
+    assert rows[2]["n_bytes"] == 0
+    assert rows[1]["body_md5"] == hashlib.md5(
+        bytes(range(200)) * 5).hexdigest()
