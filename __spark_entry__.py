@@ -4565,6 +4565,45 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q183_tfrecord_entries(spark, sf):
+    """REAL TFRecord walking under the oracle gate — TensorFlow's
+    dataset container, the third ML shard format next to WebDataset
+    tar (q181) and zip (q182). The wire format's whole point is the
+    MASKED CRC-32C (Castagnoli polynomial — NOT zlib's crc32; the
+    rotl-15 + 0xa282ead8 mask keeps CRCs from colliding inside
+    checksummed streams), verified on both the length word (so a
+    reader never trusts a corrupt length) and the payload.
+    `formats._crc32c` is pinned to the standard check value
+    crc32c('123456789') == 0xE3069283 in tests. Each document
+    synthesizes 2 + doc_id%3 records (one zero-length) with formula
+    bodies; the oracle regenerates the facts. Scale posture:
+    records are sequential within a shard; shards parallelize —
+    the TF input pipeline's own sharding model."""
+    from memory_engine_spark.sources.formats import (synth_tfrecord,
+                                                     tfrecord_entries)
+
+    docs = (_t(spark, sf)["documents"].select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                recs = []
+                for k in range(2 + d % 3):
+                    recs.append(b"" if k == 1 and d % 4 == 0 else
+                                f"ex {d} {k} {txt}".encode())
+                ids.append(f"m_{d}")
+                payloads.append(synth_tfrecord(recs))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return tfrecord_entries(media).orderBy("media_id", "rec_idx")
+
+
 def q182_zip_entries(spark, sf):
     """REAL ZIP parsing under the oracle gate — THROUGH the central
     directory, the way a correct reader works: EOCD found by a
@@ -5252,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_bleu_eval": q180_bleu_eval,
         "q181_tar_entries": q181_tar_entries,
         "q182_zip_entries": q182_zip_entries,
+        "q183_tfrecord_entries": q183_tfrecord_entries,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5334,7 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q176_pdf_text", "q177_span_corruption",
                       "q178_chat_render", "q179_tiff_pixels",
                       "q180_bleu_eval", "q181_tar_entries",
-                      "q182_zip_entries"]
+                      "q182_zip_entries", "q183_tfrecord_entries"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9387,6 +9427,27 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q183: record facts from the formula; the zero-length record
+    # pins the empty-payload CRC path.
+    sql["q183_tfrecord_entries"] = """
+        WITH d AS (
+            SELECT doc_id, text, 2 + doc_id % 3 AS nr FROM documents
+        ),
+        e AS (
+            SELECT doc_id, text, unnest(range(0, nr)) AS k FROM d
+        ),
+        b AS (
+            SELECT doc_id, k,
+                   CASE WHEN k = 1 AND doc_id % 4 = 0 THEN ''
+                        ELSE 'ex ' || doc_id || ' ' || k || ' ' || text
+                   END AS body
+            FROM e
+        )
+        SELECT 'm_' || doc_id AS media_id, k::INT AS rec_idx,
+               strlen(body)::BIGINT AS n_bytes, md5(body) AS body_md5
+        FROM b ORDER BY media_id, rec_idx
     """
 
     # q182: entry facts from the member formula; method follows the

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q180_bleu_eval",         # clipped n-gram BLEU (4 gram joins)
     "q181_tar_entries",       # ustar block walk (WebDataset shards)
     "q182_zip_entries",       # ZIP central-directory parse + inflate
+    "q183_tfrecord_entries",  # TFRecord masked-CRC-32C frame walk
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -796,3 +796,101 @@ def zip_entries(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, entry_idx int, name string, "
                   "method int, n_bytes long, body_md5 string")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TFRecord — TensorFlow's dataset container: u64le length + masked
+# CRC-32C of the length + payload + masked CRC-32C of the payload.
+# CRC-32C is Castagnoli (poly 0x1EDC6F41, reflected 0x82F63B78) — a
+# DIFFERENT polynomial than zlib's crc32; TF's mask rotl(crc,15) +
+# 0xa282ead8 exists so CRCs embedded in checksummed streams don't
+# collide with themselves.
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), table-driven; check value
+    crc32c(b'123456789') == 0xE3069283."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = _CRC32C_TABLE[(crc ^ byte) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _tf_mask(crc: int) -> int:
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def synth_tfrecord(records: list[bytes]) -> bytes:
+    """Assemble a TFRecord stream. The encode twin of
+    ``parse_tfrecord``."""
+    out = bytearray()
+    for rec in records:
+        ln = len(rec).to_bytes(8, "little")
+        out += ln + _tf_mask(_crc32c(ln)).to_bytes(4, "little")
+        out += rec + _tf_mask(_crc32c(rec)).to_bytes(4, "little")
+    return bytes(out)
+
+
+def parse_tfrecord(payload: bytes) -> list[bytes]:
+    """REAL TFRecord walk: length frame, masked-CRC-32C verification
+    of BOTH the length word and the payload (the length CRC is what
+    lets a reader detect corruption before trusting a bogus length),
+    exact end-of-stream. Truncation or CRC mismatch raises."""
+    b = payload or b""
+    out = []
+    i = 0
+    while i < len(b):
+        if i + 12 > len(b):
+            raise ValueError(f"truncated record header at {i}")
+        ln_bytes = b[i:i + 8]
+        if int.from_bytes(b[i + 8:i + 12], "little") \
+                != _tf_mask(_crc32c(ln_bytes)):
+            raise ValueError(f"length CRC mismatch at {i}")
+        ln = int.from_bytes(ln_bytes, "little")
+        if i + 12 + ln + 4 > len(b):
+            raise ValueError(f"truncated record body at {i}")
+        rec = b[i + 12:i + 12 + ln]
+        if int.from_bytes(b[i + 12 + ln:i + 16 + ln], "little") \
+                != _tf_mask(_crc32c(rec)):
+            raise ValueError(f"payload CRC mismatch at {i}")
+        out.append(rec)
+        i += 16 + ln
+    return out
+
+
+def tfrecord_entries(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """TFRecord → per-record facts as one Arrow ``mapInPandas``
+    stage: (id, rec_idx, n_bytes, body_md5)."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for k, rec in enumerate(parse_tfrecord(b)):
+                    rows.append({
+                        id_col: mid, "rec_idx": k,
+                        "n_bytes": len(rec),
+                        "body_md5": hashlib.md5(rec).hexdigest()})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "rec_idx", "n_bytes", "body_md5"])
+
+    out_schema = (f"{id_col} string, rec_idx int, n_bytes long, "
+                  "body_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

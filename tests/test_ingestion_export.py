@@ -1616,3 +1616,39 @@ def test_zip_central_directory_cross_validated(spark):
     assert rows[2]["n_bytes"] == 0
     assert rows[1]["body_md5"] == hashlib.md5(
         bytes(range(200)) * 5).hexdigest()
+
+
+def test_tfrecord_masked_crc32c(spark):
+    """CRC-32C pinned to the standard check value, masked-CRC frame
+    walk roundtrips (incl. empty records), length-word corruption is
+    caught BEFORE the bogus length is trusted, payload corruption
+    caught, and the Spark stage emits digests."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from memory_engine_spark.sources.formats import (_crc32c,
+                                                     parse_tfrecord,
+                                                     synth_tfrecord,
+                                                     tfrecord_entries)
+    assert _crc32c(b"123456789") == 0xE3069283
+    recs = [b"first", b"", b"\x00\xff" * 100]
+    blob = synth_tfrecord(recs)
+    assert parse_tfrecord(blob) == recs
+    bad = bytearray(blob)
+    bad[3] ^= 1                          # corrupt the length word
+    with _pytest.raises(ValueError, match="length CRC"):
+        parse_tfrecord(bytes(bad))
+    bad = bytearray(blob)
+    bad[13] ^= 1                         # corrupt the payload
+    with _pytest.raises(ValueError, match="payload CRC"):
+        parse_tfrecord(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_tfrecord(blob[:-2])
+
+    df = spark.createDataFrame([("f1", bytearray(blob))],
+                               "media_id string, payload binary")
+    rows = {r["rec_idx"]: r for r in tfrecord_entries(df).collect()}
+    assert rows[1]["n_bytes"] == 0
+    assert rows[2]["body_md5"] == hashlib.md5(b"\x00\xff" * 100) \
+        .hexdigest()
