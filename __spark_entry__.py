@@ -4565,6 +4565,61 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q184_parquet_footer(spark, sf):
+    """Parquet PHYSICAL-metadata introspection under the oracle gate
+    — FileMetaData parsed from the actual table files with a
+    hand-rolled Thrift compact-protocol reader (varint/zigzag field
+    headers, nested structs/lists; no parquet library anywhere):
+    the storage-observability op a lakehouse needs for row-group
+    sizing audits. THIS oracle is the strongest in the suite: no
+    synth twins at all — the Spark side walks the real footer bytes
+    of the same files the DuckDB side scans, and num_rows must equal
+    COUNT(*) while n_top_columns must equal the view's
+    information_schema column count (two unrelated implementations
+    agreeing about real bytes). The row-group-level fields
+    (per-group rows/bytes/columns) are additionally cross-validated
+    against duckdb's parquet_metadata() in pytest."""
+    import os
+
+    from memory_engine_spark.sources.formats import parquet_footer_meta
+
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"]
+    paths = spark.createDataFrame(
+        [(t, os.path.join(sf, f"{t}.parquet")) for t in tables],
+        "tbl string, path string")
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for t, p in zip(pdf["tbl"], pdf["path"]):
+                with open(p, "rb") as f:
+                    m = parquet_footer_meta(f.read())
+                rows.append({
+                    "tbl": t, "num_rows": m["num_rows"],
+                    "n_top_columns": m["n_top_columns"],
+                    "n_row_groups": len(m["row_groups"]),
+                    "rg_rows_total": sum(r["num_rows"]
+                                         for r in m["row_groups"])})
+            yield pd.DataFrame(rows, columns=[
+                "tbl", "num_rows", "n_top_columns", "n_row_groups",
+                "rg_rows_total"])
+
+    out = paths.mapInPandas(
+        probe, "tbl string, num_rows long, n_top_columns int, "
+               "n_row_groups int, rg_rows_total long")
+    # row-group rows must sum to the file total — assert relationally
+    # so the driver-visible result carries the invariant
+    return (out.select(
+        "tbl", "num_rows", "n_top_columns",
+        (F.col("rg_rows_total") == F.col("num_rows"))
+        .alias("rg_sum_consistent"))
+        .orderBy("tbl"))
+
+
 def q183_tfrecord_entries(spark, sf):
     """REAL TFRecord walking under the oracle gate — TensorFlow's
     dataset container, the third ML shard format next to WebDataset
@@ -5292,6 +5347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_tar_entries": q181_tar_entries,
         "q182_zip_entries": q182_zip_entries,
         "q183_tfrecord_entries": q183_tfrecord_entries,
+        "q184_parquet_footer": q184_parquet_footer,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5374,7 +5430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q176_pdf_text", "q177_span_corruption",
                       "q178_chat_render", "q179_tiff_pixels",
                       "q180_bleu_eval", "q181_tar_entries",
-                      "q182_zip_entries", "q183_tfrecord_entries"]
+                      "q182_zip_entries", "q183_tfrecord_entries",
+                      "q184_parquet_footer"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9427,6 +9484,25 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q184: no formula anywhere — the DuckDB side derives the same
+    # facts from the registered views (COUNT(*) and
+    # information_schema), so the hash is two independent parquet
+    # implementations agreeing about the same real files.
+    _q184_tables = ["region", "nation", "customer", "supplier",
+                    "part", "orders", "lineitem", "events",
+                    "documents", "embeddings"]
+    _q184_parts = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, (SELECT COUNT(*) FROM {t}) AS num_rows,"
+        f" (SELECT COUNT(*) FROM information_schema.columns"
+        f"  WHERE table_name = '{t}') AS n_cols"
+        for t in _q184_tables)
+    sql["q184_parquet_footer"] = f"""
+        SELECT tbl, num_rows::BIGINT AS num_rows,
+               n_cols::INT AS n_top_columns,
+               true AS rg_sum_consistent
+        FROM ({_q184_parts}) ORDER BY tbl
     """
 
     # q183: record facts from the formula; the zero-length record

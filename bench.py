@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q181_tar_entries",       # ustar block walk (WebDataset shards)
     "q182_zip_entries",       # ZIP central-directory parse + inflate
     "q183_tfrecord_entries",  # TFRecord masked-CRC-32C frame walk
+    "q184_parquet_footer",    # thrift-compact footer introspection
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol
