@@ -4565,6 +4565,46 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q185_avro_container(spark, sf):
+    """REAL Avro object-container parsing under the oracle gate —
+    the row-oriented lakehouse interchange format (Kafka archives,
+    Sqoop exports): 'Obj\\x01' magic, metadata map (avro.schema
+    JSON + codec), 16-byte sync-delimited blocks, and record bodies
+    decoded with Avro binary primitives (zigzag varints for long —
+    negative ids included — and length-prefixed UTF-8 strings).
+    Each document synthesizes a (3 + doc_id%4)-record container in
+    2-record blocks (short last block), Deflate codec on every
+    third doc, one NEGATIVE id per doc (the zigzag edge); the
+    oracle regenerates record facts from the formula. Sync
+    verification after every block means a framing bug cannot slide.
+    Scale posture: sync markers exist precisely so splits can
+    resynchronize mid-file — the Avro analogue of row groups."""
+    from memory_engine_spark.sources.formats import (avro_pair_entries,
+                                                     synth_avro_pairs)
+
+    docs = (_t(spark, sf)["documents"].select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                recs = []
+                for k in range(3 + d % 4):
+                    rid = -(d + k) if k == 1 else d * 10 + k
+                    recs.append((rid, f"rec {d} {k} {txt[:40]}"))
+                ids.append(f"m_{d}")
+                payloads.append(synth_avro_pairs(
+                    recs, block_size=2, deflate=(d % 3 == 0)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return avro_pair_entries(media).orderBy("media_id", "rec_idx")
+
+
 def q184_parquet_footer(spark, sf):
     """Parquet PHYSICAL-metadata introspection under the oracle gate
     — FileMetaData parsed from the actual table files with a
@@ -5348,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_zip_entries": q182_zip_entries,
         "q183_tfrecord_entries": q183_tfrecord_entries,
         "q184_parquet_footer": q184_parquet_footer,
+        "q185_avro_container": q185_avro_container,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5431,7 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q178_chat_render", "q179_tiff_pixels",
                       "q180_bleu_eval", "q181_tar_entries",
                       "q182_zip_entries", "q183_tfrecord_entries",
-                      "q184_parquet_footer"]
+                      "q184_parquet_footer", "q185_avro_container"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9484,6 +9525,31 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q185: record facts from the formula — negative ids pin the
+    # zigzag decode, block count from the 2-record blocking rule.
+    sql["q185_avro_container"] = """
+        WITH d AS (
+            SELECT doc_id, text, 3 + doc_id % 4 AS nr FROM documents
+        ),
+        e AS (
+            SELECT doc_id, text, nr, unnest(range(0, nr)) AS k FROM d
+        ),
+        b AS (
+            SELECT doc_id, nr, k,
+                   CASE WHEN k = 1 THEN -(doc_id + 1)
+                        ELSE doc_id * 10 + k END AS pair_id,
+                   'rec ' || doc_id || ' ' || k || ' '
+                       || substr(text, 1, 40) AS body
+            FROM e
+        )
+        SELECT 'm_' || doc_id AS media_id, k::INT AS rec_idx,
+               pair_id::BIGINT AS pair_id, md5(body) AS text_md5,
+               CASE WHEN doc_id % 3 = 0 THEN 'deflate'
+                    ELSE 'null' END AS codec,
+               CAST(ceil(nr / 2.0) AS INT) AS n_blocks
+        FROM b ORDER BY media_id, rec_idx
     """
 
     # q184: no formula anywhere — the DuckDB side derives the same

@@ -997,3 +997,174 @@ def parquet_footer_meta(payload: bytes) -> dict:
             "created_by": (meta.get(6) or b"").decode("utf-8",
                                                       "replace"),
             "n_top_columns": root_children, "row_groups": rgs}
+
+
+# ---------------------------------------------------------------------------
+# Avro object container (the row-oriented lakehouse interchange file):
+# 'Obj\x01' magic, a metadata MAP (block-counted key/value pairs —
+# avro.schema JSON + avro.codec), a 16-byte sync marker, then
+# sync-delimited blocks of (record_count, byte_size, records). Record
+# bodies decode with Avro binary primitives: zigzag varints for
+# long, length-prefixed UTF-8 for string — enough for flat
+# (long, string) schemas, the honest subset. Deflate codec supported
+# (raw zlib); other codecs raise.
+# ---------------------------------------------------------------------------
+
+
+def _avro_zigzag_enc(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63)
+    out = bytearray()
+    while True:
+        byte = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(byte | 0x80)
+        else:
+            out.append(byte)
+            return bytes(out)
+
+
+def _avro_zigzag_dec(b: bytes, i: int) -> tuple[int, int]:
+    u = shift = 0
+    while True:
+        byte = b[i]
+        i += 1
+        u |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), i
+
+
+AVRO_PAIR_SCHEMA = (b'{"type":"record","name":"pair","fields":'
+                    b'[{"name":"id","type":"long"},'
+                    b'{"name":"text","type":"string"}]}')
+
+
+def synth_avro_pairs(records: list[tuple[int, str]],
+                     block_size: int = 3, deflate: bool = False,
+                     sync: bytes = b"0123456789abcdef") -> bytes:
+    """Assemble an Avro object container of (long, string) records:
+    header metadata map (avro.schema + avro.codec), sync marker,
+    blocks of ``block_size`` records (short last block). The encode
+    twin of ``parse_avro_pairs``."""
+    import zlib
+
+    def kv(k: bytes, v: bytes) -> bytes:
+        return (_avro_zigzag_enc(len(k)) + k
+                + _avro_zigzag_enc(len(v)) + v)
+
+    codec = b"deflate" if deflate else b"null"
+    out = bytearray(b"Obj\x01")
+    out += _avro_zigzag_enc(2)              # map block: 2 entries
+    out += kv(b"avro.schema", AVRO_PAIR_SCHEMA)
+    out += kv(b"avro.codec", codec)
+    out += _avro_zigzag_enc(0)              # end of map
+    out += sync
+    for s in range(0, len(records), block_size):
+        blk = records[s:s + block_size]
+        body = bytearray()
+        for rid, text in blk:
+            tb = text.encode()
+            body += (_avro_zigzag_enc(rid)
+                     + _avro_zigzag_enc(len(tb)) + tb)
+        if deflate:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(bytes(body)) + co.flush()
+        out += _avro_zigzag_enc(len(blk))
+        out += _avro_zigzag_enc(len(body))
+        out += body + sync
+    return bytes(out)
+
+
+def parse_avro_pairs(payload: bytes) -> dict:
+    """REAL Avro container parse: magic, metadata map walk (negative
+    map-block counts per the spec carry a byte size — handled),
+    schema/codec extraction, then sync-verified blocks whose record
+    bodies decode via zigzag varints + length-prefixed strings.
+    Returns {"codec", "schema", "blocks": [n_records...],
+    "records": [(id, text)...]}. Sync mismatch, truncation, or a
+    non-null/deflate codec raise."""
+    import zlib
+
+    b = payload or b""
+    if b[:4] != b"Obj\x01":
+        raise ValueError("not an Avro object container")
+    i = 4
+    meta = {}
+    while True:
+        n, i = _avro_zigzag_dec(b, i)
+        if n == 0:
+            break
+        if n < 0:                           # spec: size-prefixed block
+            _, i = _avro_zigzag_dec(b, i)
+            n = -n
+        for _ in range(n):
+            klen, i = _avro_zigzag_dec(b, i)
+            k = b[i:i + klen]
+            i += klen
+            vlen, i = _avro_zigzag_dec(b, i)
+            meta[k] = b[i:i + vlen]
+            i += vlen
+    sync = b[i:i + 16]
+    i += 16
+    codec = meta.get(b"avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"codec {codec!r} not supported")
+    blocks, records = [], []
+    while i < len(b):
+        cnt, i = _avro_zigzag_dec(b, i)
+        size, i = _avro_zigzag_dec(b, i)
+        body = b[i:i + size]
+        if len(body) != size:
+            raise ValueError("truncated avro block")
+        i += size
+        if b[i:i + 16] != sync:
+            raise ValueError(f"sync marker mismatch after block "
+                             f"{len(blocks)}")
+        i += 16
+        if codec == "deflate":
+            body = zlib.decompress(body, -15)
+        j = 0
+        for _ in range(cnt):
+            rid, j = _avro_zigzag_dec(body, j)
+            slen, j = _avro_zigzag_dec(body, j)
+            records.append((rid, body[j:j + slen].decode()))
+            j += slen
+        if j != len(body):
+            raise ValueError("avro block has trailing bytes")
+        blocks.append(cnt)
+    return {"codec": codec,
+            "schema": meta.get(b"avro.schema", b"").decode(),
+            "blocks": blocks, "records": records}
+
+
+def avro_pair_entries(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Avro container → per-record facts as one Arrow
+    ``mapInPandas`` stage: (id, rec_idx, pair_id, text_md5, codec,
+    n_blocks)."""
+    import hashlib
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                m = parse_avro_pairs(b)
+                for k, (rid, text) in enumerate(m["records"]):
+                    rows.append({
+                        id_col: mid, "rec_idx": k, "pair_id": rid,
+                        "text_md5": hashlib.md5(
+                            text.encode()).hexdigest(),
+                        "codec": m["codec"],
+                        "n_blocks": len(m["blocks"])})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "rec_idx", "pair_id", "text_md5", "codec",
+                "n_blocks"])
+
+    out_schema = (f"{id_col} string, rec_idx int, pair_id long, "
+                  "text_md5 string, codec string, n_blocks int")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

@@ -1687,3 +1687,40 @@ def test_parquet_footer_vs_duckdb_real_files():
             assert g_cols == mine["n_columns"], (path, gid)
     with _pytest.raises(ValueError):
         parquet_footer_meta(b"PAR1 not really")
+
+
+def test_avro_container_blocks_and_zigzag(spark):
+    """Avro container roundtrips (null + deflate codecs, negative /
+    zero / >32-bit ids through zigzag varints, short last block),
+    sync corruption is caught, and the Spark stage emits per-record
+    facts."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from memory_engine_spark.sources.formats import (avro_pair_entries,
+                                                     parse_avro_pairs,
+                                                     synth_avro_pairs)
+    recs = [(1, "alpha"), (-42, "négative é"), (0, ""),
+            (7, "x" * 300), (2 ** 40, "big")]
+    for deflate in (False, True):
+        m = parse_avro_pairs(synth_avro_pairs(recs, block_size=2,
+                                              deflate=deflate))
+        assert m["records"] == recs
+        assert m["blocks"] == [2, 2, 1]
+        assert m["codec"] == ("deflate" if deflate else "null")
+    bad = bytearray(synth_avro_pairs(recs))
+    bad[-3] ^= 1
+    with _pytest.raises(ValueError, match="sync"):
+        parse_avro_pairs(bytes(bad))
+    with _pytest.raises(ValueError):
+        parse_avro_pairs(b"Obj\x02nope")
+
+    blob = synth_avro_pairs(recs, block_size=2)
+    df = spark.createDataFrame([("a1", bytearray(blob))],
+                               "media_id string, payload binary")
+    rows = {r["rec_idx"]: r for r in avro_pair_entries(df).collect()}
+    assert rows[1]["pair_id"] == -42
+    assert rows[1]["text_md5"] == hashlib.md5(
+        "négative é".encode()).hexdigest()
+    assert rows[0]["n_blocks"] == 3
