@@ -4565,6 +4565,32 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q186_rouge_eval(spark, sf):
+    """Corpus ROUGE-1/2 evaluation under the oracle gate (Lin 2004 —
+    the recall-side summarization/SFT eval metric, completing the
+    MT-eval pillar next to q180's BLEU): each document yields a
+    (candidate, reference) pair by shifted word windows (cand =
+    words 2..13, ref = words 1..20 — real partial overlap with the
+    candidate both missing reference grams and never spamming), and
+    `corpus.rouge_report` computes CLIPPED n-gram matches for
+    n = 1, 2 via per-n gram explodes + an inner join on (id, gram)
+    — exact integer match/total components — from which precision,
+    recall and F1 are single float ratios rounded to 6dp. The
+    oracle replays both clip joins and the three ratios, so a
+    windowing, clipping, or guard bug breaks the hash. Reference
+    parity: unit-overlap evidence scoring in the reference's QA path
+    is row-at-a-time driver code; here it is all JVM-side joins."""
+    from memory_engine_spark.operators.corpus import rouge_report
+
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 2, 12)).alias("cand"),
+        F.concat_ws(" ", F.slice(toks, 1, 20)).alias("ref"))
+    return rouge_report(pairs).orderBy("doc_id")
+
+
 def q185_avro_container(spark, sf):
     """REAL Avro object-container parsing under the oracle gate —
     the row-oriented lakehouse interchange format (Kafka archives,
@@ -5389,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_tfrecord_entries": q183_tfrecord_entries,
         "q184_parquet_footer": q184_parquet_footer,
         "q185_avro_container": q185_avro_container,
+        "q186_rouge_eval": q186_rouge_eval,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5472,7 +5499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q178_chat_render", "q179_tiff_pixels",
                       "q180_bleu_eval", "q181_tar_entries",
                       "q182_zip_entries", "q183_tfrecord_entries",
-                      "q184_parquet_footer", "q185_avro_container"]
+                      "q184_parquet_footer", "q185_avro_container",
+                      "q186_rouge_eval"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9525,6 +9553,72 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q186: both clip joins + the P/R/F1 ratios replayed — integer
+    # match/total components pin the windows and the clipping; only
+    # the three rounded-6dp ratios are float.
+    _r_ctes, _r_joins, _r_cols = [], "", []
+    for n in (1, 2):
+        _r_ctes.append(f"""
+        rcg{n} AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tc) - {n} + 2),
+                             i -> array_to_string(
+                                 tc[CAST(i AS INT):CAST(i AS INT) + {n} - 1],
+                                 ' '))) AS g
+                  FROM p WHERE len(tc) >= {n})
+            GROUP BY doc_id, g
+        ),
+        rrg{n} AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tr) - {n} + 2),
+                             i -> array_to_string(
+                                 tr[CAST(i AS INT):CAST(i AS INT) + {n} - 1],
+                                 ' '))) AS g
+                  FROM p WHERE len(tr) >= {n})
+            GROUP BY doc_id, g
+        ),
+        rm{n} AS (
+            SELECT a.doc_id, SUM(LEAST(a.nc, b.nr)) AS m
+            FROM rcg{n} a JOIN rrg{n} b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+            GROUP BY a.doc_id
+        ),
+        rtc{n} AS (SELECT doc_id, SUM(nc) AS t FROM rcg{n}
+                   GROUP BY doc_id),
+        rtr{n} AS (SELECT doc_id, SUM(nr) AS t FROM rrg{n}
+                   GROUP BY doc_id)""")
+        _r_joins += (f" LEFT JOIN rm{n} ON rm{n}.doc_id = p.doc_id"
+                     f" LEFT JOIN rtc{n} ON rtc{n}.doc_id = p.doc_id"
+                     f" LEFT JOIN rtr{n} ON rtr{n}.doc_id = p.doc_id")
+        _m = f"COALESCE(rm{n}.m, 0)"
+        _tc = f"COALESCE(rtc{n}.t, 0)"
+        _tr = f"COALESCE(rtr{n}.t, 0)"
+        _r_cols.append(f"""
+               {_m}::BIGINT AS match{n},
+               {_tc}::BIGINT AS cand_tot{n},
+               {_tr}::BIGINT AS ref_tot{n},
+               ROUND(CASE WHEN {_tc} > 0
+                     THEN {_m} / {_tc} ELSE 0.0 END, 6) AS rouge{n}_p,
+               ROUND(CASE WHEN {_tr} > 0
+                     THEN {_m} / {_tr} ELSE 0.0 END, 6) AS rouge{n}_r,
+               ROUND(CASE WHEN {_m} > 0
+                     THEN 2 * ({_m} / {_tc}) * ({_m} / {_tr})
+                          / ({_m} / {_tc} + {_m} / {_tr})
+                     ELSE 0.0 END, 6) AS rouge{n}_f""")
+    sql["q186_rouge_eval"] = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   string_split(text, ' ')[2:13] AS tc,
+                   string_split(text, ' ')[1:20] AS tr
+            FROM documents
+        ),{",".join(_r_ctes)}
+        SELECT p.doc_id,{",".join(_r_cols)}
+        FROM p{_r_joins}
+        ORDER BY p.doc_id
     """
 
     # q185: record facts from the formula — negative ids pin the

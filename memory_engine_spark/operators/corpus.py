@@ -980,3 +980,71 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
         *[F.col(f"clip{n}") for n in range(1, max_n + 1)],
         *[F.col(f"tot{n}") for n in range(1, max_n + 1)],
         F.round(bleu, 6).alias("bleu"))
+
+
+def rouge_report(pairs: DataFrame, cand_col: str = "cand",
+                 ref_col: str = "ref", id_col: str = "doc_id",
+                 max_n: int = 2) -> DataFrame:
+    """ROUGE-N components per (candidate, reference) pair (Lin 2004
+    — the RECALL-side eval metric summarization / SFT pipelines run
+    at corpus scale, complementing bleu_report's precision side):
+    for n = 1..max_n the CLIPPED n-gram match count (per-gram min of
+    candidate and reference occurrences) plus BOTH totals, so
+    precision = match/cand_total, recall = match/ref_total, and
+    F1 = 2PR/(P+R) (0 when match is 0) all derive from exact integer
+    components; only the three final ratios are floats, emitted
+    rounded to 6dp (same both engines at this precision).
+
+    Relational shape (reference parity: the reference computes
+    ROUGE-style unit overlap driver-side in its QA evidence scorer,
+    memory_core row loops — here it is two gram explodes + groupBy
+    counts + an inner join on (id, gram) per n, all JVM-side, no
+    Python, no windows). Scale posture: each join key is (id, gram)
+    — cardinality bounded by tokens per doc, perfectly partitioned,
+    map-side combinable; nothing is quadratic in corpus size."""
+    toks_c = F.split(F.col(cand_col), " ")
+    toks_r = F.split(F.col(ref_col), " ")
+    base = pairs.select(
+        id_col, toks_c.alias("_tc"), toks_r.alias("_tr"))
+
+    def grams(tok_col, n):
+        # sequence(0, -1) DESCENDS in Spark — guard short inputs
+        return F.when(
+            F.size(tok_col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok_col) - n),
+                lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = base.select(id_col)
+    for n in range(1, max_n + 1):
+        cg = (base.select(id_col, F.explode(grams(F.col("_tc"), n))
+                          .alias("g"))
+              .groupBy(id_col, "g").agg(F.count("*").alias("nc")))
+        rg = (base.select(id_col, F.explode(grams(F.col("_tr"), n))
+                          .alias("g"))
+              .groupBy(id_col, "g").agg(F.count("*").alias("nr")))
+        clip = (cg.join(rg, [id_col, "g"])
+                .groupBy(id_col)
+                .agg(F.sum(F.least("nc", "nr")).alias(f"m{n}")))
+        totc = cg.groupBy(id_col).agg(F.sum("nc").alias(f"tc{n}"))
+        totr = rg.groupBy(id_col).agg(F.sum("nr").alias(f"tr{n}"))
+        out = out.join(clip, id_col, "left") \
+                 .join(totc, id_col, "left") \
+                 .join(totr, id_col, "left")
+        for c in (f"m{n}", f"tc{n}", f"tr{n}"):
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    cols = [F.col(id_col)]
+    for n in range(1, max_n + 1):
+        m, tc, tr = (F.col(f"m{n}"), F.col(f"tc{n}"), F.col(f"tr{n}"))
+        p = F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
+        r = F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
+        f1 = F.when(m > 0, 2 * (m / tc) * (m / tr)
+                    / (m / tc + m / tr)).otherwise(F.lit(0.0))
+        cols += [m.alias(f"match{n}"), tc.alias(f"cand_tot{n}"),
+                 tr.alias(f"ref_tot{n}"),
+                 F.round(p, 6).alias(f"rouge{n}_p"),
+                 F.round(r, 6).alias(f"rouge{n}_r"),
+                 F.round(f1, 6).alias(f"rouge{n}_f")]
+    return out.select(*cols)

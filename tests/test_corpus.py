@@ -403,3 +403,36 @@ def test_bleu_report_hand_computed(spark):
             r3["clip3"], r3["tot3"], r3["clip4"], r3["tot4"]) \
         == (5, 6, 3, 5, 1, 4, 0, 3)
     assert out[4]["clip1"] == 0 and out[4]["bleu"] == 0.0
+
+
+def test_rouge_report_hand_computed(spark):
+    """ROUGE-1/2 clipped components against hand-computed counts:
+    clipping caps candidate spam at reference multiplicity; recall
+    denominators come from the REFERENCE totals (the side BLEU never
+    uses); perfect match -> F1 1.0; zero overlap -> all ratios 0."""
+    from memory_engine_spark.operators.corpus import rouge_report
+
+    pairs = spark.createDataFrame(
+        [(1, "the cat sat", "the cat sat"),
+         (2, "the the the the", "the cat"),
+         (3, "a b c d", "a b x d e f"),
+         (4, "zz yy", "a b c")],
+        "doc_id long, cand string, ref string")
+    out = {r["doc_id"]: r for r in rouge_report(pairs).collect()}
+    r1 = out[1]
+    assert (r1["rouge1_p"], r1["rouge1_r"], r1["rouge1_f"]) \
+        == (1.0, 1.0, 1.0)
+    assert (r1["match2"], r1["cand_tot2"], r1["ref_tot2"]) == (2, 2, 2)
+    # spam clip: 'the' x4 in cand vs x1 in ref -> match1 = 1
+    r2 = out[2]
+    assert (r2["match1"], r2["cand_tot1"], r2["ref_tot1"]) == (1, 4, 2)
+    assert r2["rouge1_p"] == 0.25 and r2["rouge1_r"] == 0.5
+    # unigrams: a,b,d shared -> P=3/4, R=3/6, F=2*.75*.5/1.25=0.6
+    r3 = out[3]
+    assert (r3["match1"], r3["cand_tot1"], r3["ref_tot1"]) == (3, 4, 6)
+    assert r3["rouge1_f"] == 0.6
+    # bigrams: only 'a b' shared -> 1/3 vs 1/5
+    assert (r3["match2"], r3["cand_tot2"], r3["ref_tot2"]) == (1, 3, 5)
+    r4 = out[4]
+    assert (r4["match1"], r4["rouge1_f"], r4["rouge2_f"]) \
+        == (0, 0.0, 0.0)
