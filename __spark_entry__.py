@@ -55,6 +55,10 @@ edges_sym AS (
 """
 
 # Tokenizer CTE matching operators/dedup.py::tokens for the oracles.
+# q187: the 8 IR-eval query terms (all high-frequency corpus vocab)
+IR_TERMS = ["filter", "hash", "join", "merge",
+            "scan", "spark", "stream", "window"]
+
 TOKS_CTE = """
 toks_t AS (
     SELECT doc_id, list_filter(
@@ -4565,6 +4569,41 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q187_ir_eval(spark, sf):
+    """Ranked-retrieval evaluation harness under the oracle gate —
+    MRR, P@10, recall@10, nDCG@10 and MAP per query, the metrics a
+    RAG / search pipeline computes over millions of judgments: 8
+    query terms, ranker = term frequency in the FIRST 15 tokens (a
+    truncated-view retriever), graded relevance = LEAST(2, tf in
+    tokens 16+) — the part the ranker never sees, so rankings are
+    genuinely imperfect and every metric lands strictly inside
+    (0, 1). `ranking.ir_eval_report` keeps all accumulations BIGINT
+    (gain × quantized discount table products, (quant*cumrel)//rank
+    floor divisions); the discount integers are injected as the SAME
+    literals into the DuckDB oracle via `ir_disc_u`, so no runtime
+    log2 exists anywhere and a ranking, cumulative-count, ideal-DCG
+    or tiebreak bug breaks the hash. Scale posture: judgments
+    partition by query id; two windows + one groupBy, nothing
+    quadratic; the 8-row query dim is broadcast."""
+    from memory_engine_spark.operators.ranking import ir_eval_report
+
+    terms = spark.createDataFrame(
+        [(t,) for t in IR_TERMS], "term string")
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    j = (docs.crossJoin(F.broadcast(terms))
+         .select(
+             "term", "doc_id",
+             F.size(F.filter(F.slice(toks, 1, 15),
+                             lambda x: x == F.col("term")))
+             .cast("long").alias("score"),
+             F.least(F.lit(2), F.size(F.filter(
+                 F.slice(toks, 16, 1 << 20),
+                 lambda x: x == F.col("term"))))
+             .cast("int").alias("rel")))
+    return ir_eval_report(j, qid_col="term").orderBy("term")
+
+
 def q186_rouge_eval(spark, sf):
     """Corpus ROUGE-1/2 evaluation under the oracle gate (Lin 2004 —
     the recall-side summarization/SFT eval metric, completing the
@@ -5416,6 +5455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_parquet_footer": q184_parquet_footer,
         "q185_avro_container": q185_avro_container,
         "q186_rouge_eval": q186_rouge_eval,
+        "q187_ir_eval": q187_ir_eval,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5500,7 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q180_bleu_eval", "q181_tar_entries",
                       "q182_zip_entries", "q183_tfrecord_entries",
                       "q184_parquet_footer", "q185_avro_container",
-                      "q186_rouge_eval"]
+                      "q186_rouge_eval", "q187_ir_eval"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9553,6 +9593,87 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q187: the whole eval harness replayed — same quantized discount
+    # integers (ir_disc_u), same BIGINT floor-div AP terms, same
+    # tiebreaks; only the five final per-metric divisions are float.
+    from memory_engine_spark.operators.ranking import ir_disc_u
+    _disc_vals = ", ".join(
+        f"({r + 1}, {d})" for r, d in enumerate(ir_disc_u(10)))
+    _terms_vals = ", ".join(f"('{t}')" for t in IR_TERMS)
+    sql["q187_ir_eval"] = f"""
+        WITH terms(term) AS (VALUES {_terms_vals}),
+        disc(rnk, du) AS (VALUES {_disc_vals}),
+        j AS (
+            SELECT term, doc_id,
+                   len(list_filter(string_split(text, ' ')[1:15],
+                       x -> x = term))::BIGINT AS score,
+                   LEAST(2, len(list_filter(string_split(text, ' ')[16:],
+                       x -> x = term)))::INT AS rel
+            FROM documents, terms
+        ),
+        ret AS (
+            SELECT term, doc_id, score, rel,
+                   ROW_NUMBER() OVER (PARTITION BY term
+                       ORDER BY score DESC, doc_id ASC) AS rnk,
+                   SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY term
+                             ORDER BY score DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cumrel
+            FROM j WHERE score > 0
+        ),
+        retm AS (
+            SELECT term, COUNT(*)::BIGINT AS n_ret,
+                   MIN(CASE WHEN rel > 0 THEN ret.rnk END)
+                       AS first_rel,
+                   SUM(CASE WHEN ret.rnk <= 10 AND rel > 0
+                       THEN 1 ELSE 0 END)::BIGINT AS hits_k,
+                   SUM(CASE WHEN ret.rnk <= 10
+                       THEN (CAST(power(2, rel) AS BIGINT) - 1) * du
+                       ELSE 0 END)::BIGINT AS dcg_u,
+                   SUM(CASE WHEN rel > 0
+                       THEN (1000000000 * cumrel) // ret.rnk
+                       ELSE 0 END)::BIGINT AS ap_u
+            FROM ret LEFT JOIN disc ON disc.rnk = ret.rnk
+            GROUP BY term
+        ),
+        ideal AS (
+            SELECT term, doc_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY term
+                       ORDER BY rel DESC, doc_id ASC) AS irank
+            FROM j
+        ),
+        idm AS (
+            SELECT term,
+                   SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_rel,
+                   SUM(CASE WHEN irank <= 10 AND rel > 0
+                       THEN (CAST(power(2, rel) AS BIGINT) - 1) * du
+                       ELSE 0 END)::BIGINT AS idcg_u
+            FROM ideal LEFT JOIN disc ON disc.rnk = ideal.irank
+            GROUP BY term
+        )
+        SELECT i.term, i.n_rel,
+               COALESCE(r.n_ret, 0)::BIGINT AS n_ret,
+               COALESCE(r.dcg_u, 0)::BIGINT AS dcg_u,
+               i.idcg_u,
+               COALESCE(r.ap_u, 0)::BIGINT AS ap_u,
+               ROUND(CASE WHEN r.first_rel IS NOT NULL
+                     THEN 1.0 / r.first_rel ELSE 0.0 END, 6) AS mrr,
+               ROUND(COALESCE(r.hits_k, 0) / 10.0, 6) AS p_at_10,
+               ROUND(CASE WHEN i.n_rel > 0
+                     THEN COALESCE(r.hits_k, 0) / i.n_rel
+                     ELSE 0.0 END, 6) AS r_at_10,
+               ROUND(CASE WHEN i.idcg_u > 0
+                     THEN COALESCE(r.dcg_u, 0) / i.idcg_u
+                     ELSE 0.0 END, 6) AS ndcg_at_10,
+               ROUND(CASE WHEN i.n_rel > 0
+                     THEN COALESCE(r.ap_u, 0)
+                          / (1000000000.0 * i.n_rel)
+                     ELSE 0.0 END, 6) AS map
+        FROM idm i LEFT JOIN retm r ON r.term = i.term
+        ORDER BY i.term
     """
 
     # q186: both clip joins + the P/R/F1 ratios replayed — integer

@@ -311,3 +311,112 @@ def rrf_fuse(systems: "list[DataFrame]", id_col: str,
                  .alias("rrf_score"))
             .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
             .limit(top_k))
+
+
+def ir_disc_u(k: int, quant: int = 10 ** 9) -> list[int]:
+    """Quantized DCG discount table: disc_u[r-1] = round(quant /
+    log2(r+1)) for rank r = 1..k. Computed ONCE driver-side with
+    Python's libm and injected as integer literals into both the
+    Spark plan and the DuckDB oracle — so nDCG needs no runtime
+    log2 anywhere and cross-engine libm ulp drift cannot flap the
+    value hash (the q86/r04 lesson applied to IR eval)."""
+    import math
+
+    return [round(quant / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ir_eval_report(judged: "DataFrame", qid_col: str = "qid",
+                   id_col: str = "doc_id", score_col: str = "score",
+                   rel_col: str = "rel", k: int = 10,
+                   quant: int = 10 ** 9) -> "DataFrame":
+    """Ranked-retrieval evaluation per query — the eval harness an
+    IR / RAG pipeline runs at corpus scale over (query, doc, score,
+    graded-rel) judgments: MRR, precision@k, recall@k, nDCG@k and
+    (M)AP, every accumulation an EXACT BIGINT so only one final
+    division per metric is float (rounded 6dp):
+
+    - retrieved = rows with score > 0, ranked by (score desc, id
+      asc) — the deterministic tiebreak both engines replay;
+    - DCG@k = Σ gain(rel) * disc_u[rank] with gain = 2^rel - 1
+      (integer for graded rel) and the `ir_disc_u` quantized
+      discount table — BIGINT products, BIGINT sums;
+    - ideal DCG ranks ALL judged rows by (rel desc, id asc) — the
+      standard corpus-ideal denominator;
+    - AP terms = (quant * cumrel) // rank — integer floor division,
+      exact in both engines; MAP = ap_u / (quant * n_rel).
+
+    Relational shape: two row_number windows partitioned by query
+    (retrieved ranking + ideal ranking) and one groupBy — the
+    judgment matrix is (n_queries x n_docs) rows, partitioned by
+    query id, nothing quadratic; at cluster scale the per-query
+    groups are independent partitions. Reference parity: the
+    reference's retrieval quality checks are driver-side loops
+    (memory_core analytics); here the whole harness is JVM-side."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    disc = ir_disc_u(k, quant)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    relpos = F.when(F.col(rel_col) > 0, F.lit(1)).otherwise(F.lit(0))
+    gain = (F.pow(F.lit(2.0), F.col(rel_col)) - 1.0).cast("long")
+
+    wr = W.partitionBy(qid_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    ret = (judged.filter(F.col(score_col) > 0)
+           .withColumn("_rank", F.row_number().over(wr))
+           .withColumn("_cumrel",
+                       F.sum(relpos).over(
+                           wr.rowsBetween(W.unboundedPreceding, 0))))
+    ret_m = ret.groupBy(qid_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+        F.min(F.when(F.col(rel_col) > 0, F.col("_rank")))
+        .alias("_first"),
+        F.sum(F.when((F.col("_rank") <= k) & (F.col(rel_col) > 0), 1)
+              .otherwise(0)).cast("long").alias("_hits_k"),
+        F.sum(F.when(F.col("_rank") <= k,
+                     gain * F.element_at(
+                         disc_arr, F.least(F.col("_rank"), F.lit(k))))
+              .otherwise(F.lit(0))).cast("long").alias("dcg_u"),
+        F.sum(F.when(F.col(rel_col) > 0,
+                     F.expr(f"({quant} * _cumrel) div _rank"))
+              .otherwise(F.lit(0))).cast("long").alias("ap_u"))
+
+    wi = W.partitionBy(qid_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc())
+    ideal = (judged.withColumn("_irank", F.row_number().over(wi))
+             .groupBy(qid_col).agg(
+                 F.sum(relpos).cast("long").alias("n_rel"),
+                 F.sum(F.when((F.col("_irank") <= k)
+                              & (F.col(rel_col) > 0),
+                              gain * F.element_at(
+                                  disc_arr,
+                                  F.least(F.col("_irank"), F.lit(k))))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("idcg_u")))
+
+    out = ideal.join(ret_m, qid_col, "left")
+    z = F.lit(0).cast("long")
+    return out.select(
+        qid_col,
+        F.col("n_rel"),
+        F.coalesce(F.col("n_ret"), z).alias("n_ret"),
+        F.coalesce(F.col("dcg_u"), z).alias("dcg_u"),
+        F.col("idcg_u"),
+        F.coalesce(F.col("ap_u"), z).alias("ap_u"),
+        F.round(F.when(F.col("_first").isNotNull(),
+                       F.lit(1.0) / F.col("_first"))
+                .otherwise(F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.coalesce(F.col("_hits_k"), z) / F.lit(float(k)), 6)
+        .alias(f"p_at_{k}"),
+        F.round(F.when(F.col("n_rel") > 0,
+                       F.coalesce(F.col("_hits_k"), z)
+                       / F.col("n_rel")).otherwise(F.lit(0.0)), 6)
+        .alias(f"r_at_{k}"),
+        F.round(F.when(F.col("idcg_u") > 0,
+                       F.coalesce(F.col("dcg_u"), z)
+                       / F.col("idcg_u")).otherwise(F.lit(0.0)), 6)
+        .alias(f"ndcg_at_{k}"),
+        F.round(F.when(F.col("n_rel") > 0,
+                       F.coalesce(F.col("ap_u"), z)
+                       / (F.lit(float(quant)) * F.col("n_rel")))
+                .otherwise(F.lit(0.0)), 6).alias("map"))

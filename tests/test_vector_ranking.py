@@ -429,3 +429,37 @@ def test_topk_ivf_int8_recall_and_pruning(spark):
     # every result must come from a probed cell; recall vs brute >= 3/5
     assert got_ids <= allowed
     assert len(got_ids & {i for i, _ in brute}) >= 3
+
+
+def test_ir_eval_report_hand_computed(spark):
+    """IR eval metrics against hand-computed values: graded nDCG with
+    the quantized discount table, AP floor-div terms, a relevant doc
+    that is never retrieved (recall < 1), and a query with zero
+    retrieved rows (all metrics 0, n_rel still counted)."""
+    from memory_engine_spark.operators.ranking import (ir_disc_u,
+                                                       ir_eval_report)
+
+    disc = ir_disc_u(10)
+    assert disc[0] == 10 ** 9 and disc[2] == 500000000
+    judged = spark.createDataFrame(
+        [("a", 1, 3, 2), ("a", 2, 2, 0), ("a", 3, 1, 1),
+         ("a", 4, 0, 1), ("a", 5, 0, 0),
+         ("b", 1, 0, 1)],
+        "qid string, doc_id long, score long, rel int")
+    out = {r["qid"]: r for r in
+           ir_eval_report(judged, qid_col="qid").collect()}
+    a = out["a"]
+    assert (a["n_rel"], a["n_ret"]) == (3, 3)
+    assert a["mrr"] == 1.0
+    assert a["p_at_10"] == 0.2
+    assert a["r_at_10"] == round(2 / 3, 6)
+    # dcg = 3*disc[0] + 1*disc[2]; idcg = 3*disc[0]+1*disc[1]+1*disc[2]
+    assert a["dcg_u"] == 3 * disc[0] + disc[2]
+    assert a["idcg_u"] == 3 * disc[0] + disc[1] + disc[2]
+    assert a["ndcg_at_10"] == round(a["dcg_u"] / a["idcg_u"], 6)
+    # AP terms: rank1 cum1 -> 1e9, rank3 cum2 -> floor(2e9/3)
+    assert a["ap_u"] == 10 ** 9 + (2 * 10 ** 9) // 3
+    assert a["map"] == round(a["ap_u"] / (10 ** 9 * 3), 6)
+    b = out["b"]
+    assert (b["n_rel"], b["n_ret"], b["mrr"], b["ndcg_at_10"],
+            b["map"]) == (1, 0, 0.0, 0.0, 0.0)
