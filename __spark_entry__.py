@@ -4569,6 +4569,94 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+def q188_delta_snapshot(spark, sf):
+    """Lakehouse transaction-log replay under the oracle gate — the
+    Delta-Lake-shape op a 100-TB table depends on for every read:
+    each document synthesizes REAL JSON action lines (add with
+    partitionValues + size + stats as the format's JSON-IN-JSON
+    string; remove; a version-8 compaction RE-ADD; a metaData line
+    with format.provider) via to_json, and the read path parses them
+    back with get_json_object only — no string surgery — then
+    `formats.delta_log_snapshot` replays last-action-wins per path
+    (one row_number window) into the live file set: add→remove→
+    re-add must come back, add→remove must stay gone. The snapshot
+    aggregates live files per partition (files/bytes/records/id
+    bounds from the embedded stats). The oracle replays the
+    liveness + stats formulas, so a JSON path, window-order, or
+    liveness bug breaks the hash. Scale posture: replay partitions
+    by path (per-path top-1 window), snapshot is one groupBy on the
+    partition value — exactly how Delta log checkpointing scales."""
+    from memory_engine_spark.sources.formats import delta_log_snapshot
+
+    docs = _t(spark, sf)["documents"].select("doc_id")
+    f = F.col("doc_id")
+    base = (docs.select(
+        f.alias("f"),
+        (f % 8).cast("int").alias("va"),
+        (f % 4).cast("int").alias("part"),
+        (1000 + (f * 37) % 5000).cast("long").alias("size"),
+        (10 + (f * 13) % 90).cast("long").alias("nrec"),
+        (f * 100).cast("long").alias("minid"))
+        .withColumn("vrm", (F.col("va") + 1
+                            + (F.col("f") % 3)).cast("int"))
+        .withColumn("path", F.concat(
+            F.lit("part-"),
+            F.lpad(F.col("f").cast("string"), 5, "0"),
+            F.lit(".parquet"))))
+
+    def add_line(size, nrec, maxid):
+        stats = F.to_json(F.struct(
+            nrec.alias("numRecords"),
+            F.struct(F.col("minid").alias("id")).alias("minValues"),
+            F.struct(maxid.alias("id")).alias("maxValues")))
+        return F.to_json(F.struct(F.struct(
+            F.col("path").alias("path"),
+            F.struct(F.col("part").cast("string").alias("part"))
+            .alias("partitionValues"),
+            size.alias("size"),
+            F.lit(True).alias("dataChange"),
+            stats.alias("stats")).alias("add")))
+
+    adds = base.select(
+        F.col("va").alias("version"), F.col("f").alias("seq"),
+        add_line(F.col("size"), F.col("nrec"),
+                 F.col("minid") + F.col("nrec") - 1).alias("line"))
+    rm = (F.col("f") % 5 == 0) & (F.col("vrm") <= 7)
+    removes = base.filter(rm).select(
+        F.col("vrm").cast("int").alias("version"),
+        F.col("f").alias("seq"),
+        F.to_json(F.struct(F.struct(
+            F.col("path").alias("path"),
+            F.lit(True).alias("dataChange")).alias("remove")))
+        .alias("line"))
+    readds = base.filter((F.col("f") % 10 == 0)
+                         & (F.col("vrm") <= 7)).select(
+        F.lit(8).cast("int").alias("version"),
+        F.col("f").alias("seq"),
+        add_line(F.col("size") + 11, F.col("nrec") + 5,
+                 F.col("minid") + F.col("nrec") + 4).alias("line"))
+    meta = spark.range(1).select(
+        F.lit(0).cast("int").alias("version"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.to_json(F.struct(F.struct(F.struct(
+            F.lit("parquet").alias("provider")).alias("format"))
+            .alias("metaData"))).alias("line"))
+    log = (adds.unionByName(removes).unionByName(readds)
+           .unionByName(meta))
+
+    live = delta_log_snapshot(log)
+    provider = (log.select(F.get_json_object(
+        "line", "$.metaData.format.provider").alias("provider"))
+        .filter(F.col("provider").isNotNull()).distinct())
+    snap = live.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("size").alias("n_bytes"),
+        F.sum("num_records").alias("n_records"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"))
+    return snap.crossJoin(F.broadcast(provider)).orderBy("part")
+
+
 def q187_ir_eval(spark, sf):
     """Ranked-retrieval evaluation harness under the oracle gate —
     MRR, P@10, recall@10, nDCG@10 and MAP per query, the metrics a
@@ -5456,6 +5544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_avro_container": q185_avro_container,
         "q186_rouge_eval": q186_rouge_eval,
         "q187_ir_eval": q187_ir_eval,
+        "q188_delta_snapshot": q188_delta_snapshot,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5540,7 +5629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q180_bleu_eval", "q181_tar_entries",
                       "q182_zip_entries", "q183_tfrecord_entries",
                       "q184_parquet_footer", "q185_avro_container",
-                      "q186_rouge_eval", "q187_ir_eval"]
+                      "q186_rouge_eval", "q187_ir_eval",
+                      "q188_delta_snapshot"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9593,6 +9683,45 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q188: liveness + stats formulas replayed — a path/window/
+    # liveness bug on the Spark side (which parses real JSON lines)
+    # diverges from this direct formula replay.
+    sql["q188_delta_snapshot"] = """
+        WITH d AS (SELECT doc_id AS f FROM documents),
+        s AS (
+            SELECT f, f % 8 AS va, f % 4 AS part,
+                   1000 + (f * 37) % 5000 AS size,
+                   10 + (f * 13) % 90 AS nrec,
+                   f * 100 AS minid,
+                   f % 8 + 1 + (f % 3) AS vrm
+            FROM d
+        ),
+        st AS (
+            SELECT *,
+                   (f % 5 = 0 AND vrm <= 7) AS removed,
+                   (f % 10 = 0 AND vrm <= 7) AS readded
+            FROM s
+        ),
+        live AS (
+            SELECT part,
+                   CASE WHEN readded THEN size + 11 ELSE size END
+                       AS size,
+                   CASE WHEN readded THEN nrec + 5 ELSE nrec END
+                       AS nrec,
+                   minid,
+                   CASE WHEN readded THEN minid + nrec + 4
+                        ELSE minid + nrec - 1 END AS maxid
+            FROM st WHERE NOT removed OR readded
+        )
+        SELECT part::INT AS part, COUNT(*)::BIGINT AS n_files,
+               SUM(size)::BIGINT AS n_bytes,
+               SUM(nrec)::BIGINT AS n_records,
+               MIN(minid)::BIGINT AS min_id,
+               MAX(maxid)::BIGINT AS max_id,
+               'parquet' AS provider
+        FROM live GROUP BY part ORDER BY part
     """
 
     # q187: the whole eval harness replayed — same quantized discount

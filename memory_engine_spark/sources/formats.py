@@ -1168,3 +1168,68 @@ def avro_pair_entries(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, rec_idx int, pair_id long, "
                   "text_md5 string, codec string, n_blocks int")
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+def delta_log_snapshot(actions: DataFrame, line_col: str = "line",
+                       version_col: str = "version",
+                       seq_col: str = "seq") -> DataFrame:
+    """Transaction-log replay — the Delta-Lake-shape lakehouse op: a
+    log of JSON action lines ({"add": {...}} / {"remove": {...}},
+    with per-file stats embedded as a JSON *string* inside the add —
+    the real format's JSON-in-JSON quirk) is replayed into the live
+    snapshot: per path the LAST action in (version, seq) order wins,
+    and the file is live iff that action is an add (so a path that
+    is added, removed, then re-added by a later compaction commit
+    must come back). Returns one row per live file with its parsed
+    stats. Parsing is `get_json_object` (JVM-side Jackson paths) —
+    never string surgery; replay is one row_number window
+    partitioned by path. Scale posture: this is exactly how Delta
+    scales log replay — actions partition by path, the window is a
+    per-path top-1, and checkpointing is an orthogonal compaction of
+    the same relation (reference anchor: versioned snapshot replay,
+    memory_core/versioned_graph.py — driver-side dict there, one
+    window here)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    line = F.col(line_col)
+    add_path = F.get_json_object(line, "$.add.path")
+    rm_path = F.get_json_object(line, "$.remove.path")
+    parsed = (actions
+              .withColumn("_path", F.coalesce(add_path, rm_path))
+              .filter(F.col("_path").isNotNull())
+              .withColumn("_is_add", add_path.isNotNull())
+              .withColumn("_part",
+                          F.get_json_object(
+                              line, "$.add.partitionValues.part")
+                          .cast("int"))
+              .withColumn("_size",
+                          F.get_json_object(line, "$.add.size")
+                          .cast("long"))
+              .withColumn("_stats",
+                          F.get_json_object(line, "$.add.stats"))
+              .withColumn("_nrec",
+                          F.get_json_object(
+                              F.col("_stats"), "$.numRecords")
+                          .cast("long"))
+              .withColumn("_minid",
+                          F.get_json_object(
+                              F.col("_stats"), "$.minValues.id")
+                          .cast("long"))
+              .withColumn("_maxid",
+                          F.get_json_object(
+                              F.col("_stats"), "$.maxValues.id")
+                          .cast("long")))
+    w = W.partitionBy("_path").orderBy(
+        F.col(version_col).desc(), F.col(seq_col).desc())
+    last = (parsed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(F.col("_is_add")))
+    return last.select(
+        F.col("_path").alias("path"),
+        F.col("_part").alias("part"),
+        F.col(version_col).alias("version"),
+        F.col("_size").alias("size"),
+        F.col("_nrec").alias("num_records"),
+        F.col("_minid").alias("min_id"),
+        F.col("_maxid").alias("max_id"))

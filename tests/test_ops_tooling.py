@@ -274,3 +274,43 @@ def test_pin_registry_budget_and_rebuild(spark):
     finally:
         del os.environ["SPARK_GRAFT_PIN_BUDGET_MB"]
     em.drop_all_pins(spark)
+
+
+def test_delta_log_snapshot_replay(spark):
+    """Last-action-wins liveness on a hand-built log: add->remove is
+    gone, add->remove->re-add comes back WITH the re-add's stats,
+    same-version ordering falls back to seq, and the JSON-in-JSON
+    stats string parses through two get_json_object hops."""
+    import json
+
+    from memory_engine_spark.sources.formats import delta_log_snapshot
+
+    def add(path, part, size, nrec, lo, hi):
+        return json.dumps({"add": {
+            "path": path, "partitionValues": {"part": str(part)},
+            "size": size, "dataChange": True,
+            "stats": json.dumps({"numRecords": nrec,
+                                 "minValues": {"id": lo},
+                                 "maxValues": {"id": hi}})}})
+
+    def rm(path):
+        return json.dumps({"remove": {"path": path,
+                                      "dataChange": True}})
+
+    rows = [
+        (0, 0, add("a.parquet", 0, 100, 10, 0, 9)),
+        (0, 1, add("b.parquet", 1, 200, 20, 10, 29)),
+        (1, 0, rm("a.parquet")),                      # a: gone
+        (2, 0, rm("b.parquet")),
+        (3, 0, add("b.parquet", 1, 222, 22, 10, 31)),  # b: back
+        # same-version seq ordering: add then remove in one commit
+        (4, 0, add("c.parquet", 0, 300, 30, 40, 69)),
+        (4, 1, rm("c.parquet")),                      # c: gone
+    ]
+    log = spark.createDataFrame(rows, "version int, seq long, "
+                                      "line string")
+    live = {r["path"]: r for r in delta_log_snapshot(log).collect()}
+    assert set(live) == {"b.parquet"}
+    b = live["b.parquet"]
+    assert (b["part"], b["version"], b["size"], b["num_records"],
+            b["min_id"], b["max_id"]) == (1, 3, 222, 22, 10, 31)
