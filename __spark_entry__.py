@@ -4569,6 +4569,75 @@ def q169_html_extract(spark, sf):
         .orderBy("doc_id"))
 
 
+ORC_PROBE_TABLES = ["customer", "documents", "embeddings", "events",
+                    "nation", "part", "region", "supplier"]
+
+
+def q189_orc_footer(spark, sf):
+    """ORC physical-metadata introspection under the oracle gate —
+    the parquet/avro/orc format-walking trio's last leg: Spark
+    WRITES eight tables as real zlib ORC files (its native writer),
+    then `formats.orc_footer_meta` walks the tail bytes with a
+    hand-rolled protobuf reader (varint field keys, packed uint32s,
+    the 3-byte chunked-deflate ORC framing for the compressed
+    footer; no ORC library anywhere) to recover numberOfRows, the
+    stripe directory, and the root-struct fieldNames. The oracle
+    (q184's design) derives the same facts from the registered
+    views — COUNT(*) and information_schema — so the hash is two
+    unrelated implementations agreeing about real bytes, including
+    the stripe-rows-sum invariant. Scale posture: stripes are ORC's
+    split/row-group unit; this is the stripe-sizing audit op,
+    mirroring q184's parquet row-group audit."""
+    import glob
+    import os
+    import tempfile
+
+    from memory_engine_spark.sources.formats import orc_footer_meta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        f"me_orcprobe_{os.path.basename(sf.rstrip('/')) or 'd'}"
+        f"_{os.getpid()}")
+    tabs = _t(spark, sf)
+    files = []
+    for t in ORC_PROBE_TABLES:
+        d = os.path.join(dest, t)
+        if not glob.glob(os.path.join(d, "*.orc")):
+            (tabs[t].coalesce(1).write.format("orc")
+             .option("compression", "zlib").mode("overwrite").save(d))
+        files.append((t, glob.glob(os.path.join(d, "*.orc"))[0]))
+    paths = spark.createDataFrame(files, "tbl string, path string")
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for t, p in zip(pdf["tbl"], pdf["path"]):
+                with open(p, "rb") as f:
+                    m = orc_footer_meta(f.read())
+                rows.append({
+                    "tbl": t, "num_rows": m["num_rows"],
+                    "n_top_columns": m["n_top_columns"],
+                    "n_stripes": len(m["stripes"]),
+                    "stripe_rows_total": sum(s["num_rows"]
+                                             for s in m["stripes"]),
+                    "compression": m["compression"]})
+            yield pd.DataFrame(rows, columns=[
+                "tbl", "num_rows", "n_top_columns", "n_stripes",
+                "stripe_rows_total", "compression"])
+
+    out = paths.mapInPandas(
+        probe, "tbl string, num_rows long, n_top_columns int, "
+               "n_stripes int, stripe_rows_total long, "
+               "compression string")
+    return (out.select(
+        "tbl", "num_rows", "n_top_columns",
+        (F.col("stripe_rows_total") == F.col("num_rows"))
+        .alias("stripe_sum_consistent"), "compression")
+        .orderBy("tbl"))
+
+
 def q188_delta_snapshot(spark, sf):
     """Lakehouse transaction-log replay under the oracle gate — the
     Delta-Lake-shape op a 100-TB table depends on for every read:
@@ -5545,6 +5614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_rouge_eval": q186_rouge_eval,
         "q187_ir_eval": q187_ir_eval,
         "q188_delta_snapshot": q188_delta_snapshot,
+        "q189_orc_footer": q189_orc_footer,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5630,7 +5700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q182_zip_entries", "q183_tfrecord_entries",
                       "q184_parquet_footer", "q185_avro_container",
                       "q186_rouge_eval", "q187_ir_eval",
-                      "q188_delta_snapshot"]
+                      "q188_delta_snapshot", "q189_orc_footer"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9683,6 +9753,22 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q189: q184's oracle design for ORC — view-derived COUNT(*) +
+    # information_schema vs the hand-rolled protobuf footer walk.
+    _q189_parts = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, (SELECT COUNT(*) FROM {t}) AS num_rows,"
+        f" (SELECT COUNT(*) FROM information_schema.columns"
+        f"  WHERE table_name = '{t}') AS n_cols"
+        for t in ["customer", "documents", "embeddings", "events",
+                  "nation", "part", "region", "supplier"])
+    sql["q189_orc_footer"] = f"""
+        SELECT tbl, num_rows::BIGINT AS num_rows,
+               n_cols::INT AS n_top_columns,
+               true AS stripe_sum_consistent,
+               'zlib' AS compression
+        FROM ({_q189_parts}) ORDER BY tbl
     """
 
     # q188: liveness + stats formulas replayed — a path/window/

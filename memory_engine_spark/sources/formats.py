@@ -1233,3 +1233,131 @@ def delta_log_snapshot(actions: DataFrame, line_col: str = "line",
         F.col("_nrec").alias("num_records"),
         F.col("_minid").alias("min_id"),
         F.col("_maxid").alias("max_id"))
+
+
+def _pb_varint(b: bytes, i: int) -> tuple[int, int]:
+    """Protobuf base-128 varint at b[i:] -> (value, next_index)."""
+    v, shift = 0, 0
+    while True:
+        x = b[i]
+        i += 1
+        v |= (x & 0x7F) << shift
+        if not x & 0x80:
+            return v, i
+        shift += 7
+
+
+def _pb_fields(b: bytes) -> dict[int, list]:
+    """Flat protobuf message walk: field number -> list of raw
+    values in order (varints as int, length-delimited as bytes;
+    fixed32/64 as raw bytes). Groups are not handled — ORC never
+    writes them."""
+    out: dict[int, list] = {}
+    i = 0
+    while i < len(b):
+        key, i = _pb_varint(b, i)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v, i = _pb_varint(b, i)
+        elif wt == 2:
+            ln, i = _pb_varint(b, i)
+            v = b[i:i + ln]
+            i += ln
+        elif wt == 5:
+            v = b[i:i + 4]
+            i += 4
+        elif wt == 1:
+            v = b[i:i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        out.setdefault(fno, []).append(v)
+    return out
+
+
+def _pb_packed_u32(vals: list) -> list[int]:
+    """Repeated uint32 that may arrive packed (one bytes blob) or
+    unpacked (ints) — ORC writers use both."""
+    out: list[int] = []
+    for v in vals:
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            i = 0
+            while i < len(v):
+                x, i = _pb_varint(v, i)
+                out.append(x)
+    return out
+
+
+def _orc_decompress(b: bytes, kind: int) -> bytes:
+    """ORC generic-compression stream: NONE is raw; ZLIB is a chain
+    of chunks, each with a 3-byte little-endian header
+    (len << 1 | isOriginal) followed by len bytes of raw-deflate
+    (or original bytes when the low bit is set — the writer's
+    incompressible-chunk escape)."""
+    import zlib
+
+    if kind == 0:
+        return b
+    if kind != 1:
+        raise ValueError(f"unsupported ORC compression kind {kind}")
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        h = b[i] | (b[i + 1] << 8) | (b[i + 2] << 16)
+        i += 3
+        ln, orig = h >> 1, h & 1
+        chunk = b[i:i + ln]
+        i += ln
+        out += chunk if orig else zlib.decompress(chunk, -15)
+    return bytes(out)
+
+
+def orc_footer_meta(payload: bytes) -> dict:
+    """ORC physical-metadata introspection with a hand-rolled
+    protobuf reader (no ORC library anywhere): the file tail is
+    [footer][postscript][1-byte postscript length]; the PostScript
+    (always uncompressed) gives footerLength + compression kind,
+    the Footer (decompressed via the chunked ORC framing) gives
+    numberOfRows, the stripe directory (offset / dataLength /
+    numberOfRows per stripe — ORC's row-group analogue), and the
+    type tree, whose root STRUCT's fieldNames are the top-level
+    columns. Raises on a bad magic so a framing bug cannot slide.
+    Format spec: https://orc.apache.org/specification/ORCv1/
+    (public); reference parity: storage introspection ops,
+    memory_core monitoring — parquet twin: parquet_footer_meta."""
+    ps_len = payload[-1]
+    ps = _pb_fields(payload[-1 - ps_len:-1])
+    magic = ps.get(8000, [b""])[0]
+    if magic != b"ORC":
+        raise ValueError(f"bad ORC postscript magic: {magic!r}")
+    footer_len = ps[1][0]
+    compression = ps.get(2, [0])[0]
+    foot_end = len(payload) - 1 - ps_len
+    footer = _pb_fields(_orc_decompress(
+        payload[foot_end - footer_len:foot_end], compression))
+    stripes = []
+    for sb in footer.get(3, []):
+        sf_ = _pb_fields(sb)
+        stripes.append({
+            "offset": sf_.get(1, [0])[0],
+            "index_length": sf_.get(2, [0])[0],
+            "data_length": sf_.get(3, [0])[0],
+            "footer_length": sf_.get(4, [0])[0],
+            "num_rows": sf_.get(5, [0])[0]})
+    types = footer.get(4, [])
+    n_top = 0
+    if types:
+        root = _pb_fields(types[0])
+        n_top = len(root.get(3, []))
+        if not n_top:  # kindless root fallback: subtypes count
+            n_top = len(_pb_packed_u32(root.get(2, [])))
+    return {
+        "num_rows": footer.get(6, [0])[0],
+        "content_length": footer.get(2, [0])[0],
+        "compression": {0: "none", 1: "zlib", 2: "snappy",
+                        3: "lzo", 4: "lz4", 5: "zstd"}.get(
+                            compression, str(compression)),
+        "n_top_columns": n_top,
+        "stripes": stripes}

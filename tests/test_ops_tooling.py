@@ -314,3 +314,41 @@ def test_delta_log_snapshot_replay(spark):
     b = live["b.parquet"]
     assert (b["part"], b["version"], b["size"], b["num_records"],
             b["min_id"], b["max_id"]) == (1, 3, 222, 22, 10, 31)
+
+
+def test_orc_footer_meta_multi_stripe(spark, tmp_path):
+    """Hand-rolled ORC protobuf walk vs Spark's own writer: a forced
+    multi-stripe zlib file (tiny orc.stripe.size) must yield >1
+    stripe whose row counts sum to the total; the NONE-compression
+    path and the bad-magic guard are pinned too."""
+    import glob
+
+    import pytest
+
+    from memory_engine_spark.sources.formats import orc_footer_meta
+
+    df = spark.range(50000).selectExpr(
+        "id", "CAST(id % 97 AS STRING) AS s", "id * 1.5 AS v")
+    d1 = str(tmp_path / "multi")
+    (df.coalesce(1).write.format("orc")
+     .option("compression", "zlib")
+     .option("orc.stripe.size", 65536)
+     .option("orc.rows.between.memory.checks", 512)
+     .mode("overwrite").save(d1))
+    m = orc_footer_meta(open(glob.glob(d1 + "/*.orc")[0], "rb").read())
+    assert m["num_rows"] == 50000
+    assert m["n_top_columns"] == 3
+    assert m["compression"] == "zlib"
+    assert len(m["stripes"]) > 1
+    assert sum(s["num_rows"] for s in m["stripes"]) == 50000
+    assert all(s["data_length"] > 0 for s in m["stripes"])
+
+    d2 = str(tmp_path / "plain")
+    (df.limit(100).coalesce(1).write.format("orc")
+     .option("compression", "none").mode("overwrite").save(d2))
+    m2 = orc_footer_meta(open(glob.glob(d2 + "/*.orc")[0],
+                              "rb").read())
+    assert m2["num_rows"] == 100 and m2["compression"] == "none"
+
+    with pytest.raises(ValueError, match="magic"):
+        orc_footer_meta(b"\x00" * 64 + b"\x10")
