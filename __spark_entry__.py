@@ -4572,6 +4572,67 @@ def q169_html_extract(spark, sf):
 ORC_PROBE_TABLES = ["customer", "documents", "embeddings", "events",
                     "nation", "part", "region", "supplier"]
 
+# q190: every INT64 key column in the corpus (region/nation keys are
+# INT32 in the driver's parquet — out of the honest INT64 subset)
+PQ_INT64_COLS = [("customer", "c_custkey"), ("documents", "doc_id"),
+                 ("embeddings", "vec_id"), ("events", "event_id"),
+                 ("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+                 ("part", "p_partkey"), ("supplier", "s_suppkey")]
+
+
+def q190_parquet_column_decode(spark, sf):
+    """REAL parquet DATA-path decode under the oracle gate — the
+    deep twin of q184's footer walk: for every INT64 key column in
+    the corpus, `formats.parquet_read_int64_column` reads the actual
+    table file with no parquet library anywhere — thrift-compact
+    footer, per-row-group chunk location, thrift PageHeaders, PURE-
+    PYTHON SNAPPY block decompression, PLAIN dictionary pages, RLE/
+    bit-packed hybrid def-levels + dictionary indices, and the PLAIN
+    fallback pages writers emit once a dictionary overflows — and
+    the query aggregates the decoded values. The oracle computes
+    COUNT/SUM/MIN/MAX from the registered views: two unrelated
+    parquet implementations agreeing about the same real bytes,
+    value-exactly. A snappy tag, varint, bit-packing-order, def-
+    level, or dictionary bug breaks the hash. Scale posture: chunk
+    walking is per-(file, row-group, column) — embarrassingly
+    parallel, exactly parquet's own split model; one file per task
+    here, one row group per task at 100 TB."""
+    import os
+
+    from memory_engine_spark.sources.formats import (
+        parquet_read_int64_column)
+
+    paths = spark.createDataFrame(
+        [(t, c, os.path.join(sf, f"{t}.parquet"))
+         for t, c in PQ_INT64_COLS],
+        "tbl string, col string, path string")
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for t, c, p in zip(pdf["tbl"], pdf["col"], pdf["path"]):
+                with open(p, "rb") as f:
+                    vals = parquet_read_int64_column(f.read(), c)
+                nn = [v for v in vals if v is not None]
+                rows.append({
+                    "tbl": t, "col": c,
+                    "n_values": len(nn),
+                    "n_nulls": len(vals) - len(nn),
+                    "vsum": sum(nn), "vmin": min(nn),
+                    "vmax": max(nn)})
+            yield pd.DataFrame(rows, columns=[
+                "tbl", "col", "n_values", "n_nulls", "vsum",
+                "vmin", "vmax"])
+
+    return (paths.repartition(8, "tbl")
+            .mapInPandas(
+                probe, "tbl string, col string, n_values long, "
+                       "n_nulls long, vsum long, vmin long, "
+                       "vmax long")
+            .orderBy("tbl"))
+
 
 def q189_orc_footer(spark, sf):
     """ORC physical-metadata introspection under the oracle gate —
@@ -5615,6 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_ir_eval": q187_ir_eval,
         "q188_delta_snapshot": q188_delta_snapshot,
         "q189_orc_footer": q189_orc_footer,
+        "q190_parquet_column_decode": q190_parquet_column_decode,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5700,7 +5762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q182_zip_entries", "q183_tfrecord_entries",
                       "q184_parquet_footer", "q185_avro_container",
                       "q186_rouge_eval", "q187_ir_eval",
-                      "q188_delta_snapshot", "q189_orc_footer"]
+                      "q188_delta_snapshot", "q189_orc_footer",
+                      "q190_parquet_column_decode"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9753,6 +9816,27 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q190: view-derived aggregates of the same columns the Spark
+    # side decodes byte-by-byte — the strongest oracle shape (q184's
+    # design, now over the DATA path, value-exactly).
+    _q190_parts = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col,"
+        f" COUNT({c}) AS n_values,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls,"
+        f" SUM({c}) AS vsum, MIN({c}) AS vmin, MAX({c}) AS vmax"
+        f" FROM {t}"
+        for t, c in [("customer", "c_custkey"), ("documents", "doc_id"),
+                     ("embeddings", "vec_id"), ("events", "event_id"),
+                     ("lineitem", "l_orderkey"),
+                     ("orders", "o_orderkey"),
+                     ("part", "p_partkey"), ("supplier", "s_suppkey")])
+    sql["q190_parquet_column_decode"] = f"""
+        SELECT tbl, col, n_values::BIGINT AS n_values,
+               n_nulls::BIGINT AS n_nulls, vsum::BIGINT AS vsum,
+               vmin::BIGINT AS vmin, vmax::BIGINT AS vmax
+        FROM ({_q190_parts}) ORDER BY tbl
     """
 
     # q189: q184's oracle design for ORC — view-derived COUNT(*) +

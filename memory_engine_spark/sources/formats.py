@@ -1361,3 +1361,197 @@ def orc_footer_meta(payload: bytes) -> dict:
                             compression, str(compression)),
         "n_top_columns": n_top,
         "stripes": stripes}
+
+
+def _snappy_decompress(b: bytes) -> bytes:
+    """Raw snappy block decompression (the parquet page codec), pure
+    Python: ULEB128 uncompressed-length preamble, then a tag stream
+    — 2-bit type: 00 literal (len 1-60 inline, 61-64 -> 1-4 extra
+    LE length bytes), 01 copy (len 4-11, 3+11-bit offset), 10 copy
+    (len 1-64, 2-byte LE offset), 11 copy (4-byte LE offset).
+    Overlapping copies replay already-emitted output in <=offset
+    chunks — snappy's RLE idiom. Format: google/snappy
+    format_description.txt (public)."""
+    n, i = _pb_varint(b, 0)
+    out = bytearray()
+    ln_b = len(b)
+    while i < ln_b:
+        tag = b[i]
+        i += 1
+        t = tag & 3
+        if t == 0:
+            ln = tag >> 2
+            if ln < 60:
+                ln += 1
+            else:
+                nb = ln - 59
+                ln = int.from_bytes(b[i:i + nb], "little") + 1
+                i += nb
+            out += b[i:i + ln]
+            i += ln
+            continue
+        if t == 1:
+            ln = ((tag >> 2) & 7) + 4
+            off = ((tag >> 5) << 8) | b[i]
+            i += 1
+        elif t == 2:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(b[i:i + 2], "little")
+            i += 2
+        else:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(b[i:i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        while ln > 0:
+            take = min(ln, off)
+            start = len(out) - off
+            out += out[start:start + take]
+            ln -= take
+    if len(out) != n:
+        raise ValueError(f"snappy length mismatch: {len(out)} != {n}")
+    return bytes(out)
+
+
+def _rle_bitpacked_hybrid(b: bytes, i: int, end: int, bit_width: int,
+                          count: int) -> list[int]:
+    """Parquet RLE/bit-packed hybrid run decode: ULEB128 header —
+    LSB 0 -> RLE run (len = hdr>>1, one ceil(bw/8)-byte LE value),
+    LSB 1 -> bit-packed (hdr>>1 groups of 8 values, LSB-first
+    within each bit_width-byte group). Stops after `count` values;
+    trailing pad values in the last group are discarded."""
+    vals: list[int] = []
+    byte_w = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(vals) < count and i < end:
+        hdr, i = _pb_varint(b, i)
+        if hdr & 1:
+            for _ in range(hdr >> 1):
+                g = int.from_bytes(b[i:i + bit_width], "little")
+                i += bit_width
+                for k in range(8):
+                    vals.append((g >> (k * bit_width)) & mask)
+        else:
+            run = hdr >> 1
+            v = int.from_bytes(b[i:i + byte_w], "little")
+            i += byte_w
+            vals.extend([v] * run)
+    return vals[:count]
+
+
+def parquet_read_int64_column(payload: bytes, col: str) -> list:
+    """REAL parquet column read, no parquet library anywhere: footer
+    (thrift compact, `_thrift_struct`) -> locate the column chunk in
+    every row group -> walk its pages — thrift PageHeader, snappy
+    page decompression (`_snappy_decompress`), PLAIN dictionary
+    page, v1 data pages (4-byte-length-prefixed RLE def levels for
+    OPTIONAL columns, then RLE_DICTIONARY indices or PLAIN values)
+    and v2 data pages (uncompressed level sections before the
+    compressed value block) — into the column's values, None for
+    nulls. INT64 physical type only, flat schema (the honest
+    subset; everything else raises). This is the deep twin of
+    parquet_footer_meta: q184 proves the metadata walk, this proves
+    the byte-exact DATA path against an independent engine."""
+    import struct as _s
+
+    b = payload
+    if b[:4] != b"PAR1" or b[-4:] != b"PAR1":
+        raise ValueError("not a parquet file")
+    flen = int.from_bytes(b[-8:-4], "little")
+    meta, _ = _thrift_struct(b, len(b) - 8 - flen)
+    schema = meta.get(2, [])
+    elem = next((e for e in schema[1:]
+                 if e.get(4, b"").decode() == col), None)
+    if elem is None:
+        raise ValueError(f"column {col!r} not in schema")
+    if elem.get(1) != 2:
+        raise ValueError(f"column {col!r} is not INT64")
+    optional = elem.get(3, 0) == 1
+
+    out: list = []
+    for rg in meta.get(4, []):
+        cc = next((c for c in rg.get(1, [])
+                   if [p.decode() for p in
+                       c.get(3, {}).get(3, [])] == [col]), None)
+        if cc is None:
+            raise ValueError(f"chunk for {col!r} missing in row group")
+        cm = cc.get(3, {})
+        codec = cm.get(4, 0)
+        n_vals = cm.get(5, 0)
+        data_off = cm.get(9, 0)
+        dict_off = cm.get(11)
+        pos = min(data_off, dict_off) if dict_off else data_off
+
+        def _inflate(raw, usize):
+            if codec == 0:
+                return raw
+            if codec == 1:
+                return _snappy_decompress(raw)
+            raise ValueError(f"unsupported parquet codec {codec}")
+
+        dictionary: list[int] | None = None
+        got = 0
+        while got < n_vals:
+            ph, data_start = _thrift_struct(b, pos)
+            ptype = ph.get(1)
+            usize, csize = ph.get(2, 0), ph.get(3, 0)
+            raw = b[data_start:data_start + csize]
+            pos = data_start + csize
+            if ptype == 2:                      # dictionary page
+                page = _inflate(raw, usize)
+                nd = ph.get(7, {}).get(1, 0)
+                dictionary = list(_s.unpack(f"<{nd}q",
+                                            page[:8 * nd]))
+                continue
+            if ptype == 0:                      # data page v1
+                page = _inflate(raw, usize)
+                hdr = ph.get(5, {})
+                nv, enc = hdr.get(1, 0), hdr.get(2, 0)
+                i = 0
+                defs = [1] * nv
+                if optional:
+                    dlen = int.from_bytes(page[i:i + 4], "little")
+                    defs = _rle_bitpacked_hybrid(
+                        page, i + 4, i + 4 + dlen, 1, nv)
+                    i += 4 + dlen
+                nn = sum(defs)
+                if enc in (2, 8):               # [PLAIN_]RLE_DICT
+                    bw = page[i]
+                    idx = _rle_bitpacked_hybrid(
+                        page, i + 1, len(page), bw, nn)
+                    vs = [dictionary[j] for j in idx]
+                elif enc == 0:                  # PLAIN
+                    vs = list(_s.unpack(f"<{nn}q", page[i:i + 8 * nn]))
+                else:
+                    raise ValueError(f"unsupported encoding {enc}")
+            elif ptype == 3:                    # data page v2
+                hdr = ph.get(8, {})
+                nv, nnul = hdr.get(1, 0), hdr.get(2, 0)
+                enc = hdr.get(4, 0)
+                dlen = hdr.get(5, 0)
+                rlen = hdr.get(6, 0)
+                lvl = raw[:rlen + dlen]
+                body = raw[rlen + dlen:]
+                if ph.get(7, True):
+                    body = _inflate(body, usize - rlen - dlen)
+                defs = [1] * nv
+                if optional and dlen:
+                    defs = _rle_bitpacked_hybrid(
+                        lvl, rlen, rlen + dlen, 1, nv)
+                nn = nv - nnul
+                if enc in (2, 8):
+                    bw = body[0]
+                    idx = _rle_bitpacked_hybrid(
+                        body, 1, len(body), bw, nn)
+                    vs = [dictionary[j] for j in idx]
+                elif enc == 0:
+                    vs = list(_s.unpack(f"<{nn}q", body[:8 * nn]))
+                else:
+                    raise ValueError(f"unsupported encoding {enc}")
+            else:
+                raise ValueError(f"unsupported page type {ptype}")
+            it = iter(vs)
+            out.extend(next(it) if d else None for d in defs)
+            got += nv
+    return out

@@ -352,3 +352,54 @@ def test_orc_footer_meta_multi_stripe(spark, tmp_path):
 
     with pytest.raises(ValueError, match="magic"):
         orc_footer_meta(b"\x00" * 64 + b"\x10")
+
+
+def test_snappy_decompress_cross_validated():
+    """Pure-Python snappy vs pyarrow's C++ compressor on adversarial
+    inputs: overlapping copies (RLE idiom), long literals (multi-byte
+    length escape), incompressible bytes, empty input."""
+    import pyarrow as pa
+
+    from memory_engine_spark.sources.formats import _snappy_decompress
+
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 40000,                       # overlapping copy, off=2
+        bytes(range(256)) * 300,             # mixed
+        b"\x00" * 100000,                    # off=1 overlap run
+        ("the quick brown fox " * 1000).encode(),
+        bytes((i * 7 + 13) % 251 for i in range(70000)),  # literal-y
+    ]
+    for raw in cases:
+        comp = pa.compress(raw, codec="snappy", asbytes=True)
+        assert _snappy_decompress(comp) == raw
+
+
+def test_parquet_int64_decode_nulls_and_plain(spark, tmp_path):
+    """Hand-rolled parquet column read vs Spark's writer: a nullable
+    INT64 column (def-level RLE path) and a high-cardinality column
+    that overflows the dictionary into PLAIN fallback pages; both
+    must reproduce values exactly, nulls placed correctly."""
+    import glob
+
+    from memory_engine_spark.sources.formats import (
+        parquet_read_int64_column)
+
+    df = spark.range(200000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id % 50 END AS small",
+        "id * 1000003 AS wide")  # 200k distinct -> dict overflow
+    d = str(tmp_path / "pq")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    payload = open(glob.glob(d + "/*.parquet")[0], "rb").read()
+
+    small = parquet_read_int64_column(payload, "small")
+    assert len(small) == 200000
+    assert all((v is None) == (i % 7 == 0)
+               for i, v in enumerate(small))
+    assert all(v == i % 50 for i, v in enumerate(small)
+               if v is not None)
+
+    wide = parquet_read_int64_column(payload, "wide")
+    assert wide == [i * 1000003 for i in range(200000)]
