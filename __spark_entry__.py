@@ -4580,6 +4580,29 @@ PQ_INT64_COLS = [("customer", "c_custkey"), ("documents", "doc_id"),
                  ("part", "p_partkey"), ("supplier", "s_suppkey")]
 
 
+def q191_chrf_eval(spark, sf):
+    """Corpus chrF2 evaluation under the oracle gate (Popović 2015)
+    — the character-level metric completing the MT/summarization
+    eval suite (q180 BLEU precision-side, q186 ROUGE recall-side,
+    chrF the tokenizer-free third): same shifted word windows as
+    q186, whitespace stripped, character n-grams n = 1..6 via
+    substring explodes + clip joins (18 exact integer components),
+    then the pinned effective-order averaging and the β = 2
+    F-score as the only float math (rounded 6dp). The oracle
+    replays all six clip joins and the exact left-to-right
+    float-summation order, so a windowing, stripping, char-gram or
+    averaging bug breaks the hash."""
+    from memory_engine_spark.operators.corpus import chrf_report
+
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 2, 12)).alias("cand"),
+        F.concat_ws(" ", F.slice(toks, 1, 20)).alias("ref"))
+    return chrf_report(pairs).orderBy("doc_id")
+
+
 def q190_parquet_column_decode(spark, sf):
     """REAL parquet DATA-path decode under the oracle gate — the
     deep twin of q184's footer walk: for every INT64 key column in
@@ -5677,6 +5700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_delta_snapshot": q188_delta_snapshot,
         "q189_orc_footer": q189_orc_footer,
         "q190_parquet_column_decode": q190_parquet_column_decode,
+        "q191_chrf_eval": q191_chrf_eval,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5763,7 +5787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q184_parquet_footer", "q185_avro_container",
                       "q186_rouge_eval", "q187_ir_eval",
                       "q188_delta_snapshot", "q189_orc_footer",
-                      "q190_parquet_column_decode"]
+                      "q190_parquet_column_decode",
+                      "q191_chrf_eval"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9816,6 +9841,226 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q191: the six char-gram clip joins + the exact summation-order
+    # effective-order averaging replayed.
+    sql["q191_chrf_eval"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   replace(array_to_string(
+                       string_split(text, ' ')[2:13], ' '), ' ', '')
+                       AS sc,
+                   replace(array_to_string(
+                       string_split(text, ' ')[1:20], ' '), ' ', '')
+                       AS sr
+            FROM documents
+        ),
+        ccg1 AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sc) - 1 + 2),
+                             i -> substr(sc, CAST(i AS INT), 1)))
+                             AS g
+                  FROM p WHERE strlen(sc) >= 1)
+            GROUP BY doc_id, g
+        ),
+        crg1 AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sr) - 1 + 2),
+                             i -> substr(sr, CAST(i AS INT), 1)))
+                             AS g
+                  FROM p WHERE strlen(sr) >= 1)
+            GROUP BY doc_id, g
+        ),
+        cm1 AS (
+            SELECT a.doc_id, SUM(LEAST(a.nc, b.nr)) AS m
+            FROM ccg1 a JOIN crg1 b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+            GROUP BY a.doc_id
+        ),
+        ctc1 AS (SELECT doc_id, SUM(nc) AS t FROM ccg1
+                   GROUP BY doc_id),
+        ctr1 AS (SELECT doc_id, SUM(nr) AS t FROM crg1
+                   GROUP BY doc_id),
+        ccg2 AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sc) - 2 + 2),
+                             i -> substr(sc, CAST(i AS INT), 2)))
+                             AS g
+                  FROM p WHERE strlen(sc) >= 2)
+            GROUP BY doc_id, g
+        ),
+        crg2 AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sr) - 2 + 2),
+                             i -> substr(sr, CAST(i AS INT), 2)))
+                             AS g
+                  FROM p WHERE strlen(sr) >= 2)
+            GROUP BY doc_id, g
+        ),
+        cm2 AS (
+            SELECT a.doc_id, SUM(LEAST(a.nc, b.nr)) AS m
+            FROM ccg2 a JOIN crg2 b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+            GROUP BY a.doc_id
+        ),
+        ctc2 AS (SELECT doc_id, SUM(nc) AS t FROM ccg2
+                   GROUP BY doc_id),
+        ctr2 AS (SELECT doc_id, SUM(nr) AS t FROM crg2
+                   GROUP BY doc_id),
+        ccg3 AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sc) - 3 + 2),
+                             i -> substr(sc, CAST(i AS INT), 3)))
+                             AS g
+                  FROM p WHERE strlen(sc) >= 3)
+            GROUP BY doc_id, g
+        ),
+        crg3 AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sr) - 3 + 2),
+                             i -> substr(sr, CAST(i AS INT), 3)))
+                             AS g
+                  FROM p WHERE strlen(sr) >= 3)
+            GROUP BY doc_id, g
+        ),
+        cm3 AS (
+            SELECT a.doc_id, SUM(LEAST(a.nc, b.nr)) AS m
+            FROM ccg3 a JOIN crg3 b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+            GROUP BY a.doc_id
+        ),
+        ctc3 AS (SELECT doc_id, SUM(nc) AS t FROM ccg3
+                   GROUP BY doc_id),
+        ctr3 AS (SELECT doc_id, SUM(nr) AS t FROM crg3
+                   GROUP BY doc_id),
+        ccg4 AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sc) - 4 + 2),
+                             i -> substr(sc, CAST(i AS INT), 4)))
+                             AS g
+                  FROM p WHERE strlen(sc) >= 4)
+            GROUP BY doc_id, g
+        ),
+        crg4 AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sr) - 4 + 2),
+                             i -> substr(sr, CAST(i AS INT), 4)))
+                             AS g
+                  FROM p WHERE strlen(sr) >= 4)
+            GROUP BY doc_id, g
+        ),
+        cm4 AS (
+            SELECT a.doc_id, SUM(LEAST(a.nc, b.nr)) AS m
+            FROM ccg4 a JOIN crg4 b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+            GROUP BY a.doc_id
+        ),
+        ctc4 AS (SELECT doc_id, SUM(nc) AS t FROM ccg4
+                   GROUP BY doc_id),
+        ctr4 AS (SELECT doc_id, SUM(nr) AS t FROM crg4
+                   GROUP BY doc_id),
+        ccg5 AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sc) - 5 + 2),
+                             i -> substr(sc, CAST(i AS INT), 5)))
+                             AS g
+                  FROM p WHERE strlen(sc) >= 5)
+            GROUP BY doc_id, g
+        ),
+        crg5 AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sr) - 5 + 2),
+                             i -> substr(sr, CAST(i AS INT), 5)))
+                             AS g
+                  FROM p WHERE strlen(sr) >= 5)
+            GROUP BY doc_id, g
+        ),
+        cm5 AS (
+            SELECT a.doc_id, SUM(LEAST(a.nc, b.nr)) AS m
+            FROM ccg5 a JOIN crg5 b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+            GROUP BY a.doc_id
+        ),
+        ctc5 AS (SELECT doc_id, SUM(nc) AS t FROM ccg5
+                   GROUP BY doc_id),
+        ctr5 AS (SELECT doc_id, SUM(nr) AS t FROM crg5
+                   GROUP BY doc_id),
+        ccg6 AS (
+            SELECT doc_id, g, COUNT(*) AS nc
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sc) - 6 + 2),
+                             i -> substr(sc, CAST(i AS INT), 6)))
+                             AS g
+                  FROM p WHERE strlen(sc) >= 6)
+            GROUP BY doc_id, g
+        ),
+        crg6 AS (
+            SELECT doc_id, g, COUNT(*) AS nr
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, strlen(sr) - 6 + 2),
+                             i -> substr(sr, CAST(i AS INT), 6)))
+                             AS g
+                  FROM p WHERE strlen(sr) >= 6)
+            GROUP BY doc_id, g
+        ),
+        cm6 AS (
+            SELECT a.doc_id, SUM(LEAST(a.nc, b.nr)) AS m
+            FROM ccg6 a JOIN crg6 b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+            GROUP BY a.doc_id
+        ),
+        ctc6 AS (SELECT doc_id, SUM(nc) AS t FROM ccg6
+                   GROUP BY doc_id),
+        ctr6 AS (SELECT doc_id, SUM(nr) AS t FROM crg6
+                   GROUP BY doc_id)
+        SELECT p.doc_id,
+               COALESCE(cm1.m, 0)::BIGINT AS m1,
+               COALESCE(ctc1.t, 0)::BIGINT AS tc1,
+               COALESCE(ctr1.t, 0)::BIGINT AS tr1,
+               COALESCE(cm2.m, 0)::BIGINT AS m2,
+               COALESCE(ctc2.t, 0)::BIGINT AS tc2,
+               COALESCE(ctr2.t, 0)::BIGINT AS tr2,
+               COALESCE(cm3.m, 0)::BIGINT AS m3,
+               COALESCE(ctc3.t, 0)::BIGINT AS tc3,
+               COALESCE(ctr3.t, 0)::BIGINT AS tr3,
+               COALESCE(cm4.m, 0)::BIGINT AS m4,
+               COALESCE(ctc4.t, 0)::BIGINT AS tc4,
+               COALESCE(ctr4.t, 0)::BIGINT AS tr4,
+               COALESCE(cm5.m, 0)::BIGINT AS m5,
+               COALESCE(ctc5.t, 0)::BIGINT AS tc5,
+               COALESCE(ctr5.t, 0)::BIGINT AS tr5,
+               COALESCE(cm6.m, 0)::BIGINT AS m6,
+               COALESCE(ctc6.t, 0)::BIGINT AS tc6,
+               COALESCE(ctr6.t, 0)::BIGINT AS tr6,
+               ROUND(CASE WHEN 4.0 * (CASE WHEN ((CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN 1 ELSE 0 END)) > 0 THEN (0.0 + (CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN COALESCE(cm1.m, 0) / COALESCE(ctc1.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN COALESCE(cm2.m, 0) / COALESCE(ctc2.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN COALESCE(cm3.m, 0) / COALESCE(ctc3.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN COALESCE(cm4.m, 0) / COALESCE(ctc4.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN COALESCE(cm5.m, 0) / COALESCE(ctc5.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN COALESCE(cm6.m, 0) / COALESCE(ctc6.t, 0) ELSE 0.0 END)) / ((CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN 1 ELSE 0 END)) ELSE 0.0 END) + (CASE WHEN ((CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN 1 ELSE 0 END)) > 0 THEN (0.0 + (CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN COALESCE(cm1.m, 0) / COALESCE(ctr1.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN COALESCE(cm2.m, 0) / COALESCE(ctr2.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN COALESCE(cm3.m, 0) / COALESCE(ctr3.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN COALESCE(cm4.m, 0) / COALESCE(ctr4.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN COALESCE(cm5.m, 0) / COALESCE(ctr5.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN COALESCE(cm6.m, 0) / COALESCE(ctr6.t, 0) ELSE 0.0 END)) / ((CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN 1 ELSE 0 END)) ELSE 0.0 END) > 0
+                     THEN (1 + 4.0) * (CASE WHEN ((CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN 1 ELSE 0 END)) > 0 THEN (0.0 + (CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN COALESCE(cm1.m, 0) / COALESCE(ctc1.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN COALESCE(cm2.m, 0) / COALESCE(ctc2.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN COALESCE(cm3.m, 0) / COALESCE(ctc3.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN COALESCE(cm4.m, 0) / COALESCE(ctc4.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN COALESCE(cm5.m, 0) / COALESCE(ctc5.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN COALESCE(cm6.m, 0) / COALESCE(ctc6.t, 0) ELSE 0.0 END)) / ((CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN 1 ELSE 0 END)) ELSE 0.0 END) * (CASE WHEN ((CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN 1 ELSE 0 END)) > 0 THEN (0.0 + (CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN COALESCE(cm1.m, 0) / COALESCE(ctr1.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN COALESCE(cm2.m, 0) / COALESCE(ctr2.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN COALESCE(cm3.m, 0) / COALESCE(ctr3.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN COALESCE(cm4.m, 0) / COALESCE(ctr4.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN COALESCE(cm5.m, 0) / COALESCE(ctr5.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN COALESCE(cm6.m, 0) / COALESCE(ctr6.t, 0) ELSE 0.0 END)) / ((CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN 1 ELSE 0 END)) ELSE 0.0 END)
+                          / (4.0 * (CASE WHEN ((CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN 1 ELSE 0 END)) > 0 THEN (0.0 + (CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN COALESCE(cm1.m, 0) / COALESCE(ctc1.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN COALESCE(cm2.m, 0) / COALESCE(ctc2.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN COALESCE(cm3.m, 0) / COALESCE(ctc3.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN COALESCE(cm4.m, 0) / COALESCE(ctc4.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN COALESCE(cm5.m, 0) / COALESCE(ctc5.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN COALESCE(cm6.m, 0) / COALESCE(ctc6.t, 0) ELSE 0.0 END)) / ((CASE WHEN COALESCE(ctc1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctc6.t, 0) > 0 THEN 1 ELSE 0 END)) ELSE 0.0 END) + (CASE WHEN ((CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN 1 ELSE 0 END)) > 0 THEN (0.0 + (CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN COALESCE(cm1.m, 0) / COALESCE(ctr1.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN COALESCE(cm2.m, 0) / COALESCE(ctr2.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN COALESCE(cm3.m, 0) / COALESCE(ctr3.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN COALESCE(cm4.m, 0) / COALESCE(ctr4.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN COALESCE(cm5.m, 0) / COALESCE(ctr5.t, 0) ELSE 0.0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN COALESCE(cm6.m, 0) / COALESCE(ctr6.t, 0) ELSE 0.0 END)) / ((CASE WHEN COALESCE(ctr1.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr2.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr3.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr4.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr5.t, 0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN COALESCE(ctr6.t, 0) > 0 THEN 1 ELSE 0 END)) ELSE 0.0 END))
+                     ELSE 0.0 END, 6) AS chrf
+        FROM p LEFT JOIN cm1 ON cm1.doc_id = p.doc_id LEFT JOIN ctc1 ON ctc1.doc_id = p.doc_id LEFT JOIN ctr1 ON ctr1.doc_id = p.doc_id LEFT JOIN cm2 ON cm2.doc_id = p.doc_id LEFT JOIN ctc2 ON ctc2.doc_id = p.doc_id LEFT JOIN ctr2 ON ctr2.doc_id = p.doc_id LEFT JOIN cm3 ON cm3.doc_id = p.doc_id LEFT JOIN ctc3 ON ctc3.doc_id = p.doc_id LEFT JOIN ctr3 ON ctr3.doc_id = p.doc_id LEFT JOIN cm4 ON cm4.doc_id = p.doc_id LEFT JOIN ctc4 ON ctc4.doc_id = p.doc_id LEFT JOIN ctr4 ON ctr4.doc_id = p.doc_id LEFT JOIN cm5 ON cm5.doc_id = p.doc_id LEFT JOIN ctc5 ON ctc5.doc_id = p.doc_id LEFT JOIN ctr5 ON ctr5.doc_id = p.doc_id LEFT JOIN cm6 ON cm6.doc_id = p.doc_id LEFT JOIN ctc6 ON ctc6.doc_id = p.doc_id LEFT JOIN ctr6 ON ctr6.doc_id = p.doc_id
+        ORDER BY p.doc_id
     """
 
     # q190: view-derived aggregates of the same columns the Spark

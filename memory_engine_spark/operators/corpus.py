@@ -1048,3 +1048,76 @@ def rouge_report(pairs: DataFrame, cand_col: str = "cand",
                  F.round(r, 6).alias(f"rouge{n}_r"),
                  F.round(f1, 6).alias(f"rouge{n}_f")]
     return out.select(*cols)
+
+
+def chrf_report(pairs: DataFrame, cand_col: str = "cand",
+                ref_col: str = "ref", id_col: str = "doc_id",
+                max_n: int = 6, beta: float = 2.0) -> DataFrame:
+    """chrF components per (candidate, reference) pair (Popović
+    2015, the character-level MT metric sacrebleu ships next to
+    BLEU): character n-grams n = 1..max_n over the WHITESPACE-
+    STRIPPED strings, clipped match + both totals per n as exact
+    integers, then the pinned scoring spec: per-n P and R are
+    averaged over the EFFECTIVE orders only (orders where the
+    respective total > 0 — short-string orders are skipped, the
+    epsilon-free analogue of sacrebleu's effective order), and
+    chrF_beta = (1+β²)·avgP·avgR / (β²·avgP + avgR), 0 when the
+    denominator is 0; β = 2 (recall-weighted, the standard chrF2),
+    rounded 6dp. Relational shape: one char-gram explode per side
+    per n — substring() over a position sequence, all JVM-side; the
+    join keys are (id, gram), map-side combinable, nothing
+    quadratic."""
+    def chars(col):
+        return F.regexp_replace(F.col(col), " ", "")
+
+    base = pairs.select(
+        id_col, chars(cand_col).alias("_sc"),
+        chars(ref_col).alias("_sr"))
+
+    def grams(scol, n):
+        s = F.col(scol)
+        return F.when(
+            F.length(s) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - n + 1),
+                lambda i: F.substring(s, i, F.lit(n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    out = base.select(id_col)
+    for n in range(1, max_n + 1):
+        cg = (base.select(id_col, F.explode(grams("_sc", n))
+                          .alias("g"))
+              .groupBy(id_col, "g").agg(F.count("*").alias("nc")))
+        rg = (base.select(id_col, F.explode(grams("_sr", n))
+                          .alias("g"))
+              .groupBy(id_col, "g").agg(F.count("*").alias("nr")))
+        clip = (cg.join(rg, [id_col, "g"])
+                .groupBy(id_col)
+                .agg(F.sum(F.least("nc", "nr")).alias(f"m{n}")))
+        totc = cg.groupBy(id_col).agg(F.sum("nc").alias(f"tc{n}"))
+        totr = rg.groupBy(id_col).agg(F.sum("nr").alias(f"tr{n}"))
+        out = out.join(clip, id_col, "left") \
+                 .join(totc, id_col, "left") \
+                 .join(totr, id_col, "left")
+        for c in (f"m{n}", f"tc{n}", f"tr{n}"):
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    psum, pcnt, rsum, rcnt = (F.lit(0.0), F.lit(0), F.lit(0.0),
+                              F.lit(0))
+    for n in range(1, max_n + 1):
+        m, tc, tr = (F.col(f"m{n}"), F.col(f"tc{n}"), F.col(f"tr{n}"))
+        psum = psum + F.when(tc > 0, m / tc).otherwise(F.lit(0.0))
+        pcnt = pcnt + F.when(tc > 0, 1).otherwise(0)
+        rsum = rsum + F.when(tr > 0, m / tr).otherwise(F.lit(0.0))
+        rcnt = rcnt + F.when(tr > 0, 1).otherwise(0)
+    avg_p = F.when(pcnt > 0, psum / pcnt).otherwise(F.lit(0.0))
+    avg_r = F.when(rcnt > 0, rsum / rcnt).otherwise(F.lit(0.0))
+    b2 = beta * beta
+    denom = b2 * avg_p + avg_r
+    score = F.when(denom > 0,
+                   (1 + b2) * avg_p * avg_r / denom) \
+        .otherwise(F.lit(0.0))
+    cols = [F.col(id_col)]
+    for n in range(1, max_n + 1):
+        cols += [F.col(f"m{n}"), F.col(f"tc{n}"), F.col(f"tr{n}")]
+    return out.select(*cols, F.round(score, 6).alias("chrf"))

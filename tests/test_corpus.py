@@ -436,3 +436,32 @@ def test_rouge_report_hand_computed(spark):
     r4 = out[4]
     assert (r4["match1"], r4["rouge1_f"], r4["rouge2_f"]) \
         == (0, 0.0, 0.0)
+
+
+def test_chrf_report_hand_computed(spark):
+    """chrF2 components: whitespace stripping ('ab cd' and 'abcd'
+    yield identical grams), effective-order averaging skips orders
+    longer than the string, clipping, and the beta=2 F formula."""
+    from memory_engine_spark.operators.corpus import chrf_report
+
+    pairs = spark.createDataFrame(
+        [(1, "ab cd", "abcd"),      # identical after stripping
+         (2, "abc", "xyz"),        # zero overlap
+         (3, "ab", "abab")],       # short: orders 3+ skipped on cand
+        "doc_id long, cand string, ref string")
+    out = {r["doc_id"]: r for r in chrf_report(pairs).collect()}
+    r1 = out[1]
+    assert (r1["m1"], r1["tc1"], r1["tr1"]) == (4, 4, 4)
+    assert (r1["m4"], r1["tc4"], r1["tr4"]) == (1, 1, 1)
+    assert r1["tc5"] == 0 and r1["chrf"] == 1.0
+    assert out[2]["chrf"] == 0.0 and out[2]["m1"] == 0
+    r3 = out[3]
+    # cand 'ab': m1=2 (a,b each clip 2), m2=1 ('ab' x1 vs x2)
+    assert (r3["m1"], r3["tc1"], r3["tr1"]) == (2, 2, 4)
+    assert (r3["m2"], r3["tc2"], r3["tr2"]) == (1, 1, 3)
+    # effective orders: P over n=1,2 (tc3..6=0), R over n=1..4
+    # (ref 'abab' still has 3- and 4-grams, matched 0)
+    avg_p = (2 / 2 + 1 / 1) / 2
+    avg_r = (2 / 4 + 1 / 3 + 0 / 2 + 0 / 1) / 4
+    exp = round(5.0 * avg_p * avg_r / (4.0 * avg_p + avg_r), 6)
+    assert r3["chrf"] == exp
