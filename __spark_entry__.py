@@ -4580,6 +4580,50 @@ PQ_INT64_COLS = [("customer", "c_custkey"), ("documents", "doc_id"),
                  ("part", "p_partkey"), ("supplier", "s_suppkey")]
 
 
+def q192_calibration(spark, sf):
+    """Classifier-calibration audit under the oracle gate — the op a
+    quality/toxicity-gated pipeline runs before trusting a filter
+    threshold (reliability bins + ECE + Brier): confidences arrive
+    as integer MILLI-UNITS (conf_u = ((doc_id·17)%100)·10+5) and
+    outcomes from an independent residue ((doc_id·31)%100 < k), so
+    the synthetic model is roughly-but-not-exactly calibrated and
+    every bin shows a real gap. `quality.calibration_report` bins by
+    integer division (no float floor at edges), accumulates BIGINT
+    gap/Brier numerators, and spends exactly one float division per
+    metric. The oracle replays bins and both scores, so a binning,
+    clamp, or numerator bug breaks the hash."""
+    from memory_engine_spark.operators.quality import (
+        calibration_report)
+
+    d = F.col("doc_id")
+    k = (d * 17) % 100
+    rows = _t(spark, sf)["documents"].select(
+        (k * 10 + 5).cast("long").alias("conf_u"),
+        ((d * 31) % 100 < k).cast("long").alias("label"))
+    return calibration_report(rows, "conf_u", "label").orderBy("bin")
+
+
+def q193_bootstrap_ci(spark, sf):
+    """Deterministic Poisson bootstrap under the oracle gate
+    (Chamandy et al. 2012 — the 100-TB bootstrap: Poisson(1)
+    replica WEIGHTS on a scan instead of resampling shuffles): 20
+    replicates of the corpus-mean document length, each row's
+    replica count drawn from md5(salt‖b‖id) mod 10⁴ mapped through
+    `corpus.poisson_cum_u`'s shared-literal CDF thresholds — no
+    runtime exp/factorial in either engine. Per-replicate Σk and
+    Σk·v are exact BIGINTs; the oracle replays the md5 uniform, the
+    threshold CASE, and the weighted sums, so a hash, threshold, or
+    weighting bug breaks the hash. The 2.5/97.5-percentile CI over
+    the 20 replicate means is pinned in pytest (driver-trivial
+    epilogue over B rows)."""
+    from memory_engine_spark.operators.corpus import poisson_bootstrap
+
+    docs = _t(spark, sf)["documents"].select("doc_id", "n_chars")
+    return (poisson_bootstrap(docs, "n_chars", "doc_id",
+                              n_replicates=20, salt="boot")
+            .orderBy("replicate"))
+
+
 def q191_chrf_eval(spark, sf):
     """Corpus chrF2 evaluation under the oracle gate (Popović 2015)
     — the character-level metric completing the MT/summarization
@@ -5701,6 +5745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_orc_footer": q189_orc_footer,
         "q190_parquet_column_decode": q190_parquet_column_decode,
         "q191_chrf_eval": q191_chrf_eval,
+        "q192_calibration": q192_calibration,
+        "q193_bootstrap_ci": q193_bootstrap_ci,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5788,7 +5834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q186_rouge_eval", "q187_ir_eval",
                       "q188_delta_snapshot", "q189_orc_footer",
                       "q190_parquet_column_decode",
-                      "q191_chrf_eval"]
+                      "q191_chrf_eval", "q192_calibration",
+                      "q193_bootstrap_ci"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9841,6 +9888,64 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q193: md5 uniform + shared-literal Poisson thresholds + BIGINT
+    # weighted sums replayed.
+    sql["q193_bootstrap_ci"] = """
+        WITH reps AS (SELECT unnest(range(0, 20)) AS b),
+        r AS (
+            SELECT b, n_chars,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                              substr(md5('boot:' || b || ':' || doc_id),
+                                     j::INT + 1, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) % 10000
+                       AS u
+            FROM documents, reps
+        ),
+        k AS (SELECT b, n_chars, CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1 WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3 WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5 WHEN u < 9999 THEN 6 ELSE 7 END AS k FROM r)
+        SELECT b::INT AS replicate, SUM(k)::BIGINT AS n_eff,
+               SUM(k * n_chars)::BIGINT AS wsum,
+               ROUND(CASE WHEN SUM(k) > 0
+                     THEN SUM(k * n_chars) / SUM(k)
+                     ELSE 0.0 END, 6) AS mean
+        FROM k GROUP BY b ORDER BY replicate
+    """
+
+    # q192: integer binning + BIGINT gap/Brier numerators replayed;
+    # one float division per metric on both sides.
+    sql["q192_calibration"] = """
+        WITH d AS (
+            SELECT doc_id, (doc_id * 17) % 100 AS k,
+                   (doc_id * 31) % 100 AS r
+            FROM documents
+        ),
+        rows_t AS (
+            SELECT k * 10 + 5 AS cu,
+                   CASE WHEN r < k THEN 1 ELSE 0 END AS lb
+            FROM d
+        ),
+        b AS (
+            SELECT (cu * 10) // 1000 AS bin, COUNT(*) AS n,
+                   SUM(lb) AS positives, SUM(cu) AS conf_u_sum
+            FROM rows_t GROUP BY 1
+        ),
+        g AS (SELECT SUM(ABS(1000 * positives - conf_u_sum))
+                  AS ece_num FROM b),
+        t AS (SELECT COUNT(*) AS n_tot,
+                     SUM((cu - 1000 * lb) * (cu - 1000 * lb))
+                         AS brier_num
+              FROM rows_t)
+        SELECT bin::INT AS bin, n::BIGINT AS n,
+               positives::BIGINT AS positives,
+               conf_u_sum::BIGINT AS conf_u_sum,
+               ABS(1000 * positives - conf_u_sum)::BIGINT AS gap_num,
+               ROUND(positives / n, 6) AS accuracy,
+               ROUND(conf_u_sum / (1000.0 * n), 6) AS confidence,
+               ROUND(ece_num / (1000.0 * n_tot), 6) AS ece,
+               ROUND(brier_num / (1000000.0 * n_tot), 6) AS brier
+        FROM b, g, t ORDER BY bin
     """
 
     # q191: the six char-gram clip joins + the exact summation-order

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "q189_orc_footer",        # ORC protobuf footer walk (8 real files)
     "q190_parquet_column_decode",  # pure-python snappy+RLE page decode
     "q191_chrf_eval",         # chrF2: 6 char-gram clip joins
+    "q192_calibration",       # reliability bins + ECE/Brier (integer)
+    "q193_bootstrap_ci",      # Poisson bootstrap, 20 replicates
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

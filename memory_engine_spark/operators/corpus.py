@@ -1121,3 +1121,59 @@ def chrf_report(pairs: DataFrame, cand_col: str = "cand",
     for n in range(1, max_n + 1):
         cols += [F.col(f"m{n}"), F.col(f"tc{n}"), F.col(f"tr{n}")]
     return out.select(*cols, F.round(score, 6).alias("chrf"))
+
+
+def poisson_cum_u(max_k: int = 6, quant: int = 10 ** 4) -> list[int]:
+    """Quantized Poisson(1) CDF thresholds: cum_u[k] =
+    round(quant · P(X ≤ k)). Computed ONCE driver-side and injected
+    as the same integer literals into both engines (the ir_disc_u
+    trick), so bootstrap replica counts need no runtime exp/
+    factorial anywhere."""
+    import math
+
+    cum, acc = [], 0.0
+    for k in range(max_k + 1):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cum.append(min(quant, round(quant * acc)))
+    return cum
+
+
+def poisson_bootstrap(df: DataFrame, value_col: str, id_col: str,
+                      n_replicates: int = 20,
+                      salt: str = "boot") -> DataFrame:
+    """Deterministic Poisson bootstrap — the only bootstrap that
+    works at 100 TB (Chamandy et al., Google 2012: resampling with
+    replacement is a shuffle of the whole corpus per replicate;
+    Poisson(1) replica WEIGHTS are a scan): each (row, replicate)
+    draws u = md5(salt‖b‖id) mod 10⁴ — the repo's engine-stable
+    uniform — and maps it through the `poisson_cum_u` shared-literal
+    thresholds to a replica count k (capped at len(cum)); replicate
+    statistics are then weighted aggregates: Σk·v and Σk as exact
+    BIGINTs, the mean their single float division (6dp). Returns one
+    row per replicate — percentile selection over B≈20 rows is a
+    driver-trivial epilogue (tests pin it). Relational shape: an
+    explode by B on the scan, one groupBy(replicate) — map-side
+    combinable, no data shuffle beyond B partial rows per task."""
+    reps = F.explode(F.sequence(
+        F.lit(0), F.lit(n_replicates - 1))).alias("b")
+    cum = poisson_cum_u()
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col("b").cast("string"),
+        F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10000)
+    k = F.lit(len(cum))
+    for j in range(len(cum) - 1, -1, -1):
+        k = F.when(u < cum[j], F.lit(j)).otherwise(k)
+    rows = (df.select(id_col, F.col(value_col).cast("long")
+                      .alias("_v"), reps)
+            .withColumn("_k", k.cast("long")))
+    return (rows.groupBy("b").agg(
+        F.sum("_k").alias("n_eff"),
+        F.sum(F.col("_k") * F.col("_v")).alias("wsum"))
+        .select(
+            F.col("b").cast("int").alias("replicate"),
+            F.col("n_eff").cast("long").alias("n_eff"),
+            F.col("wsum").cast("long").alias("wsum"),
+            F.round(F.when(F.col("n_eff") > 0,
+                           F.col("wsum") / F.col("n_eff"))
+                    .otherwise(F.lit(0.0)), 6).alias("mean")))

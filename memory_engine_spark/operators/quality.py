@@ -628,3 +628,59 @@ def enhancement_plan(nodes: DataFrame, edges: DataFrame,
         .alias("rank"),
         "item_id", "action", "priority", "expected_improvement",
         "confidence", "effort")
+
+
+def calibration_report(df: DataFrame, conf_u_col: str,
+                       label_col: str, n_bins: int = 10) -> DataFrame:
+    """Model-calibration audit at corpus scale — the eval op a
+    classifier-filtered training pipeline (quality probes, toxicity
+    gates) runs before trusting thresholds: reliability-diagram bins
+    plus ECE and the Brier score. Confidences arrive as INTEGER
+    milli-units (conf_u in 0..999) so binning is exact integer
+    arithmetic (bin = conf_u*n_bins//1000 — no float floor at bin
+    edges, the classic cross-engine flake), and every accumulation
+    is BIGINT: per-bin |1000*positives - Σconf_u| gap numerators,
+    per-row (conf_u - 1000*label)² Brier numerators. ECE =
+    Σ gap_num / (1000·N) and Brier = Σ sq / (10⁶·N) each take ONE
+    final float division (rounded 6dp). Relational shape: one
+    groupBy on the bin + one global aggregate, map-side combinable;
+    nothing per-row leaves the scan."""
+    from pyspark.sql import functions as F
+
+    cu = F.col(conf_u_col).cast("long")
+    lb = F.col(label_col).cast("long")
+    rows = df.select(
+        (cu * n_bins).cast("long").alias("_bu"),
+        cu.alias("_cu"), lb.alias("_lb"))
+    rows = rows.select(
+        F.expr(f"_bu div 1000").cast("int").alias("bin"),
+        "_cu", "_lb",
+        ((F.col("_cu") - 1000 * F.col("_lb"))
+         * (F.col("_cu") - 1000 * F.col("_lb"))).alias("_sq"))
+    bins = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_lb").cast("long").alias("positives"),
+        F.sum("_cu").cast("long").alias("conf_u_sum"))
+    bins = bins.withColumn(
+        "gap_num",
+        F.abs(1000 * F.col("positives") - F.col("conf_u_sum"))
+        .cast("long"))
+    tot = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum("_sq").cast("long").alias("_brier_num"))
+    glob = (bins.agg(F.sum("gap_num").cast("long").alias("_ece_num"))
+            .crossJoin(tot)
+            .select(
+                F.round(F.col("_ece_num")
+                        / (1000.0 * F.col("_N")), 6).alias("ece"),
+                F.round(F.col("_brier_num")
+                        / (1000000.0 * F.col("_N")), 6)
+                .alias("brier")))
+    return (bins.crossJoin(F.broadcast(glob))
+            .select(
+                "bin", "n", "positives", "conf_u_sum", "gap_num",
+                F.round(F.col("positives") / F.col("n"), 6)
+                .alias("accuracy"),
+                F.round(F.col("conf_u_sum")
+                        / (1000.0 * F.col("n")), 6).alias("confidence"),
+                "ece", "brier"))

@@ -465,3 +465,31 @@ def test_chrf_report_hand_computed(spark):
     avg_r = (2 / 4 + 1 / 3 + 0 / 2 + 0 / 1) / 4
     exp = round(5.0 * avg_p * avg_r / (4.0 * avg_p + avg_r), 6)
     assert r3["chrf"] == exp
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    """Poisson(1) replica weights: thresholds pin ~e^-1 of rows at
+    k=0 and mean weight ~1; replicate means are deterministic across
+    runs; the 2.5/97.5-percentile CI epilogue brackets the true mean
+    over 20 replicates."""
+    from memory_engine_spark.operators.corpus import (poisson_cum_u,
+                                                      poisson_bootstrap)
+
+    cum = poisson_cum_u()
+    assert cum[0] == 3679 and cum[-1] == 9999  # e^-1, cap tail
+    df = spark.range(2000).selectExpr("id", "id % 101 AS v")
+    out = poisson_bootstrap(df, "v", "id", n_replicates=20,
+                            salt="t").collect()
+    assert len(out) == 20
+    # mean replica weight over all replicates ~ 1 (Poisson(1))
+    tot_eff = sum(r["n_eff"] for r in out)
+    assert abs(tot_eff / (20 * 2000) - 1.0) < 0.05
+    true_mean = sum(i % 101 for i in range(2000)) / 2000
+    means = sorted(r["mean"] for r in out)
+    lo, hi = means[0], means[-1]
+    assert lo <= true_mean <= hi
+    assert hi - lo < 5.0  # tight CI at n=2000
+    # determinism: same salt -> identical replicate means
+    again = poisson_bootstrap(df, "v", "id", n_replicates=20,
+                              salt="t").collect()
+    assert sorted(r["mean"] for r in again) == means

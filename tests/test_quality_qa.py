@@ -374,3 +374,26 @@ def test_enhancement_plan_orchestrates_and_ranks(spark):
     for a, b in zip(plan, plan[1:]):
         if a["priority"] == b["priority"]:
             assert a["expected_improvement"] >= b["expected_improvement"]
+
+
+def test_calibration_report_hand_computed(spark):
+    """ECE/Brier on a hand-built table: a perfectly calibrated bin
+    (conf 0.5, half positive) contributes gap 0; an overconfident
+    bin (conf 0.9, none positive) contributes its full confidence
+    mass; Brier matches the closed form."""
+    from memory_engine_spark.operators.quality import (
+        calibration_report)
+
+    rows = [(500, 1), (500, 0),          # bin 5: acc .5, conf .5
+            (905, 0), (905, 0)]          # bin 9: acc 0,  conf .905
+    df = spark.createDataFrame(rows, "conf_u long, label long")
+    out = {r["bin"]: r for r in
+           calibration_report(df, "conf_u", "label").collect()}
+    assert set(out) == {5, 9}
+    assert out[5]["gap_num"] == 0
+    assert out[5]["accuracy"] == 0.5 and out[5]["confidence"] == 0.5
+    assert out[9]["gap_num"] == 1810 and out[9]["accuracy"] == 0.0
+    # ECE = (0 + 1810) / (1000 * 4); Brier = (500^2*2+905^2*2)/4e6
+    assert out[5]["ece"] == round(1810 / 4000, 6)
+    # exact value 0.5345125 -> Spark ROUND is HALF_UP (not banker's)
+    assert out[5]["brier"] == 0.534513
