@@ -4580,6 +4580,38 @@ PQ_INT64_COLS = [("customer", "c_custkey"), ("documents", "doc_id"),
                  ("part", "p_partkey"), ("supplier", "s_suppkey")]
 
 
+def q194_graph_stats(spark, sf):
+    """Directed-graph structural profile under the oracle gate —
+    the pre-flight summary a graph pipeline computes before picking
+    algorithms (reciprocity decides directed-vs-symmetrized,
+    clustering/assortativity decide skew strategy): the part-
+    co-occurrence graph (q79's build) given deterministic
+    directions (u→v always, v→u when (u+v)%3=0, so reciprocity
+    lands near 1/3), profiled by `graph.graph_stats` — reciprocity
+    via a self-semi-join, the exact triangle census via the degree-
+    oriented wedge join, and Newman assortativity from exact BIGINT
+    moment sums with only the closed-form final expression float.
+    The oracle replays the direction rule, the EXISTS reciprocity,
+    the a<b<c triangle join, and the moment formula term-for-term."""
+    from memory_engine_spark.operators.graph import graph_stats
+
+    li = (_t(spark, sf)["lineitem"]
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk")).distinct())
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.pk") < F.col("b.pk")))
+             .select(F.col("a.pk").alias("u"),
+                     F.col("b.pk").alias("v"))
+             .distinct())
+    fwd = pairs.select(F.col("u").alias("from_id"),
+                       F.col("v").alias("to_id"))
+    back = (pairs.filter((F.col("u") + F.col("v")) % 3 == 0)
+            .select(F.col("v").alias("from_id"),
+                    F.col("u").alias("to_id")))
+    return graph_stats(fwd.unionAll(back))
+
+
 def q192_calibration(spark, sf):
     """Classifier-calibration audit under the oracle gate — the op a
     quality/toxicity-gated pipeline runs before trusting a filter
@@ -5747,6 +5779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_chrf_eval": q191_chrf_eval,
         "q192_calibration": q192_calibration,
         "q193_bootstrap_ci": q193_bootstrap_ci,
+        "q194_graph_stats": q194_graph_stats,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5835,7 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q188_delta_snapshot", "q189_orc_footer",
                       "q190_parquet_column_decode",
                       "q191_chrf_eval", "q192_calibration",
-                      "q193_bootstrap_ci"]
+                      "q193_bootstrap_ci", "q194_graph_stats"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9888,6 +9921,81 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q194: direction rule + EXISTS reciprocity + a<b<c triangle
+    # join + Newman moment formula replayed term-for-term.
+    sql["q194_graph_stats"] = """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem
+        ),
+        p AS (
+            SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        ),
+        dir AS (
+            SELECT u AS f, v AS t FROM p
+            UNION ALL
+            SELECT v, u FROM p WHERE (u + v) % 3 = 0
+        ),
+        md AS (SELECT COUNT(*)::BIGINT AS m_directed FROM dir),
+        rc AS (
+            SELECT COUNT(*)::BIGINT AS n_reciprocal
+            FROM dir d
+            WHERE EXISTS (SELECT 1 FROM dir r
+                          WHERE r.f = d.t AND r.t = d.f)
+        ),
+        nn AS (
+            SELECT COUNT(DISTINCT n)::BIGINT AS n_nodes
+            FROM (SELECT u AS n FROM p UNION ALL SELECT v FROM p)
+        ),
+        mu_ AS (SELECT COUNT(*)::BIGINT AS m_undirected FROM p),
+        deg AS (
+            SELECT n, COUNT(*)::BIGINT AS deg
+            FROM (SELECT u AS n FROM p UNION ALL SELECT v FROM p)
+            GROUP BY n
+        ),
+        wg AS (SELECT SUM(deg * (deg - 1) // 2)::BIGINT AS wedges
+               FROM deg),
+        tr AS (
+            SELECT COUNT(*)::BIGINT AS triangles
+            FROM p e1 JOIN p e2 ON e1.v = e2.u
+                 JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        bd AS (SELECT u AS x, v AS y FROM p
+               UNION ALL SELECT v, u FROM p),
+        jj AS (
+            SELECT dx.deg AS j, dy.deg AS k
+            FROM bd JOIN deg dx ON dx.n = bd.x
+                    JOIN deg dy ON dy.n = bd.y
+        ),
+        s AS (
+            SELECT SUM(j * k)::BIGINT AS s_jk,
+                   SUM(j + k)::BIGINT AS s_sum,
+                   SUM(j * j + k * k)::BIGINT AS s_sq,
+                   COUNT(*)::BIGINT AS m2
+            FROM jj
+        )
+        SELECT n_nodes, m_directed, n_reciprocal,
+               ROUND(CASE WHEN m_directed > 0
+                     THEN n_reciprocal / m_directed
+                     ELSE 0.0 END, 6) AS reciprocity,
+               m_undirected, triangles, wedges,
+               ROUND(CASE WHEN wedges > 0
+                     THEN (3 * triangles) / wedges
+                     ELSE 0.0 END, 6) AS gcc,
+               s_jk, s_sum, s_sq,
+               ROUND(CASE WHEN (s_sq / (2 * m2)
+                               - (s_sum / (2 * m2))
+                                 * (s_sum / (2 * m2))) <> 0
+                     THEN (s_jk / m2 - (s_sum / (2 * m2))
+                                       * (s_sum / (2 * m2)))
+                          / (s_sq / (2 * m2)
+                             - (s_sum / (2 * m2))
+                               * (s_sum / (2 * m2)))
+                     ELSE 0.0 END, 6) AS assortativity
+        FROM nn, md, rc, mu_, tr, wg, s
     """
 
     # q193: md5 uniform + shared-literal Poisson thresholds + BIGINT

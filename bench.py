@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q191_chrf_eval",         # chrF2: 6 char-gram clip joins
     "q192_calibration",       # reliability bins + ECE/Brier (integer)
     "q193_bootstrap_ci",      # Poisson bootstrap, 20 replicates
+    "q194_graph_stats",       # reciprocity/triangles/assortativity
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -1366,3 +1366,77 @@ def adamic_adar(edges: DataFrame | None, max_hub_degree: int = 50,
     finally:
         if own:
             nb.unpersist(False)
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row structural profile of a DIRECTED graph — the summary
+    a graph pipeline computes before choosing algorithms/partition
+    strategies: node/edge counts, reciprocity (fraction of directed
+    edges whose reverse exists), the exact triangle census + global
+    clustering coefficient (via `triangle_count`'s degree-oriented
+    wedge join), and Newman degree assortativity (Phys. Rev. E 67,
+    2003) computed from EXACT integer moment sums over the
+    both-directions edge list (S1=Σjk, S2=Σ(j+k), S3=Σ(j²+k²),
+    M=2·|E_und|) — so only the closed-form final expression is
+    float, replayable term-for-term in SQL. Every piece is an
+    equi-join or a one-row aggregate; the only super-linear step is
+    the wedge join, already skew-bounded at its lowest-degree
+    corner. Reference parity: relationship_metrics' density/degree
+    summary (memory_core analytics) without any driver loop."""
+    dedup = (edges.select("from_id", "to_id")
+             .filter(F.col("from_id") != F.col("to_id")).distinct())
+    rev = dedup.select(F.col("to_id").alias("from_id"),
+                       F.col("from_id").alias("to_id"))
+    m_dir = dedup.agg(F.count(F.lit(1)).cast("long")
+                      .alias("m_directed"))
+    n_recip = (dedup.join(rev, ["from_id", "to_id"], "left_semi")
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_reciprocal")))
+    nodes = (dedup.select(F.explode(F.array("from_id", "to_id"))
+                          .alias("n"))
+             .agg(F.countDistinct("n").cast("long").alias("n_nodes")))
+
+    canon = (dedup.select(F.least("from_id", "to_id").alias("u"),
+                          F.greatest("from_id", "to_id").alias("v"))
+             .distinct())
+    m_und = canon.agg(F.count(F.lit(1)).cast("long")
+                      .alias("m_undirected"))
+    tri = (triangle_count(canon.select(
+        F.col("u").alias("from_id"), F.col("v").alias("to_id")))
+        .select(F.col("triangles").cast("long"),
+                F.col("wedges").cast("long")))
+
+    deg = (canon.select(F.col("u").alias("n"))
+           .unionAll(canon.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).cast("long")
+                             .alias("deg")))
+    bd = canon.unionAll(canon.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+    j = (bd.join(deg.select(F.col("n").alias("u"),
+                            F.col("deg").alias("dj")), "u")
+         .join(deg.select(F.col("n").alias("v"),
+                          F.col("deg").alias("dk")), "v"))
+    mom = j.agg(
+        F.sum(F.col("dj") * F.col("dk")).cast("long").alias("s_jk"),
+        F.sum(F.col("dj") + F.col("dk")).cast("long").alias("s_sum"),
+        F.sum(F.col("dj") * F.col("dj")
+              + F.col("dk") * F.col("dk")).cast("long").alias("s_sq"),
+        F.count(F.lit(1)).cast("long").alias("m2"))
+
+    out = (nodes.crossJoin(m_dir).crossJoin(n_recip)
+           .crossJoin(m_und).crossJoin(tri).crossJoin(mom))
+    mu = F.col("s_sum") / (2 * F.col("m2"))
+    num = F.col("s_jk") / F.col("m2") - mu * mu
+    den = F.col("s_sq") / (2 * F.col("m2")) - mu * mu
+    return out.select(
+        "n_nodes", "m_directed", "n_reciprocal",
+        F.round(F.when(F.col("m_directed") > 0,
+                       F.col("n_reciprocal") / F.col("m_directed"))
+                .otherwise(F.lit(0.0)), 6).alias("reciprocity"),
+        "m_undirected", "triangles", "wedges",
+        F.round(F.when(F.col("wedges") > 0,
+                       (3 * F.col("triangles")) / F.col("wedges"))
+                .otherwise(F.lit(0.0)), 6).alias("gcc"),
+        "s_jk", "s_sum", "s_sq",
+        F.round(F.when(den != 0, num / den).otherwise(F.lit(0.0)), 6)
+        .alias("assortativity"))

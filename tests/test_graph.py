@@ -444,3 +444,25 @@ def test_diameter_frees_its_checkpoint_blocks(spark):
     diameter_estimate(edges, "n10", max_depth=25).collect()
     leaked = _persistent_ids(spark) - before
     assert leaked == set(), f"leaked persistent RDDs: {leaked}"
+
+
+def test_graph_stats_hand_computed(spark):
+    """Structural profile of a 4-node graph worked by hand: one
+    reciprocal pair (reciprocity 2/5), one triangle over 5 wedges
+    (gcc 0.6), and Newman assortativity -5/7 from the exact moment
+    sums (disassortative: the hub links the leaf)."""
+    from memory_engine_spark.operators.graph import graph_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (3, 4)],
+        "from_id long, to_id long")
+    r = graph_stats(edges).collect()[0]
+    assert (r["n_nodes"], r["m_directed"], r["n_reciprocal"]) \
+        == (4, 5, 2)
+    assert r["reciprocity"] == 0.4
+    assert (r["m_undirected"], r["triangles"], r["wedges"]) \
+        == (4, 1, 5)
+    assert r["gcc"] == 0.6
+    assert (r["s_jk"], r["s_sum"], r["s_sq"]) == (38, 36, 88)
+    # mu=2.25, num=4.75-5.0625, den=5.5-5.0625 -> -0.714286
+    assert r["assortativity"] == round(-0.3125 / 0.4375, 6)
