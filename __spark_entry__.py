@@ -4580,6 +4580,168 @@ PQ_INT64_COLS = [("customer", "c_custkey"), ("documents", "doc_id"),
                  ("part", "p_partkey"), ("supplier", "s_suppkey")]
 
 
+def _delta_synth_log(spark, sf):
+    """q188/q196/q197/q198 shared synth: the Delta-shape action log
+    as REAL JSON lines built with to_json (see q188's docstring for
+    the formula and the add/remove/re-add lifecycle)."""
+    f = F.col("doc_id")
+    docs = _t(spark, sf)["documents"].select("doc_id")
+
+    base = (docs.select(
+        f.alias("f"),
+        (f % 8).cast("int").alias("va"),
+        (f % 4).cast("int").alias("part"),
+        (1000 + (f * 37) % 5000).cast("long").alias("size"),
+        (10 + (f * 13) % 90).cast("long").alias("nrec"),
+        (f * 100).cast("long").alias("minid"))
+        .withColumn("vrm", (F.col("va") + 1
+                            + (F.col("f") % 3)).cast("int"))
+        .withColumn("path", F.concat(
+            F.lit("part-"),
+            F.lpad(F.col("f").cast("string"), 5, "0"),
+            F.lit(".parquet"))))
+
+    def add_line(size, nrec, maxid):
+        stats = F.to_json(F.struct(
+            nrec.alias("numRecords"),
+            F.struct(F.col("minid").alias("id")).alias("minValues"),
+            F.struct(maxid.alias("id")).alias("maxValues")))
+        return F.to_json(F.struct(F.struct(
+            F.col("path").alias("path"),
+            F.struct(F.col("part").cast("string").alias("part"))
+            .alias("partitionValues"),
+            size.alias("size"),
+            F.lit(True).alias("dataChange"),
+            stats.alias("stats")).alias("add")))
+
+    adds = base.select(
+        F.col("va").alias("version"), F.col("f").alias("seq"),
+        add_line(F.col("size"), F.col("nrec"),
+                 F.col("minid") + F.col("nrec") - 1).alias("line"))
+    rm = (F.col("f") % 5 == 0) & (F.col("vrm") <= 7)
+    removes = base.filter(rm).select(
+        F.col("vrm").cast("int").alias("version"),
+        F.col("f").alias("seq"),
+        F.to_json(F.struct(F.struct(
+            F.col("path").alias("path"),
+            F.lit(True).alias("dataChange")).alias("remove")))
+        .alias("line"))
+    readds = base.filter((F.col("f") % 10 == 0)
+                         & (F.col("vrm") <= 7)).select(
+        F.lit(8).cast("int").alias("version"),
+        F.col("f").alias("seq"),
+        add_line(F.col("size") + 11, F.col("nrec") + 5,
+                 F.col("minid") + F.col("nrec") + 4).alias("line"))
+    meta = spark.range(1).select(
+        F.lit(0).cast("int").alias("version"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.to_json(F.struct(F.struct(F.struct(
+            F.lit("parquet").alias("provider")).alias("format"))
+            .alias("metaData"))).alias("line"))
+    return (adds.unionByName(removes).unionByName(readds)
+            .unionByName(meta))
+
+
+def q196_delta_time_travel(spark, sf):
+    """Delta time travel under the oracle gate — the same log, the
+    same last-action-wins window, capped at a historic commit
+    (`delta_log_snapshot(as_of_version=...)`): snapshots AS OF
+    version 4 (before some removes land and before the version-8
+    re-add) and AS OF 8 (head) over q188's synth log, per-partition
+    aggregates with a version column. The oracle replays liveness at
+    each pinned version, so the filter-then-window ordering (filter
+    the LOG, not the live set — the classic time-travel bug) breaks
+    the hash if inverted. Scale posture: identical to q188 — the
+    cap is a pushed-down predicate on the log scan."""
+    from memory_engine_spark.sources.formats import delta_log_snapshot
+
+    log = _delta_synth_log(spark, sf)
+    out = None
+    for v in (4, 8):
+        live = delta_log_snapshot(log, as_of_version=v)
+        snap = (live.groupBy("part").agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("size").alias("n_bytes"),
+            F.sum("num_records").alias("n_records"))
+            .withColumn("as_of", F.lit(v).cast("int")))
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("as_of", "part")
+
+
+def q197_compaction_plan(spark, sf):
+    """Small-file compaction planning under the oracle gate — the
+    OPTIMIZE planner a lakehouse table needs continuously: over the
+    live snapshot's file inventory (q188's replay), files are binned
+    per partition by a running-bytes window (bin = exclusive-prefix
+    cumulative size div the 8000-byte target) in deterministic path
+    order, and the plan reports per-(partition, bin) file counts and
+    byte totals — the work units a compactor would rewrite. All
+    integer arithmetic (window SUM, floor-div); the oracle replays
+    the liveness formula, the path ordering, and the running-sum
+    binning, so an inclusive-vs-exclusive prefix bug breaks the
+    hash. Scale posture: one window partitioned by the table
+    partition — the same shape Delta's OPTIMIZE file-selection
+    runs; nothing global."""
+    from pyspark.sql import Window as W
+
+    from memory_engine_spark.sources.formats import delta_log_snapshot
+
+    live = delta_log_snapshot(_delta_synth_log(spark, sf))
+    w = W.partitionBy("part").orderBy("path")
+    binned = (live
+              .withColumn("_cum", F.sum("size").over(
+                  w.rowsBetween(W.unboundedPreceding, 0)))
+              .withColumn("bin", F.expr(
+                  "(_cum - size) div 8000").cast("int")))
+    return (binned.groupBy("part", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("size").alias("bin_bytes"),
+        F.min("path").alias("first_path"),
+        F.max("path").alias("last_path"))
+        .orderBy("part", "bin"))
+
+
+def q198_zonemap_audit(spark, sf):
+    """Zone-map pruning audit under the oracle gate — the
+    effectiveness measurement behind every data-layout decision
+    (SCALING.md's partition arguments, q93's z-order): 10 id-range
+    probe queries are joined against the live snapshot's per-file
+    [min_id, max_id] stats (q188's embedded-stats parse), counting
+    scanned vs pruned files and the record mass behind them —
+    exactly how an engine decides whether min/max stats make a
+    range predicate cheap. Counts are integers; the pruned fraction
+    is one rounded division. The oracle replays the stats formulas
+    and the interval-intersection predicate. Scale posture: the
+    10-row probe dim broadcasts; the file inventory never
+    shuffles."""
+    from memory_engine_spark.sources.formats import delta_log_snapshot
+
+    live = delta_log_snapshot(_delta_synth_log(spark, sf))
+    n_docs = _t(spark, sf)["documents"].agg(
+        F.count(F.lit(1)).cast("long").alias("nd"))
+    probes = (spark.range(10).select(F.col("id").cast("int")
+                                     .alias("probe"))
+              .crossJoin(F.broadcast(n_docs))
+              .select("probe",
+                      (F.col("probe") * 10 * F.col("nd"))
+                      .alias("lo"),
+                      (F.col("probe") * 10 * F.col("nd")
+                       + 5 * F.col("nd") - 1).alias("hi")))
+    hit = (F.col("max_id") >= F.col("lo")) \
+        & (F.col("min_id") <= F.col("hi"))
+    joined = live.crossJoin(F.broadcast(probes))
+    return (joined.groupBy("probe", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(hit.cast("long")).cast("long").alias("n_scanned"),
+        F.sum(F.when(hit, F.col("num_records")).otherwise(0))
+        .cast("long").alias("est_records"))
+        .select("probe", "lo", "hi", "n_total", "n_scanned",
+                "est_records",
+                F.round((F.col("n_total") - F.col("n_scanned"))
+                        / F.col("n_total"), 6).alias("pruned_frac"))
+        .orderBy("probe"))
+
+
 def q194_graph_stats(spark, sf):
     """Directed-graph structural profile under the oracle gate —
     the pre-flight summary a graph pipeline computes before picking
@@ -4817,61 +4979,7 @@ def q188_delta_snapshot(spark, sf):
     partition value — exactly how Delta log checkpointing scales."""
     from memory_engine_spark.sources.formats import delta_log_snapshot
 
-    docs = _t(spark, sf)["documents"].select("doc_id")
-    f = F.col("doc_id")
-    base = (docs.select(
-        f.alias("f"),
-        (f % 8).cast("int").alias("va"),
-        (f % 4).cast("int").alias("part"),
-        (1000 + (f * 37) % 5000).cast("long").alias("size"),
-        (10 + (f * 13) % 90).cast("long").alias("nrec"),
-        (f * 100).cast("long").alias("minid"))
-        .withColumn("vrm", (F.col("va") + 1
-                            + (F.col("f") % 3)).cast("int"))
-        .withColumn("path", F.concat(
-            F.lit("part-"),
-            F.lpad(F.col("f").cast("string"), 5, "0"),
-            F.lit(".parquet"))))
-
-    def add_line(size, nrec, maxid):
-        stats = F.to_json(F.struct(
-            nrec.alias("numRecords"),
-            F.struct(F.col("minid").alias("id")).alias("minValues"),
-            F.struct(maxid.alias("id")).alias("maxValues")))
-        return F.to_json(F.struct(F.struct(
-            F.col("path").alias("path"),
-            F.struct(F.col("part").cast("string").alias("part"))
-            .alias("partitionValues"),
-            size.alias("size"),
-            F.lit(True).alias("dataChange"),
-            stats.alias("stats")).alias("add")))
-
-    adds = base.select(
-        F.col("va").alias("version"), F.col("f").alias("seq"),
-        add_line(F.col("size"), F.col("nrec"),
-                 F.col("minid") + F.col("nrec") - 1).alias("line"))
-    rm = (F.col("f") % 5 == 0) & (F.col("vrm") <= 7)
-    removes = base.filter(rm).select(
-        F.col("vrm").cast("int").alias("version"),
-        F.col("f").alias("seq"),
-        F.to_json(F.struct(F.struct(
-            F.col("path").alias("path"),
-            F.lit(True).alias("dataChange")).alias("remove")))
-        .alias("line"))
-    readds = base.filter((F.col("f") % 10 == 0)
-                         & (F.col("vrm") <= 7)).select(
-        F.lit(8).cast("int").alias("version"),
-        F.col("f").alias("seq"),
-        add_line(F.col("size") + 11, F.col("nrec") + 5,
-                 F.col("minid") + F.col("nrec") + 4).alias("line"))
-    meta = spark.range(1).select(
-        F.lit(0).cast("int").alias("version"),
-        F.lit(-1).cast("long").alias("seq"),
-        F.to_json(F.struct(F.struct(F.struct(
-            F.lit("parquet").alias("provider")).alias("format"))
-            .alias("metaData"))).alias("line"))
-    log = (adds.unionByName(removes).unionByName(readds)
-           .unionByName(meta))
+    log = _delta_synth_log(spark, sf)
 
     live = delta_log_snapshot(log)
     provider = (log.select(F.get_json_object(
@@ -5780,6 +5888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_calibration": q192_calibration,
         "q193_bootstrap_ci": q193_bootstrap_ci,
         "q194_graph_stats": q194_graph_stats,
+        "q196_delta_time_travel": q196_delta_time_travel,
+        "q197_compaction_plan": q197_compaction_plan,
+        "q198_zonemap_audit": q198_zonemap_audit,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -5868,7 +5979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q188_delta_snapshot", "q189_orc_footer",
                       "q190_parquet_column_decode",
                       "q191_chrf_eval", "q192_calibration",
-                      "q193_bootstrap_ci", "q194_graph_stats"]
+                      "q193_bootstrap_ci", "q194_graph_stats",
+                      "q196_delta_time_travel", "q197_compaction_plan",
+                      "q198_zonemap_audit"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -9921,6 +10034,123 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q196/q197/q198: the q188 liveness formula replayed at pinned
+    # versions / through the window binning / against range probes.
+    sql["q196_delta_time_travel"] = """
+        WITH d AS (SELECT doc_id AS f FROM documents),
+        s AS (
+            SELECT f, f % 8 AS va, f % 4 AS part,
+                   1000 + (f * 37) % 5000 AS size,
+                   10 + (f * 13) % 90 AS nrec,
+                   f * 100 AS minid,
+                   f % 8 + 1 + (f % 3) AS vrm
+            FROM d
+        ),
+        st AS (
+            SELECT *,
+                   (f % 5 = 0 AND vrm <= 7) AS removed,
+                   (f % 10 = 0 AND vrm <= 7) AS readded
+            FROM s
+        ),
+        snap AS (
+            SELECT 4 AS as_of, part, size AS esize, nrec AS enrec
+            FROM st
+            WHERE va <= 4 AND NOT (removed AND vrm <= 4)
+            UNION ALL
+            SELECT 8, part,
+                   CASE WHEN readded THEN size + 11 ELSE size END,
+                   CASE WHEN readded THEN nrec + 5 ELSE nrec END
+            FROM st
+            WHERE va <= 8 AND (NOT (removed AND vrm <= 8) OR readded)
+        )
+        SELECT part::INT AS part, COUNT(*)::BIGINT AS n_files,
+               SUM(esize)::BIGINT AS n_bytes,
+               SUM(enrec)::BIGINT AS n_records, as_of::INT AS as_of
+        FROM snap GROUP BY as_of, part ORDER BY as_of, part
+    """
+
+    sql["q197_compaction_plan"] = """
+        WITH d AS (SELECT doc_id AS f FROM documents),
+        s AS (
+            SELECT f, f % 8 AS va, f % 4 AS part,
+                   1000 + (f * 37) % 5000 AS size,
+                   10 + (f * 13) % 90 AS nrec,
+                   f * 100 AS minid,
+                   f % 8 + 1 + (f % 3) AS vrm
+            FROM d
+        ),
+        st AS (
+            SELECT *,
+                   (f % 5 = 0 AND vrm <= 7) AS removed,
+                   (f % 10 = 0 AND vrm <= 7) AS readded
+            FROM s
+        ),
+        live AS (
+            SELECT part,
+                   'part-' || lpad(f::VARCHAR, 5, '0') || '.parquet'
+                       AS path,
+                   CASE WHEN readded THEN size + 11 ELSE size END
+                       AS size
+            FROM st WHERE NOT removed OR readded
+        ),
+        c AS (
+            SELECT part, path, size,
+                   SUM(size) OVER (PARTITION BY part ORDER BY path
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+            FROM live
+        )
+        SELECT part::INT AS part,
+               ((cum - size) // 8000)::INT AS bin,
+               COUNT(*)::BIGINT AS n_files,
+               SUM(size)::BIGINT AS bin_bytes,
+               MIN(path) AS first_path, MAX(path) AS last_path
+        FROM c GROUP BY part, (cum - size) // 8000
+        ORDER BY part, bin
+    """
+
+    sql["q198_zonemap_audit"] = """
+        WITH d AS (SELECT doc_id AS f FROM documents),
+        s AS (
+            SELECT f, f % 8 AS va, f % 4 AS part,
+                   1000 + (f * 37) % 5000 AS size,
+                   10 + (f * 13) % 90 AS nrec,
+                   f * 100 AS minid,
+                   f % 8 + 1 + (f % 3) AS vrm
+            FROM d
+        ),
+        st AS (
+            SELECT *,
+                   (f % 5 = 0 AND vrm <= 7) AS removed,
+                   (f % 10 = 0 AND vrm <= 7) AS readded
+            FROM s
+        ),
+        live AS (
+            SELECT part, minid AS min_id,
+                   CASE WHEN readded THEN minid + nrec + 4
+                        ELSE minid + nrec - 1 END AS max_id,
+                   CASE WHEN readded THEN nrec + 5 ELSE nrec END
+                       AS nrec
+            FROM st WHERE NOT removed OR readded
+        ),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        q AS (
+            SELECT probe, probe * 10 * n AS lo,
+                   probe * 10 * n + 5 * n - 1 AS hi
+            FROM (SELECT unnest(range(0, 10)) AS probe), nd
+        )
+        SELECT probe::INT AS probe, lo::BIGINT AS lo,
+               hi::BIGINT AS hi,
+               COUNT(*)::BIGINT AS n_total,
+               SUM(CASE WHEN max_id >= lo AND min_id <= hi
+                   THEN 1 ELSE 0 END)::BIGINT AS n_scanned,
+               SUM(CASE WHEN max_id >= lo AND min_id <= hi
+                   THEN nrec ELSE 0 END)::BIGINT AS est_records,
+               ROUND((COUNT(*) - SUM(CASE WHEN max_id >= lo
+                          AND min_id <= hi THEN 1 ELSE 0 END))
+                     / COUNT(*), 6) AS pruned_frac
+        FROM live, q GROUP BY probe, lo, hi ORDER BY probe
     """
 
     # q194: direction rule + EXISTS reciprocity + a<b<c triangle

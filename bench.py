@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "q192_calibration",       # reliability bins + ECE/Brier (integer)
     "q193_bootstrap_ci",      # Poisson bootstrap, 20 replicates
     "q194_graph_stats",       # reciprocity/triangles/assortativity
+    "q196_delta_time_travel", # version-capped log replay x2
+    "q197_compaction_plan",   # running-bytes OPTIMIZE binning
+    "q198_zonemap_audit",     # min/max stats pruning effectiveness
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

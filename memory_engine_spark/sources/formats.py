@@ -1172,7 +1172,8 @@ def avro_pair_entries(df: DataFrame, payload_col: str = "payload",
 
 def delta_log_snapshot(actions: DataFrame, line_col: str = "line",
                        version_col: str = "version",
-                       seq_col: str = "seq") -> DataFrame:
+                       seq_col: str = "seq",
+                       as_of_version: int | None = None) -> DataFrame:
     """Transaction-log replay — the Delta-Lake-shape lakehouse op: a
     log of JSON action lines ({"add": {...}} / {"remove": {...}},
     with per-file stats embedded as a JSON *string* inside the add —
@@ -1192,6 +1193,9 @@ def delta_log_snapshot(actions: DataFrame, line_col: str = "line",
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    if as_of_version is not None:
+        actions = actions.filter(
+            F.col(version_col) <= F.lit(int(as_of_version)))
     line = F.col(line_col)
     add_path = F.get_json_object(line, "$.add.path")
     rm_path = F.get_json_object(line, "$.remove.path")

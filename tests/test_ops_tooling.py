@@ -403,3 +403,40 @@ def test_parquet_int64_decode_nulls_and_plain(spark, tmp_path):
 
     wide = parquet_read_int64_column(payload, "wide")
     assert wide == [i * 1000003 for i in range(200000)]
+
+
+def test_delta_log_snapshot_as_of_version(spark):
+    """Time travel caps the LOG before the window (not the live set
+    after): at v=0 both files exist; at v=2 'b' is gone (removed at
+    1, re-added only at 3); at v=3 'b' is back with the NEW stats."""
+    import json
+
+    from memory_engine_spark.sources.formats import delta_log_snapshot
+
+    def add(path, size):
+        return json.dumps({"add": {
+            "path": path, "partitionValues": {"part": "0"},
+            "size": size, "dataChange": True,
+            "stats": json.dumps({"numRecords": size // 10,
+                                 "minValues": {"id": 0},
+                                 "maxValues": {"id": 1}})}})
+
+    rows = [
+        (0, 0, add("a.parquet", 100)),
+        (0, 1, add("b.parquet", 200)),
+        (1, 0, json.dumps({"remove": {"path": "b.parquet",
+                                      "dataChange": True}})),
+        (3, 0, add("b.parquet", 300)),
+    ]
+    log = spark.createDataFrame(rows, "version int, seq long, "
+                                      "line string")
+
+    def paths(v):
+        return {r["path"]: r for r in delta_log_snapshot(
+            log, as_of_version=v).collect()}
+
+    assert set(paths(0)) == {"a.parquet", "b.parquet"}
+    assert set(paths(2)) == {"a.parquet"}
+    at3 = paths(3)
+    assert set(at3) == {"a.parquet", "b.parquet"}
+    assert at3["b.parquet"]["size"] == 300
