@@ -4642,6 +4642,71 @@ def _delta_synth_log(spark, sf):
             .unionByName(meta))
 
 
+def q195_schema_drift(spark, sf):
+    """Schema-on-read drift reconciliation under the oracle gate —
+    three producer generations of the same feed (v0: {id, text};
+    v1: {id, body, lang} — a RENAME plus a new column; v2: {id,
+    body, lang, meta:{src}} — a nested addition) are synthesized as
+    REAL JSON lines with to_json, parsed back per-generation with
+    from_json under each generation's OWN schema, and unified by
+    `formats.schema_drift_union` (alias map body→text, typed
+    defaults lang='und' / src='unknown', deterministic canonical
+    layout). Row-level output (id, version, lang, src, text_md5) so
+    the oracle — a direct formula replay from the documents table —
+    catches a rename, default, or nested-extraction bug on any
+    single row. Scale posture: purely structural projections; the
+    literals fold into each scan, one unionByName, no shuffle."""
+    from memory_engine_spark.sources.formats import schema_drift_union
+
+    docs = _t(spark, sf)["documents"].select(
+        "doc_id", "text", "lang", "source")
+    v = (F.col("doc_id") % 3).cast("int")
+    line = (F.when(v == 0, F.to_json(F.struct(
+                F.col("doc_id").alias("id"),
+                F.col("text"))))
+            .when(v == 1, F.to_json(F.struct(
+                F.col("doc_id").alias("id"),
+                F.col("text").alias("body"),
+                F.col("lang"))))
+            .otherwise(F.to_json(F.struct(
+                F.col("doc_id").alias("id"),
+                F.col("text").alias("body"),
+                F.col("lang"),
+                F.struct(F.col("source").alias("src"))
+                .alias("meta")))))
+    feed = docs.select(v.alias("version"), line.alias("line"))
+
+    b0 = (feed.filter(F.col("version") == 0)
+          .select("version", F.from_json(
+              "line", "id bigint, text string").alias("r"))
+          .select("version", F.col("r.id").alias("id"),
+                  F.col("r.text").alias("text")))
+    b1 = (feed.filter(F.col("version") == 1)
+          .select("version", F.from_json(
+              "line", "id bigint, body string, lang string")
+              .alias("r"))
+          .select("version", F.col("r.id").alias("id"),
+                  F.col("r.body").alias("body"),
+                  F.col("r.lang").alias("lang")))
+    b2 = (feed.filter(F.col("version") == 2)
+          .select("version", F.from_json(
+              "line", "id bigint, body string, lang string, "
+                      "meta struct<src: string>").alias("r"))
+          .select("version", F.col("r.id").alias("id"),
+                  F.col("r.body").alias("body"),
+                  F.col("r.lang").alias("lang"),
+                  F.col("r.meta.src").alias("src")))
+    uni = schema_drift_union(
+        [b0, b1, b2],
+        renames={"body": "text"},
+        defaults={"lang": ("string", "und"),
+                  "src": ("string", "unknown")})
+    return (uni.select(
+        F.col("id").alias("doc_id"), "version", "lang", "src",
+        F.md5("text").alias("text_md5"))
+        .orderBy("doc_id"))
+
+
 def q196_delta_time_travel(spark, sf):
     """Delta time travel under the oracle gate — the same log, the
     same last-action-wins window, capped at a historic commit
@@ -5888,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_calibration": q192_calibration,
         "q193_bootstrap_ci": q193_bootstrap_ci,
         "q194_graph_stats": q194_graph_stats,
+        "q195_schema_drift": q195_schema_drift,
         "q196_delta_time_travel": q196_delta_time_travel,
         "q197_compaction_plan": q197_compaction_plan,
         "q198_zonemap_audit": q198_zonemap_audit,
@@ -5980,6 +6046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q190_parquet_column_decode",
                       "q191_chrf_eval", "q192_calibration",
                       "q193_bootstrap_ci", "q194_graph_stats",
+                      "q195_schema_drift",
                       "q196_delta_time_travel", "q197_compaction_plan",
                       "q198_zonemap_audit"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
@@ -10034,6 +10101,17 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q195: formula replay — version residue, rename, typed defaults.
+    sql["q195_schema_drift"] = """
+        SELECT doc_id, (doc_id % 3)::INT AS version,
+               CASE WHEN doc_id % 3 = 0 THEN 'und' ELSE lang END
+                   AS lang,
+               CASE WHEN doc_id % 3 = 2 THEN source
+                    ELSE 'unknown' END AS src,
+               md5(text) AS text_md5
+        FROM documents ORDER BY doc_id
     """
 
     # q196/q197/q198: the q188 liveness formula replayed at pinned

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "q192_calibration",       # reliability bins + ECE/Brier (integer)
     "q193_bootstrap_ci",      # Poisson bootstrap, 20 replicates
     "q194_graph_stats",       # reciprocity/triangles/assortativity
+    "q195_schema_drift",      # 3-generation schema-on-read union
     "q196_delta_time_travel", # version-capped log replay x2
     "q197_compaction_plan",   # running-bytes OPTIMIZE binning
     "q198_zonemap_audit",     # min/max stats pruning effectiveness

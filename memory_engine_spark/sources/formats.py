@@ -1559,3 +1559,44 @@ def parquet_read_int64_column(payload: bytes, col: str) -> list:
             out.extend(next(it) if d else None for d in defs)
             got += nv
     return out
+
+
+def schema_drift_union(batches: "list[DataFrame]",
+                       renames: "dict[str, str] | None" = None,
+                       defaults: "dict[str, tuple[str, object]] | None"
+                       = None) -> DataFrame:
+    """Schema-on-read reconciliation — the ingestion op every
+    long-lived pipeline needs once producers drift: each batch is
+    renamed through the alias map (old→canonical), columns missing
+    from a batch are filled with TYPED defaults, and the result is
+    one unionByName over the canonical column set (sorted for a
+    deterministic layout). Purely structural — no data moves, no
+    shuffle; Catalyst folds the added literals into each scan.
+    Reference parity: import-side field mapping in the reference's
+    data_importer (row-at-a-time dict fixups there, per-batch
+    projections here)."""
+    from pyspark.sql import functions as F
+
+    renames = renames or {}
+    defaults = defaults or {}
+    fixed = []
+    all_cols: set[str] = set()
+    for df in batches:
+        for old, new in renames.items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        fixed.append(df)
+        all_cols.update(df.columns)
+    canon = sorted(all_cols)
+    out = None
+    for df in fixed:
+        for c in canon:
+            if c not in df.columns:
+                if c not in defaults:
+                    raise ValueError(
+                        f"column {c!r} missing and has no default")
+                typ, val = defaults[c]
+                df = df.withColumn(c, F.lit(val).cast(typ))
+        df = df.select(*canon)
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -440,3 +440,25 @@ def test_delta_log_snapshot_as_of_version(spark):
     at3 = paths(3)
     assert set(at3) == {"a.parquet", "b.parquet"}
     assert at3["b.parquet"]["size"] == 300
+
+
+def test_schema_drift_union_semantics(spark):
+    """Rename map applies per batch, missing columns get TYPED
+    defaults, canonical layout is sorted and deterministic, and a
+    missing column without a default raises."""
+    import pytest
+
+    from memory_engine_spark.sources.formats import schema_drift_union
+
+    a = spark.createDataFrame([(1, "x")], "id long, text string")
+    b = spark.createDataFrame([(2, "y", "en")],
+                              "id long, body string, lang string")
+    out = schema_drift_union(
+        [a, b], renames={"body": "text"},
+        defaults={"lang": ("string", "und")})
+    assert out.columns == ["id", "lang", "text"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["lang"] == "und" and rows[1]["text"] == "x"
+    assert rows[2]["lang"] == "en" and rows[2]["text"] == "y"
+    with pytest.raises(ValueError, match="no default"):
+        schema_drift_union([a, b], renames={"body": "text"})
