@@ -243,3 +243,49 @@ def test_substring_dedup_removes_every_hot_window(spark, texts):
         orig_wins = windows(" ".join(texts[r["doc_id"]].lower().split()))
         if orig_wins & hot:
             assert r["n_removed"] >= W
+
+
+@settings(**SETTINGS)
+@given(chunks=st.lists(
+    st.one_of(
+        st.binary(min_size=0, max_size=200),
+        st.builds(lambda b, n: b * n,
+                  st.binary(min_size=1, max_size=8),
+                  st.integers(1, 400))),
+    min_size=0, max_size=12))
+def test_snappy_decompress_fuzz_roundtrip(chunks):
+    """Pure-Python snappy vs pyarrow's C++ compressor on arbitrary
+    concatenations of random and highly-repetitive chunks — the
+    repetitive parts force overlapping copies with varied offsets."""
+    import pyarrow as pa
+
+    from memory_engine_spark.sources.formats import _snappy_decompress
+
+    raw = b"".join(chunks)
+    comp = pa.compress(raw, codec="snappy", asbytes=True)
+    assert _snappy_decompress(comp) == raw
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.integers(-2 ** 40, 2 ** 40),
+                     min_size=0, max_size=3000),
+       null_mod=st.integers(2, 17))
+def test_parquet_int64_fuzz_roundtrip(vals, null_mod):
+    """Hand-rolled parquet column read vs pyarrow's writer on random
+    data with random null spacing (pyarrow emits snappy + RLE_DICT
+    or PLAIN depending on cardinality — both paths land here)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from memory_engine_spark.sources.formats import (
+        parquet_read_int64_column)
+
+    data = [None if i % null_mod == 0 else v
+            for i, v in enumerate(vals)]
+    table = pa.table({"c": pa.array(data, type=pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy")
+    got = parquet_read_int64_column(buf.getvalue(), "c")
+    assert got == data
