@@ -4642,6 +4642,107 @@ def _delta_synth_log(spark, sf):
             .unionByName(meta))
 
 
+def q199_min_cost_supplier(spark, sf):
+    """TPC-H Q2-shape correlated subquery, decorrelated the way
+    Catalyst wants it (no partsupp table in this corpus — lineitem
+    plays the supply-cost fact): for every STANDARD small part, the
+    cheapest observed line price and the supplier achieving it
+    (min-suppkey tiebreak for engine-stable output). The correlated
+    'price = (SELECT MIN ...)' becomes a groupBy + an equi-join back
+    on (partkey, price) — raw column equality, no float arithmetic,
+    so the join keys are byte-identical across engines. Part and
+    supplier dims broadcast; the only shuffles are the min aggregate
+    and the join back, both on l_partkey. Top 50 by retail price
+    (partkey tiebreak)."""
+    t = _t(spark, sf)
+    li = t["lineitem"].select("l_partkey", "l_suppkey",
+                              "l_extendedprice")
+    minp = (li.groupBy("l_partkey")
+            .agg(F.min("l_extendedprice").alias("min_price"))
+            .withColumnRenamed("l_partkey", "mp_partkey"))
+    best = (li.join(minp,
+                    (F.col("l_partkey") == F.col("mp_partkey"))
+                    & (F.col("l_extendedprice")
+                       == F.col("min_price")))
+            .groupBy(F.col("l_partkey").alias("pk"), "min_price")
+            .agg(F.min("l_suppkey").alias("best_suppkey")))
+    parts = (t["part"]
+             .filter((F.col("p_type") == "STANDARD")
+                     & (F.col("p_size") <= 10)))
+    return (best.join(F.broadcast(parts),
+                      F.col("pk") == F.col("p_partkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("best_suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "p_name", "p_retailprice",
+                    "min_price", "s_suppkey", "s_name", "s_acctbal")
+            .orderBy(F.col("p_retailprice").desc(),
+                     F.col("p_partkey").asc())
+            .limit(50))
+
+
+def q200_market_share(spark, sf):
+    """TPC-H Q8-shape market share: one nation's share of line
+    revenue per order year (1996/1997). The conditional-aggregation
+    showcase — one pass computes both the nation-filtered numerator
+    and the total denominator as DECIMAL(18,4) sums (partition-
+    order-stable, the q76 convention), so the share is a single
+    double division rounded 6dp. Supplier and nation dims broadcast;
+    the orders date filter pushes to the scan; one shuffle for the
+    fact⋈fact join, one 2-group aggregate."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    j = (t["lineitem"]
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01"))
+         .join(F.broadcast(t["supplier"]),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(F.when(F.col("n_name") == "NATION_7", rev)
+                       .otherwise(F.lit(0).cast("decimal(18,4)")))
+                 .alias("_num"),
+                 F.sum(rev).alias("_den"),
+                 F.count(F.lit(1)).cast("long").alias("n_items"))
+            .select("o_year",
+                    F.round(F.col("_num").cast("double"), 2)
+                    .alias("nation_rev"),
+                    F.round(F.col("_den").cast("double"), 2)
+                    .alias("total_rev"),
+                    F.round(F.col("_num").cast("double")
+                            / F.col("_den").cast("double"), 6)
+                    .alias("mkt_share"), "n_items")
+            .orderBy("o_year"))
+
+
+def q201_late_shipment_priority(spark, sf):
+    """TPC-H Q4-shape EXISTS semi-join: orders from one quarter that
+    had at least one line shipped more than 30 days after the order
+    date (this corpus has no commit/receipt dates — ship-lag is the
+    lateness predicate), counted by priority. The decorrelation
+    shape: a LEFT SEMI join whose condition references both sides
+    (l_shipdate > o_orderdate + 30 days), which Spark evaluates as a
+    single hash semi-join on l_orderkey with the residual timestamp
+    predicate — no DISTINCT, no double-counting multi-line orders.
+    The date filter pushes to the orders scan."""
+    t = _t(spark, sf)
+    o = (t["orders"]
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-04-01")))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
 def q195_schema_drift(spark, sf):
     """Schema-on-read drift reconciliation under the oracle gate —
     three producer generations of the same feed (v0: {id, text};
@@ -5957,6 +6058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_delta_time_travel": q196_delta_time_travel,
         "q197_compaction_plan": q197_compaction_plan,
         "q198_zonemap_audit": q198_zonemap_audit,
+        "q199_min_cost_supplier": q199_min_cost_supplier,
+        "q200_market_share": q200_market_share,
+        "q201_late_shipment_priority": q201_late_shipment_priority,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6048,7 +6152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q193_bootstrap_ci", "q194_graph_stats",
                       "q195_schema_drift",
                       "q196_delta_time_travel", "q197_compaction_plan",
-                      "q198_zonemap_audit"]
+                      "q198_zonemap_audit", "q199_min_cost_supplier",
+                      "q200_market_share",
+                      "q201_late_shipment_priority"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -10101,6 +10207,73 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q199/q200/q201: classic TPC-H shapes — the oracle is the same
+    # ANSI query DuckDB would run natively.
+    sql["q199_min_cost_supplier"] = """
+        WITH minp AS (
+            SELECT l_partkey, MIN(l_extendedprice) AS min_price
+            FROM lineitem GROUP BY l_partkey
+        ),
+        best AS (
+            SELECT li.l_partkey AS pk, m.min_price,
+                   MIN(li.l_suppkey) AS best_suppkey
+            FROM lineitem li
+            JOIN minp m ON m.l_partkey = li.l_partkey
+                       AND li.l_extendedprice = m.min_price
+            GROUP BY li.l_partkey, m.min_price
+        )
+        SELECT p_partkey, p_name, p_retailprice, min_price,
+               s_suppkey, s_name, s_acctbal
+        FROM best
+        JOIN part ON p_partkey = pk
+        JOIN supplier ON s_suppkey = best_suppkey
+        WHERE p_type = 'STANDARD' AND p_size <= 10
+        ORDER BY p_retailprice DESC, p_partkey ASC
+        LIMIT 50
+    """
+
+    sql["q200_market_share"] = """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_7'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 2)
+                   AS nation_rev,
+               ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS total_rev,
+               ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_7'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice
+                               * (1.0 - l_discount)
+                               AS DECIMAL(18,4))) AS DOUBLE), 6)
+                   AS mkt_share,
+               COUNT(*)::BIGINT AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderdate >= '1996-01-01'
+          AND o_orderdate < '1998-01-01'
+        GROUP BY year(o_orderdate)
+        ORDER BY o_year
+    """
+
+    sql["q201_late_shipment_priority"] = """
+        SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= '1996-01-01'
+          AND o_orderdate < '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """
 
     # q195: formula replay — version residue, rename, typed defaults.

@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "q196_delta_time_travel", # version-capped log replay x2
     "q197_compaction_plan",   # running-bytes OPTIMIZE binning
     "q198_zonemap_audit",     # min/max stats pruning effectiveness
+    "q199_min_cost_supplier", # TPC-H Q2-shape decorrelated min
+    "q200_market_share",      # TPC-H Q8-shape conditional decimal agg
+    "q201_late_shipment_priority",  # TPC-H Q4-shape EXISTS semi-join
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol
