@@ -4642,6 +4642,100 @@ def _delta_synth_log(spark, sf):
             .unionByName(meta))
 
 
+def q202_incremental_agg(spark, sf):
+    """Incremental view maintenance under the oracle gate — the
+    0.01%-CDC-batch refresh that never rescans the 100-TB base: the
+    maintained view is (o_orderpriority → order count + total cents,
+    BIGINT-quantized price), the CDC batch derives deterministically
+    from the base (orderkey%11==0 → delete: -1/-cents;
+    orderkey%7==0 otherwise → update: 0/+cents÷10 floor), and
+    `aggregates.merge_agg_deltas` applies the standard signed-delta
+    IVM encoding as one full-outer merge with the delta broadcast.
+    THE ORACLE IS THE FULL RECOMPUTE — post-change state derived
+    directly from the base formula — so the query proves the IVM
+    invariant (merge(view, Δ) ≡ recompute(base+Δ)) byte-exactly,
+    including the dead-group drop. Output includes both old and new
+    measures per priority."""
+    from memory_engine_spark.operators.aggregates import (
+        merge_agg_deltas)
+
+    orders = _t(spark, sf)["orders"].select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    view = (orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents")))
+    k = F.col("o_orderkey")
+    deletes = (orders.filter(k % 11 == 0)
+               .select("o_orderpriority",
+                       F.lit(-1).cast("long").alias("n"),
+                       (-F.col("cents")).alias("sum_cents")))
+    updates = (orders.filter((k % 7 == 0) & (k % 11 != 0))
+               .select("o_orderpriority",
+                       F.lit(0).cast("long").alias("n"),
+                       F.expr("cents div 10").alias("sum_cents")))
+    delta = (deletes.unionByName(updates)
+             .groupBy("o_orderpriority").agg(
+                 F.sum("n").cast("long").alias("n"),
+                 F.sum("sum_cents").cast("long").alias("sum_cents")))
+    new = merge_agg_deltas(view, delta, ["o_orderpriority"])
+    old = (view.withColumnRenamed("n", "n_old")
+           .withColumnRenamed("sum_cents", "sum_cents_old"))
+    return (new.join(old, "o_orderpriority")
+            .select("o_orderpriority", "n_old", "sum_cents_old",
+                    F.col("n").alias("n_new"),
+                    F.col("sum_cents").alias("sum_cents_new"))
+            .orderBy("o_orderpriority"))
+
+
+def q203_bitmap_intersections(spark, sf):
+    """Bitmap-index distinct intersections under the oracle gate —
+    the roaring-bitmap pattern that turns COUNT(DISTINCT user ∩)
+    across segments into bitwise math: users pack into 32-bit words
+    (word = user div 32, bit = user mod 32 — 32 not 64 because a
+    1<<63 sign-bit shift overflows DuckDB's checked BIGINT; the
+    packing density halves, the asymptotics don't change) per
+    event_type via
+    BIT_OR aggregation, and every type-pair intersection is
+    Σ bit_count(a AND b) over aligned words — one equi-join on the
+    word index, integer-exact, no row-level distinct ever computed
+    for the pairs. The oracle replays the packing and the popcount
+    join. Scale posture: this is how a 100-TB engine answers
+    audience-overlap queries — bitmap words partition by word index,
+    the pair join touches |users|/64 rows per type, and the same
+    words answer every pair."""
+    ev = _t(spark, sf)["events"].select(
+        "event_type", F.col("user_id").alias("u")).distinct()
+    words = (ev.groupBy(
+        "event_type", F.expr("u div 32").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(u % 32 AS INT))"))
+             .alias("bits")))
+    a = words.alias("a")
+    b = words.alias("b")
+    pairs = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.sum(F.bit_count(F.col("a.bits")
+                                    .bitwiseAND(F.col("b.bits"))))
+                  .cast("long").alias("n_common")))
+    singles = (words.groupBy("event_type")
+               .agg(F.sum(F.bit_count("bits")).cast("long")
+                    .alias("n_distinct")))
+    return (pairs
+            .join(singles.withColumnRenamed("event_type", "type_a")
+                  .withColumnRenamed("n_distinct", "n_a"), "type_a")
+            .join(singles.withColumnRenamed("event_type", "type_b")
+                  .withColumnRenamed("n_distinct", "n_b"), "type_b")
+            .select("type_a", "type_b", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6)
+                    .alias("jaccard"))
+            .orderBy("type_a", "type_b"))
+
+
 def q199_min_cost_supplier(spark, sf):
     """TPC-H Q2-shape correlated subquery, decorrelated the way
     Catalyst wants it (no partsupp table in this corpus — lineitem
@@ -6061,6 +6155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_min_cost_supplier": q199_min_cost_supplier,
         "q200_market_share": q200_market_share,
         "q201_late_shipment_priority": q201_late_shipment_priority,
+        "q202_incremental_agg": q202_incremental_agg,
+        "q203_bitmap_intersections": q203_bitmap_intersections,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6154,7 +6250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q196_delta_time_travel", "q197_compaction_plan",
                       "q198_zonemap_audit", "q199_min_cost_supplier",
                       "q200_market_share",
-                      "q201_late_shipment_priority"]
+                      "q201_late_shipment_priority",
+                      "q202_incremental_agg",
+                      "q203_bitmap_intersections"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -10207,6 +10305,71 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q202: THE ORACLE IS THE FULL RECOMPUTE — post-CDC state derived
+    # directly from the base formula; the Spark side must reach it by
+    # merging deltas into the maintained view.
+    sql["q202_incremental_agg"] = """
+        WITH o AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        old AS (
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS n_old,
+                   SUM(cents)::BIGINT AS sum_cents_old
+            FROM o GROUP BY o_orderpriority
+        ),
+        new_ AS (
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderkey % 11 <> 0)
+                       ::BIGINT AS n_new,
+                   (SUM(CASE WHEN o_orderkey % 11 = 0 THEN 0
+                             WHEN o_orderkey % 7 = 0
+                             THEN cents + cents // 10
+                             ELSE cents END))::BIGINT AS sum_cents_new
+            FROM o GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n_old, sum_cents_old, n_new,
+               sum_cents_new
+        FROM old JOIN new_ USING (o_orderpriority)
+        WHERE n_new > 0
+        ORDER BY o_orderpriority
+    """
+
+    # q203: packing + popcount join replayed.
+    sql["q203_bitmap_intersections"] = """
+        WITH ev AS (
+            SELECT DISTINCT event_type, user_id AS u FROM events
+        ),
+        words AS (
+            SELECT event_type, u // 32 AS w,
+                   bit_or(1::BIGINT << CAST(u % 32 AS INT)) AS bits
+            FROM ev GROUP BY event_type, u // 32
+        ),
+        singles AS (
+            SELECT event_type, SUM(bit_count(bits))::BIGINT
+                AS n_distinct
+            FROM words GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   SUM(bit_count(a.bits & b.bits))::BIGINT
+                       AS n_common
+            FROM words a JOIN words b
+                ON a.w = b.w AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT type_a, type_b,
+               sa.n_distinct AS n_a, sb.n_distinct AS n_b, n_common,
+               ROUND(n_common
+                     / (sa.n_distinct + sb.n_distinct - n_common), 6)
+                   AS jaccard
+        FROM pairs
+        JOIN singles sa ON sa.event_type = type_a
+        JOIN singles sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b
     """
 
     # q199/q200/q201: classic TPC-H shapes — the oracle is the same

@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "q199_min_cost_supplier", # TPC-H Q2-shape decorrelated min
     "q200_market_share",      # TPC-H Q8-shape conditional decimal agg
     "q201_late_shipment_priority",  # TPC-H Q4-shape EXISTS semi-join
+    "q202_incremental_agg",   # IVM merge vs full-recompute oracle
+    "q203_bitmap_intersections",  # 32-bit word bitmap popcount joins
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol

@@ -171,3 +171,42 @@ def iqr_outliers(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
                | (F.col(col) > F.col("q3") + k * (F.col("q3") - F.col("q1"))))
         .drop("q1", "q3")
     )
+
+
+def merge_agg_deltas(view: DataFrame, delta: DataFrame,
+                     key_cols: list[str],
+                     count_col: str = "n") -> DataFrame:
+    """Incremental view maintenance — the materialized-aggregate
+    refresh that avoids recomputing a 100-TB base table for a
+    0.01% CDC batch: `view` holds the current (keys → count +
+    additive measures) state, `delta` the PRE-AGGREGATED signed
+    changes (inserts +1/+v, deletes -1/-v, updates 0/±dv — the
+    standard IVM encoding), and the merge is one full-outer join on
+    the keys with coalesced sums, dropping groups whose maintained
+    count reaches 0 (the group died). Additivity is the contract:
+    every measure column (all non-key columns) must be a SUM/COUNT;
+    min/max are NOT maintainable this way and don't belong here.
+    Scale posture: the join is keyed on the view's own grouping
+    key — the delta side is tiny by definition, broadcast it; the
+    base table is never touched. Reference parity: the reference
+    recomputes analytics from scratch per call (memory_core
+    analytics); this is the maintained-view alternative."""
+    from pyspark.sql import functions as F
+
+    measure_cols = [c for c in view.columns if c not in key_cols]
+    if count_col not in measure_cols:
+        raise ValueError(f"count column {count_col!r} not in view")
+    if [c for c in delta.columns if c not in key_cols] != measure_cols:
+        raise ValueError("delta measures must match view measures")
+    d = delta
+    for c in measure_cols:
+        d = d.withColumnRenamed(c, f"_d_{c}")
+    merged = view.join(F.broadcast(d), key_cols, "full_outer")
+    out_cols = [F.col(k) for k in key_cols]
+    for c in measure_cols:
+        out_cols.append(
+            (F.coalesce(F.col(c), F.lit(0))
+             + F.coalesce(F.col(f"_d_{c}"), F.lit(0)))
+            .cast("long").alias(c))
+    return (merged.select(*out_cols)
+            .filter(F.col(count_col) > 0))

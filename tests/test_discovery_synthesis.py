@@ -193,3 +193,29 @@ def test_rolling_zscore_flags_local_spike_not_level_shift(spark):
     assert len(spikes) == 1 and spikes[0]["z"] > 2.5
     # constant-window rows (std 0) and warm-up rows never flag
     assert all(r["value"] == 100.0 for r in out)
+
+
+def test_merge_agg_deltas_ivm_semantics(spark):
+    """IVM merge: insert into a new group creates it, deletes that
+    zero a group's count kill it, updates change measures without
+    touching counts, measure-mismatch raises."""
+    import pytest
+
+    from memory_engine_spark.operators.aggregates import (
+        merge_agg_deltas)
+
+    view = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 50)], "k string, n long, s long")
+    delta = spark.createDataFrame(
+        [("a", 0, -10),     # update: measure only
+         ("b", -1, -50),    # delete last row -> group dies
+         ("c", 3, 70)],     # brand-new group
+        "k string, n long, s long")
+    out = {r["k"]: r for r in
+           merge_agg_deltas(view, delta, ["k"]).collect()}
+    assert set(out) == {"a", "c"}
+    assert (out["a"]["n"], out["a"]["s"]) == (2, 90)
+    assert (out["c"]["n"], out["c"]["s"]) == (3, 70)
+    bad = spark.createDataFrame([("a", 1)], "k string, n long")
+    with pytest.raises(ValueError, match="measures"):
+        merge_agg_deltas(view, bad, ["k"])
