@@ -5007,7 +5007,9 @@ def q194_graph_stats(spark, sf):
     the pre-flight summary a graph pipeline computes before picking
     algorithms (reciprocity decides directed-vs-symmetrized,
     clustering/assortativity decide skew strategy): the part-
-    co-occurrence graph (q79's build) given deterministic
+    co-occurrence graph at SUPPORT ≥ 2 (q79's build gated by the
+    classic market-basket prune — singleton co-occurrences are
+    noise at any SF and quadratic noise at 100 TB) given deterministic
     directions (u→v always, v→u when (u+v)%3=0, so reciprocity
     lands near 1/3), profiled by `graph.graph_stats` — reciprocity
     via a self-semi-join, the exact triangle census via the degree-
@@ -5023,9 +5025,11 @@ def q194_graph_stats(spark, sf):
     a, b = li.alias("a"), li.alias("b")
     pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
                     & (F.col("a.pk") < F.col("b.pk")))
-             .select(F.col("a.pk").alias("u"),
-                     F.col("b.pk").alias("v"))
-             .distinct())
+             .groupBy(F.col("a.pk").alias("u"),
+                      F.col("b.pk").alias("v"))
+             .agg(F.count(F.lit(1)).alias("_support"))
+             .filter(F.col("_support") >= 2)
+             .select("u", "v"))
     fwd = pairs.select(F.col("u").alias("from_id"),
                        F.col("v").alias("to_id"))
     back = (pairs.filter((F.col("u") + F.col("v")) % 3 == 0)
@@ -10575,8 +10579,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         ),
         p AS (
-            SELECT DISTINCT a.pk AS u, b.pk AS v
+            SELECT a.pk AS u, b.pk AS v
             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2
         ),
         dir AS (
             SELECT u AS f, v AS t FROM p

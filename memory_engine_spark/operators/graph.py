@@ -1383,8 +1383,14 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     the wedge join, already skew-bounded at its lowest-degree
     corner. Reference parity: relationship_metrics' density/degree
     summary (memory_core analytics) without any driver loop."""
+    # One materialization each for the directed and canonical edge
+    # sets: six aggregate branches read them, and the caller's edge
+    # derivation (often a fact-table self-join) must not re-run per
+    # branch. localCheckpoint truncates lineage; blocks are reclaimed
+    # by the ContextCleaner when the result goes out of scope.
     dedup = (edges.select("from_id", "to_id")
-             .filter(F.col("from_id") != F.col("to_id")).distinct())
+             .filter(F.col("from_id") != F.col("to_id")).distinct()
+             .localCheckpoint())
     rev = dedup.select(F.col("to_id").alias("from_id"),
                        F.col("from_id").alias("to_id"))
     m_dir = dedup.agg(F.count(F.lit(1)).cast("long")
@@ -1398,7 +1404,7 @@ def graph_stats(edges: DataFrame) -> DataFrame:
 
     canon = (dedup.select(F.least("from_id", "to_id").alias("u"),
                           F.greatest("from_id", "to_id").alias("v"))
-             .distinct())
+             .distinct().localCheckpoint())
     m_und = canon.agg(F.count(F.lit(1)).cast("long")
                       .alias("m_undirected"))
     tri = (triangle_count(canon.select(
