@@ -4642,6 +4642,104 @@ def _delta_synth_log(spark, sf):
             .unionByName(meta))
 
 
+def q204_inverted_index(spark, sf):
+    """Inverted-index construction under the oracle gate — the
+    sort-based posting-list assembly behind every IR/RAG retrieval
+    stack: positional postings (doc, pos) per term, document and
+    collection frequencies, and a CONTENT-ADDRESSED md5 of each
+    term's canonically-ordered posting list ('doc:pos;...', sorted
+    by (doc, pos)) so the oracle pins the complete index bytes, not
+    just counts — an ordering or position bug anywhere breaks the
+    hash. Relational shape: one posexplode + one groupBy(term); the
+    collect_list is per-term and bounded by collection frequency,
+    sorted JVM-side with array_sort on (doc, pos) structs. Scale
+    posture: terms partition the shuffle; posting lists for hot
+    terms are the classic skew — at 100 TB the same plan runs with
+    term-salted partial lists concatenated in a second pass."""
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " "))
+        .alias("pos", "term")))
+    return (toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.md5(F.concat_ws(";", F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("doc_id", "pos"))),
+            lambda s: F.concat_ws(":", s["doc_id"], s["pos"]))))
+        .alias("postings_md5"))
+        .orderBy("term"))
+
+
+def q205_ab_test(spark, sf):
+    """Two-proportion A/B significance test under the oracle gate —
+    the experiment-analysis op an event platform runs constantly:
+    users split by id parity into variants, conversion = the user's
+    FIRST event (min (ts, event_id, type) — scale-stable ~1/5,
+    unlike any ever-purchased flag which saturates as event density
+    grows with SF) being a 'purchase', and the pooled two-proportion
+    z-score computed from EXACT integer components (x_a, n_a, x_b,
+    n_b) with a fixed-order float expression — sqrt is IEEE-754
+    correctly-rounded in both engines, so even the surd is
+    byte-stable. Output: both variants' counts/rates, z (6dp), and
+    the |z| > 1.96 verdict. Relational shape: one distinct on
+    (user, converted?) + one 2-group aggregate; nothing beyond the
+    user dimension shuffles."""
+    ev = _t(spark, sf)["events"].select("user_id", "ts", "event_id",
+                                        "event_type")
+    users = (ev.groupBy("user_id").agg(
+        (F.min(F.struct("ts", "event_id", "event_type"))
+         ["event_type"] == "purchase").cast("long").alias("conv"))
+        .withColumn("variant",
+                    F.when(F.col("user_id") % 2 == 0, "A")
+                    .otherwise("B")))
+    agg = (users.groupBy().pivot("variant", ["A", "B"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x")))
+    n_a, x_a = F.col("A_n"), F.col("A_x")
+    n_b, x_b = F.col("B_n"), F.col("B_x")
+    p_a, p_b = x_a / n_a, x_b / n_b
+    pool = (x_a + x_b) / (n_a + n_b)
+    se = F.sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
+    z = F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0))
+    return agg.select(
+        x_a.alias("x_a"), n_a.alias("n_a"),
+        x_b.alias("x_b"), n_b.alias("n_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"))
+
+
+def q206_event_bigrams(spark, sf):
+    """Sequential-pattern mining (order-2) under the oracle gate —
+    the per-user event-transition census behind funnel discovery
+    and Markov session models: each user's event stream ordered by
+    (ts, event_id — the deterministic tiebreak for equal
+    timestamps), lag-1 window produces transitions, global counts
+    with distinct-user support, top 20 by (count desc, pair asc).
+    One window partitioned by user + one groupBy — at 100 TB users
+    partition the window and the transition vocabulary (|types|²)
+    keeps the aggregate tiny. The oracle replays the window and the
+    tiebreak, so an ordering bug surfaces as a different transition
+    multiset."""
+    ev = _t(spark, sf)["events"].select("user_id", "ts", "event_id",
+                                        "event_type")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.withColumn("prev", F.lag("event_type").over(w))
+          .filter(F.col("prev").isNotNull())
+          .select("user_id",
+                  F.concat_ws(">", "prev", "event_type")
+                  .alias("transition")))
+    return (tr.groupBy("transition").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy(F.col("n").desc(), F.col("transition").asc())
+        .limit(20))
+
+
 def q202_incremental_agg(spark, sf):
     """Incremental view maintenance under the oracle gate — the
     0.01%-CDC-batch refresh that never rescans the 100-TB base: the
@@ -6161,6 +6259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_late_shipment_priority": q201_late_shipment_priority,
         "q202_incremental_agg": q202_incremental_agg,
         "q203_bitmap_intersections": q203_bitmap_intersections,
+        "q204_inverted_index": q204_inverted_index,
+        "q205_ab_test": q205_ab_test,
+        "q206_event_bigrams": q206_event_bigrams,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6256,7 +6357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q200_market_share",
                       "q201_late_shipment_priority",
                       "q202_incremental_agg",
-                      "q203_bitmap_intersections"]
+                      "q203_bitmap_intersections",
+                      "q204_inverted_index", "q205_ab_test",
+                      "q206_event_bigrams"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -10309,6 +10412,86 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q204: the full index bytes pinned — canonical posting strings,
+    # same (doc, pos) order, same md5.
+    sql["q204_inverted_index"] = """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, unnest(toks) AS term,
+                   unnest(range(0, len(toks))) AS pos
+            FROM d
+        )
+        SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+               COUNT(*)::BIGINT AS cf,
+               md5(string_agg(doc_id || ':' || pos, ';'
+                   ORDER BY doc_id, pos)) AS postings_md5
+        FROM t GROUP BY term ORDER BY term
+    """
+
+    # q205: integer components + the exact float expression (sqrt is
+    # correctly-rounded IEEE in both engines).
+    sql["q205_ab_test"] = """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN rn = 1 AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS conv,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS variant
+            FROM r GROUP BY user_id
+        ),
+        a AS (SELECT COUNT(*)::BIGINT AS n_a,
+                     SUM(conv)::BIGINT AS x_a
+              FROM u WHERE variant = 'A'),
+        b AS (SELECT COUNT(*)::BIGINT AS n_b,
+                     SUM(conv)::BIGINT AS x_b
+              FROM u WHERE variant = 'B')
+        SELECT x_a, n_a, x_b, n_b,
+               ROUND(x_a / n_a, 6) AS rate_a,
+               ROUND(x_b / n_b, 6) AS rate_b,
+               ROUND(CASE WHEN sqrt(((x_a + x_b) / (n_a + n_b))
+                            * (1 - (x_a + x_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)) > 0
+                     THEN (x_a / n_a - x_b / n_b)
+                          / sqrt(((x_a + x_b) / (n_a + n_b))
+                                 * (1 - (x_a + x_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b))
+                     ELSE 0.0 END, 6) AS z_score,
+               ABS(CASE WHEN sqrt(((x_a + x_b) / (n_a + n_b))
+                        * (1 - (x_a + x_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) > 0
+                   THEN (x_a / n_a - x_b / n_b)
+                        / sqrt(((x_a + x_b) / (n_a + n_b))
+                               * (1 - (x_a + x_b) / (n_a + n_b))
+                               * (1.0 / n_a + 1.0 / n_b))
+                   ELSE 0.0 END) > 1.96 AS significant
+        FROM a, b
+    """
+
+    # q206: the (ts, event_id) tiebreak window replayed.
+    sql["q206_event_bigrams"] = """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT prev || '>' || event_type AS transition,
+               COUNT(*)::BIGINT AS n,
+               COUNT(DISTINCT user_id)::BIGINT AS n_users
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, transition ASC
+        LIMIT 20
     """
 
     # q202: THE ORACLE IS THE FULL RECOMPUTE — post-CDC state derived

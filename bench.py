@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "q201_late_shipment_priority",  # TPC-H Q4-shape EXISTS semi-join
     "q202_incremental_agg",   # IVM merge vs full-recompute oracle
     "q203_bitmap_intersections",  # 32-bit word bitmap popcount joins
+    "q204_inverted_index",    # positional postings, content-addressed
+    "q205_ab_test",           # two-proportion z from exact components
+    "q206_event_bigrams",     # per-user transition mining window
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol
