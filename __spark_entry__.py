@@ -4642,6 +4642,42 @@ def _delta_synth_log(spark, sf):
             .unionByName(meta))
 
 
+def q207_preference_pairs(spark, sf):
+    """DPO/RLHF preference-pair assembly under the oracle gate —
+    the training-data construction step for preference optimization:
+    within each source, documents ranked by an exact integer reward
+    (n_chars here — the seam where a reward model plugs in) pair
+    each document with its IMMEDIATE inferior (lag-1 window, (score
+    desc, doc_id asc) tiebreak), gated by a minimum margin of 5 so
+    near-ties never become training signal. Output carries both
+    ids, both scores, the margin, and a content-addressed pair md5.
+    One window per source + a filter — at 100 TB sources partition
+    the window and the pairing never leaves the partition. The
+    oracle replays the ranking, the lag, and the margin gate."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf)["documents"].select(
+        "doc_id", "source", F.col("n_chars").alias("score"))
+    w = W.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    paired = (docs
+              .withColumn("rej_id", F.lead("doc_id").over(w))
+              .withColumn("rej_score", F.lead("score").over(w))
+              .filter(F.col("rej_id").isNotNull())
+              .filter(F.col("score") - F.col("rej_score") >= 5))
+    return (paired.select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+        F.col("rej_id").alias("rejected_id"),
+        F.col("rej_score").alias("rejected_score"),
+        (F.col("score") - F.col("rej_score")).alias("margin"),
+        F.md5(F.concat_ws("|", "doc_id", "rej_id"))
+        .alias("pair_md5"))
+        .orderBy("source", F.col("chosen_score").desc(),
+                 "chosen_id"))
+
+
 def q204_inverted_index(spark, sf):
     """Inverted-index construction under the oracle gate — the
     sort-based posting-list assembly behind every IR/RAG retrieval
@@ -6262,6 +6298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_inverted_index": q204_inverted_index,
         "q205_ab_test": q205_ab_test,
         "q206_event_bigrams": q206_event_bigrams,
+        "q207_preference_pairs": q207_preference_pairs,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -6359,7 +6396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       "q202_incremental_agg",
                       "q203_bitmap_intersections",
                       "q204_inverted_index", "q205_ab_test",
-                      "q206_event_bigrams"]
+                      "q206_event_bigrams", "q207_preference_pairs"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
     front = ([n for n in new_this_round if n in out]
@@ -10412,6 +10449,26 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT AS n_samples,
                {_f_cols}
         FROM s GROUP BY doc_id, n ORDER BY media_id
+    """
+
+    # q207: ranking + lag + margin gate replayed.
+    sql["q207_preference_pairs"] = """
+        WITH r AS (
+            SELECT doc_id, source, n_chars AS score,
+                   LEAD(doc_id) OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rej_id,
+                   LEAD(n_chars) OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC)
+                       AS rej_score
+            FROM documents
+        )
+        SELECT source, doc_id AS chosen_id, score AS chosen_score,
+               rej_id AS rejected_id, rej_score AS rejected_score,
+               (score - rej_score)::BIGINT AS margin,
+               md5(doc_id || '|' || rej_id) AS pair_md5
+        FROM r
+        WHERE rej_id IS NOT NULL AND score - rej_score >= 5
+        ORDER BY source, chosen_score DESC, chosen_id
     """
 
     # q204: the full index bytes pinned — canonical posting strings,

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "q204_inverted_index",    # positional postings, content-addressed
     "q205_ab_test",           # two-proportion z from exact components
     "q206_event_bigrams",     # per-user transition mining window
+    "q207_preference_pairs",  # DPO pair assembly (margin-gated lag)
     # q136_task_queue is correctness-gated but not benched: it is a
     # driver-side queue protocol (N log appends + drains), not a query.
     # q153_dlq_lifecycle likewise: a MicroBatch retry-ledger protocol
