@@ -282,6 +282,21 @@ def scale_10x(spark, sf_dir: str) -> dict:
                 rep(edges, factor, str_cols=["from_id", "to_id"])
                 .select("from_id", "to_id"), directed=False)
 
+    def _bitmap_probe(ev):
+        w = (ev.select("event_type", F.col("user_id").alias("u"))
+             .distinct()
+             .groupBy("event_type", F.expr("u div 32").alias("w"))
+             .agg(F.bit_or(F.expr(
+                 "shiftleft(1L, CAST(u % 32 AS INT))")).alias("bits")))
+        a, b = w.alias("a"), w.alias("b")
+        return (a.join(b, (F.col("a.w") == F.col("b.w"))
+                       & (F.col("a.event_type")
+                          < F.col("b.event_type")))
+                .groupBy(F.col("a.event_type"), F.col("b.event_type"))
+                .agg(F.sum(F.bit_count(
+                    F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+                     .alias("c")).count())
+
     shapes = {
         "grouped_agg": lambda f: (
             rep(t["lineitem"], f).groupBy("l_returnflag", "l_linestatus")
@@ -349,6 +364,28 @@ def scale_10x(spark, sf_dir: str) -> dict:
         "html_extract": lambda f: _html_probe(
             rep(t["documents"].select("doc_id", "source", "text"), f,
                 shift_cols=["doc_id"])).count(),
+        # sixth wave: posting-list assembly is one explode + one
+        # groupBy(term) with per-term sorted collects — Σ|postings|
+        # grows linearly under replication, so wall-clock must too
+        # (hot-term skew is the thing to watch; ratio >> 10 would
+        # mean a single-term collect dominates).
+        "inverted_index": lambda f: (
+            rep(t["documents"].select("doc_id", "text"), f,
+                shift_cols=["doc_id"])
+            .select("doc_id", F.posexplode(F.split(F.col("text"), " "))
+                    .alias("pos", "term"))
+            .groupBy("term")
+            .agg(F.md5(F.concat_ws(";", F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("doc_id", "pos"))),
+                lambda x: F.concat_ws(":", x["doc_id"], x["pos"]))))
+                 .alias("m")).count()),
+        # bitmap words are |users|/32 rows per type; the popcount
+        # pair join touches words, never users — both word build and
+        # pair join must scale linearly in users.
+        "bitmap_and": lambda f: _bitmap_probe(
+            rep(t["events"].select("event_type", "user_id"), f,
+                shift_cols=["user_id"])),
     }
     # Compact JSON encoding — [x1_sec, x10_sec, wall_ratio,
     # per_row_ratio|null] per shape. per_row_ratio normalizes
