@@ -11925,7 +11925,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.host, s.allow, s.rule, length(s.rule) AS rule_len,
                    '^' || replace(replace(replace(replace(replace(
                          replace(replace(replace(replace(replace(
-                         replace(replace(replace(
+                         replace(replace(replace(replace(
                          CASE WHEN s.rule LIKE '%$'
                               THEN substring(s.rule, 1,
                                              length(s.rule) - 1)
@@ -11934,6 +11934,7 @@ def oracle_sql() -> dict[str, str]:
                          '?', '\\?'), '(', '\\('), ')', '\\)'),
                          '[', '\\['), ']', '\\]'), '{', '\\{'),
                          '}', '\\}'), '|', '\\|'), '^', '\\^'),
+                         '$', '\\$'),
                          '*', '.*')
                    || CASE WHEN s.rule LIKE '%$' THEN '$' ELSE '' END
                        AS rule_re
@@ -12006,11 +12007,12 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list_filter(
                        string_split(query, '&'),
                        p -> p <> ''
-                            AND NOT (starts_with(p, 'utm_')
-                                     OR starts_with(p, 'fbclid')
-                                     OR starts_with(p, 'gclid')
-                                     OR starts_with(p, 'msclkid')
-                                     OR starts_with(p, 'mc_eid')))),
+                            AND NOT (
+                                starts_with(split_part(p, '=', 1),
+                                            'utm_')
+                                OR split_part(p, '=', 1) IN
+                                   ('fbclid', 'gclid', 'msclkid',
+                                    'mc_eid')))),
                        '&') AS qnorm
             FROM parts
         )

@@ -203,10 +203,17 @@ def merge_agg_deltas(view: DataFrame, delta: DataFrame,
         d = d.withColumnRenamed(c, f"_d_{c}")
     merged = view.join(F.broadcast(d), key_cols, "full_outer")
     out_cols = [F.col(k) for k in key_cols]
+    # Preserve each measure's INPUT type: a fractional additive
+    # measure (double/decimal SUM) is still IVM-maintainable, and a
+    # blanket cast-to-long would silently truncate it, breaking the
+    # merge ≡ recompute invariant (round-7 ADVICE). The coalesced 0
+    # literal widens int → bigint, so integral measures are cast back
+    # to the view's own type instead.
+    view_types = dict(view.dtypes)
     for c in measure_cols:
         out_cols.append(
             (F.coalesce(F.col(c), F.lit(0))
              + F.coalesce(F.col(f"_d_{c}"), F.lit(0)))
-            .cast("long").alias(c))
+            .cast(view_types[c]).alias(c))
     return (merged.select(*out_cols)
             .filter(F.col(count_col) > 0))

@@ -26,8 +26,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # regex metacharacters escaped before wildcard translation; backslash
-# FIRST so later escapes aren't double-escaped.
-_RE_META = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^"]
+# FIRST so later escapes aren't double-escaped. '$' is escaped too —
+# a trailing '$' is stripped as the end anchor BEFORE this list runs,
+# so any '$' still present is a literal path byte (RFC 3986 allows it)
+# and must not become a mid-pattern end anchor.
+_RE_META = ["\\", ".", "+", "?", "(", ")", "[", "]",
+            "{", "}", "|", "^", "$"]
 
 
 def _rule_regex(rule: Column) -> Column:

@@ -31,6 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Shared tracked-localCheckpoint lifecycle (moved to a package-level
+# module so streaming/events.py's DLQ compaction reuses it — round-7
+# ADVICE). The underscore aliases keep this module's call sites and
+# external importers unchanged.
+from ..checkpoint import lc_free as _lc_free
+from ..checkpoint import lc_tracked as _lc_tracked
+
 
 def _is_cached(df: DataFrame) -> bool:
     try:
@@ -1091,42 +1098,18 @@ def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
         _lc_free(spark, adj_ids)
 
 
-def _lc_tracked(df: DataFrame, eager: bool = True
-                ) -> tuple[DataFrame, set]:
-    """``localCheckpoint`` plus the JVM RDD ids it pinned (id-diff
-    around the call — lazy checkpoints register their RDD immediately,
-    before materialization). ``Dataset.unpersist()`` NEVER frees
-    checkpoint blocks: they have no CacheManager entry, so the only
-    handle is the JVM persistent-RDD map. Free with ``_lc_free`` once
-    the frame is provably dead — it is UNUSABLE afterwards (the
-    checkpoint truncated its lineage, so there is nothing to recompute
-    from)."""
-    sc = df.sparkSession.sparkContext
-    before = {e.getKey()
-              for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
-    out = df.localCheckpoint(eager=eager)
-    ids = {e.getKey()
-           for e in sc._jsc.getPersistentRDDs().entrySet().toArray()} - before
-    return out, ids
-
-
-def _lc_free(spark, ids: set) -> None:
-    """Drop the checkpoint blocks behind ``_lc_tracked`` ids."""
-    if not ids:
-        return
-    for e in spark.sparkContext._jsc.getPersistentRDDs() \
-            .entrySet().toArray():
-        if e.getKey() in ids:
-            e.getValue().unpersist(False)
 
 
 def _bfs_sweep(adj: DataFrame, start_id: str, max_depth: int
                ) -> tuple[DataFrame, set, int, int]:
     """One latency-tuned BFS sweep over an ALREADY-SYMMETRIZED (and
     ideally resident, from_id-partitioned) adjacency. Returns
-    ``(last_nonempty_frontier, depth_reached, n_reached)`` — the pieces
-    the double-sweep diameter heuristic needs — without materializing
-    a visited union.
+    ``(last_nonempty_frontier, frontier_lc_ids, depth_reached,
+    n_reached)`` — the pieces the double-sweep diameter heuristic
+    needs — without materializing a visited union. The escaped
+    frontier is a tracked localCheckpoint: the CALLER must pass
+    ``frontier_lc_ids`` to ``_lc_free`` once done with the frontier,
+    or its checkpoint blocks stay pinned until ContextCleaner GC.
 
     Why a second BFS shape next to ``k_hop``: deep sweeps are bound by
     PER-HOP DISPATCH, not data (measured at sf0.1: an 11-row frontier

@@ -537,16 +537,33 @@ def html_main_content(df: DataFrame, html_col: str = "html",
 # DuckDB oracle replays it verbatim.
 # ---------------------------------------------------------------------------
 
-_URL_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+# utm_* is a KEY-PREFIX family (utm_source, utm_medium, …); the rest
+# are exact key matches — prefix-matching those stripped innocent
+# params like 'fbclid2' or 'gclid_src' (round-7 ADVICE).
+_URL_TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def _is_tracking_param(p: Column) -> Column:
+    """True when a 'key=value' query token is a tracking param: the
+    KEY (token up to the first '=') either starts with 'utm_' or
+    equals one of the exact tracker names — never the value part."""
+    key = F.split_part(p, F.lit("="), F.lit(1))
+    hit = key.startswith("utm_")
+    for t in _URL_TRACKING_EXACT:
+        hit = hit | (key == t)
+    return hit
 
 
 def url_normalize(col) -> Column:
     """Canonical URL: lowercase scheme+host, strip the scheme's
     default port (:80 http / :443 https), drop the fragment, drop
-    tracking params (utm_*, fbclid, gclid, msclkid, mc_eid), sort the
-    surviving query params bytewise, empty path → '/'. Path case and
-    non-default ports are PRESERVED (paths are case-sensitive per
-    RFC 3986; a real port difference is a real origin difference)."""
+    tracking params (utm_* key prefix; fbclid/gclid/msclkid/mc_eid
+    exact keys), sort the surviving query params bytewise, empty
+    path → '/'. Path case and non-default ports are PRESERVED (paths
+    are case-sensitive per RFC 3986; a real port difference is a real
+    origin difference). Inputs WITHOUT a scheme ('://' absent) pass
+    through unchanged — scheme extraction on them would emit a
+    malformed '://…' string."""
     u = F.regexp_replace(col, "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, "^[^:/?]+://([^/?]+)", 1))
@@ -561,14 +578,14 @@ def url_normalize(col) -> Column:
     query = F.regexp_extract(u, r"\?(.*)$", 1)
     kept = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~F.exists(
-            F.array(*[F.lit(t) for t in _URL_TRACKING_PREFIXES]),
-            lambda t: p.startswith(t)))
+        lambda p: (p != "") & ~_is_tracking_param(p))
     qnorm = F.array_join(F.array_sort(kept), "&")
-    return F.concat(
+    norm = F.concat(
         scheme, F.lit("://"), host,
         F.when(path == "", "/").otherwise(path),
         F.when(qnorm == "", "").otherwise(F.concat(F.lit("?"), qnorm)))
+    return F.when(col.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), norm) \
+        .otherwise(col)
 
 
 def url_host(col) -> Column:

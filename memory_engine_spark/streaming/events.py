@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..checkpoint import lc_free, lc_tracked
+
 EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
                 "value double, props string")
 
@@ -104,18 +106,7 @@ class EventBus:
                         self._dead_letter(batch, sub.name, str(exc))
                         return
 
-        writer = (filtered_src.writeStream
-                  .foreachBatch(process)
-                  .option("checkpointLocation",
-                          os.path.join(self.checkpoints, sub.name)))
-        if once:
-            writer = writer.trigger(availableNow=True)
-        else:
-            writer = writer.trigger(processingTime="1 second")
-        query = writer.start()
-        if once:
-            query.awaitTermination()
-        return query
+        return self._run_foreach(filtered_src, process, once, sub.name)
 
     def run_subscriber_per_event(self, sub: "Subscriber",
                                  once: bool = True,
@@ -141,32 +132,53 @@ class EventBus:
         filtered_src = self.stream(max_files_per_trigger)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
-            pending = sub.apply_filters(batch_df).localCheckpoint()
-            for attempt in range(1, MAX_RETRIES + 2):
-                if pending.isEmpty():
-                    return
-                failed = sub.handler(pending, attempt)
-                failed = (failed.localCheckpoint() if failed is not None
-                          else pending.limit(0))
-                if log_attempts:
-                    done = pending.join(failed.select("event_id"),
-                                        "event_id", "left_anti")
-                    fail_status = ("retrying" if attempt <= MAX_RETRIES
-                                   else "dead_letter")
-                    (done.withColumn("_attempt", F.lit(attempt))
-                     .withColumn("_status", F.lit("processed"))
-                     .unionByName(
-                         failed.withColumn("_attempt", F.lit(attempt))
-                         .withColumn("_status", F.lit(fail_status)))
-                     .write.mode("append").parquet(self.attempts_dir))
-                pending = failed
-            if not pending.isEmpty():
-                self._dead_letter(pending, sub.name, "max retries exhausted")
+            # All checkpoint blocks this micro-batch pins are freed in
+            # the finally below — bare unpersist() would be a no-op on
+            # checkpointed Datasets (see ..checkpoint).
+            lc_ids: set = set()
+            try:
+                self._process_pending(sub, batch_df, log_attempts, lc_ids)
+            finally:
+                lc_free(self.spark, lc_ids)
 
+        return self._run_foreach(filtered_src, process, once, sub.name)
+
+    def _process_pending(self, sub: Subscriber, batch_df: DataFrame,
+                         log_attempts: bool, lc_ids: set) -> None:
+        pending, p_ids = lc_tracked(sub.apply_filters(batch_df))
+        lc_ids |= p_ids
+        for attempt in range(1, MAX_RETRIES + 2):
+            if pending.isEmpty():
+                return
+            failed = sub.handler(pending, attempt)
+            if failed is not None:
+                failed, f_ids = lc_tracked(failed)
+                lc_ids |= f_ids
+            else:
+                failed = pending.limit(0)
+            if log_attempts:
+                done = pending.join(failed.select("event_id"),
+                                    "event_id", "left_anti")
+                fail_status = ("retrying" if attempt <= MAX_RETRIES
+                               else "dead_letter")
+                (done.withColumn("_attempt", F.lit(attempt))
+                 .withColumn("_status", F.lit("processed"))
+                 .unionByName(
+                     failed.withColumn("_attempt", F.lit(attempt))
+                     .withColumn("_status", F.lit(fail_status)))
+                 .write.mode("append").parquet(self.attempts_dir))
+            pending = failed
+        if not pending.isEmpty():
+            self._dead_letter(pending, sub.name, "max retries exhausted")
+
+    def _run_foreach(self, filtered_src, process, once, sub_name):
+        """Shared foreachBatch runner: per-subscriber checkpoint dir,
+        availableNow drain when ``once`` else a 1 s processing-time
+        trigger (awaits only the drain case)."""
         writer = (filtered_src.writeStream
                   .foreachBatch(process)
                   .option("checkpointLocation",
-                          os.path.join(self.checkpoints, sub.name)))
+                          os.path.join(self.checkpoints, sub_name)))
         if once:
             writer = writer.trigger(availableNow=True)
         else:
@@ -233,7 +245,11 @@ class EventBus:
         import shutil
         if not os.path.isdir(self.dlq_dir):
             return
-        capped = self.dead_letters().localCheckpoint()
+        # lc_tracked, NOT bare localCheckpoint + unpersist: unpersist on
+        # a checkpointed Dataset is a no-op (no CacheManager entry), so
+        # the old path pinned ~DLQ_CAP rows of blocks per compaction
+        # until ContextCleaner GC (round-7 ADVICE).
+        capped, cap_ids = lc_tracked(self.dead_letters())
         tmp, bak = self.dlq_dir + ".tmp", self.dlq_dir + ".bak"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(bak, ignore_errors=True)
@@ -241,7 +257,7 @@ class EventBus:
         os.rename(self.dlq_dir, bak)
         os.rename(tmp, self.dlq_dir)
         shutil.rmtree(bak, ignore_errors=True)
-        capped.unpersist(False)
+        lc_free(self.spark, cap_ids)
 
     def retry_dead_letters(self, sub: Subscriber) -> int:
         """Manual DLQ retry (event_system.py:477-489): re-run the handler
@@ -256,8 +272,8 @@ class EventBus:
             # A crash at any step leaves a complete DLQ either at
             # dlq_dir or at the .bak path a retry will clear.
             import shutil
-            remaining = self.dead_letters().filter(
-                F.col("_subscriber") != sub.name).localCheckpoint()
+            remaining, rem_ids = lc_tracked(self.dead_letters().filter(
+                F.col("_subscriber") != sub.name))
             tmp, bak = self.dlq_dir + ".tmp", self.dlq_dir + ".bak"
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(bak, ignore_errors=True)
@@ -265,6 +281,7 @@ class EventBus:
             os.rename(self.dlq_dir, bak)
             os.rename(tmp, self.dlq_dir)
             shutil.rmtree(bak, ignore_errors=True)
+            lc_free(self.spark, rem_ids)
         return n
 
     def retry_dead_letters_per_event(self, sub: Subscriber,
@@ -278,13 +295,17 @@ class EventBus:
 
         dl = self.dead_letters().filter(F.col("_subscriber") == sub.name)
         meta = ("_subscriber", "_error", "_retries", "_dlq_ts")
-        rows = dl.drop(*meta).localCheckpoint()
+        rows, lc_ids = lc_tracked(dl.drop(*meta))
         if rows.isEmpty():
+            lc_free(self.spark, lc_ids)
             return 0
         attempt = MAX_RETRIES + 2  # after the 1 + MAX_RETRIES engine tries
         failed = sub.handler(rows, attempt)
-        failed = (failed.localCheckpoint() if failed is not None
-                  else rows.limit(0))
+        if failed is not None:
+            failed, f_ids = lc_tracked(failed)
+            lc_ids |= f_ids
+        else:
+            failed = rows.limit(0)
         cleared = rows.join(failed.select("event_id"), "event_id", "left_anti")
         n_cleared = cleared.count()
         if log_attempts:
@@ -300,8 +321,9 @@ class EventBus:
             mine = all_dl.filter(F.col("_subscriber") == sub.name)
             keep_mine = mine.join(cleared.select("event_id"),
                                   "event_id", "left_anti")
-            remaining = (all_dl.filter(F.col("_subscriber") != sub.name)
-                         .unionByName(keep_mine).localCheckpoint())
+            remaining, rem_ids = lc_tracked(
+                all_dl.filter(F.col("_subscriber") != sub.name)
+                .unionByName(keep_mine))
             tmp, bak = self.dlq_dir + ".tmp", self.dlq_dir + ".bak"
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(bak, ignore_errors=True)
@@ -309,6 +331,8 @@ class EventBus:
             os.rename(self.dlq_dir, bak)
             os.rename(tmp, self.dlq_dir)
             shutil.rmtree(bak, ignore_errors=True)
+            lc_free(self.spark, rem_ids)
+        lc_free(self.spark, lc_ids)
         return n_cleared
 
     # -- replay ------------------------------------------------------------------

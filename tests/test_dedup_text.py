@@ -474,6 +474,12 @@ def test_url_normalize_canonical_forms(spark):
         ("http://EX.org", "http://ex.org/", "ex.org"),
         ("http://ex.org/p?utm_a=1&utm_b=2", "http://ex.org/p",
          "ex.org"),
+        # Exact-key trackers only: fbclid2 / gclid_src are NOT
+        # trackers; a 'value' containing a tracker name is kept.
+        ("http://ex.org/p?fbclid2=1&gclid_src=2&k=fbclid",
+         "http://ex.org/p?fbclid2=1&gclid_src=2&k=fbclid", "ex.org"),
+        # Scheme-less input passes through unchanged.
+        ("www.ex.org/p?a=1", "www.ex.org/p?a=1", ""),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
     out = df.select(text.url_normalize(F.col("url")).alias("n"),
@@ -496,6 +502,7 @@ def test_robots_parse_and_eval(spark):
           "Disallow: /private\n"
           "Allow: /private/ok\n"
           "Disallow: /tmp/*.log$\n"
+          "Disallow: /price$usd\n"
           "Allow: /dir\n"
           "Disallow: /dir\n"
           "\n"
@@ -517,6 +524,7 @@ def test_robots_parse_and_eval(spark):
         [("h1", "/private/x"), ("h1", "/private/ok/page"),
          ("h1", "/public"), ("h1", "/tmp/a.log"),
          ("h1", "/tmp/a.log.bak"), ("h1", "/dir/page"),
+         ("h1", "/price$usd/x"),
          ("h2", "/anything"), ("h3", "/no/robots")],
         "host string, path string")
     out = {(r["host"], r["path"]): (r["allowed"], r["matched_rule"])
@@ -528,6 +536,10 @@ def test_robots_parse_and_eval(spark):
     assert out[("h1", "/tmp/a.log")] == (False, "/tmp/*.log$")
     assert out[("h1", "/tmp/a.log.bak")][0] is True   # $ anchor holds
     assert out[("h1", "/dir/page")] == (True, "/dir") # tie -> Allow
+    # mid-rule '$' is a literal path byte, not an anchor: before the
+    # round-8 fix this rule compiled to a dead mid-pattern anchor and
+    # the disallow was silently ignored.
+    assert out[("h1", "/price$usd/x")] == (False, "/price$usd")
     assert out[("h2", "/anything")] == (False, "/")   # '*' group
     assert out[("h3", "/no/robots")] == (True, None)  # robots-less
 
