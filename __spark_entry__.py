@@ -4686,26 +4686,25 @@ def q204_inverted_index(spark, sf):
     term's canonically-ordered posting list ('doc:pos;...', sorted
     by (doc, pos)) so the oracle pins the complete index bytes, not
     just counts — an ordering or position bug anywhere breaks the
-    hash. Relational shape: one posexplode + one groupBy(term); the
-    collect_list is per-term and bounded by collection frequency,
-    sorted JVM-side with array_sort on (doc, pos) structs. Scale
-    posture: terms partition the shuffle; posting lists for hot
-    terms are the classic skew — at 100 TB the same plan runs with
-    term-salted partial lists concatenated in a second pass."""
+    hash. Round 8: this runs `ranking.inverted_index`'s SKEW-SAFE
+    two-pass plan — doc-id RANGE-salted partial posting strings per
+    (term, bucket) for terms over the hot-cf threshold, concatenated
+    in bucket order in a second aggregate (range salting keeps the
+    concatenation globally (doc,pos)-sorted, so the md5 is identical
+    to the one-pass plan's; proven salted≡unsalted in
+    tests/test_skew.py, and salted≡DuckDB-truth right here — the
+    oracle is the UNSALTED textbook SQL). At 100 TB a Zipf-hot
+    term's sort+collect spreads over the buckets instead of one
+    reducer; the cold vocabulary tail keeps a single bucket so the
+    extra shuffle stays ~1×."""
+    from memory_engine_spark.operators.ranking import inverted_index
+
     docs = _t(spark, sf)["documents"].select("doc_id", "text")
-    toks = (docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " "))
-        .alias("pos", "term")))
-    return (toks.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("cf"),
-        F.md5(F.concat_ws(";", F.transform(
-            F.array_sort(F.collect_list(
-                F.struct("doc_id", "pos"))),
-            lambda s: F.concat_ws(":", s["doc_id"], s["pos"]))))
-        .alias("postings_md5"))
-        .orderBy("term"))
+    # hot_cf=500 puts the common-word head on the salted branch at the
+    # driver's sf0.01 gate (max cf there ≈ 964), so the equivalence is
+    # proven on the branch that matters, not just the cold tail.
+    return (inverted_index(docs, salt_buckets=8, hot_cf=500)
+            .orderBy("term"))
 
 
 def q205_ab_test(spark, sf):

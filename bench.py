@@ -190,6 +190,8 @@ def scale_10x(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from memory_engine_spark.operators import dedup, graph, similarity
+    from memory_engine_spark.operators.ranking import \
+        inverted_index as _inv_index
     from memory_engine_spark.sources.tables import graph_edges, load_tables
 
     t = load_tables(spark, sf_dir)
@@ -380,6 +382,24 @@ def scale_10x(spark, sf_dir: str) -> dict:
                     F.struct("doc_id", "pos"))),
                 lambda x: F.concat_ws(":", x["doc_id"], x["pos"]))))
                  .alias("m")).count()),
+        # round-8 skew probe: inject ONE term ('zipfhot', ~1 per 12
+        # corpus tokens ≈ 7.7% of all tokens — a realistic Zipf head)
+        # and build the index with the RANGE-SALTED two-pass plan.
+        # The one-pass plan above can't see this failure mode because
+        # the synthetic vocabulary is flat; here the hot term's
+        # posting list is ~8% of the corpus and the salted plan must
+        # stay ~linear (its sort/collect spreads over 8 buckets)
+        # where groupBy(term)+collect_list funnels it to 1 reducer.
+        "inverted_salted": lambda f: _inv_index(
+            rep(t["documents"].select("doc_id", "text"), f,
+                shift_cols=["doc_id"])
+            .withColumn("text", F.concat_ws(
+                " ", F.col("text"),
+                F.array_join(F.array_repeat(
+                    F.lit("zipfhot"),
+                    F.greatest(F.lit(1), (F.size(F.split(
+                        F.col("text"), " ")) / 12).cast("int"))), " "))),
+            salt_buckets=8, hot_cf=500).count(),
         # bitmap words are |users|/32 rows per type; the popcount
         # pair join touches words, never users — both word build and
         # pair join must scale linearly in users.

@@ -313,6 +313,111 @@ def rrf_fuse(systems: "list[DataFrame]", id_col: str,
             .limit(top_k))
 
 
+def inverted_index(df: "DataFrame", text_col: str = "text",
+                   id_col: str = "doc_id",
+                   salt_buckets: int = 1,
+                   hot_cf: int | None = None) -> "DataFrame":
+    """Positional inverted-index assembly — (term, df, cf,
+    postings_md5) where postings_md5 is the md5 of the term's
+    canonically-ordered posting list ('doc:pos;…' sorted by
+    (doc, pos)), i.e. a content address of the complete index entry.
+
+    ``salt_buckets = 1`` is the textbook plan: one posexplode + one
+    ``groupBy(term)`` with a per-term sorted ``collect_list``. That
+    plan dies at corpus scale: Zipf's law puts the hottest term in
+    ~7% of all tokens, and ``collect_list`` funnels that term's every
+    posting into ONE reducer (the round-7 verdict's one 100-TB gap).
+
+    ``salt_buckets = S > 1`` is the skew-safe two-pass plan:
+
+    1. RANGE-salt by ``id_col``: bucket = floor((id - min) / width)
+       with width = ceil(span / S). Range salting — NOT hash salting
+       — is load-bearing: each bucket covers a contiguous ascending
+       id range, so per-bucket lists sorted by (doc, pos) concatenate
+       in bucket order into the exact globally-sorted list, giving a
+       postings_md5 IDENTICAL to the unsalted plan's. (pmod(hash(id))
+       spreads load equally well but interleaves doc ids across
+       buckets, so partials can only be merged by re-sorting the full
+       list in one reducer — the memory problem salting was meant to
+       remove.)
+    2. Partial aggregate per (term, bucket): partial df
+       (countDistinct — exact, because a doc lives in exactly one
+       bucket), partial cf, partial posting STRING (sorted within the
+       bucket, stringified early so the second pass moves flat bytes,
+       not struct rows).
+    3. Final per term: sum the partial counts, concatenate the ≤ S
+       partial strings in bucket order, md5.
+
+    The hot term's sort + collect now spreads over S reducers; the
+    final pass touches S pre-built strings per term. (The full
+    canonical string still materializes once per term for the md5 —
+    when even that exceeds memory, the partial strings ARE the index
+    shards and the content address becomes a Merkle hash over them;
+    that changes the fingerprint definition, so it is out of scope
+    for this equivalence-gated op.)
+
+    ``hot_cf``: when set, a first algebraic ``groupBy(term).count()``
+    (map-side combined, skew-immune) finds terms with cf ≥ hot_cf;
+    ONLY those get salted (broadcast hot-set join), the long tail
+    keeps bucket 0. This halves the shuffle volume for the ~all-cold
+    vocabulary while still spreading the Zipf head.
+
+    Reference parity: the reference has no inverted index (its
+    retrieval is embedding-only, memory_core/search); this is the
+    training-data-pipeline extension. Equivalence contract (salted ≡
+    unsalted ≡ DuckDB oracle) is proven in tests/test_skew.py and
+    q204's driver gate."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"))
+    direct_agg = [
+        F.countDistinct(id_col).cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.md5(F.concat_ws(";", F.transform(
+            F.array_sort(F.collect_list(F.struct(id_col, "pos"))),
+            lambda s: F.concat_ws(":", s[id_col], s["pos"]))))
+        .alias("postings_md5")]
+    if salt_buckets <= 1:
+        return toks.groupBy("term").agg(*direct_agg)
+    if dtypes.get(id_col) not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"range salting needs an integral {id_col!r}; got "
+            f"{dtypes.get(id_col)!r} (hash-salting cannot preserve the "
+            "posting order — see docstring)")
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return toks.groupBy("term").agg(*direct_agg)
+    width = max(1, -(-(int(hi) - int(lo) + 1) // int(salt_buckets)))
+    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)) \
+        .cast("int")
+    if hot_cf is not None:
+        hot = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("_cf"))
+               .filter(F.col("_cf") >= hot_cf)
+               .select("term", F.lit(True).alias("_hot")))
+        toks = (toks.join(F.broadcast(hot), "term", "left")
+                .withColumn("_b", F.when(F.col("_hot"), bucket)
+                            .otherwise(F.lit(0)))
+                .drop("_hot"))
+    else:
+        toks = toks.withColumn("_b", bucket)
+    partial = toks.groupBy("term", "_b").agg(
+        F.countDistinct(id_col).alias("_pdf"),
+        F.count(F.lit(1)).alias("_pcf"),
+        F.concat_ws(";", F.transform(
+            F.array_sort(F.collect_list(F.struct(id_col, "pos"))),
+            lambda s: F.concat_ws(":", s[id_col], s["pos"])))
+        .alias("_pstr"))
+    return partial.groupBy("term").agg(
+        F.sum("_pdf").cast("long").alias("df"),
+        F.sum("_pcf").cast("long").alias("cf"),
+        F.md5(F.concat_ws(";", F.transform(
+            F.array_sort(F.collect_list(F.struct("_b", "_pstr"))),
+            lambda s: s["_pstr"]))).alias("postings_md5"))
+
+
 def ir_disc_u(k: int, quant: int = 10 ** 9) -> list[int]:
     """Quantized DCG discount table: disc_u[r-1] = round(quant /
     log2(r+1)) for rank r = 1..k. Computed ONCE driver-side with

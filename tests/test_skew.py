@@ -67,3 +67,42 @@ def test_salted_join_rejects_small_side_preserving_outer(spark):
     # left join stays supported and exact
     out = salted_join(big, small, "key", how="left")
     assert out.count() == 1
+
+
+def test_inverted_index_salted_equals_unsalted(spark):
+    """The round-8 skew fix: range-salted two-pass posting assembly
+    must be HASH-IDENTICAL to the one-pass plan — df, cf, and the
+    content-addressed postings_md5 — on a Zipf-skewed corpus where
+    one term ('the') carries ~30% of all tokens, including with the
+    hot-only salting gate and with non-zero-based, gappy doc ids."""
+    from memory_engine_spark.operators.ranking import inverted_index
+
+    rows = []
+    for i in range(400):
+        # gappy, non-zero-based ids; 'the' in every doc (often twice),
+        # per-doc unique terms, and a mid-frequency band.
+        did = 1000 + i * 3
+        toks = ["the", f"w{i % 7}", f"uniq{i}"]
+        if i % 2:
+            toks += ["the", "mid"]
+        rows.append((did, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {r["term"]: (r["df"], r["cf"], r["postings_md5"])
+            for r in inverted_index(docs).collect()}
+    for kwargs in ({"salt_buckets": 8},
+                   {"salt_buckets": 8, "hot_cf": 100},
+                   {"salt_buckets": 3, "hot_cf": 5}):
+        got = {r["term"]: (r["df"], r["cf"], r["postings_md5"])
+               for r in inverted_index(docs, **kwargs).collect()}
+        assert got == base, kwargs
+
+
+def test_inverted_index_rejects_nonintegral_id(spark):
+    import pytest
+
+    from memory_engine_spark.operators.ranking import inverted_index
+
+    docs = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral"):
+        inverted_index(docs, salt_buckets=4)
