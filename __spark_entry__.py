@@ -6362,44 +6362,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(_legacy_queries())
     # Driver-proof ROTATION (r05 VERDICT item 8): the driver samples the
     # first ~50 registry entries, so without rotation q01–q83 never get
-    # a fresh driver proof (last one: r02/r03). Front = this round's new
-    # queries (q156–q171, 16 entries), then a tranche of the STALEST
-    # entries; the tranche advances each round (r06: q01–q16 + q51–q60;
-    # r07: q17–q50 + q61–q83 — more than the sample window holds, so
-    # the overflow tail rolls into r08's tranche naturally).
-    new_this_round = ["q156_png_pixels", "q157_bmp_gif_pixels",
-                      "q158_ivf_int8_ann", "q159_g711_audio",
-                      "q160_avi_frame_sample", "q161_ima_adpcm_audio",
-                      "q162_jpeg_pixels", "q163_jpeg_color",
-                      "q164_jpeg_420", "q165_mp4_frame_sample",
-                      "q166_flac_audio", "q167_flac_stereo",
-                      "q168_ivf_append_probe", "q169_html_extract",
-                      "q170_warc_parse", "q171_url_normalize",
-                      "q172_robots_gate", "q173_gzip_members",
-                      "q174_charset_decode", "q175_sitemap_parse",
-                      "q176_pdf_text", "q177_span_corruption",
-                      "q178_chat_render", "q179_tiff_pixels",
-                      "q180_bleu_eval", "q181_tar_entries",
-                      "q182_zip_entries", "q183_tfrecord_entries",
-                      "q184_parquet_footer", "q185_avro_container",
-                      "q186_rouge_eval", "q187_ir_eval",
-                      "q188_delta_snapshot", "q189_orc_footer",
-                      "q190_parquet_column_decode",
-                      "q191_chrf_eval", "q192_calibration",
-                      "q193_bootstrap_ci", "q194_graph_stats",
-                      "q195_schema_drift",
-                      "q196_delta_time_travel", "q197_compaction_plan",
-                      "q198_zonemap_audit", "q199_min_cost_supplier",
-                      "q200_market_share",
-                      "q201_late_shipment_priority",
-                      "q202_incremental_agg",
-                      "q203_bitmap_intersections",
-                      "q204_inverted_index", "q205_ab_test",
-                      "q206_event_bigrams", "q207_preference_pairs"]
+    # a fresh driver proof (last one: r02/r03). r07's 52 new queries
+    # overflowed the window and crowded out both the stale tranche AND
+    # q206/q207 — so r08's front (per the r07 verdict, item 2) is:
+    # (1) the two r07 queries that never got a driver proof, (2) the
+    # STALE tranche q17–q50 + q61–q83 (last proof r02/r03), (3) only
+    # then this round's new queries (q208+) and the rest. The stale
+    # tranche is 57 entries — the overflow rolls into r09's front.
+    unproven_r07 = ["q206_event_bigrams", "q207_preference_pairs"]
     stale = {f"q{i:02d}" for i in range(17, 51)} | \
             {f"q{i}" for i in range(61, 84)}
-    front = ([n for n in new_this_round if n in out]
-             + [n for n in sorted(out) if n.split("_")[0] in stale])
+    new_this_round = [n for n in sorted(out)
+                      if n.split("_")[0].lstrip("q").isdigit()
+                      and int(n.split("_")[0].lstrip("q")) >= 208]
+    front = (unproven_r07
+             + [n for n in sorted(out) if n.split("_")[0] in stale]
+             + new_this_round)
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
     for n, fn in out.items():
