@@ -4970,6 +4970,100 @@ def q201_late_shipment_priority(spark, sf):
             .orderBy("o_orderpriority"))
 
 
+def q208_waiting_suppliers(spark, sf):
+    """TPC-H Q21-shape — the hardest decorrelation combo: EXISTS and
+    NOT EXISTS correlated to the SAME fact table. Suppliers in one
+    nation who kept finished ('F') orders waiting: their lineitem
+    shipped >30 days after the order date (this corpus has no
+    commit/receipt dates — ship-lag is the lateness predicate, the
+    q201 convention), while the order had at least one OTHER
+    supplier's line (EXISTS → LEFT SEMI, residual suppkey<>) and NO
+    other supplier's line was ALSO late (NOT EXISTS → LEFT ANTI,
+    residual suppkey<>). Count of waiting lineitems per supplier,
+    top 100 by (numwait desc, s_name) — TPC-H multiplicity semantics
+    (every late line of the guilty supplier counts). Plan shape: the
+    `late` set derives once from lineitem⋈orders('F') with the
+    status filter PUSHED to the orders scan; both quantifiers lower
+    to hash semi/anti joins keyed on l_orderkey with the inequality
+    as residual — no DISTINCT, no windows; supplier+nation are
+    broadcast dims. At 100 TB everything shuffles once on orderkey;
+    AQE's skew split covers hot orders."""
+    t = _t(spark, sf)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    o_f = (t["orders"].filter(F.col("o_orderstatus") == "F")
+           .select("o_orderkey", "o_orderdate"))
+    late = (li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    others = li.select(F.col("l_orderkey").alias("_ok2"),
+                       F.col("l_suppkey").alias("_sk2"))
+    exists_other = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("_ok2"))
+        & (F.col("l_suppkey") != F.col("_sk2")),
+        "left_semi")
+    late3 = late.select(F.col("l_orderkey").alias("_ok3"),
+                        F.col("l_suppkey").alias("_sk3"))
+    sole_late = exists_other.join(
+        late3,
+        (F.col("l_orderkey") == F.col("_ok3"))
+        & (F.col("l_suppkey") != F.col("_sk3")),
+        "left_anti")
+    supp = (t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name"))
+    return (sole_late
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(100))
+
+
+def q209_untapped_customers(spark, sf):
+    """TPC-H Q22-shape — NOT EXISTS plus a correlated scalar-average
+    subquery, the second canonical decorrelation the engine had not
+    demonstrated. 'Global sales opportunity': customers in a set of
+    country codes (c_nationkey plays the c_phone-prefix role — this
+    corpus has no phone column) whose balance exceeds the average
+    POSITIVE balance of that code set, and who placed no order in the
+    corpus's final seven months (≥ 2001-01-01 — the corpus has no
+    order-less customers, so the anti-join correlates on a
+    date-filtered orders subset; this cut keeps the result
+    scale-stable: 10/82/820 customers at sf0.001/0.01/0.1). Per code: customer count and total
+    balance. Decorrelation shape: the scalar avg is a 1-row global
+    aggregate broadcast via crossJoin; the threshold compare is the
+    EXACT cross-multiplication c_acctbal·n > sum (decimal both
+    sides — no division, no float-boundary flap); NOT EXISTS lowers
+    to one LEFT ANTI hash join on custkey against the date-pruned
+    orders scan (filter PUSHED). Money sums are exact decimal then
+    cast to double for the gate (q03 convention)."""
+    t = _t(spark, sf)
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    cc = (t["customer"]
+          .filter(F.col("c_nationkey").isin(codes))
+          .select("c_custkey", "c_nationkey",
+                  F.col("c_acctbal").cast("decimal(18,2)")
+                  .alias("_bal")))
+    stats = (cc.filter(F.col("_bal") > 0)
+             .agg(F.sum("_bal").alias("_sum"),
+                  F.count(F.lit(1)).alias("_n")))
+    rich = (cc.crossJoin(F.broadcast(stats))
+            .filter(F.col("_bal") * F.col("_n") > F.col("_sum")))
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate") >= "2001-01-01")
+              .select("o_custkey"))
+    dormant = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                        "left_anti")
+    return (dormant.groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).cast("long").alias("numcust"),
+                 F.sum("_bal").cast("double").alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
 def q195_schema_drift(spark, sf):
     """Schema-on-read drift reconciliation under the oracle gate —
     three producer generations of the same feed (v0: {id, text};
@@ -6298,6 +6392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_ab_test": q205_ab_test,
         "q206_event_bigrams": q206_event_bigrams,
         "q207_preference_pairs": q207_preference_pairs,
+        "q208_waiting_suppliers": q208_waiting_suppliers,
+        "q209_untapped_customers": q209_untapped_customers,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -10658,6 +10754,62 @@ def oracle_sql() -> dict[str, str]:
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+    """
+
+    # q208: TPC-H Q21 shape verbatim — EXISTS + NOT EXISTS on the
+    # same fact, TPC-H multiplicity (count over qualifying l1 rows).
+    sql["q208_waiting_suppliers"] = """
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        )
+        SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM late l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """
+
+    # q209: TPC-H Q22 shape — NOT EXISTS + scalar-average subquery;
+    # the avg compare is the exact decimal cross-multiplication
+    # (bal·n > sum), identical to the Spark plan, so no float
+    # boundary can flap membership.
+    sql["q209_untapped_customers"] = """
+        WITH cc AS (
+            SELECT c_custkey, c_nationkey,
+                   c_acctbal::DECIMAL(18,2) AS bal
+            FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ),
+        st AS (
+            SELECT SUM(bal) AS s, COUNT(*)::BIGINT AS n
+            FROM cc WHERE bal > 0
+        )
+        SELECT c_nationkey AS cntrycode,
+               COUNT(*)::BIGINT AS numcust,
+               SUM(bal)::DOUBLE AS totacctbal
+        FROM cc, st
+        WHERE bal * n > s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = cc.c_custkey
+                AND o.o_orderdate >= '2001-01-01')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
     """
 
     # q195: formula replay — version residue, rename, typed defaults.
