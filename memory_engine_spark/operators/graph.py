@@ -799,7 +799,8 @@ def _lpa_shuffle(edges: DataFrame, n_iter: int, directed: bool,
 
 def k_core(edges: DataFrame, k: int, n_iter: int = 3,
            directed: bool = False,
-           prebuilt_adj: DataFrame | None = None) -> DataFrame:
+           prebuilt_adj: DataFrame | None = None,
+           round_log: list | None = None) -> DataFrame:
     """k-core peeling (Seidman 1983; the degeneracy-ordering workhorse
     for community/cohesion analysis): repeatedly delete nodes with
     degree < k, ``n_iter`` synchronous rounds. Fixed rounds keep the
@@ -820,7 +821,21 @@ def k_core(edges: DataFrame, k: int, n_iter: int = 3,
     edge list every round — 3 full |E| writes that dominated the
     query), which is also the 100 TB-correct state discipline:
     iterative node state must be O(|V|), never O(|E|).
+
+    ``round_log`` (r07 verdict item 7): pass a list to receive the
+    per-round survivor counts, making an anomalous probe ratio's
+    composition (fixed dispatch rounds vs data-dependent survivor
+    growth) visible in the bench output. Peeling is deletion-only, so
+    survivor sets shrink monotonically — an unchanged COUNT therefore
+    means an unchanged SET, and the loop early-exits at that fixpoint
+    (output-identical to running the remaining rounds; the count is
+    free because each round's survivor set materializes eagerly
+    anyway). Stale rounds' checkpoint blocks are freed by RDD id as
+    the fixpoint walk advances; the final round's set stays pinned
+    until the returned frame is dropped.
     """
+    spark = (edges if prebuilt_adj is None else prebuilt_adj) \
+        .sparkSession
     built_here = prebuilt_adj is None
     if built_here:
         base = edges.select("from_id", "to_id")
@@ -829,7 +844,8 @@ def k_core(edges: DataFrame, k: int, n_iter: int = 3,
         adj = prebuilt_adj.select("from_id", "to_id")
     try:
         survivors = None  # None = all nodes (round 1 needs no filter)
-        deg = None
+        surv_ids: set = set()
+        prev_n = -1
         for _ in range(n_iter):
             cur = adj
             if survivors is not None:
@@ -839,8 +855,16 @@ def k_core(edges: DataFrame, k: int, n_iter: int = 3,
                              "to_id", "left_semi"))
             deg = cur.groupBy("from_id").agg(
                 F.count(F.lit(1)).alias("_d"))
-            survivors = (deg.filter(F.col("_d") >= k).select("from_id")
-                         .localCheckpoint())
+            new_surv, new_ids = _lc_tracked(
+                deg.filter(F.col("_d") >= k).select("from_id"))
+            n_surv = new_surv.count()
+            if round_log is not None:
+                round_log.append(n_surv)
+            _lc_free(spark, surv_ids)
+            survivors, surv_ids = new_surv, new_ids
+            if n_surv == prev_n:
+                break  # deletion-only ⇒ equal count ⇒ fixpoint
+            prev_n = n_surv
         final = adj.join(survivors, "from_id", "left_semi") \
             .join(survivors.withColumnRenamed("from_id", "to_id"),
                   "to_id", "left_semi")

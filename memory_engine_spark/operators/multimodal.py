@@ -2373,6 +2373,206 @@ def mp4_frame_stats(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) — page CRC verification + lacing-based packet
+# reassembly, lifting the Vorbis/Opus handling from the header-only
+# _probe_one branch to a full q-gated container walk (r07 verdict
+# item 8). Completes container parity with AVI/MP4/EBML. Zero new
+# dependencies: Ogg's CRC-32 (poly 0x04C11DB7, init 0, no reflection,
+# no final xor — NOT zlib's reflected CRC) is a 256-entry table.
+# ---------------------------------------------------------------------------
+
+def _ogg_crc_table() -> list[int]:
+    tbl = []
+    for n in range(256):
+        r = n << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000
+                 else r << 1) & 0xFFFFFFFF
+        tbl.append(r)
+    return tbl
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: MSB-first, unreflected, init/xorout 0."""
+    r = 0
+    for byte in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((r >> 24) ^ byte) & 0xFF]
+    return r
+
+
+def synth_ogg(packets: list[bytes], serial: int,
+              granules: list[int], page_payload_cap: int = 510,
+              corrupt: tuple[int, int, int] | None = None) -> bytes:
+    """Assemble a spec-shaped Ogg stream: one page RUN per packet
+    (packet i starts a fresh page; if its size exceeds
+    ``page_payload_cap`` it spans continuation pages, with the
+    continued-packet flag 0x01 set and granule -1 on every page
+    except the one where it ends — RFC 3533 §6). BOS (0x02) on the
+    first page, EOS (0x04) on the last; ``granules[i]`` is the
+    granule position of packet i's final page. Lacing is real: 255
+    runs with a terminating <255 value, including the required
+    trailing 0 when the size is a 255 multiple. ``corrupt =
+    (packet_idx, byte_offset, xor)`` flips payload bytes AFTER the
+    CRC is sealed — the reader's CRC check must catch it. The
+    encode twin of ``ogg_packets``."""
+    pages: list[bytearray] = []
+    pkt_first_byte: list[tuple[int, int]] = []  # (page_idx, payload_off)
+    seq = 0
+    for pi, pkt in enumerate(packets):
+        off = 0
+        first_of_pkt = True
+        while True:
+            chunk = pkt[off:off + page_payload_cap]
+            off += len(chunk)
+            done = off >= len(pkt)
+            lacing = bytearray()
+            n = len(chunk)
+            while n >= 255:
+                lacing.append(255)
+                n -= 255
+            if done:
+                lacing.append(n)    # <255 terminator (0 if exact 255s)
+            elif n:
+                raise ValueError("page_payload_cap must be a 255 multiple")
+            flags = ((0x00 if first_of_pkt else 0x01)
+                     | (0x02 if pi == 0 and first_of_pkt else 0)
+                     | (0x04 if pi == len(packets) - 1 and done else 0))
+            gran = granules[pi] if done else -1
+            hdr = (b"OggS" + b"\x00" + bytes([flags])
+                   + gran.to_bytes(8, "little", signed=True)
+                   + serial.to_bytes(4, "little")
+                   + seq.to_bytes(4, "little")
+                   + b"\x00\x00\x00\x00"       # CRC placeholder
+                   + bytes([len(lacing)]) + bytes(lacing))
+            page = bytearray(hdr + chunk)
+            crc = ogg_crc(bytes(page))
+            page[22:26] = crc.to_bytes(4, "little")
+            if first_of_pkt:
+                pkt_first_byte.append((len(pages), 27 + len(lacing)))
+            pages.append(page)
+            seq += 1
+            first_of_pkt = False
+            if done:
+                break
+    if corrupt is not None:
+        cpi, boff, xor = corrupt
+        pg, po = pkt_first_byte[cpi]
+        pages[pg][po + boff] ^= xor
+    return b"".join(bytes(p) for p in pages)
+
+
+def ogg_packets(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """REAL Ogg container walk in one Arrow ``mapInPandas`` stage:
+    verify each page's CRC (recompute with the CRC field zeroed),
+    reassemble packets from the lacing tables across continuation
+    pages, classify the codec headers, and emit per-packet facts —
+    (id, packet_idx, kind, n_bytes, pages_spanned, bos, eos,
+    granule, crc_ok, sample_rate, channels, content_md5). kind:
+    'vorbis_id' (\\x01vorbis — channels byte 11, rate LE32 @12,
+    md5 omitted: binary header), 'opus_head' (OpusHead — channels
+    byte 9, input rate LE32 @12), 'comment' ('cmt:' prefix), else
+    'data'. granule = the granule position of the page where the
+    packet ENDS (RFC 3533: continuation pages carry -1); crc_ok =
+    every page the packet touches verified. Truncated or non-OggS
+    payloads raise — loud-fail, same contract as the other
+    container walks."""
+    import hashlib
+
+    cols = [id_col, "packet_idx", "kind", "n_bytes", "pages_spanned",
+            "bos", "eos", "granule", "crc_ok", "sample_rate",
+            "channels", "content_md5"]
+
+    def walk(b: bytes):
+        i = 0
+        # packet assembly state: (bytes, first/last page flags, pages)
+        buf = bytearray()
+        pages_touched = 0
+        pkt_bos = False
+        pkt_crc_ok = True
+        idx = 0
+        while i < len(b):
+            if b[i:i + 4] != b"OggS" or i + 27 > len(b):
+                raise ValueError(f"bad Ogg capture pattern at {i}")
+            nseg = b[i + 26]
+            seg_end = i + 27 + nseg
+            if seg_end > len(b):
+                raise ValueError("truncated Ogg segment table")
+            lacing = b[i + 27:seg_end]
+            plen = sum(lacing)
+            if seg_end + plen > len(b):
+                raise ValueError("truncated Ogg page payload")
+            page = bytearray(b[i:seg_end + plen])
+            stored = int.from_bytes(page[22:26], "little")
+            page[22:26] = b"\x00\x00\x00\x00"
+            page_ok = ogg_crc(bytes(page)) == stored
+            flags = b[i + 5]
+            gran = int.from_bytes(b[i + 6:i + 14], "little", signed=True)
+            if not buf:
+                pkt_bos = bool(flags & 0x02)
+                pkt_crc_ok = True
+                pages_touched = 0
+            pages_touched += 1
+            pkt_crc_ok = pkt_crc_ok and page_ok
+            pos = seg_end
+            for li, lace in enumerate(lacing):
+                buf += b[pos:pos + lace]
+                pos += lace
+                if lace < 255:      # packet ends here
+                    yield (idx, bytes(buf), pages_touched, pkt_bos,
+                           bool(flags & 0x04) and li == nseg - 1,
+                           gran, pkt_crc_ok)
+                    idx += 1
+                    buf = bytearray()
+                    pkt_bos = False
+                    pkt_crc_ok = page_ok
+                    pages_touched = 1
+            if buf and pos == seg_end + plen and lacing \
+                    and lacing[-1] == 255:
+                pass                # packet continues on the next page
+            i = seg_end + plen
+        if buf:
+            raise ValueError("stream ends mid-packet")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                for (idx, pkt, npg, bos, eos, gran, ok) in walk(b):
+                    kind, sr, ch, md = "data", None, None, None
+                    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                        kind = "vorbis_id"
+                        ch = pkt[11]
+                        sr = int.from_bytes(pkt[12:16], "little")
+                    elif pkt[:8] == b"OpusHead" and len(pkt) >= 16:
+                        kind = "opus_head"
+                        ch = pkt[9]
+                        sr = int.from_bytes(pkt[12:16], "little")
+                    elif pkt[:4] == b"cmt:":
+                        kind = "comment"
+                        md = hashlib.md5(pkt).hexdigest()
+                    else:
+                        md = hashlib.md5(pkt).hexdigest()
+                    rows.append({
+                        id_col: mid, "packet_idx": idx, "kind": kind,
+                        "n_bytes": len(pkt), "pages_spanned": npg,
+                        "bos": bos, "eos": eos, "granule": gran,
+                        "crc_ok": ok, "sample_rate": sr,
+                        "channels": ch, "content_md5": md})
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = (f"{id_col} string, packet_idx int, kind string, "
+                  "n_bytes long, pages_spanned int, bos boolean, "
+                  "eos boolean, granule long, crc_ok boolean, "
+                  "sample_rate int, channels int, content_md5 string")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
 def decode_features(df: DataFrame, kind_col: str = "kind",
                     payload_col: str = "payload",
                     id_col: str = "media_id") -> DataFrame:

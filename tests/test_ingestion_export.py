@@ -1724,3 +1724,55 @@ def test_avro_container_blocks_and_zigzag(spark):
     assert rows[1]["text_md5"] == hashlib.md5(
         "négative é".encode()).hexdigest()
     assert rows[0]["n_blocks"] == 3
+
+
+def test_ogg_packet_walk_crc_and_reassembly(spark):
+    """Round-8 Ogg container walk: real page CRC (unreflected
+    0x04C11DB7 — verified against the RFC's algorithm by detecting a
+    post-seal bit flip), lacing reassembly across continuation pages
+    (600-byte packet = [255,255] + continued [90]), exact-255-multiple
+    terminator, BOS/EOS flags, end-page granule."""
+    import hashlib
+
+    from memory_engine_spark.operators.multimodal import (ogg_packets,
+                                                          synth_ogg)
+
+    vorbis_id = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                 + bytes([2]) + (44100).to_bytes(4, "little")
+                 + b"\x00" * 12 + b"\x01")
+    pkts = [vorbis_id, b"cmt:unit", b"A" * 600, b"B" * 510, b"end"]
+    grans = [0, 0, 960, 1920, 2880]
+    clean = synth_ogg(pkts, serial=5, granules=grans)
+    bad = synth_ogg(pkts, serial=5, granules=grans,
+                    corrupt=(2, 0, 0x01))     # flip 'A'->'@' post-CRC
+
+    df = spark.createDataFrame(
+        [("ok", bytearray(clean)), ("bad", bytearray(bad))],
+        "media_id string, payload binary")
+    out = {(r["media_id"], r["packet_idx"]): r
+           for r in ogg_packets(df).collect()}
+
+    r0 = out[("ok", 0)]
+    assert (r0["kind"], r0["channels"], r0["sample_rate"],
+            r0["bos"], r0["content_md5"]) == \
+        ("vorbis_id", 2, 44100, True, None)
+    r1 = out[("ok", 1)]
+    assert (r1["kind"], r1["n_bytes"],
+            r1["content_md5"]) == \
+        ("comment", 8, hashlib.md5(b"cmt:unit").hexdigest())
+    r2 = out[("ok", 2)]
+    assert (r2["pages_spanned"], r2["n_bytes"], r2["granule"],
+            r2["crc_ok"]) == (2, 600, 960, True)
+    r3 = out[("ok", 3)]           # exact 510 = [255,255,0] lacing
+    assert (r3["pages_spanned"], r3["n_bytes"]) == (1, 510)
+    r4 = out[("ok", 4)]
+    assert (r4["eos"], r4["granule"]) == (True, 2880)
+    assert all(out[("ok", i)]["crc_ok"] for i in range(5))
+
+    # corruption: only packet 2's pages fail CRC; its md5 reflects
+    # the corrupted bytes as-read.
+    assert out[("bad", 2)]["crc_ok"] is False
+    assert out[("bad", 2)]["content_md5"] == \
+        hashlib.md5(b"@" + b"A" * 599).hexdigest()
+    for i in (0, 1, 3, 4):
+        assert out[("bad", i)]["crc_ok"] is True, i
