@@ -5086,6 +5086,76 @@ def q209_untapped_customers(spark, sf):
             .orderBy("cntrycode"))
 
 
+def q211_small_quantity_revenue(spark, sf):
+    """TPC-H Q17-shape — the per-GROUP correlated scalar-average
+    decorrelation (Q2/q199 decorrelated a min; this is the avg twin
+    with the aggregate correlated to the probe side's own rows):
+    revenue from small-quantity orders of small parts, where 'small
+    quantity' means below 20% of THAT PART's average order quantity.
+    Decorrelation shape: one map-side-combined groupBy(l_partkey)
+    over the (part-filtered, semi-join-pruned) lineitem computes
+    (sum_qty, cnt) per part; joined back to the same pruned scan on
+    the SAME key — one shuffle partitioning serves both sides — and
+    the 0.2·avg threshold is the EXACT decimal cross-multiplication
+    5·qty·cnt < sum_qty (no division, no float boundary). Output per
+    brand: yearly-average revenue (Σ price / 7, the Q17 constant),
+    decimal-summed then rounded. Part is the broadcast dim pruning
+    BOTH the agg and probe scans (p_size ≤ 5)."""
+    t = _t(spark, sf)
+    small_parts = (t["part"].filter(F.col("p_size") <= 5)
+                   .select("p_partkey", "p_brand"))
+    li = (t["lineitem"]
+          .join(F.broadcast(small_parts),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "p_brand",
+                  F.col("l_quantity").cast("decimal(18,2)").alias("_q"),
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  .alias("_price")))
+    per_part = (li.groupBy(F.col("l_partkey").alias("_pk"))
+                .agg(F.sum("_q").alias("_sum_q"),
+                     F.count(F.lit(1)).alias("_cnt")))
+    small = (li.join(per_part, F.col("l_partkey") == F.col("_pk"))
+             .filter(F.col("_q") * 5 * F.col("_cnt") < F.col("_sum_q")))
+    return (small.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.round((F.sum("_price") / 7).cast("double"), 4)
+                 .alias("avg_yearly"))
+            .orderBy("p_brand"))
+
+
+def q212_important_parts(spark, sf):
+    """TPC-H Q11-shape — GROUP BY + HAVING against a global scalar
+    subquery (the last canonical decorrelation missing after
+    Q2/Q4/Q8/Q21/Q22/Q17): parts whose revenue from one nation's
+    suppliers exceeds 1/1000 of that nation's total. Shape: ONE
+    aggregate over the nation-pruned lineitem (supplier⋈nation is a
+    broadcast semi-join on the fact scan), its grand total re-derived
+    as a second 1-row aggregate OF THE GROUPED RESULT (never a
+    rescan of the fact), broadcast back via crossJoin; the HAVING is
+    the exact decimal cross-multiplication value·1000 > total.
+    Ordered by (value desc, partkey) with rounded doubles only in
+    the projection, never the comparison."""
+    t = _t(spark, sf)
+    nat_supp = (t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey"))
+    li = (t["lineitem"]
+          .join(F.broadcast(nat_supp),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+          .select("l_partkey",
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  .alias("_price")))
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum("_price").alias("_value")))
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("_value") * 1000 > F.col("_total"))
+            .select("l_partkey",
+                    F.col("_value").cast("double").alias("value"))
+            .orderBy(F.col("value").desc(), F.col("l_partkey").asc()))
+
+
 def q210_ogg_packets(spark, sf):
     """REAL Ogg (RFC 3533) container walk under the oracle gate —
     page CRC verification (unreflected 0x04C11DB7 table, the one CRC
@@ -6477,6 +6547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_waiting_suppliers": q208_waiting_suppliers,
         "q209_untapped_customers": q209_untapped_customers,
         "q210_ogg_packets": q210_ogg_packets,
+        "q211_small_quantity_revenue": q211_small_quantity_revenue,
+        "q212_important_parts": q212_important_parts,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -10893,6 +10965,54 @@ def oracle_sql() -> dict[str, str]:
                 AND o.o_orderdate >= '2001-01-01')
         GROUP BY c_nationkey
         ORDER BY cntrycode
+    """
+
+    # q211: Q17 shape — the correlated per-part avg decorrelated to a
+    # self-joined group aggregate; the 0.2·avg gate replayed as the
+    # same exact decimal cross-multiplication.
+    sql["q211_small_quantity_revenue"] = """
+        WITH li AS (
+            SELECT l.l_partkey, p.p_brand,
+                   l.l_quantity::DECIMAL(18,2) AS q,
+                   l.l_extendedprice::DECIMAL(18,2) AS price
+            FROM lineitem l JOIN part p
+                 ON l.l_partkey = p.p_partkey
+            WHERE p.p_size <= 5
+        ),
+        pp AS (
+            SELECT l_partkey, SUM(q) AS sum_q, COUNT(*)::BIGINT AS cnt
+            FROM li GROUP BY l_partkey
+        )
+        SELECT li.p_brand, COUNT(*)::BIGINT AS n_lines,
+               ROUND((SUM(li.price) / 7)::DOUBLE, 4) AS avg_yearly
+        FROM li JOIN pp ON li.l_partkey = pp.l_partkey
+        WHERE li.q * 5 * pp.cnt < pp.sum_q
+        GROUP BY li.p_brand
+        ORDER BY li.p_brand
+    """
+
+    # q212: Q11 shape — HAVING against a global scalar, replayed with
+    # the identical cross-multiplied decimal gate.
+    sql["q212_important_parts"] = """
+        WITH li AS (
+            SELECT l.l_partkey,
+                   l.l_extendedprice::DECIMAL(18,2) AS price
+            FROM lineitem l
+            WHERE EXISTS (
+                SELECT 1 FROM supplier s JOIN nation n
+                     ON s.s_nationkey = n.n_nationkey
+                WHERE s.s_suppkey = l.l_suppkey
+                  AND n.n_name = 'NATION_3')
+        ),
+        pp AS (
+            SELECT l_partkey, SUM(price) AS value FROM li
+            GROUP BY l_partkey
+        ),
+        tot AS (SELECT SUM(value) AS total FROM pp)
+        SELECT l_partkey, value::DOUBLE AS value
+        FROM pp, tot
+        WHERE value * 1000 > total
+        ORDER BY value DESC, l_partkey
     """
 
     # q210: every packet fact regenerated by formula — the md5s pin
