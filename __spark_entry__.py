@@ -5156,6 +5156,42 @@ def q212_important_parts(spark, sf):
             .orderBy(F.col("value").desc(), F.col("l_partkey").asc()))
 
 
+def q213_split_leakage(spark, sf):
+    """Train/val/test split assignment + NEAR-DUP LEAKAGE AUDIT — the
+    eval-integrity step every LLM data pipeline needs beyond exact
+    decontamination (q58 checks benchmark strings; this catches the
+    subtler failure where a TEST document's near-duplicate sits in
+    TRAIN, silently inflating eval). Split is content-addressed and
+    engine-portable — first hex char of md5(doc_id): 0-b → train
+    (75%), c-d → val, e-f → test — so membership is a pure function
+    of the id, reproducible across reruns and engines. Leakage = the
+    skew-guarded exact shingle-Jaccard pairs (q81's 100 TB-default
+    machinery: stop-shingle cap 50, threshold 0.3) whose endpoints
+    land in DIFFERENT splits. Row-level output (both ids, both
+    splits, jaccard) so the oracle pins every leaked pair, not a
+    count. Scale: the pair join is the audited q81 shape; the split
+    join adds two broadcast-size projections of the id column."""
+    t = _t(spark, sf)
+    split = (t["documents"].select(
+        "doc_id",
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")),
+                           1, 1).isin(*list("0123456789ab")), "train")
+        .when(F.substring(F.md5(F.col("doc_id").cast("string")),
+                          1, 1).isin("c", "d"), "val")
+        .otherwise("test").alias("split")))
+    pairs = dedup.ngram_jaccard_pairs(t["documents"], "text", "doc_id",
+                                      n=3, threshold=0.3,
+                                      max_shingle_freq=50)
+    sa = split.select(F.col("doc_id").alias("a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("b"),
+                      F.col("split").alias("split_b"))
+    return (pairs.join(sa, "a").join(sb, "b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("a", "b", "split_a", "split_b", "jaccard")
+            .orderBy("a", "b"))
+
+
 def q210_ogg_packets(spark, sf):
     """REAL Ogg (RFC 3533) container walk under the oracle gate —
     page CRC verification (unreflected 0x04C11DB7 table, the one CRC
@@ -6549,6 +6585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_ogg_packets": q210_ogg_packets,
         "q211_small_quantity_revenue": q211_small_quantity_revenue,
         "q212_important_parts": q212_important_parts,
+        "q213_split_leakage": q213_split_leakage,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -8427,6 +8464,54 @@ def oracle_sql() -> dict[str, str]:
         FROM common JOIN sizes sa ON sa.doc_id = a
                     JOIN sizes sb ON sb.doc_id = b
         WHERE c / (sa.sz + sb.sz - c) >= 0.3
+    """
+
+    # q213: q81's pair machinery + the content-addressed split rule,
+    # keeping only cross-split pairs — every leaked pair pinned.
+    sql["q213_split_leakage"] = f"""
+        WITH {TOKS_CTE},
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                               i -> array_to_string(toks[i+1:i+3], ' '))
+            )) AS shingle
+            FROM toks_t
+        ),
+        kept AS (
+            SELECT doc_id, shingle FROM sh
+            WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) <= 50)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM kept a JOIN kept b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a, b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = a
+                        JOIN sizes sb ON sb.doc_id = b
+            WHERE c / (sa.sz + sb.sz - c) >= 0.3
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7',
+                                 '8','9','a','b') THEN 'train'
+                        WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                             IN ('c','d') THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT p.a, p.b, spa.split AS split_a, spb.split AS split_b,
+               p.jaccard
+        FROM pairs p JOIN sp spa ON spa.doc_id = p.a
+                     JOIN sp spb ON spb.doc_id = p.b
+        WHERE spa.split <> spb.split
+        ORDER BY p.a, p.b
     """
 
     # q82/q83: generated from the same indicator lists as the Spark
