@@ -5192,6 +5192,83 @@ def q213_split_leakage(spark, sf):
             .orderBy("a", "b"))
 
 
+def q214_column_profile(spark, sf):
+    """ANALYZE-style table profiler — the data-quality pre-flight
+    every ingest runs before committing a 100 TB batch: per column,
+    row count, null count, EXACT distinct count, and min/max (as
+    strings, so one long-format schema carries every type). ONE scan:
+    all per-column aggregates compute in a single agg (Spark expands
+    multi-distinct internally; map-side partials do the heavy
+    lifting), then the 1-row wide result unpivots via stack() — no
+    per-column rescans, which is the difference between a profiler
+    you run always and one you run never. At 100 TB exact distincts
+    on high-cardinality columns are the expensive part; the HLL
+    variant (q77's sketch) is the documented fallback — this op is
+    the exact-audit path."""
+    docs = _t(spark, sf)["documents"]
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_dist_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}")]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols)
+    return (wide.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(f"stack({len(cols)}, {stack}) as "
+               "(column, n_nulls, n_distinct, min_s, max_s)"))
+        .select("column", "n_rows",
+                F.col("n_nulls").cast("long").alias("n_nulls"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                "min_s", "max_s")
+        .orderBy("column"))
+
+
+def q215_attribution(spark, sf):
+    """Linear multi-touch attribution — the marketing/behavior
+    pipeline op over the events stream: each purchase splits one
+    unit of credit equally across the SAME user's click/view/signup
+    touches in the preceding 7 days (exclusive of the purchase
+    instant). Credit is carried in EXACT parts-per-million — each
+    touch earns 1_000_000 DIV n_touches (integer floor division,
+    identical in both engines) — so the per-type BIGINT credit sums
+    are hash-stable with no float-order hazard; fractional-division
+    attribution is where naive double sums flap. Shape: one
+    user-keyed equi-join with the time window as residual, a
+    per-purchase count (map-side combined), one final groupBy on the
+    touch type. At 100 TB users partition the join; the 7-day bound
+    keeps per-user candidate pairs linear in event density."""
+    ev = _t(spark, sf)["events"]
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("p_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts")))
+    touches = (ev.filter(F.col("event_type")
+                         .isin("click", "view", "signup"))
+               .select("user_id", "event_type",
+                       F.col("ts").alias("t_ts")))
+    attributed = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")))
+    per_purchase = (attributed.groupBy("p_id")
+                    .agg(F.count(F.lit(1)).alias("_n")))
+    return (attributed
+            .join(per_purchase, "p_id")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+                 F.countDistinct("p_id").cast("long")
+                 .alias("n_purchases"),
+                 F.sum(F.expr("1000000 div _n")).cast("long")
+                 .alias("credit_ppm"))
+            .orderBy("event_type"))
+
+
 def q210_ogg_packets(spark, sf):
     """REAL Ogg (RFC 3533) container walk under the oracle gate —
     page CRC verification (unreflected 0x04C11DB7 table, the one CRC
@@ -6586,6 +6663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_small_quantity_revenue": q211_small_quantity_revenue,
         "q212_important_parts": q212_important_parts,
         "q213_split_leakage": q213_split_leakage,
+        "q214_column_profile": q214_column_profile,
+        "q215_attribution": q215_attribution,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11098,6 +11177,48 @@ def oracle_sql() -> dict[str, str]:
         FROM pp, tot
         WHERE value * 1000 > total
         ORDER BY value DESC, l_partkey
+    """
+
+    # q214: per-column stats replayed as one aggregate per column
+    # UNION ALL'd (the long format the Spark stack() emits).
+    sql["q214_column_profile"] = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS "column", COUNT(*)::BIGINT AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_nulls,
+               COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+               MIN({c})::VARCHAR AS min_s,
+               MAX({c})::VARCHAR AS max_s
+        FROM documents"""
+        for c in ["doc_id", "lang", "source", "n_chars"]) \
+        + ' ORDER BY "column"'
+
+    # q215: the same join/window replay; credit in exact ppm via
+    # integer floor division (1000000 // n), so the sums are BIGINT.
+    sql["q215_attribution"] = """
+        WITH p AS (
+            SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id, event_type, ts AS t_ts
+            FROM events
+            WHERE event_type IN ('click', 'view', 'signup')
+        ),
+        a AS (
+            SELECT p.p_id, t.event_type
+            FROM p JOIN t ON t.user_id = p.p_user
+                 AND t.t_ts < p.p_ts
+                 AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+        ),
+        n AS (SELECT p_id, COUNT(*) AS cnt FROM a GROUP BY p_id)
+        SELECT a.event_type,
+               COUNT(*)::BIGINT AS n_touches,
+               COUNT(DISTINCT a.p_id)::BIGINT AS n_purchases,
+               SUM(1000000 // n.cnt)::BIGINT AS credit_ppm
+        FROM a JOIN n ON n.p_id = a.p_id
+        GROUP BY a.event_type
+        ORDER BY a.event_type
     """
 
     # q210: every packet fact regenerated by formula — the md5s pin
