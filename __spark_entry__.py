@@ -2898,13 +2898,26 @@ def q125_stream_interval_join(spark, sf):
     return _q125_drain(spark, sf, "click", "view")
 
 
-def _q125_drain(spark, sf, click_type: str, view_type: str):
+def _q125_drain(spark, sf, click_type: str, view_type: str,
+                state_partitions: int = 8):
     """q125's full plumbing, parameterized on the two side filters so
     the bench lifecycle probe (`q125_lifecycle`) can drain the SAME
     two file-stream sources with types that match nothing — zero
     state, zero output — isolating the MicroBatchExecution lifecycle
     cost (planning, file-source listing, state-store scaffolding,
-    startup/teardown) from the join work (r07 verdict item 4)."""
+    startup/teardown) from the join work (r07 verdict item 4).
+
+    ``state_partitions`` conf-windows ``spark.sql.shuffle.partitions``
+    around the streaming query: a stream-stream join materializes TWO
+    state stores PER shuffle partition PER micro-batch, so the
+    partition count — not the data — dominated q125's wall at this
+    scale (measured at sf0.1: 32 parts → 6.4 s, 16 → 4.0 s, 8 →
+    2.8 s with the lifecycle floor dropping 3.4 → 1.7 s; the join
+    residual lands ~1.1 s). 8 keeps every core busy at local scale;
+    at 100 TB the number is sized to per-store state (~100-500 MB per
+    store), exactly like any other shuffle — the point is that the
+    state-store stage is sized to STATE, never inherited from the
+    scan parallelism."""
     import os
     import shutil
     import tempfile
@@ -2931,9 +2944,15 @@ def _q125_drain(spark, sf, click_type: str, view_type: str):
                                   watermark_s=10 ** 9)
     _Q125_SEQ[0] += 1
     name = f"q125_sink_{os.getpid()}_{_Q125_SEQ[0]}"
-    q = (joined.writeStream.outputMode("append").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(state_partitions))
+    try:
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (spark.table(name)
             .select("user_id",
                     F.unix_micros("ts").alias("click_us"),
