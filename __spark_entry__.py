@@ -1522,17 +1522,25 @@ def q46_passage_overlap(spark, sf):
     style, text suite): doc pairs sharing ≥ 3 rolling 8-token window
     md5 fingerprints — near-exact passage reuse, blocked on the
     fingerprint itself."""
+    from memory_engine_spark.operators.dedup import _materialize_release
+
     t = _t(spark, sf)
     docs = t["documents"]
+    # Persist the fingerprint frame: it feeds BOTH join sides, and
+    # without the pin each side re-tokenizes and re-md5s the corpus
+    # (the q194 branch re-derivation lesson — caught when round 8's
+    # full-registry bench first timed this query: 7.7 s → ~4 s).
     fp = docs.select(
         F.col("doc_id").alias("_id"),
         F.explode(F.array_distinct(
-            text.rolling_fingerprints(F.col("text"), window=8))).alias("fp"))
+            text.rolling_fingerprints(F.col("text"), window=8)))
+        .alias("fp")).persist()
     a = fp.select(F.col("_id").alias("a"), "fp")
     b = fp.select(F.col("_id").alias("b"), "fp")
-    return (a.join(b, "fp").filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
-            .filter(F.col("n_shared") >= 3))
+    out = (a.join(b, "fp").filter(F.col("a") < F.col("b"))
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+           .filter(F.col("n_shared") >= 3))
+    return _materialize_release(out, fp)
 
 
 def q47_merge_semantics(spark, sf):

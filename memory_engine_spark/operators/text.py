@@ -268,13 +268,17 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)))
     ex = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("g")) \
         .filter(F.col("g") != "")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("_id").orderBy(F.col("n").desc(), F.col("g").asc())
+    # Top-1 per doc as min(struct(-n, g)) — (n desc, g asc) tiebreak
+    # identical to the previous row_number window, but an AGGREGATE:
+    # map-side partial combine, no per-partition sort (the window
+    # version sorted every doc's full gram census; round-8 full-
+    # registry bench exposed it as one of the suite's slowest scans).
     top = (ex.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("n"))
-           .withColumn("_rk", F.row_number().over(w)).filter("_rk = 1")
-           .select("_id", F.col("n").alias("top_n"),
-                   F.length("g").alias("top_l")))
+           .groupBy("_id")
+           .agg(F.min(F.struct((-F.col("n")).alias("_neg"),
+                               F.col("g").alias("_g"))).alias("_t"))
+           .select("_id", (-F.col("_t._neg")).alias("top_n"),
+                   F.length("_t._g").alias("top_l")))
     out = base.join(top, "_id", "left")
     frac = F.when(F.col("top_n").isNull(), 0.0).otherwise(
         F.round(F.col("top_n") * F.col("top_l") / F.col("_chars"), 6))
