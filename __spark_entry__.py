@@ -1003,8 +1003,15 @@ def q51_qa_confidence(spark, sf):
     """Per-type QA answer confidence (question_answering.py:820-841):
     for one question of each of the 8 types, the evidence count and the
     synthesized-answer confidence (0.6·avg relevance + corroboration
-    boosts + 0.2·high-quality fraction, cap 0.95)."""
-    docs = _t(spark, sf)["documents"]
+    boosts + 0.2·high-quality fraction, cap 0.95). The doc frame is
+    spread first: the single-file scan otherwise feeds all 8 scoring
+    branches (tokenize + 3 marker regexes each) through ONE task —
+    measured 5.2 s warm on one core at sf0.1 (the _media_docs
+    single-partition-feeder lesson, caught when round 8's
+    full-registry bench first timed this query)."""
+    from memory_engine_spark.operators.dedup import _spread
+
+    docs = _spread(_t(spark, sf)["documents"])
     outs = []
     for qtype, question in QA_QUESTIONS:
         parsed = qa.parse_question(question)

@@ -301,11 +301,17 @@ def decontaminate(train: DataFrame, benchmark: DataFrame, text_col: str,
     is an equi-join on the fingerprint — never a cross join; the
     benchmark side is tiny and broadcasts. Returns
     (id, n_collisions) for CONTAMINATED docs (anti-join to drop them)."""
+    from memory_engine_spark.operators.dedup import _spread
+
     def fp(df):
-        return df.select(
-            F.col(id_col).alias("_id"),
+        # _spread: a single-file scan otherwise runs the whole
+        # tokenize+md5 fingerprint stage in ONE task (round-8 bench:
+        # 3.9 s warm on one core at sf0.1).
+        return _spread(df.select(F.col(id_col).alias("_id"),
+                                 F.col(text_col).alias("_t"))).select(
+            "_id",
             F.explode(F.array_distinct(
-                rolling_fingerprints(F.col(text_col), window))).alias("fp"))
+                rolling_fingerprints(F.col("_t"), window))).alias("fp"))
 
     bench_fps = fp(benchmark).select("fp").distinct()
     hits = fp(train).join(F.broadcast(bench_fps), "fp")
