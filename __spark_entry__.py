@@ -5303,6 +5303,52 @@ def q215_attribution(spark, sf):
             .orderBy("event_type"))
 
 
+def q216_lz4_frames(spark, sf):
+    """REAL LZ4 frame walking under the oracle gate — the other
+    dominant shard compression next to gzip (q173) and snappy
+    (q190's parquet pages), with the format's actual integrity
+    machinery: a pure-Python xxHash32 (verified against the
+    reference test vectors in tests) checks the frame descriptor
+    byte AND the content checksum. Each document synthesizes a
+    2-block frame: block 0 compressed by our greedy LZ4 block
+    encoder (12× repetition — the round trip through the REAL
+    decoder pins the encoder via the md5), block 1 a stored
+    (high-bit) block; every 6th document gets one stored-payload
+    byte flipped AFTER the frame is sealed, so the walker must
+    report content_ok=false with the corrupted md5 — an
+    implementation that skips the xxh32 verify fails those rows in
+    both directions. Arrow mapInPandas over the spread feeder;
+    only digests and lengths shuffle."""
+    from memory_engine_spark.sources.formats import (lz4_frame_blocks,
+                                                     synth_lz4_frame)
+
+    docs = (_t(spark, sf)["documents"]
+            .select("doc_id", "text", "source")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, text, src in zip(pdf["doc_id"], pdf["text"],
+                                    pdf["source"]):
+                d = int(d)
+                b0 = ("B0:" + (text[:20] + "~") * 12).encode()
+                b1 = ("B1:" + text[:40] + "|" + src).encode()
+                frame = bytearray(synth_lz4_frame(
+                    [(b0, True), (b1, False)]))
+                if d % 6 == 0:
+                    frame[bytes(frame).find(b"B1:")] ^= 0x02
+                ids.append(f"m_{d}")
+                payloads.append(bytes(frame))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return (lz4_frame_blocks(media)
+            .orderBy("media_id", "block_idx"))
+
+
 def q210_ogg_packets(spark, sf):
     """REAL Ogg (RFC 3533) container walk under the oracle gate —
     page CRC verification (unreflected 0x04C11DB7 table, the one CRC
@@ -6699,6 +6745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_split_leakage": q213_split_leakage,
         "q214_column_profile": q214_column_profile,
         "q215_attribution": q215_attribution,
+        "q216_lz4_frames": q216_lz4_frames,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11253,6 +11300,34 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN n ON n.p_id = a.p_id
         GROUP BY a.event_type
         ORDER BY a.event_type
+    """
+
+    # q216: per-block facts by formula — block 0's md5 pins the LZ4
+    # encode→decode round trip; block 1's CASE pins the corruption
+    # flip; content_ok pins the xxh32 content checksum itself.
+    sql["q216_lz4_frames"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'B0:' || repeat(substring(text, 1, 20) || '~', 12)
+                       AS b0,
+                   'B1:' || substring(text, 1, 40) || '|' || source
+                       AS b1
+            FROM documents
+        ),
+        p AS (SELECT doc_id, b0, b1, unnest(range(0, 2)) AS i FROM d)
+        SELECT 'm_' || doc_id AS media_id,
+               i::INT AS block_idx,
+               (i = 1) AS stored,
+               (CASE WHEN i = 1 THEN strlen(b1) END)::BIGINT
+                   AS stored_bytes,
+               (CASE WHEN i = 0 THEN strlen(b0)
+                     ELSE strlen(b1) END)::BIGINT AS block_bytes,
+               CASE WHEN i = 0 THEN md5(b0)
+                    WHEN doc_id % 6 = 0
+                        THEN md5('@' || substring(b1, 2))
+                    ELSE md5(b1) END AS block_md5,
+               NOT (doc_id % 6 = 0) AS content_ok
+        FROM p ORDER BY media_id, block_idx
     """
 
     # q210: every packet fact regenerated by formula — the md5s pin

@@ -1600,3 +1600,274 @@ def schema_drift_union(batches: "list[DataFrame]",
         df = df.select(*canon)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LZ4 frame (the other dominant shard compression next to gzip/snappy;
+# spec: lz4/lz4 lz4_Frame_format.md + lz4_Block_format.md, public) —
+# pure Python like the snappy/gzip paths, with the frame's REAL
+# xxHash32 integrity checks (header checksum byte + content checksum).
+# ---------------------------------------------------------------------------
+
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393)
+
+
+def _rotl32(x: int, r: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (Collet; the LZ4 frame's checksum algorithm). Verified
+    against the reference test vectors in tests (xxh32('')=0x02CC5D05
+    etc.); implemented here because the container ships no lz4/xxhash
+    bindings and the frame format REQUIRES it — a frame walker that
+    skips the checksums can't detect the corruption q216 injects."""
+    i, n = 0, len(data)
+    if n >= 16:
+        v1 = (seed + _XXP1 + _XXP2) & 0xFFFFFFFF
+        v2 = (seed + _XXP2) & 0xFFFFFFFF
+        v3 = seed & 0xFFFFFFFF
+        v4 = (seed - _XXP1) & 0xFFFFFFFF
+        while i + 16 <= n:
+            v1 = (_rotl32(v1 + int.from_bytes(data[i:i + 4], "little")
+                          * _XXP2, 13) * _XXP1) & 0xFFFFFFFF
+            v2 = (_rotl32(v2 + int.from_bytes(data[i + 4:i + 8], "little")
+                          * _XXP2, 13) * _XXP1) & 0xFFFFFFFF
+            v3 = (_rotl32(v3 + int.from_bytes(data[i + 8:i + 12], "little")
+                          * _XXP2, 13) * _XXP1) & 0xFFFFFFFF
+            v4 = (_rotl32(v4 + int.from_bytes(data[i + 12:i + 16], "little")
+                          * _XXP2, 13) * _XXP1) & 0xFFFFFFFF
+            i += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7)
+             + _rotl32(v3, 12) + _rotl32(v4, 18)) & 0xFFFFFFFF
+    else:
+        h = (seed + _XXP5) & 0xFFFFFFFF
+    h = (h + n) & 0xFFFFFFFF
+    while i + 4 <= n:
+        h = (_rotl32(h + int.from_bytes(data[i:i + 4], "little")
+                     * _XXP3, 17) * _XXP4) & 0xFFFFFFFF
+        i += 4
+    while i < n:
+        h = (_rotl32(h + data[i] * _XXP5, 11) * _XXP1) & 0xFFFFFFFF
+        i += 1
+    h ^= h >> 15
+    h = (h * _XXP2) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * _XXP3) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _lz4_block_compress(data: bytes) -> bytes:
+    """LZ4 block, greedy hash-table matcher. Honors the spec's end
+    rules: the last 5 bytes are always literals and no match starts
+    within the last 12 bytes (mflimit), so any conformant decoder —
+    not just ours — accepts the output. Matches are ≥4 bytes at
+    offsets ≤ 65535."""
+    n = len(data)
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    limit = n - 12                      # no match may start past here
+
+    def emit(lit_end: int, m_off: int | None, m_len: int) -> None:
+        lit_len = lit_end - anchor
+        tok_lit = 15 if lit_len >= 15 else lit_len
+        tok_mat = 0
+        if m_off is not None:
+            ml = m_len - 4
+            tok_mat = 15 if ml >= 15 else ml
+        out.append((tok_lit << 4) | tok_mat)
+        rem = lit_len - 15
+        while rem >= 0:
+            out.append(255 if rem >= 255 else rem)
+            rem -= 255
+        out.extend(data[anchor:lit_end])
+        if m_off is not None:
+            out.extend(m_off.to_bytes(2, "little"))
+            rem = (m_len - 4) - 15
+            while rem >= 0:
+                out.append(255 if rem >= 255 else rem)
+                rem -= 255
+
+    while i < limit:
+        key = data[i:i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 65535 or data[cand:cand + 4] != key:
+            i += 1
+            continue
+        m_len = 4
+        # extend, but leave the spec's 5 trailing literal bytes
+        while i + m_len < n - 5 and data[cand + m_len] == data[i + m_len]:
+            m_len += 1
+        emit(i, i - cand, m_len)
+        i += m_len
+        anchor = i
+    # trailing literals-only sequence
+    lit_len = n - anchor
+    tok_lit = 15 if lit_len >= 15 else lit_len
+    out.append(tok_lit << 4)
+    rem = lit_len - 15
+    while rem >= 0:
+        out.append(255 if rem >= 255 else rem)
+        rem -= 255
+    out.extend(data[anchor:])
+    return bytes(out)
+
+
+def _lz4_block_decompress(b: bytes) -> bytes:
+    """LZ4 block decode: token nibbles, 255-extension lengths, 2-byte
+    LE offsets, overlapping copies replayed in ≤offset chunks (the
+    RLE idiom, same as snappy's)."""
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        token = b[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                x = b[i]
+                i += 1
+                lit += x
+                if x != 255:
+                    break
+        out += b[i:i + lit]
+        i += lit
+        if i >= n:
+            break                       # last sequence: literals only
+        off = int.from_bytes(b[i:i + 2], "little")
+        i += 2
+        if off == 0 or off > len(out):
+            raise ValueError("lz4 match offset out of range")
+        ml = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                x = b[i]
+                i += 1
+                ml += x
+                if x != 255:
+                    break
+        while ml > 0:
+            take = min(ml, off)
+            start = len(out) - off
+            out += out[start:start + take]
+            ml -= take
+    return bytes(out)
+
+
+def synth_lz4_frame(blocks: list[tuple[bytes, bool]]) -> bytes:
+    """Assemble a spec-shaped LZ4 frame: magic 0x184D2204; FLG
+    (version 01, block-independence, content-checksum, content-size),
+    BD (4 MB max block), 8-byte content size, header-checksum byte
+    ((xxh32(descriptor) >> 8) & 0xFF); then per block a 4-byte LE
+    size word whose HIGH BIT marks a stored (uncompressed) block;
+    0x00000000 end mark; xxh32 content checksum. ``blocks`` =
+    (raw_bytes, compress?) — the encode twin of ``lz4_frame_blocks``."""
+    content = b"".join(raw for raw, _ in blocks)
+    flg = 0b01100100 | 0b00001000       # v01, indep, csize, ccheck
+    bd = 0x70                           # 4 MB
+    desc = bytes([flg, bd]) + len(content).to_bytes(8, "little")
+    hdr = (0x184D2204).to_bytes(4, "little") + desc \
+        + bytes([(_xxh32(desc) >> 8) & 0xFF])
+    body = bytearray(hdr)
+    for raw, compress in blocks:
+        if compress:
+            comp = _lz4_block_compress(raw)
+            if len(comp) < len(raw):
+                body += len(comp).to_bytes(4, "little") + comp
+                continue
+        body += (len(raw) | 0x80000000).to_bytes(4, "little") + raw
+    body += (0).to_bytes(4, "little")
+    body += _xxh32(content).to_bytes(4, "little")
+    return bytes(body)
+
+
+def lz4_frame_walk(payload: bytes) -> tuple[list, bool]:
+    """Walk one LZ4 frame: verify magic + header-checksum byte,
+    decode each block (stored or compressed), verify the content
+    checksum. Returns ([(stored?, stored_len, raw_bytes)...],
+    content_ok). Structural violations raise (loud-fail, the
+    container-walk contract); a checksum mismatch is DATA, not
+    structure — reported, not raised."""
+    b = payload or b""
+    if len(b) < 7 or int.from_bytes(b[:4], "little") != 0x184D2204:
+        raise ValueError("not an LZ4 frame")
+    flg = b[4]
+    if (flg >> 6) != 1:
+        raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    has_csize = bool(flg & 0b00001000)
+    has_ccheck = bool(flg & 0b00000100)
+    if flg & 0b00010000:
+        raise NotImplementedError("per-block checksums not emitted "
+                                  "by synth_lz4_frame")
+    desc_len = 2 + (8 if has_csize else 0)
+    desc = b[4:4 + desc_len]
+    hc = b[4 + desc_len]
+    if hc != (_xxh32(desc) >> 8) & 0xFF:
+        raise ValueError("LZ4 frame header checksum mismatch")
+    i = 5 + desc_len
+    blocks = []
+    content = bytearray()
+    while True:
+        word = int.from_bytes(b[i:i + 4], "little")
+        i += 4
+        if word == 0:
+            break
+        stored = bool(word & 0x80000000)
+        ln = word & 0x7FFFFFFF
+        chunk = b[i:i + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated LZ4 block")
+        i += ln
+        raw = chunk if stored else _lz4_block_decompress(chunk)
+        blocks.append((stored, ln, raw))
+        content += raw
+    content_ok = True
+    if has_ccheck:
+        content_ok = (int.from_bytes(b[i:i + 4], "little")
+                      == _xxh32(bytes(content)))
+    if has_csize:
+        csize = int.from_bytes(desc[2:10], "little")
+        if csize != len(content):
+            raise ValueError("LZ4 content size mismatch")
+    return blocks, content_ok
+
+
+def lz4_frame_blocks(df: "DataFrame", payload_col: str = "payload",
+                     id_col: str = "media_id") -> "DataFrame":
+    """Per-block LZ4 frame facts in one Arrow ``mapInPandas`` stage:
+    (id, block_idx, stored, stored_bytes [None for compressed blocks
+    — encoder-specific], block_bytes, block_md5, content_ok). Only
+    digests and lengths shuffle; the decoded bytes die in the
+    executor — the gzip_members/warc_records discipline."""
+    import hashlib
+
+    import pandas as pd
+
+    cols = [id_col, "block_idx", "stored", "stored_bytes",
+            "block_bytes", "block_md5", "content_ok"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                blocks, ok = lz4_frame_walk(
+                    bytes(payload) if payload is not None else b"")
+                for bi, (stored, ln, raw) in enumerate(blocks):
+                    rows.append({
+                        id_col: mid, "block_idx": bi, "stored": stored,
+                        "stored_bytes": ln if stored else None,
+                        "block_bytes": len(raw),
+                        "block_md5": hashlib.md5(raw).hexdigest(),
+                        "content_ok": ok})
+            yield pd.DataFrame(rows, columns=cols)
+
+    out_schema = (f"{id_col} string, block_idx int, stored boolean, "
+                  "stored_bytes long, block_bytes long, "
+                  "block_md5 string, content_ok boolean")
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)

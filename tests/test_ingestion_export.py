@@ -1776,3 +1776,41 @@ def test_ogg_packet_walk_crc_and_reassembly(spark):
         hashlib.md5(b"@" + b"A" * 599).hexdigest()
     for i in (0, 1, 3, 4):
         assert out[("bad", i)]["crc_ok"] is True, i
+
+
+def test_xxh32_reference_vectors_and_lz4_roundtrip():
+    """xxHash32 against the reference test vectors (the LZ4 frame's
+    checksum algorithm), LZ4 block round trips incl. the RLE
+    overlapping-copy idiom and >=15+255 extension lengths, and frame
+    walk with header-checksum + content-checksum verification."""
+    from memory_engine_spark.sources.formats import (
+        _lz4_block_compress, _lz4_block_decompress, _xxh32,
+        lz4_frame_walk, synth_lz4_frame)
+
+    assert _xxh32(b"") == 0x02CC5D05
+    assert _xxh32(b"a") == 0x550D7456
+    assert _xxh32(b"abc") == 0x32D153FF
+
+    cases = [b"", b"x", b"a" * 1000,                 # RLE overlap copy
+             b"the quick brown fox " * 60 + b"end",  # long match lens
+             bytes(range(256)) * 4,                  # incompressible-ish
+             b"B" * 14]                              # under mflimit
+    for data in cases:
+        assert _lz4_block_decompress(_lz4_block_compress(data)) == data
+
+    b0, b1 = b"rep " * 80, b"stored-tail"
+    frame = synth_lz4_frame([(b0, True), (b1, False)])
+    blocks, ok = lz4_frame_walk(frame)
+    assert ok and [(s, raw) for s, _, raw in blocks] == \
+        [(False, b0), (True, b1)]
+    # flip one stored byte post-seal: content checksum must catch it
+    bad = bytearray(frame)
+    bad[frame.find(b"stored-tail")] ^= 0x01
+    blocks2, ok2 = lz4_frame_walk(bytes(bad))
+    assert not ok2 and blocks2[1][2] != b1
+    # flip a descriptor byte: header checksum must raise (structure)
+    import pytest
+    bad2 = bytearray(frame)
+    bad2[5] ^= 0x01
+    with pytest.raises(ValueError, match="header checksum|unsupported"):
+        lz4_frame_walk(bytes(bad2))
