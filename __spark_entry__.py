@@ -5303,6 +5303,98 @@ def q215_attribution(spark, sf):
             .orderBy("event_type"))
 
 
+def q218_merge_into(spark, sf):
+    """Delta-style 3-clause MERGE INTO under the oracle gate
+    (merging.merge_into) — the set-oriented CDC apply every lakehouse
+    table needs at 100 TB (the reference's storage upserts are
+    per-row puts; q143's import-merge covers only the 2-clause
+    upsert). The CDC batch derives from the customer table by
+    formula: custkey%10==0 → delete, %10∈{1,2} → update (+100
+    balance), %10==3 → an INSERT under a shifted key, plus two
+    no-op clauses exercised — a matched 'insert' (%10==4, must leave
+    the target row untouched) and an unmatched 'delete' (shifted
+    key, must not materialize). One full-outer join on the key +
+    CASE projection; duplicate source keys are an ERROR like Delta's
+    MERGE (cardinality-checked). The oracle replays every clause."""
+    from memory_engine_spark.operators.merging import merge_into
+
+    cust = _t(spark, sf)["customer"]
+    m = F.col("c_custkey") % 10
+    upd = (cust.filter(m.isin(0, 1, 2, 4))
+           .withColumn("_op", F.when(m == 0, "delete")
+                       .when(m == 4, "insert")  # matched no-op
+                       .otherwise("update"))
+           .withColumn("c_acctbal",
+                       F.when(m.isin(1, 2), F.col("c_acctbal") + 100)
+                       .otherwise(F.col("c_acctbal"))))
+    ins = (cust.filter(m == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_custkey").cast("string"))
+        .alias("c_name"),
+        F.col("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit("insert").alias("_op")))
+    noop_del = (cust.filter(m == 5).select(
+        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        F.lit("delete").alias("_op")))  # unmatched no-op
+    src = upd.select(*ins.columns).unionByName(ins) \
+        .unionByName(noop_del)
+    return merge_into(cust, src, "c_custkey").orderBy("c_custkey")
+
+
+_Q217_SEQ = [0]
+
+
+def q217_stream_static_enrich(spark, sf):
+    """Stream-STATIC enrichment join under the oracle gate — the one
+    canonical streaming join shape q123-q125/q151 didn't cover: the
+    event stream (readStream file source) joins a static broadcast
+    dimension (customer, on user_id = c_custkey) inside
+    MicroBatchExecution, then aggregates value by market segment ×
+    event type in complete mode. This is the standard streaming
+    enrichment topology (fact stream × slowly-changing dim): the
+    static side is planned per micro-batch and BROADCAST — no state
+    store is involved for the join itself, so unlike q125 its cost
+    doesn't scale with shuffle partitions. Money sums in DECIMAL
+    then cast (q03 discipline); AvailableNow drain makes the final
+    table micro-batch-boundary independent, so the oracle is the
+    plain batch join+aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"me_stream_enrich_{os.path.basename(sf.rstrip('/')) or 'd'}"
+        f"_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    os.symlink(os.path.join(sf, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = _t(spark, sf)["events"].schema
+    src = spark.readStream.schema(schema).parquet(d)
+    dim = _t(spark, sf)["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment"))
+    enriched = src.join(F.broadcast(dim),
+                        F.col("user_id") == F.col("c_custkey"))
+    agg = (enriched.groupBy("c_mktsegment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .alias("_v")))
+    _Q217_SEQ[0] += 1
+    name = f"q217_sink_{os.getpid()}_{_Q217_SEQ[0]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("c_mktsegment", "event_type",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("_v").cast("double").alias("total_value"))
+            .orderBy("c_mktsegment", "event_type"))
+
+
 def q216_lz4_frames(spark, sf):
     """REAL LZ4 frame walking under the oracle gate — the other
     dominant shard compression next to gzip (q173) and snappy
@@ -6746,6 +6838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_column_profile": q214_column_profile,
         "q215_attribution": q215_attribution,
         "q216_lz4_frames": q216_lz4_frames,
+        "q217_stream_static_enrich": q217_stream_static_enrich,
+        "q218_merge_into": q218_merge_into,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11300,6 +11394,34 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN n ON n.p_id = a.p_id
         GROUP BY a.event_type
         ORDER BY a.event_type
+    """
+
+    # q218: every MERGE clause replayed — deletes drop, updates add
+    # 100, the matched 'insert' and unmatched 'delete' no-op clauses
+    # leave no trace, inserts appear under shifted keys.
+    sql["q218_merge_into"] = """
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 10 IN (1, 2)
+                    THEN c_acctbal + 100 ELSE c_acctbal END
+                   AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new_' || c_custkey,
+               c_nationkey, 0.0, 'NEW'
+        FROM customer WHERE c_custkey % 10 = 3
+        ORDER BY c_custkey
+    """
+
+    # q217: the streaming result is boundary-independent, so the
+    # oracle is the batch join+aggregate verbatim.
+    sql["q217_stream_static_enrich"] = """
+        SELECT c.c_mktsegment, e.event_type,
+               COUNT(*)::BIGINT AS n,
+               SUM(e.value::DECIMAL(18,4))::DOUBLE AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+        ORDER BY c.c_mktsegment, e.event_type
     """
 
     # q216: per-block facts by formula — block 0's md5 pins the LZ4

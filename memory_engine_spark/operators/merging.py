@@ -70,3 +70,56 @@ def upsert(existing: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE-style upsert on immutable tables: rows in ``updates`` win;
     untouched rows pass through (anti-join + union)."""
     return existing.join(updates.select(key), key, "left_anti").unionByName(updates)
+
+
+def merge_into(target: DataFrame, source: DataFrame, key: str,
+               op_col: str = "_op") -> DataFrame:
+    """Delta-style 3-clause MERGE for CDC batches, as ONE full-outer
+    join (never row-at-a-time): ``source`` carries full rows plus an
+    ``op_col`` in {'insert','update','delete'} —
+
+    - WHEN MATCHED AND op='delete'  THEN DELETE
+    - WHEN MATCHED AND op='update'  THEN UPDATE (all non-key columns)
+    - WHEN NOT MATCHED AND op='insert' THEN INSERT
+    - anything else (matched 'insert', unmatched 'update'/'delete')
+      leaves the target untouched — the no-op clauses.
+
+    Like Delta's MERGE, multiple source rows for one key are an
+    ERROR (the result would be nondeterministic); the cardinality
+    check is one cheap aggregate over the (small) CDC batch. Scale
+    shape: one shuffle on the key (the CDC side is usually broadcast
+    by AQE); column resolution is pure CASE projection. Extends this
+    module's 2-way ``upsert`` (anti-join + union) to the full
+    matched/not-matched clause algebra; reference parity:
+    memory_core's storage upserts are per-row puts — this is the
+    set-oriented form a 100 TB table needs."""
+    cols = [c for c in target.columns if c != key]
+    if set(source.columns) - {op_col} != set(target.columns):
+        raise ValueError("source must carry exactly the target columns "
+                         f"plus {op_col!r}")
+    dup = (source.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"MERGE source has multiple rows for {key}={dup[0][key]!r}")
+    s = source.select(
+        F.col(key),
+        F.col(op_col).alias("_s_op"),
+        *[F.col(c).alias(f"_s_{c}") for c in cols])
+    t = target.withColumn("_t_present", F.lit(True))
+    j = t.join(s, key, "full_outer")
+    matched = F.col("_t_present").isNotNull() & F.col("_s_op").isNotNull()
+    keep = (
+        # unmatched target rows pass through
+        (F.col("_s_op").isNull() & F.col("_t_present").isNotNull())
+        # matched: everything except deletes
+        | (matched & (F.col("_s_op") != "delete"))
+        # unmatched source rows: inserts only
+        | (F.col("_t_present").isNull() & (F.col("_s_op") == "insert")))
+    use_source = (
+        (matched & (F.col("_s_op") == "update"))
+        | (F.col("_t_present").isNull() & (F.col("_s_op") == "insert")))
+    out_cols = [F.col(key)] + [
+        F.when(use_source, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+        for c in cols]
+    return j.filter(keep).select(*out_cols)

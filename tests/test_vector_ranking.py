@@ -463,3 +463,34 @@ def test_ir_eval_report_hand_computed(spark):
     b = out["b"]
     assert (b["n_rel"], b["n_ret"], b["mrr"], b["ndcg_at_10"],
             b["map"]) == (1, 0, 0.0, 0.0, 0.0)
+
+
+def test_merge_into_clause_algebra(spark):
+    """All five MERGE paths: matched update/delete, unmatched insert,
+    the two no-op clauses (matched 'insert', unmatched 'delete'),
+    and the Delta-style duplicate-source-key error."""
+    import pytest
+
+    from memory_engine_spark.operators.merging import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, v long")
+    src = spark.createDataFrame(
+        [(1, "a2", 11, "update"),
+         (2, None, 0, "delete"),
+         (3, "x", 99, "insert"),      # matched insert: no-op
+         (5, "e", 50, "insert"),
+         (6, None, 0, "delete")],     # unmatched delete: no-op
+        "k long, name string, v long, _op string")
+    got = {r["k"]: (r["name"], r["v"])
+           for r in merge_into(target, src, "k").collect()}
+    assert got == {1: ("a2", 11), 3: ("c", 30),
+                   4: ("d", 40), 5: ("e", 50)}
+
+    dup = src.unionByName(spark.createDataFrame(
+        [(1, "z", 1, "update")], "k long, name string, v long, _op string"))
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(target, dup, "k")
+    with pytest.raises(ValueError, match="exactly the target columns"):
+        merge_into(target, src.drop("v"), "k")
