@@ -5303,6 +5303,32 @@ def q215_attribution(spark, sf):
             .orderBy("event_type"))
 
 
+def q219_bounded_scc(spark, sf):
+    """Directed strongly-connected components, k-BOUNDED certificate
+    (graph.bounded_scc — the forward-backward min-label phase of the
+    FW-BW/Multistep SCC family, fixed rounds so the oracle unrolls):
+    a node resolves to SCC(m) exactly when m is both forward- and
+    backward-reachable within k=3 hops; everything else reports the
+    explicit unresolved residual (-1) — never a guessed label. The
+    graph is a two-successor functional graph over doc ids
+    (i → (7i+3) mod N, i → (13i+5) mod N) — the star-schema derived
+    graph is acyclic, so directed cycles are synthesized by formula
+    and the DuckDB oracle replays edges AND all six propagation
+    rounds as unrolled CTEs. Scale shape: per round one adjacency
+    join + map-side-combined min per direction, O(|V|) label state —
+    the k_core/pagerank iterative discipline."""
+    docs = _t(spark, sf)["documents"].select("doc_id")
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("from_id"),
+                     ((F.col("doc_id") * 7 + 3) % n).alias("to_id"))
+    e2 = docs.select(F.col("doc_id").alias("from_id"),
+                     ((F.col("doc_id") * 13 + 5) % n).alias("to_id"))
+    lab = graph.bounded_scc(e1.unionByName(e2), n_iter=3)
+    return (lab.groupBy("scc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .orderBy("scc_id"))
+
+
 def q218_merge_into(spark, sf):
     """Delta-style 3-clause MERGE INTO under the oracle gate
     (merging.merge_into) — the set-oriented CDC apply every lakehouse
@@ -6840,6 +6866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_lz4_frames": q216_lz4_frames,
         "q217_stream_static_enrich": q217_stream_static_enrich,
         "q218_merge_into": q218_merge_into,
+        "q219_bounded_scc": q219_bounded_scc,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11394,6 +11421,39 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN n ON n.p_id = a.p_id
         GROUP BY a.event_type
         ORDER BY a.event_type
+    """
+
+    # q219: edges by formula, all six min-propagation rounds unrolled.
+    _scc_rounds = []
+    for r in range(1, 4):
+        p = r - 1
+        _scc_rounds.append(f"""
+        f{r} AS (SELECT e.f AS u, MIN(l{p}.fmin) AS m
+                 FROM e JOIN l{p} ON e.t = l{p}.u GROUP BY e.f),
+        b{r} AS (SELECT e.t AS u, MIN(l{p}.bmin) AS m
+                 FROM e JOIN l{p} ON e.f = l{p}.u GROUP BY e.t),
+        l{r} AS (SELECT l{p}.u,
+                        LEAST(l{p}.fmin, COALESCE(f{r}.m, l{p}.fmin))
+                            AS fmin,
+                        LEAST(l{p}.bmin, COALESCE(b{r}.m, l{p}.bmin))
+                            AS bmin
+                 FROM l{p} LEFT JOIN f{r} ON l{p}.u = f{r}.u
+                           LEFT JOIN b{r} ON l{p}.u = b{r}.u)""")
+    sql["q219_bounded_scc"] = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        e AS (
+            SELECT doc_id AS f,
+                   (doc_id * 7 + 3) % (SELECT n FROM nn) AS t
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn)
+            FROM documents
+        ),
+        l0 AS (SELECT doc_id AS u, doc_id AS fmin, doc_id AS bmin
+               FROM documents),""" + ",".join(_scc_rounds) + """
+        SELECT CASE WHEN fmin = bmin THEN fmin ELSE -1 END AS scc_id,
+               COUNT(*)::BIGINT AS n_nodes
+        FROM l3 GROUP BY 1 ORDER BY scc_id
     """
 
     # q218: every MERGE clause replayed — deletes drop, updates add

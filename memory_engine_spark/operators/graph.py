@@ -1453,3 +1453,69 @@ def graph_stats(edges: DataFrame) -> DataFrame:
         "s_jk", "s_sum", "s_sq",
         F.round(F.when(den != 0, num / den).otherwise(F.lit(0.0)), 6)
         .alias("assortativity"))
+
+
+def bounded_scc(edges: DataFrame, n_iter: int = 3,
+                from_col: str = "from_id",
+                to_col: str = "to_id") -> DataFrame:
+    """k-BOUNDED strongly-connected-component labeling for DIRECTED
+    graphs — the forward-backward min-label certificate (the
+    FW-BW/Multistep family's first phase, fixed rounds like this
+    module's pagerank/LPA/k_core so the oracle can unroll it):
+
+    - fmin_r(u) = min node id REACHABLE FROM u within r hops
+      (fmin_0 = u; fmin_{r+1}(u) = min(fmin_r(u), min over u→v of
+      fmin_r(v)))
+    - bmin_r(u) = the same along REVERSED edges (min id that reaches u)
+
+    If fmin_k(u) == bmin_k(u) == m then u reaches m and m reaches u,
+    so u provably belongs to SCC(m) — the label is EXACT, never a
+    guess. Nodes whose SCC's minimum member is farther than k hops
+    (in either direction) stay UNRESOLVED (scc_id = -1): exactness
+    for everything within the hop budget, an explicit residual for
+    the rest — the same fixed-round contract as k_core. Returns
+    (node_id, scc_id).
+
+    Scale shape: per round ONE equi-join of the (reused) adjacency
+    against the |V|-row label vector + a map-side-combined min — the
+    O(|V|) iterative-state discipline; both directions share the
+    same adjacency with the join key flipped. Works on integer node
+    ids (min is taken in the id's native ordering)."""
+    adj = edges.select(from_col, to_col).persist()
+    try:
+        nodes = (adj.select(F.col(from_col).alias("node_id"))
+                 .unionByName(adj.select(F.col(to_col).alias("node_id")))
+                 .distinct())
+        lab = nodes.select("node_id",
+                           F.col("node_id").alias("fmin"),
+                           F.col("node_id").alias("bmin"))
+        lab, lab_ids = _lc_tracked(lab)
+        for _ in range(n_iter):
+            fwd = (adj.join(lab.select(F.col("node_id").alias(to_col),
+                                       F.col("fmin").alias("_nf")), to_col)
+                   .groupBy(from_col)
+                   .agg(F.min("_nf").alias("_mf")))
+            bwd = (adj.join(lab.select(F.col("node_id").alias(from_col),
+                                       F.col("bmin").alias("_nb")), from_col)
+                   .groupBy(to_col)
+                   .agg(F.min("_nb").alias("_mb")))
+            nxt = (lab
+                   .join(fwd.withColumnRenamed(from_col, "node_id"),
+                         "node_id", "left")
+                   .join(bwd.withColumnRenamed(to_col, "node_id"),
+                         "node_id", "left")
+                   .select("node_id",
+                           F.least("fmin", F.coalesce("_mf", "fmin"))
+                           .alias("fmin"),
+                           F.least("bmin", F.coalesce("_mb", "bmin"))
+                           .alias("bmin")))
+            nxt, nxt_ids = _lc_tracked(nxt)
+            nxt.count()
+            _lc_free(adj.sparkSession, lab_ids)
+            lab, lab_ids = nxt, nxt_ids
+        return lab.select(
+            "node_id",
+            F.when(F.col("fmin") == F.col("bmin"), F.col("fmin"))
+            .otherwise(F.lit(-1)).alias("scc_id"))
+    finally:
+        adj.unpersist(False)

@@ -92,3 +92,33 @@ def test_synthesize_modes(spark):
     comp = eng.synthesize("comprehensive", question="what is spark processing?")
     assert {"patterns", "structural_anomalies", "contradictions", "answer"} <= set(comp)
     assert comp["answer"]["confidence"] > 0
+
+
+def test_bounded_scc_certificate(spark):
+    """Exactness of the k-bounded FW-BW certificate: a 3-cycle
+    resolves to its min member, a 2-cycle resolves, a DAG tail stays
+    unresolved (-1), and a node on a long cycle whose min is beyond
+    k hops stays unresolved rather than mislabeled."""
+    from memory_engine_spark.operators.graph import bounded_scc
+
+    edges = [(1, 2), (2, 3), (3, 1),      # 3-cycle -> scc 1
+             (10, 11), (11, 10),          # 2-cycle -> scc 10
+             (3, 20), (20, 21),           # DAG tail -> unresolved
+             # 8-cycle: min member 30; nodes >3 hops away unresolved
+             (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),
+             (35, 36), (36, 37), (37, 30)]
+    df = spark.createDataFrame(edges, "from_id long, to_id long")
+    got = {r["node_id"]: r["scc_id"]
+           for r in bounded_scc(df, n_iter=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == -1 and got[21] == -1
+    # only node 30 sees its min BOTH ways within 3 hops (fwd covers
+    # 31-33, bwd covers 35-37); every other cycle member's fmin stays
+    # above 30, so they stay unresolved rather than mislabeled.
+    assert got[30] == 30
+    assert all(got[x] == -1 for x in range(31, 38))
+    # raising k resolves the full 8-cycle
+    got8 = {r["node_id"]: r["scc_id"]
+            for r in bounded_scc(df, n_iter=7).collect()}
+    assert all(got8[x] == 30 for x in range(30, 38))
