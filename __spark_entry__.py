@@ -5303,6 +5303,36 @@ def q215_attribution(spark, sf):
             .orderBy("event_type"))
 
 
+def q220_snapshot_diff(spark, sf):
+    """CDC CAPTURE under the oracle gate — merging.snapshot_diff,
+    q218's inverse: diff two snapshots into the MINIMAL change batch
+    (insert/update/delete; unchanged rows dropped — struct-equality
+    null-safe compare). The 'new' snapshot is q218's merge result
+    rebuilt by formula, so this query proves the capture side emits
+    exactly the CDC batch that would replay old→new; the round-trip
+    law merge_into(old, snapshot_diff(old,new)) == new is pinned in
+    tests. One full-outer join on the key — at 100 TB this is the
+    table-diff primitive behind incremental backup verification
+    (q119) and IVM delta derivation (q202)."""
+    from memory_engine_spark.operators.merging import snapshot_diff
+
+    cust = _t(spark, sf)["customer"]
+    m = F.col("c_custkey") % 10
+    new = (cust.filter(m != 0)
+           .withColumn("c_acctbal",
+                       F.when(m.isin(1, 2), F.col("c_acctbal") + 100)
+                       .otherwise(F.col("c_acctbal")))
+           .unionByName(cust.filter(m == 3).select(
+               (F.col("c_custkey") + 1000000).alias("c_custkey"),
+               F.concat(F.lit("new_"),
+                        F.col("c_custkey").cast("string"))
+               .alias("c_name"),
+               F.col("c_nationkey"),
+               F.lit(0.0).alias("c_acctbal"),
+               F.lit("NEW").alias("c_mktsegment"))))
+    return snapshot_diff(cust, new, "c_custkey").orderBy("c_custkey")
+
+
 def q219_bounded_scc(spark, sf):
     """Directed strongly-connected components, k-BOUNDED certificate
     (graph.bounded_scc — the forward-backward min-label phase of the
@@ -6867,6 +6897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_stream_static_enrich": q217_stream_static_enrich,
         "q218_merge_into": q218_merge_into,
         "q219_bounded_scc": q219_bounded_scc,
+        "q220_snapshot_diff": q220_snapshot_diff,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11421,6 +11452,24 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN n ON n.p_id = a.p_id
         GROUP BY a.event_type
         ORDER BY a.event_type
+    """
+
+    # q220: the minimal change batch by formula — update rows carry
+    # the NEW balance, deletes the old row, inserts the shifted keys.
+    sql["q220_snapshot_diff"] = """
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100 AS c_acctbal, c_mktsegment,
+               'update' AS _op
+        FROM customer WHERE c_custkey % 10 IN (1, 2)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               c_mktsegment, 'delete'
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new_' || c_custkey, c_nationkey,
+               0.0, 'NEW', 'insert'
+        FROM customer WHERE c_custkey % 10 = 3
+        ORDER BY c_custkey
     """
 
     # q219: edges by formula, all six min-propagation rounds unrolled.

@@ -123,3 +123,36 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
         F.when(use_source, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
         for c in cols]
     return j.filter(keep).select(*out_cols)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  op_col: str = "_op") -> DataFrame:
+    """CDC CAPTURE — ``merge_into``'s inverse: diff two snapshots of
+    a keyed table into the minimal change batch that replays one
+    into the other. One full-outer join on the key; rows classify as
+    'insert' (key only in ``new``), 'delete' (key only in ``old``),
+    'update' (both, any non-key column differs — struct equality,
+    null-safe via <=> semantics of struct comparison). Unchanged
+    rows are DROPPED: the batch is minimal, which is what makes
+    downstream `merge_into` cheap at 100 TB. Round-trip law (tested):
+    ``merge_into(old, snapshot_diff(old, new, k), k)`` equals ``new``
+    exactly. Returns the ``new``-side values for insert/update and
+    the ``old``-side values for delete, plus ``op_col``."""
+    cols = [c for c in old.columns if c != key]
+    if set(new.columns) != set(old.columns):
+        raise ValueError("snapshots must share a schema")
+    o = old.select(F.col(key),
+                   F.struct(*[F.col(c) for c in cols]).alias("_o"))
+    n = new.select(F.col(key),
+                   F.struct(*[F.col(c) for c in cols]).alias("_n"))
+    j = o.join(n, key, "full_outer")
+    op = (F.when(F.col("_o").isNull(), "insert")
+          .when(F.col("_n").isNull(), "delete")
+          .otherwise("update"))
+    keep = (F.col("_o").isNull() | F.col("_n").isNull()
+            | ~(F.col("_o").eqNullSafe(F.col("_n"))))
+    side = F.coalesce(F.col("_n"), F.col("_o"))
+    return (j.filter(keep)
+            .select(F.col(key),
+                    *[side[c].alias(c) for c in cols],
+                    op.alias(op_col)))

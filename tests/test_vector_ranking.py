@@ -494,3 +494,27 @@ def test_merge_into_clause_algebra(spark):
         merge_into(target, dup, "k")
     with pytest.raises(ValueError, match="exactly the target columns"):
         merge_into(target, src.drop("v"), "k")
+
+
+def test_snapshot_diff_roundtrip_law(spark):
+    """snapshot_diff emits the MINIMAL batch (unchanged rows absent,
+    null-safe compare) and merge_into(old, diff) == new exactly."""
+    from memory_engine_spark.operators.merging import (merge_into,
+                                                       snapshot_diff)
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 10),            # unchanged -> absent from diff
+         (2, "b", None),          # unchanged w/ null -> absent
+         (3, "c2", 30),           # update
+         (5, "e", None)],         # insert; 4 deleted
+        "k long, name string, v long")
+    diff = snapshot_diff(old, new, "k")
+    got = {r["k"]: (r["name"], r["v"], r["_op"]) for r in diff.collect()}
+    assert got == {3: ("c2", 30, "update"), 4: ("d", 40, "delete"),
+                   5: ("e", None, "insert")}
+    replayed = merge_into(old, diff, "k")
+    assert replayed.exceptAll(new).isEmpty()
+    assert new.exceptAll(replayed).isEmpty()
