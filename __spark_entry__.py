@@ -5303,6 +5303,44 @@ def q215_attribution(spark, sf):
             .orderBy("event_type"))
 
 
+def q221_unicode_nfc(spark, sf):
+    """Unicode NFC normalization under the oracle gate — the
+    canonical-composition step a text pipeline runs BEFORE any
+    byte-level dedup (é arrives both precomposed and as
+    e+COMBINING ACUTE; hash dedup misses the duplicate unless
+    normalized). Each document gets a formula-built messy suffix:
+    combining marks (e+U+0301, A+U+030A), a singleton (U+212B
+    ANGSTROM SIGN → U+00C5 under NFC), and an ﬁ ligature (U+FB01 —
+    a NEGATIVE control: NFC preserves compatibility characters,
+    NFKC would fold it; an implementation running the wrong form
+    fails this row). `text.nfc_normalize_col` is an Arrow pandas UDF
+    over Python's unicodedata; the oracle runs DuckDB's INDEPENDENT
+    nfc_normalize over the same construction, so the two engines'
+    Unicode tables verify each other — char counts before/after and
+    the md5 of the normalized bytes are the gate."""
+    from memory_engine_spark.operators.text import nfc_normalize_col
+
+    docs = _t(spark, sf)["documents"].select("doc_id", "text")
+    # Explicit escapes, NEVER typed characters: the suffix must carry
+    # the DECOMPOSED forms (e+U+0301, A+U+030A) and the singletons, and
+    # editors/tooling love to silently NFC-normalize source files.
+    messy = (" e\u0301 A\u030a \u212b \ufb01 ")
+    raw = F.concat(
+        F.substring("text", 1, 10),
+        F.lit(messy),
+        (F.col("doc_id") % 7).cast("string"))
+    base = docs.select("doc_id", raw.alias("_raw"))
+    out = base.select(
+        "doc_id",
+        F.length("_raw").alias("n_chars_raw"),
+        nfc_normalize_col(F.col("_raw")).alias("_nfc"))
+    return (out.select(
+        "doc_id", "n_chars_raw",
+        F.length("_nfc").alias("n_chars_nfc"),
+        F.md5("_nfc").alias("nfc_md5"))
+        .orderBy("doc_id"))
+
+
 def q220_snapshot_diff(spark, sf):
     """CDC CAPTURE under the oracle gate — merging.snapshot_diff,
     q218's inverse: diff two snapshots into the MINIMAL change batch
@@ -6898,6 +6936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_merge_into": q218_merge_into,
         "q219_bounded_scc": q219_bounded_scc,
         "q220_snapshot_diff": q220_snapshot_diff,
+        "q221_unicode_nfc": q221_unicode_nfc,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11452,6 +11491,25 @@ def oracle_sql() -> dict[str, str]:
         FROM a JOIN n ON n.p_id = a.p_id
         GROUP BY a.event_type
         ORDER BY a.event_type
+    """
+
+    # q221: DuckDB's own nfc_normalize replays the normalization —
+    # two independent Unicode implementations must agree byte-for-byte
+    # (md5) and char-for-char; the ligature row pins NFC-not-NFKC.
+    sql["q221_unicode_nfc"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   substring(text, 1, 10)
+                   || ' e' || chr(769) || ' A' || chr(778) || ' '
+                   || chr(8491) || ' ' || chr(64257) || ' '
+                   || (doc_id % 7) AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               length(raw)::BIGINT AS n_chars_raw,
+               length(nfc_normalize(raw))::BIGINT AS n_chars_nfc,
+               md5(nfc_normalize(raw)) AS nfc_md5
+        FROM d ORDER BY doc_id
     """
 
     # q220: the minimal change batch by formula — update rows carry

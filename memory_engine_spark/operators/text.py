@@ -16,6 +16,7 @@ sides; ASCII [[:punct:]] class — same set in Java regex and RE2).
 
 from __future__ import annotations
 
+import pandas
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -604,3 +605,31 @@ def url_host(col) -> Column:
     return F.regexp_replace(
         F.lower(F.regexp_extract(col, "^[^:/?]+://([^/?]+)", 1)),
         ":[0-9]+$", "")
+
+
+def nfc_normalize_col(col) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF —
+    the canonical-composition step a text pipeline runs before any
+    byte-level dedup/fingerprinting (the same logical text arrives
+    as precomposed é OR e+COMBINING ACUTE; hash-based dedup treats
+    them as different documents unless normalized). NFC (not NFKC):
+    canonical equivalence only — compatibility characters like the
+    ﬁ ligature are PRESERVED, because folding them loses information
+    the tokenizer may want. Python's unicodedata is the reference
+    implementation here; the q221 oracle cross-checks it against
+    DuckDB's independent nfc_normalize, so the two engines' Unicode
+    tables verify each other."""
+    import unicodedata
+
+    import pandas  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: the hints must name module-resolvable types — this file
+    # uses `from __future__ import annotations`, so pandas_udf resolves
+    # them as strings against the function's globals.
+    @pandas_udf("string")
+    def _nfc(s: "pandas.Series") -> "pandas.Series":
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    return _nfc(col)
