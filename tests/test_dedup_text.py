@@ -612,3 +612,16 @@ def test_crawl_pipeline_end_to_end(spark):
         df.select(F.lit("d").alias("doc_id"), "html")).collect()[0]
     assert out["text"] == "Café naïve content"
     assert (out["n_blocks"], out["n_kept"]) == (2, 1)
+
+
+def test_nfc_normalize_col(spark):
+    """NFC (not NFKC): decomposed marks compose, the U+212B singleton
+    maps to U+00C5, the ﬁ ligature is PRESERVED, None passes through."""
+    from memory_engine_spark.operators.text import nfc_normalize_col
+
+    rows = [("a", "é Å Å ﬁ"), ("b", None)]
+    df = spark.createDataFrame(rows, "id string, s string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", nfc_normalize_col(F.col("s")).alias("n")).collect()}
+    assert got["a"] == "é Å Å ﬁ"
+    assert got["b"] is None
