@@ -619,9 +619,14 @@ def test_nfc_normalize_col(spark):
     maps to U+00C5, the ﬁ ligature is PRESERVED, None passes through."""
     from memory_engine_spark.operators.text import nfc_normalize_col
 
-    rows = [("a", "é Å Å ﬁ"), ("b", None)]
+    # explicit escapes: the input must be genuinely DECOMPOSED
+    # (editors silently NFC-normalize typed characters in source)
+    raw = "e\u0301 A\u030a \u212b \ufb01"
+    rows = [("a", raw), ("b", None)]
     df = spark.createDataFrame(rows, "id string, s string")
     got = {r["id"]: r["n"] for r in df.select(
         "id", nfc_normalize_col(F.col("s")).alias("n")).collect()}
-    assert got["a"] == "é Å Å ﬁ"
+    assert got["a"] == "\u00e9 \u00c5 \u212b \ufb01".replace(
+        "\u212b", "\u00c5")
+    assert len(raw) == 9 and len(got["a"]) == 7
     assert got["b"] is None
