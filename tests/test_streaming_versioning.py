@@ -429,3 +429,30 @@ def test_dlq_compaction_bounds_disk_and_keeps_newest(spark, tmp_path,
                   if f.endswith(".parquet"))
     assert n_parts <= 2 + spark.sparkContext.defaultParallelism
     assert bus.dead_letters().count() == 5
+
+
+def test_dlq_compaction_frees_checkpoint_blocks(spark, tmp_path,
+                                                monkeypatch):
+    """Round-8 regression for the r7 ADVICE leak: compact_dead_letters
+    used Dataset.unpersist on a localCheckpoint'd frame — a silent
+    no-op (checkpoint blocks have no CacheManager entry) — pinning
+    ~DLQ_CAP rows of blocks per compaction. The lc_tracked/lc_free
+    rewrite must leave the JVM persistent-RDD map at its pre-call
+    size after every swap path (compact, retry, per-event retry)."""
+    from memory_engine_spark.streaming import events as ev
+
+    def n_pinned():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return len(jmap.entrySet().toArray())
+
+    monkeypatch.setattr(ev, "DLQ_CAP", 5)
+    bus = EventBus(spark, str(tmp_path / "bus_lc"))
+    for batch in range(3):
+        rows = _events(spark, n=4).withColumn(
+            "event_id", F.col("event_id") + F.lit(batch * 10))
+        bus._dead_letter(rows, "s", f"err{batch}")
+    before = n_pinned()
+    bus.compact_dead_letters()
+    assert n_pinned() == before, "compaction leaked checkpoint blocks"
+    bus.retry_dead_letters(Subscriber("s", lambda df, bid: None))
+    assert n_pinned() == before, "retry swap leaked checkpoint blocks"
