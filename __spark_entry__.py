@@ -5375,9 +5375,13 @@ def q219_bounded_scc(spark, sf):
     """Directed strongly-connected components, k-BOUNDED certificate
     (graph.bounded_scc — the forward-backward min-label phase of the
     FW-BW/Multistep SCC family, fixed rounds so the oracle unrolls):
-    a node resolves to SCC(m) exactly when m is both forward- and
-    backward-reachable within k=3 hops; everything else reports the
-    explicit unresolved residual (-1) — never a guessed label. The
+    a node resolves to SCC(m) when m is both forward- and
+    backward-reachable within k=3 hops AND a 4th VERIFICATION round
+    improves neither direction (round-8 ADVICE demotion: without it,
+    a node that is the min of its own k-balls self-labels even when
+    the SCC's true min is farther out). The label m certifies
+    u ∈ SCC(m) — same-SCC nodes beyond the budget may still differ;
+    everything unstable reports the explicit residual (-1). The
     graph is a two-successor functional graph over doc ids
     (i → (7i+3) mod N, i → (13i+5) mod N) — the star-schema derived
     graph is acyclic, so directed cycles are synthesized by formula
@@ -11530,9 +11534,12 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY c_custkey
     """
 
-    # q219: edges by formula, all six min-propagation rounds unrolled.
+    # q219: edges by formula, min-propagation rounds unrolled — 3
+    # labeling rounds plus the round-4 VERIFICATION pass (round-8
+    # ADVICE demotion rule: a round-3 label survives only if round 4
+    # improves neither fmin nor bmin).
     _scc_rounds = []
-    for r in range(1, 4):
+    for r in range(1, 5):
         p = r - 1
         _scc_rounds.append(f"""
         f{r} AS (SELECT e.f AS u, MIN(l{p}.fmin) AS m
@@ -11558,9 +11565,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         l0 AS (SELECT doc_id AS u, doc_id AS fmin, doc_id AS bmin
                FROM documents),""" + ",".join(_scc_rounds) + """
-        SELECT CASE WHEN fmin = bmin THEN fmin ELSE -1 END AS scc_id,
+        SELECT CASE WHEN l3.fmin = l3.bmin AND l3.fmin = l4.fmin
+                     AND l3.bmin = l4.bmin
+               THEN l3.fmin ELSE -1 END AS scc_id,
                COUNT(*)::BIGINT AS n_nodes
-        FROM l3 GROUP BY 1 ORDER BY scc_id
+        FROM l3 JOIN l4 ON l3.u = l4.u GROUP BY 1 ORDER BY scc_id
     """
 
     # q218: every MERGE clause replayed — deletes drop, updates add

@@ -17,22 +17,39 @@ leaving ~DLQ_CAP rows of checkpoint blocks pinned per compaction
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# The id-diff below (snapshot → checkpoint → snapshot) is only correct
+# if no OTHER thread checkpoints inside the window: EventBus
+# run_subscriber*(once=False) streams run foreachBatch callbacks on
+# separate threads that also call lc_tracked, and a checkpoint
+# performed by query B between A's two snapshots would land in A's id
+# set — A's lc_free would then unpersist B's still-live
+# lineage-truncated blocks, an unrecoverable missing-block failure
+# (round-8 ADVICE). One driver-side lock serializes the window; the
+# checkpoint itself (block materialization) is a driver-blocking call
+# anyway, so the lock adds no real contention.
+_LC_LOCK = threading.Lock()
 
 
 def lc_tracked(df: DataFrame, eager: bool = True
                ) -> tuple[DataFrame, set]:
     """``localCheckpoint`` plus the JVM RDD ids it pinned (id-diff
     around the call — lazy checkpoints register their RDD immediately,
-    before materialization). Free with ``lc_free`` once the frame is
-    provably dead — it is UNUSABLE afterwards (the checkpoint
+    before materialization; the module lock makes the diff atomic
+    against concurrent checkpointers). Free with ``lc_free`` once the
+    frame is provably dead — it is UNUSABLE afterwards (the checkpoint
     truncated its lineage, so there is nothing to recompute from)."""
     sc = df.sparkSession.sparkContext
-    before = {e.getKey()
-              for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
-    out = df.localCheckpoint(eager=eager)
-    ids = {e.getKey()
-           for e in sc._jsc.getPersistentRDDs().entrySet().toArray()} - before
+    with _LC_LOCK:
+        before = {e.getKey()
+                  for e in sc._jsc.getPersistentRDDs().entrySet().toArray()}
+        out = df.localCheckpoint(eager=eager)
+        ids = {e.getKey()
+               for e in sc._jsc.getPersistentRDDs().entrySet().toArray()
+               } - before
     return out, ids
 
 

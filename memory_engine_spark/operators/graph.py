@@ -1469,12 +1469,23 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
     - bmin_r(u) = the same along REVERSED edges (min id that reaches u)
 
     If fmin_k(u) == bmin_k(u) == m then u reaches m and m reaches u,
-    so u provably belongs to SCC(m) — the label is EXACT, never a
-    guess. Nodes whose SCC's minimum member is farther than k hops
-    (in either direction) stay UNRESOLVED (scc_id = -1): exactness
-    for everything within the hop budget, an explicit residual for
-    the rest — the same fixed-round contract as k_core. Returns
-    (node_id, scc_id).
+    so u provably belongs to SCC(m) — THAT is the guarantee: a
+    non-(-1) label m certifies u ∈ SCC(m). It does NOT certify that
+    m is the SCC's global minimum, so two nodes of the same SCC can
+    carry DIFFERENT labels when the SCC's true minimum lies beyond
+    the hop budget (round-8 ADVICE: a 9-cycle at k=3 can label node
+    50 as SCC 50 while node 10 gets SCC 10). Consumers needing a
+    component KEY must either merge labels transitively or raise
+    n_iter to the graph's diameter. To shrink that hazard, a
+    VERIFICATION round runs after the k labeled rounds: a node keeps
+    its label only if one extra propagation round improves neither
+    fmin nor bmin (the advisor's demotion rule — it demotes exactly
+    the nodes provably mislabeled at k+1, e.g. the 9-cycle's node
+    50, whose fmin drops to 10 in round 4). Stability for one round
+    is still not global convergence, so the split-label hazard is
+    reduced, not eliminated — the certificate above is the only hard
+    guarantee. Everything else reports the explicit unresolved
+    residual (scc_id = -1). Returns (node_id, scc_id).
 
     Scale shape: per round ONE equi-join of the (reused) adjacency
     against the |V|-row label vector + a map-side-combined min — the
@@ -1490,32 +1501,47 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
                            F.col("node_id").alias("fmin"),
                            F.col("node_id").alias("bmin"))
         lab, lab_ids = _lc_tracked(lab)
-        for _ in range(n_iter):
-            fwd = (adj.join(lab.select(F.col("node_id").alias(to_col),
+
+        def _round(cur: DataFrame) -> DataFrame:
+            fwd = (adj.join(cur.select(F.col("node_id").alias(to_col),
                                        F.col("fmin").alias("_nf")), to_col)
                    .groupBy(from_col)
                    .agg(F.min("_nf").alias("_mf")))
-            bwd = (adj.join(lab.select(F.col("node_id").alias(from_col),
+            bwd = (adj.join(cur.select(F.col("node_id").alias(from_col),
                                        F.col("bmin").alias("_nb")), from_col)
                    .groupBy(to_col)
                    .agg(F.min("_nb").alias("_mb")))
-            nxt = (lab
-                   .join(fwd.withColumnRenamed(from_col, "node_id"),
-                         "node_id", "left")
-                   .join(bwd.withColumnRenamed(to_col, "node_id"),
-                         "node_id", "left")
-                   .select("node_id",
-                           F.least("fmin", F.coalesce("_mf", "fmin"))
-                           .alias("fmin"),
-                           F.least("bmin", F.coalesce("_mb", "bmin"))
-                           .alias("bmin")))
-            nxt, nxt_ids = _lc_tracked(nxt)
+            return (cur
+                    .join(fwd.withColumnRenamed(from_col, "node_id"),
+                          "node_id", "left")
+                    .join(bwd.withColumnRenamed(to_col, "node_id"),
+                          "node_id", "left")
+                    .select("node_id",
+                            F.least("fmin", F.coalesce("_mf", "fmin"))
+                            .alias("fmin"),
+                            F.least("bmin", F.coalesce("_mb", "bmin"))
+                            .alias("bmin")))
+
+        for _ in range(n_iter):
+            nxt, nxt_ids = _lc_tracked(_round(lab))
             nxt.count()
             _lc_free(adj.sparkSession, lab_ids)
             lab, lab_ids = nxt, nxt_ids
-        return lab.select(
-            "node_id",
-            F.when(F.col("fmin") == F.col("bmin"), F.col("fmin"))
-            .otherwise(F.lit(-1)).alias("scc_id"))
+        # Verification round (round-8 ADVICE demotion rule): one more
+        # propagation; a node whose fmin or bmin would still improve is
+        # provably not converged, so its round-k label is demoted to -1
+        # rather than shipped as a component key. Same per-round cost —
+        # one adjacency join + map-side min per direction.
+        ver = (_round(lab)
+               .select("node_id", F.col("fmin").alias("_vf"),
+                       F.col("bmin").alias("_vb")))
+        return (lab.join(ver, "node_id")
+                .select(
+                    "node_id",
+                    F.when((F.col("fmin") == F.col("bmin"))
+                           & (F.col("fmin") == F.col("_vf"))
+                           & (F.col("bmin") == F.col("_vb")),
+                           F.col("fmin"))
+                    .otherwise(F.lit(-1)).alias("scc_id")))
     finally:
         adj.unpersist(False)

@@ -1805,6 +1805,12 @@ def lz4_frame_walk(payload: bytes) -> tuple[list, bool]:
     if flg & 0b00010000:
         raise NotImplementedError("per-block checksums not emitted "
                                   "by synth_lz4_frame")
+    if flg & 0b00000001:
+        # DictID adds 4 descriptor bytes; silently ignoring the bit
+        # would misparse desc_len and surface as a misleading
+        # header-checksum error on externally-produced frames.
+        raise NotImplementedError("LZ4 frame DictID (FLG bit 0) not "
+                                  "supported")
     desc_len = 2 + (8 if has_csize else 0)
     desc = b[4:4 + desc_len]
     hc = b[4 + desc_len]
@@ -1814,6 +1820,10 @@ def lz4_frame_walk(payload: bytes) -> tuple[list, bool]:
     blocks = []
     content = bytearray()
     while True:
+        if len(b) - i < 4:
+            # b'' -> int 0 would read as a clean EndMark, silently
+            # accepting a frame truncated exactly before a size word.
+            raise ValueError("truncated LZ4 frame (block-size word)")
         word = int.from_bytes(b[i:i + 4], "little")
         i += 4
         if word == 0:
@@ -1829,6 +1839,8 @@ def lz4_frame_walk(payload: bytes) -> tuple[list, bool]:
         content += raw
     content_ok = True
     if has_ccheck:
+        if len(b) - i < 4:
+            raise ValueError("truncated LZ4 frame (content checksum)")
         content_ok = (int.from_bytes(b[i:i + 4], "little")
                       == _xxh32(bytes(content)))
     if has_csize:

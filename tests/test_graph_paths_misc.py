@@ -122,3 +122,23 @@ def test_bounded_scc_certificate(spark):
     got8 = {r["node_id"]: r["scc_id"]
             for r in bounded_scc(df, n_iter=7).collect()}
     assert all(got8[x] == 30 for x in range(30, 38))
+
+
+def test_bounded_scc_self_label_demotion(spark):
+    """Round-8 ADVICE regression: a 9-cycle with ids 50,51,52,53,10,
+    54,55,56,57 at n_iter=3 used to label node 50 as SCC 50 (it is
+    the min of its own 3-hop forward AND backward balls) while node
+    10 got SCC 10 — one SCC split across two labels. The
+    verification round demotes node 50 (round 4 drops its fmin to
+    10), so only the true min's certificate survives."""
+    from memory_engine_spark.operators.graph import bounded_scc
+
+    ring = [50, 51, 52, 53, 10, 54, 55, 56, 57]
+    edges = [(ring[i], ring[(i + 1) % len(ring)])
+             for i in range(len(ring))]
+    df = spark.createDataFrame(edges, "from_id long, to_id long")
+    got = {r["node_id"]: r["scc_id"]
+           for r in bounded_scc(df, n_iter=3).collect()}
+    assert got[10] == 10            # true min, stable through round 4
+    assert got[50] == -1            # demoted, not self-labeled
+    assert set(got.values()) <= {10, -1}  # never two labels / one SCC

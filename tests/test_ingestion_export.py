@@ -1814,3 +1814,17 @@ def test_xxh32_reference_vectors_and_lz4_roundtrip():
     bad2[5] ^= 0x01
     with pytest.raises(ValueError, match="header checksum|unsupported"):
         lz4_frame_walk(bytes(bad2))
+    # round-8 ADVICE: truncation exactly before a block-size word must
+    # raise loudly, not read b'' as a clean EndMark (the EndMark +
+    # content checksum are the last 8 bytes of the sealed frame)
+    with pytest.raises(ValueError, match="truncated LZ4 frame"):
+        lz4_frame_walk(frame[:-8])
+    # ...and a frame cut inside the trailing content checksum too
+    with pytest.raises(ValueError, match="truncated LZ4 frame"):
+        lz4_frame_walk(frame[:-2])
+    # round-8 ADVICE: DictID (FLG bit 0) must be rejected explicitly,
+    # not misparse desc_len into a misleading header-checksum error
+    dic = bytearray(frame)
+    dic[4] |= 0x01
+    with pytest.raises(NotImplementedError, match="DictID"):
+        lz4_frame_walk(bytes(dic))
