@@ -5303,6 +5303,96 @@ def q215_attribution(spark, sf):
             .orderBy("event_type"))
 
 
+def q222_excess_stock_suppliers(spark, sf):
+    """TPC-H Q20-shape — the deepest nested decorrelation the suite
+    shows: IN → IN → correlated scalar subquery, three levels
+    (supplier IN partsupp-pairs, whose partkey IN a name-filtered
+    part set, whose availqty beats a PER-PAIR correlated sum over
+    lineitem). This corpus has no partsupp table, so the pair set is
+    derived as the distinct (l_partkey, l_suppkey) combinations ever
+    shipped, and availqty by deterministic formula
+    ((7·partkey + 13·suppkey) mod 50) — integer-exact on both
+    engines, the q219 formula-synthesis convention. The gate is
+    Q20's `availqty > 0.5 · sum(qty in 1997)` spelled as the exact
+    cross-multiplication 2·availqty > sum_qty (DECIMAL sum vs int —
+    no float boundary can flap membership, the q209/q211 rule).
+
+    Plan shape (reference: memory-engine has no decorrelator — its
+    query engine evaluates nested predicates per-row): all three
+    levels lower to ONE aggregate + two hash semi-joins, no
+    correlated re-execution. The pair aggregate and the 1997 window
+    sum come from the SAME groupBy keys, so they fuse into one
+    shuffle on (partkey, suppkey) with conditional aggregation
+    (sum(qty) FILTER 1997) — the fact table is scanned ONCE. The
+    part name filter is a broadcast semi-join; supplier + nation are
+    broadcast dims. At 100 TB: one fact shuffle, map-side partials,
+    AQE handles pair skew."""
+    t = _t(spark, sf)
+    li = t["lineitem"].select("l_partkey", "l_suppkey", "l_quantity",
+                              "l_shipdate")
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) \
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    pairs = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.sum(F.when(in97, F.col("l_quantity"))
+                        .otherwise(F.lit(0.0)).cast("decimal(18,2)"))
+                  .alias("q97"))
+             .withColumn("availqty",
+                         (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13)
+                         % 50))
+    wanted_parts = (t["part"].filter(F.col("p_name").like("small%"))
+                    .select("p_partkey"))
+    qualifying = (pairs
+                  .join(F.broadcast(wanted_parts),
+                        F.col("l_partkey") == F.col("p_partkey"),
+                        "left_semi")
+                  .filter(F.col("availqty") * 2 > F.col("q97"))
+                  .select("l_suppkey").distinct())
+    nat = t["nation"].filter(
+        F.col("n_name").isin("NATION_1", "NATION_3", "NATION_5"))
+    return (t["supplier"]
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"),
+                  "left_semi")
+            .join(F.broadcast(qualifying),
+                  F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
+def q223_order_count_distribution(spark, sf):
+    """TPC-H Q13-shape — the left-outer count distribution: how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers the outer join preserves (the shape no
+    inner join can produce). Qualifying = not '1-URGENT' (stand-in
+    for Q13's comment NOT LIKE; this corpus has no o_comment).
+
+    Plan shape: Q13's textbook spelling outer-joins the full
+    customer table against orders and THEN counts — at 100 TB that
+    shuffles every customer row into the join just to count
+    per-key. Here the fact is pre-aggregated to (custkey, cnt)
+    FIRST (map-side combine shrinks it to ≤|customer| rows), then
+    LEFT-joined to customer with coalesce(cnt, 0) — legal because
+    the join key IS the grouping key, so the outer join sees exactly
+    one row per customer either way. The second groupBy (the
+    distribution) runs on ~thousands of distinct counts — trivially
+    small. Two shuffles total, both on custkey then c_count; the
+    oracle replays the textbook nested-groupBy spelling, proving the
+    rewrite exact."""
+    t = _t(spark, sf)
+    per_cust = (t["orders"]
+                .filter(F.col("o_orderpriority") != "1-URGENT")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("_cnt")))
+    c_counts = (t["customer"].select("c_custkey")
+                .join(per_cust,
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+                .select(F.coalesce(F.col("_cnt"), F.lit(0))
+                        .cast("long").alias("c_count")))
+    return (c_counts.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -5597,6 +5687,69 @@ def q210_ogg_packets(spark, sf):
     media = docs.mapInPandas(synth, "media_id string, payload binary")
     return (multimodal.ogg_packets(media)
             .orderBy("media_id", "packet_idx"))
+
+
+def q224_mkv_blocks(spark, sf):
+    """REAL Matroska/WebM (EBML) container walk under the oracle
+    gate — completes container parity (r08 verdict item 7: AVI, MP4
+    and Ogg had full q-gated walks; EBML was header-probe only).
+    Each document synthesizes a two-cluster file (doctype webm for
+    every 4th doc): cluster 0 holds a no-lacing keyframe block and a
+    Xiph-laced 3-frame block whose 303-byte middle frame forces a
+    255-run lacing entry; cluster 1 holds a fixed-laced 4×150-byte
+    block and an EBML-laced signed-diff-vint block. Every cluster
+    leads with the EBML CRC-32 element (IEEE polynomial,
+    little-endian); every 7th document gets one frame byte flipped
+    AFTER the CRC is sealed, so a walker with a fake CRC fails the
+    gate in both directions. `multimodal.mkv_blocks` walks the
+    actual bytes — element tree, track vints, relative timestamps,
+    all three lacing modes — and the oracle regenerates every fact
+    (sizes, timestamps, lacing kinds, the corrupted md5, the crc_ok
+    verdicts) by formula. Scale posture: one Arrow mapInPandas stage
+    over the repartitioned feeder, linear per row."""
+    from memory_engine_spark.operators import multimodal
+
+    docs = (_t(spark, sf)["documents"]
+            .select("doc_id", "text", "source")
+            .repartition(spark.sparkContext.defaultParallelism))
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, text, src in zip(pdf["doc_id"], pdf["text"],
+                                    pdf["source"]):
+                d = int(d)
+                t = (text or "").encode()
+                s = (src or "").encode()
+                body300 = ((t + b"|") * (300 // (len(t) + 1) + 1))[:300]
+                body600 = ((b"F:" + t + b"|")
+                           * (600 // (len(t) + 3) + 1))[:600]
+                clusters = [
+                    (1000 + d % 7,
+                     [(1, 0, True, "none", [b"k0:" + t[:40]]),
+                      (2, 20, False, "xiph",
+                       [b"a0:" + s, b"a1:" + body300,
+                        b"a2:" + t[:15]])]),
+                    (2000 + d % 7,
+                     [(1, 0, True, "fixed",
+                       [body600[i * 150:(i + 1) * 150]
+                        for i in range(4)]),
+                      (2, 20, False, "ebml",
+                       [b"e0:" + t[:20], b"e1:" + s + b"#"])]),
+                ]
+                corrupt = (1, 0, 0, 0x01) if d % 7 == 0 else None
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_mkv(
+                    "webm" if d % 4 == 0 else "matroska",
+                    1_000_000, (320 + d % 16 * 8, 240 + d % 9 * 8),
+                    clusters, corrupt=corrupt))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id string, payload binary")
+    return (multimodal.mkv_blocks(media)
+            .orderBy("media_id", "cluster_idx", "block_idx"))
 
 
 def q195_schema_drift(spark, sf):
@@ -6941,6 +7094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_bounded_scc": q219_bounded_scc,
         "q220_snapshot_diff": q220_snapshot_diff,
         "q221_unicode_nfc": q221_unicode_nfc,
+        "q222_excess_stock_suppliers": q222_excess_stock_suppliers,
+        "q223_order_count_distribution": q223_order_count_distribution,
+        "q224_mkv_blocks": q224_mkv_blocks,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -7012,14 +7168,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALE tranche q17–q50 + q61–q83 (last proof r02/r03), (3) only
     # then this round's new queries (q208+) and the rest. The stale
     # tranche is 57 entries — the overflow rolls into r09's front.
-    unproven_r07 = ["q206_event_bigrams", "q207_preference_pairs"]
-    stale = {f"q{i:02d}" for i in range(17, 51)} | \
-            {f"q{i}" for i in range(61, 84)}
+    # r09 front (r08 verdict item 1): the 23 entries that have NEVER
+    # had a driver hash — q75–q83 (stale-tranche overflow from r08's
+    # 50-slot window) + q208–q221 (r08's new queries) — then THIS
+    # round's new queries (q222+), then the rest. Landing all 23 makes
+    # every registered query driver-proved at least once.
+    never_proved = {f"q{i}" for i in range(75, 84)} | \
+                   {f"q{i}" for i in range(208, 222)}
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
-                      and int(n.split("_")[0].lstrip("q")) >= 208]
-    front = (unproven_r07
-             + [n for n in sorted(out) if n.split("_")[0] in stale]
+                      and int(n.split("_")[0].lstrip("q")) >= 222]
+    front = ([n for n in sorted(out) if n.split("_")[0] in never_proved]
              + new_this_round)
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
@@ -11379,6 +11538,47 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 100
     """
 
+    # q222: Q20 shape — the textbook nested IN → IN → correlated
+    # scalar spelling, replayed verbatim (DuckDB decorrelates it
+    # itself); availqty by the same integer formula, the gate as the
+    # same exact cross-multiplication.
+    sql["q222_excess_stock_suppliers"] = """
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_3', 'NATION_5')
+          AND s.s_suppkey IN (
+            SELECT ps.ps_suppkey
+            FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                         l_suppkey AS ps_suppkey FROM lineitem) ps
+            WHERE ps.ps_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND ((ps.ps_partkey * 7 + ps.ps_suppkey * 13) % 50) * 2 >
+                  (SELECT COALESCE(
+                       SUM(l.l_quantity::DECIMAL(18,2)), 0)
+                   FROM lineitem l
+                   WHERE l.l_partkey = ps.ps_partkey
+                     AND l.l_suppkey = ps.ps_suppkey
+                     AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                     AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+        ORDER BY s.s_name
+    """
+
+    # q223: Q13 shape — the textbook outer-join-then-count nested
+    # groupBy, proving the Spark side's pre-aggregation rewrite.
+    sql["q223_order_count_distribution"] = """
+        SELECT c_count, COUNT(*)::BIGINT AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   COUNT(o.o_orderkey)::BIGINT AS c_count
+            FROM customer c LEFT JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+                AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
     # q209: TPC-H Q22 shape — NOT EXISTS + scalar-average subquery;
     # the avg compare is the exact decimal cross-multiplication
     # (bal·n > sum), identical to the Spark plan, so no float
@@ -11632,6 +11832,57 @@ def oracle_sql() -> dict[str, str]:
     # the reassembled bytes (including the post-CRC corruption flip on
     # every 7th doc), the span count pins the lacing walk, crc_ok pins
     # the CRC table itself.
+    # q224: every Matroska block fact regenerated by formula — the
+    # md5s pin the reassembled frames across all three lacing modes
+    # (including the post-CRC corruption flip on every 7th doc's
+    # fixed-laced block), ts_ms pins the cluster-ts + relative-ts
+    # arithmetic, crc_ok pins the EBML CRC-32 element itself.
+    sql["q224_mkv_blocks"] = """
+        WITH d AS (
+            SELECT doc_id, text, source,
+                   substring(repeat(text || '|', 300), 1, 300) AS b300,
+                   substring(repeat('F:' || text || '|', 600), 1, 600)
+                       AS b600
+            FROM documents
+        ),
+        p AS (SELECT doc_id, text, source, b300, b600,
+                     unnest(range(0, 4)) AS i
+              FROM d)
+        SELECT 'm_' || doc_id AS media_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'webm'
+                    ELSE 'matroska' END AS doctype,
+               (i // 2)::INT AS cluster_idx,
+               (i % 2)::INT AS block_idx,
+               (1 + i % 2)::INT AS track,
+               (1000 * (i // 2 + 1) + doc_id % 7
+                + 20 * (i % 2))::BIGINT AS ts_ms,
+               (i % 2 = 0) AS keyframe,
+               CASE i WHEN 0 THEN 'none' WHEN 1 THEN 'xiph'
+                      WHEN 2 THEN 'fixed' ELSE 'ebml' END AS lacing,
+               (CASE i WHEN 0 THEN 1 WHEN 1 THEN 3
+                       WHEN 2 THEN 4 ELSE 2 END)::INT AS n_frames,
+               (CASE i
+                   WHEN 0 THEN 3 + strlen(substring(text, 1, 40))
+                   WHEN 1 THEN 3 + strlen(source) + 3 + 300
+                               + 3 + strlen(substring(text, 1, 15))
+                   WHEN 2 THEN 600
+                   ELSE 3 + strlen(substring(text, 1, 20))
+                        + 3 + strlen(source) + 1
+                END)::BIGINT AS n_bytes,
+               CASE i
+                   WHEN 0 THEN md5('k0:' || substring(text, 1, 40))
+                   WHEN 1 THEN md5('a0:' || source || 'a1:' || b300
+                                   || 'a2:' || substring(text, 1, 15))
+                   WHEN 2 THEN CASE WHEN doc_id % 7 = 0
+                                    THEN md5('G' || substring(b600, 2))
+                                    ELSE md5(b600) END
+                   ELSE md5('e0:' || substring(text, 1, 20)
+                            || 'e1:' || source || '#')
+               END AS frames_md5,
+               NOT (i >= 2 AND doc_id % 7 = 0) AS crc_ok
+        FROM p ORDER BY media_id, cluster_idx, block_idx
+    """
+
     sql["q210_ogg_packets"] = """
         WITH d AS (
             SELECT doc_id, text, source,

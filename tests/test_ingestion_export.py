@@ -1778,6 +1778,82 @@ def test_ogg_packet_walk_crc_and_reassembly(spark):
         assert out[("bad", i)]["crc_ok"] is True, i
 
 
+def test_mkv_block_walk_crc_and_lacing(spark):
+    """Round-9 Matroska/EBML container walk: element-size tree,
+    cluster CRC-32 element (IEEE, little-endian) detecting a
+    post-seal flip, and frame reassembly under all three lacing
+    modes — Xiph 255-runs (303-byte frame → [255,48]), fixed
+    equal-split, EBML signed-diff vints — plus the no-lacing path,
+    track vints, cluster+relative timestamps, and the loud-fail
+    contract on truncation."""
+    import hashlib
+
+    import pytest
+
+    from memory_engine_spark.operators.multimodal import (mkv_blocks,
+                                                          synth_mkv)
+
+    xiph = [b"a0:s", b"a1:" + b"Y" * 300, b"a2:t"]
+    fixed = [bytes([65 + i]) * 150 for i in range(4)]
+    ebml_l = [b"e0:abcdefgh", b"e1:#"]
+    clusters = [
+        (1003, [(1, 0, True, "none", [b"k0:frame"]),
+                (2, 20, False, "xiph", xiph)]),
+        (2003, [(1, 0, True, "fixed", fixed),
+                (2, 20, False, "ebml", ebml_l)]),
+    ]
+    clean = synth_mkv("matroska", 1_000_000, (320, 240), clusters)
+    bad = synth_mkv("webm", 1_000_000, (320, 240), clusters,
+                    corrupt=(1, 0, 0, 0x01))    # flip 'A'->'@' post-CRC
+
+    df = spark.createDataFrame(
+        [("ok", bytearray(clean)), ("bad", bytearray(bad))],
+        "media_id string, payload binary")
+    out = {(r["media_id"], r["cluster_idx"], r["block_idx"]): r
+           for r in mkv_blocks(df).collect()}
+
+    r00 = out[("ok", 0, 0)]
+    assert (r00["doctype"], r00["track"], r00["ts_ms"],
+            r00["keyframe"], r00["lacing"], r00["n_frames"],
+            r00["frames_md5"]) == \
+        ("matroska", 1, 1003, True, "none", 1,
+         hashlib.md5(b"k0:frame").hexdigest())
+    r01 = out[("ok", 0, 1)]
+    assert (r01["track"], r01["ts_ms"], r01["keyframe"],
+            r01["lacing"], r01["n_frames"], r01["n_bytes"],
+            r01["frames_md5"]) == \
+        (2, 1023, False, "xiph", 3, 4 + 303 + 4,
+         hashlib.md5(b"".join(xiph)).hexdigest())
+    r10 = out[("ok", 1, 0)]
+    assert (r10["lacing"], r10["n_frames"], r10["n_bytes"],
+            r10["frames_md5"]) == \
+        ("fixed", 4, 600, hashlib.md5(b"".join(fixed)).hexdigest())
+    r11 = out[("ok", 1, 1)]
+    assert (r11["lacing"], r11["n_frames"], r11["frames_md5"]) == \
+        ("ebml", 2, hashlib.md5(b"".join(ebml_l)).hexdigest())
+    assert all(r["crc_ok"] for k, r in out.items() if k[0] == "ok")
+
+    # corruption: cluster 1's CRC fails, cluster 0's still passes;
+    # the md5 reflects the corrupted bytes as-read.
+    assert out[("bad", 0, 0)]["doctype"] == "webm"
+    assert out[("bad", 0, 0)]["crc_ok"] is True
+    assert out[("bad", 1, 0)]["crc_ok"] is False
+    assert out[("bad", 1, 1)]["crc_ok"] is False
+    corrupted = bytes([65 ^ 1]) + fixed[0][1:] + b"".join(fixed[1:])
+    assert out[("bad", 1, 0)]["frames_md5"] == \
+        hashlib.md5(corrupted).hexdigest()
+
+    # structural violations raise loudly
+    with pytest.raises(Exception):
+        mkv_blocks(spark.createDataFrame(
+            [("t", bytearray(clean[:-5]))],
+            "media_id string, payload binary")).collect()
+    with pytest.raises(Exception):
+        mkv_blocks(spark.createDataFrame(
+            [("t", bytearray(b"nonsense"))],
+            "media_id string, payload binary")).collect()
+
+
 def test_xxh32_reference_vectors_and_lz4_roundtrip():
     """xxHash32 against the reference test vectors (the LZ4 frame's
     checksum algorithm), LZ4 block round trips incl. the RLE
