@@ -5226,6 +5226,42 @@ def q213_split_leakage(spark, sf):
             .orderBy("a", "b"))
 
 
+def q225_minhash_leakage(spark, sf):
+    """MinHash-BANDED cross-split leakage audit (r08 verdict item 8)
+    — q213's eval-integrity check re-based on the LSH candidate
+    path: at 100 TB the exact shingle-pair join q213 audits with is
+    affordable only under the stop-shingle cap; the banded variant
+    is the unconditional scale path (signature → 32 bands → bucket
+    equi-join — candidate count is bounded by band collisions, never
+    by shingle fan-out), and a LOWER Jaccard threshold (0.6 vs the
+    exact audit's pinned pairs) shows the audit catches
+    paraphrase-level leakage, not just byte-level dups. Same
+    content-addressed split rule as q213 (first md5 hex char of
+    doc_id); output = every cross-split pair with its exact verified
+    Jaccard, row-level so the oracle pins each leaked pair. The
+    oracle replays the FULL md5-portable pipeline (q14 convention) +
+    the split rule."""
+    t = _t(spark, sf)
+    split = (t["documents"].select(
+        "doc_id",
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")),
+                           1, 1).isin(*list("0123456789ab")), "train")
+        .when(F.substring(F.md5(F.col("doc_id").cast("string")),
+                          1, 1).isin("c", "d"), "val")
+        .otherwise("test").alias("split")))
+    pairs = dedup.minhash_md5_neardup(t["documents"], "text", "doc_id",
+                                      threshold=0.6, num_hashes=64,
+                                      bands=32)
+    sa = split.select(F.col("doc_id").alias("a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("b"),
+                      F.col("split").alias("split_b"))
+    return (pairs.join(sa, "a").join(sb, "b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("a", "b", "split_a", "split_b", "jaccard")
+            .orderBy("a", "b"))
+
+
 def q214_column_profile(spark, sf):
     """ANALYZE-style table profiler — the data-quality pre-flight
     every ingest runs before committing a 100 TB batch: per column,
@@ -7097,6 +7133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_excess_stock_suppliers": q222_excess_stock_suppliers,
         "q223_order_count_distribution": q223_order_count_distribution,
         "q224_mkv_blocks": q224_mkv_blocks,
+        "q225_minhash_leakage": q225_minhash_leakage,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -9009,6 +9046,78 @@ def oracle_sql() -> dict[str, str]:
             FROM common JOIN sizes sa ON sa.doc_id = a
                         JOIN sizes sb ON sb.doc_id = b
             WHERE c / (sa.sz + sb.sz - c) >= 0.3
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7',
+                                 '8','9','a','b') THEN 'train'
+                        WHEN substring(md5(doc_id::VARCHAR), 1, 1)
+                             IN ('c','d') THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT p.a, p.b, spa.split AS split_a, spb.split AS split_b,
+               p.jaccard
+        FROM pairs p JOIN sp spa ON spa.doc_id = p.a
+                     JOIN sp spb ON spb.doc_id = p.b
+        WHERE spa.split <> spb.split
+        ORDER BY p.a, p.b
+    """
+
+    # q225: q14's full md5-portable MinHash+LSH pipeline (signature →
+    # banding → candidate join → exact-Jaccard verify) at 0.6 + the
+    # q213 content-addressed split rule, cross-split pairs only.
+    sql["q225_minhash_leakage"] = f"""
+        WITH {TOKS_CTE},
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                               i -> array_to_string(toks[i+1:i+3], ' '))
+            )) AS shingle
+            FROM toks_t
+        ),
+        words AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                                     substr(md5(shingle), j::INT + 1, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) AS w1,
+                   CAST(list_sum(list_transform(range(0, 8),
+                        j -> (strpos('0123456789abcdef',
+                                     substr(md5(shingle), j::INT + 9, 1)) - 1)
+                             * power(16, 7 - j))) AS BIGINT) AS w2
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, i, MIN((w1 + i * w2) & 4294967295) AS h
+            FROM words, range(0, 64) r(i) GROUP BY 1, 2
+        ),
+        banded AS (
+            SELECT doc_id, i // 2 AS band,
+                   string_agg(h::VARCHAR, ',' ORDER BY i) AS bk
+            FROM sig GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        common AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+            FROM sh x JOIN sh y
+              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT cand.a, cand.b,
+                   ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM cand
+            JOIN common ON common.a = cand.a AND common.b = cand.b
+            JOIN sizes sa ON sa.doc_id = cand.a
+            JOIN sizes sb ON sb.doc_id = cand.b
+            WHERE c / (sa.sz + sb.sz - c) >= 0.6
         ),
         sp AS (
             SELECT doc_id,
