@@ -1012,28 +1012,35 @@ def q51_qa_confidence(spark, sf):
     from memory_engine_spark.operators.dedup import _spread
 
     docs = _spread(_t(spark, sf)["documents"])
-    outs = []
+    parsed_list = []
     for qtype, question in QA_QUESTIONS:
         parsed = qa.parse_question(question)
         assert parsed.qtype == qtype, (qtype, parsed.qtype)
-        ev = qa.relevant_nodes(docs, parsed, "text", "doc_id", top_k=20)
-        agg = ev.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("relevance").alias("avg_rel"),
-            F.sum(F.when(F.col("relevance") > 0.7, 1).otherwise(0)).alias("nhq"))
-        conf = F.when(F.col("n") == 0, F.lit(0.1)).otherwise(F.least(
-            F.col("avg_rel") * 0.6
-            + F.when(F.col("n") >= 3, 0.2).when(F.col("n") >= 2, 0.1).otherwise(0.0)
-            + F.col("nhq") / F.col("n") * 0.2,
-            F.lit(0.95)))
-        outs.append(agg.select(
-            F.lit(qtype).alias("qtype"),
-            F.col("n").cast("long").alias("n_evidence"),
-            F.round(conf, 6).alias("confidence")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        parsed_list.append(parsed)
+    # ONE corpus scan for all 8 questions (r08 verdict item 4): the
+    # question dim broadcasts, per-type top-20 prunes two-phase, and
+    # one groupBy replaces 8 independent jobs. A type with zero
+    # evidence must still emit its n=0/0.1 row, so the agg
+    # left-joins back onto the type dim.
+    ev = qa.relevant_nodes_multi(docs, parsed_list, "text", "doc_id",
+                                 top_k=20)
+    agg = ev.groupBy("qtype").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("relevance").alias("avg_rel"),
+        F.sum(F.when(F.col("relevance") > 0.7, 1).otherwise(0)).alias("nhq"))
+    dim = spark.createDataFrame([(t,) for t, _ in QA_QUESTIONS],
+                                "qtype string")
+    joined = dim.join(F.broadcast(agg), "qtype", "left")
+    n = F.coalesce(F.col("n"), F.lit(0))
+    conf = F.when(n == 0, F.lit(0.1)).otherwise(F.least(
+        F.col("avg_rel") * 0.6
+        + F.when(n >= 3, 0.2).when(n >= 2, 0.1).otherwise(0.0)
+        + F.col("nhq") / n * 0.2,
+        F.lit(0.95)))
+    return joined.select(
+        "qtype",
+        n.cast("long").alias("n_evidence"),
+        F.round(conf, 6).alias("confidence"))
 
 
 def q52_contradiction_resolution(spark, sf):

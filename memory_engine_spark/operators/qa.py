@@ -135,6 +135,60 @@ def relevant_nodes(nodes: DataFrame, parsed: ParsedQuestion,
             .limit(top_k))
 
 
+def relevant_nodes_multi(nodes: DataFrame, parsed_list: list[ParsedQuestion],
+                         text_col: str = "content", id_col: str = "node_id",
+                         top_k: int = 20) -> DataFrame:
+    """ONE-SCAN multi-question evidence retrieval (r08 verdict item
+    4): N independent ``relevant_nodes`` pipelines re-scan and
+    re-tokenize the corpus once per question; here the questions
+    become an N-row BROADCAST dim crossed against a single corpus
+    scan, so tokenization and the question-independent marker
+    columns (causal/procedural/definition — identical exprs for
+    every question) are computed exactly once per document.
+    Returns the same shape as ``relevant_nodes`` plus a ``qtype``
+    tag: per question, the top-k nodes by (relevance desc, id asc)
+    with relevance > 0.
+
+    Scale shape: the per-question top-k is TWO-PHASE — a partial
+    top-k inside each scan partition (window over (qtype,
+    partition_id), ≤ k·P survivors) then the exact top-k over that
+    bounded set — so no single reducer ever sorts a question's full
+    candidate list; with N questions a one-phase window would cap
+    parallelism at N and sort everything that matched. The
+    reference evaluates questions strictly one at a time
+    (question_answering.py:310-471)."""
+    from pyspark.sql.window import Window
+
+    spark = nodes.sparkSession
+    dim = spark.createDataFrame(
+        [(p.qtype, " ".join(p.keywords)) for p in parsed_list],
+        "qtype string, _kw string")
+    marked = nodes.withColumn(
+        "has_causal", _contains_any(F.col(text_col), CAUSAL_KEYWORDS),
+    ).withColumn(
+        "has_procedural",
+        _contains_any(F.col(text_col), PROCEDURAL_KEYWORDS),
+    ).withColumn(
+        "has_definition", F.col(text_col).rlike(f"(?i){_DEFINITION_RE}"),
+    )
+    scored = (marked.crossJoin(F.broadcast(dim))
+              .withColumn("relevance",
+                          F.round(relevance_score(F.col(text_col),
+                                                  F.col("_kw")), 6))
+              .filter(F.col("relevance") > 0))
+    part_w = Window.partitionBy("qtype", "_pid").orderBy(
+        F.col("relevance").desc(), F.col(id_col).asc())
+    full_w = Window.partitionBy("qtype").orderBy(
+        F.col("relevance").desc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_prk", F.row_number().over(part_w))
+            .filter(F.col("_prk") <= top_k)
+            .withColumn("_rk", F.row_number().over(full_w))
+            .filter(F.col("_rk") <= top_k)
+            .drop("_pid", "_prk", "_rk", "_kw"))
+
+
 def expand_evidence(seeds: DataFrame, edges: DataFrame, nodes: DataFrame,
                     hops: int = 1, id_col: str = "node_id") -> DataFrame:
     """Entity-neighborhood expansion (question_answering.py:310-400):

@@ -26,11 +26,14 @@ from memory_engine_spark.operators.dedup import tokens
 DEFAULT_WEIGHTS = {"relevance": 0.4, "quality": 0.3, "freshness": 0.1, "popularity": 0.1}
 
 
-def relevance_score(content, query: str) -> Column:
+def relevance_score(content, query) -> Column:
     """Word-Jaccard(query, content) × 2, capped at 1.0
-    (result_ranker.py:228-245)."""
+    (result_ranker.py:228-245). ``query`` is a literal string or a
+    Column — the latter lets a broadcast question-dim drive MANY
+    queries through one corpus scan (qa.relevant_nodes_multi)."""
     ct = F.array_distinct(tokens(content))
-    qt = F.array_distinct(tokens(F.lit(query)))
+    qt = F.array_distinct(tokens(
+        query if isinstance(query, Column) else F.lit(query)))
     inter = F.size(F.array_intersect(ct, qt))
     union = F.size(F.array_union(ct, qt))
     jac = F.when(union == 0, 0.0).otherwise(inter / union)
