@@ -369,6 +369,11 @@ def main() -> None:
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    # r08 verdict item 6: for slow entries (steady > 2 s) the min can
+    # hide multi-second run-to-run swings (q79 ranged 5.3-9.6 s across
+    # r8 artifacts), so the full artifact carries min+median+all runs
+    # for them and SCALING quotes the median.
+    slow_detail: dict[str, dict] = {}
     import gc
     for name in bench_queries():
         # Drop Python refs to the previous query's localCheckpoint
@@ -384,6 +389,12 @@ def main() -> None:
             per_run.append(round(time.time() - t0, 3))
         cold[name] = per_run[0]
         timings[name] = min(per_run)
+        if timings[name] > 2.0:
+            import statistics
+            slow_detail[name] = {
+                "min": timings[name],
+                "median": round(statistics.median(per_run), 3),
+                "runs": per_run}
         print(f"# {name}: {n} rows cold={per_run[0]:.2f}s "
               f"warm={min(per_run[1:]):.2f}s", file=sys.stderr)
         drop_transient_caches(keep_ids)
@@ -497,7 +508,7 @@ def main() -> None:
         if (m := _re.search(r"BENCH_r(\d+)\.json$", f))]
     rn = (max(rounds) + 1) if rounds else 0
     full = dict(payload, cold=cold, bench_excluded=BENCH_EXCLUDED,
-                q125_lifecycle_runs=lc_runs)
+                q125_lifecycle_runs=lc_runs, slow_detail=slow_detail)
     with open(os.path.join(here, f"BENCH_r{rn:02d}_full.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     spark.stop()

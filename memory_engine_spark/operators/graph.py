@@ -541,16 +541,42 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ).persist()
     try:
         e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-        wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
-                  .filter((F.col("e1.ddeg") < F.col("e2.ddeg"))
-                          | ((F.col("e1.ddeg") == F.col("e2.ddeg"))
-                             & (F.col("e1.dst") < F.col("e2.dst"))))
-                  .select(F.col("e1.dst").alias("b"),
-                          F.col("e2.dst").alias("c")))
-        tri = (wedges.join(oriented,
-                           (F.col("b") == F.col("src"))
-                           & (F.col("c") == F.col("dst")), "left_semi")
-               .agg(F.count(F.lit(1)).cast("long").alias("triangles")))
+        wedge_pred = ((F.col("e1.ddeg") < F.col("e2.ddeg"))
+                      | ((F.col("e1.ddeg") == F.col("e2.ddeg"))
+                         & (F.col("e1.dst") < F.col("e2.dst"))))
+        # Closure key: the wedge stream is ~10-50× the edge set, so
+        # its shuffle dominates the census. Packing (b, c) into ONE
+        # long (b·2³² + c) halves the shuffled key width and replaces
+        # the two-column hash/compare with a single-long one — r09
+        # stage probe at sf0.1: closure 3.9-5.9 s two-column →
+        # 1.7-2.7 s packed (tools/q79_stages.py). Packing is
+        # injective only for ids < 2³¹, so the max id (one scan of
+        # the persisted 1.2M-row edge frame, not of the wedges)
+        # gates it; wider ids keep the two-column join.
+        max_id = oriented.agg(
+            F.max(F.greatest("src", "dst"))).collect()[0][0]
+        if max_id is not None and max_id < (1 << 31):
+            wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+                      .filter(wedge_pred)
+                      .select((F.shiftleft(F.col("e1.dst"), 32)
+                               + F.col("e2.dst")).alias("bc")))
+            ekeys = oriented.select(
+                (F.shiftleft(F.col("src"), 32)
+                 + F.col("dst")).alias("bc"))
+            tri = (wedges.join(ekeys, "bc", "left_semi")
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("triangles")))
+        else:
+            wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+                      .filter(wedge_pred)
+                      .select(F.col("e1.dst").alias("b"),
+                              F.col("e2.dst").alias("c")))
+            tri = (wedges.join(oriented,
+                               (F.col("b") == F.col("src"))
+                               & (F.col("c") == F.col("dst")),
+                               "left_semi")
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("triangles")))
         wtot = deg.agg((F.sum(F.col("degree").cast("long")
                               * (F.col("degree") - 1)) / 2)
                        .cast("long").alias("wedges"))
