@@ -385,7 +385,19 @@ def main() -> None:
         per_run = []
         for run in range(n_runs):
             t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
+            # noop-write materializer, NOT count() (r09 methodology
+            # fix): count() lets Catalyst PRUNE every column the count
+            # doesn't need — for aggregate-final queries the entire
+            # agg payload (sums, collect_list, md5 fingerprints)
+            # vanished from the measured plan (verified on the salted
+            # inverted index: under count() its second exchange
+            # carried 6 records; under noop-write, 57 MB). The noop
+            # sink consumes all output columns and keeps final sorts,
+            # so the timed plan is the plan a real consumer pays for.
+            # This raises agg-final entries vs r8 numbers by design —
+            # see SCALING.md round 9.
+            qs[name](spark, sf_dir).write.mode("overwrite") \
+                .format("noop").save()
             per_run.append(round(time.time() - t0, 3))
         cold[name] = per_run[0]
         timings[name] = min(per_run)
@@ -395,7 +407,7 @@ def main() -> None:
                 "min": timings[name],
                 "median": round(statistics.median(per_run), 3),
                 "runs": per_run}
-        print(f"# {name}: {n} rows cold={per_run[0]:.2f}s "
+        print(f"# {name}: cold={per_run[0]:.2f}s "
               f"warm={min(per_run[1:]):.2f}s", file=sys.stderr)
         drop_transient_caches(keep_ids)
 
@@ -484,6 +496,7 @@ def main() -> None:
         "metric": "headline_query_total_steady_state",
         "value": total,
         "unit": "sec",
+        "materializer": "noop_write",  # r09: count() pruned agg payloads
         "queries": timings,
         "cold_over_1_5x": cold_hot,
         "cold_total": round(sum(cold.values()), 3),

@@ -362,8 +362,17 @@ def inverted_index(df: "DataFrame", text_col: str = "text",
     ``hot_cf``: when set, a first algebraic ``groupBy(term).count()``
     (map-side combined, skew-immune) finds terms with cf ≥ hot_cf;
     ONLY those get salted (broadcast hot-set join), the long tail
-    keeps bucket 0. This halves the shuffle volume for the ~all-cold
-    vocabulary while still spreading the Zipf head.
+    keeps bucket 0, so mid-tail terms (df 2..S docs) emit ONE
+    partial instead of up to S. Measured on a 97k-type log-uniform
+    vocabulary (tools/zipf_index_probe.py, r09, full noop-write
+    materialization): salt-pass shuffle 171.3 → 148.6 MB (−13%) at
+    the cost of the census's extra token scan (+0.7 s locally) —
+    NOT the "halved volume" previously claimed: a df=1 tail term
+    emits one partial under EITHER plan, so the saving scales with
+    the mid-tail mass, not the tail count. The knob stays the
+    100 TB default because at scale the census pass is cheap
+    relative to the salt shuffle it trims and the hot set it
+    broadcasts is tiny.
 
     Reference parity: the reference has no inverted index (its
     retrieval is embedding-only, memory_core/search); this is the
