@@ -381,7 +381,6 @@ def inverted_index(df: "DataFrame", text_col: str = "text",
     q204's driver gate."""
     from pyspark.sql import functions as F
 
-    dtypes = dict(df.dtypes)
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"))
@@ -394,27 +393,26 @@ def inverted_index(df: "DataFrame", text_col: str = "text",
         .alias("postings_md5")]
     if salt_buckets <= 1:
         return toks.groupBy("term").agg(*direct_agg)
-    if dtypes.get(id_col) not in ("tinyint", "smallint", "int", "bigint"):
-        raise ValueError(
-            f"range salting needs an integral {id_col!r}; got "
-            f"{dtypes.get(id_col)!r} (hash-salting cannot preserve the "
-            "posting order — see docstring)")
+    # Order-preserving bucket via the repo-wide salting helper (r08
+    # verdict item 9 — skew.py is the single spelling point); bounds
+    # come from the compact doc frame, not the exploded token stream.
+    from memory_engine_spark.operators.skew import range_salt
+
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
     if lo is None:
         return toks.groupBy("term").agg(*direct_agg)
-    width = max(1, -(-(int(hi) - int(lo) + 1) // int(salt_buckets)))
-    bucket = F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)) \
-        .cast("int")
+    salted = range_salt(toks, id_col, salt_buckets,
+                        bounds=(lo, hi), salt_col="_b")
     if hot_cf is not None:
         hot = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("_cf"))
                .filter(F.col("_cf") >= hot_cf)
                .select("term", F.lit(True).alias("_hot")))
-        toks = (toks.join(F.broadcast(hot), "term", "left")
-                .withColumn("_b", F.when(F.col("_hot"), bucket)
+        toks = (salted.join(F.broadcast(hot), "term", "left")
+                .withColumn("_b", F.when(F.col("_hot"), F.col("_b"))
                             .otherwise(F.lit(0)))
                 .drop("_hot"))
     else:
-        toks = toks.withColumn("_b", bucket)
+        toks = salted
     partial = toks.groupBy("term", "_b").agg(
         F.countDistinct(id_col).alias("_pdf"),
         F.count(F.lit(1)).alias("_pcf"),
