@@ -5436,6 +5436,76 @@ def q223_order_count_distribution(spark, sf):
             .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
 
 
+def q226_top_revenue_supplier(spark, sf):
+    """TPC-H Q15-shape — the scalar-MAX-against-a-view decorrelation:
+    a revenue view (per-supplier DECIMAL sum over a 3-month ship
+    window) filtered by equality against ITS OWN global max. The
+    equality is exact because revenue accumulates in DECIMAL(18,4)
+    end-to-end — a double sum would make 'ties with the max' a
+    ulp-lottery (the q209/q211 exact-arithmetic rule applied to Q15's
+    defining predicate, which is literally `total = (SELECT
+    max(total))`). Plan shape: the view is PINNED (cache + eager
+    count) before fanning to its two consumers — without the pin the
+    max branch re-scans the fact table, because the join branch's
+    added isnotnull(suppkey) filter makes the subtrees non-identical
+    and defeats ReusedExchange (verified in the executed plan; the
+    q46/q194 branch-re-derivation rule). The 1-row max then
+    broadcast-joins back onto the ~|suppliers| grouped view;
+    supplier is a broadcast dim. Ties all surface, per Q15 spec."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    by_supp = (t["lineitem"]
+               .filter((F.col("l_shipdate") >= "1997-01-01")
+                       & (F.col("l_shipdate") < "1997-04-01"))
+               .groupBy("l_suppkey")
+               .agg(F.sum(rev).alias("_tot"))
+               .cache())
+    by_supp.count()
+    mx = by_supp.agg(F.max("_tot").alias("_mx"))
+    return (by_supp
+            .join(F.broadcast(mx), F.col("_tot") == F.col("_mx"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.round(F.col("_tot").cast("double"), 2)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def q227_supplier_part_counts(spark, sf):
+    """TPC-H Q16-shape — NOT IN + COUNT(DISTINCT) over the derived
+    partsupp pair set: how many distinct suppliers (excluding a
+    blacklist — suppkey % 13 == 0 stands in for Q16's
+    Customer-Complaints comment scan) offer parts of each
+    (brand, size) slice, one brand excluded. The NOT IN lowers to a
+    broadcast LEFT ANTI join (the blacklist is tiny and null-free,
+    so NOT IN ≡ anti-join here — with a nullable subquery NOT IN
+    would need the null-aware variant); the distinct-count is the
+    pair set grouped AFTER the part semi-filter. Plan: one fact
+    shuffle to build the distinct pairs, part broadcast, blacklist
+    broadcast anti, then a small grouped distinct-count."""
+    t = _t(spark, sf)
+    ps = (t["lineitem"].select(F.col("l_partkey").alias("ps_partkey"),
+                               F.col("l_suppkey").alias("ps_suppkey"))
+          .distinct())
+    bad = (t["supplier"].filter(F.col("s_suppkey") % 13 == 0)
+           .select(F.col("s_suppkey").alias("ps_suppkey")))
+    parts = (t["part"]
+             .filter((F.col("p_brand") != "Brand#3")
+                     & F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49))
+             .select("p_partkey", "p_brand", "p_size"))
+    return (ps
+            .join(F.broadcast(bad), "ps_suppkey", "left_anti")
+            .join(F.broadcast(parts),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("ps_suppkey").cast("long")
+                 .alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(),
+                     F.col("p_brand").asc(), F.col("p_size").asc()))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7141,6 +7211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_order_count_distribution": q223_order_count_distribution,
         "q224_mkv_blocks": q224_mkv_blocks,
         "q225_minhash_leakage": q225_minhash_leakage,
+        "q226_top_revenue_supplier": q226_top_revenue_supplier,
+        "q227_supplier_part_counts": q227_supplier_part_counts,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11693,6 +11765,42 @@ def oracle_sql() -> dict[str, str]:
         )
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
+    """
+
+    # q226: Q15 shape — the textbook view + scalar-max subquery; the
+    # revenue sum stays DECIMAL so 'equals the max' is exact on both
+    # engines.
+    sql["q226_top_revenue_supplier"] = """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(18,4))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               ROUND(CAST(r.total_rev AS DOUBLE), 2) AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s.s_suppkey
+    """
+
+    # q227: Q16 shape — NOT IN + COUNT(DISTINCT) over the derived
+    # pair set, textbook spelling.
+    sql["q227_supplier_part_counts"] = """
+        SELECT p.p_brand, p.p_size,
+               COUNT(DISTINCT ps.ps_suppkey)::BIGINT AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                     l_suppkey AS ps_suppkey FROM lineitem) ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#3'
+          AND p.p_size IN (1, 9, 19, 23, 36, 45, 49)
+          AND ps.ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
     """
 
     # q209: TPC-H Q22 shape — NOT EXISTS + scalar-average subquery;

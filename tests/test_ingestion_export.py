@@ -1796,11 +1796,15 @@ def test_mkv_block_walk_crc_and_lacing(spark):
     xiph = [b"a0:s", b"a1:" + b"Y" * 300, b"a2:t"]
     fixed = [bytes([65 + i]) * 150 for i in range(4)]
     ebml_l = [b"e0:abcdefgh", b"e1:#"]
+    # 3-frame EBML lacing exercises the signed-diff vints: +60 then
+    # -93 (negative diff needs the bias encoding both ways)
+    ebml3 = [b"x" * 40, b"y" * 100, b"z" * 7]
     clusters = [
         (1003, [(1, 0, True, "none", [b"k0:frame"]),
                 (2, 20, False, "xiph", xiph)]),
         (2003, [(1, 0, True, "fixed", fixed),
                 (2, 20, False, "ebml", ebml_l)]),
+        (3003, [(2, -5, False, "ebml", ebml3)]),
     ]
     clean = synth_mkv("matroska", 1_000_000, (320, 240), clusters)
     bad = synth_mkv("webm", 1_000_000, (320, 240), clusters,
@@ -1831,6 +1835,10 @@ def test_mkv_block_walk_crc_and_lacing(spark):
     r11 = out[("ok", 1, 1)]
     assert (r11["lacing"], r11["n_frames"], r11["frames_md5"]) == \
         ("ebml", 2, hashlib.md5(b"".join(ebml_l)).hexdigest())
+    r20 = out[("ok", 2, 0)]        # negative rel ts + signed diffs
+    assert (r20["ts_ms"], r20["lacing"], r20["n_frames"], r20["n_bytes"],
+            r20["frames_md5"]) == \
+        (2998, "ebml", 3, 147, hashlib.md5(b"".join(ebml3)).hexdigest())
     assert all(r["crc_ok"] for k, r in out.items() if k[0] == "ok")
 
     # corruption: cluster 1's CRC fails, cluster 0's still passes;
