@@ -160,6 +160,11 @@ def relevant_nodes_multi(nodes: DataFrame, parsed_list: list[ParsedQuestion],
     from pyspark.sql.window import Window
 
     spark = nodes.sparkSession
+    qtypes = [p.qtype for p in parsed_list]
+    if len(set(qtypes)) != len(qtypes):
+        raise ValueError(
+            f"relevant_nodes_multi tags results by qtype; duplicate "
+            f"types {qtypes} would merge two questions' evidence")
     dim = spark.createDataFrame(
         [(p.qtype, " ".join(p.keywords)) for p in parsed_list],
         "qtype string, _kw string")

@@ -94,6 +94,28 @@ def test_relevant_nodes_ranking(graph_data):
     assert "n3" not in ids and "n5" not in ids
 
 
+def test_relevant_nodes_multi_matches_single(graph_data):
+    """The one-scan multi-question path (r9) must agree with N
+    independent relevant_nodes runs — same rows, same relevance,
+    same marker columns — for every question type in the batch."""
+    nodes, _ = graph_data
+    questions = ["how do spark joins move data",
+                 "why does the shuffle spill",
+                 "compare broadcast to shuffle joins"]
+    parsed_list = [qa.parse_question(q) for q in questions]
+    multi = qa.relevant_nodes_multi(nodes, parsed_list, top_k=3)
+    got = {}
+    for r in multi.collect():
+        got.setdefault(r["qtype"], []).append(
+            (r["node_id"], r["relevance"], r["has_causal"],
+             r["has_procedural"], r["has_definition"]))
+    for p in parsed_list:
+        single = [(r["node_id"], r["relevance"], r["has_causal"],
+                   r["has_procedural"], r["has_definition"])
+                  for r in qa.relevant_nodes(nodes, p, top_k=3).collect()]
+        assert sorted(got.get(p.qtype, [])) == sorted(single), p.qtype
+
+
 def test_answer_end_to_end(graph_data):
     nodes, edges = graph_data
     out = qa.answer("how do spark joins process data", nodes, edges)
