@@ -1070,38 +1070,66 @@ def chrf_report(pairs: DataFrame, cand_col: str = "cand",
     def chars(col):
         return F.regexp_replace(F.col(col), " ", "")
 
-    base = pairs.select(
+    from memory_engine_spark.operators.dedup import _spread
+
+    # _spread: the explode feeders otherwise run on the single-file
+    # corpus scan's one task.
+    base = _spread(pairs.select(
         id_col, chars(cand_col).alias("_sc"),
-        chars(ref_col).alias("_sr"))
+        chars(ref_col).alias("_sr")))
 
-    def grams(scol, n):
+    # ONE explode per side covering ALL orders n = 1..max_n as
+    # (n, gram) structs, instead of the original per-n loop (2·max_n
+    # explode branches + 3·max_n id-keyed left joins = 12 scans and
+    # 18 shuffles at max_n=6 — measured 4.4 s warm at sf0.1 under the
+    # r9 noop-write bench; pinning base made it WORSE, 10.5 s, because
+    # the join chain itself was the cost). Long form keys everything
+    # on (id, n, gram) → one clip join + per-(id, n) totals → one
+    # conditional-sum pivot back to the m/tc/tr columns. Same exact
+    # integer components, 2 explodes + 3 joins + 1 pivot agg.
+    def all_grams(scol):
         s = F.col(scol)
-        return F.when(
-            F.length(s) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.length(s) - n + 1),
-                lambda i: F.substring(s, i, F.lit(n)))
-        ).otherwise(F.array().cast("array<string>"))
+        return F.flatten(F.transform(
+            F.sequence(F.lit(1), F.lit(max_n)),
+            lambda n: F.when(
+                F.length(s) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - n + 1),
+                    lambda i: F.struct(n.cast("int").alias("n"),
+                                       F.substring(s, i, n).alias("g")))
+            ).otherwise(
+                F.array().cast("array<struct<n:int,g:string>>"))))
 
-    out = base.select(id_col)
+    # The per-n TOTALS never need the gram census at all — the n-gram
+    # count of a string is a length formula, max(L−n+1, 0) — so cg/rg
+    # feed ONLY the clip join (each derived once; the first cut of
+    # this rewrite derived them twice, once for clip and once for
+    # totals, and re-paid both explodes).
+    cg = (base.select(id_col, F.explode(all_grams("_sc")).alias("x"))
+          .groupBy(id_col, "x.n", "x.g")
+          .agg(F.count("*").alias("nc")))
+    rg = (base.select(id_col, F.explode(all_grams("_sr")).alias("x"))
+          .groupBy(id_col, "x.n", "x.g")
+          .agg(F.count("*").alias("nr")))
+    clipn = (cg.join(rg, [id_col, "n", "g"])
+             .groupBy(id_col, "n")
+             .agg(F.sum(F.least("nc", "nr")).alias("_m")))
+    m_aggs = [F.sum(F.when(F.col("n") == n, F.col("_m"))).alias(f"m{n}")
+              for n in range(1, max_n + 1)]
+    tot_cols = []
     for n in range(1, max_n + 1):
-        cg = (base.select(id_col, F.explode(grams("_sc", n))
-                          .alias("g"))
-              .groupBy(id_col, "g").agg(F.count("*").alias("nc")))
-        rg = (base.select(id_col, F.explode(grams("_sr", n))
-                          .alias("g"))
-              .groupBy(id_col, "g").agg(F.count("*").alias("nr")))
-        clip = (cg.join(rg, [id_col, "g"])
-                .groupBy(id_col)
-                .agg(F.sum(F.least("nc", "nr")).alias(f"m{n}")))
-        totc = cg.groupBy(id_col).agg(F.sum("nc").alias(f"tc{n}"))
-        totr = rg.groupBy(id_col).agg(F.sum("nr").alias(f"tr{n}"))
-        out = out.join(clip, id_col, "left") \
-                 .join(totc, id_col, "left") \
-                 .join(totr, id_col, "left")
-        for c in (f"m{n}", f"tc{n}", f"tr{n}"):
-            out = out.withColumn(
-                c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+        tot_cols.append(
+            F.greatest(F.length("_sc") - (n - 1), F.lit(0))
+            .cast("long").alias(f"tc{n}"))
+        tot_cols.append(
+            F.greatest(F.length("_sr") - (n - 1), F.lit(0))
+            .cast("long").alias(f"tr{n}"))
+    out = (base.select(id_col, *tot_cols)
+           .join(clipn.groupBy(id_col).agg(*m_aggs), id_col, "left"))
+    for n in range(1, max_n + 1):
+        out = out.withColumn(
+            f"m{n}",
+            F.coalesce(F.col(f"m{n}"), F.lit(0)).cast("long"))
     psum, pcnt, rsum, rcnt = (F.lit(0.0), F.lit(0), F.lit(0.0),
                               F.lit(0))
     for n in range(1, max_n + 1):

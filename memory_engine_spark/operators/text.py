@@ -245,6 +245,15 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     lines / chars), top_ngram_char_fraction (chars covered by the most
     frequent word n-gram / chars). Line stats are pure expressions; the
     top-n-gram needs one explode + groupBy (map-side combined)."""
+    from memory_engine_spark.operators.dedup import _spread
+
+    # The per-doc array algebra (line dedup sums, n-gram transform)
+    # is the expensive part and the single-file documents scan feeds
+    # it through ONE task otherwise — invisible under the old count()
+    # bench materializer (the left join let Catalyst drop these
+    # columns entirely), 4.4 s warm at sf0.1 once r9's noop-write
+    # bench measured the real plan.
+    df = _spread(df.select(id_col, text_col))
     lines = F.filter(F.split(F.col(text_col), r"\n"),
                      lambda x: F.trim(x) != "")
     n_lines = F.greatest(F.size(lines), F.lit(1))
