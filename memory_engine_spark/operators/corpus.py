@@ -726,9 +726,14 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
     own = prebuilt_feats is None
     feats = (probe_features(df, text_col, id_col, dim).persist()
              if own else prebuilt_feats)
+    # labels feeds every GD step's gradient join plus the final
+    # scoring join (n_steps+1 consumers); unpinned it re-runs the
+    # corpus scan + feature-id distinct each time (the
+    # branch-re-derivation rule). It is one int per doc — pin it; the
+    # n_docs count below materializes it.
     labels = df.select(
         F.col(id_col), F.col(label_col).cast("int").alias("y")
-    ).join(feats.select(id_col).distinct(), id_col)
+    ).join(feats.select(id_col).distinct(), id_col).persist()
     n_docs = labels.count()
     w = [0.0] * (dim + 1)
     try:
@@ -779,6 +784,7 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
                   .localCheckpoint())
         return w, scored
     finally:
+        labels.unpersist(False)   # scored is checkpointed; safe to drop
         if own:
             feats.unpersist(False)
 
