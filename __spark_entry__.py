@@ -5506,6 +5506,42 @@ def q227_supplier_part_counts(spark, sf):
                      F.col("p_brand").asc(), F.col("p_size").asc()))
 
 
+def q228_kmeans_refine(spark, sf):
+    """Deterministic Lloyd k-means refinement under the oracle gate
+    (similarity.kmeans_refine) — the trainer step every ANN library
+    runs between seeding and serving, previously a deliberate gap
+    (build_ivf_flat stops at first-k seeding). Two unrolled rounds
+    over the embeddings table from 8 first-k seeds; output = the
+    final assignment's per-cell census plus a quantized fingerprint
+    of each refined centroid (floor(d·1e6 + 0.5) per dim, md5 of the
+    comma-joined longs), so a single wrong mean component, a
+    float-order wobble in the per-dimension sums, or a drifted
+    assignment tie-break flips the hash. The oracle replays both
+    rounds as CTEs — BIGINT per-dim sums, the same (sum/1e9)/n IEEE
+    division pair, row_number assignment with the q36 tie-break.
+    Scale shape: per round one broadcast max_by assignment + one
+    map-side-combined (cell, dim) BIGINT sum — |V|·dim rows, never
+    |V|²."""
+    from memory_engine_spark.operators.similarity import (build_ivf_flat,
+                                                          kmeans_refine)
+
+    emb = _t(spark, sf)["embeddings"]
+    seeds, _ = build_ivf_flat(emb, nlist=8, id_col="vec_id")
+    cents, assigned = kmeans_refine(emb, seeds, n_rounds=2,
+                                    id_col="vec_id")
+    fp = F.md5(F.concat_ws(",", F.transform(
+        F.col("centroid"),
+        lambda d: F.floor(d * 1e6 + F.lit(0.5)).cast("long"))))
+    census = (assigned.groupBy("cell")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_members")))
+    return (cents.join(census, "cell", "left")
+            .select("cell",
+                    F.coalesce("n_members", F.lit(0)).cast("long")
+                    .alias("n_members"),
+                    fp.alias("centroid_fp"))
+            .orderBy("cell"))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7213,6 +7249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_minhash_leakage": q225_minhash_leakage,
         "q226_top_revenue_supplier": q226_top_revenue_supplier,
         "q227_supplier_part_counts": q227_supplier_part_counts,
+        "q228_kmeans_refine": q228_kmeans_refine,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11801,6 +11838,59 @@ def oracle_sql() -> dict[str, str]:
               SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
         GROUP BY p.p_brand, p.p_size
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """
+
+    # q228: both Lloyd rounds unrolled — BIGINT per-dim sums, the
+    # same (sum/1e9)/n IEEE division pair, q36's row_number
+    # assignment tie-break, empty cells keep the previous centroid.
+    _km_rounds = []
+    for r in (1, 2):
+        p = "seeds" if r == 1 else f"c{r - 1}"
+        _km_rounds.append(f"""
+        a{r} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, s.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, s.c)
+                                        DESC, s.cell ASC) AS rk
+                FROM e, {p} s) WHERE rk = 1),
+        s{r} AS (
+            SELECT cell, i AS dim,
+                   SUM(CAST(FLOOR(v[i] * 1000000000.0 + 0.5)
+                            AS BIGINT)) AS su,
+                   COUNT(*) AS n
+            FROM a{r}, range(1, 65) r(i)
+            GROUP BY cell, i),
+        c{r} AS (
+            SELECT s.cell, COALESCE(n{r}.c_new, s.c) AS c
+            FROM {p} s LEFT JOIN (
+                SELECT cell,
+                       list((su::DOUBLE / 1000000000.0) / n
+                            ORDER BY dim) AS c_new
+                FROM s{r} GROUP BY cell) n{r} ON n{r}.cell = s.cell)""")
+    sql["q228_kmeans_refine"] = """
+        WITH seeds AS (
+            SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+            FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings),""" + ",".join(_km_rounds) + """,
+        a3 AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, s.cell,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, s.c)
+                                        DESC, s.cell ASC) AS rk
+                FROM e, c2 s) WHERE rk = 1),
+        census AS (SELECT cell, COUNT(*)::BIGINT AS n
+                   FROM a3 GROUP BY cell)
+        SELECT c2.cell,
+               COALESCE(census.n, 0)::BIGINT AS n_members,
+               md5(array_to_string(list_transform(c2.c,
+                   d -> CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT)),
+                   ',')) AS centroid_fp
+        FROM c2 LEFT JOIN census ON census.cell = c2.cell
+        ORDER BY c2.cell
     """
 
     # q209: TPC-H Q22 shape — NOT EXISTS + scalar-average subquery;

@@ -138,6 +138,59 @@ def _assign(embeddings: DataFrame, centroids: DataFrame,
     return best.select(id_col, vec_col, "cell")
 
 
+def kmeans_refine(embeddings: DataFrame, centroids: DataFrame,
+                  n_rounds: int = 2, id_col: str = "node_id",
+                  vec_col: str = "embedding", quant: int = 10 ** 9
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic LLOYD refinement for the IVF coarse quantizer —
+    the step `build_ivf_flat` deliberately omits (its first-k seeding
+    is reproducible but ignores the data distribution; Lloyd rounds
+    move each centroid to its cell's mean, the classic k-means step
+    every ANN library's trainer runs). Fixed ``n_rounds`` like the
+    repo's other iterative operators, so a SQL oracle can unroll it.
+
+    Cross-engine exactness: the ONLY hazard is the cross-ROW mean
+    (float summation order); within-row array folds are
+    element-order-stable on both engines (the q36 precedent). So the
+    per-dimension sums run as BIGINT units — floor(v·quant + 0.5) —
+    and the new centroid component is (sum/quant)/n: two IEEE ops
+    from exact integers, bit-identical everywhere. Empty cells keep
+    their previous centroid (deterministic; classic Lloyd drops
+    them, which would renumber cells). Returns (centroids, assigned)
+    like ``build_ivf_flat``.
+
+    Scale shape: per round one broadcast assignment (max_by, no
+    window) + one explode to (cell, dim) keyed BIGINT sums
+    (map-side combined, |V|·dim rows in flight, never |V|²) + an
+    nlist-row rebuild; the same per-round discipline as
+    pagerank/k_core with the rank vector replaced by the centroid
+    table."""
+    for _ in range(n_rounds):
+        assigned = _assign(embeddings, centroids, id_col, vec_col)
+        sums = (assigned
+                .select("cell",
+                        F.posexplode(F.col(vec_col).cast("array<double>"))
+                        .alias("dim", "val"))
+                .withColumn("u", F.floor(F.col("val") * quant + F.lit(0.5))
+                            .cast("long"))
+                .groupBy("cell", "dim")
+                .agg(F.sum("u").alias("su"),
+                     F.count(F.lit(1)).alias("n")))
+        newc = (sums.groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("dim", "su", "n"))),
+                    lambda s: (s["su"].cast("double") / F.lit(float(quant)))
+                    / s["n"]).alias("_new")))
+        centroids = (centroids
+                     .select("cell", F.col("centroid").alias("_old"))
+                     .join(newc, "cell", "left")
+                     .select("cell",
+                             F.coalesce("_new", "_old").alias("centroid"))
+                     ).localCheckpoint()
+    return centroids, _assign(embeddings, centroids, id_col, vec_col)
+
+
 def ivf_append(assigned: DataFrame, centroids: DataFrame,
                new_vecs: DataFrame, id_col: str = "node_id",
                vec_col: str = "embedding") -> DataFrame:

@@ -35,6 +35,49 @@ def test_semantic_search_finds_same_text(spark):
     assert {r["node_id"] for r in out2.collect()} == {"n1", "n3"}
 
 
+def test_kmeans_refine_moves_centroids_to_means(spark):
+    """Lloyd refinement: with two well-separated 2-D clusters and
+    first-k seeds landing one in each, one round moves each centroid
+    to its cluster mean (the quantized BIGINT-sum mean — exact for
+    these values), assignments stay with their cluster, and a seed
+    whose cell goes empty keeps its previous centroid."""
+    import pytest
+
+    from memory_engine_spark.operators.similarity import (build_ivf_flat,
+                                                          kmeans_refine)
+
+    # cluster A around (1, 0): ids 0,2,3 — cluster B around (0, 1):
+    # ids 1,4,5. Seeds (nlist=2) = ids 0 and 1, one per cluster.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [0.8, 0.2]), (3, [0.9, 0.1]),
+            (4, [0.2, 0.8]), (5, [0.1, 0.9])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    seeds, _ = build_ivf_flat(emb, nlist=2, id_col="vec_id")
+    cents, assigned = kmeans_refine(emb, seeds, n_rounds=1,
+                                    id_col="vec_id")
+    got = {r["cell"]: r["centroid"] for r in cents.collect()}
+    assert got[0] == [pytest.approx((1.0 + 0.8 + 0.9) / 3),
+                      pytest.approx((0.0 + 0.2 + 0.1) / 3)]
+    assert got[1] == [pytest.approx((0.0 + 0.2 + 0.1) / 3),
+                      pytest.approx((1.0 + 0.8 + 0.9) / 3)]
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert cells == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+
+    # empty-cell retention: a far-off seed that captures nothing
+    # keeps its ORIGINAL centroid through the round
+    rows2 = rows + [(6, [-1.0, -1.0])]
+    emb2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>")
+    seeds3 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (99, [-1.0, -1.0])],
+        "cell long, centroid array<double>")
+    # remove vec 6 so cell 99 is empty this round
+    cents3, _ = kmeans_refine(emb, seeds3, n_rounds=1, id_col="vec_id")
+    got3 = {r["cell"]: r["centroid"] for r in cents3.collect()}
+    assert got3[99] == [-1.0, -1.0]
+
+
 def test_ivf_append_equals_rebuild(spark):
     """Incremental IVF maintenance: building on a base corpus and
     appending a delta batch against the frozen centroids yields
