@@ -5542,6 +5542,72 @@ def q228_kmeans_refine(spark, sf):
             .orderBy("cell"))
 
 
+def q229_disjunctive_revenue(spark, sf):
+    """TPC-H Q19-shape — the DISJUNCTIVE join predicate: revenue over
+    lineitem⋈part where an OR of three (brand, size-range,
+    quantity-range) conjunctions holds. The optimizer shape this
+    exercises is DISJUNCTIVE predicate decomposition: the partkey
+    equi-join lowers to a hash join with the cross-table OR as a
+    residual, and Catalyst additionally pushes each side's
+    PROJECTION of the disjunction to its own scan — verified in the
+    executed plan's PushedFilters: the lineitem scan gets
+    Or(Or(And(qty≥1,qty≤11),...)) and the (broadcast) part scan gets
+    the brand/size OR — so the join probes pre-filtered inputs, not
+    full tables. Revenue accumulates in DECIMAL (the q76 rule).
+    Single-row output, ROUND(...,2)."""
+    t = _t(spark, sf)
+    li = t["lineitem"].select("l_partkey", "l_quantity",
+                              "l_extendedprice", "l_discount")
+    p = t["part"].select("p_partkey", "p_brand", "p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(F.broadcast(p),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .filter(branch)
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q230_returned_item_ranking(spark, sf):
+    """TPC-H Q10-shape — returned-item customer ranking: customers
+    who returned items ('R' lines) in one order quarter, ranked by
+    lost revenue, top 20. The canonical 4-table star: orders
+    date-pruned AT THE SCAN, lineitem filtered to returnflag='R',
+    fact⋈fact on orderkey then custkey, nation broadcast. DECIMAL
+    revenue; TakeOrderedAndProject for the top-20 (no global
+    sort)."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    o = (t["orders"]
+         .filter((F.col("o_orderdate") >= "1996-07-01")
+                 & (F.col("o_orderdate") < "1996-10-01"))
+         .select("o_orderkey", "o_custkey"))
+    li = (t["lineitem"].filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", rev.alias("_rev")))
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t["customer"],
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum("_rev").cast("double"), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7250,6 +7316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_top_revenue_supplier": q226_top_revenue_supplier,
         "q227_supplier_part_counts": q227_supplier_part_counts,
         "q228_kmeans_refine": q228_kmeans_refine,
+        "q229_disjunctive_revenue": q229_disjunctive_revenue,
+        "q230_returned_item_ranking": q230_returned_item_ranking,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11891,6 +11959,41 @@ def oracle_sql() -> dict[str, str]:
                    ',')) AS centroid_fp
         FROM c2 LEFT JOIN census ON census.cell = c2.cell
         ORDER BY c2.cell
+    """
+
+    # q229: Q19 shape — the textbook OR-of-conjunctions spelling.
+    sql["q229_disjunctive_revenue"] = """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue,
+               COUNT(*)::BIGINT AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """
+
+    # q230: Q10 shape — textbook returned-item star join.
+    sql["q230_returned_item_ranking"] = """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice
+                                   * (1.0 - l.l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue,
+               COUNT(*)::BIGINT AS n_lines
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey ASC
+        LIMIT 20
     """
 
     # q209: TPC-H Q22 shape — NOT EXISTS + scalar-average subquery;
