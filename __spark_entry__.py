@@ -5608,6 +5608,179 @@ def q230_returned_item_ranking(spark, sf):
             .limit(20))
 
 
+def q231_forecast_revenue_change(spark, sf):
+    """TPC-H Q6-shape — the pure scan-aggregate: revenue change from
+    discounted small-quantity lines in one ship year, three pushed
+    range predicates, NO join. The point at 100 TB is that the plan
+    is a single parquet scan with every predicate in PushedFilters
+    and a two-column ReadSchema feeding one map-side-combined
+    DECIMAL sum — the canonical predicate-pushdown litmus. Discount
+    compares are against the same parquet doubles on both engines
+    (no arithmetic before the compare), revenue accumulates
+    DECIMAL."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice") * F.col("l_discount")) \
+        .cast("decimal(18,4)")
+    return (t["lineitem"]
+            .filter((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01")
+                    & F.col("l_discount").between(0.05, 0.07)
+                    & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines")))
+
+
+def q232_nation_volume_shipping(spark, sf):
+    """TPC-H Q7-shape — bidirectional two-nation trade volume:
+    supplier in one nation shipping to customers of the other (both
+    directions), revenue by (supp_nation, cust_nation, ship year)
+    over a two-year window. The join-planning point: the nation
+    pair filter applies to the CROSS-table (n1, n2) combination, so
+    it can only be a residual after both dim joins — but each
+    nation dim is a 25-row broadcast and supplier joins before the
+    fact, so the filter prunes early. Year extraction on both
+    engines from the same timestamps; DECIMAL revenue."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    li = (t["lineitem"]
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_suppkey",
+                  F.year("l_shipdate").alias("l_year"),
+                  rev.alias("_rev")))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("_sk"),
+                F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("_sk"))
+            .select("s_suppkey", "supp_nation"))
+    cust = (t["customer"]
+            .join(F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("_ck"),
+                F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("_ck"))
+            .select("c_custkey", "cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_2")
+             & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8")
+               & (F.col("cust_nation") == "NATION_2")))
+    return (li
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(t["orders"].select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum("_rev").cast("double"), 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def q233_product_type_profit(spark, sf):
+    """TPC-H Q9-shape — product profit by (nation, year):
+    profit = revenue − supplycost·quantity for a part-name slice,
+    grouped by supplier nation and ORDER year. No partsupp table in
+    this corpus, so supplycost derives by integer formula
+    ((11·partkey + 3·suppkey) mod 500 + 1 whole dollars — the q222
+    availqty convention), making the cost side integer-exact:
+    supplycost·quantity is a ≤25050 integer-valued double → exact
+    DECIMAL(18,2); profit accumulates DECIMAL(18,4). Plan: part
+    name-filter broadcast-semi onto the fact, supplier+nation
+    broadcast, orders joined only for the year — one fact shuffle."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    supplycost = ((F.col("l_partkey") * 11 + F.col("l_suppkey") * 3)
+                  % 500 + 1)
+    cost = (supplycost * F.col("l_quantity")).cast("decimal(18,2)")
+    wanted = (t["part"].filter(F.col("p_name").like("%gear%"))
+              .select("p_partkey"))
+    supp = (t["supplier"]
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    return (t["lineitem"]
+            .join(F.broadcast(wanted),
+                  F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .select("l_orderkey", "l_suppkey",
+                    (rev - cost.cast("decimal(18,4)")).alias("_amount"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(t["orders"].select("o_orderkey",
+                                     F.year("o_orderdate").alias("o_year")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"), "o_year")
+            # round the DECIMAL, THEN cast: a .xx5 boundary rounded
+            # after the double cast diverges between engines (Spark
+            # rounds the shortest repr, DuckDB the true binary value —
+            # hit at sf0.01: 533931.945 → .95 vs .94)
+            .agg(F.round(F.sum("_amount"), 2).cast("double")
+                 .alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+def q234_shipmode_priority(spark, sf):
+    """TPC-H Q12-shape — late-line priority counts by ship mode:
+    for two modes, among LATE lines (ship-lag > 60 days, the
+    q201/q208 lateness convention — this corpus has no
+    commit/receipt dates), how many belong to high-priority orders
+    vs low. No shipmode column either, so the mode derives by
+    formula from the line number (linenumber mod 3 →
+    MAIL/SHIP/AIR — the q219 derived-column convention, replayed
+    identically by the oracle). The conditional counts are the
+    CASE-sum idiom Q12 exists to exercise; one fact⋈fact join on
+    orderkey, two-row output."""
+    t = _t(spark, sf)
+    mode = (F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+            .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+            .otherwise("AIR"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (t["lineitem"]
+            .select("l_orderkey", "l_shipdate", mode.alias("shipmode"))
+            .filter(F.col("shipmode").isin("MAIL", "SHIP"))
+            .join(t["orders"].select("o_orderkey", "o_orderdate",
+                                     "o_orderpriority"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .groupBy("shipmode")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count"))
+            .orderBy("shipmode"))
+
+
+def q235_promo_revenue_share(spark, sf):
+    """TPC-H Q14-shape — promotion revenue share for one ship month:
+    100 · promo revenue / total revenue, where promo is a literal
+    p_type slice (this corpus ships a real 'PROMO' type). Both the
+    conditional numerator and the denominator are DECIMAL sums in
+    ONE aggregate over one fact⋈broadcast-part join (the Q8/q200
+    conditional-share discipline); only the final ratio is float —
+    one division of two engine-identical doubles, rounded 4dp."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    agg = (t["lineitem"]
+           .filter((F.col("l_shipdate") >= "1997-09-01")
+                   & (F.col("l_shipdate") < "1997-10-01"))
+           .join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+           .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                      .otherwise(F.lit(0).cast("decimal(18,4)")))
+                .alias("_promo"),
+                F.sum(rev).alias("_total")))
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"), 4)
+        .alias("promo_revenue_pct"),
+        F.round(F.col("_promo").cast("double"), 2).alias("promo_revenue"),
+        F.round(F.col("_total").cast("double"), 2).alias("total_revenue"))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7318,6 +7491,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_kmeans_refine": q228_kmeans_refine,
         "q229_disjunctive_revenue": q229_disjunctive_revenue,
         "q230_returned_item_ranking": q230_returned_item_ranking,
+        "q231_forecast_revenue_change": q231_forecast_revenue_change,
+        "q232_nation_volume_shipping": q232_nation_volume_shipping,
+        "q233_product_type_profit": q233_product_type_profit,
+        "q234_shipmode_priority": q234_shipmode_priority,
+        "q235_promo_revenue_share": q235_promo_revenue_share,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -11994,6 +12172,93 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         ORDER BY revenue DESC, c.c_custkey ASC
         LIMIT 20
+    """
+
+    # q231-q235: the last five TPC-H shapes, textbook spellings.
+    sql["q231_forecast_revenue_change"] = """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue,
+               COUNT(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+    sql["q232_nation_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l.l_shipdate)::INT AS l_year,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice
+                                   * (1.0 - l.l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 2)
+                   AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_2'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """
+
+    sql["q233_product_type_profit"] = """
+        SELECT n.n_name AS nation,
+               EXTRACT(YEAR FROM o.o_orderdate)::INT AS o_year,
+               CAST(ROUND(SUM(
+                   CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                        AS DECIMAL(18,4))
+                   - CAST(((l.l_partkey * 11 + l.l_suppkey * 3) % 500
+                           + 1) * l.l_quantity AS DECIMAL(18,2))
+               ), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """
+
+    sql["q234_shipmode_priority"] = """
+        SELECT CASE WHEN l.l_linenumber % 3 = 0 THEN 'MAIL'
+                    ELSE 'SHIP' END AS shipmode,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linenumber % 3 IN (0, 1)
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1 ORDER BY shipmode
+    """
+
+    sql["q235_promo_revenue_share"] = """
+        WITH a AS (
+            SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN CAST(l.l_extendedprice
+                                      * (1.0 - l.l_discount)
+                                      AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END)
+                       AS promo,
+                   SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                            AS DECIMAL(18,4))) AS total
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+        )
+        SELECT ROUND(100.0 * (promo::DOUBLE) / (total::DOUBLE), 4)
+                   AS promo_revenue_pct,
+               ROUND(promo::DOUBLE, 2) AS promo_revenue,
+               ROUND(total::DOUBLE, 2) AS total_revenue
+        FROM a
     """
 
     # q209: TPC-H Q22 shape — NOT EXISTS + scalar-average subquery;
