@@ -2982,6 +2982,73 @@ def _q125_drain(spark, sf, click_type: str, view_type: str,
             .orderBy("user_id", "click_us", "view_us"))
 
 
+def q236_stream_outer_join(spark, sf):
+    """Watermarked stream-stream LEFT OUTER interval join under the
+    oracle gate — the topology q125 (inner) and q217 (stream-static)
+    don't cover: null-padded results may only emit once the
+    watermark PROVES no matching right event can still arrive, so
+    outer rows trail the watermark and an AvailableNow drain with a
+    data-bounded watermark would silently swallow the tail. The
+    drain therefore appends a SENTINEL file (one far-future event
+    per side, user_id −1) that pushes both sides' watermarks past
+    end-of-data; the no-data micro-batch that follows flushes every
+    pending outer row, making the emitted set batch-boundary
+    independent — equal to the batch left range join the oracle
+    states (sentinels filtered out). The watermark here is FINITE
+    (1 h — unlike q125's effectively-infinite one) so this also
+    exercises real state eviction on the way through. Same
+    state-store sizing discipline as q125 (conf-windowed 8
+    partitions)."""
+    import os
+    import shutil
+    import tempfile
+
+    from memory_engine_spark.streaming.stateful import \
+        stream_interval_join
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"me_stream_oj_{os.path.basename(sf.rstrip('/')) or 'd'}"
+        f"_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    os.symlink(os.path.join(sf, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    schema = _t(spark, sf)["events"].schema
+    sentinel = spark.createDataFrame(
+        [(-1, __import__("datetime").datetime(2100, 1, 1), -1,
+          "click", 0.0, ""),
+         (-2, __import__("datetime").datetime(2100, 1, 1), -1,
+          "error", 0.0, "")], schema)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "sentinel.parquet"))
+    src = spark.readStream.schema(schema).parquet(
+        d + "/*.parquet")
+    clicks = (src.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    errors = (src.filter(F.col("event_type") == "error")
+              .select("user_id", "ts", "event_id"))
+    joined = stream_interval_join(clicks, errors, "user_id",
+                                  within_s=3600, watermark_s=3600,
+                                  how="left_outer")
+    _Q125_SEQ[0] += 1
+    name = f"q236_sink_{os.getpid()}_{_Q125_SEQ[0]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .select("user_id",
+                    F.unix_micros("ts").alias("click_us"),
+                    F.unix_micros("r_ts").alias("error_us"))
+            .orderBy("user_id", "click_us", "error_us"))
+
+
 def q125_lifecycle(spark, sf):
     """Bench-only lifecycle twin of q125: same two file-stream
     sources, same watermarked interval-join plan, but both side
@@ -7496,6 +7563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_product_type_profit": q233_product_type_profit,
         "q234_shipmode_priority": q234_shipmode_priority,
         "q235_promo_revenue_share": q235_promo_revenue_share,
+        "q236_stream_outer_join": q236_stream_outer_join,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -14485,6 +14553,22 @@ def oracle_sql() -> dict[str, str]:
          AND abs(epoch_us(a.ts) - epoch_us(b.ts))
              <= 3600::BIGINT * 1000000
         ORDER BY a.user_id, click_us, view_us
+    """
+
+    # q236: the streaming left-outer result is batch-equivalent once
+    # the sentinel flushes the watermark past end-of-data, so the
+    # oracle is the batch left range join (null error_us sorts where
+    # the driver's canon puts NULL).
+    sql["q236_stream_outer_join"] = """
+        SELECT a.user_id,
+               epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS error_us
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id
+         AND b.event_type = 'error'
+         AND abs(epoch_us(a.ts) - epoch_us(b.ts))
+             <= 3600::BIGINT * 1000000
+        WHERE a.event_type = 'click'
+        ORDER BY a.user_id, click_us, error_us
     """
 
     # q126/q127: the Q3/Q18 shapes stated directly.

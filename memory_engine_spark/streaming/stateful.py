@@ -194,8 +194,9 @@ def hll_estimate_from_registers(regs: DataFrame,
 def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
                          left_ts: str = "ts", right_ts: str = "ts",
                          within_s: int = 3600,
-                         watermark_s: int = 7200) -> DataFrame:
-    """Watermarked stream-stream INNER join (the state-store-backed
+                         watermark_s: int = 7200,
+                         how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join (the state-store-backed
     enrichment join Structured Streaming is built for): left and right
     streams pair on ``key`` when the right event lands within
     ±``within_s`` of the left event. Both sides carry a
@@ -206,6 +207,14 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
     process (event_system.py pub/sub); this is the cross-stream
     correlation upgrade. Right columns come back prefixed ``r_`` to
     keep the joined schema collision-free.
+
+    ``how = "left_outer"`` adds the null-padded-when-provably-
+    unmatched semantics: a left row emits with null right columns
+    only once the watermark passes the end of its ±within_s match
+    window (before that a matching right event could still arrive),
+    so outer results trail the watermark — the q236 drain pushes the
+    watermark past end-of-data with a sentinel to flush them. Same
+    state-store shape as inner; eviction unchanged.
     """
     lw = left.withWatermark(left_ts, f"{watermark_s} seconds").alias("l")
     rw = (right.select(F.col(key).alias(f"r_{key}"),
@@ -221,4 +230,4 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
         & (F.col(f"r.r_{right_ts}")
            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within_s} SECONDS"))
     )
-    return lw.join(rw, cond, "inner").drop(f"r_{key}")
+    return lw.join(rw, cond, how).drop(f"r_{key}")

@@ -193,3 +193,39 @@ def test_stream_interval_join_pairs_within_window(spark, tmp_path):
     rows = sorted((r["event_id"], r["r_event_id"])
                   for r in spark.read.parquet(str(tmp_path / "out")).collect())
     assert rows == [(1, 100)]
+
+
+def test_stream_interval_join_left_outer_flush(spark, tmp_path):
+    """r9 left-outer topology: a matched left row pairs normally, an
+    unmatched one emits NULL-padded — but ONLY after the watermark
+    proves its window closed, which the far-future sentinel forces.
+    Without the sentinel the unmatched row would be swallowed at
+    drain (the hazard q236's docstring documents)."""
+    from memory_engine_spark.streaming.stateful import stream_interval_join
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    far = dt.datetime(2100, 1, 1)
+
+    clicks = EventBus(spark, str(tmp_path / "clicks"))
+    buys = EventBus(spark, str(tmp_path / "buys"))
+    clicks.publish(_events(spark, [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0, 11, "click", 1.0, "{}"),       # no buy -> null-padded
+        (-1, far, -1, "click", 0.0, "{}")]))   # sentinel
+    buys.publish(_events(spark, [
+        (100, t0 + dt.timedelta(minutes=30), 10, "buy", 9.0, "{}"),
+        (-2, far, -1, "buy", 0.0, "{}")]))     # sentinel
+
+    joined = stream_interval_join(
+        clicks.stream(), buys.stream(), key="user_id",
+        within_s=3600, watermark_s=3600, how="left_outer")
+    q = (joined.selectExpr("event_id", "r_event_id", "user_id")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        if r["user_id"] >= 0)
+    assert rows == [(1, 100), (2, None)]
