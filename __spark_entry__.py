@@ -323,6 +323,57 @@ def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
     return cents, assigned
 
 
+_LIMONTH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _li_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline MONTH-PARTITIONED lineitem layout
+    (.derived/<sf>/li_month, partitionBy l_month = yyyymm of
+    l_shipdate) — the physical design that makes date-driven joins
+    eligible for DYNAMIC PARTITION PRUNING: when a query joins this
+    table on l_month against a filtered dim, Catalyst injects the
+    dim's month set as a runtime partition filter
+    (PartitionFilters: [dynamicpruning#...]) and the scan never
+    opens the other ~80 month directories. Same atomic tmp+rename
+    protocol and in-memory fallback as the other .derived
+    artifacts; narrow schema (month, extendedprice, discount) so
+    the demo measures pruning, not width."""
+    import os
+    import shutil
+
+    key = (id(spark), sf_dir)
+    if key in _LIMONTH_CACHE:
+        _touch_pin("li_month")
+        return _LIMONTH_CACHE[key]
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "default"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".derived", sf_name, "li_month")
+    before = _rdd_snap(spark)
+
+    def _build():
+        li = _t(spark, sf_dir)["lineitem"]
+        return li.select(
+            (F.year("l_shipdate") * 100
+             + F.month("l_shipdate")).cast("int").alias("l_month"),
+            "l_extendedprice", "l_discount")
+
+    try:
+        if not os.path.isdir(base):
+            tmp = base + f".tmp{os.getpid()}"
+            (_build().write.mode("overwrite").partitionBy("l_month")
+             .parquet(tmp))
+            try:
+                os.rename(tmp, base)
+            except OSError:  # another process won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+        out = spark.read.parquet(base)
+    except Exception:  # pragma: no cover — read-only checkout etc.
+        out = _build().localCheckpoint()
+    _pin_new(spark, before, "li_month", _LIMONTH_CACHE, key)
+    _LIMONTH_CACHE[key] = out
+    return out
+
+
 _INT8_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -5848,6 +5899,39 @@ def q235_promo_revenue_share(spark, sf):
         F.round(F.col("_total").cast("double"), 2).alias("total_revenue"))
 
 
+def q237_dpp_monthly_revenue(spark, sf):
+    """DYNAMIC PARTITION PRUNING demo under the oracle gate — the
+    last Catalyst optimizer pillar the suite hadn't exercised
+    (static pushdown q231, disjunctive pushdown q229, zone maps
+    q198, bucketing in tests): the month-partitioned lineitem
+    layout (`.derived/<sf>/li_month`) joins on its PARTITION column
+    against a dim derived from the orders scan (the distinct ship
+    months of one quarter's urgent orders). At planning time the
+    month set is unknown — Catalyst injects the dim as a runtime
+    subquery into the fact scan's PartitionFilters
+    (`dynamicpruning#…`, reusing the join's broadcast), so only ~3
+    of ~83 month directories are ever opened. At 100 TB this is the
+    difference between scanning a week and scanning seven years.
+    The plan assertion lives in tests/test_stateful_bucketing.py;
+    the oracle replays the join over the unpartitioned table."""
+    li = _li_month(spark, sf)
+    months = (_t(spark, sf)["orders"]
+              .filter((F.col("o_orderpriority") == "1-URGENT")
+                      & (F.col("o_orderdate") >= "1996-07-01")
+                      & (F.col("o_orderdate") < "1996-10-01"))
+              .select((F.year("o_orderdate") * 100
+                       + F.month("o_orderdate")).cast("int")
+                      .alias("l_month"))
+              .distinct())
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    return (li.join(months, "l_month")
+            .groupBy("l_month")
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"))
+            .orderBy("l_month"))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7564,6 +7648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_shipmode_priority": q234_shipmode_priority,
         "q235_promo_revenue_share": q235_promo_revenue_share,
         "q236_stream_outer_join": q236_stream_outer_join,
+        "q237_dpp_monthly_revenue": q237_dpp_monthly_revenue,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -12306,6 +12391,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE l.l_linenumber % 3 IN (0, 1)
           AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
         GROUP BY 1 ORDER BY shipmode
+    """
+
+    # q237: the DPP result replayed over the unpartitioned table —
+    # identical join semantics, month arithmetic on both engines.
+    sql["q237_dpp_monthly_revenue"] = """
+        WITH months AS (
+            SELECT DISTINCT
+                   (EXTRACT(YEAR FROM o_orderdate) * 100
+                    + EXTRACT(MONTH FROM o_orderdate))::INT AS l_month
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+        )
+        SELECT m.l_month,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice
+                                   * (1.0 - l.l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue,
+               COUNT(*)::BIGINT AS n_lines
+        FROM lineitem l
+        JOIN months m
+          ON (EXTRACT(YEAR FROM l.l_shipdate) * 100
+              + EXTRACT(MONTH FROM l.l_shipdate))::INT = m.l_month
+        GROUP BY m.l_month
+        ORDER BY m.l_month
     """
 
     sql["q235_promo_revenue_share"] = """

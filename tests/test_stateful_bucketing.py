@@ -195,6 +195,29 @@ def test_stream_interval_join_pairs_within_window(spark, tmp_path):
     assert rows == [(1, 100)]
 
 
+def test_dpp_fires_on_month_partitioned_layout(spark, tmp_path):
+    """r9 dynamic-partition-pruning demo: joining a month-partitioned
+    fact on its partition column against a filtered dim must inject
+    the dim as a runtime partition filter (dynamicpruning#N in the
+    fact scan's PartitionFilters) — the q237 plan contract."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(4000).select(
+        (F.lit(202400) + F.col("id") % 12).cast("int").alias("m"),
+        (F.col("id") * 3 % 97).alias("v"))
+    fact.write.mode("overwrite").partitionBy("m") \
+        .parquet(str(tmp_path / "fact"))
+    pf = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.range(400).select(
+        (F.lit(202400) + F.col("id") % 12).cast("int").alias("m"),
+        F.col("id").alias("k")).filter(F.col("k") % 100 == 3)
+    out = pf.join(dim.select("m").distinct(), "m") \
+        .groupBy("m").agg(F.sum("v").alias("s"))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
 def test_stream_interval_join_left_outer_flush(spark, tmp_path):
     """r9 left-outer topology: a matched left row pairs normally, an
     unmatched one emits NULL-padded — but ONLY after the watermark
