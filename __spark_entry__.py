@@ -5932,6 +5932,42 @@ def q237_dpp_monthly_revenue(spark, sf):
             .orderBy("l_month"))
 
 
+def q238_cube_pricing(spark, sf):
+    """CUBE / grouping-sets aggregation — the native multi-level OLAP
+    rollup the suite hadn't shown (q62's hypertable cascade builds
+    levels as separate frames; CUBE computes all four grouping sets
+    of (returnflag, linestatus) in ONE logical aggregate, which
+    Catalyst lowers to an Expand + single shuffle — one pass over
+    the fact for every level, the textbook 100 TB win over N
+    re-aggregations). Subtotal rows label their aggregated columns
+    'ALL' via grouping() (never by null-testing the value — a real
+    null in the column would alias the subtotal), and the grouping
+    id is computed explicitly as grouping(rf)·2 + grouping(ls) so no
+    engine bit-order convention is trusted. DECIMAL sums."""
+    t = _t(spark, sf)
+    rev = (F.col("l_extendedprice")
+           * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+    gid = (F.grouping("l_returnflag") * 2
+           + F.grouping("l_linestatus")).cast("int")
+    return (t["lineitem"]
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("int").alias("_g_rf"),
+                 F.grouping("l_linestatus").cast("int").alias("_g_ls"),
+                 gid.alias("gid"),
+                 F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.round(F.sum(F.col("l_quantity")
+                               .cast("decimal(18,2)")), 2)
+                 .cast("double").alias("sum_qty"),
+                 F.round(F.sum(rev), 2).cast("double").alias("sum_rev"))
+            .select(
+                F.when(F.col("_g_rf") == 1, "ALL")
+                .otherwise(F.col("l_returnflag")).alias("returnflag"),
+                F.when(F.col("_g_ls") == 1, "ALL")
+                .otherwise(F.col("l_linestatus")).alias("linestatus"),
+                "gid", "n_lines", "sum_qty", "sum_rev")
+            .orderBy("gid", "returnflag", "linestatus"))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7649,6 +7685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_promo_revenue_share": q235_promo_revenue_share,
         "q236_stream_outer_join": q236_stream_outer_join,
         "q237_dpp_monthly_revenue": q237_dpp_monthly_revenue,
+        "q238_cube_pricing": q238_cube_pricing,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -12417,6 +12454,26 @@ def oracle_sql() -> dict[str, str]:
               + EXTRACT(MONTH FROM l.l_shipdate))::INT = m.l_month
         GROUP BY m.l_month
         ORDER BY m.l_month
+    """
+
+    # q238: CUBE replayed with GROUPING() labels on both engines —
+    # explicit gid arithmetic so no bit-order convention is trusted.
+    sql["q238_cube_pricing"] = """
+        SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                    ELSE l_returnflag END AS returnflag,
+               CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                    ELSE l_linestatus END AS linestatus,
+               (GROUPING(l_returnflag) * 2
+                + GROUPING(l_linestatus))::INT AS gid,
+               COUNT(*)::BIGINT AS n_lines,
+               CAST(ROUND(SUM(l_quantity::DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_rev
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus
     """
 
     sql["q235_promo_revenue_share"] = """
