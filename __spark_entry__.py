@@ -3061,18 +3061,27 @@ def q236_stream_outer_join(spark, sf):
         tempfile.gettempdir(),
         f"me_stream_oj_{os.path.basename(sf.rstrip('/')) or 'd'}"
         f"_{os.getpid()}")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    os.symlink(os.path.join(sf, "events.parquet"),
-               os.path.join(d, "events.parquet"))
     schema = _t(spark, sf)["events"].schema
-    sentinel = spark.createDataFrame(
-        [(-1, __import__("datetime").datetime(2100, 1, 1), -1,
-          "click", 0.0, ""),
-         (-2, __import__("datetime").datetime(2100, 1, 1), -1,
-          "error", 0.0, "")], schema)
-    sentinel.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(d, "sentinel.parquet"))
+    # the feeder dir (symlink + sentinel parquet) is immutable per
+    # (sf, pid) — build it ONCE; rebuilding per call re-ran a full
+    # Spark write job each time (measured: drain 2.3 s, query 6.2 s)
+    if not os.path.isdir(d):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        os.symlink(os.path.join(sf, "events.parquet"),
+                   os.path.join(tmp, "events.parquet"))
+        sentinel = spark.createDataFrame(
+            [(-1, __import__("datetime").datetime(2100, 1, 1), -1,
+              "click", 0.0, ""),
+             (-2, __import__("datetime").datetime(2100, 1, 1), -1,
+              "error", 0.0, "")], schema)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "sentinel.parquet"))
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     src = spark.readStream.schema(schema).parquet(
         d + "/*.parquet")
     clicks = (src.filter(F.col("event_type") == "click")
