@@ -2642,7 +2642,11 @@ def _simple_block(track: int, rel_ts: int, keyframe: bool,
         if lacing == "xiph":
             for f in frames[:-1]:
                 body += _xiph_runs(len(f))
-        elif lacing == "ebml":
+        elif lacing == "ebml" and len(frames) >= 2:
+            # nf−1 sizes total: first as a vint, then signed diffs —
+            # for a SINGLE frame nothing is written (the last frame's
+            # size is always implied by the block end; found by the
+            # r9 fuzz round trip, which decoded a spurious 2nd frame)
             body += _ebml_encode_size(len(frames[0]))
             prev = len(frames[0])
             for f in frames[1:-1]:
@@ -2734,7 +2738,7 @@ def synth_mkv(doctype: str, tscale_ns: int, video_wh: tuple[int, int],
                                     q += 1
                                 q += 1
                                 cnt += 1
-                        elif lace == 0x03:            # EBML
+                        elif lace == 0x03 and nf >= 2:  # EBML
                             _, q = _ebml_vint(b, q, True)
                             for _i in range(nf - 2):
                                 _, q = _ebml_vint(b, q, True)
@@ -2815,14 +2819,16 @@ def mkv_blocks(df: DataFrame, payload_col: str = "payload",
                 for i in range(nf):
                     frames.append(b[q + i * step:q + (i + 1) * step])
             else:                                     # EBML
-                first, q = _ebml_vint(b, q, True)
-                sizes = [first]
-                for _ in range(nf - 2):
-                    ln = 8 - b[q].bit_length() + 1
-                    raw, q2 = _ebml_vint(b, q, True)
-                    sizes.append(sizes[-1] + raw
-                                 - ((1 << (7 * ln - 1)) - 1))
-                    q = q2
+                sizes = []
+                if nf >= 2:                # nf−1 sizes; 0 when nf == 1
+                    first, q = _ebml_vint(b, q, True)
+                    sizes = [first]
+                    for _ in range(nf - 2):
+                        ln = 8 - b[q].bit_length() + 1
+                        raw, q2 = _ebml_vint(b, q, True)
+                        sizes.append(sizes[-1] + raw
+                                     - ((1 << (7 * ln - 1)) - 1))
+                        q = q2
                 for n in sizes:
                     frames.append(b[q:q + n])
                     q += n

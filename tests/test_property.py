@@ -289,3 +289,99 @@ def test_parquet_int64_fuzz_roundtrip(vals, null_mod):
     pq.write_table(table, buf, compression="snappy")
     got = parquet_read_int64_column(buf.getvalue(), "c")
     assert got == data
+
+
+@settings(**SETTINGS)
+@given(blocks=st.lists(
+    st.tuples(
+        st.integers(1, 126),                       # track vint (1 byte)
+        st.integers(-30000, 30000),                # relative ts
+        st.booleans(),                             # keyframe
+        st.sampled_from(["none", "xiph", "fixed", "ebml"]),
+        st.lists(st.binary(min_size=0, max_size=600),
+                 min_size=1, max_size=5)),
+    min_size=1, max_size=4))
+def test_mkv_block_fuzz_roundtrip(blocks):
+    """synth_mkv → (driverless) EBML walk round trip on random frames
+    under every lacing mode: the reassembled frame bytes, track ids,
+    timestamps and flags must come back exactly. Fixed lacing gets
+    equal-size frames (its contract); no-lacing gets one frame."""
+    import zlib
+
+    from memory_engine_spark.operators.multimodal import (_ebml_children,
+                                                          _ebml_find,
+                                                          synth_mkv)
+
+    norm = []
+    for (track, rel, key, lacing, frames) in blocks:
+        if lacing == "none":
+            frames = frames[:1]
+        elif lacing == "fixed":
+            ln = len(frames[0])
+            frames = [(f + b"\x00" * ln)[:ln] for f in frames]
+        norm.append((track, rel, key, lacing, frames))
+    payload = synth_mkv("matroska", 1_000_000, (64, 64),
+                        [(1000, norm)])
+    seg = _ebml_find(payload, 0, len(payload), [0x18538067])
+    clusters = [(s, e) for eid, s, e in _ebml_children(payload, *seg)
+                if eid == 0x1F43B675]
+    assert len(clusters) == 1
+    kids = list(_ebml_children(payload, *clusters[0]))
+    assert kids[0][0] == 0xBF                      # CRC leads
+    crc = int.from_bytes(payload[kids[0][1]:kids[0][2]], "little")
+    assert zlib.crc32(payload[kids[0][2]:clusters[0][1]]) == crc
+    # decode every SimpleBlock through the same parser mkv_blocks uses
+    from memory_engine_spark.operators import multimodal as mm
+    got = []
+    for keid, ks, ke in kids[1:]:
+        if keid != 0xA3:
+            continue
+        b = payload
+        track, q = mm._ebml_vint(b, ks, True)
+        rel = int.from_bytes(b[q:q + 2], "big", signed=True)
+        flags = b[q + 2]
+        q += 3
+        lace = (flags >> 1) & 0x03
+        frames = []
+        if lace == 0x00:
+            frames = [b[q:ke]]
+        elif lace == 0x01:
+            nf = b[q] + 1
+            q += 1
+            sizes = []
+            for _ in range(nf - 1):
+                n = 0
+                while b[q] == 255:
+                    n += 255
+                    q += 1
+                n += b[q]
+                q += 1
+                sizes.append(n)
+            for n in sizes:
+                frames.append(b[q:q + n]); q += n
+            frames.append(b[q:ke])
+        elif lace == 0x02:
+            nf = b[q] + 1
+            q += 1
+            step = (ke - q) // nf
+            frames = [b[q + i * step:q + (i + 1) * step]
+                      for i in range(nf)]
+        else:
+            nf = b[q] + 1
+            q += 1
+            sizes = []
+            if nf >= 2:
+                first, q = mm._ebml_vint(b, q, True)
+                sizes = [first]
+                for _ in range(nf - 2):
+                    ln8 = 8 - b[q].bit_length() + 1
+                    raw, q2 = mm._ebml_vint(b, q, True)
+                    sizes.append(sizes[-1] + raw
+                                 - ((1 << (7 * ln8 - 1)) - 1))
+                    q = q2
+            for n in sizes:
+                frames.append(b[q:q + n]); q += n
+            frames.append(b[q:ke])
+        got.append((track, rel, bool(flags & 0x80),
+                    ["none", "xiph", "fixed", "ebml"][lace], frames))
+    assert got == norm
