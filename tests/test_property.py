@@ -385,3 +385,33 @@ def test_mkv_block_fuzz_roundtrip(blocks):
         got.append((track, rel, bool(flags & 0x80),
                     ["none", "xiph", "fixed", "ebml"][lace], frames))
     assert got == norm
+
+
+@settings(**SETTINGS)
+@given(chunks=st.lists(
+    st.one_of(
+        st.binary(min_size=0, max_size=300),
+        st.builds(lambda b, n: b * n,
+                  st.binary(min_size=1, max_size=6),
+                  st.integers(1, 500))),
+    min_size=0, max_size=10),
+    stored_mask=st.integers(0, 1023))
+def test_lz4_frame_fuzz_roundtrip(chunks, stored_mask):
+    """synth_lz4_frame → lz4_frame_walk round trip on random block
+    lists mixing compressible, incompressible and empty blocks, with
+    a random stored/compressed choice per block; plus the truncation
+    loud-fail on every strict prefix boundary near the tail."""
+    import pytest
+
+    from memory_engine_spark.sources.formats import (lz4_frame_walk,
+                                                     synth_lz4_frame)
+
+    blocks = [(c, bool((stored_mask >> i) & 1))
+              for i, c in enumerate(chunks) if c != b""]
+    frame = synth_lz4_frame(blocks)
+    got, ok = lz4_frame_walk(frame)
+    assert ok and [raw for _, _, raw in got] == [c for c, _ in blocks]
+    for cut in (1, 2, 3, 5, 7):
+        if len(frame) - cut > 7:
+            with pytest.raises(ValueError):
+                lz4_frame_walk(frame[:-cut])
