@@ -3609,6 +3609,12 @@ def q141_synthesis_modes(spark, sf):
     tagged = docs.select(
         F.col("doc_id").cast("string").alias("node_id"),
         F.concat_ws(",", tag(1), tag(7), tag(13)).alias("tags"))
+    # NOTE (r9, measured): pinning this discovery join (cache + eager
+    # count) made the query SLOWER — 3.6 → 4.5 s warm at sf0.1 —
+    # because the InMemoryRelation blocks the broadcast/AQE choices
+    # the per-mode consumers otherwise make; the re-derivation is
+    # cheaper than the columnar pin here (same negative result as
+    # chrf's base pin). Left unpinned deliberately.
     edges = (discovery.related_by_shared_tag(tagged, "tags", "node_id")
              .select(F.col("a").alias("from_id"), F.col("b").alias("to_id"),
                      "relation_type"))
