@@ -5983,6 +5983,103 @@ def q238_cube_pricing(spark, sf):
             .orderBy("gid", "returnflag", "linestatus"))
 
 
+def q239_rollup_order_hierarchy(spark, sf):
+    """ROLLUP over the date hierarchy (year → year+month → grand
+    total) — the ordered-prefix complement to q238's full CUBE: the
+    hierarchy's three levels come out of ONE Expand + one shuffle
+    instead of three re-aggregations of the orders table. Same
+    labeling discipline as q238 (grouping(), never null-tests;
+    explicit grouping-id arithmetic); DECIMAL totals with the
+    round-then-cast rule."""
+    t = _t(spark, sf)
+    o = t["orders"].select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.col("o_totalprice"))
+    gid = (F.grouping("o_year") * 2 + F.grouping("o_month")).cast("int")
+    return (o.rollup("o_year", "o_month")
+            .agg(F.grouping("o_year").cast("int").alias("_gy"),
+                 F.grouping("o_month").cast("int").alias("_gm"),
+                 gid.alias("gid"),
+                 F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,2)")), 2)
+                 .cast("double").alias("total_price"))
+            .select(
+                F.when(F.col("_gy") == 1, -1)
+                .otherwise(F.col("o_year")).cast("int").alias("o_year"),
+                F.when(F.col("_gm") == 1, -1)
+                .otherwise(F.col("o_month")).cast("int").alias("o_month"),
+                "gid", "n_orders", "total_price")
+            .orderBy("gid", "o_year", "o_month"))
+
+
+def q240_window_battery(spark, sf):
+    """Ranking-window battery over each customer's order history —
+    the window functions the suite used only piecemeal (row_number
+    everywhere, ntile in terciles), exercised together and gated:
+    per (customer, order) its row_number, lag/lead order gaps in
+    days, quartile ntile, percent_rank and cume_dist, plus a
+    3-order centered moving DECIMAL average. Cross-engine floats:
+    percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are
+    single IEEE divisions of exact integers; the moving average
+    divides a DECIMAL sum by an exact count — all deterministic.
+    ONE window partitioning (custkey) serves every function — one
+    shuffle, no re-sort per function. Bounded to 20 customers so
+    the output stays hash-stable-small."""
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf)
+    o = (t["orders"].filter(F.col("o_custkey") <= 20)
+         .select("o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    wr = w.rowsBetween(-1, 1)
+    return (o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.datediff("o_orderdate",
+                   F.lag("o_orderdate", 1).over(w)).alias("gap_prev_d"),
+        F.datediff(F.lead("o_orderdate", 1).over(w),
+                   "o_orderdate").alias("gap_next_d"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.avg(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(wr).cast("double"), 4).alias("mov_avg3"))
+        .orderBy("o_custkey", "rn"))
+
+
+def q241_multiset_ops(spark, sf):
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET operations the suite
+    had only in operator form (backup's exceptAll): bag semantics
+    keep duplicate multiplicities (min of the two counts for
+    intersect, count difference floored at 0 for except), which no
+    DISTINCT-based rewrite reproduces. Sets: each order's (priority,
+    month) pairs from two disjoint customer halves — plenty of
+    duplicate pairs per side. Output = both results unioned under a
+    section tag with per-row multiplicity REKEPT AS ROWS (the
+    operators return bags; counting them in SQL would test the
+    groupBy, not the bag semantics), so the driver hash covers exact
+    multiplicities."""
+    t = _t(spark, sf)
+    base = t["orders"].select(
+        "o_custkey", F.col("o_orderpriority").alias("prio"),
+        F.month("o_orderdate").alias("m"))
+    a = base.filter(F.col("o_custkey") % 2 == 0).select("prio", "m")
+    b = base.filter(F.col("o_custkey") % 2 == 1).select("prio", "m")
+    inter = (a.intersectAll(b)
+             .select(F.lit("intersect_all").alias("section"),
+                     "prio", "m"))
+    exc = (a.exceptAll(b)
+           .select(F.lit("except_all").alias("section"), "prio", "m"))
+    return (inter.unionByName(exc)
+            .groupBy("section", "prio", "m")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("section", "prio", "m"))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7701,6 +7798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_stream_outer_join": q236_stream_outer_join,
         "q237_dpp_monthly_revenue": q237_dpp_monthly_revenue,
         "q238_cube_pricing": q238_cube_pricing,
+        "q239_rollup_order_hierarchy": q239_rollup_order_hierarchy,
+        "q240_window_battery": q240_window_battery,
+        "q241_multiset_ops": q241_multiset_ops,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -12489,6 +12589,69 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY gid, returnflag, linestatus
+    """
+
+    # q239: ROLLUP replayed with GROUPING() labels (-1 = subtotal).
+    sql["q239_rollup_order_hierarchy"] = """
+        SELECT (CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END)::INT
+                   AS o_year,
+               (CASE WHEN GROUPING(m) = 1 THEN -1 ELSE m END)::INT
+                   AS o_month,
+               (GROUPING(y) * 2 + GROUPING(m))::INT AS gid,
+               COUNT(*)::BIGINT AS n_orders,
+               CAST(ROUND(SUM(o_totalprice::DECIMAL(18,2)), 2)
+                    AS DOUBLE) AS total_price
+        FROM (SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+                     EXTRACT(MONTH FROM o_orderdate) AS m,
+                     o_totalprice
+              FROM orders)
+        GROUP BY ROLLUP (y, m)
+        ORDER BY gid, o_year, o_month
+    """
+
+    # q240: every window function replayed over the same single
+    # partitioning; percent_rank/cume_dist are single exact-integer
+    # divisions on both engines.
+    sql["q240_window_battery"] = """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS rn,
+               DATEDIFF('day', LAG(o_orderdate, 1) OVER w,
+                        o_orderdate)::INT AS gap_prev_d,
+               DATEDIFF('day', o_orderdate,
+                        LEAD(o_orderdate, 1) OVER w)::INT AS gap_next_d,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               ROUND(CAST(AVG(o_totalprice::DECIMAL(18,2)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                   AS DOUBLE), 4) AS mov_avg3
+        FROM orders WHERE o_custkey <= 20
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn
+    """
+
+    # q241: bag semantics replayed with the textbook INTERSECT ALL /
+    # EXCEPT ALL operators.
+    sql["q241_multiset_ops"] = """
+        WITH a AS (SELECT o_orderpriority AS prio,
+                          EXTRACT(MONTH FROM o_orderdate)::INT AS m
+                   FROM orders WHERE o_custkey % 2 = 0),
+        b AS (SELECT o_orderpriority AS prio,
+                     EXTRACT(MONTH FROM o_orderdate)::INT AS m
+              FROM orders WHERE o_custkey % 2 = 1),
+        u AS (
+            SELECT 'intersect_all' AS section, prio, m
+            FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT 'except_all', prio, m
+            FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        )
+        SELECT section, prio, m, COUNT(*)::BIGINT AS n
+        FROM u GROUP BY section, prio, m
+        ORDER BY section, prio, m
     """
 
     sql["q235_promo_revenue_share"] = """
