@@ -550,18 +550,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         # the two-column hash/compare with a single-long one — r09
         # stage probe at sf0.1: closure 3.9-5.9 s two-column →
         # 1.7-2.7 s packed (tools/q79_stages.py). Packing is
-        # injective only for ids < 2³¹, so the max id (one scan of
-        # the persisted 1.2M-row edge frame, not of the wedges)
-        # gates it; wider ids keep the two-column join.
-        max_id = oriented.agg(
-            F.max(F.greatest("src", "dst"))).collect()[0][0]
-        if max_id is not None and max_id < (1 << 31):
+        # injective only for non-negative integral ids < 2³¹, so the
+        # id bounds (one scan of the persisted 1.2M-row edge frame,
+        # not of the wedges) gate it; wider / negative / non-integral
+        # ids keep the two-column join. The dtype gate matters twice
+        # (round-9 ADVICE): StringType ids ('c_1') would make the
+        # driver-side `< (1 << 31)` compare raise TypeError, and
+        # IntegerType ids fed straight into shiftleft would hit the
+        # JVM's 5-bit shift-amount mask (shift-by-32 on an int is a
+        # no-op → bc degenerates to dst+dst, silent collisions) —
+        # hence the explicit cast('long') BEFORE the shift.
+        dts = dict(oriented.dtypes)
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        packed_ok = dts["src"] in integral and dts["dst"] in integral
+        if packed_ok:
+            lo, hi = oriented.agg(
+                F.min(F.least("src", "dst")),
+                F.max(F.greatest("src", "dst"))).collect()[0]
+            packed_ok = (hi is not None and hi < (1 << 31)
+                         and lo is not None and lo >= 0)
+        if packed_ok:
             wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
                       .filter(wedge_pred)
-                      .select((F.shiftleft(F.col("e1.dst"), 32)
+                      .select((F.shiftleft(
+                          F.col("e1.dst").cast("long"), 32)
                                + F.col("e2.dst")).alias("bc")))
             ekeys = oriented.select(
-                (F.shiftleft(F.col("src"), 32)
+                (F.shiftleft(F.col("src").cast("long"), 32)
                  + F.col("dst")).alias("bc"))
             tri = (wedges.join(ekeys, "bc", "left_semi")
                    .agg(F.count(F.lit(1)).cast("long")

@@ -2792,22 +2792,35 @@ def mkv_blocks(df: DataFrame, payload_col: str = "payload",
         q += 3
         lace = (flags >> 1) & 0x03
         frames: list[bytes] = []
+        # Every read below is bounded by the block end ``e``, never by
+        # the whole file: a malformed block must loud-fail here, not
+        # silently consume the next element's bytes as lace sizes
+        # (round-9 ADVICE). Lace-size vints go through
+        # _ebml_lace_vint, which neither crosses ``e`` nor maps the
+        # all-ones encoding to the unknown-size sentinel.
+        overrun = ValueError("SimpleBlock lacing overruns block")
         if lace == 0x00:
             frames.append(b[q:e])
         else:
+            if q >= e:
+                raise overrun
             nf = b[q] + 1
             q += 1
             if lace == 0x01:                          # Xiph
                 sizes = []
                 for _ in range(nf - 1):
                     n = 0
-                    while b[q] == 255:
+                    while q < e and b[q] == 255:
                         n += 255
                         q += 1
+                    if q >= e:
+                        raise overrun
                     n += b[q]
                     q += 1
                     sizes.append(n)
                 for n in sizes:
+                    if q + n > e:
+                        raise overrun
                     frames.append(b[q:q + n])
                     q += n
                 frames.append(b[q:e])
@@ -2821,21 +2834,22 @@ def mkv_blocks(df: DataFrame, payload_col: str = "payload",
             else:                                     # EBML
                 sizes = []
                 if nf >= 2:                # nf−1 sizes; 0 when nf == 1
-                    first, q = _ebml_vint(b, q, True)
+                    first, q = _ebml_lace_vint(b, q, e)
                     sizes = [first]
                     for _ in range(nf - 2):
-                        ln = 8 - b[q].bit_length() + 1
-                        raw, q2 = _ebml_vint(b, q, True)
+                        raw, q2 = _ebml_lace_vint(b, q, e)
+                        ln = q2 - q     # vint width, bounds-checked
                         sizes.append(sizes[-1] + raw
                                      - ((1 << (7 * ln - 1)) - 1))
                         q = q2
                 for n in sizes:
+                    if n < 0 or q + n > e:
+                        raise overrun
                     frames.append(b[q:q + n])
                     q += n
                 frames.append(b[q:e])
-        if any(len(f) < 0 for f in frames) or sum(
-                len(f) for f in frames) > e - s:
-            raise ValueError("SimpleBlock lacing overruns block")
+        if sum(len(f) for f in frames) > e - s:
+            raise overrun
         return track, rel, bool(flags & 0x80), lace_names[lace], frames
 
     def walk(b: bytes):
@@ -3022,6 +3036,24 @@ def _ebml_vint(b: bytes, i: int, mask_marker: bool) -> tuple[int, int]:
         v = (v << 8) | b[i + k]
     if mask_marker and v == (1 << (7 * ln)) - 1:
         return -1, i + ln                   # unknown size (streaming)
+    return v, i + ln
+
+
+def _ebml_lace_vint(b: bytes, i: int, end: int) -> tuple[int, int]:
+    """One EBML vint used as a lace size / size-diff inside a
+    SimpleBlock. Differs from ``_ebml_vint`` twice (round-9 ADVICE):
+    the all-ones encoding is a perfectly representable SIZE here
+    (0xFF = 127 for a 1-byte vint), NOT the unknown-size streaming
+    sentinel, so it is returned verbatim instead of -1; and the read
+    is bounded by the enclosing block's end, not the whole file."""
+    if i >= end or b[i] == 0:
+        raise ValueError("bad EBML lace vint")
+    ln = 8 - b[i].bit_length() + 1
+    if i + ln > end:
+        raise ValueError("SimpleBlock lacing overruns block")
+    v = b[i] & (0xFF >> ln)
+    for k in range(1, ln):
+        v = (v << 8) | b[i + k]
     return v, i + ln
 
 

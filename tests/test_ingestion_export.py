@@ -1862,6 +1862,117 @@ def test_mkv_block_walk_crc_and_lacing(spark):
             "media_id string, payload binary")).collect()
 
 
+def test_mkv_lacing_adversarial_bounds(spark):
+    """Round-10 ADVICE regressions on externally-produced (non-synth)
+    SimpleBlocks: (a) an all-ones lace-size vint (0xFF = 127 for one
+    byte) is a representable SIZE, not the unknown-size streaming
+    sentinel — the old ``_ebml_vint`` reuse returned -1 and silently
+    mis-split frames; (b) Xiph 255-run reads and frame slices are
+    bounded by the BLOCK end, so a block whose lace sizes overrun
+    into the next element loud-fails instead of silently eating it."""
+    import hashlib
+    import zlib
+
+    import pytest
+
+    from memory_engine_spark.operators.multimodal import (
+        _ebml_elem, _ebml_encode_size, _ebml_lace_diff, _ebml_uint,
+        _xiph_runs, mkv_blocks)
+
+    def block(track, flags, lace_header, frames):
+        body = bytearray()
+        body += _ebml_encode_size(track)
+        body += (0).to_bytes(2, "big", signed=True)
+        body.append(flags)
+        body += lace_header
+        for f in frames:
+            body += f
+        return _ebml_elem(0xA3, bytes(body))
+
+    def file_of(blocks):
+        head = _ebml_elem(0x1A45DFA3, b"".join([
+            _ebml_elem(0x4286, _ebml_uint(1)),
+            _ebml_elem(0x42F7, _ebml_uint(1)),
+            _ebml_elem(0x4282, b"matroska")]))
+        info = _ebml_elem(0x1549A966,
+                          _ebml_elem(0x2AD7B1, _ebml_uint(1_000_000)))
+        tracks = _ebml_elem(0x1654AE6B, _ebml_elem(0xAE, b"".join([
+            _ebml_elem(0xD7, _ebml_uint(1)),
+            _ebml_elem(0x83, _ebml_uint(1)),
+            _ebml_elem(0x86, b"V_STUB")])))
+        body = _ebml_elem(0xE7, _ebml_uint(0)) + b"".join(blocks)
+        crc = _ebml_elem(0xBF, zlib.crc32(body).to_bytes(4, "little"))
+        cluster = _ebml_elem(0x1F43B675, crc + body)
+        return head + _ebml_elem(0x18538067, info + tracks + cluster)
+
+    # (a) EBML lacing, first size = 0xFF (all-ones 1-byte vint = 127).
+    # synth_mkv never emits all-ones (its encoder escalates width),
+    # so this file is assembled by hand the way a foreign muxer may.
+    f0, f1, f2 = b"A" * 127, b"B" * 10, b"C" * 5
+    lace = bytes([2]) + b"\xff" + _ebml_lace_diff(len(f1) - len(f0))
+    good = file_of([block(1, 0x80 | 0x06, lace, [f0, f1, f2])])
+    rows = mkv_blocks(spark.createDataFrame(
+        [("m", bytearray(good))],
+        "media_id string, payload binary")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["lacing"], r["n_frames"], r["n_bytes"], r["crc_ok"]) == \
+        ("ebml", 3, 142, True)
+    assert r["frames_md5"] == hashlib.md5(f0 + f1 + f2).hexdigest()
+
+    # (b) Xiph sizes overrun the block: 200 claimed, 50 present, and a
+    # second well-formed block follows — the old file-bounded loop
+    # would consume ITS bytes as frame data.
+    bad_xiph = file_of([
+        block(1, 0x02, bytes([1]) + _xiph_runs(200), [b"D" * 50]),
+        block(1, 0x00, b"", [b"ok-frame"])])
+    with pytest.raises(Exception, match="lacing overruns block"):
+        mkv_blocks(spark.createDataFrame(
+            [("m", bytearray(bad_xiph))],
+            "media_id string, payload binary")).collect()
+
+    # (b') EBML lacing size overruns the block end.
+    bad_ebml = file_of([
+        block(1, 0x06, bytes([1]) + b"\xff", [b"E" * 50]),
+        block(1, 0x00, b"", [b"ok-frame"])])
+    with pytest.raises(Exception, match="lacing overruns block"):
+        mkv_blocks(spark.createDataFrame(
+            [("m", bytearray(bad_ebml))],
+            "media_id string, payload binary")).collect()
+
+
+def test_triangle_count_id_type_gate(spark):
+    """Round-10 ADVICE regression: the packed single-long closure key
+    must be gated on COLUMN TYPE, not just id magnitude — IntegerType
+    ids fed to shiftleft without a cast hit the JVM's 5-bit
+    shift-amount mask (shift-by-32 on int is a no-op → silent key
+    collisions), and StringType ids crashed the driver-side bound
+    compare. The collision-trap graph has a wedge (30,28) and an
+    unrelated edge (18,40): under the b+c degeneration both hash to
+    58 and a phantom triangle appears."""
+    from memory_engine_spark.operators.graph import triangle_count
+
+    trap = spark.createDataFrame(
+        [(2, 30), (2, 28), (18, 40), (18, 2)], "from_id int, to_id int")
+    assert triangle_count(trap).collect()[0]["triangles"] == 0
+
+    tri_int = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "from_id int, to_id int")
+    assert triangle_count(tri_int).collect()[0]["triangles"] == 1
+
+    # StringType ids (the repo's node-id convention) take the
+    # two-column fallback — previously a driver TypeError.
+    tri_str = spark.createDataFrame(
+        [("c_1", "c_2"), ("c_2", "c_3"), ("c_1", "c_3"), ("c_3", "p_4")],
+        "from_id string, to_id string")
+    assert triangle_count(tri_str).collect()[0]["triangles"] == 1
+
+    # negative ids also fall back (packing is not injective there).
+    tri_neg = spark.createDataFrame(
+        [(-1, 2), (2, 3), (-1, 3)], "from_id long, to_id long")
+    assert triangle_count(tri_neg).collect()[0]["triangles"] == 1
+
+
 def test_xxh32_reference_vectors_and_lz4_roundtrip():
     """xxHash32 against the reference test vectors (the LZ4 frame's
     checksum algorithm), LZ4 block round trips incl. the RLE
