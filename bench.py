@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from memory_engine_spark.checkpoint import lc as _lc
 from memory_engine_spark.session import get_spark
 
 # Timed set: EVERY registered queries() entry (r07 verdict item 5 —
@@ -133,10 +134,10 @@ def scale_10x(spark, sf_dir: str) -> dict:
         # untimed per-shape setup (the ingest-time index build)
         if name == "semdedup" and factor not in _sd_ivf:
             emb = rep(t["embeddings"], factor, shift_cols=["vec_id"]) \
-                .localCheckpoint()
+                .transform(_lc)
             cents, assigned = build_ivf_flat(emb, nlist=16 * factor,
                                              id_col="vec_id")
-            assigned = assigned.localCheckpoint()
+            assigned = assigned.transform(_lc)
             _sd_ivf[factor] = (cents, assigned, emb)
         if name == "pagerank_shuffle" and factor not in _pr_prep:
             _pr_prep[factor] = graph.pagerank_prepare(

@@ -53,6 +53,30 @@ def lc_tracked(df: DataFrame, eager: bool = True
     return out, ids
 
 
+def lc(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` under ``_LC_LOCK``, for call sites that do
+    NOT need the freed-id set. The id-diff in ``lc_tracked`` is only
+    atomic if EVERY checkpoint in the process takes the same lock — a
+    direct ``.localCheckpoint()`` on another thread (operator code
+    running inside a subscriber's foreachBatch) would register its
+    persistent RDD inside someone else's diff window and get
+    unpersisted by THEIR ``lc_free`` while still live (round-9
+    ADVICE). All package-internal checkpoints therefore route through
+    here (``.transform(lc)``) or through ``lc_tracked``; the lock adds
+    no real contention because checkpoint materialization is a
+    driver-blocking call anyway."""
+    with _LC_LOCK:
+        return df.localCheckpoint()
+
+
+def lc_lazy(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` under ``_LC_LOCK`` — lazy
+    checkpoints register their RDD immediately too, so they need the
+    same serialization as ``lc``."""
+    with _LC_LOCK:
+        return df.localCheckpoint(eager=False)
+
+
 def lc_free(spark, ids: set) -> None:
     """Drop the checkpoint blocks behind ``lc_tracked`` ids."""
     if not ids:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from memory_engine_spark.checkpoint import lc as _lc
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -35,7 +36,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                      F.col("from_id").alias("to_id"))).distinct().persist()
     labels = (sym.groupBy(F.col("from_id").alias("node_id"))
               .agg(F.least(F.min("to_id"), F.first("from_id")).alias("component"))
-              .localCheckpoint())
+              .transform(_lc))
 
     def signature(lbl) -> int:
         # order-independent fingerprint of the full labeling — one cheap
@@ -65,7 +66,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                             F.least(F.col("component"),
                                     F.coalesce(F.col("_cc"), F.col("component")))
                             .alias("component")))
-        labels = prop.localCheckpoint()
+        labels = prop.transform(_lc)
         sig = signature(labels)
         if sig == prev_sig:
             break

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from memory_engine_spark.checkpoint import lc as _lc
 
 HASH_BUCKETS = 10_000
 
@@ -571,7 +572,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
              .limit(top_words))
     w = words.select(
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("w"),
-        "freq").localCheckpoint()
+        "freq").transform(_lc)
 
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
@@ -600,7 +601,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
             F.trim(F.regexp_replace(merged, " +", " ")).alias("w"), "freq")
         # checkpoint each round: the next argmax re-evaluates w, and
         # 10 rounds of nested replace() otherwise recompute from scratch
-        w = w.localCheckpoint()
+        w = w.transform(_lc)
     return merges
 
 
@@ -781,7 +782,7 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
                   .select(id_col, F.col("y").alias("label"),
                           (F.floor(F.col("p") * F.lit(1e6) + F.lit(0.5))
                            .cast("double") / F.lit(1e6)).alias("score"))
-                  .localCheckpoint())
+                  .transform(_lc))
         return w, scored
     finally:
         labels.unpersist(False)   # scored is checkpointed; safe to drop

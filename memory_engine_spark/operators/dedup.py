@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from memory_engine_spark.checkpoint import lc_lazy as _lc_lazy
 
 # ---------------------------------------------------------------------------
 # normalization + exact dedup
@@ -648,7 +649,7 @@ def semdedup(embeddings: DataFrame, threshold: float, nlist: int = 16,
     # projection); checkpoint it once so the assignment subtree isn't
     # recomputed per consumer (lazy: the first action materializes it)
     ranked = (ranked.withColumn("rk", F.row_number().over(w))
-              .localCheckpoint(eager=False))
+              .transform(_lc_lazy))
     a = ranked.select("cell", F.col("rk").alias("rk_a"),
                       F.col(vec_col).alias("_va"))
     b = ranked.select(id_col, "cell", F.col("rk").alias("rk_b"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from memory_engine_spark.checkpoint import lc as _lc
 
 from memory_engine_spark.operators.dedup import tokens
 
@@ -151,7 +152,7 @@ def diversify_topk(df: DataFrame, text_col: str, id_col: str,
            .limit(top_n))
     ranked = top.withColumn("rnk", F.row_number().over(
         W.orderBy(F.col("relevance").desc(), F.col(id_col).asc())))
-    undecided = ranked.localCheckpoint()
+    undecided = ranked.transform(_lc)
     kept = None
     for rnd in range(1, k + 1):
         pick = (undecided.orderBy("rnk").limit(1)
@@ -172,7 +173,7 @@ def diversify_topk(df: DataFrame, text_col: str, id_col: str,
                      .filter((F.col("rnk") > F.col("_prnk"))
                              & (sim < max_similarity))
                      .select(id_col, "_words", "relevance", "rnk")
-                     .localCheckpoint())
+                     .transform(_lc))
     return kept
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from memory_engine_spark.checkpoint import lc as _lc
 
 from memory_engine_spark.functions.vector import (cosine_similarity, dot,
                                                   normalize)
@@ -87,7 +88,7 @@ def build_ivf(embeddings: DataFrame, nlist: int = 64, seed: int = 42,
     # densify cell ids 0..nlist-1
     seeds = seeds.select(
         (F.row_number().over(Window.orderBy("cell")) - 1).alias("cell"), "centroid")
-    centroids = seeds.localCheckpoint()
+    centroids = seeds.transform(_lc)
     dim = len(centroids.select("centroid").first()[0])
     for _ in range(iters):
         assigned = _assign(embeddings, centroids, id_col, vec_col)
@@ -97,7 +98,7 @@ def build_ivf(embeddings: DataFrame, nlist: int = 64, seed: int = 42,
         )
         centroids = agg.select(
             "cell", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
-        ).localCheckpoint()
+        ).transform(_lc)
     return centroids, _assign(embeddings, centroids, id_col, vec_col)
 
 
@@ -116,7 +117,7 @@ def build_ivf_flat(embeddings: DataFrame, nlist: int = 64,
         embeddings.orderBy(F.col(id_col).asc()).limit(nlist)
         .select(F.col(id_col).cast("long").alias("cell"),
                 F.col(vec_col).cast("array<double>").alias("centroid"))
-    ).localCheckpoint()
+    ).transform(_lc)
     return centroids, _assign(embeddings, centroids, id_col, vec_col)
 
 
@@ -187,7 +188,7 @@ def kmeans_refine(embeddings: DataFrame, centroids: DataFrame,
                      .join(newc, "cell", "left")
                      .select("cell",
                              F.coalesce("_new", "_old").alias("centroid"))
-                     ).localCheckpoint()
+                     ).transform(_lc)
     return centroids, _assign(embeddings, centroids, id_col, vec_col)
 
 
@@ -442,7 +443,7 @@ def graph_beam_search(knn_graph: DataFrame, embeddings: DataFrame,
         f"_nid {'string' if isinstance(entry_ids[0], str) else 'long'}")
     beam_df = (entries.join(emb, "_nid")
                .orderBy(F.col("sc").desc(), F.col("_nid").asc())
-               .limit(beam).localCheckpoint())
+               .limit(beam).transform(_lc))
     edges = knn_graph.select(F.col("qid").alias("_nid"),
                              F.col("nid").alias("_to"))
     for _ in range(n_iter):
@@ -452,7 +453,7 @@ def graph_beam_search(knn_graph: DataFrame, embeddings: DataFrame,
         beam_df = (beam_df.unionByName(frontier)
                    .groupBy("_nid").agg(F.max("sc").alias("sc"))
                    .orderBy(F.col("sc").desc(), F.col("_nid").asc())
-                   .limit(beam).localCheckpoint())
+                   .limit(beam).transform(_lc))
     return (beam_df
             .orderBy(F.col("sc").desc(), F.col("_nid").asc())
             .limit(k)
@@ -728,7 +729,7 @@ def pq_codebooks(embeddings: DataFrame, dim: int, m: int = 8,
             for j in range(m)])).alias("s")
     ).select(F.col("s.subspace").alias("subspace"), "code",
              F.col("s.centroid").alias("centroid"))
-    return sub.localCheckpoint()
+    return sub.transform(_lc)
 
 
 def pq_encode(embeddings: DataFrame, codebooks: DataFrame, dim: int,

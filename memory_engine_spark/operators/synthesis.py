@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from memory_engine_spark.checkpoint import lc as _lc
 
 from memory_engine_spark.operators.dedup import tokens, _spread
 from memory_engine_spark.operators.text import STOPWORDS
@@ -72,7 +73,7 @@ def relation_chains(edges: DataFrame, chain_types: list[str],
             .filter(~F.array_contains(F.col("path"), F.col("to_id")))  # no cycles
             .select(F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path"),
                     F.col("to_id").alias("head"))
-            .localCheckpoint()
+            .transform(_lc)
         )
         if nxt.isEmpty():
             break

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from memory_engine_spark.checkpoint import lc as _lc
 from pyspark.sql.window import Window
 
 
@@ -163,12 +164,12 @@ def rollup_cascade(events: DataFrame, ts_col: str, dims: list[str],
     fine_res = resolutions[0]
     level = (events.groupBy(
         F.date_trunc(fine_res, F.col(ts_col)).alias("bucket"), *dims)
-        .agg(*aggs).localCheckpoint())
+        .agg(*aggs).transform(_lc))
     out = level.withColumn("resolution", F.lit(fine_res))
     for res in resolutions[1:]:
         level = (level.groupBy(
             F.date_trunc(res, F.col("bucket")).alias("bucket"), *dims)
-            .agg(*reaggs).localCheckpoint())
+            .agg(*reaggs).transform(_lc))
         out = out.unionByName(level.withColumn("resolution", F.lit(res)))
     metrics = ["n_events"] + (["sum_value"] if value_col is not None else [])
     return out.select("resolution", "bucket", *dims, *metrics)

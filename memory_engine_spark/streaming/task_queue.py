@@ -28,6 +28,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from memory_engine_spark.checkpoint import lc as _lc
 from pyspark.sql.window import Window
 
 TASK_STATUSES = ["pending", "processing", "completed", "failed", "retrying",
@@ -166,7 +167,7 @@ class TaskQueue:
         batch = (runnable.orderBy(F.col("priority").desc(),
                                   F.col("submitted_at").asc(),
                                   F.col("task_id").asc())
-                 .limit(batch_size).localCheckpoint())
+                 .limit(batch_size).transform(_lc))
         ids = [r["task_id"] for r in batch.select("task_id").collect()]
         if ids:
             self._transition(ids, "processing", bump_attempts=True)

@@ -71,6 +71,109 @@ def test_running_counts_across_batches(spark, bus, tmp_path):
     assert latest[10] == (4, 5.5)
 
 
+def test_lc_lock_concurrent_subscribers(spark, tmp_path, monkeypatch):
+    """Round-10 regression for the `_LC_LOCK` race fix (round-8/9
+    ADVICE): two REAL `run_subscriber_per_event(once=False)` streams
+    whose foreachBatch callbacks interleave `lc_tracked`/`lc_free`
+    across ~20 micro-batches, while the handlers themselves checkpoint
+    through the package-locked `checkpoint.lc` (operator code running
+    on a subscriber thread — the exact pre-fix hazard). Without the
+    lock, a checkpoint performed by query B inside query A's id-diff
+    window lands in A's tracked set, and A's lc_free unpersists B's
+    live lineage-truncated blocks → missing-block failure. Asserts:
+    every lc_tracked id set is pairwise disjoint, no handler-side
+    checkpoint id ever appears in a subscriber's tracked set, and all
+    handler-checkpointed frames remain readable after both streams'
+    frees have run."""
+    import threading
+    import time
+
+    import memory_engine_spark.streaming.events as ev
+    from memory_engine_spark import checkpoint as cp
+    from memory_engine_spark.streaming.events import Subscriber
+
+    t0 = dt.datetime(2024, 1, 1)
+    bus = EventBus(spark, str(tmp_path / "bus"))
+    for i in range(10):        # 10 files × maxFilesPerTrigger=1
+        bus.publish(_events(spark, [
+            (100 + i, t0, 10, "click", float(i), "{}"),
+            (200 + i, t0, 11, "buy", float(i), "{}")]))
+
+    rec_lock = threading.Lock()
+    tracked_sets: list[frozenset] = []   # one per lc_tracked call
+    handler_ids: set = set()             # ids pinned via package lc()
+    kept_frames: list = []               # frames that must stay alive
+
+    real_tracked = cp.lc_tracked
+
+    def tracked_spy(df, eager=True):
+        out, ids = real_tracked(df, eager)
+        with rec_lock:
+            tracked_sets.append(frozenset(ids))
+        return out, ids
+
+    monkeypatch.setattr(ev, "lc_tracked", tracked_spy)
+
+    sc = spark.sparkContext
+
+    def handler(pending, attempt):
+        # Operator-style direct checkpoint on the subscriber thread,
+        # through the production locked helper; record exactly which
+        # ids it pinned (diff inside the SAME lock → exact).
+        with cp._LC_LOCK:
+            before = {e.getKey() for e in
+                      sc._jsc.getPersistentRDDs().entrySet().toArray()}
+            frame = pending.select("event_id").localCheckpoint()
+            mine = {e.getKey() for e in
+                    sc._jsc.getPersistentRDDs().entrySet().toArray()
+                    } - before
+        with rec_lock:
+            handler_ids.update(mine)
+            kept_frames.append(frame)
+        time.sleep(0.05)       # stretch the overlap window
+        if attempt == 1:
+            return pending.limit(1)    # force a retry round
+        return None
+
+    q1 = bus.run_subscriber_per_event(
+        Subscriber("sub_a", handler), once=False,
+        max_files_per_trigger=1, log_attempts=False)
+    q2 = bus.run_subscriber_per_event(
+        Subscriber("sub_b", handler), once=False,
+        max_files_per_trigger=1, log_attempts=False)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with rec_lock:
+                n = len(tracked_sets)
+            if n >= 20 and q1.recentProgress and q2.recentProgress:
+                break
+            if q1.exception() or q2.exception():
+                break
+            time.sleep(0.5)
+        assert q1.exception() is None, q1.exception()
+        assert q2.exception() is None, q2.exception()
+    finally:
+        q1.stop()
+        q2.stop()
+
+    with rec_lock:
+        sets = list(tracked_sets)
+        hids = set(handler_ids)
+        frames = list(kept_frames)
+    assert len(sets) >= 20
+    # (1) no lc_tracked window captured another call's ids
+    seen: set = set()
+    for s in sets:
+        assert not (s & seen), f"id leaked across diff windows: {s & seen}"
+        seen |= s
+    # (2) no handler-side checkpoint landed in a subscriber's window
+    assert not (hids & seen), f"handler ids captured: {hids & seen}"
+    # (3) every handler frame survives all frees — a missing block
+    # raises here
+    assert all(f.count() >= 0 for f in frames)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     import shutil
 
