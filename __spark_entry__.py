@@ -22,6 +22,7 @@ from memory_engine_spark.operators.aggregates import (
     group_count, iqr_outliers, monthly_counts,
 )
 from memory_engine_spark.functions import sketch
+from memory_engine_spark.checkpoint import lc as _lc
 from memory_engine_spark.operators.merging import clamp01
 from memory_engine_spark.operators.ranking import combined_score, relevance_score
 from memory_engine_spark.operators.text import quality_score
@@ -317,7 +318,7 @@ def _ivf(spark: SparkSession, sf_dir: str, nlist: int = 16):
     except Exception:  # pragma: no cover — read-only checkout etc.
         cents, assigned = similarity.build_ivf_flat(
             _t(spark, sf_dir)["embeddings"], nlist=nlist, id_col="vec_id")
-        assigned = assigned.localCheckpoint()
+        assigned = assigned.transform(_lc)
     _pin_new(spark, before, f"ivf:{key[2:]}", _IVF_CACHE, key)
     _IVF_CACHE[key] = (cents, assigned)
     return cents, assigned
@@ -368,7 +369,7 @@ def _li_month(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(tmp, ignore_errors=True)
         out = spark.read.parquet(base)
     except Exception:  # pragma: no cover — read-only checkout etc.
-        out = _build().localCheckpoint()
+        out = _build().transform(_lc)
     _pin_new(spark, before, "li_month", _LIMONTH_CACHE, key)
     _LIMONTH_CACHE[key] = out
     return out
@@ -413,7 +414,7 @@ def _int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         qz.count()
     except Exception:  # pragma: no cover — read-only checkout etc.
         qz = similarity.quantize_int8(_t(spark, sf_dir)["embeddings"],
-                                      id_col="vec_id").localCheckpoint()
+                                      id_col="vec_id").transform(_lc)
     _pin_new(spark, before, "int8", _INT8_CACHE, key)
     _INT8_CACHE[key] = qz
     return qz
@@ -459,7 +460,7 @@ def _int8_cells(spark: SparkSession, sf_dir: str, nlist: int = 16
                 shutil.rmtree(tmp, ignore_errors=True)
         cc = spark.read.parquet(base)
     except Exception:  # pragma: no cover — read-only checkout etc.
-        cc = _build().localCheckpoint()
+        cc = _build().transform(_lc)
     _pin_new(spark, before, "int8c", _INT8C_CACHE, key)
     _INT8C_CACHE[key] = cc
     return cc
@@ -514,8 +515,8 @@ def _pq(spark: SparkSession, sf_dir: str, nlist: int = 16, m: int = 8):
         codes_cell = spark.read.parquet(os.path.join(base, "codes"))
     except Exception:  # pragma: no cover — read-only checkout etc.
         books, codes_cell = _build()
-        books = books.localCheckpoint()
-        codes_cell = codes_cell.localCheckpoint()
+        books = books.transform(_lc)
+        codes_cell = codes_cell.transform(_lc)
     _pin_new(spark, before, f"pq:{key[2:]}", _PQ_CACHE, key)
     _PQ_CACHE[key] = (books, codes_cell)
     return books, codes_cell
@@ -1476,7 +1477,7 @@ def _pr_index(spark: SparkSession, sf_dir: str, layout: str = "from"):
         w_from.count()
         w_to.count()
         nodes = spark.read.parquet(os.path.join(base, "nodes"))
-        nodes = nodes.localCheckpoint()
+        nodes = nodes.transform(_lc)
         n = nodes.count()
     except Exception:  # pragma: no cover — read-only checkout etc.
         w_from, nodes, n = graph.pagerank_prepare(
@@ -1961,7 +1962,7 @@ def _dir_adj(spark: SparkSession, sf_dir: str) -> dict:
     a_to = base.repartition(n_parts, "to_id").persist()
     nodes = (base.select(F.col("from_id").alias("node_id"))
              .unionByName(base.select(F.col("to_id").alias("node_id")))
-             .distinct().localCheckpoint())
+             .distinct().transform(_lc))
     a_from.count()
     a_to.count()
     _pin_new(spark, before, "dir_adj", _DIR_ADJ_CACHE, key)
@@ -3845,7 +3846,7 @@ def q149_corpus_pipeline(spark, sf):
     # difference between 1 task and 32 doing the string work).
     n_parts = spark.sparkContext.defaultParallelism
     docs = (_t(spark, sf)["documents"]
-            .repartition(n_parts, "doc_id").localCheckpoint())
+            .repartition(n_parts, "doc_id").transform(_lc))
     # Corpus-tuned gate thresholds (Gopher's own paper tunes per
     # corpus): the canned stopword test is vacuous on this synthetic
     # vocabulary (no English stopwords exist → keep=false for ALL
@@ -3873,19 +3874,19 @@ def q149_corpus_pipeline(spark, sf):
     # would fold them into one task (the q67 lesson, PLANS.md);
     # a checkpointed explicit exchange pins the parallelism.
     s1 = (docs.join(kept, "doc_id")
-          .repartition(n_parts, "doc_id").localCheckpoint())
+          .repartition(n_parts, "doc_id").transform(_lc))
     surv = (s1.select("doc_id",
                       F.md5(dedup.normalized(F.col("text"))).alias("_h"))
             .groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
     s2 = (s1.join(surv, "doc_id")
-          .repartition(n_parts, "doc_id").localCheckpoint())
+          .repartition(n_parts, "doc_id").transform(_lc))
     bench = docs.filter(F.col("source") == "src0")
     train = s2.filter(F.col("source") != "src0")
     contaminated = text.decontaminate(
         train, bench, "text", "doc_id", window=8).select("doc_id")
     s3 = (train.join(contaminated, "doc_id", "left_anti")
-          .repartition(n_parts, "doc_id").localCheckpoint())
+          .repartition(n_parts, "doc_id").transform(_lc))
     packed = corpus.pack_sequences(
         s3, F.size(dedup.tokens(F.col("text"))), budget=512,
         id_col="doc_id", n_shards=8, salt="pack")
@@ -4064,7 +4065,7 @@ def q153_dlq_lifecycle(spark, sf):
            .withColumn("n_dlq", F.lit(n_dlq).cast("bigint"))
            .orderBy("event_type", "final_status", "attempts")
            # materialize BEFORE the bus dir is deleted
-           .localCheckpoint())
+           .transform(_lc))
     shutil.rmtree(root, ignore_errors=True)
     return out
 
@@ -6080,6 +6081,46 @@ def q241_multiset_ops(spark, sf):
             .orderBy("section", "prio", "m"))
 
 
+def q242_scc_label_merge(spark, sf):
+    """bounded_scc with the round-10 label-merge closure
+    (graph.bounded_scc(merge_labels=True)): every certified (u, m)
+    pair is a proven same-SCC relation, so min-label connected
+    components over the relation graph collapses chained certificate
+    classes to ONE component key — closing the split-label hazard the
+    round-9 verification round only shrank (r9 verdict item 2). The
+    graph is one 10-node gadget per document (ids doc_id·16 + local):
+    its SCC {0,2,..,9} is built so node 7's 3-hop balls certify it
+    ONLY against label 2 (paths 7→5→6→2 and 2→3→4→7, all
+    intermediates > 2; ids < 2 stay ≥ 5 hops out, so the round-4
+    verification cannot demote it) while node 2 certifies against the
+    true min 0 — pre-merge, 7 and 2 carry DIFFERENT keys for the same
+    SCC; the merge chains 7→2→0. Node 1 is a DAG tail: residual -1,
+    untouched. The oracle unrolls all six propagation rounds plus the
+    verification demotion (the q219 pattern) and replays the merge as
+    a recursive-CTE transitive closure over the certified relations —
+    exact because Spark's CC runs to min-label convergence. Scale
+    shape: the certificate rounds are the O(|V|) iterative-state
+    discipline; the merge adds CC over |certified| relation edges
+    whose classes are strictly-decreasing label chains, so it
+    converges in O(log chain) rounds — nothing all-pairs."""
+    gad = [(7, 5), (5, 6), (6, 2), (2, 3), (3, 4), (4, 7),
+           (2, 9), (9, 0), (0, 8), (8, 2), (1, 0)]
+    docs = _t(spark, sf)["documents"].select("doc_id")
+    gdf = spark.createDataFrame(gad, "lf long, lt long")
+    edges = (docs.crossJoin(F.broadcast(gdf))
+             .select((F.col("doc_id") * 16 + F.col("lf"))
+                     .alias("from_id"),
+                     (F.col("doc_id") * 16 + F.col("lt"))
+                     .alias("to_id")))
+    lab = graph.bounded_scc(edges, n_iter=3, merge_labels=True)
+    return (lab.groupBy(
+        (F.col("node_id") % 16).alias("local_node"),
+        F.when(F.col("scc_id") < 0, F.lit(-1))
+        .otherwise(F.col("scc_id") % 16).alias("local_scc"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("local_node", "local_scc"))
+
+
 def q221_unicode_nfc(spark, sf):
     """Unicode NFC normalization under the oracle gate — the
     canonical-composition step a text pipeline runs BEFORE any
@@ -7801,6 +7842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_rollup_order_hierarchy": q239_rollup_order_hierarchy,
         "q240_window_battery": q240_window_battery,
         "q241_multiset_ops": q241_multiset_ops,
+        "q242_scc_label_merge": q242_scc_label_merge,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -7872,17 +7914,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # STALE tranche q17–q50 + q61–q83 (last proof r02/r03), (3) only
     # then this round's new queries (q208+) and the rest. The stale
     # tranche is 57 entries — the overflow rolls into r09's front.
-    # r09 front (r08 verdict item 1): the 23 entries that have NEVER
-    # had a driver hash — q75–q83 (stale-tranche overflow from r08's
-    # 50-slot window) + q208–q221 (r08's new queries) — then THIS
-    # round's new queries (q222+), then the rest. Landing all 23 makes
-    # every registered query driver-proved at least once.
-    never_proved = {f"q{i}" for i in range(75, 84)} | \
-                   {f"q{i}" for i in range(208, 222)}
+    # r09 front landed q75–q83 + q208–q221 + q222–q241: the union of
+    # CORRECTNESS_r01–r09 now covers every registered query at least
+    # once, so freshness is the only driver-signal dimension left.
+    # r10 front (r09 verdict item 1): the STALEST tranche — q84–q110 +
+    # q132–q152 (48 queries whose last driver hash is r4/r5; 19 date
+    # to r4) — then this round's new queries (q242+), then the rest.
+    stalest = {f"q{i}" for i in range(84, 111)} | \
+              {f"q{i}" for i in range(132, 153)}
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
-                      and int(n.split("_")[0].lstrip("q")) >= 222]
-    front = ([n for n in sorted(out) if n.split("_")[0] in never_proved]
+                      and int(n.split("_")[0].lstrip("q")) >= 242]
+    front = ([n for n in sorted(out) if n.split("_")[0] in stalest]
              + new_this_round)
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
@@ -12849,6 +12892,48 @@ def oracle_sql() -> dict[str, str]:
                             AS bmin
                  FROM l{p} LEFT JOIN f{r} ON l{p}.u = f{r}.u
                            LEFT JOIN b{r} ON l{p}.u = b{r}.u)""")
+    # q242: the q219 unroll (same six rounds + demotion) over the
+    # per-document 10-node gadget, then the round-10 label-merge
+    # closure replayed as a recursive-CTE transitive closure over the
+    # certified (node, label) relations — comp(m) = min of each
+    # relation class, exactly Spark's min-label CC at convergence.
+    # A demoted node named by someone's certificate is healed by the
+    # COALESCE (it is in comp), mirroring the operator.
+    sql["q242_scc_label_merge"] = """
+        WITH RECURSIVE g(lf, lt) AS (
+            VALUES (7,5),(5,6),(6,2),(2,3),(3,4),(4,7),
+                   (2,9),(9,0),(0,8),(8,2),(1,0)
+        ),
+        e AS (SELECT doc_id * 16 + lf AS f, doc_id * 16 + lt AS t
+              FROM documents CROSS JOIN g),
+        l0 AS (SELECT DISTINCT u, u AS fmin, u AS bmin FROM (
+                   SELECT f AS u FROM e UNION ALL SELECT t FROM e)),"""\
+        + ",".join(_scc_rounds) + """,
+        fin AS (SELECT l3.u,
+                       CASE WHEN l3.fmin = l3.bmin
+                             AND l3.fmin = l4.fmin
+                             AND l3.bmin = l4.bmin
+                            THEN l3.fmin ELSE -1 END AS scc
+                FROM l3 JOIN l4 ON l3.u = l4.u),
+        rel AS (SELECT u AS a, scc AS b FROM fin WHERE scc >= 0
+                UNION
+                SELECT scc, u FROM fin WHERE scc >= 0),
+        reach(a, b) AS (
+            SELECT a, b FROM rel
+            UNION
+            SELECT r.a, rel.b FROM reach r JOIN rel ON r.b = rel.a
+        ),
+        comp AS (SELECT a, LEAST(a, MIN(b)) AS m
+                 FROM reach GROUP BY a),
+        merged AS (SELECT fin.u,
+                          COALESCE(comp.m, fin.scc) AS scc
+                   FROM fin LEFT JOIN comp ON fin.u = comp.a)
+        SELECT u % 16 AS local_node,
+               CASE WHEN scc < 0 THEN -1 ELSE scc % 16 END AS local_scc,
+               COUNT(*)::BIGINT AS n_nodes
+        FROM merged GROUP BY 1, 2 ORDER BY local_node, local_scc
+    """
+
     sql["q219_bounded_scc"] = """
         WITH nn AS (SELECT COUNT(*) AS n FROM documents),
         e AS (

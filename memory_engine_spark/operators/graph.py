@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 # module so streaming/events.py's DLQ compaction reuses it — round-7
 # ADVICE). The underscore aliases keep this module's call sites and
 # external importers unchanged.
+from ..checkpoint import lc as _lc
 from ..checkpoint import lc_free as _lc_free
+from ..checkpoint import lc_lazy as _lc_lazy
 from ..checkpoint import lc_tracked as _lc_tracked
 
 
@@ -129,7 +131,7 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
         base = base.persist()
     adj = base if directed else symmetrize(base)
     try:
-        visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).localCheckpoint()
+        visited = start_ids.select("node_id", F.lit(0).alias("hop_distance")).transform(_lc)
         frontier, n_frontier = visited, visited.count()
         prev_frontier = None
         for depth in range(1, max_depth + 1):
@@ -164,7 +166,7 @@ def k_hop(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: int,
                 # action materializes the checkpoint blocks as it runs,
                 # instead of an eager-checkpoint job followed by a
                 # separate (if cheap) cached-block count job
-                .localCheckpoint(eager=False)
+                .transform(_lc_lazy)
             )
             n_frontier = nxt.count()
             if n_frontier == 0:
@@ -204,7 +206,7 @@ def k_hop_paths(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: i
     try:
         visited = start_ids.select(
             "node_id", F.lit(0).alias("hop_distance"),
-            F.array("node_id").alias("path")).localCheckpoint()
+            F.array("node_id").alias("path")).transform(_lc)
         frontier, n_frontier = visited, visited.count()
         for depth in range(1, max_depth + 1):
             # Path rows are ~depth× wider than bare ids — shrink the
@@ -221,7 +223,7 @@ def k_hop_paths(edges: DataFrame, start_ids: DataFrame | list[str], max_depth: i
                 .join(visited.select("node_id"), "node_id", "left_anti")
                 .withColumn("hop_distance", F.lit(depth))
                 .select("node_id", "hop_distance", "path")
-                .localCheckpoint()
+                .transform(_lc)
             )
             n_frontier = nxt.count()
             if n_frontier == 0:
@@ -244,7 +246,7 @@ def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6
         base = base.persist()
     adj = base if directed else symmetrize(base)
     try:
-        visited = spark.createDataFrame([(src,)], "node_id string").localCheckpoint()
+        visited = spark.createDataFrame([(src,)], "node_id string").transform(_lc)
         frontier, n_frontier = visited, 1
         for depth in range(1, max_hops + 1):
             nxt = (
@@ -253,14 +255,14 @@ def shortest_path_length(edges: DataFrame, src: str, dst: str, max_hops: int = 6
                 .select(F.col("to_id").alias("node_id"))
                 .distinct()
                 .join(visited, "node_id", "left_anti")
-                .localCheckpoint()
+                .transform(_lc)
             )
             n_frontier = nxt.count()
             if n_frontier == 0:
                 return None
             if not nxt.filter(F.col("node_id") == dst).isEmpty():
                 return depth
-            visited = visited.unionByName(nxt).localCheckpoint()
+            visited = visited.unionByName(nxt).transform(_lc)
             frontier = nxt
         return None
     finally:
@@ -347,7 +349,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
         teleport = (1.0 - damping) / n
         ranks = nodes.select("node_id", F.lit(1.0 / n).alias("rank"))
         if use_broadcast:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(_lc)
             for it in range(n_iter):
                 contrib = (weighted.alias("e")
                            .join(F.broadcast(ranks.alias("r")),
@@ -372,7 +374,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
                 # every iteration: the next broadcast needs the vector
                 # materialized anyway, and one eager checkpoint IS the
                 # iteration's single job
-                ranks = ranks.localCheckpoint()
+                ranks = ranks.transform(_lc)
             return ranks
         for it in range(n_iter):
             # shuffle_hash: the checkpointed rank vector re-shuffles to
@@ -409,7 +411,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 5,
             # run >1 action over the result (count + collect), so the
             # final vector must be materialized exactly once
             if it % 2 == 1 or it == n_iter - 1:
-                ranks = ranks.localCheckpoint()
+                ranks = ranks.transform(_lc)
         return ranks
     finally:
         if prebuilt_here:
@@ -440,7 +442,7 @@ def pagerank_prepare(edges: DataFrame, directed: bool = False,
     n_parts = spark.sparkContext.defaultParallelism
     deg = degrees(base).persist()
     n = deg.count()
-    nodes = deg.select("node_id").localCheckpoint()
+    nodes = deg.select("node_id").transform(_lc)
     od = F.col("degree") if not directed else F.col("out_degree")
     adj = base if directed else symmetrize(base)
     weighted = (adj.join(deg.select("node_id", od.alias("_od")),
@@ -601,7 +603,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                               F.round(3.0 * F.col("triangles")
                                       / F.col("wedges"), 6))
                        .otherwise(F.lit(0.0)).alias("global_clustering")))
-        out = out.localCheckpoint()
+        out = out.transform(_lc)
         return out
     finally:
         oriented.unpersist()
@@ -732,7 +734,7 @@ def _lpa_broadcast(edges: DataFrame, n_iter: int, directed: bool,
     try:
         labels = (ids.select(F.col("nid").alias("node"),
                              F.col("nid").alias("label"))
-                  .localCheckpoint())
+                  .transform(_lc))
         for _ in range(n_iter):
             if directed:
                 recv, grp = "src", "dst"
@@ -760,7 +762,7 @@ def _lpa_broadcast(edges: DataFrame, n_iter: int, directed: bool,
             # eager EVERY round: the next round's broadcast collects
             # labels to the driver anyway — an unmaterialized chain
             # would re-execute all prior rounds per broadcast build
-            labels = winners.localCheckpoint()
+            labels = winners.transform(_lc)
         out = (labels.join(ids, labels.node == ids.nid)
                .select("node_id", F.col("label").alias("_il"))
                .join(ids.select(F.col("nid").alias("_il"),
@@ -769,7 +771,7 @@ def _lpa_broadcast(edges: DataFrame, n_iter: int, directed: bool,
         if built_here:
             # pin the decoded result before the index unpersists below —
             # otherwise every caller action re-runs the id-map sort
-            out = out.localCheckpoint()
+            out = out.transform(_lc)
         return out
     finally:
         if built_here:
@@ -801,7 +803,7 @@ def _lpa_shuffle(edges: DataFrame, n_iter: int, directed: bool,
              .unionByName(adj.select(F.col("to_id").alias("node_id")))
              .distinct())
     labels = (nodes.select("node_id", F.col("node_id").alias("label"))
-              .localCheckpoint())
+              .transform(_lc))
     try:
         for it in range(n_iter):
             counts = (adj.alias("e")
@@ -831,7 +833,7 @@ def _lpa_shuffle(edges: DataFrame, n_iter: int, directed: bool,
                 # symmetrized graph: every node receives
                 labels = winners
             if it == n_iter - 1 or it % 2 == 1:
-                labels = labels.localCheckpoint()  # eager
+                labels = labels.transform(_lc)  # eager
         return labels
     finally:
         if built_here:
@@ -916,7 +918,7 @@ def k_core(edges: DataFrame, k: int, n_iter: int = 3,
         if built_here:
             # materialize before releasing the call-local adjacency —
             # the lazy plan must not recompute it post-unpersist
-            out = out.localCheckpoint()
+            out = out.transform(_lc)
         return out
     finally:
         if built_here:
@@ -961,7 +963,7 @@ def weighted_sssp(edges: DataFrame | None, source: str, n_iter: int = 4,
         adj = prebuilt_adj.select("from_id", "to_id", "_w")
     spark = adj.sparkSession
     dist = spark.createDataFrame([(source, 0.0)], "node_id string, dist double") \
-        .localCheckpoint()
+        .transform(_lc)
     try:
         for _ in range(n_iter):
             relax = (adj.join(dist.withColumnRenamed("node_id", "from_id")
@@ -970,7 +972,7 @@ def weighted_sssp(edges: DataFrame | None, source: str, n_iter: int = 4,
                              (F.col("dist") + F.col("_w")).alias("dist")))
             dist = (dist.unionByName(relax)
                     .groupBy("node_id").agg(F.min("dist").alias("dist"))
-                    .localCheckpoint())
+                    .transform(_lc))
         return dist
     finally:
         if own:
@@ -1001,10 +1003,10 @@ def personalized_pagerank(edges: DataFrame, sources: list[str],
     s = len(sources)
     teleport = spark.createDataFrame(
         [(x, (1.0 - damping) / s) for x in sources],
-        "node_id string, rank double").localCheckpoint()
+        "node_id string, rank double").transform(_lc)
     ranks = spark.createDataFrame(
         [(x, 1.0 / s) for x in sources],
-        "node_id string, rank double").localCheckpoint()
+        "node_id string, rank double").transform(_lc)
     for it in range(n_iter):
         contrib = (weighted.alias("e")
                    .join(ranks.alias("r").hint("shuffle_hash"),
@@ -1015,7 +1017,7 @@ def personalized_pagerank(edges: DataFrame, sources: list[str],
         ranks = (contrib.unionByName(teleport)
                  .groupBy("node_id").agg(F.sum("rank").alias("rank")))
         if it % 2 == 1 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(_lc)
     return ranks
 
 
@@ -1061,7 +1063,7 @@ def hits(edges: DataFrame | None, n_iter: int = 2,
         adj_from, adj_to = prebuilt_adj["from"], prebuilt_adj["to"]
         nodes = prebuilt_adj["nodes"]
     auth = nodes.select("node_id", F.lit(1).cast("long").alias("a")) \
-        .localCheckpoint()
+        .transform(_lc)
     hub = None
     try:
         for _ in range(n_iter):
@@ -1070,13 +1072,13 @@ def hits(edges: DataFrame | None, n_iter: int = 2,
                          F.col("e.to_id") == F.col("a.node_id"))
                    .groupBy(F.col("e.from_id").alias("node_id"))
                    .agg(F.sum("a.a").alias("h"))
-                   .localCheckpoint())
+                   .transform(_lc))
             auth = (adj_from.alias("e")
                     .join(hub.alias("h").hint("shuffle_hash"),
                           F.col("e.from_id") == F.col("h.node_id"))
                     .groupBy(F.col("e.to_id").alias("node_id"))
                     .agg(F.sum("h.h").alias("a"))
-                    .localCheckpoint())
+                    .transform(_lc))
         return (nodes.alias("n")
                 .join(hub.alias("h"), "node_id", "left")
                 .join(auth.alias("a"), "node_id", "left")
@@ -1128,7 +1130,7 @@ def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
                  .select("walk_id", "start",
                          F.col("start").alias("cur"),
                          F.col("start").alias("path"))
-                 .localCheckpoint())
+                 .transform(_lc))
         done = None
         for step in range(1, walk_len + 1):
             cand = (adj.join(walks.hint("shuffle_hash"),
@@ -1149,7 +1151,7 @@ def random_walks(edges: DataFrame, start_ids: list[str], walk_len: int,
                                F.concat_ws("->", F.col("_pick.path"),
                                            F.col("_pick.nxt"))
                                .alias("path"))
-                       .localCheckpoint())
+                       .transform(_lc))
             if directed:
                 # dead ends vanish from the join: bank their prefix
                 ended = walks.join(stepped.select("walk_id"),
@@ -1410,7 +1412,7 @@ def adamic_adar(edges: DataFrame | None, max_hub_degree: int = 50,
                 .orderBy(F.col("score").desc(), F.col("a").asc(),
                          F.col("b").asc())
                 .limit(top_k)
-                .localCheckpoint())
+                .transform(_lc))
     finally:
         if own:
             nb.unpersist(False)
@@ -1438,7 +1440,7 @@ def graph_stats(edges: DataFrame) -> DataFrame:
     # by the ContextCleaner when the result goes out of scope.
     dedup = (edges.select("from_id", "to_id")
              .filter(F.col("from_id") != F.col("to_id")).distinct()
-             .localCheckpoint())
+             .transform(_lc))
     rev = dedup.select(F.col("to_id").alias("from_id"),
                        F.col("from_id").alias("to_id"))
     m_dir = dedup.agg(F.count(F.lit(1)).cast("long")
@@ -1452,7 +1454,7 @@ def graph_stats(edges: DataFrame) -> DataFrame:
 
     canon = (dedup.select(F.least("from_id", "to_id").alias("u"),
                           F.greatest("from_id", "to_id").alias("v"))
-             .distinct().localCheckpoint())
+             .distinct().transform(_lc))
     m_und = canon.agg(F.count(F.lit(1)).cast("long")
                       .alias("m_undirected"))
     tri = (triangle_count(canon.select(
@@ -1498,7 +1500,8 @@ def graph_stats(edges: DataFrame) -> DataFrame:
 
 def bounded_scc(edges: DataFrame, n_iter: int = 3,
                 from_col: str = "from_id",
-                to_col: str = "to_id") -> DataFrame:
+                to_col: str = "to_id",
+                merge_labels: bool = False) -> DataFrame:
     """k-BOUNDED strongly-connected-component labeling for DIRECTED
     graphs — the forward-backward min-label certificate (the
     FW-BW/Multistep family's first phase, fixed rounds like this
@@ -1515,18 +1518,33 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
     m is the SCC's global minimum, so two nodes of the same SCC can
     carry DIFFERENT labels when the SCC's true minimum lies beyond
     the hop budget (round-8 ADVICE: a 9-cycle at k=3 can label node
-    50 as SCC 50 while node 10 gets SCC 10). Consumers needing a
-    component KEY must either merge labels transitively or raise
-    n_iter to the graph's diameter. To shrink that hazard, a
-    VERIFICATION round runs after the k labeled rounds: a node keeps
-    its label only if one extra propagation round improves neither
-    fmin nor bmin (the advisor's demotion rule — it demotes exactly
-    the nodes provably mislabeled at k+1, e.g. the 9-cycle's node
-    50, whose fmin drops to 10 in round 4). Stability for one round
-    is still not global convergence, so the split-label hazard is
-    reduced, not eliminated — the certificate above is the only hard
-    guarantee. Everything else reports the explicit unresolved
-    residual (scc_id = -1). Returns (node_id, scc_id).
+    50 as SCC 50 while node 10 gets SCC 10). Two hazard reducers run
+    on top of the k rounds:
+
+    - a VERIFICATION round: a node keeps its label only if one extra
+      propagation round improves neither fmin nor bmin (the round-8
+      advisor's demotion rule — it demotes exactly the nodes provably
+      mislabeled at k+1, e.g. the 9-cycle's node 50, whose fmin drops
+      to 10 in round 4);
+    - ``merge_labels=True`` (round-9 verdict item 2): every certified
+      pair (u, m) IS a proven same-SCC relation, so min-label
+      connected components over the undirected relation graph
+      collapses each chained certificate class to one key — u
+      certified to m and m certified to m0 end up with the same
+      scc_id (= the class minimum). A label node that was itself
+      DEMOTED but is named by someone's certificate is healed the
+      same way (m ∈ SCC(m) trivially, and u's certificate proves the
+      class), so the merge strictly refines the labeling.
+
+    The merged scc_id is a usable component KEY: any two certified
+    nodes whose certificates chain through shared labels agree on it.
+    The one remaining split case is certificate classes that never
+    touch — two far-apart self-certified local minima on a very long
+    cycle stay distinct keys (each is still a CORRECT ∈-SCC witness;
+    only exhaustive peeling or n_iter ≥ diameter closes that, which
+    is the FW-BW family's later phases by design). Everything
+    unresolved reports the explicit residual (scc_id = -1).
+    Returns (node_id, scc_id).
 
     Scale shape: per round ONE equi-join of the (reused) adjacency
     against the |V|-row label vector + a map-side-combined min — the
@@ -1564,8 +1582,9 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
                             .alias("bmin")))
 
         for _ in range(n_iter):
+            # eager lc_tracked already materializes the round — no
+            # extra count() action needed (r10: 6 redundant jobs cut)
             nxt, nxt_ids = _lc_tracked(_round(lab))
-            nxt.count()
             _lc_free(adj.sparkSession, lab_ids)
             lab, lab_ids = nxt, nxt_ids
         # Verification round (round-8 ADVICE demotion rule): one more
@@ -1576,13 +1595,57 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
         ver = (_round(lab)
                .select("node_id", F.col("fmin").alias("_vf"),
                        F.col("bmin").alias("_vb")))
-        return (lab.join(ver, "node_id")
-                .select(
-                    "node_id",
-                    F.when((F.col("fmin") == F.col("bmin"))
-                           & (F.col("fmin") == F.col("_vf"))
-                           & (F.col("bmin") == F.col("_vb")),
-                           F.col("fmin"))
-                    .otherwise(F.lit(-1)).alias("scc_id")))
+        out = (lab.join(ver, "node_id")
+               .select(
+                   "node_id",
+                   F.when((F.col("fmin") == F.col("bmin"))
+                          & (F.col("fmin") == F.col("_vf"))
+                          & (F.col("bmin") == F.col("_vb")),
+                          F.col("fmin"))
+                   .otherwise(F.lit(-1)).alias("scc_id")))
+        if not merge_labels:
+            return out
+        # Label-merge closure (see docstring). The certified relation
+        # is FUNCTIONAL — each node carries exactly one label, and
+        # labels strictly decrease (scc_id ≤ node_id since fmin only
+        # shrinks from its own id) — so the relation graph is a
+        # forest and the class minimum is simply each chain's
+        # terminal. A pointer-doubling label chase reaches it in
+        # O(log chain-depth) self-joins, each round ONE action (lazy
+        # checkpoint materialized by the convergence count) — general
+        # min-label CC would pay ~3× the driver actions for the same
+        # answer. Seeding every NAMED label m with (m, m) heals
+        # demoted-but-named labels (m ∈ SCC(m), and the naming
+        # certificate proves the class), exactly like CC over the
+        # symmetrized relations would. ``out`` feeds two branches —
+        # checkpoint so the 2·(k+1)-join labeling plan is computed
+        # once, not re-derived per branch.
+        out = _lc(out)
+        cert = out.filter(F.col("scc_id") >= 0)
+        base = cert.select("node_id", F.col("scc_id").alias("key"))
+        seeds = base.select(F.col("key").alias("node_id"),
+                            F.col("key").alias("key"))
+        res = (base.unionByName(seeds)
+               .groupBy("node_id").agg(F.min("key").alias("key")))
+        res, res_ids = _lc_tracked(res)
+        spark = adj.sparkSession
+        while True:
+            hop = res.select(F.col("node_id").alias("_k"),
+                             F.col("key").alias("_v"))
+            nxt = (res.join(hop, res["key"] == F.col("_k"), "left")
+                   .select("node_id",
+                           F.coalesce("_v", "key").alias("key"),
+                           (F.coalesce("_v", "key") != F.col("key"))
+                           .alias("_chg")))
+            nxt, nxt_ids = _lc_tracked(nxt, eager=False)
+            changed = nxt.filter("_chg").count()   # materializes too
+            _lc_free(spark, res_ids)
+            res, res_ids = nxt.drop("_chg"), nxt_ids
+            if changed == 0:
+                break
+        return (out.join(res.withColumnRenamed("key", "_m"),
+                         "node_id", "left")
+                .select("node_id",
+                        F.coalesce("_m", "scc_id").alias("scc_id")))
     finally:
         adj.unpersist(False)

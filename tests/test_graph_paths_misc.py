@@ -142,3 +142,63 @@ def test_bounded_scc_self_label_demotion(spark):
     assert got[10] == 10            # true min, stable through round 4
     assert got[50] == -1            # demoted, not self-labeled
     assert set(got.values()) <= {10, -1}  # never two labels / one SCC
+
+
+def test_bounded_scc_merge_labels(spark):
+    """Round-9 verdict item 2: ``merge_labels=True`` runs min-label
+    connected components over the certified (node, label) relations so
+    chained certificate classes collapse to ONE component key. The
+    gadget SCC {0,2,3,4,5,6,7,8,9}: node 7's 3-hop balls certify it
+    only against label 2 (its paths to/from 2 are exactly 3 hops
+    through ids > 2, and ids < 2 stay ≥ 5 hops away, so round 4
+    cannot demote it), while node 2 certifies against the true min 0
+    — pre-merge 7 and 2 carry DIFFERENT keys for the same SCC, the
+    split-label hazard; the merge chains 7→2→0 into one key."""
+    from memory_engine_spark.operators.graph import bounded_scc
+
+    edges = [(7, 5), (5, 6), (6, 2), (2, 3), (3, 4), (4, 7),
+             (2, 9), (9, 0), (0, 8), (8, 2), (1, 0)]
+    df = spark.createDataFrame(edges, "from_id long, to_id long")
+
+    pre = {r["node_id"]: r["scc_id"]
+           for r in bounded_scc(df, n_iter=3).collect()}
+    assert pre[7] == 2 and pre[2] == 0       # the split, pinned
+    assert pre[0] == pre[8] == pre[9] == 0
+    assert pre[1] == -1                      # DAG node: residual
+
+    post = {r["node_id"]: r["scc_id"]
+            for r in bounded_scc(df, n_iter=3,
+                                 merge_labels=True).collect()}
+    assert post[7] == 0                      # healed by the merge
+    assert post[1] == -1                     # residual untouched
+    assert {k: v for k, v in post.items() if k != 7} == \
+           {k: v for k, v in pre.items() if k != 7}
+
+    # a DEMOTED label that someone's certificate names is healed:
+    # cycle {2,5,6,7,8,9} with 0 feeding node 2 at distance exactly 4
+    # — node 2 certifies at k=3 but round 4 drops its bmin to 0
+    # (demoted), while node 7 stays stably certified TO 2; the merge
+    # seeds named labels, so 2 recovers key 2 instead of -1 (7's
+    # certificate proves 2 ∈ SCC(2), which is also trivially true).
+    heal = [(2, 5), (5, 6), (6, 7), (7, 8), (8, 9), (9, 2),
+            (0, 10), (10, 11), (11, 12), (12, 2)]
+    hdf = spark.createDataFrame(heal, "from_id long, to_id long")
+    hpre = {r["node_id"]: r["scc_id"]
+            for r in bounded_scc(hdf, n_iter=3).collect()}
+    assert hpre[7] == 2 and hpre[2] == -1
+    hpost = {r["node_id"]: r["scc_id"]
+             for r in bounded_scc(hdf, n_iter=3,
+                                  merge_labels=True).collect()}
+    assert hpost[7] == 2 and hpost[2] == 2
+
+    # the merge is a no-op where nothing chains: the 9-cycle keeps
+    # exactly the demotion-rule labeling.
+    ring = [50, 51, 52, 53, 10, 54, 55, 56, 57]
+    ringdf = spark.createDataFrame(
+        [(ring[i], ring[(i + 1) % 9]) for i in range(9)],
+        "from_id long, to_id long")
+    merged = {r["node_id"]: r["scc_id"]
+              for r in bounded_scc(ringdf, n_iter=3,
+                                   merge_labels=True).collect()}
+    assert merged[10] == 10 and merged[50] == -1
+    assert set(merged.values()) <= {10, -1}
