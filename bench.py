@@ -516,6 +516,9 @@ def main() -> None:
         "ingest_docs_per_sec": docs_per_sec,
         "scale_10x": scale,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # REGISTRY.md: BENCH artifacts are self-describing about the
+        # engine version the frozen-registry numbers were taken under.
+        "spark_version": spark.version,
     }
     print(json.dumps(payload))
     # Full in-repo artifact (r07 verdict item 9): the driver captures

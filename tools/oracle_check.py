@@ -30,6 +30,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 EXACT = False
 
+# The byte-exact contract is version-pinned (REGISTRY.md): IEEE
+# summation order, percentile_approx internals, and xxhash64 seeds are
+# Spark-internal behaviors the oracles deliberately replay. Certifying
+# under a different major.minor would stamp a green artifact that says
+# nothing about the frozen registry — refuse instead (exit 3, distinct
+# from a parity failure's exit 1).
+PINNED_SPARK = "4.1"
+
+
+def check_version(spark, allow_drift: bool) -> bool:
+    mm = ".".join(spark.version.split(".")[:2])
+    if mm == PINNED_SPARK:
+        return False
+    msg = (f"Spark {spark.version} != pinned {PINNED_SPARK}.x "
+           f"(REGISTRY.md) — the byte-exact contract is not "
+           f"certified under this version")
+    if not allow_drift:
+        print(f"REFUSED: {msg}; pass --allow-version-drift to run "
+              f"anyway for migration triage")
+        sys.exit(3)
+    print(f"WARNING: {msg}; running with version_drift=true")
+    return True
+
 
 def canon(val):
     if val is None:
@@ -57,6 +80,9 @@ def main():
     if "--exact" in argv:
         EXACT = True
         argv.remove("--exact")
+    allow_drift = "--allow-version-drift" in argv
+    if allow_drift:
+        argv.remove("--allow-version-drift")
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
@@ -65,6 +91,7 @@ def main():
     only = set(argv[1:])
 
     spark = get_spark("oracle-check")
+    drifted = check_version(spark, allow_drift)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -145,7 +172,9 @@ def main():
         with open(json_out, "w") as f:
             json.dump({"mode": "exact" if EXACT else "tolerant",
                        "sf_dir": sf_dir, "n_queries": len(results),
-                       "n_match": n_ok, "queries": results}, f, indent=1,
+                       "n_match": n_ok, "spark_version": spark.version,
+                       "version_drift": drifted,
+                       "queries": results}, f, indent=1,
                       sort_keys=True)
         print(f"wrote {json_out} ({n_ok}/{len(results)} match)")
     if failures:
