@@ -319,9 +319,121 @@ def scale_10x(spark, sf_dir: str) -> dict:
               f"x10={times['x10']:.2f}s ratio={ratio}"
               f" rows {rows[1]}->{rows[10]} per-row-ratio={per_row}",
               file=sys.stderr)
+    # round-10 streaming wave (r9 verdict item 6): the 100-TB question
+    # for a stream-stream interval join is STATE, not throughput — the
+    # batch probes above can't see it. Feeder = events replicated with
+    # SHIFTED user_ids (scale-out semantics: 10x the users, same
+    # per-user activity, so output scales ~10x and state per key
+    # window ~10x) written as 8 TIME-OCTILE files drained one per
+    # micro-batch (maxFilesPerTrigger=1, oldest-first), so the
+    # watermark advances between batches and evicts old state — the
+    # evidence is peak stateOperators numRowsTotal staying a tiny
+    # fraction of total input (watermark-bounded) instead of
+    # accumulating, at BOTH factors. Per-batch state rows + wall go to
+    # stderr; the JSON gains the compact [x1, x10, ratio, per_row]
+    # row plus a stream_interval_join_state evidence dict.
+    out["stream_interval_join"], out["stream_interval_join_state"] = \
+        _stream_ij_probe(spark, t, rep)
     for _w, _n, _c in _pr_prep.values():
         _w.unpersist(False)
     return out
+
+
+_SIJ_SEQ = [0]
+
+
+def _stream_ij_probe(spark, t, rep):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from memory_engine_spark.streaming.stateful import \
+        stream_interval_join
+
+    schema = t["events"].schema
+
+    def build_feeder(factor: int) -> tuple[str, int]:
+        ev = rep(t["events"], factor,
+                 shift_cols=["user_id", "event_id"])
+        n_in = ev.count()
+        lo, hi = ev.agg(F.min(F.unix_seconds("ts")),
+                        F.max(F.unix_seconds("ts"))).first()
+        span = max(hi - lo, 1)
+        d = tempfile.mkdtemp(prefix=f"me_scale_sij_x{factor}_")
+        stage = d + "/_stage"
+        # 8 time-octile files written SEQUENTIALLY so both file name
+        # and mtime order match event time — the file source drains
+        # oldest-first and the watermark advances every micro-batch.
+        for b in range(8):
+            part = ev.filter(
+                F.floor((F.unix_seconds("ts") - F.lit(lo)) * 8
+                        / F.lit(span + 1)) == b)
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            import glob as _g
+            import os as _o
+            src = _g.glob(stage + "/part-*.parquet")[0]
+            _o.rename(src, f"{d}/{b:02d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+        return d, n_in
+
+    def drain(d: str) -> tuple[int, float, list]:
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        clicks = (src.filter(F.col("event_type") == "click")
+                  .select("user_id", "ts", "event_id"))
+        views = (src.filter(F.col("event_type") == "view")
+                 .select("user_id", "ts", "event_id"))
+        joined = stream_interval_join(clicks, views, "user_id",
+                                      within_s=3600, watermark_s=3600)
+        _SIJ_SEQ[0] += 1
+        name = f"sij_probe_{_SIJ_SEQ[0]}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        t0 = time.time()
+        try:
+            q = (joined.writeStream.outputMode("append")
+                 .format("memory").queryName(name)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            wall = time.time() - t0
+            prog = [(p.batchId,
+                     sum(so.numRowsTotal for so in p.stateOperators),
+                     p.batchDuration)
+                    for p in q.recentProgress if p.stateOperators]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        n_out = spark.table(name).count()
+        spark.catalog.dropTempView(name)
+        return n_out, wall, prog
+
+    times, outs, evidence = {}, {}, {}
+    for factor in (1, 10):
+        d, n_in = build_feeder(factor)          # untimed, like prepare
+        try:
+            runs = []
+            for _ in range(2 if factor == 1 else 1):
+                n_out, wall, prog = drain(d)
+                runs.append(round(wall, 3))
+            times[factor] = min(runs)
+            outs[factor] = n_out
+            peak = max((s for _, s, _ in prog), default=0)
+            evidence[f"x{factor}"] = {
+                "input_rows": n_in, "output_rows": n_out,
+                "state_rows_peak": peak,
+                "state_peak_frac_of_input":
+                    round(peak / max(n_in, 1), 5),
+                "batches": len(prog)}
+            print(f"# scale10x stream_interval_join x{factor}: "
+                  f"wall={times[factor]:.2f}s in={n_in} out={n_out} "
+                  f"state/batch={[(b, s) for b, s, _ in prog]}",
+                  file=sys.stderr)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    ratio = round(times[10] / max(times[1], 1e-9), 2)
+    per_row = (round((times[10] / outs[10]) / (times[1] / outs[1]), 3)
+               if outs[1] and outs[10] else None)
+    return [times[1], times[10], ratio, per_row], evidence
 
 
 def main() -> None:
