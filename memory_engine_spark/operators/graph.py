@@ -1621,6 +1621,10 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
         # checkpoint so the 2·(k+1)-join labeling plan is computed
         # once, not re-derived per branch.
         out = _lc(out)
+        # out's eager checkpoint truncated its lineage — the
+        # certificate rounds' final label frame is dead; free its
+        # blocks now instead of pinning 3|V| rows until GC.
+        _lc_free(adj.sparkSession, lab_ids)
         cert = out.filter(F.col("scc_id") >= 0)
         base = cert.select("node_id", F.col("scc_id").alias("key"))
         seeds = base.select(F.col("key").alias("node_id"),
