@@ -462,3 +462,32 @@ def test_schema_drift_union_semantics(spark):
     assert rows[2]["lang"] == "en" and rows[2]["text"] == "y"
     with pytest.raises(ValueError, match="no default"):
         schema_drift_union([a, b], renames={"body": "text"})
+
+
+# -- registry version guard ----------------------------------------------------
+
+def test_oracle_check_version_guard():
+    """REGISTRY.md pin (r10): the self-check harness must refuse to
+    certify the byte-exact contract under a different Spark
+    major.minor (exit 3 — distinct from a parity failure's exit 1)
+    and must run-but-flag under --allow-version-drift."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_check_mod", "/root/repo/tools/oracle_check.py")
+    oc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oc)
+
+    class Pinned:
+        version = oc.PINNED_SPARK + ".2"
+
+    class Drifted:
+        version = "9.9.0"
+
+    assert oc.check_version(Pinned, False) is False
+    with _pytest.raises(SystemExit) as e:
+        oc.check_version(Drifted, False)
+    assert e.value.code == 3
+    assert oc.check_version(Drifted, True) is True
