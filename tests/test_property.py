@@ -563,3 +563,27 @@ def test_avro_container_fuzz_roundtrip(recs, bs, deflate):
     if recs:
         with pytest.raises(ValueError, match="sync|truncated"):
             parse_avro_pairs(blob[:-1])
+
+
+@settings(**SETTINGS)
+@given(recs=st.lists(st.binary(max_size=64), max_size=8),
+       flip=st.integers(0, 2 ** 30))
+def test_tfrecord_fuzz_roundtrip(recs, flip):
+    """TFRecord round trip on random records (incl. empty) plus a
+    random single-byte flip ANYWHERE in the stream: the masked
+    CRC-32C on the length word and on the payload means every flip
+    inside a frame is caught (a flipped length byte must be rejected
+    BEFORE its bogus length is trusted); a flip is only survivable
+    if there is nothing to protect (empty stream)."""
+    from memory_engine_spark.sources.formats import (parse_tfrecord,
+                                                     synth_tfrecord)
+
+    blob = synth_tfrecord(recs)
+    assert parse_tfrecord(blob) == recs
+    if not blob:
+        return
+    pos = flip % len(blob)
+    mut = bytearray(blob)
+    mut[pos] ^= 0x01
+    with pytest.raises(ValueError):
+        parse_tfrecord(bytes(mut))
