@@ -7928,14 +7928,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r09 front landed q75–q83 + q208–q221 + q222–q241: the union of
     # CORRECTNESS_r01–r09 now covers every registered query at least
     # once, so freshness is the only driver-signal dimension left.
-    # r10 front (r09 verdict item 1): the STALEST tranche — q84–q110 +
-    # q132–q152 (48 queries whose last driver hash is r4/r5; 19 date
-    # to r4) — then this round's new queries (q242+), then the rest.
-    stalest = {f"q{i}" for i in range(84, 111)} | \
-              {f"q{i}" for i in range(132, 153)}
+    # r10 front re-proved q84–q110 + q132–q152 (+ new q242) — 50/50
+    # green. r11 front (r10 verdict item 1): the 43 r6-proven entries
+    # (q01–q16, q51–q60, q118–q131, q153–q155) plus the first 7 of the
+    # r7 tranche (q156–q162) = exactly the 50-slot driver window; then
+    # this round's new queries (q243+), then the rest. Next-stalest for
+    # r12: the remaining r7 tranche q163–q205.
+    stalest = ({f"q{i:02d}" for i in range(1, 17)} |
+               {f"q{i}" for i in range(51, 61)} |
+               {f"q{i}" for i in range(118, 132)} |
+               {f"q{i}" for i in range(153, 163)})
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
-                      and int(n.split("_")[0].lstrip("q")) >= 242]
+                      and int(n.split("_")[0].lstrip("q")) >= 243]
     front = ([n for n in sorted(out) if n.split("_")[0] in stalest]
              + new_this_round)
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {

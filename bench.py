@@ -372,8 +372,10 @@ def _stream_ij_probe(spark, t, rep):
             part.coalesce(1).write.mode("overwrite").parquet(stage)
             import glob as _g
             import os as _o
-            src = _g.glob(stage + "/part-*.parquet")[0]
-            _o.rename(src, f"{d}/{b:02d}.parquet")
+            parts = _g.glob(stage + "/part-*.parquet")
+            if not parts:  # empty octile (skewed ts at another sf)
+                continue
+            _o.rename(parts[0], f"{d}/{b:02d}.parquet")
         shutil.rmtree(stage, ignore_errors=True)
         return d, n_in
 

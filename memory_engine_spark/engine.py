@@ -267,7 +267,15 @@ class MemoryEngine:
         """Comprehensive synthesis: orchestrates insights per mode —
         fast = patterns only; balanced = + trends/anomalies;
         comprehensive = + contradictions and QA (when a question is
-        given). Returns a dict of result DataFrames / answer dicts."""
+        given). Returns a dict of result DataFrames / answer dicts.
+
+        CONTRACT (relied on by q141's cross-mode count memoization):
+        for a given insight key, every mode that emits it returns the
+        SAME lazy plan — the modes only add/remove keys, never vary an
+        insight's parameters by mode. If a future change makes an
+        insight mode-dependent (e.g. a threshold varied by mode), give
+        it a NEW key; `test_synthesis_modes_share_plans` enforces this
+        via DataFrame.sameSemantics."""
         from memory_engine_spark.operators import qa as qa_mod
         from memory_engine_spark.operators import synthesis
 

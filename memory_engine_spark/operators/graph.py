@@ -1633,7 +1633,21 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
                .groupBy("node_id").agg(F.min("key").alias("key")))
         res, res_ids = _lc_tracked(res)
         spark = adj.sparkSession
+        # Backstop (r10 ADVICE): convergence rests on the relation
+        # being functional with strictly-decreasing keys (scc_id ≤
+        # node_id ⇒ forest ⇒ chains halve per doubling round). Chain
+        # depth ≤ |V| < 2^63, so > 63 doubling rounds proves the
+        # invariant was broken upstream — fail loudly instead of
+        # looping forever on a cyclic label relation.
+        rounds = 0
         while True:
+            rounds += 1
+            if rounds > 63:
+                raise RuntimeError(
+                    "bounded_scc merge_labels: pointer-doubling chase "
+                    "did not converge in 63 rounds — the certificate "
+                    "label relation is no longer a strictly-decreasing "
+                    "forest (scc_id > node_id somewhere?)")
             hop = res.select(F.col("node_id").alias("_k"),
                              F.col("key").alias("_v"))
             nxt = (res.join(hop, res["key"] == F.col("_k"), "left")

@@ -94,6 +94,41 @@ def test_synthesize_modes(spark):
     assert comp["answer"]["confidence"] > 0
 
 
+def test_synthesis_modes_share_plans(spark):
+    """q141 memoizes df.count() keyed only by insight name, relying on
+    MemoryEngine.synthesize returning a mode-INDEPENDENT plan per
+    insight (the contract in engine.synthesize's docstring). Enforce it
+    loudly: every insight key shared by two modes must be semantically
+    the same lazy plan — a future mode-specific parameter must use a
+    new key or this fails."""
+    s = EngineSession(spark)
+    nodes = spark.createDataFrame(
+        [("n1", "spark data engine processing pipelines", "w", 1000.0),
+         ("n2", "spark data engine processing clusters", "w", 2000.0)],
+        "node_id string, content string, source string, creation_timestamp double")
+    edges = spark.createDataFrame(
+        [("n1", "n2", "RELATED", 0.5)],
+        "from_id string, to_id string, relation_type string, confidence_score double")
+    s.register("nodes", nodes)
+    s.register("edges", edges)
+    eng = MemoryEngine(s)
+    by_mode = {m: eng.synthesize(m) for m in
+               ("fast", "balanced", "comprehensive")}
+    modes = list(by_mode)
+    checked = 0
+    for i, m1 in enumerate(modes):
+        for m2 in modes[i + 1:]:
+            for key in set(by_mode[m1]) & set(by_mode[m2]):
+                a, b = by_mode[m1][key], by_mode[m2][key]
+                if not hasattr(a, "sameSemantics"):
+                    continue  # non-DataFrame insight (e.g. QA answer dict)
+                assert a.sameSemantics(b), (
+                    f"insight {key!r} differs between modes {m1}/{m2}; "
+                    "q141's count memoization would report stale counts")
+                checked += 1
+    assert checked >= 3  # patterns ×3 pairs at minimum
+
+
 def test_bounded_scc_certificate(spark):
     """Exactness of the k-bounded FW-BW certificate: a 3-cycle
     resolves to its min member, a 2-cycle resolves, a DAG tail stays
