@@ -6092,6 +6092,81 @@ def q241_multiset_ops(spark, sf):
             .orderBy("section", "prio", "m"))
 
 
+def q243_scc_exhaustive_peel(spark, sf):
+    """bounded_scc(exhaustive=True) — the FW-BW DESCENT phase on the
+    residual (r10 verdict item 3), gated on the docstring's own split
+    topology: the 16 nations with key < 16 in ONE directed ring
+    ordered by md5(n_name) (data-dependent — an engine that misreads
+    n_name builds a different ring and fails), plus a 2-node DAG tail
+    101→100→ring. At n_iter=2 a ring certificate can only SELF-certify
+    (a foreign label needs ≤2 hops BOTH ways — impossible on a
+    ring), so the certified set is exactly the radius-(k+1) window
+    minima of the md5 permutation (three on this data: 0, 1, 5) —
+    three never-touching singleton classes that merge_labels provably
+    cannot chain, the one split case q242 left open. The peel's single
+    pivot (min demoted id) walks F and B in the same tagged join
+    (4-hop shortcut edges, so ~⌈25/4⌉ rounds, one action each);
+    F∩B = the whole ring = SCC(pivot) exactly, and EVERY member —
+    certified minima included — re-keys to the true min. The tail
+    nodes reach the ring (∈ B) but are not reached (∉ F), so they
+    stay outside F∩B and report -1: the residual is now bounded by K
+    pivots, pinned here with K=1. cert_scc pins the split existing;
+    exhaustive_scc pins the peel healing it. Oracle: the q219/q242
+    round unroll (first 3 rounds) for the certificates +
+    recursive-CTE forward/backward reachability from the same
+    min-residual pivot. Scale shape: the peel is the Multistep
+    descent — one BFS fixpoint per pivot over the (reused,
+    shortcut-squared) adjacency, never all-pairs; rounds = SCC
+    diameter / 2^s. Local sizing (measured, SCALING.md r11): ring 16,
+    n_iter=2, shortcuts=3, AQE off, 2 shuffle partitions — every knob
+    A/B'd; the residual wall is the per-action dispatch floor (q104),
+    ~15 driver actions."""
+    from pyspark.sql.window import Window
+
+    nat = (_t(spark, sf)["nation"]
+           .filter(F.col("n_nationkey") < 16)
+           .select("n_nationkey", "n_name"))
+    w = Window.orderBy(F.md5(F.col("n_name")), F.col("n_nationkey"))
+    seq = (nat.select(F.col("n_nationkey").cast("long").alias("nid"),
+                      (F.row_number().over(w) - 1).alias("pos"))
+           .cache())
+    chain = (seq.alias("a")
+             .join(seq.alias("b"), F.col("b.pos") == F.col("a.pos") + 1)
+             .select(F.col("a.nid").alias("from_id"),
+                     F.col("b.nid").alias("to_id")))
+    ends = seq.agg(F.max(F.struct("pos", "nid")).alias("mx"),
+                   F.min(F.struct("pos", "nid")).alias("mn"))
+    wrap = ends.select(F.col("mx.nid").alias("from_id"),
+                       F.col("mn.nid").alias("to_id"))
+    tail = ends.select(F.lit(100).cast("long").alias("from_id"),
+                       F.col("mn.nid").alias("to_id"))
+    tail2 = ends.select(F.lit(101).cast("long").alias("from_id"),
+                        F.lit(100).cast("long").alias("to_id"))
+    edges = chain.unionByName(wrap).unionByName(tail).unionByName(tail2)
+    # 27-node graph, ~30 driver actions (certificate rounds + merge
+    # chase + peel BFS): the wall is per-ACTION dispatch, not data —
+    # conf-window the shuffle width down and AQE off (each AQE stage
+    # re-plan is an extra job; measured 6.4 → 4.9 s), and take the
+    # certificate labels from the SAME call (include_cert) instead of
+    # paying the six certificate rounds twice (measured −1.8 s).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ex = graph.bounded_scc(edges, n_iter=2, exhaustive=True,
+                               max_pivots=1, peel_shortcuts=3,
+                               include_cert=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return (ex.select("node_id",
+                      F.col("cert_scc").cast("long").alias("cert_scc"),
+                      F.col("scc_id").cast("long")
+                      .alias("exhaustive_scc"))
+            .orderBy("node_id"))
+
+
 def q242_scc_label_merge(spark, sf):
     """bounded_scc with the round-10 label-merge closure
     (graph.bounded_scc(merge_labels=True)): every certified (u, m)
@@ -7854,6 +7929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_window_battery": q240_window_battery,
         "q241_multiset_ops": q241_multiset_ops,
         "q242_scc_label_merge": q242_scc_label_merge,
+        "q243_scc_exhaustive_peel": q243_scc_exhaustive_peel,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -12908,6 +12984,67 @@ def oracle_sql() -> dict[str, str]:
                             AS bmin
                  FROM l{p} LEFT JOIN f{r} ON l{p}.u = f{r}.u
                            LEFT JOIN b{r} ON l{p}.u = b{r}.u)""")
+    # q243: the q219/q242 round unroll over the md5-permuted nation
+    # ring (+ DAG tail), then ONE FW-BW peel replayed: pivot = min
+    # demoted id (merge is a no-op here — all certificate classes are
+    # singletons, which is exactly the split being gated), forward and
+    # backward reachability as recursive CTEs, F∩B re-keyed to its
+    # min. Tail nodes are in B but not F, so they keep -1: the
+    # bounded-by-K residual, pinned at K=1.
+    sql["q243_scc_exhaustive_peel"] = """
+        WITH RECURSIVE seq AS (
+            SELECT n_nationkey::BIGINT AS nid,
+                   ROW_NUMBER() OVER (ORDER BY md5(n_name),
+                                      n_nationkey) - 1 AS pos
+            FROM nation WHERE n_nationkey < 16
+        ),
+        e AS (
+            SELECT a.nid AS f, b.nid AS t
+            FROM seq a JOIN seq b ON b.pos = a.pos + 1
+            UNION ALL
+            SELECT (SELECT nid FROM seq ORDER BY pos DESC LIMIT 1),
+                   (SELECT nid FROM seq WHERE pos = 0)
+            UNION ALL
+            SELECT 100, (SELECT nid FROM seq WHERE pos = 0)
+            UNION ALL
+            SELECT 101, 100
+        ),
+        l0 AS (SELECT DISTINCT u, u AS fmin, u AS bmin FROM (
+                   SELECT f AS u FROM e UNION ALL SELECT t FROM e)),"""\
+        + ",".join(_scc_rounds[:3]) + """,
+        -- MATERIALIZED: under WITH RECURSIVE DuckDB inlines these per
+        -- reference; piv is referenced 3x and fin chains l0..l3, so
+        -- un-materialized the planner re-expands the whole unroll
+        -- into the recursive iteration and OOMs.
+        fin AS MATERIALIZED (
+                SELECT l2.u,
+                       CASE WHEN l2.fmin = l2.bmin
+                             AND l2.fmin = l3.fmin
+                             AND l2.bmin = l3.bmin
+                            THEN l2.fmin ELSE -1 END AS scc
+                FROM l2 JOIN l3 ON l2.u = l3.u),
+        reach(a, b) AS (
+            SELECT f, t FROM e
+            UNION
+            SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.f
+        ),
+        piv AS MATERIALIZED (
+                SELECT MIN(u) AS pv FROM fin WHERE scc = -1),
+        scc1 AS (SELECT r1.b AS x
+                 FROM reach r1 JOIN reach r2 ON r1.b = r2.a
+                 WHERE r1.a = (SELECT pv FROM piv)
+                   AND r2.b = (SELECT pv FROM piv)
+                 UNION
+                 SELECT pv FROM piv),
+        k1 AS (SELECT MIN(x) AS k FROM scc1)
+        SELECT fin.u AS node_id,
+               fin.scc::BIGINT AS cert_scc,
+               (CASE WHEN fin.u IN (SELECT x FROM scc1)
+                     THEN (SELECT k FROM k1)
+                     ELSE fin.scc END)::BIGINT AS exhaustive_scc
+        FROM fin ORDER BY node_id
+    """
+
     # q242: the q219 unroll (same six rounds + demotion) over the
     # per-document 10-node gadget, then the round-10 label-merge
     # closure replayed as a recursive-CTE transitive closure over the

@@ -237,3 +237,59 @@ def test_bounded_scc_merge_labels(spark):
                                    merge_labels=True).collect()}
     assert merged[10] == 10 and merged[50] == -1
     assert set(merged.values()) <= {10, -1}
+
+
+def test_bounded_scc_exhaustive_peel(spark):
+    """Round-10 verdict item 3: ``exhaustive=True`` runs the FW-BW
+    DESCENT on the residual — up to max_pivots times, pivot = min
+    unresolved id, F∩B from the pivot over the whole graph = exactly
+    SCC(pivot), everyone in it re-keyed to the true SCC minimum.
+    Topology = the docstring's own split case: a 10-cycle with ids
+    placed so 0 and 1 sit antipodal — both are minima of their
+    radius-4 windows, so both SELF-certify; their singleton
+    certificate classes never touch and merge_labels provably leaves
+    two keys. The peel's first pivot (node 2, the smallest demoted
+    id) reaches the whole cycle both ways and re-keys EVERYONE —
+    certified minima included — to 0."""
+    from memory_engine_spark.operators.graph import bounded_scc
+
+    ring = [0, 7, 5, 8, 6, 1, 9, 3, 2, 4]          # 0 and 1 antipodal
+    cyc = [(ring[i], ring[(i + 1) % 10]) for i in range(10)]
+    df = spark.createDataFrame(cyc, "from_id long, to_id long")
+
+    merged = {r["node_id"]: r["scc_id"]
+              for r in bounded_scc(df, n_iter=3,
+                                   merge_labels=True).collect()}
+    assert merged[0] == 0 and merged[1] == 1      # the split, pinned
+    assert set(merged.values()) == {0, 1, -1}
+
+    ex = {r["node_id"]: r["scc_id"]
+          for r in bounded_scc(df, n_iter=3, exhaustive=True,
+                               max_pivots=1).collect()}
+    assert ex == {n: 0 for n in range(10)}        # ONE pivot heals all
+
+    # Bounded-by-K residual + singleton resolution: chain 98→99→0
+    # into the cycle adds two singleton SCCs. K=1 resolves only the
+    # cycle (backward reach includes 98/99 but forward does not, so
+    # F∩B stays exactly the cycle); K=3 resolves everything.
+    df2 = spark.createDataFrame(cyc + [(99, 0), (98, 99)],
+                                "from_id long, to_id long")
+    k1 = {r["node_id"]: r["scc_id"]
+          for r in bounded_scc(df2, n_iter=3, exhaustive=True,
+                               max_pivots=1).collect()}
+    assert all(k1[n] == 0 for n in range(10))
+    assert k1[98] == -1 and k1[99] == -1          # bounded by K pivots
+    k3 = {r["node_id"]: r["scc_id"]
+          for r in bounded_scc(df2, n_iter=3, exhaustive=True,
+                               max_pivots=3).collect()}
+    assert all(k3[n] == 0 for n in range(10))
+    assert k3[98] == 98 and k3[99] == 99          # singleton SCCs
+
+    # shortcut squaring is reachability-preserving: s=0 (pure BFS)
+    # and s=3 give byte-identical labelings.
+    for s in (0, 3):
+        alt = {r["node_id"]: r["scc_id"]
+               for r in bounded_scc(df2, n_iter=3, exhaustive=True,
+                                    max_pivots=3,
+                                    peel_shortcuts=s).collect()}
+        assert alt == k3
