@@ -158,3 +158,102 @@ def test_connected_components(spark):
             cluster_density(edges, connected_components(edges)).collect()}
     assert dens["f"]["density"] == 1.0   # triangle: 3 edges / 3 possible
     assert dens["a"]["n_nodes"] == 3 and abs(dens["a"]["density"] - 2/3) < 1e-6
+
+
+def test_concurrent_engines_multi_tenant(spark, tmp_path):
+    """r10 verdict item 6 — the multi-tenant shape a shared cluster
+    sees: TWO full MemoryEngine sessions (each with its own registered
+    tables, query cache, checkpoint traffic, and a streaming
+    subscriber) run CONCURRENTLY against the same SparkSession. Both
+    engines issue byte-identical query payloads — so their cache KEYS
+    collide by construction — and each carries a marker string in its
+    data: any cross-session cache pollution, temp-view clobbering, or
+    checkpoint-free race surfaces as the other tenant's marker (or a
+    mismatch vs the solo baseline) in the results."""
+    import threading
+
+    from memory_engine_spark.streaming.events import EventBus, Subscriber
+
+    def build(tag: str) -> MemoryEngine:
+        s = EngineSession(spark)
+        rows = [(f"{tag}{i}",
+                 f"spark data {tag} topic{i % 5} engine pipelines",
+                 "web" if i % 2 else "book",
+                 1000.0 * (i + 1), 0.1 * (i % 10), 0.5, 0.5, tag)
+                for i in range(40)]
+        nodes = spark.createDataFrame(
+            rows, "node_id string, content string, source string, "
+                  "creation_timestamp double, rating_richness double, "
+                  "rating_truthfulness double, rating_stability double, "
+                  "tags string")
+        edges = spark.createDataFrame(
+            [(f"{tag}{i}", f"{tag}{(i * 7) % 40}", "RELATED", 0.5)
+             for i in range(40)],
+            "from_id string, to_id string, relation_type string, "
+            "confidence_score double")
+        s.register("nodes", nodes)
+        s.register("edges", edges)
+        return MemoryEngine(s)
+
+    def suite(eng: MemoryEngine, tag: str, bus_root: str) -> dict:
+        out: dict = {}
+        spec = (QuerySpec("nodes").filter("source", "eq", "web")
+                .sort("creation_timestamp", ascending=False).page(0, 5))
+        r1 = eng.query(spec)                    # cold → fills cache
+        r2 = eng.query(spec)                    # hit → MUST be own data
+        out["q_rows"] = [r["node_id"] for r in r1.results]
+        out["q_total"] = r1.total_count
+        out["hit_rows"] = [r["node_id"] for r in r2.results]
+        out["hit_from_cache"] = r2.from_cache
+        s = eng.search("spark data", limit=3)
+        out["search"] = [r["node_id"] for r in s.results]
+        syn = eng.synthesize("balanced")
+        out["synth"] = {k: v.count() for k, v in sorted(syn.items())}
+        bus = EventBus(eng.s.spark, bus_root)
+        import datetime as _dt
+        ev = spark.createDataFrame(
+            [(i, _dt.datetime(2024, 1, 1, 0, 0, i), i % 3, "click",
+              float(i), tag) for i in range(10)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        bus.publish(ev.coalesce(1))
+        seen: list = []
+        bus.run_subscriber(
+            Subscriber(f"sub_{tag}",
+                       lambda df, bid: seen.append(
+                           (df.count(),
+                            df.agg(F.max("props")).first()[0]))),
+            once=True)
+        out["stream"] = sorted(x for x in seen if x[0])
+        return out
+
+    eng_a, eng_b = build("alpha"), build("beta")
+    # solo baselines (fresh caches — invalidate between runs)
+    solo_a = suite(eng_a, "alpha", str(tmp_path / "bus_a_solo"))
+    solo_b = suite(eng_b, "beta", str(tmp_path / "bus_b_solo"))
+    eng_a.s.invalidate_cache()
+    eng_b.s.invalidate_cache()
+
+    results: dict = {}
+    errs: list = []
+
+    def run(name, eng, tag):
+        try:
+            for rep in range(2):
+                results[f"{name}{rep}"] = suite(
+                    eng, tag, str(tmp_path / f"bus_{name}_{rep}"))
+        except Exception as exc:  # noqa: BLE001 — re-raised below
+            errs.append((name, exc))
+
+    ta = threading.Thread(target=run, args=("a", eng_a, "alpha"))
+    tb = threading.Thread(target=run, args=("b", eng_b, "beta"))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert not errs, errs
+
+    for rep in range(2):
+        assert results[f"a{rep}"] == solo_a, f"tenant A diverged rep{rep}"
+        assert results[f"b{rep}"] == solo_b, f"tenant B diverged rep{rep}"
+    # the colliding-key cache hit stayed tenant-local
+    assert all(n.startswith("alpha") for n in solo_a["hit_rows"])
+    assert all(n.startswith("beta") for n in solo_b["hit_rows"])
+    assert solo_a["hit_from_cache"] and solo_b["hit_from_cache"]
