@@ -576,10 +576,15 @@ def pdf_texts(df: DataFrame, payload_col: str = "payload",
 # ---------------------------------------------------------------------------
 
 
-def synth_tar(entries: list[tuple[str, bytes]]) -> bytes:
-    """Assemble a ustar archive. The encode twin of ``parse_tar``."""
+def synth_tar(entries: list[tuple]) -> bytes:
+    """Assemble a ustar archive. The encode twin of ``parse_tar``.
+    Entries are ``(name, body)`` or ``(name, body, typeflag)`` — the
+    3-tuple form writes GNU longname ('L') / pax extended ('x')
+    members for the long-name round-trip tests."""
     out = bytearray()
-    for name, data in entries:
+    for entry in entries:
+        name, data = entry[0], entry[1]
+        typeflag = entry[2] if len(entry) > 2 else "0"
         hdr = bytearray(512)
         nb = name.encode()
         hdr[0:len(nb)] = nb
@@ -589,7 +594,7 @@ def synth_tar(entries: list[tuple[str, bytes]]) -> bytes:
         hdr[124:136] = ("%011o" % len(data)).encode() + b"\x00"
         hdr[136:148] = b"00000000000\x00"
         hdr[148:156] = b" " * 8                  # checksum blanked
-        hdr[156] = ord("0")                      # regular file
+        hdr[156] = ord(typeflag)
         hdr[257:263] = b"ustar\x00"
         hdr[263:265] = b"00"
         chk = sum(hdr)
@@ -601,15 +606,46 @@ def synth_tar(entries: list[tuple[str, bytes]]) -> bytes:
     return bytes(out)
 
 
+def _pax_path(body: bytes) -> str | None:
+    """Extract the ``path=`` record from a pax extended header body.
+    Records are ``"<len> <key>=<value>\\n"`` with <len> counting the
+    WHOLE record including itself (POSIX.1-2001 pax). Malformed
+    records raise — a desynced pax walk must not silently rename."""
+    j, path = 0, None
+    while j < len(body):
+        sp = body.find(b" ", j)
+        if sp < 0:
+            raise ValueError("malformed pax record (no length field)")
+        try:
+            rl = int(body[j:sp])
+        except ValueError as exc:
+            raise ValueError("malformed pax record length") from exc
+        if rl <= sp - j or j + rl > len(body) \
+                or body[j + rl - 1:j + rl] != b"\n":
+            raise ValueError("malformed pax record framing")
+        kv = body[sp + 1:j + rl - 1]
+        if kv.startswith(b"path="):
+            path = kv[5:].decode()
+        j += rl
+    return path
+
+
 def parse_tar(payload: bytes) -> list[dict]:
     """REAL ustar walk: per 512-block header — checksum verification
-    (field blanked during the sum), NUL-stripped name, octal size,
-    regular-file filter — content slice + padding skip, zero-block
-    terminator. Returns [{name, size, body}]. A corrupted header
-    checksum or truncated member raises."""
+    (field blanked during the sum; stored field accepts the
+    ``%06o\\0 ``, ``%07o\\0``, ``%08o`` and leading-space encodings
+    real writers emit), NUL-stripped name, octal size, regular-file
+    filter — content slice + padding skip, zero-block terminator.
+    GNU longname ('L') members and pax extended headers ('x',
+    ``path=`` record) override the NEXT member's name, so >100-char
+    names survive (r10 verdict item 4 — skipping these members kept
+    the walk aligned but silently truncated the following name).
+    Returns [{name, size, body}]. A corrupted header checksum,
+    malformed pax record, or truncated member raises."""
     b = payload or b""
     out = []
     i = 0
+    pending_name: str | None = None
     while i + 512 <= len(b):
         hdr = b[i:i + 512]
         if hdr == b"\x00" * 512:
@@ -625,9 +661,15 @@ def parse_tar(payload: bytes) -> list[dict]:
         i += 512
         if i + size > len(b):
             raise ValueError(f"truncated tar member {name!r}")
-        if typeflag in (b"0", b"\x00"):
-            out.append({"name": name, "size": size,
+        if typeflag == b"L":            # GNU longname: body names next
+            pending_name = b[i:i + size].rstrip(b"\x00").decode()
+        elif typeflag == b"x":          # pax extended header
+            px = _pax_path(b[i:i + size])
+            pending_name = px if px is not None else pending_name
+        elif typeflag in (b"0", b"\x00"):
+            out.append({"name": pending_name or name, "size": size,
                         "body": b[i:i + size]})
+            pending_name = None
         i += size + ((512 - size % 512) % 512)
     else:
         raise ValueError("missing tar terminator blocks")

@@ -587,3 +587,191 @@ def test_tfrecord_fuzz_roundtrip(recs, flip):
     mut[pos] ^= 0x01
     with pytest.raises(ValueError):
         parse_tfrecord(bytes(mut))
+
+
+_tar_name = st.text(alphabet=st.characters(min_codepoint=48,
+                                           max_codepoint=122),
+                    min_size=1, max_size=90)
+_tar_body = st.binary(min_size=0, max_size=1200)
+
+
+@settings(**SETTINGS)
+@given(entries=st.lists(st.tuples(_tar_name, _tar_body), max_size=4),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_tar_fuzz_header_flip(entries, flip, bit):
+    """ustar flip-anywhere (r10 verdict item 4, the TFRecord pattern
+    scoped to what the format actually protects): a bit flip inside
+    ANY 512-byte header block must raise (the blanked-field checksum
+    covers the whole header), while a flip in a member BODY is
+    format-inherently silent — tar has no body checksum — so parsing
+    must still succeed and differ from the original in exactly that
+    one body."""
+    from memory_engine_spark.sources.formats import parse_tar, synth_tar
+
+    blob = synth_tar(entries)
+    parsed = parse_tar(blob)
+    assert [(e["name"], e["body"]) for e in parsed] == \
+        [(n, b) for n, b in entries]
+
+    # map every offset to (kind, entry_idx): header / body / padding
+    spans = []
+    off = 0
+    for k, (_n, body) in enumerate(entries):
+        spans.append(("header", k, off, off + 512))
+        off += 512
+        spans.append(("body", k, off, off + len(body)))
+        off += len(body)
+        pad = (512 - len(body) % 512) % 512
+        spans.append(("pad", k, off, off + pad))
+        off += pad
+    data_end = off  # terminator blocks follow
+
+    if data_end == 0:
+        return                          # terminator-only archive
+    pos = flip % data_end
+    kind, k = next((kd, kk) for kd, kk, s, e in spans if s <= pos < e)
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    if kind == "header":
+        with pytest.raises(ValueError):
+            parse_tar(bytes(mut))
+    elif kind == "body":
+        got = parse_tar(bytes(mut))
+        assert [e["name"] for e in got] == [n for n, _ in entries]
+        for j, e in enumerate(got):
+            if j == k:
+                assert e["body"] != entries[j][1]
+            else:
+                assert e["body"] == entries[j][1]
+    else:                               # padding: not checksummed
+        parse_tar(bytes(mut))
+
+
+@settings(**SETTINGS)
+@given(name=_tar_name, body=_tar_body, chk_style=st.integers(0, 3))
+def test_tar_checksum_octal_space_encodings(name, body, chk_style):
+    """The checksum FIELD encoding varies across real writers —
+    ``%06o\\0 `` (GNU/ustar), ``%07o\\0``, ``%08o`` (old V7), and
+    leading-space padded. The parser must accept all four for the
+    same arithmetic value."""
+    from memory_engine_spark.sources.formats import parse_tar, synth_tar
+
+    blob = bytearray(synth_tar([(name, body)]))
+    hdr = blob[0:512]
+    chk = sum(hdr[:148] + b" " * 8 + hdr[156:512])
+    enc = [b"%06o\x00 " % chk, b"%07o\x00" % chk, b"%08o" % chk,
+           b" %06o\x00" % chk][chk_style]
+    assert len(enc) == 8
+    blob[148:156] = enc
+    got = parse_tar(bytes(blob))
+    assert [(e["name"], e["body"]) for e in got] == [(name, body)]
+
+
+def test_tar_longname_and_pax_override(spark):
+    """GNU 'L' and pax 'x' members carry the REAL (>100-char) name of
+    the next member; a walk that skips them stays block-aligned but
+    silently truncates the following name — the r10 verdict's hazard.
+    Also: malformed pax records must raise, not desync."""
+    from memory_engine_spark.sources.formats import parse_tar, synth_tar
+
+    long_name = "dir/" + "x" * 150 + ".bin"
+    pax_rec = f"path={long_name}"
+    base = len(pax_rec) + 2            # the space and the newline
+    rl = base + len(str(base))
+    while len(str(rl)) + base != rl:   # fixpoint: rl counts itself
+        rl = base + len(str(rl))
+    pax_body = f"{rl} {pax_rec}\n"
+    # GNU longname member ('L'): body = next member's full name
+    blob = synth_tar([
+        ("././@LongLink", long_name.encode() + b"\x00", "L"),
+        (long_name[:99], b"gnu-body"),
+        ("PaxHeaders/next", pax_body.encode(), "x"),
+        (long_name[:99], b"pax-body"),
+        ("plain.txt", b"plain"),
+    ])
+    got = parse_tar(blob)
+    assert [(e["name"], e["body"]) for e in got] == [
+        (long_name, b"gnu-body"),
+        (long_name, b"pax-body"),
+        ("plain.txt", b"plain"),
+    ]
+    # malformed pax record: framing broken → loud fail
+    bad = synth_tar([("PaxHeaders/x", b"999 path=oops\n", "x"),
+                     ("victim", b"b")])
+    with pytest.raises(ValueError):
+        parse_tar(bad)
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(1, 3), h=st.integers(1, 4), w=st.integers(1, 4),
+       salt=st.integers(0, 255), boxpick=st.integers(0, 2 ** 20),
+       oversz=st.integers(1, 2 ** 28))
+def test_mp4_fuzz_box_sizes(n, h, w, salt, boxpick, oversz):
+    """ISO-BMFF box-walk hazards (r10 verdict item 4): (1) a box whose
+    size overruns its enclosure must raise wherever it sits in the
+    tree — never a mis-slice; (2) an undersize (2..7, less than its
+    own header) must raise; (3) rewriting the trailing 'moov' to the
+    64-bit largesize form, or to size==0 (to-end-of-enclosure), is
+    semantics-preserving and must decode identically."""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal
+
+    frames = ((np.arange(n * h * w * 3, dtype=np.uint32) * 37 + salt)
+              % 251).astype(np.uint8).reshape(n, h, w, 3)
+    blob = multimodal.synth_mp4(frames, fps=5)
+    dec, fps = multimodal.decode_mp4_frames(blob)
+    assert fps == 5 and np.array_equal(dec, frames)
+
+    # collect every box's (size-field offset, enclosure end) in the tree
+    boxes: list = []
+
+    def walk(b, s, e):
+        for btype, ps, pe in multimodal._mp4_boxes(b, s, e):
+            hdr_at = ps - 8 if int.from_bytes(
+                b[ps - 8:ps - 4], "big") != 1 else ps - 16
+            boxes.append((hdr_at, pe, e))
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                         b"dinf"):
+                walk(b, ps, pe)
+
+    walk(blob, 0, len(blob))
+    at, _pe, encl = boxes[boxpick % len(boxes)]
+
+    # A corrupted size must either raise on the walk OR be provably
+    # invisible (the box sits in a subtree the demux never iterates —
+    # e.g. inside dinf, or after the first path match in a sibling
+    # list): then the decode must be byte-identical. A DIFFERENT
+    # successful decode = silent mis-slice = the bug class.
+    def raise_or_identical(mut_blob):
+        try:
+            d, f = multimodal.decode_mp4_frames(bytes(mut_blob))
+        except ValueError:
+            return
+        assert f == 5 and np.array_equal(d, frames), \
+            "corrupted size produced a DIFFERENT successful decode"
+
+    # (1) overrun: size > enclosure remainder
+    over = encl - at + 1 + (oversz % 64)
+    mut = bytearray(blob)
+    mut[at:at + 4] = min(over, 2 ** 32 - 1).to_bytes(4, "big")
+    raise_or_identical(mut)
+
+    # (2) undersize (2..7: less than its own header, not 0/1)
+    mut2 = bytearray(blob)
+    mut2[at:at + 4] = (2 + oversz % 6).to_bytes(4, "big")
+    raise_or_identical(mut2)
+
+    # (3) largesize + size==0 rewrites of the trailing moov box
+    top = [(s, e) for t, s, e in multimodal._mp4_boxes(
+        blob, 0, len(blob)) if t == b"moov"]
+    (ms, me), = top
+    moov_payload = blob[ms:me]
+    big = (blob[:ms - 8] + (1).to_bytes(4, "big") + b"moov"
+           + (len(moov_payload) + 16).to_bytes(8, "big") + moov_payload)
+    dec2, fps2 = multimodal.decode_mp4_frames(big)
+    assert fps2 == 5 and np.array_equal(dec2, frames)
+    zero = (blob[:ms - 8] + (0).to_bytes(4, "big") + b"moov"
+            + moov_payload)
+    dec3, fps3 = multimodal.decode_mp4_frames(zero)
+    assert fps3 == 5 and np.array_equal(dec3, frames)
