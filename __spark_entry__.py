@@ -8005,20 +8005,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r01–r09 now covers every registered query at least
     # once, so freshness is the only driver-signal dimension left.
     # r10 front re-proved q84–q110 + q132–q152 (+ new q242) — 50/50
-    # green. r11 front (r10 verdict item 1): the 43 r6-proven entries
-    # (q01–q16, q51–q60, q118–q131, q153–q155) plus the first 7 of the
-    # r7 tranche (q156–q162) = exactly the 50-slot driver window; then
-    # this round's new queries (q243+), then the rest. Next-stalest for
-    # r12: the remaining r7 tranche q163–q205.
-    stalest = ({f"q{i:02d}" for i in range(1, 17)} |
-               {f"q{i}" for i in range(51, 61)} |
-               {f"q{i}" for i in range(118, 132)} |
-               {f"q{i}" for i in range(153, 163)})
+    # green. r11 front (r10 verdict item 1): NEVER-driver-proven first
+    # (q243, this round's addition — the r8 precedent: a new query
+    # outranks a stale one), then the 43 r6-proven entries (q01–q16,
+    # q51–q60, q118–q131, q153–q155), then the first of the r7 tranche
+    # (q156–q162) filling the ~50-slot driver window; if the window is
+    # exactly 50, q162 rolls to r12. Next-stalest for r12: the
+    # remaining r7 tranche q163–q205.
+    r6_proven = ({f"q{i:02d}" for i in range(1, 17)} |
+                 {f"q{i}" for i in range(51, 61)} |
+                 {f"q{i}" for i in range(118, 132)} |
+                 {f"q{i}" for i in range(153, 156)})
+    r7_fill = {f"q{i}" for i in range(156, 163)}
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
                       and int(n.split("_")[0].lstrip("q")) >= 243]
-    front = ([n for n in sorted(out) if n.split("_")[0] in stalest]
-             + new_this_round)
+    front = (new_this_round
+             + [n for n in sorted(out) if n.split("_")[0] in r6_proven]
+             + [n for n in sorted(out) if n.split("_")[0] in r7_fill])
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
     for n, fn in out.items():
