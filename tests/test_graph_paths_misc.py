@@ -293,3 +293,39 @@ def test_bounded_scc_exhaustive_peel(spark):
                                     max_pivots=3,
                                     peel_shortcuts=s).collect()}
         assert alt == k3
+
+
+def test_bounded_scc_flag_composition(spark):
+    """The two flags compose but neither implies the other: with BOTH
+    set, the merge chase collapses chained certificate classes FIRST
+    (q242's gadget: 7→2→0), then the peel resolves what certificates
+    never could (the DAG node 1 = singleton SCC {1}). include_cert
+    threads the phase-1 verified label through every path."""
+    from memory_engine_spark.operators.graph import bounded_scc
+
+    gad = [(7, 5), (5, 6), (6, 2), (2, 3), (3, 4), (4, 7),
+           (2, 9), (9, 0), (0, 8), (8, 2), (1, 0)]
+    df = spark.createDataFrame(gad, "from_id long, to_id long")
+
+    both = {r["node_id"]: (r["cert_scc"], r["scc_id"])
+            for r in bounded_scc(df, n_iter=3, merge_labels=True,
+                                 exhaustive=True, max_pivots=2,
+                                 include_cert=True).collect()}
+    assert both[7] == (2, 0)          # cert split to 2; merge+peel → 0
+    assert both[2] == (0, 0)
+    # pivot 1 = node 1 (min residual) → singleton SCC {1}; pivot 2 =
+    # the smallest still-demoted cycle node → F∩B = the whole 9-node
+    # SCC, so EVERYTHING resolves at K=2
+    assert both[1] == (-1, 1)
+    assert all(v[1] == 0 for k, v in both.items() if k != 1)
+
+    # include_cert on the phase-1-only and merge-only paths: the two
+    # columns are the documented (cert, final) pair
+    p1 = {r["node_id"]: (r["cert_scc"], r["scc_id"])
+          for r in bounded_scc(df, n_iter=3,
+                               include_cert=True).collect()}
+    assert all(c == s for c, s in p1.values())      # phase-1: cert==scc
+    mg = {r["node_id"]: (r["cert_scc"], r["scc_id"])
+          for r in bounded_scc(df, n_iter=3, merge_labels=True,
+                               include_cert=True).collect()}
+    assert mg[7] == (2, 0) and mg[1] == (-1, -1)
