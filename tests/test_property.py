@@ -775,3 +775,74 @@ def test_mp4_fuzz_box_sizes(n, h, w, salt, boxpick, oversz):
             + moov_payload)
     dec3, fps3 = multimodal.decode_mp4_frames(zero)
     assert fps3 == 5 and np.array_equal(dec3, frames)
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(16, 200), sr=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(0, 2 ** 20),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_flac_fuzz_frame_flip(n, sr, seed, flip, bit):
+    """FLAC flip-anywhere, scoped to what the format protects (the
+    TAR/TFRecord pattern): every byte from the first frame onward is
+    covered by a CRC-8'd header or a CRC-16'd frame body, so a bit
+    flip ANYWHERE in the frame region must raise — never a successful
+    decode with different samples. (STREAMINFO carries no CRC —
+    format-inherent — so metadata flips are out of scope.)"""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal
+
+    samples = (((np.arange(n, dtype=np.int64) * 2654435761 + seed)
+                % 65536) - 32768)
+    blob = multimodal.synth_flac(samples, sample_rate=sr, block_size=64)
+    dec, got_sr = multimodal.decode_flac(blob)
+    assert got_sr == sr and np.array_equal(dec, samples)
+
+    # frame region starts after the (single, is-last) STREAMINFO block
+    blen = int.from_bytes(blob[5:8], "big")
+    fstart = 8 + blen
+    assert blob[4] >> 7 == 1            # is-last metadata flag
+    pos = fstart + (flip % (len(blob) - fstart))
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        multimodal.decode_flac(bytes(mut))
+    except Exception:
+        return                           # loud-fail: the CRCs worked
+    # a "successful" decode of a flipped frame region is exactly the
+    # silent-wrongness class the CRCs exist to prevent
+    raise AssertionError("flipped FLAC frame region decoded cleanly")
+
+
+@settings(**SETTINGS)
+@given(sizes=st.lists(st.integers(0, 700), min_size=1, max_size=4),
+       seed=st.integers(0, 255),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_ogg_fuzz_page_flip(spark, sizes, seed, flip, bit):
+    """Ogg flip-anywhere: every byte of every page — header, segment
+    table, payload, even the CRC field itself — is covered by the
+    page CRC (computed with the field zeroed), so a flip anywhere
+    must either loud-fail the walk (structural break: magic, lacing,
+    truncation) or surface as crc_ok=False on at least one packet.
+    A clean all-crc_ok result from a flipped stream is the bug."""
+    from memory_engine_spark.operators import multimodal
+
+    packets = [bytes((i * 31 + j + seed) % 256 for j in range(sz))
+               for i, sz in enumerate(sizes)]
+    blob = multimodal.synth_ogg(packets, serial=7,
+                                granules=list(range(1, len(packets) + 1)))
+    mk = lambda b: spark.createDataFrame(
+        [("m", bytearray(b))], "media_id string, payload binary")
+    base = multimodal.ogg_packets(mk(blob)).collect()
+    assert len(base) == len(packets)
+    assert all(r["crc_ok"] for r in base)
+
+    pos = flip % len(blob)
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        rows = multimodal.ogg_packets(mk(bytes(mut))).collect()
+    except Exception:
+        return                           # structural loud-fail
+    assert any(not r["crc_ok"] for r in rows), \
+        "flipped Ogg stream walked with every page CRC green"
