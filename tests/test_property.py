@@ -846,3 +846,58 @@ def test_ogg_fuzz_page_flip(spark, sizes, seed, flip, bit):
         return                           # structural loud-fail
     assert any(not r["crc_ok"] for r in rows), \
         "flipped Ogg stream walked with every page CRC green"
+
+
+@settings(**SETTINGS)
+@given(n_cl=st.integers(1, 3), lace=st.sampled_from(["none", "xiph",
+                                                     "ebml", "fixed"]),
+       seed=st.integers(0, 255),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_mkv_fuzz_cluster_flip(spark, n_cl, lace, seed, flip, bit):
+    """Matroska flip-anywhere, scoped to the EBML CRC-32's coverage:
+    every byte of a Cluster AFTER its leading CRC element is covered,
+    so a flip there must surface as crc_ok=False (or a structural
+    loud-fail from the block/lacing walk). Completes the CRC-container
+    set: TFRecord + ZIP (r10), TAR headers, Ogg pages, FLAC frames,
+    MKV clusters (r11)."""
+    from memory_engine_spark.operators import multimodal
+
+    n_fr = 1 if lace == "none" else 3      # no-lacing = 1 frame/block
+    sz = 20 if lace == "fixed" else None   # fixed lacing = equal sizes
+    frames = [bytes((seed + i * 17 + j) % 256
+                    for j in range(sz or 20 + i)) for i in range(n_fr)]
+    clusters = [(1000 * c, [(1, 10, True, lace, frames)])
+                for c in range(n_cl)]
+    blob = multimodal.synth_mkv("matroska", 1_000_000, (64, 48), clusters)
+    mk = lambda b: spark.createDataFrame(
+        [("m", bytearray(b))], "media_id string, payload binary")
+    base = multimodal.mkv_blocks(mk(blob)).collect()
+    assert len(base) == n_cl and all(r["crc_ok"] for r in base)
+
+    # locate every cluster's CRC-covered span via the module's own walk
+    spans = []
+    for eid, s, e in multimodal._ebml_children(blob, 0, len(blob)):
+        if eid != 0x18538067:            # Segment
+            continue
+        for kid, ks, ke in multimodal._ebml_children(blob, s, e):
+            if kid != 0x1F43B675:        # Cluster
+                continue
+            kids = list(multimodal._ebml_children(blob, ks, ke))
+            assert kids[0][0] == 0xBF    # leading CRC element
+            spans.append((kids[0][2], ke))   # covered: after CRC..end
+    total = sum(e - s for s, e in spans)
+    assert total > 0
+    off = flip % total
+    for s, e in spans:
+        if off < e - s:
+            pos = s + off
+            break
+        off -= e - s
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        rows = multimodal.mkv_blocks(mk(bytes(mut))).collect()
+    except Exception:
+        return                           # structural loud-fail
+    assert any(not r["crc_ok"] for r in rows), \
+        "flipped MKV cluster walked with every CRC green"
