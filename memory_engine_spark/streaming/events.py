@@ -123,12 +123,18 @@ class EventBus:
         all processed). Each retry round re-invokes the handler on only
         the still-failing rows; survivors of the final round are
         dead-lettered with ``_retries = MAX_RETRIES``. Every round
-        appends (event row, attempt, status) to the attempts ledger
+        logs (event row, attempt, status) to the attempts ledger
         (``attempts_dir``) — status uses the reference's enum names —
         so the full lifecycle is a queryable artifact, not a log line.
-        Per-event outcomes are batch-independent (each event lives in
-        exactly one micro-batch), so the summary any oracle checks is
-        stable under micro-batch boundary changes."""
+        The ledger write is IDEMPOTENT per micro-batch (one overwrite
+        into a batch_id+subscriber-keyed path, the same idempotent-sink
+        discipline the crash-recovery test pins for data sinks):
+        foreachBatch replays an uncommitted batch with the SAME
+        batch_id after a crash, so the replay overwrites instead of
+        double-counting attempts. Per-event outcomes are
+        batch-independent (each event lives in exactly one
+        micro-batch), so the summary any oracle checks is stable under
+        micro-batch boundary changes."""
         filtered_src = self.stream(max_files_per_trigger)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -137,18 +143,41 @@ class EventBus:
             # checkpointed Datasets (see ..checkpoint).
             lc_ids: set = set()
             try:
-                self._process_pending(sub, batch_df, log_attempts, lc_ids)
+                self._process_pending(sub, batch_df, log_attempts,
+                                      lc_ids, batch_id)
             finally:
                 lc_free(self.spark, lc_ids)
 
         return self._run_foreach(filtered_src, process, once, sub.name)
 
     def _process_pending(self, sub: Subscriber, batch_df: DataFrame,
-                         log_attempts: bool, lc_ids: set) -> None:
+                         log_attempts: bool, lc_ids: set,
+                         batch_id: int | None = None) -> None:
         pending, p_ids = lc_tracked(sub.apply_filters(batch_df))
         lc_ids |= p_ids
+        rounds: list[DataFrame] = []
+
+        def flush() -> None:
+            if not rounds:
+                return
+            out = rounds[0]
+            for r in rounds[1:]:
+                out = out.unionByName(r)
+            if batch_id is None:        # manual (non-streaming) call
+                out.write.mode("append").parquet(self.attempts_dir)
+            else:
+                # idempotent per batch: a crash-replayed batch carries
+                # the SAME batch_id, so the overwrite replaces its own
+                # earlier half-written ledger slice instead of
+                # double-counting (exactly-once for the ledger, same
+                # pattern as a batch-keyed data sink)
+                out.write.mode("overwrite").parquet(os.path.join(
+                    self.attempts_dir,
+                    f"b{batch_id:09d}_{sub.name}"))
+
         for attempt in range(1, MAX_RETRIES + 2):
             if pending.isEmpty():
+                flush()
                 return
             failed = sub.handler(pending, attempt)
             if failed is not None:
@@ -161,13 +190,14 @@ class EventBus:
                                     "event_id", "left_anti")
                 fail_status = ("retrying" if attempt <= MAX_RETRIES
                                else "dead_letter")
-                (done.withColumn("_attempt", F.lit(attempt))
-                 .withColumn("_status", F.lit("processed"))
-                 .unionByName(
-                     failed.withColumn("_attempt", F.lit(attempt))
-                     .withColumn("_status", F.lit(fail_status)))
-                 .write.mode("append").parquet(self.attempts_dir))
+                rounds.append(
+                    done.withColumn("_attempt", F.lit(attempt))
+                    .withColumn("_status", F.lit("processed"))
+                    .unionByName(
+                        failed.withColumn("_attempt", F.lit(attempt))
+                        .withColumn("_status", F.lit(fail_status))))
             pending = failed
+        flush()
         if not pending.isEmpty():
             self._dead_letter(pending, sub.name, "max retries exhausted")
 
@@ -196,7 +226,11 @@ class EventBus:
         if not os.path.isdir(self.attempts_dir):
             return self.spark.createDataFrame(
                 [], self.schema + ", _attempt int, _status string")
-        return self.spark.read.parquet(self.attempts_dir)
+        # recursive: streaming batches write batch-keyed SUBDIRS
+        # (idempotent overwrite), manual DLQ retries append top-level
+        # files — one read covers both layouts
+        return (self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(self.attempts_dir))
 
     # -- DLQ -------------------------------------------------------------------
     # Compact once the append-only dir fragments past this many part

@@ -528,3 +528,65 @@ def test_crash_recovery_exactly_once(spark, tmp_path):
     # differ; the event rows themselves may not)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, solo.collect()))
+
+
+def test_crash_recovery_attempts_ledger_exactly_once(spark, tmp_path):
+    """The lifecycle LEDGER is exactly-once across a crash too (r11):
+    run_subscriber_per_event writes each micro-batch's attempt rows as
+    ONE overwrite into a batch_id-keyed path, so a batch replayed
+    after a kill re-writes its own slice instead of double-counting.
+    Kill mid-drain, resume from the same checkpoint in a hard new
+    session, and the full ledger equals the uninterrupted run's —
+    every event exactly once per attempt round."""
+    import glob
+    import time as _time
+
+    def ledger_multiset(bus):
+        return sorted((r["event_id"], r["_attempt"], r["_status"])
+                      for r in bus.attempts().collect())
+
+    def make_sub(name):
+        def handler(batch, attempt):
+            if attempt <= 2:             # %3 events fail rounds 1-2
+                return batch.filter(F.col("event_id") % 3 == 0)
+            return None                  # round 3: everything sticks
+        return Subscriber(name, handler)
+
+    def publish(bus):
+        for k in range(12):
+            t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=k)
+            rows = [(k * 5 + i, t0 + dt.timedelta(seconds=i), i % 3,
+                     "click", float(i), "{}") for i in range(5)]
+            bus.publish(spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+                .coalesce(1))
+
+    crash_bus = EventBus(spark, str(tmp_path / "bus_crash"))
+    publish(crash_bus)
+    q = crash_bus.run_subscriber_per_event(
+        make_sub("ledger"), once=False, max_files_per_trigger=1)
+    deadline = _time.time() + 120
+    while len(glob.glob(crash_bus.attempts_dir + "/b*")) < 3:
+        assert _time.time() < deadline, "stream made no progress"
+        _time.sleep(0.2)
+    q.stop()
+    while q.isActive:
+        _time.sleep(0.1)
+    done = len(glob.glob(crash_bus.attempts_dir + "/b*"))
+    assert 3 <= done < 12, f"crash must land mid-drain, got {done}/12"
+
+    spark2 = spark.newSession()
+    bus2 = EventBus(spark2, str(tmp_path / "bus_crash"))
+    bus2.run_subscriber_per_event(make_sub("ledger"), once=True,
+                                  max_files_per_trigger=1)
+
+    solo_bus = EventBus(spark, str(tmp_path / "bus_solo"))
+    publish(solo_bus)
+    solo_bus.run_subscriber_per_event(make_sub("ledger"), once=True,
+                                      max_files_per_trigger=1)
+
+    got, want = ledger_multiset(crash_bus), ledger_multiset(solo_bus)
+    assert got == want
+    # shape check: 60 events x 1 row + 20 (%3) events x 2 extra rounds
+    assert len(got) == 60 + 20 * 2
