@@ -590,3 +590,65 @@ def test_crash_recovery_attempts_ledger_exactly_once(spark, tmp_path):
     assert got == want
     # shape check: 60 events x 1 row + 20 (%3) events x 2 extra rounds
     assert len(got) == 60 + 20 * 2
+
+
+def test_crash_recovery_dlq_exactly_once(spark, tmp_path):
+    """Dead letters are exactly-once across a crash too (r11): the
+    streaming DLQ write is a batch_id-keyed overwrite, so the replayed
+    batch re-records its own dead letters instead of appending a
+    second copy. Handler dead-letters every %5==0 event (fails all 4
+    rounds); kill mid-drain, resume in a hard new session, compare the
+    DLQ multiset (sans the bookkeeping timestamp) with an
+    uninterrupted run."""
+    import glob
+    import time as _time
+
+    def make_sub(name):
+        def handler(batch, attempt):
+            return batch.filter(F.col("event_id") % 5 == 0)
+        return Subscriber(name, handler)
+
+    def publish(bus):
+        for k in range(12):
+            t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=k)
+            rows = [(k * 5 + i, t0 + dt.timedelta(seconds=i), i % 3,
+                     "click", float(i), "{}") for i in range(5)]
+            bus.publish(spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+                .coalesce(1))
+
+    def dlq_multiset(bus):
+        return sorted((r["event_id"], r["_subscriber"], r["_retries"])
+                      for r in bus.dead_letters().collect())
+
+    crash_bus = EventBus(spark, str(tmp_path / "bus_dlq_crash"))
+    publish(crash_bus)
+    q = crash_bus.run_subscriber_per_event(
+        make_sub("dlq"), once=False, max_files_per_trigger=1,
+        log_attempts=False)
+    deadline = _time.time() + 120
+    while len(glob.glob(crash_bus.dlq_dir + "/b*")) < 3:
+        assert _time.time() < deadline, "stream made no progress"
+        _time.sleep(0.2)
+    q.stop()
+    while q.isActive:
+        _time.sleep(0.1)
+    done = len(glob.glob(crash_bus.dlq_dir + "/b*"))
+    assert 3 <= done < 12, f"crash must land mid-drain, got {done}/12"
+
+    spark2 = spark.newSession()
+    bus2 = EventBus(spark2, str(tmp_path / "bus_dlq_crash"))
+    bus2.run_subscriber_per_event(make_sub("dlq"), once=True,
+                                  max_files_per_trigger=1,
+                                  log_attempts=False)
+
+    solo_bus = EventBus(spark, str(tmp_path / "bus_dlq_solo"))
+    publish(solo_bus)
+    solo_bus.run_subscriber_per_event(make_sub("dlq"), once=True,
+                                      max_files_per_trigger=1,
+                                      log_attempts=False)
+
+    got, want = dlq_multiset(crash_bus), dlq_multiset(solo_bus)
+    assert got == want
+    assert len(got) == 12               # one %5 event per 5-row file
