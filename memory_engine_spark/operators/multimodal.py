@@ -398,6 +398,15 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
         csize = int.from_bytes(b[i:i + 4], "big")
         ctype = b[i + 4:i + 8]
         data = b[i + 8:i + 8 + csize]
+        # chunk CRC-32 over type+data (spec §5.3) — skipping it
+        # accepts silent corruption (a flipped IHDR color-type byte
+        # would "decode" a garbage shape; the zlib adler only covers
+        # IDAT). Same loud-fail contract as the FLAC/Ogg/MKV walks.
+        if i + 12 + csize > len(b):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        stored = int.from_bytes(b[i + 8 + csize:i + 12 + csize], "big")
+        if zlib.crc32(ctype + data) != stored:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             ihdr = data
         elif ctype == b"IDAT":

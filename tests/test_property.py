@@ -901,3 +901,37 @@ def test_mkv_fuzz_cluster_flip(spark, n_cl, lace, seed, flip, bit):
         return                           # structural loud-fail
     assert any(not r["crc_ok"] for r in rows), \
         "flipped MKV cluster walked with every CRC green"
+
+
+@settings(**SETTINGS)
+@given(h=st.integers(1, 6), w=st.integers(1, 6),
+       ctype=st.sampled_from([0, 2, 4, 6]), salt=st.integers(0, 255),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_png_fuzz_chunk_flip(h, w, ctype, salt, flip, bit):
+    """PNG flip-anywhere (r11): every byte from the first chunk to
+    IEND is covered by a chunk CRC-32 (over type+data; the length
+    field's flip shifts the CRC slice and fails too), and the
+    signature bytes are checked literally — so a flip anywhere in the
+    payload must raise. The decoder used to SKIP chunk CRCs: a flipped
+    IHDR color-type byte would silently decode a garbage shape (the
+    zlib adler only covers IDAT) — this property pins the fix."""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    px = (((np.arange(h * w * ch, dtype=np.uint32) * 97 + salt) % 251)
+          .astype(np.uint8).reshape(h, w, ch))
+    blob = multimodal.synth_png(px)
+    dec = multimodal.decode_png_pixels(blob)
+    assert np.array_equal(dec, px)
+
+    pos = flip % len(blob)
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        out = multimodal.decode_png_pixels(bytes(mut))
+    except Exception:
+        return                           # loud-fail: CRC/signature
+    raise AssertionError(
+        f"flipped PNG byte {pos} decoded cleanly to shape {out.shape}")
