@@ -935,3 +935,42 @@ def test_png_fuzz_chunk_flip(h, w, ctype, salt, flip, bit):
         return                           # loud-fail: CRC/signature
     raise AssertionError(
         f"flipped PNG byte {pos} decoded cleanly to shape {out.shape}")
+
+
+@settings(**SETTINGS)
+@given(n_rec=st.integers(1, 4), seed=st.integers(0, 255),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_warc_fuzz_framing_flip(n_rec, seed, flip, bit):
+    """WARC carries NO integrity checksum (format-inherent), so the
+    assertable invariant is FRAMING, not content: a bit flip anywhere
+    must either loud-fail (magic, Content-Length overrun, separator,
+    truncated header) or parse to exactly the original record COUNT —
+    the walk must never silently merge or split records. Content flips
+    inside a block change bodies silently; that is what the format
+    permits and why the pipeline's md5 columns exist downstream."""
+    from memory_engine_spark.sources.formats import parse_warc, synth_warc
+
+    records = []
+    for i in range(n_rec):
+        body = bytes((seed + i * 13 + j) % 256 for j in range(30 + i))
+        if i % 2 == 0:
+            block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                     b"\r\n" + body)
+            records.append({"warc_type": "response",
+                            "uri": f"http://x{i}.test/", "block": block})
+        else:
+            records.append({"warc_type": "request",
+                            "uri": f"http://x{i}.test/", "block": body})
+    blob = synth_warc(records)
+    base = parse_warc(blob)
+    assert len(base) == n_rec
+
+    pos = flip % len(blob)
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        got = parse_warc(bytes(mut))
+    except ValueError:
+        return                           # structural loud-fail
+    assert len(got) == n_rec, \
+        "flipped WARC silently merged/split records"
