@@ -6160,6 +6160,7 @@ def q243_scc_exhaustive_peel(spark, sf):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        seq.unpersist()
     return (ex.select("node_id",
                       F.col("cert_scc").cast("long").alias("cert_scc"),
                       F.col("scc_id").cast("long")

@@ -1560,9 +1560,15 @@ def bounded_scc(edges: DataFrame, n_iter: int = 3,
     is the whole cycle, and the override re-keys both minima to the
     one true min) and resolves residual singleton SCCs (DAG nodes) to
     themselves, one pivot each. The residual is now bounded by K
-    pivots: after ``max_pivots`` peels, only nodes in SCCs that no
-    pivot reached still report -1 — each peel is exact, so every
-    non-(-1) key is the true SCC minimum of a complete SCC.
+    pivots: after ``max_pivots`` peels, only DEMOTED nodes in SCCs
+    that no pivot reached still report -1. Exactness is per-source:
+    a key assigned by a peel is the true minimum of that pivot's
+    complete SCC, and with ``merge_labels=True`` chained certificate
+    classes collapse to one key; but certified nodes in SCCs the K
+    pivots never reach keep their certificate keys, which are
+    ∈-same-SCC WITNESSES, not canonical minima — two such nodes in
+    one unpeeled SCC can legitimately disagree until a later peel
+    (or a larger ``max_pivots``) re-keys them.
     ``peel_shortcuts`` squares the adjacency that many times before
     the BFS (u→w added when u→v→w exists — reachability-preserving),
     trading |E| growth bounded by avg-degree^s for diameter/2^s

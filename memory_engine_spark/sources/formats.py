@@ -637,11 +637,17 @@ def parse_tar(payload: bytes) -> list[dict]:
     real writers emit), NUL-stripped name, octal size, regular-file
     filter — content slice + padding skip, zero-block terminator.
     GNU longname ('L') members and pax extended headers ('x',
-    ``path=`` record) override the NEXT member's name, so >100-char
-    names survive (r10 verdict item 4 — skipping these members kept
-    the walk aligned but silently truncated the following name).
+    ``path=`` record) override the IMMEDIATELY FOLLOWING member's
+    name only, so >100-char names survive (r10 verdict item 4 —
+    skipping these members kept the walk aligned but silently
+    truncated the following name); a skipped member (directory,
+    link, ...) consumes the override too, so it can never leak onto
+    a later regular file (r11 advice). pax GLOBAL headers ('g')
+    raise — their override-everything contract is unimplemented and
+    consuming them silently would rename members.
     Returns [{name, size, body}]. A corrupted header checksum,
-    malformed pax record, or truncated member raises."""
+    malformed pax record, pax global header, or truncated member
+    raises."""
     b = payload or b""
     out = []
     i = 0
@@ -666,9 +672,25 @@ def parse_tar(payload: bytes) -> list[dict]:
         elif typeflag == b"x":          # pax extended header
             px = _pax_path(b[i:i + size])
             pending_name = px if px is not None else pending_name
+        elif typeflag == b"g":
+            # pax GLOBAL header: its records override every following
+            # member, a stateful contract this walk does not implement.
+            # Silently consuming it would be the same silent-rename
+            # class as the r10 longname bug — loud-fail instead.
+            raise ValueError(
+                "pax global header (typeflag 'g') unsupported")
         elif typeflag in (b"0", b"\x00"):
-            out.append({"name": pending_name or name, "size": size,
-                        "body": b[i:i + size]})
+            out.append({
+                "name": pending_name if pending_name is not None
+                else name,
+                "size": size, "body": b[i:i + size]})
+            pending_name = None
+        else:
+            # Directory / link / device / fifo etc.: the walk skips the
+            # member, but a pending longname/pax override names THIS
+            # member, not the next regular file — consume it so it
+            # cannot leak onto a later entry (r11 advice: longname +
+            # dir + file.txt misnamed the file with the dir's path).
             pending_name = None
         i += size + ((512 - size % 512) % 512)
     else:

@@ -702,6 +702,58 @@ def test_tar_longname_and_pax_override(spark):
         parse_tar(bad)
 
 
+def test_tar_override_scoped_to_next_member_only():
+    """r11 advice (medium): a longname/pax override names the
+    IMMEDIATELY FOLLOWING member. If that member is a directory,
+    symlink, or any other skipped typeflag, the override belongs to
+    IT and must be consumed — not leak onto the next regular file
+    (longname + dir + file.txt used to yield one entry misnamed with
+    the dir's 120-char path)."""
+    from memory_engine_spark.sources.formats import parse_tar, synth_tar
+
+    dir_name = "deep/" + "d" * 115 + "/"
+    blob = synth_tar([
+        ("././@LongLink", dir_name.encode() + b"\x00", "L"),
+        (dir_name[:99], b"", "5"),          # the directory it names
+        ("file.txt", b"contents"),
+    ])
+    got = parse_tar(blob)
+    assert [(e["name"], e["body"]) for e in got] == [
+        ("file.txt", b"contents")]
+    # same leak class through a symlink ('2') and a pax 'x' override
+    blob2 = synth_tar([
+        ("PaxHeaders/lnk", b"22 path=linked/target\n", "x"),
+        ("lnk", b"", "2"),
+        ("after.txt", b"after"),
+    ])
+    assert [(e["name"], e["body"]) for e in parse_tar(blob2)] == [
+        ("after.txt", b"after")]
+
+
+def test_tar_pax_global_header_raises_and_empty_path_is_explicit():
+    """pax GLOBAL headers ('g') override every following member — a
+    stateful contract the walk does not implement, so it loud-fails
+    instead of silently consuming (the silent-rename class). And an
+    EMPTY ``path=`` value is still an override: the next member's
+    name becomes "" explicitly, never a silent fallback to the
+    100-char truncated header name (truthiness bug, r11 advice)."""
+    from memory_engine_spark.sources.formats import parse_tar, synth_tar
+
+    glob = synth_tar([
+        ("PaxHeaders/global", b"20 path=global/name\n", "g"),
+        ("member.txt", b"m"),
+    ])
+    with pytest.raises(ValueError, match="global"):
+        parse_tar(glob)
+
+    empty = synth_tar([
+        ("PaxHeaders/e", b"8 path=\n", "x"),
+        ("fallback-would-be-this-name", b"body"),
+    ])
+    got = parse_tar(empty)
+    assert [(e["name"], e["body"]) for e in got] == [("", b"body")]
+
+
 @settings(**SETTINGS)
 @given(n=st.integers(1, 3), h=st.integers(1, 4), w=st.integers(1, 4),
        salt=st.integers(0, 255), boxpick=st.integers(0, 2 ** 20),
