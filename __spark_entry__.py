@@ -8006,24 +8006,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r01–r09 now covers every registered query at least
     # once, so freshness is the only driver-signal dimension left.
     # r10 front re-proved q84–q110 + q132–q152 (+ new q242) — 50/50
-    # green. r11 front (r10 verdict item 1): NEVER-driver-proven first
-    # (q243, this round's addition — the r8 precedent: a new query
-    # outranks a stale one), then the 43 r6-proven entries (q01–q16,
-    # q51–q60, q118–q131, q153–q155), then the first of the r7 tranche
-    # (q156–q162) filling the ~50-slot driver window; if the window is
-    # exactly 50, q162 rolls to r12. Next-stalest for r12: the
-    # remaining r7 tranche q163–q205.
-    r6_proven = ({f"q{i:02d}" for i in range(1, 17)} |
-                 {f"q{i}" for i in range(51, 61)} |
-                 {f"q{i}" for i in range(118, 132)} |
-                 {f"q{i}" for i in range(153, 156)})
-    r7_fill = {f"q{i}" for i in range(156, 163)}
+    # green. r11 front re-proved q243 (new) + the 43 r6-proven
+    # entries (q01–q16, q51–q60, q118–q131, q153–q155) + q156–q161;
+    # q162 rolled here (strict-50 window). r12 front (r11 verdict
+    # item 1): NEVER-driver-proven first (any q244+ added this
+    # round), then the r7-proven tranche q162–q205 — 44 entries, the
+    # stalest in the CORRECTNESS_r01–r11 union, and exactly the
+    # multimodal/crawl/eval/format queries whose code paths four
+    # rounds of parser churn (TAR, PNG, MKV, lacing) touched.
+    # Next-stalest for r13: the r8-proven tranche q17–q50 + q61–q83.
+    r7_proven = {f"q{i}" for i in range(162, 206)}
+    # Fill the remaining ~6 window slots with the stalest-NEXT
+    # (r8-proven) entries so every slot buys freshness: q17–q22.
+    r8_fill = {f"q{i}" for i in range(17, 23)}
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
-                      and int(n.split("_")[0].lstrip("q")) >= 243]
+                      and int(n.split("_")[0].lstrip("q")) >= 244]
     front = (new_this_round
-             + [n for n in sorted(out) if n.split("_")[0] in r6_proven]
-             + [n for n in sorted(out) if n.split("_")[0] in r7_fill])
+             + [n for n in sorted(out) if n.split("_")[0] in r7_proven]
+             + [n for n in sorted(out) if n.split("_")[0] in r8_fill])
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
     for n, fn in out.items():

@@ -283,6 +283,18 @@ class EventBus:
         return dl.orderBy(F.col("_dlq_ts").desc(),
                           F.col("event_id").desc()).limit(DLQ_CAP)
 
+    def _last_committed_batch(self, sub_name: str) -> int:
+        """Newest batch id in the subscriber's streaming commit log
+        (``checkpoints/<sub>/commits/<batchId>`` — one file per batch
+        MicroBatchExecution has fully committed). -1 = no commits (or
+        no checkpoint at all, e.g. a manually-written slice)."""
+        commits = os.path.join(self.checkpoints, sub_name, "commits")
+        try:
+            ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+        except OSError:
+            return -1
+        return max(ids, default=-1)
+
     def compact_dead_letters(self) -> None:
         """Retention compaction mirroring the reference's
         ``deque(maxlen=1000)`` (event_system.py:453-460): rewrite
@@ -292,30 +304,57 @@ class EventBus:
         a crash at any step leaves a complete DLQ at dlq_dir or at the
         .bak path the next compaction clears.
 
-        Exactly-once boundary (r11): streaming dead letters land in
-        batch_id-keyed slices that a crash-replayed batch OVERWRITES,
-        so kill+resume does not double-record — except in one narrow
-        window: if a compaction folded a batch's slice into the flat
-        layout and the process died before that batch's checkpoint
-        committed, the replay re-creates the slice alongside the
-        folded copy (bounded by ONE batch; the newest-DLQ_CAP read cap
-        still bounds the artifact). Fixing that would need the
-        compactor to participate in the streaming commit protocol —
-        out of scope by design, stated instead of hidden."""
+        Exactly-once across the compaction boundary (r12, closing the
+        r11 one-batch window): streaming dead letters land in
+        batch_id-keyed slices that a crash-replayed batch OVERWRITES.
+        The compactor is checkpoint-AWARE — a slice whose batch_id is
+        newer than its subscriber's last committed batch (read from
+        the streaming commit log under ``checkpoints/<sub>/commits/``)
+        is NOT folded into the flat layout: it is carried over intact
+        at the same path, so a crash-replay of that batch finds and
+        overwrites its own slice instead of appending a duplicate
+        beside a folded copy. Only committed slices — which can never
+        be replayed — are folded. If the process dies mid-swap after
+        the fold, an UNFOLDED uncommitted slice can at worst be lost
+        with the .bak dir — and a lost uncommitted slice is safe by
+        the same token: the replay re-creates it."""
+        import re as _re
         import shutil
         if not os.path.isdir(self.dlq_dir):
             return
+        protected: list[str] = []
+        fold: list[str] = []
+        for entry in os.listdir(self.dlq_dir):
+            p = os.path.join(self.dlq_dir, entry)
+            m = _re.fullmatch(r"b(\d+)_(.+)", entry)
+            if m and os.path.isdir(p):
+                if int(m.group(1)) > self._last_committed_batch(
+                        m.group(2)):
+                    protected.append(entry)
+                    continue
+                fold.append(p)
+            elif os.path.isdir(p) or entry.endswith(".parquet"):
+                fold.append(p)
+        if not fold:
+            return                      # nothing committed to fold
+        folded = (self.spark.read.option("recursiveFileLookup", "true")
+                  .parquet(*fold)
+                  .orderBy(F.col("_dlq_ts").desc(),
+                           F.col("event_id").desc()).limit(DLQ_CAP))
         # lc_tracked, NOT bare localCheckpoint + unpersist: unpersist on
         # a checkpointed Dataset is a no-op (no CacheManager entry), so
         # the old path pinned ~DLQ_CAP rows of blocks per compaction
         # until ContextCleaner GC (round-7 ADVICE).
-        capped, cap_ids = lc_tracked(self.dead_letters())
+        capped, cap_ids = lc_tracked(folded)
         tmp, bak = self.dlq_dir + ".tmp", self.dlq_dir + ".bak"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(bak, ignore_errors=True)
         capped.write.mode("overwrite").parquet(tmp)
         os.rename(self.dlq_dir, bak)
         os.rename(tmp, self.dlq_dir)
+        for entry in protected:        # carry uncommitted slices over
+            os.rename(os.path.join(bak, entry),
+                      os.path.join(self.dlq_dir, entry))
         shutil.rmtree(bak, ignore_errors=True)
         lc_free(self.spark, cap_ids)
 

@@ -652,3 +652,75 @@ def test_crash_recovery_dlq_exactly_once(spark, tmp_path):
     got, want = dlq_multiset(crash_bus), dlq_multiset(solo_bus)
     assert got == want
     assert len(got) == 12               # one %5 event per 5-row file
+
+
+def test_dlq_compaction_checkpoint_aware_no_replay_duplicates(
+        spark, tmp_path):
+    """r12 (r11 verdict item 2): the compactor must not fold a slice
+    whose batch is not yet committed — folding it flat and then
+    crashing before the commit meant the replay re-created the slice
+    BESIDE the folded copy, duplicating that one batch's dead
+    letters. Reproduce the exact window deterministically: drain
+    fully, then delete the newest commit file (= crashed after
+    foreachBatch wrote the slice, before MicroBatchExecution
+    committed), compact in that state, resume in a hard new session,
+    and assert the DLQ multiset equals an uninterrupted run's — no
+    duplicates, and the uncommitted slice was carried over intact at
+    its original path (so the replay overwrote, not appended)."""
+    import glob
+    import os
+
+    def make_sub(name):
+        def handler(batch, attempt):
+            return batch.filter(F.col("event_id") % 5 == 0)
+        return Subscriber(name, handler)
+
+    def publish(bus):
+        for k in range(6):
+            t0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=k)
+            rows = [(k * 5 + i, t0 + dt.timedelta(seconds=i), i % 3,
+                     "click", float(i), "{}") for i in range(5)]
+            bus.publish(spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+                .coalesce(1))
+
+    def dlq_multiset(bus):
+        return sorted((r["event_id"], r["_subscriber"], r["_retries"])
+                      for r in bus.dead_letters().collect())
+
+    bus = EventBus(spark, str(tmp_path / "bus_cpa"))
+    publish(bus)
+    bus.run_subscriber_per_event(make_sub("cpa"), once=True,
+                                 max_files_per_trigger=1,
+                                 log_attempts=False)
+    slices = sorted(glob.glob(bus.dlq_dir + "/b*"))
+    assert len(slices) == 6
+    commits = os.path.join(bus.checkpoints, "cpa", "commits")
+    last = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    # crash-before-commit leaves NEITHER the commit file nor its
+    # Hadoop checksum twin (a stale .crc fails the replay's rename)
+    os.remove(os.path.join(commits, str(last)))
+    os.remove(os.path.join(commits, f".{last}.crc"))
+
+    bus.compact_dead_letters()
+    # the uncommitted batch's slice survives at its ORIGINAL path;
+    # every committed slice was folded into the flat layout
+    kept = sorted(glob.glob(bus.dlq_dir + "/b*"))
+    assert kept == [os.path.join(bus.dlq_dir, f"b{last:09d}_cpa")]
+    assert bus.dead_letters().count() == 6        # read spans both
+
+    spark2 = spark.newSession()
+    bus2 = EventBus(spark2, str(tmp_path / "bus_cpa"))
+    bus2.run_subscriber_per_event(make_sub("cpa"), once=True,
+                                  max_files_per_trigger=1,
+                                  log_attempts=False)
+
+    solo = EventBus(spark, str(tmp_path / "bus_cpa_solo"))
+    publish(solo)
+    solo.run_subscriber_per_event(make_sub("cpa"), once=True,
+                                  max_files_per_trigger=1,
+                                  log_attempts=False)
+    got, want = dlq_multiset(bus), dlq_multiset(solo)
+    assert got == want                  # replay overwrote, no dupes
+    assert len(got) == 6                # one %5 event per 5-row file
