@@ -227,12 +227,46 @@ def drop_all_pins(spark: SparkSession) -> list[str]:
     return evict_pins_to_budget(spark, budget=0)
 
 
+# tools/registry_drill.py flips this OFF to measure the UNDERLYING
+# drift frontier (the raw 238/243 survival matrix); every production
+# path leaves it on and loud-fails instead.
+TZ_GUARD = True
+
+
+def _assert_session_tz_utc(spark: SparkSession) -> None:
+    """tz-drift loud-fail guard (r12, r11 verdict item 3). load_tables
+    pins spark.sql.session.timeZone=UTC at the LOAD boundary, but a
+    MID-SESSION zone change still silently shifts every
+    TIMESTAMP_NTZ→TIMESTAMP cast at execution time — the r11 registry
+    drill measured exactly 5 queries flipping under a post-load
+    America/New_York switch (18000 s epoch deltas; REGISTRY.md
+    'Conf-sensitivity drills'). There is no zone-independent NTZ
+    primitive in Spark 4.1 (explored and rejected: DST fall-back makes
+    the zero-frontier rewrite a WORSE error class), so the honest fix
+    is to turn the silent wrong answer into a loud failure at the one
+    boundary every registry query passes through."""
+    if not TZ_GUARD:
+        return
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"session timezone drifted to {tz!r} after the UTC load "
+            "boundary; the NTZ-cast frontier (q60_asof_join, "
+            "q94_resample_ffill, q102_funnel, q105_rolling_zscore, "
+            "q117_session_windows) would silently shift epochs — see "
+            "REGISTRY.md conf-sensitivity drills. Restore "
+            "spark.conf.set('spark.sql.session.timeZone', 'UTC') "
+            "before running registry queries.")
+
+
 def _t(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _TABLE_CACHE:
         before = _rdd_snap(spark)
         _TABLE_CACHE[key] = load_tables(spark, sf_dir)
         _pin_new(spark, before, "tables", _TABLE_CACHE, key)
+    else:
+        _assert_session_tz_utc(spark)
     _touch_pin("tables")
     return _TABLE_CACHE[key]
 

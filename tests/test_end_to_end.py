@@ -124,3 +124,33 @@ def test_q86_hashed_columns_are_integers(spark):
     kinds = dict(df.dtypes)
     assert kinds["log_weight"] == "bigint"
     assert kinds["n_features"] == "bigint"
+
+
+def test_tz_drift_guard_raises_and_names_frontier(spark):
+    """r12 (r11 verdict item 3): a MID-SESSION session-timezone change
+    silently shifts the 5 NTZ-cast queries the registry drill measured
+    (REGISTRY.md conf-sensitivity drills). The _t boundary now
+    loud-fails instead: after the UTC load pin, any query invoked
+    under a drifted zone raises, and the message names the measured
+    frontier so the operator knows WHAT would have been wrong."""
+    import pytest
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    # load boundary: first touch pins UTC
+    entrymod.queries()["q04_group_key"](spark, sf)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(RuntimeError) as exc:
+            entrymod.queries()["q04_group_key"](spark, sf)
+        msg = str(exc.value)
+        for q in ("q60_asof_join", "q94_resample_ffill", "q102_funnel",
+                  "q105_rolling_zscore", "q117_session_windows"):
+            assert q in msg
+        assert "REGISTRY.md" in msg
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # restored zone: queries run again
+    assert entrymod.queries()["q04_group_key"](spark, sf) is not None

@@ -40,6 +40,13 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
     elif mode == "tz":
         import __spark_entry__ as entrymod
+        # Production behavior since r12: a mid-session zone change
+        # LOUD-FAILS at the _t boundary (tz-drift guard, r11 verdict
+        # item 3; pinned by test_tz_drift_guard_raises_and_names_
+        # frontier). The drill disables the guard to measure the raw
+        # frontier the guard protects against — the 238/243 survival
+        # matrix REGISTRY.md documents.
+        entrymod.TZ_GUARD = False
         # trigger the one-time load_tables UTC pin FIRST, then perturb
         entrymod._t(spark, sf_dir)["nation"].count()
         spark.conf.set("spark.sql.session.timeZone",
