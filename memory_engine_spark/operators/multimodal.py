@@ -598,6 +598,11 @@ def decode_bmp_pixels(payload: bytes) -> np.ndarray:
     top_down = height < 0
     h, w = abs(height), abs(width)
     stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if data_off < 54:
+        # the two headers occupy [0, 54); an offset pointing inside
+        # them would silently decode header bytes as pixels — the
+        # same desynced-offset class the TIFF strip walk rejects
+        raise ValueError("BMP pixel-array offset overlaps headers")
     if len(b) < data_off + h * stride:
         raise ValueError("truncated BMP pixel array")
     rows = np.frombuffer(b[data_off:data_off + h * stride],
@@ -706,6 +711,8 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                 i += 1 + b[i]
             i += 1
         elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
             w = int.from_bytes(b[i + 5:i + 7], "little")
             h = int.from_bytes(b[i + 7:i + 9], "little")
             iflags = b[i + 9]
@@ -718,7 +725,15 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
                     b[i:i + 3 * lct_size], dtype=np.uint8) \
                     .reshape(lct_size, 3)
                 i += 3 * lct_size
+            if i >= len(b):
+                raise ValueError("truncated GIF (no LZW min code)")
             min_code = b[i]
+            # GIF89a LZW roots are 2..8-bit (codes cap at 12 bits); a
+            # corrupted byte here would otherwise size the decoder's
+            # root table as 2**min_code — a flipped high bit turns
+            # that into a memory bomb, not a parse error.
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"bad LZW min code size {min_code}")
             i += 1
             data = bytearray()
             while i < len(b) and b[i] != 0:
@@ -728,8 +743,13 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
             idx = _gif_lzw_decode(bytes(data), min_code, w * h)
             if len(idx) < w * h:
                 raise ValueError("truncated GIF pixel data")
-            return palette[np.array(idx, dtype=np.int32)] \
-                .reshape(h, w, 3)
+            arr = np.array(idx, dtype=np.int32)
+            # the LZW alphabet (2**min_code roots) can be WIDER than
+            # the color table; a corrupt stream yielding an index past
+            # the palette must loud-fail, not crash numpy indexing
+            if arr.size and int(arr.max()) >= len(palette):
+                raise ValueError("LZW index beyond color table")
+            return palette[arr].reshape(h, w, 3)
         elif block == 0x3B:  # trailer
             break
         else:
@@ -3505,7 +3525,11 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     _, so_cnt, so_val = tags[273] if 273 in tags else (0, 0, None)
     if so_val is None:
         raise ValueError("missing StripOffsets")
+    if 279 not in tags:
+        raise ValueError("missing StripByteCounts")
     _, sc_cnt, sc_val = tags[279]
+    if so_cnt != sc_cnt:
+        raise ValueError("StripOffsets/StripByteCounts count mismatch")
     if so_cnt == 1:
         offs, cnts = [so_val], [sc_val]
     else:
@@ -3513,6 +3537,28 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
                                bo) for i in range(so_cnt)]
         cnts = [int.from_bytes(b[sc_val + 4 * i:sc_val + 4 * i + 4],
                                bo) for i in range(sc_cnt)]
+
+    # IFD offsets are ABSOLUTE and carry no checksum — a desynced
+    # StripOffsets (the TAR-longname hazard class, r11 verdict item 4)
+    # would silently decode bytes of the header/IFD/arrays as pixels.
+    # Reject any strip that leaves the file or overlaps a metadata
+    # span or another strip; flip-anywhere fuzz pins this.
+    meta_spans = [(0, 8), (ifd, ifd + 2 + 12 * n + 4)]
+    if bps_cnt == 3:
+        meta_spans.append((bps_val, bps_val + 6))
+    if so_cnt > 1:
+        meta_spans.append((so_val, so_val + 4 * so_cnt))
+        meta_spans.append((sc_val, sc_val + 4 * sc_cnt))
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        if c and (o < 0 or o + c > len(b)):
+            raise ValueError(f"strip {i} out of bounds")
+        if c and any(o < s1 and s0 < o + c for s0, s1 in meta_spans):
+            raise ValueError(
+                f"strip {i} overlaps TIFF metadata (desynced offsets)")
+    ordered = sorted((o, o + c) for o, c in zip(offs, cnts) if c)
+    if any(nxt[0] < cur[1]
+           for cur, nxt in zip(ordered, ordered[1:])):
+        raise ValueError("TIFF strips overlap each other")
 
     out = bytearray()
     for i, (o, c) in enumerate(zip(offs, cnts)):
