@@ -2036,23 +2036,40 @@ def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, int]:
     rational frame rate, strl/strf validates 24-bit BI_RGB, then
     every '00db'/'00dc' chunk under LIST movi decodes as a bottom-up
     4-byte-padded BGR raster. Returns ((n_frames, H, W, 3) uint8
-    RGB, fps). Compressed or non-24-bit streams raise."""
+    RGB, fps). Compressed or non-24-bit streams raise.
+
+    RIFF sizes carry no checksum, so the walk enforces STRUCTURE
+    instead (r12, the TIFF/BMP desynced-offset class): every chunk
+    must fit inside its parent, children must tile the parent
+    exactly, and a frame chunk must be exactly h*stride bytes — a
+    flipped size byte therefore loud-fails instead of silently
+    resynchronizing the movi walk on garbage and dropping frames."""
     b = payload or b""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    riff_end = 8 + int.from_bytes(b[4:8], "little")
+    if riff_end > len(b) or riff_end < 12:
+        raise ValueError("RIFF size exceeds payload")
 
     def walk(start: int, end: int):
         i = start
         while i + 8 <= end:
             cid = b[i:i + 4]
             csize = int.from_bytes(b[i + 4:i + 8], "little")
+            step = 8 + csize + (csize & 1)
+            if i + step > end:
+                raise ValueError(
+                    "RIFF chunk overruns its parent (desynced size)")
             yield cid, i + 8, csize
-            i += 8 + csize + (csize & 1)
+            i += step
+        if i != end:
+            raise ValueError(
+                "RIFF children do not tile their parent (desynced size)")
 
     w = h = None
     rate = scale = bpp = compression = None
     frames: list[tuple[int, int]] = []
-    for cid, off, sz in walk(12, len(b)):
+    for cid, off, sz in walk(12, riff_end):
         if cid != b"LIST":
             continue
         four = b[off:off + 4]
@@ -2086,8 +2103,12 @@ def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, int]:
     stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for fi, (o, sz) in enumerate(frames):
-        if sz < h * stride:
-            raise ValueError(f"truncated frame {fi}")
+        # exact, not >=: an uncompressed DIB frame is h*stride bytes
+        # by construction, and a size that "merely" overshoots is a
+        # desynced walk, not extra padding
+        if sz != h * stride:
+            raise ValueError(
+                f"frame {fi} size {sz} != DIB raster {h * stride}")
         rows = np.frombuffer(b[o:o + h * stride], dtype=np.uint8) \
             .reshape(h, stride)[:, :w * 3]
         out[fi] = rows.reshape(h, w, 3)[:, :, ::-1][::-1]  # BGR→RGB, flip

@@ -1211,3 +1211,78 @@ def test_bmp_header_offset_desync_loud_fails():
     blob += b"\x00" * 64
     with pytest.raises(ValueError, match="overlaps headers"):
         multimodal.decode_bmp_pixels(bytes(blob))
+
+
+@settings(**SETTINGS)
+@given(h=st.integers(1, 4), w=st.integers(1, 4), nf=st.integers(1, 3),
+       salt=st.integers(0, 255),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_avi_fuzz_flip_anywhere(h, w, nf, salt, flip, bit):
+    """AVI flip-anywhere (r12, completing the r11 item-4 CRC-less
+    tail): RIFF sizes are checksum-less, so the walk enforces
+    structure — chunks fit and TILE their parent, frame chunks are
+    exactly h*stride bytes — and the contract is raise-or-controlled:
+    a frame-body pixel flip keeps shape/fps and changes pixels, a
+    row-padding or idx1 flip is inert (the index is unused), and any
+    flip that desyncs the walk loud-fails instead of silently
+    dropping or resynthesizing frames."""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal
+
+    px = (((np.arange(nf * h * w * 3, dtype=np.uint32) * 31 + salt)
+           % 251).astype(np.uint8).reshape(nf, h, w, 3))
+    blob = multimodal.synth_avi(px, fps=4)
+    base, fps = multimodal.decode_avi_frames(blob)
+    assert np.array_equal(base, px) and fps == 4
+
+    pos = flip % len(blob)
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        got, gfps = multimodal.decode_avi_frames(bytes(mut))
+    except (ValueError, NotImplementedError):
+        return                           # controlled loud-fail
+    assert isinstance(got, np.ndarray)
+    assert got.dtype == np.uint8 and got.ndim == 4 and got.shape[3] == 3
+
+    stride = (w * 3 + 3) & ~3
+    fsz = h * stride
+    kids = blob.find(b"movi") + 4        # first movi child chunk
+    for k in range(nf):
+        body = kids + k * (8 + fsz) + 8
+        if body <= pos < body + fsz:     # frame-body byte
+            assert got.shape == px.shape and gfps == 4
+            if (pos - body) % stride < w * 3:
+                assert not np.array_equal(got, px), \
+                    "pixel-byte flip vanished"
+            else:                        # 4-byte row padding is inert
+                assert np.array_equal(got, px)
+            return
+    if pos >= kids + nf * (8 + fsz) + 8:  # idx1 body: unused by walk
+        assert np.array_equal(got, px) and gfps == 4
+
+
+def test_avi_desynced_chunk_size_loud_fails():
+    """Explicit size-desync cases: growing a frame chunk's declared
+    size must raise (exact-raster or tiling check), never silently
+    resync the movi walk; a RIFF size past the payload end raises."""
+    import numpy as np
+    import pytest
+
+    from memory_engine_spark.operators import multimodal
+
+    px = np.zeros((2, 2, 2, 3), dtype=np.uint8)
+    blob = multimodal.synth_avi(px, fps=4)
+    kids = blob.find(b"movi") + 4
+    fsz = 2 * ((2 * 3 + 3) & ~3)
+
+    grown = bytearray(blob)              # frame 0 claims 8 extra bytes
+    grown[kids + 4:kids + 8] = (fsz + 8).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        multimodal.decode_avi_frames(bytes(grown))
+
+    long_riff = bytearray(blob)
+    long_riff[4:8] = (len(blob) + 64).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="exceeds payload"):
+        multimodal.decode_avi_frames(bytes(long_riff))
