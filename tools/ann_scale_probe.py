@@ -51,11 +51,19 @@ NLIST, NPROBE, K, N_QUERIES, LLOYD_ROUNDS = 64, 8, 10, 8, 2
 def clone_cluster(base, factor: int):
     """vec_id -> factor near-dup clones: clone c perturbs dimension
     (vec_id mod 64) by c * 1e-4 — cosine stays ~1, so each original
-    becomes one clone cluster (the adversarial corpus shape)."""
+    becomes one clone cluster (the adversarial corpus shape).
+
+    Id scheme is clone*10000 + vec_id (NOT vec_id*factor + clone):
+    build_ivf_flat seeds from the nlist LOWEST ids, so the clone-major
+    layout would make every seed a clone of vector 0 at factor >= 64
+    — a seeding degeneracy that varies WITH the factor and would
+    conflate seed quality with the scale question. Base-major ids keep
+    the seed set = {clone 0 of vectors 0..63} identical at every
+    factor, so the only thing the sweep varies is row volume."""
     clones = base.crossJoin(F.broadcast(
         base.sparkSession.range(factor).select(F.col("id").alias("clone"))))
     return clones.select(
-        (F.col("vec_id") * 1000 + F.col("clone")).alias("vec_id"),
+        (F.col("clone") * 10000 + F.col("vec_id")).alias("vec_id"),
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x, i: x + F.when(
