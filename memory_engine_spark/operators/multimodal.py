@@ -296,14 +296,28 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
     division — deterministic, no float summation order). Returns
     (int32 mono samples, sample_rate, audio_fmt_tag). Raises on
     non-RIFF payloads and unsupported encodings (the loud-fail stub
-    contract of this module)."""
+    contract of this module).
+
+    RIFF sizes carry no checksum, so the walk enforces STRUCTURE
+    (r12, the same treatment as ``decode_avi_frames``): the RIFF size
+    must lie within the payload, every chunk must fit and the chunks
+    must tile [12, riff_end) exactly, and a PCM data length must be a
+    whole number of sample frames — a flipped size byte therefore
+    loud-fails instead of silently truncating the fmt/data slice or
+    resynchronizing the walk on sample bytes."""
     b = payload or b""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
+    riff_end = 8 + int.from_bytes(b[4:8], "little")
+    if riff_end > len(b) or riff_end < 12:
+        raise ValueError("RIFF size exceeds payload")
     i, fmt, data, fact = 12, None, None, None
-    while i + 8 <= len(b):
+    while i + 8 <= riff_end:
         cid = b[i:i + 4]
         csize = int.from_bytes(b[i + 4:i + 8], "little")
+        if i + 8 + csize + (csize & 1) > riff_end:
+            raise ValueError(
+                "RIFF chunk overruns its parent (desynced size)")
         if cid == b"fmt ":
             fmt = b[i + 8:i + 8 + csize]
         elif cid == b"data":
@@ -311,21 +325,29 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
         elif cid == b"fact" and csize >= 4:
             fact = int.from_bytes(b[i + 8:i + 12], "little")
         i += 8 + csize + (csize & 1)
+    if i != riff_end:
+        raise ValueError(
+            "RIFF children do not tile their parent (desynced size)")
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt = int.from_bytes(fmt[0:2], "little")
     n_ch = max(1, int.from_bytes(fmt[2:4], "little"))
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    # exact frame alignment, not floor-truncation: a data length that
+    # is not a whole number of sample frames is a desynced/truncated
+    # payload, and silently dropping the tail would mask it
+    frame = (2 if bits == 16 else 1) * n_ch
+    if audio_fmt in (1, 6, 7) and len(data) % frame:
+        raise ValueError(
+            f"data length {len(data)} not a whole number of "
+            f"{frame}-byte sample frames")
     if audio_fmt == 1 and bits == 16:
-        usable = len(data) // (2 * n_ch) * (2 * n_ch)
-        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.int32)
+        x = np.frombuffer(data, dtype="<i2").astype(np.int32)
     elif audio_fmt == 1 and bits == 8:
-        usable = len(data) // n_ch * n_ch
-        x = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int32) - 128
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
     elif audio_fmt in (6, 7) and bits == 8:
-        usable = len(data) // n_ch * n_ch
-        codes = np.frombuffer(data[:usable], dtype=np.uint8)
+        codes = np.frombuffer(data, dtype=np.uint8)
         x = (alaw_decode(codes) if audio_fmt == 6
              else ulaw_decode(codes)).astype(np.int32)
     elif audio_fmt == 0x11 and bits == 4 and n_ch == 1:

@@ -1286,3 +1286,72 @@ def test_avi_desynced_chunk_size_loud_fails():
     long_riff[4:8] = (len(blob) + 64).to_bytes(4, "little")
     with pytest.raises(ValueError, match="exceeds payload"):
         multimodal.decode_avi_frames(bytes(long_riff))
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(1, 24), salt=st.integers(0, 255),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_wav_fuzz_flip_anywhere(n, salt, flip, bit):
+    """WAV flip-anywhere (r12, same treatment as AVI): RIFF sizes are
+    checksum-less, so `decode_wav_pcm` enforces structure — RIFF size
+    within payload, chunks fit and tile, PCM data a whole number of
+    sample frames. Contract: every flip raises or returns well-formed
+    (int32 samples, rate, tag); a flip inside the data body of a
+    mono PCM16 stream always changes the decoded samples (every bit
+    of an int16 sample is significant — if the flip vanishes, the
+    decoder silently dropped sample bytes)."""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal
+
+    s = (((np.arange(n, dtype=np.int64) * 2654435761 + salt) % 65521)
+         - 32760).astype(np.int16)
+    blob = multimodal.synth_wav_pcm16(s, sample_rate=8000)
+    x0, rate0, tag0 = multimodal.decode_wav_pcm(blob)
+    assert x0.tolist() == s.astype(np.int32).tolist()
+    assert (rate0, tag0) == (8000, 1)
+
+    pos = flip % len(blob)
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        x, rate, tag = multimodal.decode_wav_pcm(bytes(mut))
+    except (ValueError, NotImplementedError):
+        return                           # controlled loud-fail
+    assert isinstance(x, np.ndarray) and x.dtype == np.int32
+    body = blob.find(b"data") + 8        # data chunk body start
+    if body <= pos < body + 2 * n:       # sample byte
+        assert len(x) == n and (rate, tag) == (8000, 1)
+        assert x.tolist() != x0.tolist(), "sample-byte flip vanished"
+
+
+def test_wav_desynced_sizes_loud_fail():
+    """Explicit WAV desync cases: a data csize past the RIFF end, a
+    RIFF size past the payload, and a PCM16 data length that is not a
+    whole number of frames all raise instead of silently truncating
+    the slice or dropping tail bytes."""
+    import numpy as np
+    import pytest
+
+    from memory_engine_spark.operators import multimodal
+
+    s = np.arange(4, dtype=np.int16)
+    blob = multimodal.synth_wav_pcm16(s, sample_rate=8000)
+    dpos = blob.find(b"data")
+
+    grown = bytearray(blob)              # data claims 8 extra bytes
+    grown[dpos + 4:dpos + 8] = (8 + 8).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="overruns|tile"):
+        multimodal.decode_wav_pcm(bytes(grown))
+
+    long_riff = bytearray(blob)
+    long_riff[4:8] = (len(blob) + 64).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="exceeds payload"):
+        multimodal.decode_wav_pcm(bytes(long_riff))
+
+    # odd PCM16 data length: csize 7 + pad keeps the walk tiling, but
+    # 7 bytes is 3.5 frames — must raise, not floor to 3 samples
+    odd = bytearray(blob)
+    odd[dpos + 4:dpos + 8] = (7).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="sample frames"):
+        multimodal.decode_wav_pcm(bytes(odd))
