@@ -1161,10 +1161,17 @@ def _decode_jpeg_planes(payload: bytes) \
         if m == 0xD9:
             break
         ln = int.from_bytes(b[i + 2:i + 4], "big")
+        # JPEG segments carry no checksum (r12, the RIFF/TIFF desync
+        # class): a flipped length byte must loud-fail, not silently
+        # truncate the slice below (IndexError) or resync on garbage
+        if ln < 2 or i + 2 + ln > len(b):
+            raise ValueError("segment length overruns payload")
         p = b[i + 4:i + 2 + ln]
         if m == 0xDB:
             j = 0
-            while j + 65 <= len(p) + 1 and j < len(p):
+            while j < len(p):
+                if j + 65 > len(p):
+                    raise ValueError("truncated DQT segment")
                 if p[j] >> 4 != 0:
                     raise NotImplementedError("only 8-bit qtables")
                 t = [0] * 64
@@ -1173,12 +1180,16 @@ def _decode_jpeg_planes(payload: bytes) \
                 qts[p[j] & 15] = t
                 j += 65
         elif m == 0xC0:
+            if len(p) < 6:
+                raise ValueError("truncated SOF0 segment")
             h = int.from_bytes(p[1:3], "big")
             w = int.from_bytes(p[3:5], "big")
             nf = p[5]
             if p[0] != 8 or nf not in (1, 3):
                 raise NotImplementedError(
                     "only 8-bit 1- or 3-component baseline supported")
+            if len(p) < 6 + 3 * nf:
+                raise ValueError("truncated SOF0 component list")
             comps = []
             for c in range(nf):
                 cid, samp, tq = p[6 + 3 * c], p[7 + 3 * c], p[8 + 3 * c]
@@ -1192,10 +1203,21 @@ def _decode_jpeg_planes(payload: bytes) \
         elif m == 0xC4:
             j = 0
             while j < len(p):
+                if j + 17 > len(p):
+                    raise ValueError("truncated DHT segment")
                 tc, th = p[j] >> 4, p[j] & 15
+                if tc > 1:
+                    raise ValueError("bad huffman table class")
                 bits = list(p[j + 1:j + 17])
                 nv = sum(bits)
+                if j + 17 + nv > len(p):
+                    raise ValueError("truncated DHT value list")
                 vals = list(p[j + 17:j + 17 + nv])
+                # T.81 F.1.2.1.2: DC values are ssss categories 0..15
+                # (0..11 in 8-bit baseline); a larger value would make
+                # bits_read() build an arbitrarily wide integer
+                if tc == 0 and any(v > 15 for v in vals):
+                    raise ValueError("DC category out of range")
                 tbl, code, k = {}, 0, 0
                 for lnn in range(1, 17):
                     for _ in range(bits[lnn - 1]):
@@ -1206,8 +1228,12 @@ def _decode_jpeg_planes(payload: bytes) \
                 huff[(tc, th)] = tbl
                 j += 17 + nv
         elif m == 0xDD:
+            if len(p) < 2:
+                raise ValueError("truncated DRI segment")
             ri = int.from_bytes(p[0:2], "big")  # DRI restart interval
         elif m == 0xDA:
+            if len(p) < 1 or len(p) < 1 + 2 * p[0]:
+                raise ValueError("truncated SOS segment")
             scan = {}
             for c in range(p[0]):
                 scan[p[1 + 2 * c]] = (p[2 + 2 * c] >> 4, p[2 + 2 * c] & 15)
@@ -1217,6 +1243,16 @@ def _decode_jpeg_planes(payload: bytes) \
     if not qts or w is None or comps is None or scan is None \
             or data is None:
         raise ValueError("missing DQT/SOF0/DHT/SOS segment")
+    # table bindings are data-driven — resolve them loudly up front
+    # instead of KeyError-ing mid-MCU on a flipped id byte
+    for (cid, tq, _hi, _vi) in comps:
+        if cid not in scan:
+            raise ValueError(f"SOS does not cover component {cid}")
+        td, ta = scan[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError(f"missing huffman table for component {cid}")
+        if tq not in qts:
+            raise ValueError(f"missing quantization table {tq}")
 
     pos, acc, nbits = 0, 0, 0
 
@@ -1253,10 +1289,22 @@ def _decode_jpeg_planes(payload: bytes) \
     def extend(v: int, s: int) -> int:
         return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
+    if w == 0 or h == 0:
+        raise ValueError("zero frame dimension")
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     mx = (w + 8 * hmax - 1) // (8 * hmax)
     my = (h + 8 * vmax - 1) // (8 * vmax)
+    # structural plausibility BEFORE allocating planes: every block
+    # costs >= 2 entropy bits (1-bit DC symbol + 1-bit EOB), so a
+    # frame whose block count cannot fit in the scan data is a
+    # corrupted dimension, not a picture — without this, one flipped
+    # SOF height byte allocates gigabytes for a 50-byte scan
+    n_blocks = mx * my * sum(hi * vi for (_, _, hi, vi) in comps)
+    if n_blocks > 4 * len(data):
+        raise ValueError(
+            f"frame needs {n_blocks} blocks but scan data is only "
+            f"{len(data)} bytes (corrupted dimensions)")
     planes = [np.zeros((my * vi * 8, mx * hi * 8), dtype=np.uint8)
               for (_, _, hi, vi) in comps]
     preds = [0] * len(comps)

@@ -1355,3 +1355,70 @@ def test_wav_desynced_sizes_loud_fail():
     odd[dpos + 4:dpos + 8] = (7).to_bytes(4, "little")
     with pytest.raises(ValueError, match="sample frames"):
         multimodal.decode_wav_pcm(bytes(odd))
+
+
+def test_jpeg_flip_anywhere_exhaustive_gray():
+    """JPEG flip-EVERYWHERE, exhaustively (r12): JPEG segments and
+    entropy data carry no checksum, so the contract is controlled
+    behavior under ANY single-bit corruption — raise ValueError /
+    NotImplementedError or return well-formed uint8 pixels, never an
+    escape exception (KeyError on a flipped table id, IndexError on a
+    truncated DQT/DHT/SOF/SOS slice, OverflowError from a DHT value
+    byte widening bits_read past int64) and never a memory bomb (a
+    flipped SOF dimension byte must fail the blocks-vs-scan-bytes
+    plausibility check, not allocate gigabytes). The gray payload is
+    small enough to scan every (byte, bit) — 2520 decodes, sub-second
+    — which is strictly stronger than sampling."""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal
+
+    blob = multimodal.synth_jpeg_gray(
+        [[8, 3, 0] + [0] * 61, [5, 0, 0] + [0] * 61,
+         [9, 0, 1] + [0] * 61, [4, 2, 0] + [0] * 61], 16, 16)
+    assert multimodal.decode_jpeg_gray(blob).shape == (16, 16)
+    for pos in range(len(blob)):
+        for bit in range(8):
+            mut = bytearray(blob)
+            mut[pos] ^= 1 << bit
+            try:
+                got = multimodal.decode_jpeg_gray(bytes(mut))
+            except (ValueError, NotImplementedError):
+                continue
+            assert isinstance(got, np.ndarray) and got.dtype == np.uint8
+
+
+@settings(**SETTINGS)
+@given(variant=st.sampled_from(["color", "420", "420rst"]),
+       flip=st.integers(0, 2 ** 30), bit=st.integers(0, 7))
+def test_jpeg_fuzz_flip_anywhere_color(variant, flip, bit):
+    """Same contract for the 3-component variants (4:4:4, 4:2:0, and
+    4:2:0 with restart markers — the RSTn resync path has its own
+    walk); sampled rather than exhaustive to keep runtime bounded."""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal
+
+    yb = [[6, 1, 0] + [0] * 61, [7, 0, 2] + [0] * 61,
+          [5, 1, 1] + [0] * 61, [8, 0, 0] + [0] * 61]
+    cbb = [[3, 1, 0] + [0] * 61, [2, 0, 0] + [0] * 61,
+           [4, 0, 0] + [0] * 61, [1, 1, 0] + [0] * 61]
+    crb = [[2, 0, 1] + [0] * 61, [5, 0, 0] + [0] * 61,
+           [3, 1, 0] + [0] * 61, [2, 0, 0] + [0] * 61]
+    if variant == "color":
+        blob = multimodal.synth_jpeg_color([yb, cbb, crb], 16, 16)
+    else:
+        blob = multimodal.synth_jpeg_420(
+            yb, [[3] + [0] * 63], [[2] + [0] * 63], 16, 16,
+            restart_interval=2 if variant == "420rst" else 0)
+    assert multimodal.decode_jpeg_color(blob).shape == (16, 16, 3)
+
+    pos = flip % len(blob)
+    mut = bytearray(blob)
+    mut[pos] ^= (1 << bit)
+    try:
+        got = multimodal.decode_jpeg_color(bytes(mut))
+    except (ValueError, NotImplementedError):
+        return                           # controlled loud-fail
+    assert isinstance(got, np.ndarray) and got.dtype == np.uint8
+    assert got.ndim == 3 and got.shape[2] == 3
