@@ -209,6 +209,11 @@ def ima_adpcm_decode(block: bytes, n_samples: int) -> np.ndarray:
         raise ValueError("truncated IMA block")
     pred = int.from_bytes(block[0:2], "little", signed=True)
     idx = block[2]
+    # the header step index addresses the 89-entry step table; a
+    # corrupt byte must loud-fail, not IndexError mid-decode (the
+    # in-loop updates clamp to 0..88, the seed was never checked)
+    if idx > 88:
+        raise ValueError(f"IMA step index {idx} out of range 0..88")
     nib = []
     for b in block[4:]:
         nib.append(b & 0x0F)
@@ -447,7 +452,13 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             f"only 8-bit non-interlaced gray/RGB/LA/RGBA supported "
             f"(depth={depth}, color={color}, interlace={interlace})")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        # single-bit flips always fail the chunk CRC first, but a
+        # recomputed-CRC corrupt stream must still meet the loud-fail
+        # contract (ValueError, not zlib.error)
+        raise ValueError(f"corrupt IDAT deflate stream: {exc}")
     stride = width * ch
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated IDAT stream")
@@ -2412,22 +2423,35 @@ def decode_mp4_frames(payload: bytes) -> tuple[np.ndarray, int]:
     delta = int.from_bytes(b[s + 12:s + 16], "big")
     fps = timescale // delta if delta else 0
 
+    # every sample-table count is validated against its OWN box size
+    # before building the table (r12): the counts carry no checksum,
+    # and one flipped entry-count byte otherwise materializes a
+    # multi-million-entry table of out-of-bounds zeros — a memory/CPU
+    # bomb, not a parse error
     s, e = boxes[b"stsz"]
     fixed = int.from_bytes(b[s + 4:s + 8], "big")
     n_samples = int.from_bytes(b[s + 8:s + 12], "big")
     if fixed:
+        if fixed * n_samples > len(b):
+            raise ValueError("stsz sample bytes exceed payload")
         sizes = [fixed] * n_samples
     else:
+        if 12 + 4 * n_samples > e - s:
+            raise ValueError("stsz table overruns its box")
         sizes = [int.from_bytes(b[s + 12 + 4 * i:s + 16 + 4 * i], "big")
                  for i in range(n_samples)]
 
     s, e = boxes[b"stco"]
     n_chunks = int.from_bytes(b[s + 4:s + 8], "big")
+    if 8 + 4 * n_chunks > e - s:
+        raise ValueError("stco table overruns its box")
     chunk_offs = [int.from_bytes(b[s + 8 + 4 * i:s + 12 + 4 * i], "big")
                   for i in range(n_chunks)]
 
     s, e = boxes[b"stsc"]
     n_runs = int.from_bytes(b[s + 4:s + 8], "big")
+    if 8 + 12 * n_runs > e - s:
+        raise ValueError("stsc table overruns its box")
     runs = [(int.from_bytes(b[s + 8 + 12 * i:s + 12 + 12 * i], "big"),
              int.from_bytes(b[s + 12 + 12 * i:s + 16 + 12 * i], "big"))
             for i in range(n_runs)]        # (first_chunk 1-based, spc)
@@ -2450,8 +2474,10 @@ def decode_mp4_frames(payload: bytes) -> tuple[np.ndarray, int]:
     if si != n_samples:
         raise ValueError(f"stsc/stco resolve {si} of {n_samples} samples")
 
-    out = np.empty((n_samples, h, w, 3), dtype=np.uint8)
     need = w * h * 3
+    if n_samples * need > len(b):
+        raise ValueError("frame bytes exceed payload")
+    out = np.empty((n_samples, h, w, 3), dtype=np.uint8)
     for fi, (o, sz) in enumerate(zip(offsets, sizes)):
         if sz != need or o + sz > len(b):
             raise ValueError(f"sample {fi} size/offset out of range")

@@ -523,7 +523,11 @@ def pdf_page_texts(payload: bytes) -> list[str]:
         raw = cont[ms.end():ms.end() + int(ml.group(1))]
         mf = re.search(rb"/Filter\s*/(\w+)", cont)
         if mf and mf.group(1) == b"FlateDecode":
-            raw = zlib.decompress(raw)
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:   # keep the loud-fail contract
+                raise ValueError(
+                    f"page {pg}: corrupt FlateDecode stream: {exc}")
         elif mf:
             raise NotImplementedError(
                 f"filter {mf.group(1).decode()} not supported")
@@ -824,7 +828,11 @@ def parse_zip(payload: bytes) -> list[dict]:
         data = b[off + 30 + lnlen + lelen:
                  off + 30 + lnlen + lelen + csize]
         if method == 8:
-            data = zlib.decompress(data, -15)
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as exc:   # keep the loud-fail contract
+                raise ValueError(
+                    f"member {name!r}: corrupt deflate stream: {exc}")
         elif method != 0:
             raise NotImplementedError(f"compression method {method}")
         if len(data) != usize or (zlib.crc32(data) & 0xFFFFFFFF) != crc:
@@ -1091,6 +1099,12 @@ def _avro_zigzag_enc(v: int) -> bytes:
 def _avro_zigzag_dec(b: bytes, i: int) -> tuple[int, int]:
     u = shift = 0
     while True:
+        if i >= len(b):
+            raise ValueError("truncated avro varint")
+        if shift > 63:
+            # an Avro long is at most 10 varint bytes; a longer run of
+            # continuation bytes is corruption, not a wider integer
+            raise ValueError("avro varint exceeds 64 bits")
         byte = b[i]
         i += 1
         u |= (byte & 0x7F) << shift
@@ -1165,9 +1179,17 @@ def parse_avro_pairs(payload: bytes) -> dict:
             n = -n
         for _ in range(n):
             klen, i = _avro_zigzag_dec(b, i)
-            k = b[i:i + klen]
-            i += klen
+            vstart = i + klen
+            # a negative decoded length would move the cursor
+            # BACKWARD (i += klen) — an infinite walk, not a parse
+            # error; an overlong one silently truncates the slice
+            if klen < 0 or vstart > len(b):
+                raise ValueError("bad avro metadata key length")
+            k = b[i:vstart]
+            i = vstart
             vlen, i = _avro_zigzag_dec(b, i)
+            if vlen < 0 or i + vlen > len(b):
+                raise ValueError("bad avro metadata value length")
             meta[k] = b[i:i + vlen]
             i += vlen
     sync = b[i:i + 16]
@@ -1179,20 +1201,25 @@ def parse_avro_pairs(payload: bytes) -> dict:
     while i < len(b):
         cnt, i = _avro_zigzag_dec(b, i)
         size, i = _avro_zigzag_dec(b, i)
-        body = b[i:i + size]
-        if len(body) != size:
+        if size < 0 or i + size > len(b):
             raise ValueError("truncated avro block")
+        body = b[i:i + size]
         i += size
         if b[i:i + 16] != sync:
             raise ValueError(f"sync marker mismatch after block "
                              f"{len(blocks)}")
         i += 16
         if codec == "deflate":
-            body = zlib.decompress(body, -15)
+            try:
+                body = zlib.decompress(body, -15)
+            except zlib.error as exc:    # keep the loud-fail contract
+                raise ValueError(f"corrupt deflate block: {exc}")
         j = 0
         for _ in range(cnt):
             rid, j = _avro_zigzag_dec(body, j)
             slen, j = _avro_zigzag_dec(body, j)
+            if slen < 0 or j + slen > len(body):
+                raise ValueError("bad avro string length")
             records.append((rid, body[j:j + slen].decode()))
             j += slen
         if j != len(body):
@@ -1373,12 +1400,19 @@ def _orc_decompress(b: bytes, kind: int) -> bytes:
     out = bytearray()
     i = 0
     while i < len(b):
+        if i + 3 > len(b):
+            raise ValueError("truncated ORC chunk header")
         h = b[i] | (b[i + 1] << 8) | (b[i + 2] << 16)
         i += 3
         ln, orig = h >> 1, h & 1
+        if i + ln > len(b):
+            raise ValueError("ORC chunk overruns stream")
         chunk = b[i:i + ln]
         i += ln
-        out += chunk if orig else zlib.decompress(chunk, -15)
+        try:
+            out += chunk if orig else zlib.decompress(chunk, -15)
+        except zlib.error as exc:       # keep the loud-fail contract
+            raise ValueError(f"corrupt ORC deflate chunk: {exc}")
     return bytes(out)
 
 

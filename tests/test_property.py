@@ -1422,3 +1422,109 @@ def test_jpeg_fuzz_flip_anywhere_color(variant, flip, bit):
         return                           # controlled loud-fail
     assert isinstance(got, np.ndarray) and got.dtype == np.uint8
     assert got.ndim == 3 and got.shape[2] == 3
+
+
+def test_parser_escape_and_hang_sweep_exhaustive():
+    """Cross-format exception-contract sweep (r12): for EVERY pure-
+    bytes parser with a synth twin, exhaustively flip every (byte,
+    bit) of a representative payload and assert the decode either
+    succeeds or raises ValueError/NotImplementedError — never an
+    escape exception (IndexError/KeyError/OverflowError/zlib.error)
+    and never a hang (2 s watchdog per decode). Complements the
+    per-format behavior properties: those assert WHAT corrupt inputs
+    produce; this pins the failure CHANNEL itself, which is what an
+    Arrow mapInPandas stage propagates to the engine's error surface.
+
+    This sweep found (and its fixes pinned): IMA step-index seed
+    IndexError, MP4 stsc/stco/stsz count memory-CPU bombs, Avro
+    negative-varint-length INFINITE LOOP + truncated-varint
+    IndexError, and zlib.error leaks in ZIP/PDF/ORC/Avro-deflate."""
+    import signal
+
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal as mm
+    from memory_engine_spark.sources import formats as fm
+
+    px3 = (((np.arange(5 * 7 * 3, dtype=np.uint32) * 59 + 11) % 249)
+           .astype(np.uint8).reshape(5, 7, 3))
+    idx = (np.arange(36, dtype=np.uint32) * 7 % 5).astype(np.uint8) \
+        .reshape(6, 6)
+    pal = (((np.arange(24, dtype=np.uint32) * 37 + 3) % 251)
+           .astype(np.uint8).reshape(8, 3))
+    s16 = ((((np.arange(25, dtype=np.int64) * 2654435761 + 9) % 65521)
+            - 32760).astype(np.int16))
+    fr = (((np.arange(2 * 4 * 4 * 3, dtype=np.uint32) * 31 + 5) % 251)
+          .astype(np.uint8).reshape(2, 4, 4, 3))
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"hello body")
+    targets = [
+        ("png", mm.synth_png(px3), mm.decode_png_pixels),
+        ("bmp", mm.synth_bmp(px3), mm.decode_bmp_pixels),
+        ("gif", mm.synth_gif(idx, pal), mm.decode_gif_pixels),
+        ("tiff_le", mm.synth_tiff(px3), mm.decode_tiff_pixels),
+        ("tiff_be", mm.synth_tiff(px3, big_endian=True),
+         mm.decode_tiff_pixels),
+        ("wav16", mm.synth_wav_pcm16(s16, 8000), mm.decode_wav_pcm),
+        ("wav_g711", mm.synth_wav_g711(s16, "ulaw", 8000),
+         mm.decode_wav_pcm),
+        ("wav_ima", mm.synth_wav_ima(s16, 8000), mm.decode_wav_pcm),
+        ("flac", mm.synth_flac(s16, 8000), mm.decode_flac),
+        ("avi", mm.synth_avi(fr, fps=4), mm.decode_avi_frames),
+        ("mp4", mm.synth_mp4(fr, fps=5), mm.decode_mp4_frames),
+        ("warc", fm.synth_warc(
+            [{"warc_type": "response", "uri": "http://a/x",
+              "block": http},
+             {"warc_type": "request", "uri": "http://a/y",
+              "block": b""}]), fm.parse_warc),
+        ("tar", fm.synth_tar([("a.txt", b"alpha"),
+                              ("b" * 120 + ".txt", b"beta!")]),
+         fm.parse_tar),
+        ("zip", fm.synth_zip([("a.txt", b"alpha"),
+                              ("bb.bin", bytes(range(48)))]),
+         fm.parse_zip),
+        ("tfrecord", fm.synth_tfrecord([b"rec1", b"record-two", b""]),
+         fm.parse_tfrecord),
+        ("avro", fm.synth_avro_pairs(
+            [(1, "one"), (2, "two"), (3, "three")]),
+         fm.parse_avro_pairs),
+        ("avro_defl", fm.synth_avro_pairs(
+            [(1, "one"), (2, "two"), (3, "three")], deflate=True),
+         fm.parse_avro_pairs),
+        ("lz4", fm.synth_lz4_frame(
+            [(b"hello world hello world", True), (b"stored", False)]),
+         fm.lz4_frame_walk),
+        ("pdf", fm.synth_pdf(["Page one text", "Second page"]),
+         fm.pdf_page_texts),
+    ]
+
+    class _Hang(Exception):
+        pass
+
+    def _alarm(_sig, _frm):
+        raise _Hang()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    problems = []
+    try:
+        for name, blob, dec in targets:
+            dec(blob)                     # baseline must parse
+            for pos in range(len(blob)):
+                for bit in range(8):
+                    mut = bytearray(blob)
+                    mut[pos] ^= 1 << bit
+                    signal.setitimer(signal.ITIMER_REAL, 2.0)
+                    try:
+                        dec(bytes(mut))
+                    except (ValueError, NotImplementedError):
+                        pass
+                    except _Hang:
+                        problems.append((name, pos, bit, "HANG"))
+                    except Exception as exc:  # noqa: BLE001
+                        problems.append(
+                            (name, pos, bit, type(exc).__name__))
+                    finally:
+                        signal.setitimer(signal.ITIMER_REAL, 0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    assert not problems, problems[:20]
