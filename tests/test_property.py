@@ -1528,3 +1528,46 @@ def test_parser_escape_and_hang_sweep_exhaustive():
     finally:
         signal.signal(signal.SIGALRM, old)
     assert not problems, problems[:20]
+
+
+def test_probe_one_never_raises_flip_anywhere():
+    """The metadata sniffer's contract is stronger than the decoders':
+    `_probe_one` must NEVER raise on corrupt bytes — it degrades to
+    format-only or all-None fields (its TIFF branch already wraps the
+    IFD walk for exactly this reason). Exhaustive (byte, bit) sweep
+    over every sniffable format family, including the mp3 header
+    branch the decoders deliberately stub."""
+    import numpy as np
+
+    from memory_engine_spark.operators import multimodal as mm
+
+    px3 = (((np.arange(5 * 7 * 3, dtype=np.uint32) * 59 + 11) % 249)
+           .astype(np.uint8).reshape(5, 7, 3))
+    idx = (np.arange(36, dtype=np.uint32) * 7 % 5).astype(np.uint8) \
+        .reshape(6, 6)
+    pal = (((np.arange(24, dtype=np.uint32) * 37 + 3) % 251)
+           .astype(np.uint8).reshape(8, 3))
+    s16 = ((((np.arange(25, dtype=np.int64) * 2654435761 + 9) % 65521)
+            - 32760).astype(np.int16))
+    fr = (((np.arange(2 * 4 * 4 * 3, dtype=np.uint32) * 31 + 5) % 251)
+          .astype(np.uint8).reshape(2, 4, 4, 3))
+    vorbis_id = (b"\x01vorbis" + bytes(4) + bytes([2])
+                 + (8000).to_bytes(4, "little") + bytes(13))
+    payloads = [
+        mm.synth_png(px3), mm.synth_bmp(px3), mm.synth_gif(idx, pal),
+        mm.synth_tiff(px3), mm.synth_tiff(px3, big_endian=True),
+        mm.synth_wav_pcm16(s16, 8000),
+        mm.synth_jpeg_gray([[8, 0, 0] + [0] * 61], 8, 8),
+        mm.synth_ogg([vorbis_id, b"datadata"], 7, [0, 800]),
+        mm.synth_avi(fr, fps=4), mm.synth_mp4(fr, fps=5),
+        mm.synth_flac(s16, 8000),
+        b"\xff\xfb\x90\x00" + bytes(200),     # bare MPEG frame header
+    ]
+    for blob in payloads:
+        mm._probe_one(blob)
+        for pos in range(len(blob)):
+            for bit in range(8):
+                mut = bytearray(blob)
+                mut[pos] ^= 1 << bit
+                out = mm._probe_one(bytes(mut))   # must not raise
+                assert isinstance(out, dict)
