@@ -3032,6 +3032,19 @@ def mkv_blocks(df: DataFrame, payload_col: str = "payload",
                     bi += 1
                     yield (doctype, ci, bi, cts,
                            parse_block(b, ks, ke), crc_ok)
+                else:
+                    # strict cluster dialect (r12): this walk supports
+                    # CRC-32 + Timecode + SimpleBlock children only.
+                    # Skipping an unknown id silently DROPS records —
+                    # a corrupted SimpleBlock id (0xA3 -> anything)
+                    # yielded zero rows AND discarded the cluster's
+                    # failed-CRC verdict with them (found by the
+                    # cluster-flip property); BlockGroup etc. are an
+                    # unimplemented subset boundary, not skippable.
+                    raise NotImplementedError(
+                        f"unsupported Cluster child element "
+                        f"{keid:#x} (supported: CRC-32, Timecode, "
+                        f"SimpleBlock)")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
