@@ -2659,6 +2659,12 @@ def ogg_packets(df: DataFrame, payload_col: str = "payload",
             stored = int.from_bytes(page[22:26], "little")
             page[22:26] = b"\x00\x00\x00\x00"
             page_ok = ogg_crc(bytes(page)) == stored
+            # an EMPTY page between packets has no packet to carry its
+            # CRC verdict: the next page's state reset would silently
+            # discard it (the MKV dropped-verdict class, r12) — raise
+            if nseg == 0 and not buf and not page_ok:
+                raise ValueError(
+                    "corrupt empty Ogg page between packets")
             flags = b[i + 5]
             gran = int.from_bytes(b[i + 6:i + 14], "little", signed=True)
             if not buf:

@@ -2066,3 +2066,44 @@ def test_xxh32_reference_vectors_and_lz4_roundtrip():
     dic[4] |= 0x01
     with pytest.raises(NotImplementedError, match="DictID"):
         lz4_frame_walk(bytes(dic))
+
+
+def test_ogg_corrupt_empty_page_is_never_silently_dropped(spark):
+    """r12 (the MKV dropped-verdict class): an EMPTY Ogg page
+    (nseg=0, legal for e.g. granule repositioning) that sits BETWEEN
+    packets has no packet row to carry its CRC verdict — the next
+    page's packet-state reset used to discard the failure silently.
+    A clean empty page must leave the packet stream unchanged; a
+    corrupt one must raise."""
+    import pytest as _pytest
+
+    from memory_engine_spark.operators.multimodal import (ogg_crc,
+                                                          ogg_packets,
+                                                          synth_ogg)
+
+    pkts = [b"cmt:first", b"payload-two"]
+    clean = synth_ogg(pkts, serial=5, granules=[10, 20])
+    nseg = clean[26]
+    first_end = 27 + nseg + sum(clean[27:27 + nseg])
+
+    empty = bytearray(b"OggS" + b"\x00" + bytes([0])
+                      + (0).to_bytes(8, "little")      # granule
+                      + (5).to_bytes(4, "little")      # serial
+                      + (99).to_bytes(4, "little")     # seq
+                      + b"\x00\x00\x00\x00" + bytes([0]))
+    empty[22:26] = ogg_crc(bytes(empty)).to_bytes(4, "little")
+
+    def run(blob):
+        df = spark.createDataFrame([("m", bytearray(blob))],
+                                   "media_id string, payload binary")
+        return {r["packet_idx"]: r for r in ogg_packets(df).collect()}
+
+    spliced = clean[:first_end] + bytes(empty) + clean[first_end:]
+    got = run(spliced)
+    assert len(got) == 2 and got[0]["crc_ok"] and got[1]["crc_ok"]
+    assert got[0]["n_bytes"] == len(pkts[0])
+
+    bad = bytearray(spliced)
+    bad[first_end + 6] ^= 0x01            # granule byte, CRC-covered
+    with _pytest.raises(Exception, match="corrupt empty Ogg page"):
+        run(bytes(bad))
