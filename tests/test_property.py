@@ -1496,7 +1496,14 @@ def test_parser_escape_and_hang_sweep_exhaustive():
          fm.lz4_frame_walk),
         ("pdf", fm.synth_pdf(["Page one text", "Second page"]),
          fm.pdf_page_texts),
+        ("pdf_raw", fm.synth_pdf(["Page one text", "Second page"],
+                                 compress=False), fm.pdf_page_texts),
     ]
+    import gzip as _gzip
+    targets.append(
+        ("gzip", _gzip.compress(b"first member text", mtime=0)
+         + _gzip.compress(b"second-member-bytes" * 3, mtime=0),
+         fm.split_gzip_members))
 
     class _Hang(Exception):
         pass
