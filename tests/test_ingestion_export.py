@@ -2107,3 +2107,44 @@ def test_ogg_corrupt_empty_page_is_never_silently_dropped(spark):
     bad[first_end + 6] ^= 0x01            # granule byte, CRC-covered
     with _pytest.raises(Exception, match="corrupt empty Ogg page"):
         run(bytes(bad))
+
+
+def test_mkv_unknown_cluster_child_raises_not_skips(spark):
+    """r12 (deterministic pin for the hypothesis find, which lives
+    only in the local example DB): flipping the only SimpleBlock's id
+    (0xA3 -> 0xA2) used to make the cluster walk emit ZERO rows with
+    every CRC reported green — the failed-CRC verdict had no carrier
+    row and was silently discarded. Unknown Cluster children now
+    raise (strict CRC-32/Timecode/SimpleBlock dialect)."""
+    import pytest as _pytest
+
+    from memory_engine_spark.operators.multimodal import (mkv_blocks,
+                                                          synth_mkv)
+
+    frames = [bytes((i * 17 + j) % 256 for j in range(20))
+              for i in range(1)]
+    blob = synth_mkv("matroska", 1_000_000, (64, 48),
+                     [(0, [(1, 10, True, "none", frames)])])
+
+    def run(b):
+        df = spark.createDataFrame([("m", bytearray(b))],
+                                   "media_id string, payload binary")
+        return mkv_blocks(df).collect()
+
+    assert len(run(blob)) == 1            # baseline: one block row
+
+    # locate the SimpleBlock's id byte via the module's own walk:
+    # cluster children are [CRC-32, Timecode, SimpleBlock], and each
+    # element starts where the previous one's payload ends
+    from memory_engine_spark.operators import multimodal as _mm
+    seg = _mm._ebml_find(blob, 0, len(blob), [0x18538067])
+    cluster = next((s, e) for eid, s, e in
+                   _mm._ebml_children(blob, *seg) if eid == 0x1F43B675)
+    kids = list(_mm._ebml_children(blob, *cluster))
+    assert [k[0] for k in kids] == [0xBF, 0xE7, 0xA3]
+    pos = kids[1][2]                      # Timecode payload end
+    assert blob[pos] == 0xA3
+    mut = bytearray(blob)
+    mut[pos] = 0xA2
+    with _pytest.raises(Exception, match="unsupported Cluster child"):
+        run(bytes(mut))
