@@ -3545,6 +3545,8 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
             out += data[i:i + n + 1]
             i += n + 1
         elif n > 128:
+            if i >= len(data):          # run header with no run byte
+                raise ValueError("PackBits underrun")
             out += bytes([data[i]]) * (257 - n)
             i += 1
     if len(out) != expect:

@@ -1465,11 +1465,15 @@ def test_parser_escape_and_hang_sweep_exhaustive():
         ("tiff_le", mm.synth_tiff(px3), mm.decode_tiff_pixels),
         ("tiff_be", mm.synth_tiff(px3, big_endian=True),
          mm.decode_tiff_pixels),
+        ("tiff_pb", mm.synth_tiff(px3, packbits=True),
+         mm.decode_tiff_pixels),
         ("wav16", mm.synth_wav_pcm16(s16, 8000), mm.decode_wav_pcm),
         ("wav_g711", mm.synth_wav_g711(s16, "ulaw", 8000),
          mm.decode_wav_pcm),
         ("wav_ima", mm.synth_wav_ima(s16, 8000), mm.decode_wav_pcm),
         ("flac", mm.synth_flac(s16, 8000), mm.decode_flac),
+        ("flac_st", mm.synth_flac_stereo(s16, -s16, 8000),
+         mm.decode_flac),
         ("avi", mm.synth_avi(fr, fps=4), mm.decode_avi_frames),
         ("mp4", mm.synth_mp4(fr, fps=5), mm.decode_mp4_frames),
         ("warc", fm.synth_warc(
@@ -1478,8 +1482,16 @@ def test_parser_escape_and_hang_sweep_exhaustive():
              {"warc_type": "request", "uri": "http://a/y",
               "block": b""}]), fm.parse_warc),
         ("tar", fm.synth_tar([("a.txt", b"alpha"),
-                              ("b" * 120 + ".txt", b"beta!")]),
+                              ("b" * 96 + ".txt", b"beta!")]),
          fm.parse_tar),
+        ("tar_gnu_pax", fm.synth_tar([       # override + skip branches
+            ("././@LongLink", ("L" * 120 + ".txt").encode() + b"\x00",
+             "L"),
+            ("L" * 99, b"long-named body"),
+            ("adir/", b"", "5"),
+            ("PaxHeaders/nxt", b"20 path=pax/nxt.txt\n", "x"),
+            ("nxt", b"pax-named body"),
+        ]), fm.parse_tar),
         ("zip", fm.synth_zip([("a.txt", b"alpha"),
                               ("bb.bin", bytes(range(48)))]),
          fm.parse_zip),
