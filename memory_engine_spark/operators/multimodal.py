@@ -2157,16 +2157,29 @@ def decode_avi_frames(payload: bytes) -> tuple[np.ndarray, int]:
         if four == b"hdrl":
             for cid2, off2, sz2 in walk(off + 4, off + sz):
                 if cid2 == b"avih":
+                    # fixed-offset reads must stay inside the chunk's
+                    # OWN csize — a short avih would otherwise read the
+                    # neighboring chunk's bytes (the desynced-slice
+                    # class); avih carries 10 DWORDs before dwWidth
+                    if sz2 < 40:
+                        raise ValueError(
+                            f"avih chunk too short ({sz2} < 40)")
                     w = int.from_bytes(b[off2 + 32:off2 + 36], "little")
                     h = int.from_bytes(b[off2 + 36:off2 + 40], "little")
                 elif cid2 == b"LIST" and b[off2:off2 + 4] == b"strl":
                     for cid3, off3, sz3 in walk(off2 + 4, off2 + sz2):
                         if cid3 == b"strh" and b[off3:off3 + 4] == b"vids":
+                            if sz3 < 28:
+                                raise ValueError(
+                                    f"strh chunk too short ({sz3} < 28)")
                             scale = int.from_bytes(
                                 b[off3 + 20:off3 + 24], "little")
                             rate = int.from_bytes(
                                 b[off3 + 24:off3 + 28], "little")
                         elif cid3 == b"strf":
+                            if sz3 < 20:
+                                raise ValueError(
+                                    f"strf chunk too short ({sz3} < 20)")
                             bpp = int.from_bytes(
                                 b[off3 + 14:off3 + 16], "little")
                             compression = int.from_bytes(

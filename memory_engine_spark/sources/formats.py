@@ -1107,6 +1107,11 @@ def _avro_zigzag_dec(b: bytes, i: int) -> tuple[int, int]:
             raise ValueError("avro varint exceeds 64 bits")
         byte = b[i]
         i += 1
+        if shift == 63 and byte & 0x7E:
+            # the 10th byte may only carry bit 63 (payload bit 0):
+            # bits 64-69 would decode to a value no conforming Avro
+            # writer can emit — corruption, not a wider integer
+            raise ValueError("avro varint exceeds 64 bits")
         u |= (byte & 0x7F) << shift
         if not byte & 0x80:
             break
@@ -1200,6 +1205,11 @@ def parse_avro_pairs(payload: bytes) -> dict:
     blocks, records = [], []
     while i < len(b):
         cnt, i = _avro_zigzag_dec(b, i)
+        if cnt < 0:
+            # a negative block record count is corruption even when
+            # size == 0 (range(cnt) would silently yield no records)
+            # — the same loud-fail contract as klen/vlen/slen
+            raise ValueError("negative avro block record count")
         size, i = _avro_zigzag_dec(b, i)
         if size < 0 or i + size > len(b):
             raise ValueError("truncated avro block")

@@ -565,6 +565,68 @@ def test_avro_container_fuzz_roundtrip(recs, bs, deflate):
             parse_avro_pairs(blob[:-1])
 
 
+def test_avro_varint_tenth_byte_overflow_loud_fails():
+    """r13 ADVICE pin: the 10th varint byte may only carry bit 63 —
+    payload bits 64-69 (final byte & 0x7E) decode to a value no
+    conforming Avro writer can emit and must raise, while the two
+    legal 10-byte extremes still decode."""
+    from memory_engine_spark.sources.formats import _avro_zigzag_dec
+
+    with pytest.raises(ValueError, match="exceeds 64 bits"):
+        _avro_zigzag_dec(b"\x80" * 9 + b"\x7f", 0)
+    with pytest.raises(ValueError, match="exceeds 64 bits"):
+        _avro_zigzag_dec(b"\x80" * 9 + b"\x02", 0)
+    assert _avro_zigzag_dec(b"\xff" * 9 + b"\x01", 0)[0] == -2 ** 63
+    assert _avro_zigzag_dec(
+        b"\xfe" + b"\xff" * 8 + b"\x01", 0)[0] == 2 ** 63 - 1
+
+
+def test_avro_negative_block_count_loud_fails():
+    """r13 ADVICE pin: a corrupt NEGATIVE block record count with
+    size == 0 used to pass silently (range(cnt) empty, j == 0 ==
+    len(body)) yielding no records; it now loud-fails like every
+    other corrupt-count path."""
+    from memory_engine_spark.sources.formats import (_avro_zigzag_enc,
+                                                     parse_avro_pairs,
+                                                     synth_avro_pairs)
+
+    blob = (synth_avro_pairs([]) + _avro_zigzag_enc(-1)
+            + _avro_zigzag_enc(0) + b"0123456789abcdef")
+    with pytest.raises(ValueError, match="negative avro block"):
+        parse_avro_pairs(blob)
+
+
+def test_avi_short_header_chunks_loud_fail():
+    """r13 ADVICE pin: avih/strh/strf fixed-offset field reads are
+    bounds-checked against the chunk's OWN csize — a short header
+    chunk loud-fails instead of silently reading the neighboring
+    chunk's bytes (the desynced-slice class)."""
+    from memory_engine_spark.operators import multimodal as mm
+
+    def chunk(cid, body):
+        return (cid + len(body).to_bytes(4, "little") + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def riff(body):
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    with pytest.raises(ValueError, match="avih chunk too short"):
+        mm.decode_avi_frames(riff(
+            b"AVI " + chunk(b"LIST",
+                            b"hdrl" + chunk(b"avih", bytes(36)))))
+    ok_avih = chunk(b"avih", bytes(40))
+    with pytest.raises(ValueError, match="strh chunk too short"):
+        mm.decode_avi_frames(riff(b"AVI " + chunk(
+            b"LIST", b"hdrl" + ok_avih + chunk(
+                b"LIST", b"strl" + chunk(b"strh",
+                                         b"vids" + bytes(20))))))
+    with pytest.raises(ValueError, match="strf chunk too short"):
+        mm.decode_avi_frames(riff(b"AVI " + chunk(
+            b"LIST", b"hdrl" + ok_avih + chunk(
+                b"LIST", b"strl" + chunk(b"strh", b"vids" + bytes(24))
+                + chunk(b"strf", bytes(16))))))
+
+
 @settings(**SETTINGS)
 @given(recs=st.lists(st.binary(max_size=64), max_size=8),
        flip=st.integers(0, 2 ** 30))

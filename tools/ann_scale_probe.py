@@ -80,6 +80,13 @@ def main() -> None:
 
     base = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
             .select("vec_id", "embedding"))
+    # the clone-id scheme is clone*10000 + vec_id: a base corpus with
+    # vec_id >= 10000 would silently collide clone ids and corrupt the
+    # recall/balance numbers with no assertion firing (r12 ADVICE)
+    max_base_id = base.agg(F.max("vec_id")).first()[0]
+    assert max_base_id < 10000, (
+        f"base max(vec_id)={max_base_id} >= 10000: clone-id stride "
+        f"collides; raise the stride in clone_cluster")
     queries = [(r["vec_id"], list(r["embedding"])) for r in
                base.orderBy("vec_id").limit(N_QUERIES).collect()]
 
