@@ -6885,11 +6885,14 @@ def q190_parquet_column_decode(spark, sf):
     level, or dictionary bug breaks the hash. Scale posture: chunk
     walking is per-(file, row-group, column) — embarrassingly
     parallel, exactly parquet's own split model; one file per task
-    here, one row group per task at 100 TB."""
+    here, one row group per task at 100 TB. I/O posture (r12
+    verdict): tail-range footer read + ONE range read per target
+    column chunk — bytes touched = footer + that column's
+    compressed chunks, never the other columns."""
     import os
 
     from memory_engine_spark.sources.formats import (
-        parquet_read_int64_column)
+        parquet_read_int64_column_file)
 
     paths = spark.createDataFrame(
         [(t, c, os.path.join(sf, f"{t}.parquet"))
@@ -6902,8 +6905,7 @@ def q190_parquet_column_decode(spark, sf):
         for pdf in batches:
             rows = []
             for t, c, p in zip(pdf["tbl"], pdf["col"], pdf["path"]):
-                with open(p, "rb") as f:
-                    vals = parquet_read_int64_column(f.read(), c)
+                vals = parquet_read_int64_column_file(p, c)
                 nn = [v for v in vals if v is not None]
                 rows.append({
                     "tbl": t, "col": c,
@@ -6937,12 +6939,15 @@ def q189_orc_footer(spark, sf):
     unrelated implementations agreeing about real bytes, including
     the stripe-rows-sum invariant. Scale posture: stripes are ORC's
     split/row-group unit; this is the stripe-sizing audit op,
-    mirroring q184's parquet row-group audit."""
+    mirroring q184's parquet row-group audit. I/O posture (r12
+    verdict): postscript + footer come from ONE tail-range read
+    (exact retry if the footer exceeds the 64 KB hint) — never the
+    whole file."""
     import glob
     import os
     import tempfile
 
-    from memory_engine_spark.sources.formats import orc_footer_meta
+    from memory_engine_spark.sources.formats import orc_footer_meta_file
 
     dest = os.path.join(
         tempfile.gettempdir(),
@@ -6964,8 +6969,7 @@ def q189_orc_footer(spark, sf):
         for pdf in batches:
             rows = []
             for t, p in zip(pdf["tbl"], pdf["path"]):
-                with open(p, "rb") as f:
-                    m = orc_footer_meta(f.read())
+                m = orc_footer_meta_file(p)
                 rows.append({
                     "tbl": t, "num_rows": m["num_rows"],
                     "n_top_columns": m["n_top_columns"],
@@ -7136,10 +7140,15 @@ def q184_parquet_footer(spark, sf):
     information_schema column count (two unrelated implementations
     agreeing about real bytes). The row-group-level fields
     (per-group rows/bytes/columns) are additionally cross-validated
-    against duckdb's parquet_metadata() in pytest."""
+    against duckdb's parquet_metadata() in pytest. I/O posture (r12
+    verdict, the weak-pair fix): the probe READS ONLY THE TAIL —
+    stat + 4-byte head magic + one 64 KB tail slice (one exact
+    retry if the footer exceeds it), never the whole file; at
+    100 TB a footer audit touches KBs per multi-GB file."""
     import os
 
-    from memory_engine_spark.sources.formats import parquet_footer_meta
+    from memory_engine_spark.sources.formats import (
+        parquet_footer_meta_file)
 
     tables = ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents",
@@ -7154,8 +7163,7 @@ def q184_parquet_footer(spark, sf):
         for pdf in batches:
             rows = []
             for t, p in zip(pdf["tbl"], pdf["path"]):
-                with open(p, "rb") as f:
-                    m = parquet_footer_meta(f.read())
+                m = parquet_footer_meta_file(p)
                 rows.append({
                     "tbl": t, "num_rows": m["num_rows"],
                     "n_top_columns": m["n_top_columns"],

@@ -1048,17 +1048,31 @@ def _thrift_value(b: bytes, i: int, typ: int):
     raise ValueError(f"unsupported thrift compact type {typ}")
 
 
-def parquet_footer_meta(payload: bytes) -> dict:
-    """REAL parquet footer parse: PAR1 magic front and back, footer
-    length word, thrift-compact FileMetaData → version, num_rows,
-    created_by, top-level column count (root SchemaElement's
-    num_children), and per-row-group (num_rows, total_byte_size,
-    n_columns)."""
-    b = payload or b""
-    if len(b) < 12 or b[:4] != b"PAR1" or b[-4:] != b"PAR1":
+def _parquet_filemeta_ranged(read_at, size: int,
+                             tail_hint: int = 65536) -> dict:
+    """Raw thrift-compact FileMetaData via RANGE reads only (r12
+    verdict: tail metadata must never cost a whole-file read — at
+    100 TB the footer is KBs of a multi-GB file). ``read_at(offset,
+    length) -> bytes`` is the I/O seam (tests count bytes through
+    it). Reads exactly: a 4-byte head magic, one min(size,
+    tail_hint) tail slice, plus one exact (footer_len + 8)-byte
+    slice only when the footer exceeds the hint."""
+    if size < 12 or read_at(0, 4) != b"PAR1":
         raise ValueError("not a parquet file (missing PAR1 magic)")
-    flen = int.from_bytes(b[-8:-4], "little")
-    meta, _ = _thrift_struct(b, len(b) - 8 - flen)
+    n = min(size, max(tail_hint, 16))
+    tail = read_at(size - n, n)
+    if tail[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (missing PAR1 magic)")
+    flen = int.from_bytes(tail[-8:-4], "little")
+    if flen + 12 > size:
+        raise ValueError("parquet footer length exceeds file")
+    if flen + 8 > len(tail):        # footer bigger than the hint:
+        tail = read_at(size - 8 - flen, flen + 8)   # one exact retry
+    meta, _ = _thrift_struct(tail, len(tail) - 8 - flen)
+    return meta
+
+
+def _parquet_meta_dict(meta: dict) -> dict:
     schema = meta.get(2, [])
     root_children = schema[0].get(5, 0) if schema else 0
     rgs = [{"num_rows": rg.get(3, 0),
@@ -1069,6 +1083,42 @@ def parquet_footer_meta(payload: bytes) -> dict:
             "created_by": (meta.get(6) or b"").decode("utf-8",
                                                       "replace"),
             "n_top_columns": root_children, "row_groups": rgs}
+
+
+def parquet_footer_meta(payload: bytes) -> dict:
+    """REAL parquet footer parse: PAR1 magic front and back, footer
+    length word, thrift-compact FileMetaData → version, num_rows,
+    created_by, top-level column count (root SchemaElement's
+    num_children), and per-row-group (num_rows, total_byte_size,
+    n_columns). Whole-bytes convenience wrapper over the ranged
+    reader (`parquet_footer_meta_file` is the scale path)."""
+    b = payload or b""
+    return _parquet_meta_dict(_parquet_filemeta_ranged(
+        lambda off, ln: b[off:off + ln], len(b)))
+
+
+def parquet_footer_meta_file(path: str, tail_hint: int = 65536,
+                             open_fn=open) -> dict:
+    """Scale-path parquet footer introspection: stat + tail-range
+    reads, never the whole file (r12 weak-pair fix). ``open_fn`` is
+    the test seam — pass a wrapper whose .read() counts bytes to
+    assert the ≤ head + tail_hint (+ exact-footer retry) budget."""
+    with open_fn(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        return _parquet_meta_dict(_parquet_filemeta_ranged(
+            _reader_at(f), size, tail_hint))
+
+
+def _reader_at(f):
+    def read_at(off: int, ln: int) -> bytes:
+        f.seek(off)
+        data = f.read(ln)
+        if len(data) != ln:
+            raise ValueError(
+                f"short range read at {off}: {len(data)} < {ln}")
+        return data
+    return read_at
 
 
 # ---------------------------------------------------------------------------
@@ -1438,17 +1488,49 @@ def orc_footer_meta(payload: bytes) -> dict:
     columns. Raises on a bad magic so a framing bug cannot slide.
     Format spec: https://orc.apache.org/specification/ORCv1/
     (public); reference parity: storage introspection ops,
-    memory_core monitoring — parquet twin: parquet_footer_meta."""
-    ps_len = payload[-1]
-    ps = _pb_fields(payload[-1 - ps_len:-1])
+    memory_core monitoring — parquet twin: parquet_footer_meta.
+    Whole-bytes wrapper over the ranged reader
+    (`orc_footer_meta_file` is the scale path)."""
+    b = payload or b""
+    return _orc_footer_meta_ranged(lambda off, ln: b[off:off + ln],
+                                   len(b))
+
+
+def orc_footer_meta_file(path: str, tail_hint: int = 65536,
+                         open_fn=open) -> dict:
+    """Scale-path ORC footer introspection: stat + tail-range reads
+    — the 1-byte-implied postscript, then the footer, re-read exact
+    only if it exceeds the hint — never the whole file (r12
+    weak-pair fix). ``open_fn`` is the byte-counting test seam."""
+    with open_fn(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        return _orc_footer_meta_ranged(_reader_at(f), size, tail_hint)
+
+
+def _orc_footer_meta_ranged(read_at, size: int,
+                            tail_hint: int = 65536) -> dict:
+    if size < 4 or read_at(0, 3) != b"ORC":
+        raise ValueError("bad ORC header magic")
+    n = min(size, max(tail_hint, 256))
+    tail = read_at(size - n, n)
+    ps_len = tail[-1]
+    if 1 + ps_len > size:
+        raise ValueError("ORC postscript exceeds file")
+    ps = _pb_fields(tail[-1 - ps_len:len(tail) - 1])
     magic = ps.get(8000, [b""])[0]
     if magic != b"ORC":
         raise ValueError(f"bad ORC postscript magic: {magic!r}")
     footer_len = ps[1][0]
     compression = ps.get(2, [0])[0]
-    foot_end = len(payload) - 1 - ps_len
+    needed = 1 + ps_len + footer_len
+    if needed > size:
+        raise ValueError("ORC footer length exceeds file")
+    if needed > len(tail):          # footer bigger than the hint:
+        tail = read_at(size - needed, needed)   # one exact retry
+    foot_end = len(tail) - 1 - ps_len
     footer = _pb_fields(_orc_decompress(
-        payload[foot_end - footer_len:foot_end], compression))
+        tail[foot_end - footer_len:foot_end], compression))
     stripes = []
     for sb in footer.get(3, []):
         sf_ = _pb_fields(sb)
@@ -1564,14 +1646,33 @@ def parquet_read_int64_column(payload: bytes, col: str) -> list:
     nulls. INT64 physical type only, flat schema (the honest
     subset; everything else raises). This is the deep twin of
     parquet_footer_meta: q184 proves the metadata walk, this proves
-    the byte-exact DATA path against an independent engine."""
-    import struct as _s
+    the byte-exact DATA path against an independent engine.
+    Whole-bytes wrapper; `parquet_read_int64_column_file` is the
+    scale path (footer + target chunks only, by range)."""
+    b = payload or b""
+    return _parquet_read_int64_ranged(lambda off, ln: b[off:off + ln],
+                                      len(b), col)
 
-    b = payload
-    if b[:4] != b"PAR1" or b[-4:] != b"PAR1":
-        raise ValueError("not a parquet file")
-    flen = int.from_bytes(b[-8:-4], "little")
-    meta, _ = _thrift_struct(b, len(b) - 8 - flen)
+
+def parquet_read_int64_column_file(path: str, col: str,
+                                   tail_hint: int = 65536,
+                                   open_fn=open) -> list:
+    """Scale-path parquet column read: tail-range footer, then ONE
+    range read per (row group × target column) chunk — exactly
+    parquet's own split model; bytes touched = footer + the target
+    column's compressed chunks, never the other columns (r12
+    weak-pair fix for q190). ``open_fn`` is the byte-counting test
+    seam."""
+    with open_fn(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        return _parquet_read_int64_ranged(_reader_at(f), size, col,
+                                          tail_hint)
+
+
+def _parquet_read_int64_ranged(read_at, size: int, col: str,
+                               tail_hint: int = 65536) -> list:
+    meta = _parquet_filemeta_ranged(read_at, size, tail_hint)
     schema = meta.get(2, [])
     elem = next((e for e in schema[1:]
                  if e.get(4, b"").decode() == col), None)
@@ -1589,83 +1690,101 @@ def parquet_read_int64_column(payload: bytes, col: str) -> list:
         if cc is None:
             raise ValueError(f"chunk for {col!r} missing in row group")
         cm = cc.get(3, {})
-        codec = cm.get(4, 0)
-        n_vals = cm.get(5, 0)
-        data_off = cm.get(9, 0)
+        start = cm.get(9, 0)
         dict_off = cm.get(11)
-        pos = min(data_off, dict_off) if dict_off else data_off
+        if dict_off:
+            start = min(start, dict_off)
+        total = cm.get(7, 0)        # total_compressed_size spans the
+        if total <= 0 or start < 0 or start + total > size:
+            raise ValueError(
+                f"chunk for {col!r} overruns file "
+                f"({start}+{total} vs {size})")
+        out.extend(_pq_decode_int64_chunk(
+            read_at(start, total), cm, optional))
+    return out
 
-        def _inflate(raw, usize):
-            if codec == 0:
-                return raw
-            if codec == 1:
-                return _snappy_decompress(raw)
-            raise ValueError(f"unsupported parquet codec {codec}")
 
-        dictionary: list[int] | None = None
-        got = 0
-        while got < n_vals:
-            ph, data_start = _thrift_struct(b, pos)
-            ptype = ph.get(1)
-            usize, csize = ph.get(2, 0), ph.get(3, 0)
-            raw = b[data_start:data_start + csize]
-            pos = data_start + csize
-            if ptype == 2:                      # dictionary page
-                page = _inflate(raw, usize)
-                nd = ph.get(7, {}).get(1, 0)
-                dictionary = list(_s.unpack(f"<{nd}q",
-                                            page[:8 * nd]))
-                continue
-            if ptype == 0:                      # data page v1
-                page = _inflate(raw, usize)
-                hdr = ph.get(5, {})
-                nv, enc = hdr.get(1, 0), hdr.get(2, 0)
-                i = 0
-                defs = [1] * nv
-                if optional:
-                    dlen = int.from_bytes(page[i:i + 4], "little")
-                    defs = _rle_bitpacked_hybrid(
-                        page, i + 4, i + 4 + dlen, 1, nv)
-                    i += 4 + dlen
-                nn = sum(defs)
-                if enc in (2, 8):               # [PLAIN_]RLE_DICT
-                    bw = page[i]
-                    idx = _rle_bitpacked_hybrid(
-                        page, i + 1, len(page), bw, nn)
-                    vs = [dictionary[j] for j in idx]
-                elif enc == 0:                  # PLAIN
-                    vs = list(_s.unpack(f"<{nn}q", page[i:i + 8 * nn]))
-                else:
-                    raise ValueError(f"unsupported encoding {enc}")
-            elif ptype == 3:                    # data page v2
-                hdr = ph.get(8, {})
-                nv, nnul = hdr.get(1, 0), hdr.get(2, 0)
-                enc = hdr.get(4, 0)
-                dlen = hdr.get(5, 0)
-                rlen = hdr.get(6, 0)
-                lvl = raw[:rlen + dlen]
-                body = raw[rlen + dlen:]
-                if ph.get(7, True):
-                    body = _inflate(body, usize - rlen - dlen)
-                defs = [1] * nv
-                if optional and dlen:
-                    defs = _rle_bitpacked_hybrid(
-                        lvl, rlen, rlen + dlen, 1, nv)
-                nn = nv - nnul
-                if enc in (2, 8):
-                    bw = body[0]
-                    idx = _rle_bitpacked_hybrid(
-                        body, 1, len(body), bw, nn)
-                    vs = [dictionary[j] for j in idx]
-                elif enc == 0:
-                    vs = list(_s.unpack(f"<{nn}q", body[:8 * nn]))
-                else:
-                    raise ValueError(f"unsupported encoding {enc}")
+def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
+    """Page walk over ONE column chunk's bytes (dictionary page +
+    data pages, chunk-relative offsets)."""
+    import struct as _s
+
+    codec = cm.get(4, 0)
+    n_vals = cm.get(5, 0)
+
+    def _inflate(raw, usize):
+        if codec == 0:
+            return raw
+        if codec == 1:
+            return _snappy_decompress(raw)
+        raise ValueError(f"unsupported parquet codec {codec}")
+
+    out: list = []
+    dictionary: list[int] | None = None
+    pos = 0
+    got = 0
+    while got < n_vals:
+        ph, data_start = _thrift_struct(b, pos)
+        ptype = ph.get(1)
+        usize, csize = ph.get(2, 0), ph.get(3, 0)
+        raw = b[data_start:data_start + csize]
+        pos = data_start + csize
+        if ptype == 2:                      # dictionary page
+            page = _inflate(raw, usize)
+            nd = ph.get(7, {}).get(1, 0)
+            dictionary = list(_s.unpack(f"<{nd}q",
+                                        page[:8 * nd]))
+            continue
+        if ptype == 0:                      # data page v1
+            page = _inflate(raw, usize)
+            hdr = ph.get(5, {})
+            nv, enc = hdr.get(1, 0), hdr.get(2, 0)
+            i = 0
+            defs = [1] * nv
+            if optional:
+                dlen = int.from_bytes(page[i:i + 4], "little")
+                defs = _rle_bitpacked_hybrid(
+                    page, i + 4, i + 4 + dlen, 1, nv)
+                i += 4 + dlen
+            nn = sum(defs)
+            if enc in (2, 8):               # [PLAIN_]RLE_DICT
+                bw = page[i]
+                idx = _rle_bitpacked_hybrid(
+                    page, i + 1, len(page), bw, nn)
+                vs = [dictionary[j] for j in idx]
+            elif enc == 0:                  # PLAIN
+                vs = list(_s.unpack(f"<{nn}q", page[i:i + 8 * nn]))
             else:
-                raise ValueError(f"unsupported page type {ptype}")
-            it = iter(vs)
-            out.extend(next(it) if d else None for d in defs)
-            got += nv
+                raise ValueError(f"unsupported encoding {enc}")
+        elif ptype == 3:                    # data page v2
+            hdr = ph.get(8, {})
+            nv, nnul = hdr.get(1, 0), hdr.get(2, 0)
+            enc = hdr.get(4, 0)
+            dlen = hdr.get(5, 0)
+            rlen = hdr.get(6, 0)
+            lvl = raw[:rlen + dlen]
+            body = raw[rlen + dlen:]
+            if ph.get(7, True):
+                body = _inflate(body, usize - rlen - dlen)
+            defs = [1] * nv
+            if optional and dlen:
+                defs = _rle_bitpacked_hybrid(
+                    lvl, rlen, rlen + dlen, 1, nv)
+            nn = nv - nnul
+            if enc in (2, 8):
+                bw = body[0]
+                idx = _rle_bitpacked_hybrid(
+                    body, 1, len(body), bw, nn)
+                vs = [dictionary[j] for j in idx]
+            elif enc == 0:
+                vs = list(_s.unpack(f"<{nn}q", body[:8 * nn]))
+            else:
+                raise ValueError(f"unsupported encoding {enc}")
+        else:
+            raise ValueError(f"unsupported page type {ptype}")
+        it = iter(vs)
+        out.extend(next(it) if d else None for d in defs)
+        got += nv
     return out
 
 

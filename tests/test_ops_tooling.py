@@ -405,6 +405,89 @@ def test_parquet_int64_decode_nulls_and_plain(spark, tmp_path):
     assert wide == [i * 1000003 for i in range(200000)]
 
 
+class _CountingFile:
+    """open_fn seam for the *_file readers: counts bytes actually
+    read so tests can pin the tail-range I/O budget."""
+
+    def __init__(self, path, mode):
+        self.f = open(path, mode)
+        self.bytes_read = 0
+
+    def seek(self, *a):
+        return self.f.seek(*a)
+
+    def tell(self):
+        return self.f.tell()
+
+    def read(self, n=-1):
+        d = self.f.read(n)
+        self.bytes_read += len(d)
+        return d
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.f.close()
+
+
+def test_footer_probes_read_only_tail_ranges(spark, tmp_path):
+    """r12 verdict weak-pair fix, pinned: the q184/q189/q190 probes'
+    file readers touch ≤ head-magic + min(size, tail_hint) bytes for
+    footer metadata (one exact retry when the footer exceeds the
+    hint), and footer + the TARGET column's chunks for a column
+    read — never the whole file — while staying byte-identical to
+    the whole-bytes parsers."""
+    import glob
+    import os
+
+    from memory_engine_spark.sources.formats import (
+        orc_footer_meta, orc_footer_meta_file, parquet_footer_meta,
+        parquet_footer_meta_file, parquet_read_int64_column,
+        parquet_read_int64_column_file)
+
+    # parquet footer: every testdata table, default + tiny hint
+    for p in sorted(glob.glob("/root/testdata/sf0.001/*.parquet")):
+        size = os.path.getsize(p)
+        full = parquet_footer_meta(open(p, "rb").read())
+        cf = _CountingFile(p, "rb")
+        assert parquet_footer_meta_file(
+            p, open_fn=lambda pa, m: cf) == full
+        assert cf.bytes_read <= 4 + min(size, 65536), p
+        cf2 = _CountingFile(p, "rb")   # hint smaller than the footer
+        assert parquet_footer_meta_file(
+            p, tail_hint=64, open_fn=lambda pa, m: cf2) == full
+        # head + 64-byte tail + one exact (footer_len + 8) retry
+        assert cf2.bytes_read < size + 72, p
+
+    # parquet column read: bytes = footer + target chunks only; on a
+    # multi-column file that is strictly less than the file
+    p = "/root/testdata/sf0.01/lineitem.parquet"
+    size = os.path.getsize(p)
+    full_vals = parquet_read_int64_column(open(p, "rb").read(),
+                                          "l_orderkey")
+    cf = _CountingFile(p, "rb")
+    assert parquet_read_int64_column_file(
+        p, "l_orderkey", open_fn=lambda pa, m: cf) == full_vals
+    assert cf.bytes_read < size * 0.5, (cf.bytes_read, size)
+
+    # ORC: postscript + footer from one tail slice; retry path exact
+    df = spark.range(30000).selectExpr("id", "CAST(id AS STRING) s")
+    d = str(tmp_path / "orc_tail")
+    (df.coalesce(1).write.format("orc")
+     .option("compression", "zlib").mode("overwrite").save(d))
+    p = glob.glob(d + "/*.orc")[0]
+    size = os.path.getsize(p)
+    full = orc_footer_meta(open(p, "rb").read())
+    cf = _CountingFile(p, "rb")
+    assert orc_footer_meta_file(p, open_fn=lambda pa, m: cf) == full
+    assert cf.bytes_read <= 3 + min(size, 65536)
+    cf2 = _CountingFile(p, "rb")
+    assert orc_footer_meta_file(
+        p, tail_hint=64, open_fn=lambda pa, m: cf2) == full
+    assert cf2.bytes_read < 3 + 256 + 1024  # head + tail + footer
+
+
 def test_delta_log_snapshot_as_of_version(spark):
     """Time travel caps the LOG before the window (not the live set
     after): at v=0 both files exist; at v=2 'b' is gone (removed at
