@@ -8057,16 +8057,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal/crawl/eval/format queries whose code paths four
     # rounds of parser churn (TAR, PNG, MKV, lacing) touched.
     # Next-stalest for r13: the r8-proven tranche q17–q50 + q61–q83.
-    r7_proven = {f"q{i}" for i in range(162, 206)}
-    # Fill the remaining ~6 window slots with the stalest-NEXT
-    # (r8-proven) entries so every slot buys freshness: q17–q22.
-    r8_fill = {f"q{i}" for i in range(17, 23)}
+    # r13 front (r12 verdict item 2): q17–q22 got their fresh proof in
+    # r12's fill, so the stalest-remaining r8-proven tranche is
+    # q23–q50 + q61–q83 — 51 entries; strict-50 window per the r11
+    # precedent, so q83 rolls to r14. Next-stalest for r14: q83 + the
+    # r10-proven tranche q84–q110 + q132–q152.
+    r8_proven = ({f"q{i}" for i in range(23, 51)}
+                 | {f"q{i}" for i in range(61, 83)})
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
                       and int(n.split("_")[0].lstrip("q")) >= 244]
     front = (new_this_round
-             + [n for n in sorted(out) if n.split("_")[0] in r7_proven]
-             + [n for n in sorted(out) if n.split("_")[0] in r8_fill])
+             + [n for n in sorted(out)
+                if n.split("_")[0] in r8_proven])[:50]
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
     for n, fn in out.items():
