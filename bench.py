@@ -438,6 +438,67 @@ def _stream_ij_probe(spark, t, rep):
     return [times[1], times[10], ratio, per_row], evidence
 
 
+def calibration(spark, sf_dir: str) -> dict:
+    """Fixed-work host-speed probe (r12 verdict item 3): three
+    micro-benchmarks whose WORK is constant across rounds, timed
+    min-of-3, run before AND after the query sweep. Two rounds of
+    uniform host drift (r11 +10%, r12 +41% median per-query ratio
+    with zero code changes) made raw cross-round totals meaningless;
+    dividing a round's per-query walls by these calibration ratios
+    (vs the base values recorded in SCALING.md round 13) normalizes
+    the comparison without burning a session on a worktree A/B.
+
+    Axes, chosen to span the drift-sensitive cost classes:
+    - cpu_spin_sec: 2M-step deterministic LCG in pure Python — the
+      Python-worker CPU axis.
+    - file_read_sec: one full buffered read of lineitem.parquet at
+      the bench SF (~17 MB at sf0.1) — the I/O axis (q184's r12
+      3.1x outlier was this class + dispatch).
+    - dispatch_sec: one identity mapInPandas over a 10-row
+      DataFrame through the noop sink — the Arrow worker-dispatch
+      floor, the axis r12's drift hit hardest (18 ms of real work
+      behind a 2.5 s wall)."""
+
+    def best(fn, n=3):
+        runs = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 4))
+        return min(runs), runs
+
+    def cpu_spin():
+        x = 1
+        for _ in range(2_000_000):
+            x = (x * 6364136223846793005 + 1442695040888963407) \
+                & 0xFFFFFFFFFFFFFFFF
+        if not x:
+            raise AssertionError  # keep the loop un-elidable
+
+    lineitem = os.path.join(sf_dir, "lineitem.parquet")
+
+    def file_read():
+        with open(lineitem, "rb") as f:
+            if not f.read():
+                raise AssertionError
+
+    def dispatch():
+        def ident(batches):
+            yield from batches
+
+        (spark.range(10).mapInPandas(ident, "id long")
+         .write.mode("overwrite").format("noop").save())
+
+    out = {}
+    for key, fn in (("cpu_spin_sec", cpu_spin),
+                    ("file_read_sec", file_read),
+                    ("dispatch_sec", dispatch)):
+        m, runs = best(fn)
+        out[key] = m
+        out[key.replace("_sec", "_runs")] = runs
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -448,6 +509,9 @@ def main() -> None:
     # JVM/codegen warmup on the smallest SF so the first measured query
     # doesn't absorb one-time startup cost.
     entrymod.entry(spark).count()
+
+    cal_pre = calibration(spark, sf_dir)
+    print(f"# calibration pre: {cal_pre}", file=sys.stderr)
 
     # One-time index builds happen BEFORE the timed section (the
     # reference pays these at ingest: JanusGraph adjacency and Milvus
@@ -610,6 +674,9 @@ def main() -> None:
           f"{q125_lifecycle_sec}s (q125 steady "
           f"{timings.get('q125_stream_interval_join')}s)", file=sys.stderr)
 
+    cal_post = calibration(spark, sf_dir)
+    print(f"# calibration post: {cal_post}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     # cold_over_1_5x: only the queries whose clean-cache first run
     # exceeded 1.5x steady (full per-query cold is in stderr) — keeps
@@ -628,6 +695,7 @@ def main() -> None:
         "pin_evictions": n_evictions,
         "q125_lifecycle_sec": q125_lifecycle_sec,
         "ingest_docs_per_sec": docs_per_sec,
+        "calibration": {"pre": cal_pre, "post": cal_post},
         "scale_10x": scale,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # REGISTRY.md: BENCH artifacts are self-describing about the
