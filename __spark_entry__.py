@@ -6872,7 +6872,7 @@ def q191_chrf_eval(spark, sf):
 def q190_parquet_column_decode(spark, sf):
     """REAL parquet DATA-path decode under the oracle gate — the
     deep twin of q184's footer walk: for every INT64 key column in
-    the corpus, `formats.parquet_read_int64_column` reads the actual
+    the corpus, `formats.parquet_read_int64_column_file` reads the actual
     table file with no parquet library anywhere — thrift-compact
     footer, per-row-group chunk location, thrift PageHeaders, PURE-
     PYTHON SNAPPY block decompression, PLAIN dictionary pages, RLE/
@@ -6929,7 +6929,7 @@ def q189_orc_footer(spark, sf):
     """ORC physical-metadata introspection under the oracle gate —
     the parquet/avro/orc format-walking trio's last leg: Spark
     WRITES eight tables as real zlib ORC files (its native writer),
-    then `formats.orc_footer_meta` walks the tail bytes with a
+    then `formats.orc_footer_meta_file` walks the tail bytes with a
     hand-rolled protobuf reader (varint field keys, packed uint32s,
     the 3-byte chunked-deflate ORC framing for the compressed
     footer; no ORC library anywhere) to recover numberOfRows, the

@@ -1683,15 +1683,23 @@ def _flac_write_subframe(bw: _FlacBitW, blk: np.ndarray, kind: str,
     input; fixed orders ≥ block size likewise."""
     bs = len(blk)
     mask = (1 << bits) - 1
-    if kind == "const" or (kind == "fixed" and bs <= order):
+    if kind == "fixed" and bs < order:
+        # a fixed subframe needs `order` warm-up samples; demote —
+        # the r13 hypothesis find: a CONSTANT short block (every
+        # 1-sample final block) used to stay "fixed" here because the
+        # old demotion only switched NON-constant blocks to verbatim,
+        # emitting bs warm-ups against a claimed order and a negative
+        # first-partition count — a desynced bitstream
+        kind = "const"
+    if kind == "const":
         if not (blk == blk[0]).all():
             kind = "verbatim"           # constant only encodes constants
-    if kind == "const" and (blk == blk[0]).all():
-        bw.put(0, 1)
-        bw.put(0b000000, 6)
-        bw.put(0, 1)
-        bw.put(int(blk[0]) & mask, bits)
-        return
+        else:
+            bw.put(0, 1)
+            bw.put(0b000000, 6)
+            bw.put(0, 1)
+            bw.put(int(blk[0]) & mask, bits)
+            return
     if kind == "verbatim":
         bw.put(0, 1)
         bw.put(0b000001, 6)

@@ -982,7 +982,14 @@ def tfrecord_entries(df: DataFrame, payload_col: str = "payload",
 
 def _thrift_varint(b: bytes, i: int) -> tuple[int, int]:
     out = shift = 0
+    n = len(b)
     while True:
+        if i >= n:
+            raise ValueError("truncated thrift varint")
+        if shift > 63:
+            # a thrift compact varint is at most 10 bytes; a longer
+            # continuation run is corruption, not a wider integer
+            raise ValueError("thrift varint exceeds 64 bits")
         byte = b[i]
         i += 1
         out |= (byte & 0x7F) << shift
@@ -995,13 +1002,19 @@ def _thrift_zigzag(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
-def _thrift_struct(b: bytes, i: int) -> tuple[dict, int]:
+def _thrift_struct(b: bytes, i: int, depth: int = 0) -> tuple[dict, int]:
     """One compact-protocol struct → {field_id: value}; lists become
     Python lists, nested structs dicts. Types outside the compact
-    spec raise."""
+    spec, truncation, over-deep nesting, and zero-width list
+    elements raise ValueError — corrupt bytes must never escape as
+    IndexError/RecursionError or loop (r13 flip-sweep hardening)."""
+    if depth > 48:
+        raise ValueError("thrift nesting too deep")
     out: dict = {}
     fid = 0
     while True:
+        if i >= len(b):
+            raise ValueError("truncated thrift struct")
         hdr = b[i]
         i += 1
         if hdr == 0:
@@ -1012,39 +1025,56 @@ def _thrift_struct(b: bytes, i: int) -> tuple[dict, int]:
         else:
             sv, i = _thrift_varint(b, i)
             fid = _thrift_zigzag(sv)
-        val, i = _thrift_value(b, i, typ)
+        val, i = _thrift_value(b, i, typ, depth + 1)
         out[fid] = val
 
 
-def _thrift_value(b: bytes, i: int, typ: int):
+def _thrift_value(b: bytes, i: int, typ: int, depth: int = 0):
+    if depth > 48:
+        raise ValueError("thrift nesting too deep")
     if typ == 1:
         return True, i
     if typ == 2:
         return False, i
     if typ == 3:
+        if i >= len(b):
+            raise ValueError("truncated thrift byte")
         return b[i], i + 1
     if typ in (4, 5, 6):                    # i16/i32/i64
         v, i = _thrift_varint(b, i)
         return _thrift_zigzag(v), i
     if typ == 7:                            # double (little-endian)
         import struct as _s
+        if i + 8 > len(b):
+            raise ValueError("truncated thrift double")
         return _s.unpack("<d", b[i:i + 8])[0], i + 8
     if typ == 8:                            # binary/string
         ln, i = _thrift_varint(b, i)
+        if i + ln > len(b):
+            raise ValueError("thrift binary overruns payload")
         return b[i:i + ln], i + ln
     if typ in (9, 10):                      # list/set
+        if i >= len(b):
+            raise ValueError("truncated thrift list header")
         hdr = b[i]
         i += 1
         size, etyp = hdr >> 4, hdr & 0x0F
         if size == 15:
             size, i = _thrift_varint(b, i)
+        if etyp in (1, 2):
+            # compact bool LIST elements are 1 byte each, unlike the
+            # in-header field encoding; parquet metadata never uses
+            # them and a zero-consumption loop would be a CPU bomb
+            raise ValueError("thrift bool list unsupported")
+        if size > len(b) - i:               # every element costs ≥1B
+            raise ValueError("thrift list size exceeds payload")
         out = []
         for _ in range(size):
-            v, i = _thrift_value(b, i, etyp)
+            v, i = _thrift_value(b, i, etyp, depth + 1)
             out.append(v)
         return out, i
     if typ == 12:
-        return _thrift_struct(b, i)
+        return _thrift_struct(b, i, depth + 1)
     raise ValueError(f"unsupported thrift compact type {typ}")
 
 
@@ -1073,15 +1103,32 @@ def _parquet_filemeta_ranged(read_at, size: int,
 
 
 def _parquet_meta_dict(meta: dict) -> dict:
+    # a flipped type nibble can turn any field into the wrong Python
+    # shape — validate structure so corruption surfaces as ValueError,
+    # never TypeError/AttributeError (r13 flip-sweep hardening)
     schema = meta.get(2, [])
+    if not (isinstance(schema, list)
+            and all(isinstance(e, dict) for e in schema)):
+        raise ValueError("corrupt parquet schema list")
     root_children = schema[0].get(5, 0) if schema else 0
-    rgs = [{"num_rows": rg.get(3, 0),
-            "total_byte_size": rg.get(2, 0),
-            "n_columns": len(rg.get(1, []))}
-           for rg in meta.get(4, [])]
-    return {"version": meta.get(1), "num_rows": meta.get(3, 0),
-            "created_by": (meta.get(6) or b"").decode("utf-8",
-                                                      "replace"),
+    created_by = meta.get(6) or b""
+    num_rows = meta.get(3, 0)
+    rgs_raw = meta.get(4, [])
+    if not (isinstance(root_children, int) and isinstance(num_rows, int)
+            and isinstance(created_by, bytes)
+            and isinstance(rgs_raw, list)
+            and all(isinstance(rg, dict) for rg in rgs_raw)):
+        raise ValueError("corrupt parquet FileMetaData field types")
+    rgs = []
+    for rg in rgs_raw:
+        nr, tbs, cols = rg.get(3, 0), rg.get(2, 0), rg.get(1, [])
+        if not (isinstance(nr, int) and isinstance(tbs, int)
+                and isinstance(cols, list)):
+            raise ValueError("corrupt parquet row-group field types")
+        rgs.append({"num_rows": nr, "total_byte_size": tbs,
+                    "n_columns": len(cols)})
+    return {"version": meta.get(1), "num_rows": num_rows,
+            "created_by": created_by.decode("utf-8", "replace"),
             "n_top_columns": root_children, "row_groups": rgs}
 
 
@@ -1391,9 +1438,16 @@ def delta_log_snapshot(actions: DataFrame, line_col: str = "line",
 
 
 def _pb_varint(b: bytes, i: int) -> tuple[int, int]:
-    """Protobuf base-128 varint at b[i:] -> (value, next_index)."""
+    """Protobuf base-128 varint at b[i:] -> (value, next_index).
+    Truncation and >64-bit continuation runs raise ValueError (r13
+    flip-sweep hardening — never IndexError, never unbounded ints)."""
     v, shift = 0, 0
+    n = len(b)
     while True:
+        if i >= n:
+            raise ValueError("truncated protobuf varint")
+        if shift > 63:
+            raise ValueError("protobuf varint exceeds 64 bits")
         x = b[i]
         i += 1
         v |= (x & 0x7F) << shift
@@ -1416,12 +1470,18 @@ def _pb_fields(b: bytes) -> dict[int, list]:
             v, i = _pb_varint(b, i)
         elif wt == 2:
             ln, i = _pb_varint(b, i)
+            if i + ln > len(b):
+                raise ValueError("protobuf field overruns message")
             v = b[i:i + ln]
             i += ln
         elif wt == 5:
+            if i + 4 > len(b):
+                raise ValueError("truncated protobuf fixed32")
             v = b[i:i + 4]
             i += 4
         elif wt == 1:
+            if i + 8 > len(b):
+                raise ValueError("truncated protobuf fixed64")
             v = b[i:i + 8]
             i += 8
         else:
@@ -1521,7 +1581,17 @@ def _orc_footer_meta_ranged(read_at, size: int,
     magic = ps.get(8000, [b""])[0]
     if magic != b"ORC":
         raise ValueError(f"bad ORC postscript magic: {magic!r}")
-    footer_len = ps[1][0]
+
+    def _u64(fields, fno, what):
+        # a flipped wire-type bit can make any field arrive as bytes
+        # instead of varint — surface that as ValueError, never
+        # KeyError/TypeError (r13 flip-sweep hardening)
+        vs = fields.get(fno)
+        if not vs or not isinstance(vs[0], int) or vs[0] < 0:
+            raise ValueError(f"missing or corrupt ORC {what}")
+        return vs[0]
+
+    footer_len = _u64(ps, 1, "postscript footerLength")
     compression = ps.get(2, [0])[0]
     needed = 1 + ps_len + footer_len
     if needed > size:
@@ -1533,23 +1603,35 @@ def _orc_footer_meta_ranged(read_at, size: int,
         tail[foot_end - footer_len:foot_end], compression))
     stripes = []
     for sb in footer.get(3, []):
+        if not isinstance(sb, bytes):
+            raise ValueError("corrupt ORC stripe entry")
         sf_ = _pb_fields(sb)
-        stripes.append({
-            "offset": sf_.get(1, [0])[0],
-            "index_length": sf_.get(2, [0])[0],
-            "data_length": sf_.get(3, [0])[0],
-            "footer_length": sf_.get(4, [0])[0],
-            "num_rows": sf_.get(5, [0])[0]})
+        stripe = {}
+        for fno, key in ((1, "offset"), (2, "index_length"),
+                         (3, "data_length"), (4, "footer_length"),
+                         (5, "num_rows")):
+            v = sf_.get(fno, [0])[0]
+            if not isinstance(v, int):
+                raise ValueError(f"corrupt ORC stripe {key}")
+            stripe[key] = v
+        stripes.append(stripe)
     types = footer.get(4, [])
     n_top = 0
     if types:
+        if not isinstance(types[0], bytes):
+            raise ValueError("corrupt ORC type entry")
         root = _pb_fields(types[0])
         n_top = len(root.get(3, []))
         if not n_top:  # kindless root fallback: subtypes count
             n_top = len(_pb_packed_u32(root.get(2, [])))
+    num_rows = footer.get(6, [0])[0]
+    content_length = footer.get(2, [0])[0]
+    if not (isinstance(num_rows, int)
+            and isinstance(content_length, int)):
+        raise ValueError("corrupt ORC footer counters")
     return {
-        "num_rows": footer.get(6, [0])[0],
-        "content_length": footer.get(2, [0])[0],
+        "num_rows": num_rows,
+        "content_length": content_length,
         "compression": {0: "none", 1: "zlib", 2: "snappy",
                         3: "lzo", 4: "lz4", 5: "zstd"}.get(
                             compression, str(compression)),
@@ -1621,7 +1703,13 @@ def _rle_bitpacked_hybrid(b: bytes, i: int, end: int, bit_width: int,
     while len(vals) < count and i < end:
         hdr, i = _pb_varint(b, i)
         if hdr & 1:
-            for _ in range(hdr >> 1):
+            # cap materialization at `count`: a flipped header byte
+            # must not allocate a proportional group list (r13
+            # flip-sweep hardening — the same bomb class as MP4
+            # table counts); groups beyond the need are ignored
+            groups = min(hdr >> 1,
+                         (count - len(vals) + 7) // 8)
+            for _ in range(groups):
                 g = int.from_bytes(b[i:i + bit_width], "little")
                 i += bit_width
                 for k in range(8):
@@ -1630,7 +1718,7 @@ def _rle_bitpacked_hybrid(b: bytes, i: int, end: int, bit_width: int,
             run = hdr >> 1
             v = int.from_bytes(b[i:i + byte_w], "little")
             i += byte_w
-            vals.extend([v] * run)
+            vals.extend([v] * min(run, count - len(vals)))
     return vals[:count]
 
 
@@ -1674,27 +1762,53 @@ def _parquet_read_int64_ranged(read_at, size: int, col: str,
                                tail_hint: int = 65536) -> list:
     meta = _parquet_filemeta_ranged(read_at, size, tail_hint)
     schema = meta.get(2, [])
-    elem = next((e for e in schema[1:]
-                 if e.get(4, b"").decode() == col), None)
+    if not (isinstance(schema, list)
+            and all(isinstance(e, dict) for e in schema)):
+        raise ValueError("corrupt parquet schema list")
+
+    def _name(e):
+        v = e.get(4, b"")
+        return v.decode("utf-8", "replace") if isinstance(v, bytes) \
+            else ""
+
+    elem = next((e for e in schema[1:] if _name(e) == col), None)
     if elem is None:
         raise ValueError(f"column {col!r} not in schema")
     if elem.get(1) != 2:
         raise ValueError(f"column {col!r} is not INT64")
     optional = elem.get(3, 0) == 1
 
+    rgs = meta.get(4, [])
+    if not (isinstance(rgs, list)
+            and all(isinstance(rg, dict) for rg in rgs)):
+        raise ValueError("corrupt parquet row-group list")
     out: list = []
-    for rg in meta.get(4, []):
-        cc = next((c for c in rg.get(1, [])
-                   if [p.decode() for p in
-                       c.get(3, {}).get(3, [])] == [col]), None)
+    for rg in rgs:
+        cols = rg.get(1, [])
+        if not (isinstance(cols, list)
+                and all(isinstance(c, dict) for c in cols)):
+            raise ValueError("corrupt parquet column-chunk list")
+
+        def _path(c):
+            pm = c.get(3, {})
+            parts = pm.get(3, []) if isinstance(pm, dict) else []
+            if not isinstance(parts, list):
+                return []
+            return [p.decode("utf-8", "replace") for p in parts
+                    if isinstance(p, bytes)]
+
+        cc = next((c for c in cols if _path(c) == [col]), None)
         if cc is None:
             raise ValueError(f"chunk for {col!r} missing in row group")
         cm = cc.get(3, {})
         start = cm.get(9, 0)
         dict_off = cm.get(11)
+        total = cm.get(7, 0)        # total_compressed_size spans the
+        if not (isinstance(start, int) and isinstance(total, int)
+                and isinstance(dict_off, (int, type(None)))):
+            raise ValueError("corrupt parquet chunk offsets")
         if dict_off:
             start = min(start, dict_off)
-        total = cm.get(7, 0)        # total_compressed_size spans the
         if total <= 0 or start < 0 or start + total > size:
             raise ValueError(
                 f"chunk for {col!r} overruns file "
@@ -1706,11 +1820,17 @@ def _parquet_read_int64_ranged(read_at, size: int, col: str,
 
 def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
     """Page walk over ONE column chunk's bytes (dictionary page +
-    data pages, chunk-relative offsets)."""
+    data pages, chunk-relative offsets). Loud-fail contract (r13
+    flip-sweep hardening): corrupt counts/lengths/types raise
+    ValueError before any proportional allocation — never
+    struct.error/IndexError/TypeError/StopIteration."""
     import struct as _s
 
     codec = cm.get(4, 0)
     n_vals = cm.get(5, 0)
+    if not (isinstance(codec, int) and isinstance(n_vals, int)
+            and n_vals >= 0):
+        raise ValueError("corrupt parquet chunk metadata")
 
     def _inflate(raw, usize):
         if codec == 0:
@@ -1718,6 +1838,20 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
         if codec == 1:
             return _snappy_decompress(raw)
         raise ValueError(f"unsupported parquet codec {codec}")
+
+    def _ints(*vals):
+        if not all(isinstance(v, int) and v >= 0 for v in vals):
+            raise ValueError("corrupt parquet page header field")
+        return vals
+
+    def _dict_lookup(dictionary, idx):
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page before any "
+                             "dictionary page")
+        nd = len(dictionary)
+        if any(j >= nd for j in idx):
+            raise ValueError("dictionary index out of range")
+        return [dictionary[j] for j in idx]
 
     out: list = []
     dictionary: list[int] | None = None
@@ -1727,41 +1861,67 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
         ph, data_start = _thrift_struct(b, pos)
         ptype = ph.get(1)
         usize, csize = ph.get(2, 0), ph.get(3, 0)
+        _ints(usize, csize)
+        if data_start + csize > len(b):
+            raise ValueError("parquet page overruns chunk")
         raw = b[data_start:data_start + csize]
         pos = data_start + csize
         if ptype == 2:                      # dictionary page
             page = _inflate(raw, usize)
-            nd = ph.get(7, {}).get(1, 0)
-            dictionary = list(_s.unpack(f"<{nd}q",
-                                        page[:8 * nd]))
+            dh = ph.get(7, {})
+            nd = dh.get(1, 0) if isinstance(dh, dict) else None
+            if not isinstance(nd, int) or nd < 0 \
+                    or 8 * nd > len(page):
+                raise ValueError("corrupt parquet dictionary count")
+            dictionary = list(_s.unpack(f"<{nd}q", page[:8 * nd]))
             continue
         if ptype == 0:                      # data page v1
             page = _inflate(raw, usize)
             hdr = ph.get(5, {})
+            if not isinstance(hdr, dict):
+                raise ValueError("corrupt parquet v1 page header")
             nv, enc = hdr.get(1, 0), hdr.get(2, 0)
+            _ints(nv, enc)
+            if got + nv > n_vals:
+                raise ValueError("page value count overruns chunk")
             i = 0
             defs = [1] * nv
             if optional:
+                if len(page) < 4:
+                    raise ValueError("truncated def-level section")
                 dlen = int.from_bytes(page[i:i + 4], "little")
+                if i + 4 + dlen > len(page):
+                    raise ValueError("def levels overrun page")
                 defs = _rle_bitpacked_hybrid(
                     page, i + 4, i + 4 + dlen, 1, nv)
                 i += 4 + dlen
             nn = sum(defs)
             if enc in (2, 8):               # [PLAIN_]RLE_DICT
+                if i >= len(page):
+                    raise ValueError("truncated dictionary indices")
                 bw = page[i]
                 idx = _rle_bitpacked_hybrid(
                     page, i + 1, len(page), bw, nn)
-                vs = [dictionary[j] for j in idx]
+                vs = _dict_lookup(dictionary, idx)
             elif enc == 0:                  # PLAIN
+                if i + 8 * nn > len(page):
+                    raise ValueError("PLAIN values overrun page")
                 vs = list(_s.unpack(f"<{nn}q", page[i:i + 8 * nn]))
             else:
                 raise ValueError(f"unsupported encoding {enc}")
         elif ptype == 3:                    # data page v2
             hdr = ph.get(8, {})
+            if not isinstance(hdr, dict):
+                raise ValueError("corrupt parquet v2 page header")
             nv, nnul = hdr.get(1, 0), hdr.get(2, 0)
             enc = hdr.get(4, 0)
             dlen = hdr.get(5, 0)
             rlen = hdr.get(6, 0)
+            _ints(nv, nnul, enc, dlen, rlen)
+            if got + nv > n_vals:
+                raise ValueError("page value count overruns chunk")
+            if nnul > nv or rlen + dlen > len(raw):
+                raise ValueError("corrupt v2 level sections")
             lvl = raw[:rlen + dlen]
             body = raw[rlen + dlen:]
             if ph.get(7, True):
@@ -1772,16 +1932,22 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
                     lvl, rlen, rlen + dlen, 1, nv)
             nn = nv - nnul
             if enc in (2, 8):
+                if not body:
+                    raise ValueError("truncated dictionary indices")
                 bw = body[0]
                 idx = _rle_bitpacked_hybrid(
                     body, 1, len(body), bw, nn)
-                vs = [dictionary[j] for j in idx]
+                vs = _dict_lookup(dictionary, idx)
             elif enc == 0:
+                if 8 * nn > len(body):
+                    raise ValueError("PLAIN values overrun page")
                 vs = list(_s.unpack(f"<{nn}q", body[:8 * nn]))
             else:
                 raise ValueError(f"unsupported encoding {enc}")
         else:
             raise ValueError(f"unsupported page type {ptype}")
+        if sum(1 for d in defs if d) != len(vs):
+            raise ValueError("def levels disagree with value count")
         it = iter(vs)
         out.extend(next(it) if d else None for d in defs)
         got += nv
