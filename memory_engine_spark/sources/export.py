@@ -15,6 +15,8 @@ driver-side since it's O(1).
 from __future__ import annotations
 
 import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,7 +71,9 @@ def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
                   '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
                   '  <graph id="G" edgedefault="directed">\n')
         with open(os.path.join(body_dir, part)) as src:
-            out.write(src.read())
+            # chunked copy: the body part can be arbitrarily large —
+            # never materialize it in driver memory at once
+            shutil.copyfileobj(src, out, 1 << 20)
         out.write("  </graph>\n</graphml>\n")
 
 
@@ -133,7 +137,9 @@ def export_rdf(nodes: DataFrame, edges: DataFrame, path: str) -> None:
                   "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
                   "@prefix kg: <http://memory-engine.org/kg#> .\n\n")
         with open(os.path.join(body_dir, part)) as src:
-            out.write(src.read())
+            # chunked copy: the body part can be arbitrarily large —
+            # never materialize it in driver memory at once
+            shutil.copyfileobj(src, out, 1 << 20)
 
 
 def export_networkx(nodes: DataFrame, edges: DataFrame, path: str) -> None:
@@ -193,7 +199,9 @@ def export_xml(df: DataFrame, path: str, row_tag: str = "row",
     with open(path, "w") as out:
         out.write(f'<?xml version="1.0" encoding="UTF-8"?>\n<{root_tag}>\n')
         with open(os.path.join(body_dir, part)) as src:
-            out.write(src.read())
+            # chunked copy: the body part can be arbitrarily large —
+            # never materialize it in driver memory at once
+            shutil.copyfileobj(src, out, 1 << 20)
         out.write(f"</{root_tag}>\n")
 
 
