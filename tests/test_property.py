@@ -1671,6 +1671,53 @@ def test_parser_escape_and_hang_sweep_exhaustive():
     assert not problems, problems[:20]
 
 
+@settings(**SETTINGS)
+@given(tail_hint=st.integers(16, 70000), nrows=st.integers(1, 400))
+def test_footer_ranged_readers_hint_invariant(tail_hint, nrows):
+    """The tail_hint is a pure I/O knob: for ANY hint (smaller than
+    the footer → exact-retry path; larger → single-slice path) the
+    ranged readers must return byte-identical results to the
+    whole-bytes parsers. Probes the retry boundary arithmetic the
+    counting-seam test only samples at two hints."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import orc as paorc
+
+    from memory_engine_spark.sources import formats as fm
+
+    table = pa.table({
+        "k": pa.array(range(nrows), type=pa.int64()),
+        "s": pa.array([f"s{i}" for i in range(nrows)])})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy")
+    blob = buf.getvalue()
+
+    def read_at(off, ln):
+        assert 0 <= off and off + ln <= len(blob)   # in-bounds reads only
+        return blob[off:off + ln]
+
+    full = fm.parquet_footer_meta(blob)
+    assert fm._parquet_meta_dict(fm._parquet_filemeta_ranged(
+        read_at, len(blob), tail_hint)) == full
+    assert fm._parquet_read_int64_ranged(
+        read_at, len(blob), "k", tail_hint) \
+        == fm.parquet_read_int64_column(blob, "k") \
+        == list(range(nrows))
+
+    obuf = io.BytesIO()
+    paorc.write_table(table, obuf, compression="zlib")
+    oblob = obuf.getvalue()
+
+    def oread_at(off, ln):
+        assert 0 <= off and off + ln <= len(oblob)
+        return oblob[off:off + ln]
+
+    assert fm._orc_footer_meta_ranged(oread_at, len(oblob), tail_hint) \
+        == fm.orc_footer_meta(oblob)
+
+
 def test_sweep_list_covers_parser_registry():
     """r12 verdict item 4, the sweep-as-gate: every module-level
     pure-bytes parser in formats/multimodal (identified by its first
