@@ -488,6 +488,47 @@ def test_footer_probes_read_only_tail_ranges(spark, tmp_path):
     assert cf2.bytes_read < 3 + 256 + 1024  # head + tail + footer
 
 
+def test_footer_retry_path_on_real_wide_file(spark, tmp_path):
+    """The exact-retry seam under a REAL Spark file whose footer
+    exceeds the default 64 KB hint (wide schema × many row groups —
+    the shape a 100-TB table's metadata actually takes): the ranged
+    reader must fire ONE retry of exactly footer_len + 8 bytes and
+    agree with duckdb's parquet_file_metadata."""
+    import glob
+    import os
+
+    import duckdb
+
+    from memory_engine_spark.sources.formats import (
+        parquet_footer_meta_file)
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        "id", *[(F.col("id") * (i + 3)).alias(f"c{i:03d}")
+                for i in range(199)])
+    d = str(tmp_path / "wide")
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.block.size", 65536).parquet(d))
+    p = glob.glob(d + "/*.parquet")[0]
+    size = os.path.getsize(p)
+    raw_tail = open(p, "rb").read()[-8:-4]
+    flen = int.from_bytes(raw_tail, "little")
+    assert flen + 8 > 65536          # the retry MUST be exercised
+
+    cf = _CountingFile(p, "rb")
+    m = parquet_footer_meta_file(p, open_fn=lambda pa, mo: cf)
+    # head magic + first tail slice + one exact footer slice
+    assert cf.bytes_read == 4 + 65536 + flen + 8
+    assert cf.bytes_read < size      # and still far from whole-file
+
+    nr, ng = duckdb.connect().execute(
+        "SELECT num_rows, num_row_groups "
+        f"FROM parquet_file_metadata('{p}')").fetchone()
+    assert m["num_rows"] == nr == 2000
+    assert len(m["row_groups"]) == ng > 1
+    assert m["n_top_columns"] == 200
+
+
 def test_delta_log_snapshot_as_of_version(spark):
     """Time travel caps the LOG before the window (not the live set
     after): at v=0 both files exist; at v=2 'b' is gone (removed at
