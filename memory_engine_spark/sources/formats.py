@@ -1823,8 +1823,14 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
     data pages, chunk-relative offsets). Loud-fail contract (r13
     flip-sweep hardening): corrupt counts/lengths/types raise
     ValueError before any proportional allocation — never
-    struct.error/IndexError/TypeError/StopIteration."""
+    struct.error/IndexError/TypeError/StopIteration. Pages that
+    carry the optional PageHeader crc (field 4, CRC-32 of the
+    compressed page bytes — parquet-format's page-level integrity
+    word; Spark's writer omits it, pyarrow writes it on request)
+    are VERIFIED, so a flipped data byte in a checksummed file is a
+    loud CRC mismatch, never silently wrong values."""
     import struct as _s
+    import zlib as _z
 
     codec = cm.get(4, 0)
     n_vals = cm.get(5, 0)
@@ -1866,6 +1872,12 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
             raise ValueError("parquet page overruns chunk")
         raw = b[data_start:data_start + csize]
         pos = data_start + csize
+        crc = ph.get(4)
+        if crc is not None:
+            if not isinstance(crc, int):
+                raise ValueError("corrupt parquet page crc field")
+            if _z.crc32(raw) != crc & 0xFFFFFFFF:
+                raise ValueError("parquet page CRC mismatch")
         if ptype == 2:                      # dictionary page
             page = _inflate(raw, usize)
             dh = ph.get(7, {})

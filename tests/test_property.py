@@ -1553,9 +1553,14 @@ def _sweep_targets():
     pq.write_table(table, pq_buf, compression="snappy")
     orc_buf = io.BytesIO()
     paorc.write_table(table, orc_buf, compression="zlib")
+    pqc_buf = io.BytesIO()
+    pq.write_table(table, pqc_buf, compression="snappy",
+                   write_page_checksum=True)
     targets = [
         ("parquet_footer", pq_buf.getvalue(), fm.parquet_footer_meta),
         ("parquet_int64", pq_buf.getvalue(),
+         functools.partial(fm.parquet_read_int64_column, col="k")),
+        ("parquet_int64_crc", pqc_buf.getvalue(),
          functools.partial(fm.parquet_read_int64_column, col="k")),
         ("orc_footer", orc_buf.getvalue(), fm.orc_footer_meta),
         ("png", mm.synth_png(px3), mm.decode_png_pixels),
@@ -1669,6 +1674,54 @@ def test_parser_escape_and_hang_sweep_exhaustive():
     finally:
         signal.signal(signal.SIGALRM, old)
     assert not problems, problems[:20]
+
+
+@settings(**SETTINGS)
+@given(nrows=st.integers(1, 300), flip=st.integers(0, 2 ** 30),
+       bit=st.integers(0, 7))
+def test_parquet_page_crc_no_silent_wrong_values(nrows, flip, bit):
+    """Parquet's page-level integrity word, scoped like the FLAC/TAR
+    flip properties to what the format protects: in a file written
+    WITH page checksums (pyarrow write_page_checksum), a bit flip
+    anywhere inside a column chunk must either raise or leave the
+    decoded values IDENTICAL (a thrift header flip can at most make
+    the crc field invisible — the data bytes are unchanged) — never
+    a clean decode of different values. The footer carries no CRC
+    (format-inherent), so footer flips are out of scope, exactly as
+    STREAMINFO is for FLAC."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from memory_engine_spark.sources import formats as fm
+
+    table = pa.table({"k": pa.array(
+        [(i * 2654435761 + 11) % 100003 for i in range(nrows)],
+        type=pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy",
+                   write_page_checksum=True)
+    blob = buf.getvalue()
+    base = fm.parquet_read_int64_column(blob, "k")
+    assert base == table["k"].to_pylist()
+
+    meta = fm._parquet_filemeta_ranged(
+        lambda o, ln: blob[o:o + ln], len(blob))
+    cm = meta[4][0][1][0][3]
+    start = cm.get(9, 0)
+    if cm.get(11):
+        start = min(start, cm[11])
+    total = cm[7]
+    pos = start + (flip % total)        # flip INSIDE the chunk only
+    mut = bytearray(blob)
+    mut[pos] ^= 1 << bit
+    try:
+        got = fm.parquet_read_int64_column(bytes(mut), "k")
+    except (ValueError, NotImplementedError):
+        return                           # loud-fail: the CRC worked
+    assert got == base, "flipped checksummed page decoded to " \
+                        "DIFFERENT values without raising"
 
 
 @settings(**SETTINGS)
