@@ -1683,13 +1683,20 @@ def _flac_write_subframe(bw: _FlacBitW, blk: np.ndarray, kind: str,
     input; fixed orders ≥ block size likewise."""
     bs = len(blk)
     mask = (1 << bits) - 1
-    if kind == "fixed" and bs < order:
+    if kind == "fixed" and bs <= order:
         # a fixed subframe needs `order` warm-up samples; demote —
         # the r13 hypothesis find: a CONSTANT short block (every
         # 1-sample final block) used to stay "fixed" here because the
         # old demotion only switched NON-constant blocks to verbatim,
         # emitting bs warm-ups against a claimed order and a negative
-        # first-partition count — a desynced bitstream
+        # first-partition count — a desynced bitstream. bs == order is
+        # demoted too (conservative boundary): a zero-residual fixed
+        # subframe is at the edge of FLAC spec validity.
+        kind = "const"
+    if kind == "lpc" and bs <= 2:
+        # same demotion for lpc (hardcoded coeffs [2, -1], order 2):
+        # bs < 2 would truncate warm-ups below the claimed order and
+        # desync the bitstream; bs == 2 is the zero-residual edge
         kind = "const"
     if kind == "const":
         if not (blk == blk[0]).all():

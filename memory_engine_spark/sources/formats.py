@@ -1936,7 +1936,11 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
                 raise ValueError("corrupt v2 level sections")
             lvl = raw[:rlen + dlen]
             body = raw[rlen + dlen:]
-            if ph.get(7, True):
+            # is_compressed is DataPageHeaderV2 field 7 (inside hdr);
+            # PageHeader field 7 is dictionary_page_header — reading it
+            # from ph would misroute uncompressed-v2-pages-under-a-
+            # compressed-codec files into the decompressor
+            if hdr.get(7, True):
                 body = _inflate(body, usize - rlen - dlen)
             defs = [1] * nv
             if optional and dlen:

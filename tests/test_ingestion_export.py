@@ -879,6 +879,38 @@ def test_flac_roundtrip_all_subframe_types(spark):
         assert row["energy"][w] == float(int(seg @ seg)) / 50
 
 
+def test_flac_short_block_demotion_boundaries():
+    """Subframe demotion at the short-block boundaries (r13 ADVICE
+    pins): fixed with bs <= order (bs == order would emit a
+    zero-residual subframe at the edge of spec validity; bs < order
+    would truncate warm-ups) and lpc with bs <= 2 (the hardcoded
+    [2,-1] filter's order) both demote to const — or verbatim when
+    the block isn't constant — and the demoted streams round-trip."""
+    import numpy as np
+
+    SUB = 4 + 4 + 34 + 7      # magic + block hdr + STREAMINFO + frame hdr
+    CONST, VERBATIM = 0x00, 0x02   # 0b0_TTTTTT_0 subframe header bytes
+
+    cases = [
+        (np.full(3, 7, dtype=np.int64), ("fixed", 3), CONST),
+        (np.array([1, 2, 3], dtype=np.int64), ("fixed", 3), VERBATIM),
+        (np.array([-5], dtype=np.int64), ("lpc", 2), CONST),
+        (np.array([4, -9], dtype=np.int64), ("lpc", 2), VERBATIM),
+    ]
+    for s, plan, want in cases:
+        flac = multimodal.synth_flac(s, subframe_plan=lambda fi: plan)
+        assert flac[SUB] == want, (list(s), plan)
+        dec, _ = multimodal.decode_flac(flac)
+        assert (dec == s).all()
+
+    # multi-block lpc whose final block is 1 sample: pre-fix this
+    # truncated blk[:order] below the claimed order and desynced
+    s = (np.arange(129, dtype=np.int64) * 11 % 500) - 250
+    dec, _ = multimodal.decode_flac(
+        multimodal.synth_flac(s, subframe_plan=lambda fi: ("lpc", 2)))
+    assert (dec == s).all()
+
+
 def test_warc_parse_framing_and_spark_stage(spark):
     """WARC parsing honors Content-Length framing (hand-assembled
     byte vector whose response body embeds CRLF CRLF — a blank-line

@@ -405,6 +405,81 @@ def test_parquet_int64_decode_nulls_and_plain(spark, tmp_path):
     assert wide == [i * 1000003 for i in range(200000)]
 
 
+def test_parquet_v2_uncompressed_page_under_snappy_codec():
+    """DataPageHeaderV2.is_compressed is field 7 of the v2 header
+    struct, NOT field 7 of the enclosing PageHeader (that slot is
+    dictionary_page_header) — r13 ADVICE pin. A v2 page stored raw
+    (is_compressed=false) inside a SNAPPY-codec chunk must be read
+    as-is; a compressed sibling still inflates. Hand-assembled
+    thrift-compact bytes so both flag states are exercised
+    (pyarrow/Spark never emit the raw-under-codec shape)."""
+    import struct
+
+    from memory_engine_spark.sources.formats import (
+        _pq_decode_int64_chunk)
+
+    def varint(v):
+        out = bytearray()
+        while True:
+            x = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(x | 0x80)
+            else:
+                out.append(x)
+                return bytes(out)
+
+    def zig(v):
+        return varint((v << 1) ^ (v >> 63))
+
+    def tc_struct(fields):
+        out, last = bytearray(), 0
+        for fid, typ, val in fields:
+            delta = fid - last
+            assert 0 < delta <= 15
+            last = fid
+            if typ == "i32":
+                out.append((delta << 4) | 5)
+                out += zig(val)
+            elif typ == "bool":
+                out.append((delta << 4) | (1 if val else 2))
+            else:                           # nested struct
+                out.append((delta << 4) | 12)
+                out += val
+        out.append(0)
+        return bytes(out)
+
+    def snappy_literal(data):
+        out = bytearray(varint(len(data)))
+        for i in range(0, len(data), 60):
+            chunk = data[i:i + 60]
+            out.append((len(chunk) - 1) << 2)
+            out += chunk
+        return bytes(out)
+
+    vals = list(range(-3, 4))
+    body = struct.pack(f"<{len(vals)}q", *vals)
+
+    def page(is_comp, raw_body):
+        v2 = tc_struct([
+            (1, "i32", len(vals)), (2, "i32", 0), (3, "i32", len(vals)),
+            (4, "i32", 0),                  # PLAIN
+            (5, "i32", 0), (6, "i32", 0),   # no def/rep level bytes
+            (7, "bool", is_comp)])
+        ph = tc_struct([
+            (1, "i32", 3),                  # DATA_PAGE_V2
+            (2, "i32", len(body)),
+            (3, "i32", len(raw_body)),
+            (8, "struct", v2)])
+        return ph + raw_body
+
+    cm = {4: 1, 5: len(vals)}               # codec = SNAPPY
+
+    assert _pq_decode_int64_chunk(page(False, body), cm, False) == vals
+    assert _pq_decode_int64_chunk(
+        page(True, snappy_literal(body)), cm, False) == vals
+
+
 class _CountingFile:
     """open_fn seam for the *_file readers: counts bytes actually
     read so tests can pin the tail-range I/O budget."""
