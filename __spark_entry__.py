@@ -4821,6 +4821,15 @@ PQ_INT64_COLS = [("customer", "c_custkey"), ("documents", "doc_id"),
                  ("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
                  ("part", "p_partkey"), ("supplier", "s_suppkey")]
 
+# q244: the corpus string (BYTE_ARRAY) columns — a spread of
+# dictionary-friendly low-cardinality, PLAIN-fallback high-cardinality
+# (s_name), long free text adjacent (lang/source), and tiny files
+PQ_STRING_COLS = [("customer", "c_mktsegment"), ("documents", "lang"),
+                  ("documents", "source"), ("events", "event_type"),
+                  ("nation", "n_name"), ("orders", "o_orderpriority"),
+                  ("part", "p_brand"), ("region", "r_name"),
+                  ("supplier", "s_name")]
+
 
 def _delta_synth_log(spark, sf):
     """q188/q196/q197/q198 shared synth: the Delta-shape action log
@@ -6925,6 +6934,68 @@ def q190_parquet_column_decode(spark, sf):
             .orderBy("tbl"))
 
 
+def q244_parquet_string_decode(spark, sf):
+    """BYTE_ARRAY twin of q190's INT64 data-path proof (r14 named
+    gap, PLANS.md): for every string column in the corpus,
+    `formats.parquet_read_string_column_file` reads the actual table
+    file with no parquet library — same footer/page/snappy/RLE
+    machinery as q190, plus the framing that is NEW surface here:
+    length-prefixed BYTE_ARRAY values in PLAIN data pages AND PLAIN
+    dictionary pages, decoded strict-UTF-8. The aggregate row per
+    (table, column) carries counts, min/max, a character-length sum,
+    and an order-insensitive md5-fold (first 15 hex digits of each
+    value's md5, summed mod 2^61-1) — the oracle recomputes all six
+    from the registered views with DuckDB's own md5, so two
+    unrelated decoders must agree value-exactly about every string
+    byte. A length-prefix, dictionary-framing, def-level, or UTF-8
+    bug breaks the hash. Scale/I-O posture identical to q190:
+    per-(file, row-group, column) chunk walking, tail-range footer +
+    one range read per target chunk. Reference parity: the
+    reference's exporters re-serialize string fields row-at-a-time
+    (memory_core/export/data_exporter.py); this proves the columnar
+    read side byte-exactly."""
+    import hashlib
+    import os
+
+    from memory_engine_spark.sources.formats import (
+        parquet_read_string_column_file)
+
+    M = (1 << 61) - 1
+    paths = spark.createDataFrame(
+        [(t, c, os.path.join(sf, f"{t}.parquet"))
+         for t, c in PQ_STRING_COLS],
+        "tbl string, col string, path string")
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for t, c, p in zip(pdf["tbl"], pdf["col"], pdf["path"]):
+                vals = parquet_read_string_column_file(p, c)
+                nn = [v for v in vals if v is not None]
+                rows.append({
+                    "tbl": t, "col": c,
+                    "n_values": len(nn),
+                    "n_nulls": len(vals) - len(nn),
+                    "vmin": min(nn), "vmax": max(nn),
+                    "len_sum": sum(len(v) for v in nn),
+                    "md5_fold": sum(
+                        int(hashlib.md5(v.encode("utf-8"))
+                            .hexdigest()[:15], 16)
+                        for v in nn) % M})
+            yield pd.DataFrame(rows, columns=[
+                "tbl", "col", "n_values", "n_nulls", "vmin",
+                "vmax", "len_sum", "md5_fold"])
+
+    return (paths.repartition(9, "tbl", "col")
+            .mapInPandas(
+                probe, "tbl string, col string, n_values long, "
+                       "n_nulls long, vmin string, vmax string, "
+                       "len_sum long, md5_fold long")
+            .orderBy("tbl", "col"))
+
+
 def q189_orc_footer(spark, sf):
     """ORC physical-metadata introspection under the oracle gate —
     the parquet/avro/orc format-walking trio's last leg: Spark
@@ -7973,6 +8044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_multiset_ops": q241_multiset_ops,
         "q242_scc_label_merge": q242_scc_label_merge,
         "q243_scc_exhaustive_peel": q243_scc_exhaustive_peel,
+        "q244_parquet_string_decode": q244_parquet_string_decode,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -8060,16 +8132,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13 front (r12 verdict item 2): q17–q22 got their fresh proof in
     # r12's fill, so the stalest-remaining r8-proven tranche is
     # q23–q50 + q61–q83 — 51 entries; strict-50 window per the r11
-    # precedent, so q83 rolls to r14. Next-stalest for r14: q83 + the
-    # r10-proven tranche q84–q110 + q132–q152.
-    r8_proven = ({f"q{i}" for i in range(23, 51)}
-                 | {f"q{i}" for i in range(61, 83)})
+    # precedent, so q83 rolled to r14. r14 front (r13 verdict item 1):
+    # NEVER-driver-proven first (q244, this round's named-gap entry),
+    # then q83 (stalest, last proof r09) + the r10-proven tranche
+    # q84–q110 + q132–q152 — 1 + 49 = exactly the 50-entry window.
+    # Next-stalest for r15: the r11-proven tranche q01–q16 + q51–q60 +
+    # q118–q131 + q153–q161 (+ q162, r12-proven, if the window allows).
+    r14_stale = ({"q83"}
+                 | {f"q{i}" for i in range(84, 111)}
+                 | {f"q{i}" for i in range(132, 153)})
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
                       and int(n.split("_")[0].lstrip("q")) >= 244]
     front = (new_this_round
              + [n for n in sorted(out)
-                if n.split("_")[0] in r8_proven])[:50]
+                if n.split("_")[0] in r14_stale])[:50]
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
     for n, fn in out.items():
@@ -13810,6 +13887,34 @@ def oracle_sql() -> dict[str, str]:
                n_nulls::BIGINT AS n_nulls, vsum::BIGINT AS vsum,
                vmin::BIGINT AS vmin, vmax::BIGINT AS vmax
         FROM ({_q190_parts}) ORDER BY tbl
+    """
+
+    # q244: q190's oracle design over the BYTE_ARRAY data path —
+    # view-derived counts/min/max/length-sum plus DuckDB's own md5
+    # folded exactly as the Spark-side Python fold (first 15 hex
+    # digits as BIGINT, summed mod 2^61-1).
+    _q244_m = (1 << 61) - 1
+    _q244_parts = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col,"
+        f" COUNT({c}) AS n_values,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls,"
+        f" MIN({c}) AS vmin, MAX({c}) AS vmax,"
+        f" COALESCE(SUM(LENGTH({c})), 0) AS len_sum,"
+        f" (SUM(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
+        f"  % {_q244_m}) AS md5_fold"
+        f" FROM {t}"
+        for t, c in [("customer", "c_mktsegment"),
+                     ("documents", "lang"), ("documents", "source"),
+                     ("events", "event_type"), ("nation", "n_name"),
+                     ("orders", "o_orderpriority"),
+                     ("part", "p_brand"), ("region", "r_name"),
+                     ("supplier", "s_name")])
+    sql["q244_parquet_string_decode"] = f"""
+        SELECT tbl, col, n_values::BIGINT AS n_values,
+               n_nulls::BIGINT AS n_nulls, vmin, vmax,
+               len_sum::BIGINT AS len_sum,
+               md5_fold::BIGINT AS md5_fold
+        FROM ({_q244_parts}) ORDER BY tbl, col
     """
 
     # q189: q184's oracle design for ORC — view-derived COUNT(*) +

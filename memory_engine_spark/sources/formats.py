@@ -1661,20 +1661,31 @@ def _snappy_decompress(b: bytes) -> bytes:
                 ln += 1
             else:
                 nb = ln - 59
+                if i + nb > ln_b:
+                    raise ValueError("snappy literal length truncated")
                 ln = int.from_bytes(b[i:i + nb], "little") + 1
                 i += nb
             out += b[i:i + ln]
             i += ln
             continue
+        # copy tags: the offset bytes must exist — a truncated tail
+        # (r14 sweep find: COPY_1 at end-of-buffer) must be a loud
+        # ValueError, never an IndexError escape or a short-read off
         if t == 1:
+            if i + 1 > ln_b:
+                raise ValueError("snappy copy tag truncated")
             ln = ((tag >> 2) & 7) + 4
             off = ((tag >> 5) << 8) | b[i]
             i += 1
         elif t == 2:
+            if i + 2 > ln_b:
+                raise ValueError("snappy copy tag truncated")
             ln = (tag >> 2) + 1
             off = int.from_bytes(b[i:i + 2], "little")
             i += 2
         else:
+            if i + 4 > ln_b:
+                raise ValueError("snappy copy tag truncated")
             ln = (tag >> 2) + 1
             off = int.from_bytes(b[i:i + 4], "little")
             i += 4
@@ -1738,8 +1749,8 @@ def parquet_read_int64_column(payload: bytes, col: str) -> list:
     Whole-bytes wrapper; `parquet_read_int64_column_file` is the
     scale path (footer + target chunks only, by range)."""
     b = payload or b""
-    return _parquet_read_int64_ranged(lambda off, ln: b[off:off + ln],
-                                      len(b), col)
+    return _parquet_read_column_ranged(lambda off, ln: b[off:off + ln],
+                                       len(b), col, ptype=2)
 
 
 def parquet_read_int64_column_file(path: str, col: str,
@@ -1754,12 +1765,49 @@ def parquet_read_int64_column_file(path: str, col: str,
     with open_fn(path, "rb") as f:
         f.seek(0, 2)
         size = f.tell()
-        return _parquet_read_int64_ranged(_reader_at(f), size, col,
-                                          tail_hint)
+        return _parquet_read_column_ranged(_reader_at(f), size, col,
+                                           tail_hint, ptype=2)
+
+
+def parquet_read_string_column(payload: bytes, col: str) -> list:
+    """BYTE_ARRAY sibling of `parquet_read_int64_column` (r14 named
+    gap, PLANS.md): same footer walk, page walk, snappy, RLE levels
+    and dictionary machinery, but the value framing is parquet's
+    length-prefixed BYTE_ARRAY form — 4-byte LE length + bytes per
+    value, in PLAIN data pages AND PLAIN dictionary pages. Values
+    decode strict-UTF-8 (string columns are the honest subset;
+    invalid bytes raise ValueError, never UnicodeDecodeError —
+    sweep exception contract). None for nulls."""
+    b = payload or b""
+    return _parquet_read_column_ranged(lambda off, ln: b[off:off + ln],
+                                       len(b), col, ptype=6)
+
+
+def parquet_read_string_column_file(path: str, col: str,
+                                    tail_hint: int = 65536,
+                                    open_fn=open) -> list:
+    """Scale path for BYTE_ARRAY reads: footer via tail ranges, one
+    range read per (row group × target column) chunk — identical
+    I/O budget model to `parquet_read_int64_column_file`."""
+    with open_fn(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        return _parquet_read_column_ranged(_reader_at(f), size, col,
+                                           tail_hint, ptype=6)
 
 
 def _parquet_read_int64_ranged(read_at, size: int, col: str,
                                tail_hint: int = 65536) -> list:
+    return _parquet_read_column_ranged(read_at, size, col, tail_hint,
+                                       ptype=2)
+
+
+_PQ_PTYPE_NAMES = {2: "INT64", 6: "BYTE_ARRAY"}
+
+
+def _parquet_read_column_ranged(read_at, size: int, col: str,
+                                tail_hint: int = 65536,
+                                ptype: int = 2) -> list:
     meta = _parquet_filemeta_ranged(read_at, size, tail_hint)
     schema = meta.get(2, [])
     if not (isinstance(schema, list)
@@ -1774,8 +1822,9 @@ def _parquet_read_int64_ranged(read_at, size: int, col: str,
     elem = next((e for e in schema[1:] if _name(e) == col), None)
     if elem is None:
         raise ValueError(f"column {col!r} not in schema")
-    if elem.get(1) != 2:
-        raise ValueError(f"column {col!r} is not INT64")
+    if elem.get(1) != ptype:
+        raise ValueError(
+            f"column {col!r} is not {_PQ_PTYPE_NAMES[ptype]}")
     optional = elem.get(3, 0) == 1
 
     rgs = meta.get(4, [])
@@ -1813,12 +1862,17 @@ def _parquet_read_int64_ranged(read_at, size: int, col: str,
             raise ValueError(
                 f"chunk for {col!r} overruns file "
                 f"({start}+{total} vs {size})")
-        out.extend(_pq_decode_int64_chunk(
-            read_at(start, total), cm, optional))
+        out.extend(_pq_decode_chunk(
+            read_at(start, total), cm, optional, ptype))
     return out
 
 
 def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
+    return _pq_decode_chunk(b, cm, optional, 2)
+
+
+def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
+                     vtype: int) -> list:
     """Page walk over ONE column chunk's bytes (dictionary page +
     data pages, chunk-relative offsets). Loud-fail contract (r13
     flip-sweep hardening): corrupt counts/lengths/types raise
@@ -1859,6 +1913,30 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
             raise ValueError("dictionary index out of range")
         return [dictionary[j] for j in idx]
 
+    def _plain_decode(buf, i, nn):
+        """nn PLAIN values from buf[i:]: fixed 8-byte INT64, or
+        length-prefixed BYTE_ARRAY (4-byte LE length + bytes each,
+        strict UTF-8 — invalid bytes are a loud ValueError)."""
+        if vtype == 6:
+            vs = []
+            for _ in range(nn):
+                if i + 4 > len(buf):
+                    raise ValueError("PLAIN values overrun page")
+                ln = int.from_bytes(buf[i:i + 4], "little")
+                i += 4
+                if i + ln > len(buf):
+                    raise ValueError("PLAIN values overrun page")
+                try:
+                    vs.append(buf[i:i + ln].decode("utf-8"))
+                except UnicodeDecodeError:
+                    raise ValueError(
+                        "invalid UTF-8 in BYTE_ARRAY value") from None
+                i += ln
+            return vs
+        if i + 8 * nn > len(buf):
+            raise ValueError("PLAIN values overrun page")
+        return list(_s.unpack(f"<{nn}q", buf[i:i + 8 * nn]))
+
     out: list = []
     dictionary: list[int] | None = None
     pos = 0
@@ -1883,9 +1961,9 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
             dh = ph.get(7, {})
             nd = dh.get(1, 0) if isinstance(dh, dict) else None
             if not isinstance(nd, int) or nd < 0 \
-                    or 8 * nd > len(page):
+                    or (8 if vtype == 2 else 4) * nd > len(page):
                 raise ValueError("corrupt parquet dictionary count")
-            dictionary = list(_s.unpack(f"<{nd}q", page[:8 * nd]))
+            dictionary = _plain_decode(page, 0, nd)
             continue
         if ptype == 0:                      # data page v1
             page = _inflate(raw, usize)
@@ -1916,9 +1994,7 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
                     page, i + 1, len(page), bw, nn)
                 vs = _dict_lookup(dictionary, idx)
             elif enc == 0:                  # PLAIN
-                if i + 8 * nn > len(page):
-                    raise ValueError("PLAIN values overrun page")
-                vs = list(_s.unpack(f"<{nn}q", page[i:i + 8 * nn]))
+                vs = _plain_decode(page, i, nn)
             else:
                 raise ValueError(f"unsupported encoding {enc}")
         elif ptype == 3:                    # data page v2
@@ -1955,9 +2031,7 @@ def _pq_decode_int64_chunk(b: bytes, cm: dict, optional: bool) -> list:
                     body, 1, len(body), bw, nn)
                 vs = _dict_lookup(dictionary, idx)
             elif enc == 0:
-                if 8 * nn > len(body):
-                    raise ValueError("PLAIN values overrun page")
-                vs = list(_s.unpack(f"<{nn}q", body[:8 * nn]))
+                vs = _plain_decode(body, 0, nn)
             else:
                 raise ValueError(f"unsupported encoding {enc}")
         else:

@@ -405,6 +405,51 @@ def test_parquet_int64_decode_nulls_and_plain(spark, tmp_path):
     assert wide == [i * 1000003 for i in range(200000)]
 
 
+def test_parquet_string_decode_nulls_dict_and_plain(spark, tmp_path):
+    """BYTE_ARRAY twin of the INT64 Spark-writer test (r14, q244's
+    machinery): a nullable low-cardinality string column (dictionary
+    pages + def-level RLE) and a high-cardinality column that
+    overflows the dictionary into PLAIN-framed fallback pages — both
+    reproduced exactly, nulls placed correctly, multi-byte UTF-8
+    intact; the ranged file reader byte-identical and cheaper than
+    half the file on a multi-column layout."""
+    import glob
+    import os
+
+    from memory_engine_spark.sources.formats import (
+        parquet_read_string_column, parquet_read_string_column_file)
+
+    df = spark.range(120000).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL "
+        "ELSE concat('vé', id % 40) END AS s",
+        "concat('u-', id) AS wide")   # 120k distinct -> dict overflow
+    d = str(tmp_path / "pqs")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    p = glob.glob(d + "/*.parquet")[0]
+    payload = open(p, "rb").read()
+
+    s = parquet_read_string_column(payload, "s")
+    assert len(s) == 120000
+    assert all((v is None) == (i % 7 == 0) for i, v in enumerate(s))
+    assert all(v == f"vé{i % 40}" for i, v in enumerate(s)
+               if v is not None)
+    wide = parquet_read_string_column(payload, "wide")
+    assert wide == [f"u-{i}" for i in range(120000)]
+
+    # ranged reader: identical values, bytes < half the file
+    size = os.path.getsize(p)
+    cf = _CountingFile(p, "rb")
+    assert parquet_read_string_column_file(
+        p, "s", open_fn=lambda pa, m: cf) == s
+    assert cf.bytes_read < size * 0.5, (cf.bytes_read, size)
+
+    # wrong-physical-type guard is loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="BYTE_ARRAY"):
+        parquet_read_string_column(payload, "k")
+
+
 def test_parquet_v2_uncompressed_page_under_snappy_codec():
     """DataPageHeaderV2.is_compressed is field 7 of the v2 header
     struct, NOT field 7 of the enclosing PageHeader (that slot is

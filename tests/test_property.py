@@ -292,6 +292,34 @@ def test_parquet_int64_fuzz_roundtrip(vals, null_mod):
 
 
 @settings(**SETTINGS)
+@given(vals=st.lists(st.text(max_size=40), min_size=0, max_size=1500),
+       null_mod=st.integers(2, 17),
+       dpv=st.sampled_from(["1.0", "2.0"]))
+def test_parquet_string_fuzz_roundtrip(vals, null_mod, dpv):
+    """BYTE_ARRAY twin of the INT64 fuzz (r14, q244's machinery):
+    hand-rolled string column read vs pyarrow's writer on random
+    unicode with random null spacing, both data-page versions —
+    RLE_DICT with a PLAIN-framed dictionary page, PLAIN fallback on
+    high cardinality, empty strings, multi-byte code points."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from memory_engine_spark.sources.formats import (
+        parquet_read_string_column)
+
+    data = [None if i % null_mod == 0 else v
+            for i, v in enumerate(vals)]
+    table = pa.table({"c": pa.array(data, type=pa.string())})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy",
+                   data_page_version=dpv)
+    got = parquet_read_string_column(buf.getvalue(), "c")
+    assert got == data
+
+
+@settings(**SETTINGS)
 @given(blocks=st.lists(
     st.tuples(
         st.integers(1, 126),                       # track vint (1 byte)
@@ -1562,6 +1590,10 @@ def _sweep_targets():
          functools.partial(fm.parquet_read_int64_column, col="k")),
         ("parquet_int64_crc", pqc_buf.getvalue(),
          functools.partial(fm.parquet_read_int64_column, col="k")),
+        ("parquet_str", pq_buf.getvalue(),
+         functools.partial(fm.parquet_read_string_column, col="s")),
+        ("parquet_str_crc", pqc_buf.getvalue(),
+         functools.partial(fm.parquet_read_string_column, col="s")),
         ("orc_footer", orc_buf.getvalue(), fm.orc_footer_meta),
         ("png", mm.synth_png(px3), mm.decode_png_pixels),
         ("bmp", mm.synth_bmp(px3), mm.decode_bmp_pixels),
@@ -1725,6 +1757,50 @@ def test_parquet_page_crc_no_silent_wrong_values(nrows, flip, bit):
 
 
 @settings(**SETTINGS)
+@given(nrows=st.integers(1, 300), flip=st.integers(0, 2 ** 30),
+       bit=st.integers(0, 7))
+def test_parquet_page_crc_no_silent_wrong_strings(nrows, flip, bit):
+    """BYTE_ARRAY twin of the page-CRC integrity property (r14,
+    q244's machinery): string values ride a DIFFERENT framing —
+    length prefixes that a flipped byte can silently re-segment —
+    so the checksummed-chunk guarantee is re-proven for it: a flip
+    inside the chunk either raises or decodes IDENTICAL strings."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from memory_engine_spark.sources import formats as fm
+
+    table = pa.table({"s": pa.array(
+        [f"v{(i * 2654435761 + 11) % 997}-{'x' * (i % 7)}"
+         for i in range(nrows)], type=pa.string())})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy",
+                   write_page_checksum=True)
+    blob = buf.getvalue()
+    base = fm.parquet_read_string_column(blob, "s")
+    assert base == table["s"].to_pylist()
+
+    meta = fm._parquet_filemeta_ranged(
+        lambda o, ln: blob[o:o + ln], len(blob))
+    cm = meta[4][0][1][0][3]
+    start = cm.get(9, 0)
+    if cm.get(11):
+        start = min(start, cm[11])
+    total = cm[7]
+    pos = start + (flip % total)        # flip INSIDE the chunk only
+    mut = bytearray(blob)
+    mut[pos] ^= 1 << bit
+    try:
+        got = fm.parquet_read_string_column(bytes(mut), "s")
+    except (ValueError, NotImplementedError):
+        return                           # loud-fail: the CRC worked
+    assert got == base, "flipped checksummed page decoded to " \
+                        "DIFFERENT strings without raising"
+
+
+@settings(**SETTINGS)
 @given(tail_hint=st.integers(16, 70000), nrows=st.integers(1, 400))
 def test_footer_ranged_readers_hint_invariant(tail_hint, nrows):
     """The tail_hint is a pure I/O knob: for ANY hint (smaller than
@@ -1758,6 +1834,10 @@ def test_footer_ranged_readers_hint_invariant(tail_hint, nrows):
         read_at, len(blob), "k", tail_hint) \
         == fm.parquet_read_int64_column(blob, "k") \
         == list(range(nrows))
+    assert fm._parquet_read_column_ranged(
+        read_at, len(blob), "s", tail_hint, ptype=6) \
+        == fm.parquet_read_string_column(blob, "s") \
+        == [f"s{i}" for i in range(nrows)]
 
     obuf = io.BytesIO()
     paorc.write_table(table, obuf, compression="zlib")
