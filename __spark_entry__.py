@@ -6186,19 +6186,26 @@ def q243_scc_exhaustive_peel(spark, sf):
     tail2 = ends.select(F.lit(101).cast("long").alias("from_id"),
                         F.lit(100).cast("long").alias("to_id"))
     edges = chain.unionByName(wrap).unionByName(tail).unionByName(tail2)
-    # 27-node graph, ~30 driver actions (certificate rounds + merge
+    # 27-node graph, ~20 driver actions (certificate rounds + merge
     # chase + peel BFS): the wall is per-ACTION dispatch, not data —
     # conf-window the shuffle width down and AQE off (each AQE stage
     # re-plan is an extra job; measured 6.4 → 4.9 s), and take the
     # certificate labels from the SAME call (include_cert) instead of
     # paying the six certificate rounds twice (measured −1.8 s).
+    # r14 re-A/B on the slower host (SCALING.md r14): shuffle width 1
+    # (every exchange is one task: 5.85 → 4.99 s min-of-3) and
+    # peel_shortcuts=2 (the squaring cascade's extra join+distinct
+    # stages cost more than the 2 BFS rounds they remove at ring
+    # diameter 16: 4.99 → 4.45; shortcuts 1/0 regress to 6.9/9.5) —
+    # both query-local knobs; shortcut depth is reachability-
+    # preserving, so labels (and the oracle hash) are unchanged.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         ex = graph.bounded_scc(edges, n_iter=2, exhaustive=True,
-                               max_pivots=1, peel_shortcuts=3,
+                               max_pivots=1, peel_shortcuts=2,
                                include_cert=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
