@@ -7003,6 +7003,84 @@ def q244_parquet_string_decode(spark, sf):
             .orderBy("tbl", "col"))
 
 
+def q245_parquet_delta_decode(spark, sf):
+    """Parquet DELTA-family decode under the oracle gate (r14 named
+    gap, PLANS.md): per (table, column, encoding) a mapInPandas task
+    reads the source column with pyarrow (the INDEPENDENT
+    implementation), re-writes it IN MEMORY as a real parquet blob
+    with the requested v2-era encoding — DELTA_BINARY_PACKED int64,
+    DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY strings, dictionary
+    disabled so the delta path is actually taken — then decodes the
+    blob with the hand-rolled reader (`formats._delta_binary_packed`
+    family: ULEB128 block headers, zigzag min-deltas, LSB-first
+    bit-packed miniblocks with the needed-miniblock rule,
+    prefix+suffix chains) and aggregates the decoded values into the
+    q244 md5-fold (int64 folds its decimal text form — exactly
+    DuckDB's CAST(v AS VARCHAR)). The oracle recomputes counts and
+    folds from the registered views, so a block-header, zigzag,
+    bit-order, needed-miniblock, prefix-chain, or wraparound bug
+    breaks the hash against values pyarrow encoded. Scale posture:
+    per-(table, column) tasks, bytes never on the driver; at 100 TB
+    the unit is the row group, exactly parquet's split model."""
+    import hashlib
+    import os
+
+    from memory_engine_spark.sources.formats import (
+        parquet_read_int64_column, parquet_read_string_column)
+
+    M = (1 << 61) - 1
+    COLS = [("customer", "c_mktsegment", "DELTA_LENGTH_BYTE_ARRAY"),
+            ("documents", "lang", "DELTA_BYTE_ARRAY"),
+            ("events", "event_id", "DELTA_BINARY_PACKED"),
+            ("orders", "o_orderkey", "DELTA_BINARY_PACKED"),
+            ("part", "p_brand", "DELTA_LENGTH_BYTE_ARRAY"),
+            ("supplier", "s_name", "DELTA_BYTE_ARRAY")]
+    paths = spark.createDataFrame(
+        [(t, c, e, os.path.join(sf, f"{t}.parquet"))
+         for t, c, e in COLS],
+        "tbl string, col string, enc string, path string")
+
+    def probe(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for t, c, e, p in zip(pdf["tbl"], pdf["col"],
+                                  pdf["enc"], pdf["path"]):
+                src = pq.read_table(p, columns=[c])
+                buf = io.BytesIO()
+                pq.write_table(src, buf, compression="snappy",
+                               use_dictionary=False,
+                               column_encoding={c: e})
+                blob = buf.getvalue()
+                if e == "DELTA_BINARY_PACKED":
+                    vals = parquet_read_int64_column(blob, c)
+                    texts = [str(v) for v in vals if v is not None]
+                else:
+                    vals = parquet_read_string_column(blob, c)
+                    texts = [v for v in vals if v is not None]
+                rows.append({
+                    "tbl": t, "col": c, "enc": e,
+                    "n_values": len(texts),
+                    "n_nulls": len(vals) - len(texts),
+                    "md5_fold": sum(
+                        int(hashlib.md5(x.encode("utf-8"))
+                            .hexdigest()[:15], 16)
+                        for x in texts) % M})
+            yield pd.DataFrame(rows, columns=[
+                "tbl", "col", "enc", "n_values", "n_nulls",
+                "md5_fold"])
+
+    return (paths.repartition(6, "tbl", "col")
+            .mapInPandas(
+                probe, "tbl string, col string, enc string, "
+                       "n_values long, n_nulls long, md5_fold long")
+            .orderBy("tbl", "col"))
+
+
 def q189_orc_footer(spark, sf):
     """ORC physical-metadata introspection under the oracle gate —
     the parquet/avro/orc format-walking trio's last leg: Spark
@@ -8052,6 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_scc_label_merge": q242_scc_label_merge,
         "q243_scc_exhaustive_peel": q243_scc_exhaustive_peel,
         "q244_parquet_string_decode": q244_parquet_string_decode,
+        "q245_parquet_delta_decode": q245_parquet_delta_decode,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -8140,11 +8219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12's fill, so the stalest-remaining r8-proven tranche is
     # q23–q50 + q61–q83 — 51 entries; strict-50 window per the r11
     # precedent, so q83 rolled to r14. r14 front (r13 verdict item 1):
-    # NEVER-driver-proven first (q244, this round's named-gap entry),
-    # then q83 (stalest, last proof r09) + the r10-proven tranche
-    # q84–q110 + q132–q152 — 1 + 49 = exactly the 50-entry window.
-    # Next-stalest for r15: the r11-proven tranche q01–q16 + q51–q60 +
-    # q118–q131 + q153–q161 (+ q162, r12-proven, if the window allows).
+    # NEVER-driver-proven first (q244 + q245, this round's two
+    # named-gap entries), then q83 (stalest, last proof r09) + the
+    # r10-proven tranche q84–q110 + q132–q152 — 2 + 49 = 51, so the
+    # strict-50 window rolls ONE entry to r15 (the r11/r13
+    # precedent): q99, the lexicographic tail of the stale slice.
+    # Next-stalest for r15: q99, then the r11-proven tranche
+    # q01–q16 + q51–q60 + q118–q131 + q153–q161.
     r14_stale = ({"q83"}
                  | {f"q{i}" for i in range(84, 111)}
                  | {f"q{i}" for i in range(132, 153)})
@@ -13922,6 +14003,30 @@ def oracle_sql() -> dict[str, str]:
                len_sum::BIGINT AS len_sum,
                md5_fold::BIGINT AS md5_fold
         FROM ({_q244_parts}) ORDER BY tbl, col
+    """
+
+    # q245: the delta-family decode — same md5-fold design as q244;
+    # int64 columns fold their decimal text (CAST AS VARCHAR ==
+    # Python str(int) for integers).
+    _q245_parts = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col, '{e}' AS enc,"
+        f" COUNT({c}) AS n_values,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls,"
+        f" (SUM(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))"
+        f"::BIGINT) % {_q244_m}) AS md5_fold"
+        f" FROM {t}"
+        for t, c, e in [
+            ("customer", "c_mktsegment", "DELTA_LENGTH_BYTE_ARRAY"),
+            ("documents", "lang", "DELTA_BYTE_ARRAY"),
+            ("events", "event_id", "DELTA_BINARY_PACKED"),
+            ("orders", "o_orderkey", "DELTA_BINARY_PACKED"),
+            ("part", "p_brand", "DELTA_LENGTH_BYTE_ARRAY"),
+            ("supplier", "s_name", "DELTA_BYTE_ARRAY")])
+    sql["q245_parquet_delta_decode"] = f"""
+        SELECT tbl, col, enc, n_values::BIGINT AS n_values,
+               n_nulls::BIGINT AS n_nulls,
+               md5_fold::BIGINT AS md5_fold
+        FROM ({_q245_parts}) ORDER BY tbl, col
     """
 
     # q189: q184's oracle design for ORC — view-derived COUNT(*) +

@@ -1733,6 +1733,103 @@ def _rle_bitpacked_hybrid(b: bytes, i: int, end: int, bit_width: int,
     return vals[:count]
 
 
+def _delta_binary_packed(b: bytes, i: int,
+                         expected: int) -> "tuple[list[int], int]":
+    """Parquet DELTA_BINARY_PACKED (encoding 5) decode → (values,
+    new offset). Format (parquet-format Encodings.md, public):
+    ULEB128 header `<block size> <miniblocks/block> <total count>
+    <first value zigzag>`, then per block a zigzag min-delta, one
+    bit-width byte per miniblock, and LSB-first bit-packed deltas
+    for each NEEDED miniblock (full-body even when partially used;
+    un-needed trailing miniblocks have width bytes but no body).
+    value[i+1] = value[i] + min_delta + packed[i], two's-complement
+    int64 wraparound. `expected` pins total count to the page
+    header's value count — the allocation-bomb guard (a 0-bit-width
+    miniblock legitimately encodes 32+ values in 0 bytes, so byte
+    length cannot bound the claimed count)."""
+    bs, i = _pb_varint(b, i)
+    mb, i = _pb_varint(b, i)
+    total, i = _pb_varint(b, i)
+    fz, i = _pb_varint(b, i)
+    if total != expected:
+        raise ValueError("delta value count disagrees with page")
+    if not (0 < bs <= 1 << 20 and bs % 128 == 0
+            and 0 < mb <= bs and bs % mb == 0):
+        raise ValueError("corrupt delta block header")
+    vpm = bs // mb
+    if vpm % 8:
+        raise ValueError("corrupt delta miniblock width")
+
+    def _i64(v):
+        v &= 0xFFFFFFFFFFFFFFFF
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    v = _i64(_thrift_zigzag(fz))
+    if total == 0:
+        return [], i
+    out = [v]
+    remaining = total - 1
+    while remaining > 0:
+        mz, i = _pb_varint(b, i)
+        min_d = _thrift_zigzag(mz)
+        if i + mb > len(b):
+            raise ValueError("truncated delta bit widths")
+        widths = b[i:i + mb]
+        i += mb
+        for k in range(min(mb, -(-remaining // vpm))):
+            bw = widths[k]
+            if bw > 64:
+                raise ValueError("delta bit width too large")
+            nbytes = bw * vpm // 8
+            if i + nbytes > len(b):
+                raise ValueError("delta miniblock overruns page")
+            g = int.from_bytes(b[i:i + nbytes], "little")
+            i += nbytes
+            mask = (1 << bw) - 1
+            for j in range(min(vpm, remaining)):
+                v = _i64(v + min_d + ((g >> (j * bw)) & mask))
+                out.append(v)
+            remaining -= min(vpm, remaining)
+            if remaining == 0:
+                break
+    return out, i
+
+
+def _delta_length_bytes(b: bytes, i: int,
+                        expected: int) -> "tuple[list[bytes], int]":
+    """Parquet DELTA_LENGTH_BYTE_ARRAY (encoding 6) decode → raw
+    byte values: DELTA_BINARY_PACKED lengths, then the concatenated
+    array bodies."""
+    lens, i = _delta_binary_packed(b, i, expected)
+    if any(ln < 0 for ln in lens):
+        raise ValueError("negative delta byte-array length")
+    if i + sum(lens) > len(b):
+        raise ValueError("delta byte arrays overrun page")
+    out = []
+    for ln in lens:
+        out.append(b[i:i + ln])
+        i += ln
+    return out, i
+
+
+def _delta_byte_array_bytes(b: bytes, i: int,
+                            expected: int) -> "tuple[list[bytes], int]":
+    """Parquet DELTA_BYTE_ARRAY (encoding 7) decode → raw byte
+    values: DELTA_BINARY_PACKED prefix lengths, then
+    DELTA_LENGTH_BYTE_ARRAY suffixes; value[i] =
+    value[i-1][:prefix[i]] + suffix[i]."""
+    pre, i = _delta_binary_packed(b, i, expected)
+    suf, i = _delta_length_bytes(b, i, expected)
+    out: list[bytes] = []
+    prev = b""
+    for pl, s in zip(pre, suf):
+        if pl < 0 or pl > len(prev):
+            raise ValueError("corrupt delta prefix length")
+        prev = prev[:pl] + s
+        out.append(prev)
+    return out, i
+
+
 def parquet_read_int64_column(payload: bytes, col: str) -> list:
     """REAL parquet column read, no parquet library anywhere: footer
     (thrift compact, `_thrift_struct`) -> locate the column chunk in
@@ -1937,6 +2034,28 @@ def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
             raise ValueError("PLAIN values overrun page")
         return list(_s.unpack(f"<{nn}q", buf[i:i + 8 * nn]))
 
+    def _utf8(bufs):
+        try:
+            return [x.decode("utf-8") for x in bufs]
+        except UnicodeDecodeError:
+            raise ValueError(
+                "invalid UTF-8 in BYTE_ARRAY value") from None
+
+    def _encoded_values(buf, i, nn, enc):
+        """Non-dictionary value decode shared by v1/v2 pages: PLAIN
+        for both physical types, the delta family (5/6/7 — the
+        v2-era defaults of arrow-rs/parquet-java) for its matching
+        type."""
+        if enc == 0:
+            return _plain_decode(buf, i, nn)
+        if enc == 5 and vtype == 2:
+            return _delta_binary_packed(buf, i, nn)[0]
+        if enc == 6 and vtype == 6:
+            return _utf8(_delta_length_bytes(buf, i, nn)[0])
+        if enc == 7 and vtype == 6:
+            return _utf8(_delta_byte_array_bytes(buf, i, nn)[0])
+        raise ValueError(f"unsupported encoding {enc}")
+
     out: list = []
     dictionary: list[int] | None = None
     pos = 0
@@ -1993,10 +2112,8 @@ def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
                 idx = _rle_bitpacked_hybrid(
                     page, i + 1, len(page), bw, nn)
                 vs = _dict_lookup(dictionary, idx)
-            elif enc == 0:                  # PLAIN
-                vs = _plain_decode(page, i, nn)
             else:
-                raise ValueError(f"unsupported encoding {enc}")
+                vs = _encoded_values(page, i, nn, enc)
         elif ptype == 3:                    # data page v2
             hdr = ph.get(8, {})
             if not isinstance(hdr, dict):
@@ -2030,10 +2147,8 @@ def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
                 idx = _rle_bitpacked_hybrid(
                     body, 1, len(body), bw, nn)
                 vs = _dict_lookup(dictionary, idx)
-            elif enc == 0:
-                vs = _plain_decode(body, 0, nn)
             else:
-                raise ValueError(f"unsupported encoding {enc}")
+                vs = _encoded_values(body, 0, nn, enc)
         else:
             raise ValueError(f"unsupported page type {ptype}")
         if sum(1 for d in defs if d) != len(vs):

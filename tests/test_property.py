@@ -320,6 +320,43 @@ def test_parquet_string_fuzz_roundtrip(vals, null_mod, dpv):
 
 
 @settings(**SETTINGS)
+@given(ints=st.lists(st.integers(-2 ** 63, 2 ** 63 - 1),
+                     min_size=1, max_size=1200),
+       strs=st.lists(st.text(max_size=30), min_size=1, max_size=1200),
+       null_mod=st.integers(2, 17),
+       dpv=st.sampled_from(["1.0", "2.0"]),
+       str_enc=st.sampled_from(["DELTA_LENGTH_BYTE_ARRAY",
+                                "DELTA_BYTE_ARRAY"]))
+def test_parquet_delta_fuzz_roundtrip(ints, strs, null_mod, dpv,
+                                      str_enc):
+    """The delta family (q245's machinery) vs pyarrow's writer as
+    the independent implementation: DELTA_BINARY_PACKED int64 over
+    the FULL two's-complement range (wraparound deltas),
+    DELTA_LENGTH/DELTA_BYTE_ARRAY strings (shared-prefix chains),
+    random nulls, both data-page versions."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from memory_engine_spark.sources import formats as fm
+
+    di = [None if i % null_mod == 0 else v for i, v in enumerate(ints)]
+    ds = [None if i % null_mod == 1 else v for i, v in enumerate(strs)]
+    ti = pa.table({"k": pa.array(di, type=pa.int64())})
+    ts = pa.table({"s": pa.array(ds, type=pa.string())})
+    bi, bs = io.BytesIO(), io.BytesIO()
+    pq.write_table(ti, bi, compression="snappy", use_dictionary=False,
+                   data_page_version=dpv,
+                   column_encoding={"k": "DELTA_BINARY_PACKED"})
+    pq.write_table(ts, bs, compression="snappy", use_dictionary=False,
+                   data_page_version=dpv,
+                   column_encoding={"s": str_enc})
+    assert fm.parquet_read_int64_column(bi.getvalue(), "k") == di
+    assert fm.parquet_read_string_column(bs.getvalue(), "s") == ds
+
+
+@settings(**SETTINGS)
 @given(blocks=st.lists(
     st.tuples(
         st.integers(1, 126),                       # track vint (1 byte)
@@ -1584,6 +1621,11 @@ def _sweep_targets():
     pqc_buf = io.BytesIO()
     pq.write_table(table, pqc_buf, compression="snappy",
                    write_page_checksum=True)
+    pqd_buf = io.BytesIO()                  # r14: the delta family
+    pq.write_table(table, pqd_buf, compression="snappy",
+                   use_dictionary=False,
+                   column_encoding={"k": "DELTA_BINARY_PACKED",
+                                    "s": "DELTA_BYTE_ARRAY"})
     targets = [
         ("parquet_footer", pq_buf.getvalue(), fm.parquet_footer_meta),
         ("parquet_int64", pq_buf.getvalue(),
@@ -1593,6 +1635,10 @@ def _sweep_targets():
         ("parquet_str", pq_buf.getvalue(),
          functools.partial(fm.parquet_read_string_column, col="s")),
         ("parquet_str_crc", pqc_buf.getvalue(),
+         functools.partial(fm.parquet_read_string_column, col="s")),
+        ("parquet_int64_delta", pqd_buf.getvalue(),
+         functools.partial(fm.parquet_read_int64_column, col="k")),
+        ("parquet_str_delta", pqd_buf.getvalue(),
          functools.partial(fm.parquet_read_string_column, col="s")),
         ("orc_footer", orc_buf.getvalue(), fm.orc_footer_meta),
         ("png", mm.synth_png(px3), mm.decode_png_pixels),
