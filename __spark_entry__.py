@@ -7008,9 +7008,11 @@ def q245_parquet_delta_decode(spark, sf):
     gap, PLANS.md): per (table, column, encoding) a mapInPandas task
     reads the source column with pyarrow (the INDEPENDENT
     implementation), re-writes it IN MEMORY as a real parquet blob
-    with the requested v2-era encoding — DELTA_BINARY_PACKED int64,
-    DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY strings, dictionary
-    disabled so the delta path is actually taken — then decodes the
+    with the requested v2-era encoding — DELTA_BINARY_PACKED int64
+    AND int32 (region/nation keys: 32-bit wraparound is its own
+    decode branch), DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY
+    strings, dictionary disabled so the delta path is actually
+    taken — then decodes the
     blob with the hand-rolled reader (`formats._delta_binary_packed`
     family: ULEB128 block headers, zigzag min-deltas, LSB-first
     bit-packed miniblocks with the needed-miniblock rule,
@@ -7029,16 +7031,22 @@ def q245_parquet_delta_decode(spark, sf):
         parquet_read_int64_column, parquet_read_string_column)
 
     M = (1 << 61) - 1
-    COLS = [("customer", "c_mktsegment", "DELTA_LENGTH_BYTE_ARRAY"),
-            ("documents", "lang", "DELTA_BYTE_ARRAY"),
-            ("events", "event_id", "DELTA_BINARY_PACKED"),
-            ("orders", "o_orderkey", "DELTA_BINARY_PACKED"),
-            ("part", "p_brand", "DELTA_LENGTH_BYTE_ARRAY"),
-            ("supplier", "s_name", "DELTA_BYTE_ARRAY")]
+    # kind: which hand-rolled reader decodes the re-encoded blob —
+    # i32 covers the corpus's remaining key width (region/nation,
+    # 32-bit delta wraparound), the r14 INT32 extension
+    COLS = [("customer", "c_mktsegment", "DELTA_LENGTH_BYTE_ARRAY",
+             "str"),
+            ("documents", "lang", "DELTA_BYTE_ARRAY", "str"),
+            ("events", "event_id", "DELTA_BINARY_PACKED", "i64"),
+            ("nation", "n_nationkey", "DELTA_BINARY_PACKED", "i32"),
+            ("orders", "o_orderkey", "DELTA_BINARY_PACKED", "i64"),
+            ("part", "p_brand", "DELTA_LENGTH_BYTE_ARRAY", "str"),
+            ("region", "r_regionkey", "DELTA_BINARY_PACKED", "i32"),
+            ("supplier", "s_name", "DELTA_BYTE_ARRAY", "str")]
     paths = spark.createDataFrame(
-        [(t, c, e, os.path.join(sf, f"{t}.parquet"))
-         for t, c, e in COLS],
-        "tbl string, col string, enc string, path string")
+        [(t, c, e, k, os.path.join(sf, f"{t}.parquet"))
+         for t, c, e, k in COLS],
+        "tbl string, col string, enc string, kind string, path string")
 
     def probe(batches):
         import io
@@ -7046,22 +7054,26 @@ def q245_parquet_delta_decode(spark, sf):
         import pandas as pd
         import pyarrow.parquet as pq
 
+        from memory_engine_spark.sources.formats import (
+            parquet_read_int32_column)
+
+        readers = {"i64": parquet_read_int64_column,
+                   "i32": parquet_read_int32_column,
+                   "str": parquet_read_string_column}
         for pdf in batches:
             rows = []
-            for t, c, e, p in zip(pdf["tbl"], pdf["col"],
-                                  pdf["enc"], pdf["path"]):
+            for t, c, e, k, p in zip(pdf["tbl"], pdf["col"],
+                                     pdf["enc"], pdf["kind"],
+                                     pdf["path"]):
                 src = pq.read_table(p, columns=[c])
                 buf = io.BytesIO()
                 pq.write_table(src, buf, compression="snappy",
                                use_dictionary=False,
                                column_encoding={c: e})
                 blob = buf.getvalue()
-                if e == "DELTA_BINARY_PACKED":
-                    vals = parquet_read_int64_column(blob, c)
-                    texts = [str(v) for v in vals if v is not None]
-                else:
-                    vals = parquet_read_string_column(blob, c)
-                    texts = [v for v in vals if v is not None]
+                vals = readers[k](blob, c)
+                texts = [v if k == "str" else str(v)
+                         for v in vals if v is not None]
                 rows.append({
                     "tbl": t, "col": c, "enc": e,
                     "n_values": len(texts),
@@ -7074,7 +7086,7 @@ def q245_parquet_delta_decode(spark, sf):
                 "tbl", "col", "enc", "n_values", "n_nulls",
                 "md5_fold"])
 
-    return (paths.repartition(6, "tbl", "col")
+    return (paths.repartition(8, "tbl", "col")
             .mapInPandas(
                 probe, "tbl string, col string, enc string, "
                        "n_values long, n_nulls long, md5_fold long")
@@ -14019,8 +14031,10 @@ def oracle_sql() -> dict[str, str]:
             ("customer", "c_mktsegment", "DELTA_LENGTH_BYTE_ARRAY"),
             ("documents", "lang", "DELTA_BYTE_ARRAY"),
             ("events", "event_id", "DELTA_BINARY_PACKED"),
+            ("nation", "n_nationkey", "DELTA_BINARY_PACKED"),
             ("orders", "o_orderkey", "DELTA_BINARY_PACKED"),
             ("part", "p_brand", "DELTA_LENGTH_BYTE_ARRAY"),
+            ("region", "r_regionkey", "DELTA_BINARY_PACKED"),
             ("supplier", "s_name", "DELTA_BYTE_ARRAY")])
     sql["q245_parquet_delta_decode"] = f"""
         SELECT tbl, col, enc, n_values::BIGINT AS n_values,

@@ -1733,8 +1733,8 @@ def _rle_bitpacked_hybrid(b: bytes, i: int, end: int, bit_width: int,
     return vals[:count]
 
 
-def _delta_binary_packed(b: bytes, i: int,
-                         expected: int) -> "tuple[list[int], int]":
+def _delta_binary_packed(b: bytes, i: int, expected: int,
+                         width: int = 64) -> "tuple[list[int], int]":
     """Parquet DELTA_BINARY_PACKED (encoding 5) decode → (values,
     new offset). Format (parquet-format Encodings.md, public):
     ULEB128 header `<block size> <miniblocks/block> <total count>
@@ -1743,10 +1743,11 @@ def _delta_binary_packed(b: bytes, i: int,
     for each NEEDED miniblock (full-body even when partially used;
     un-needed trailing miniblocks have width bytes but no body).
     value[i+1] = value[i] + min_delta + packed[i], two's-complement
-    int64 wraparound. `expected` pins total count to the page
-    header's value count — the allocation-bomb guard (a 0-bit-width
-    miniblock legitimately encodes 32+ values in 0 bytes, so byte
-    length cannot bound the claimed count)."""
+    wraparound at `width` bits (64 for INT64, 32 for INT32 — the
+    spec wraps at the logical type width). `expected` pins total
+    count to the page header's value count — the allocation-bomb
+    guard (a 0-bit-width miniblock legitimately encodes 32+ values
+    in 0 bytes, so byte length cannot bound the claimed count)."""
     bs, i = _pb_varint(b, i)
     mb, i = _pb_varint(b, i)
     total, i = _pb_varint(b, i)
@@ -1760,9 +1761,11 @@ def _delta_binary_packed(b: bytes, i: int,
     if vpm % 8:
         raise ValueError("corrupt delta miniblock width")
 
+    wmask, wsign = (1 << width) - 1, 1 << (width - 1)
+
     def _i64(v):
-        v &= 0xFFFFFFFFFFFFFFFF
-        return v - (1 << 64) if v >= (1 << 63) else v
+        v &= wmask
+        return v - (wmask + 1) if v >= wsign else v
 
     v = _i64(_thrift_zigzag(fz))
     if total == 0:
@@ -1893,13 +1896,35 @@ def parquet_read_string_column_file(path: str, col: str,
                                            tail_hint, ptype=6)
 
 
+def parquet_read_int32_column(payload: bytes, col: str) -> list:
+    """INT32 sibling (r14): the remaining corpus key width (region/
+    nation keys) — PLAIN 4-byte LE values, PLAIN dictionary pages,
+    and DELTA_BINARY_PACKED with 32-bit two's-complement wraparound.
+    Same page walk as the INT64/BYTE_ARRAY readers."""
+    b = payload or b""
+    return _parquet_read_column_ranged(lambda off, ln: b[off:off + ln],
+                                       len(b), col, ptype=1)
+
+
+def parquet_read_int32_column_file(path: str, col: str,
+                                   tail_hint: int = 65536,
+                                   open_fn=open) -> list:
+    """Scale path for INT32 reads — same I/O budget model as the
+    INT64/string `_file` readers."""
+    with open_fn(path, "rb") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        return _parquet_read_column_ranged(_reader_at(f), size, col,
+                                           tail_hint, ptype=1)
+
+
 def _parquet_read_int64_ranged(read_at, size: int, col: str,
                                tail_hint: int = 65536) -> list:
     return _parquet_read_column_ranged(read_at, size, col, tail_hint,
                                        ptype=2)
 
 
-_PQ_PTYPE_NAMES = {2: "INT64", 6: "BYTE_ARRAY"}
+_PQ_PTYPE_NAMES = {1: "INT32", 2: "INT64", 6: "BYTE_ARRAY"}
 
 
 def _parquet_read_column_ranged(read_at, size: int, col: str,
@@ -2030,9 +2055,10 @@ def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
                         "invalid UTF-8 in BYTE_ARRAY value") from None
                 i += ln
             return vs
-        if i + 8 * nn > len(buf):
+        w, fmt = (4, "i") if vtype == 1 else (8, "q")
+        if i + w * nn > len(buf):
             raise ValueError("PLAIN values overrun page")
-        return list(_s.unpack(f"<{nn}q", buf[i:i + 8 * nn]))
+        return list(_s.unpack(f"<{nn}{fmt}", buf[i:i + w * nn]))
 
     def _utf8(bufs):
         try:
@@ -2048,8 +2074,9 @@ def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
         type."""
         if enc == 0:
             return _plain_decode(buf, i, nn)
-        if enc == 5 and vtype == 2:
-            return _delta_binary_packed(buf, i, nn)[0]
+        if enc == 5 and vtype in (1, 2):
+            return _delta_binary_packed(
+                buf, i, nn, 32 if vtype == 1 else 64)[0]
         if enc == 6 and vtype == 6:
             return _utf8(_delta_length_bytes(buf, i, nn)[0])
         if enc == 7 and vtype == 6:

@@ -342,17 +342,23 @@ def test_parquet_delta_fuzz_roundtrip(ints, strs, null_mod, dpv,
     from memory_engine_spark.sources import formats as fm
 
     di = [None if i % null_mod == 0 else v for i, v in enumerate(ints)]
+    d3 = [None if i % null_mod == 0
+          else ((v + 2 ** 31) % 2 ** 32) - 2 ** 31
+          for i, v in enumerate(ints)]
     ds = [None if i % null_mod == 1 else v for i, v in enumerate(strs)]
-    ti = pa.table({"k": pa.array(di, type=pa.int64())})
+    ti = pa.table({"k": pa.array(di, type=pa.int64()),
+                   "i3": pa.array(d3, type=pa.int32())})
     ts = pa.table({"s": pa.array(ds, type=pa.string())})
     bi, bs = io.BytesIO(), io.BytesIO()
     pq.write_table(ti, bi, compression="snappy", use_dictionary=False,
                    data_page_version=dpv,
-                   column_encoding={"k": "DELTA_BINARY_PACKED"})
+                   column_encoding={"k": "DELTA_BINARY_PACKED",
+                                    "i3": "DELTA_BINARY_PACKED"})
     pq.write_table(ts, bs, compression="snappy", use_dictionary=False,
                    data_page_version=dpv,
                    column_encoding={"s": str_enc})
     assert fm.parquet_read_int64_column(bi.getvalue(), "k") == di
+    assert fm.parquet_read_int32_column(bi.getvalue(), "i3") == d3
     assert fm.parquet_read_string_column(bs.getvalue(), "s") == ds
 
 
@@ -1613,7 +1619,8 @@ def _sweep_targets():
     # but not in format), payloads kept tiny so the exhaustive flip
     # stays cheap
     table = pa.table({"k": pa.array(range(40), type=pa.int64()),
-                      "s": pa.array([f"s{i}" for i in range(40)])})
+                      "s": pa.array([f"s{i}" for i in range(40)]),
+                      "i3": pa.array(range(-20, 20), type=pa.int32())})
     pq_buf = io.BytesIO()
     pq.write_table(table, pq_buf, compression="snappy")
     orc_buf = io.BytesIO()
@@ -1625,7 +1632,8 @@ def _sweep_targets():
     pq.write_table(table, pqd_buf, compression="snappy",
                    use_dictionary=False,
                    column_encoding={"k": "DELTA_BINARY_PACKED",
-                                    "s": "DELTA_BYTE_ARRAY"})
+                                    "s": "DELTA_BYTE_ARRAY",
+                                    "i3": "DELTA_BINARY_PACKED"})
     targets = [
         ("parquet_footer", pq_buf.getvalue(), fm.parquet_footer_meta),
         ("parquet_int64", pq_buf.getvalue(),
@@ -1640,6 +1648,8 @@ def _sweep_targets():
          functools.partial(fm.parquet_read_int64_column, col="k")),
         ("parquet_str_delta", pqd_buf.getvalue(),
          functools.partial(fm.parquet_read_string_column, col="s")),
+        ("parquet_int32_delta", pqd_buf.getvalue(),
+         functools.partial(fm.parquet_read_int32_column, col="i3")),
         ("orc_footer", orc_buf.getvalue(), fm.orc_footer_meta),
         ("png", mm.synth_png(px3), mm.decode_png_pixels),
         ("bmp", mm.synth_bmp(px3), mm.decode_bmp_pixels),
