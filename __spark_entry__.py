@@ -6959,8 +6959,8 @@ def q244_parquet_string_decode(spark, sf):
     per-(file, row-group, column) chunk walking, tail-range footer +
     one range read per target chunk. Reference parity: the
     reference's exporters re-serialize string fields row-at-a-time
-    (memory_core/export/data_exporter.py); this proves the columnar
-    read side byte-exactly."""
+    (memory_core/migration/data_exporter.py); this proves the
+    columnar read side byte-exactly."""
     import hashlib
     import os
 
@@ -6985,7 +6985,8 @@ def q244_parquet_string_decode(spark, sf):
                     "tbl": t, "col": c,
                     "n_values": len(nn),
                     "n_nulls": len(vals) - len(nn),
-                    "vmin": min(nn), "vmax": max(nn),
+                    "vmin": min(nn) if nn else None,
+                    "vmax": max(nn) if nn else None,
                     "len_sum": sum(len(v) for v in nn),
                     "md5_fold": sum(
                         int(hashlib.md5(v.encode("utf-8"))

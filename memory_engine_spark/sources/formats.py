@@ -1758,7 +1758,7 @@ def _delta_binary_packed(b: bytes, i: int, expected: int,
             and 0 < mb <= bs and bs % mb == 0):
         raise ValueError("corrupt delta block header")
     vpm = bs // mb
-    if vpm % 8:
+    if vpm % 32:
         raise ValueError("corrupt delta miniblock width")
 
     wmask, wsign = (1 << width) - 1, 1 << (width - 1)
@@ -1801,9 +1801,10 @@ def _delta_binary_packed(b: bytes, i: int, expected: int,
 def _delta_length_bytes(b: bytes, i: int,
                         expected: int) -> "tuple[list[bytes], int]":
     """Parquet DELTA_LENGTH_BYTE_ARRAY (encoding 6) decode → raw
-    byte values: DELTA_BINARY_PACKED lengths, then the concatenated
+    byte values: DELTA_BINARY_PACKED lengths (spec'd as INT32
+    deltas — 32-bit wraparound arithmetic), then the concatenated
     array bodies."""
-    lens, i = _delta_binary_packed(b, i, expected)
+    lens, i = _delta_binary_packed(b, i, expected, width=32)
     if any(ln < 0 for ln in lens):
         raise ValueError("negative delta byte-array length")
     if i + sum(lens) > len(b):
@@ -1818,10 +1819,10 @@ def _delta_length_bytes(b: bytes, i: int,
 def _delta_byte_array_bytes(b: bytes, i: int,
                             expected: int) -> "tuple[list[bytes], int]":
     """Parquet DELTA_BYTE_ARRAY (encoding 7) decode → raw byte
-    values: DELTA_BINARY_PACKED prefix lengths, then
-    DELTA_LENGTH_BYTE_ARRAY suffixes; value[i] =
-    value[i-1][:prefix[i]] + suffix[i]."""
-    pre, i = _delta_binary_packed(b, i, expected)
+    values: DELTA_BINARY_PACKED prefix lengths (INT32 deltas, like
+    the length stream), then DELTA_LENGTH_BYTE_ARRAY suffixes;
+    value[i] = value[i-1][:prefix[i]] + suffix[i]."""
+    pre, i = _delta_binary_packed(b, i, expected, width=32)
     suf, i = _delta_length_bytes(b, i, expected)
     out: list[bytes] = []
     prev = b""
