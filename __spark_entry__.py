@@ -8237,17 +8237,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10-proven tranche q84–q110 + q132–q152 — 2 + 49 = 51, so the
     # strict-50 window rolls ONE entry to r15 (the r11/r13
     # precedent): q99, the lexicographic tail of the stale slice.
-    # Next-stalest for r15: q99, then the r11-proven tranche
-    # q01–q16 + q51–q60 + q118–q131 + q153–q161.
-    r14_stale = ({"q83"}
-                 | {f"q{i}" for i in range(84, 111)}
-                 | {f"q{i}" for i in range(132, 153)})
+    # r15 front (r14 verdict item 2 — the rotation comment that
+    # stood here was WRONG; the CORRECTNESS_r01–r14 union, recomputed
+    # this round, says the stalest driver proofs are): NEVER-driver-
+    # proven first (any q246+ added this round), then q206/q207
+    # (last proof r8), the 40 r9-proven entries (q112–q117 +
+    # q208–q241), q99/q111/q242 (r10) — 45 — filled to the strict-50
+    # window with the five numerically-first r11-proven entries
+    # q01–q05; new-this-round arrivals displace the fill tail.
+    # Next-stalest for r16: the remaining r11-proven tranche
+    # q06–q16 + q51–q60 + q118–q131 + q153–q161 + q243 (45 entries)
+    # + whatever the fill left unproven here.
+    r15_priority = (["q206", "q207"]
+                    + [f"q{i}" for i in range(112, 118)]
+                    + [f"q{i}" for i in range(208, 242)]
+                    + ["q99", "q111", "q242"]
+                    + ["q01", "q02", "q03", "q04", "q05"])
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
-                      and int(n.split("_")[0].lstrip("q")) >= 244]
+                      and int(n.split("_")[0].lstrip("q")) >= 246]
+    by_num = {n.split("_")[0]: n for n in out}
     front = (new_this_round
-             + [n for n in sorted(out)
-                if n.split("_")[0] in r14_stale])[:50]
+             + [by_num[p] for p in r15_priority if p in by_num])[:50]
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
     for n, fn in out.items():
