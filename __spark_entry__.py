@@ -7094,6 +7094,96 @@ def q245_parquet_delta_decode(spark, sf):
             .orderBy("tbl", "col"))
 
 
+def q246_parquet_codec_decode(spark, sf):
+    """Parquet GZIP + LZ4_RAW page-codec decode under the oracle
+    gate (r15 named gap, PLANS.md): per (table, column, codec,
+    page-version, dictionary-mode) a mapInPandas task reads the
+    source column with pyarrow (the INDEPENDENT implementation),
+    re-writes it IN MEMORY as a real parquet blob compressed with
+    the requested codec — GZIP (RFC-1952 member per page) and
+    LZ4_RAW (bare LZ4 block, codec 7, pyarrow's modern 'lz4') —
+    across v1 pages (levels inside the compressed body), v2 pages
+    (levels outside, is_compressed flag), PLAIN-framed dictionary
+    pages AND plain data pages, then decodes the blob with the
+    hand-rolled reader (`formats._pq_decode_chunk`: size-pinned
+    zlib inflate, `_lz4_block_decompress` with the output cap) and
+    aggregates the decoded values into the q244/q245 md5-fold. The
+    oracle recomputes counts and folds from the registered views, so
+    a member-framing, size-claim, copy-replay, or level-placement
+    bug in either codec path breaks the hash against values pyarrow
+    compressed. Scale posture: identical to q245 — per-(table,
+    column) tasks, bytes never on the driver; at 100 TB the unit is
+    the row group, exactly parquet's split model. Reference parity:
+    the reference's exporters write whole-object JSON/CSV
+    (memory_core/migration/data_exporter.py) — page-codec-aware
+    columnar reads are this engine's lakehouse extension surface."""
+    import hashlib
+    import os
+
+    M = (1 << 61) - 1
+    # (tbl, col, codec, data-page-version, dict?, kind): covers
+    # gzip/lz4 × v1/v2 × dictionary/plain × i64/i32/str
+    COLS = [("customer", "c_name", "gzip", "1.0", 0, "str"),
+            ("documents", "source", "lz4", "2.0", 1, "str"),
+            ("events", "user_id", "gzip", "2.0", 1, "i64"),
+            ("nation", "n_regionkey", "lz4", "1.0", 1, "i32"),
+            ("orders", "o_custkey", "lz4", "1.0", 0, "i64"),
+            ("part", "p_type", "gzip", "2.0", 0, "str"),
+            ("region", "r_name", "lz4", "2.0", 0, "str"),
+            ("supplier", "s_suppkey", "gzip", "1.0", 1, "i64")]
+    paths = spark.createDataFrame(
+        [(t, c, cd, v, d, k, os.path.join(sf, f"{t}.parquet"))
+         for t, c, cd, v, d, k in COLS],
+        "tbl string, col string, codec string, dpv string, "
+        "use_dict int, kind string, path string")
+
+    def probe(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from memory_engine_spark.sources.formats import (
+            parquet_read_int32_column, parquet_read_int64_column,
+            parquet_read_string_column)
+
+        readers = {"i64": parquet_read_int64_column,
+                   "i32": parquet_read_int32_column,
+                   "str": parquet_read_string_column}
+        for pdf in batches:
+            rows = []
+            for t, c, cd, v, d, k, p in zip(
+                    pdf["tbl"], pdf["col"], pdf["codec"], pdf["dpv"],
+                    pdf["use_dict"], pdf["kind"], pdf["path"]):
+                src = pq.read_table(p, columns=[c])
+                buf = io.BytesIO()
+                pq.write_table(src, buf, compression=cd,
+                               data_page_version=v,
+                               use_dictionary=bool(d))
+                blob = buf.getvalue()
+                vals = readers[k](blob, c)
+                texts = [v2 if k == "str" else str(v2)
+                         for v2 in vals if v2 is not None]
+                rows.append({
+                    "tbl": t, "col": c, "codec": cd, "dpv": v,
+                    "n_values": len(texts),
+                    "n_nulls": len(vals) - len(texts),
+                    "md5_fold": sum(
+                        int(hashlib.md5(x.encode("utf-8"))
+                            .hexdigest()[:15], 16)
+                        for x in texts) % M})
+            yield pd.DataFrame(rows, columns=[
+                "tbl", "col", "codec", "dpv", "n_values", "n_nulls",
+                "md5_fold"])
+
+    return (paths.repartition(8, "tbl", "col")
+            .mapInPandas(
+                probe, "tbl string, col string, codec string, "
+                       "dpv string, n_values long, n_nulls long, "
+                       "md5_fold long")
+            .orderBy("tbl", "col"))
+
+
 def q189_orc_footer(spark, sf):
     """ORC physical-metadata introspection under the oracle gate —
     the parquet/avro/orc format-walking trio's last leg: Spark
@@ -8144,6 +8234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_scc_exhaustive_peel": q243_scc_exhaustive_peel,
         "q244_parquet_string_decode": q244_parquet_string_decode,
         "q245_parquet_delta_decode": q245_parquet_delta_decode,
+        "q246_parquet_codec_decode": q246_parquet_codec_decode,
         "q107_enhancement_plan": q107_enhancement_plan,
         "q108_ccnet_buckets": q108_ccnet_buckets,
         "q109_rrf_fusion": q109_rrf_fusion,
@@ -14053,6 +14144,34 @@ def oracle_sql() -> dict[str, str]:
                n_nulls::BIGINT AS n_nulls,
                md5_fold::BIGINT AS md5_fold
         FROM ({_q245_parts}) ORDER BY tbl, col
+    """
+
+    # q246: the GZIP/LZ4_RAW page-codec decode — q245's md5-fold
+    # design over codec/page-version/dictionary axes; the codec and
+    # dpv labels are plan constants, the folds are recomputed from
+    # the views.
+    _q246_parts = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, '{c}' AS col, '{cd}' AS codec,"
+        f" '{v}' AS dpv,"
+        f" COUNT({c}) AS n_values,"
+        f" COUNT(*) - COUNT({c}) AS n_nulls,"
+        f" (SUM(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15))"
+        f"::BIGINT) % {_q244_m}) AS md5_fold"
+        f" FROM {t}"
+        for t, c, cd, v in [
+            ("customer", "c_name", "gzip", "1.0"),
+            ("documents", "source", "lz4", "2.0"),
+            ("events", "user_id", "gzip", "2.0"),
+            ("nation", "n_regionkey", "lz4", "1.0"),
+            ("orders", "o_custkey", "lz4", "1.0"),
+            ("part", "p_type", "gzip", "2.0"),
+            ("region", "r_name", "lz4", "2.0"),
+            ("supplier", "s_suppkey", "gzip", "1.0")])
+    sql["q246_parquet_codec_decode"] = f"""
+        SELECT tbl, col, codec, dpv, n_values::BIGINT AS n_values,
+               n_nulls::BIGINT AS n_nulls,
+               md5_fold::BIGINT AS md5_fold
+        FROM ({_q246_parts}) ORDER BY tbl, col
     """
 
     # q189: q184's oracle design for ORC — view-derived COUNT(*) +

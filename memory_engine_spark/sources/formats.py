@@ -1981,6 +1981,9 @@ def _parquet_read_column_ranged(read_at, size: int, col: str,
             raise ValueError("corrupt parquet chunk offsets")
         if dict_off:
             start = min(start, dict_off)
+        if total == 0 and cm.get(5, 0) == 0 and not dict_off:
+            continue    # 0-row chunk: no pages exist (pyarrow with
+            # dictionary disabled writes offset 0 / size 0)
         if total <= 0 or start < 0 or start + total > size:
             raise ValueError(
                 f"chunk for {col!r} overruns file "
@@ -2020,6 +2023,24 @@ def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
             return raw
         if codec == 1:
             return _snappy_decompress(raw)
+        if codec == 2:                  # GZIP: one RFC-1952 member
+            d = _z.decompressobj(31)
+            try:
+                out = d.decompress(raw, usize + 1)
+            except _z.error:
+                raise ValueError(
+                    "corrupt gzip parquet page") from None
+            # max_length=usize+1 bounds the allocation to the
+            # header's claim; an over/under-run, a mid-member stop,
+            # or trailing bytes after the member are all loud
+            if len(out) != usize or not d.eof or d.unused_data:
+                raise ValueError("gzip parquet page size mismatch")
+            return out
+        if codec == 7:                  # LZ4_RAW: bare block
+            out = _lz4_block_decompress(raw, max_out=usize)
+            if len(out) != usize:
+                raise ValueError("lz4 parquet page size mismatch")
+            return out
         raise ValueError(f"unsupported parquet codec {codec}")
 
     def _ints(*vals):
@@ -2345,10 +2366,15 @@ def _lz4_block_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lz4_block_decompress(b: bytes) -> bytes:
+def _lz4_block_decompress(b: bytes, max_out: int | None = None) -> bytes:
     """LZ4 block decode: token nibbles, 255-extension lengths, 2-byte
     LE offsets, overlapping copies replayed in ≤offset chunks (the
-    RLE idiom, same as snappy's)."""
+    RLE idiom, same as snappy's). ``max_out`` caps the output size
+    (the parquet LZ4_RAW page path pins it to the header's
+    uncompressed_page_size — the allocation-bomb guard: a match
+    length is 255-extension-unbounded, so input length alone cannot
+    bound the output). Truncated extension/offset bytes are loud
+    ValueErrors, never IndexError."""
     out = bytearray()
     i, n = 0, len(b)
     while i < n:
@@ -2357,15 +2383,23 @@ def _lz4_block_decompress(b: bytes) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if i >= n:
+                    raise ValueError("truncated lz4 literal length")
                 x = b[i]
                 i += 1
                 lit += x
                 if x != 255:
                     break
+        if i + lit > n:
+            raise ValueError("lz4 literals overrun block")
+        if max_out is not None and len(out) + lit > max_out:
+            raise ValueError("lz4 output exceeds declared size")
         out += b[i:i + lit]
         i += lit
         if i >= n:
             break                       # last sequence: literals only
+        if i + 2 > n:
+            raise ValueError("truncated lz4 match offset")
         off = int.from_bytes(b[i:i + 2], "little")
         i += 2
         if off == 0 or off > len(out):
@@ -2373,11 +2407,15 @@ def _lz4_block_decompress(b: bytes) -> bytes:
         ml = (token & 15) + 4
         if (token & 15) == 15:
             while True:
+                if i >= n:
+                    raise ValueError("truncated lz4 match length")
                 x = b[i]
                 i += 1
                 ml += x
                 if x != 255:
                     break
+        if max_out is not None and len(out) + ml > max_out:
+            raise ValueError("lz4 output exceeds declared size")
         while ml > 0:
             take = min(ml, off)
             start = len(out) - off
