@@ -6,6 +6,7 @@ edges."""
 from __future__ import annotations
 
 import math
+import os
 import re
 
 import pytest
@@ -15,7 +16,13 @@ from hypothesis import strategies as st
 from memory_engine_spark.operators import dedup
 from memory_engine_spark.operators.filters import FilterCondition, apply_filters
 
-SETTINGS = dict(max_examples=12, deadline=None,
+# SPARK_GRAFT_HYP_EXAMPLES: soak knob (r13 precedent — a 12-pass
+# fresh-seed soak found the FLAC single-sample-final-block bug the
+# default budget never hit). CI default stays 12; a soak run sets
+# e.g. 60 and repeats with fresh random seeds.
+SETTINGS = dict(max_examples=int(os.environ.get(
+                    "SPARK_GRAFT_HYP_EXAMPLES", "12")),
+                deadline=None,
                 suppress_health_check=[HealthCheck.function_scoped_fixture,
                                        HealthCheck.too_slow])
 
