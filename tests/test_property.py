@@ -376,9 +376,10 @@ def test_parquet_delta_fuzz_roundtrip(ints, strs, null_mod, dpv,
        null_mod=st.integers(2, 17),
        dpv=st.sampled_from(["1.0", "2.0"]),
        codec=st.sampled_from(["gzip", "lz4"]),
-       use_dict=st.booleans())
+       use_dict=st.booleans(),
+       multi_rg=st.booleans())
 def test_parquet_codec_fuzz_roundtrip(ints, strs, null_mod, dpv,
-                                      codec, use_dict):
+                                      codec, use_dict, multi_rg):
     """GZIP and LZ4_RAW page codecs (q246's machinery, r15 named
     gap) vs pyarrow's writer as the independent implementation:
     every page kind that crosses the inflater — PLAIN-framed
@@ -403,10 +404,15 @@ def test_parquet_codec_fuzz_roundtrip(ints, strs, null_mod, dpv,
                    "i3": pa.array(d3, type=pa.int32())})
     ts = pa.table({"s": pa.array(ds, type=pa.string())})
     bi, bs = io.BytesIO(), io.BytesIO()
-    pq.write_table(ti, bi, compression=codec,
-                   data_page_version=dpv, use_dictionary=use_dict)
-    pq.write_table(ts, bs, compression=codec,
-                   data_page_version=dpv, use_dictionary=use_dict)
+    # multi_rg splits into ~3 row groups with multi-page chunks —
+    # the cross-page/cross-group reassembly axis
+    kw = dict(compression=codec, data_page_version=dpv,
+              use_dictionary=use_dict)
+    if multi_rg:
+        kw.update(row_group_size=max(1, len(di) // 3 or 1),
+                  data_page_size=64)
+    pq.write_table(ti, bi, **kw)
+    pq.write_table(ts, bs, **kw)
     assert fm.parquet_read_int64_column(bi.getvalue(), "k") == di
     assert fm.parquet_read_int32_column(bi.getvalue(), "i3") == d3
     assert fm.parquet_read_string_column(bs.getvalue(), "s") == ds
@@ -1688,6 +1694,13 @@ def _sweep_targets():
     pq.write_table(table, pqg_buf, compression="gzip")
     pql_buf = io.BytesIO()                  # r15: LZ4_RAW page codec
     pq.write_table(table, pql_buf, compression="lz4")
+    pqm_buf = io.BytesIO()                  # r15: multi-row-group +
+    # multi-page shape (row_group_size=16 → 3 groups; tiny
+    # data_page_size forces >1 page per chunk) — exercises the
+    # cross-page got-counter and per-group loop under flips
+    pq.write_table(table, pqm_buf, compression="gzip",
+                   row_group_size=16, data_page_size=64,
+                   use_dictionary=False)
     targets = [
         ("parquet_footer", pq_buf.getvalue(), fm.parquet_footer_meta),
         ("parquet_int64", pq_buf.getvalue(),
@@ -1711,6 +1724,10 @@ def _sweep_targets():
         ("parquet_int64_lz4", pql_buf.getvalue(),
          functools.partial(fm.parquet_read_int64_column, col="k")),
         ("parquet_str_lz4", pql_buf.getvalue(),
+         functools.partial(fm.parquet_read_string_column, col="s")),
+        ("parquet_int64_multirg", pqm_buf.getvalue(),
+         functools.partial(fm.parquet_read_int64_column, col="k")),
+        ("parquet_str_multirg", pqm_buf.getvalue(),
          functools.partial(fm.parquet_read_string_column, col="s")),
         ("orc_footer", orc_buf.getvalue(), fm.orc_footer_meta),
         ("png", mm.synth_png(px3), mm.decode_png_pixels),
