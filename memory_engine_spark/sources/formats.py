@@ -2174,7 +2174,13 @@ def _pq_decode_chunk(b: bytes, cm: dict, optional: bool,
             _ints(nv, nnul, enc, dlen, rlen)
             if got + nv > n_vals:
                 raise ValueError("page value count overruns chunk")
-            if nnul > nv or rlen + dlen > len(raw):
+            # levels count toward BOTH sizes (spec), so usize <
+            # rlen+dlen is corrupt — and must be rejected BEFORE
+            # _inflate: a negative body-size claim would reach
+            # zlib max_length=0, which means UNLIMITED (the
+            # allocation cap silently off), not "none"
+            if nnul > nv or rlen + dlen > len(raw) \
+                    or rlen + dlen > usize:
                 raise ValueError("corrupt v2 level sections")
             lvl = raw[:rlen + dlen]
             body = raw[rlen + dlen:]

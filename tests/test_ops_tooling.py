@@ -525,6 +525,81 @@ def test_parquet_v2_uncompressed_page_under_snappy_codec():
         page(True, snappy_literal(body)), cm, False) == vals
 
 
+def test_parquet_v2_negative_body_claim_is_loud_not_unbounded():
+    """r15 pin: a corrupt v2 header whose uncompressed_page_size is
+    SMALLER than rep+def level lengths implies a negative body size;
+    passing that to the gzip inflater as max_length would hit zlib's
+    max_length=0 == UNLIMITED semantics (the allocation cap silently
+    off). The chunk walk must reject the header shape loudly before
+    any inflate. Levels count toward both sizes per parquet-format,
+    so no valid writer emits this."""
+    import gzip as _gz
+    import struct
+
+    import pytest as _pytest
+
+    from memory_engine_spark.sources.formats import (
+        _pq_decode_int64_chunk)
+
+    def varint(v):
+        out = bytearray()
+        while True:
+            x = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(x | 0x80)
+            else:
+                out.append(x)
+                return bytes(out)
+
+    def zig(v):
+        return varint((v << 1) ^ (v >> 63))
+
+    def tc_struct(fields):
+        out, last = bytearray(), 0
+        for fid, typ, val in fields:
+            delta = fid - last
+            assert 0 < delta <= 15
+            last = fid
+            if typ == "i32":
+                out.append((delta << 4) | 5)
+                out += zig(val)
+            elif typ == "bool":
+                out.append((delta << 4) | (1 if val else 2))
+            else:
+                out.append((delta << 4) | 12)
+                out += val
+        out.append(0)
+        return bytes(out)
+
+    vals = list(range(-3, 4))
+    body = struct.pack(f"<{len(vals)}q", *vals)
+    comp = _gz.compress(body, mtime=0)
+
+    def page(usize, rlen, dlen, raw):
+        v2 = tc_struct([
+            (1, "i32", len(vals)), (2, "i32", 0), (3, "i32", len(vals)),
+            (4, "i32", 0),                  # PLAIN
+            (5, "i32", dlen), (6, "i32", rlen),
+            (7, "bool", True)])
+        ph = tc_struct([
+            (1, "i32", 3),                  # DATA_PAGE_V2
+            (2, "i32", usize),
+            (3, "i32", len(raw)),
+            (8, "struct", v2)])
+        return ph + raw
+
+    cm = {4: 2, 5: len(vals)}               # codec = GZIP
+
+    # sane header decodes through the gzip path
+    assert _pq_decode_int64_chunk(
+        page(len(body), 0, 0, comp), cm, False) == vals
+    # usize < rlen+dlen (negative body claim) is a loud reject
+    with _pytest.raises(ValueError, match="v2 level"):
+        _pq_decode_int64_chunk(
+            page(3, 2, 2, b"\x00" * 4 + comp), cm, False)
+
+
 class _CountingFile:
     """open_fn seam for the *_file readers: counts bytes actually
     read so tests can pin the tail-range I/O budget."""
