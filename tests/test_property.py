@@ -1694,6 +1694,11 @@ def _sweep_targets():
     pq.write_table(table, pqg_buf, compression="gzip")
     pql_buf = io.BytesIO()                  # r15: LZ4_RAW page codec
     pq.write_table(table, pql_buf, compression="lz4")
+    pqg2_buf = io.BytesIO()                 # r15: gzip under v2 pages
+    # (levels outside the compressed body; the negative-body-claim
+    # guard lives on this path)
+    pq.write_table(table, pqg2_buf, compression="gzip",
+                   data_page_version="2.0")
     pqm_buf = io.BytesIO()                  # r15: multi-row-group +
     # multi-page shape (row_group_size=16 → 3 groups; tiny
     # data_page_size forces >1 page per chunk) — exercises the
@@ -1728,6 +1733,10 @@ def _sweep_targets():
         ("parquet_int64_multirg", pqm_buf.getvalue(),
          functools.partial(fm.parquet_read_int64_column, col="k")),
         ("parquet_str_multirg", pqm_buf.getvalue(),
+         functools.partial(fm.parquet_read_string_column, col="s")),
+        ("parquet_int64_gzip_v2", pqg2_buf.getvalue(),
+         functools.partial(fm.parquet_read_int64_column, col="k")),
+        ("parquet_str_gzip_v2", pqg2_buf.getvalue(),
          functools.partial(fm.parquet_read_string_column, col="s")),
         ("orc_footer", orc_buf.getvalue(), fm.orc_footer_meta),
         ("png", mm.synth_png(px3), mm.decode_png_pixels),
