@@ -2486,6 +2486,13 @@ def lz4_frame_walk(payload: bytes) -> tuple[list, bool]:
     hc = b[4 + desc_len]
     if hc != (_xxh32(desc) >> 8) & 0xFF:
         raise ValueError("LZ4 frame header checksum mismatch")
+    bd = desc[1]
+    if bd & 0x8F:
+        raise ValueError("LZ4 frame BD reserved bits set")
+    bmax_log = (bd >> 4) & 7
+    if bmax_log < 4:
+        raise ValueError("LZ4 frame reserved block-max-size code")
+    bmax = 1 << (8 + 2 * bmax_log)      # 4→64 KB … 7→4 MB
     i = 5 + desc_len
     blocks = []
     content = bytearray()
@@ -2500,11 +2507,17 @@ def lz4_frame_walk(payload: bytes) -> tuple[list, bool]:
             break
         stored = bool(word & 0x80000000)
         ln = word & 0x7FFFFFFF
+        if ln > bmax:
+            # spec: block data (either form) never exceeds the BD
+            # block maximum — and the cap below relies on it, so a
+            # lying size word is loud, not a bigger allocation
+            raise ValueError("LZ4 block exceeds frame block maximum")
         chunk = b[i:i + ln]
         if len(chunk) != ln:
             raise ValueError("truncated LZ4 block")
         i += ln
-        raw = chunk if stored else _lz4_block_decompress(chunk)
+        raw = chunk if stored else _lz4_block_decompress(
+            chunk, max_out=bmax)
         blocks.append((stored, ln, raw))
         content += raw
     content_ok = True

@@ -2098,6 +2098,33 @@ def test_xxh32_reference_vectors_and_lz4_roundtrip():
     dic[4] |= 0x01
     with pytest.raises(NotImplementedError, match="DictID"):
         lz4_frame_walk(bytes(dic))
+    # r15: the BD block maximum is ENFORCED — a block size word
+    # exceeding it is loud (the decode output cap relies on it), and
+    # a reserved BD code is loud. Re-seal the header checksum so the
+    # new check (not the checksum) is what fires.
+    def reseal(buf):
+        buf = bytearray(buf)
+        desc_len = 2 + 8                  # synth writes csize
+        buf[4 + desc_len] = (_xxh32(bytes(buf[4:4 + desc_len]))
+                             >> 8) & 0xFF
+        return bytes(buf)
+
+    small_bd = bytearray(frame)
+    small_bd[5] = 0x40                    # 64 KB max block
+    ok_small = reseal(small_bd)           # blocks are tiny: still ok
+    blocks3, ok3 = lz4_frame_walk(ok_small)
+    assert ok3 and blocks3[0][2] == b0
+    oversize = bytearray(ok_small)
+    # stored-block size word: claim bigger than the 64 KB max
+    woff = ok_small.find(b"stored-tail") - 4
+    oversize[woff:woff + 4] = (0x80000000 | (1 << 17)) \
+        .to_bytes(4, "little")
+    with pytest.raises(ValueError, match="block maximum"):
+        lz4_frame_walk(bytes(oversize))
+    resv = bytearray(frame)
+    resv[5] = 0x30                        # reserved block-max code
+    with pytest.raises(ValueError, match="reserved block-max"):
+        lz4_frame_walk(reseal(resv))
 
 
 def test_ogg_corrupt_empty_page_is_never_silently_dropped(spark):
