@@ -23,6 +23,7 @@ from memory_engine_spark.operators.aggregates import (
 )
 from memory_engine_spark.functions import sketch
 from memory_engine_spark.checkpoint import lc as _lc
+from memory_engine_spark.checkpoint import lc_lazy as _lc_lazy
 from memory_engine_spark.operators.merging import clamp01
 from memory_engine_spark.operators.ranking import combined_score, relevance_score
 from memory_engine_spark.operators.text import quality_score
@@ -2552,8 +2553,16 @@ def _probe_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _PROBE_CACHE:
         before = _rdd_snap(spark)
+        # Pinned HASH-PARTITIONED on doc_id (r16, guide §2.4): every
+        # consumer keys on doc_id (the per-step z aggregate, the
+        # gradient joins, the scoring join), so paying one exchange at
+        # ingest makes each GD step's id-keyed stages exchange-free —
+        # the cached InMemoryRelation's outputPartitioning satisfies
+        # their ClusteredDistribution. Results are BIGINT sums —
+        # partitioning-independent by construction.
         f = corpus.probe_features(
-            _t(spark, sf_dir)["documents"], "text", "doc_id", 64).persist()
+            _t(spark, sf_dir)["documents"], "text", "doc_id", 64) \
+            .repartition(F.col("doc_id")).persist()
         f.count()
         _pin_new(spark, before, "probe_feats", _PROBE_CACHE, key)
         _PROBE_CACHE[key] = f
@@ -3924,14 +3933,20 @@ def q149_corpus_pipeline(spark, sf):
                       F.md5(dedup.normalized(F.col("text"))).alias("_h"))
             .groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
+    # s2/s3 checkpoints are LAZY (r16, guide §1.2): docs and s1 stay
+    # EAGER (they pin the regex-heavy gate once), but past s1's
+    # blocks these are cheap hash joins — materializing them inside
+    # the final 5-branch union action saves two driver actions
+    # (~0.3 s local dispatch each) with the same lineage truncation
+    # and the same pinned parallelism (the repartition stays in plan).
     s2 = (s1.join(surv, "doc_id")
-          .repartition(n_parts, "doc_id").transform(_lc))
+          .repartition(n_parts, "doc_id").transform(_lc_lazy))
     bench = docs.filter(F.col("source") == "src0")
     train = s2.filter(F.col("source") != "src0")
     contaminated = text.decontaminate(
         train, bench, "text", "doc_id", window=8).select("doc_id")
     s3 = (train.join(contaminated, "doc_id", "left_anti")
-          .repartition(n_parts, "doc_id").transform(_lc))
+          .repartition(n_parts, "doc_id").transform(_lc_lazy))
     packed = corpus.pack_sequences(
         s3, F.size(dedup.tokens(F.col("text"))), budget=512,
         id_col="doc_id", n_shards=8, salt="pack")
@@ -3967,24 +3982,33 @@ def q150_quality_probe(spark, sf):
     BIGINT pico-units, and the link is the RATIONAL fast sigmoid
     0.5 + 0.5·z/(1+|z|), so no engine-local exp()/float-ordering ever
     reaches a hashed value (the q86 discipline applied to training).
-    Output = every labeled doc's score, doc_id order."""
+    Output = every labeled doc's score, doc_id order.
+
+    Latency (r16, guide §1.2): the class-balance statistics ride the
+    probe's persisted label frame as a broadcast 1-row aggregate
+    (``label_aux``) instead of a separate up-front ``.first()`` —
+    the balanced weights n_all/(2·n_pos) and n_all/(2·(n_all−n_pos))
+    are the same correctly-rounded IEEE doubles whether computed by
+    Python from collected longs or by SQL from the same longs, so the
+    scores are bit-identical (oracle re-proven at both SFs). The
+    degenerate guard (no positives / no negatives / empty corpus →
+    weight 1.0, r05 ADVICE) moves into the same expression."""
     from memory_engine_spark.operators.dedup import tokens as _toks
     docs = (_t(spark, sf)["documents"]
             .withColumn("is_pos",
                         F.array_contains(_toks(F.col("text")),
                                          "dup").cast("int")))
-    n_pos, n_all = docs.agg(
-        F.sum("is_pos"), F.count(F.lit(1))).first()
-    # Degenerate label split (no positives / no negatives / empty
-    # corpus) would divide by zero — balanced class weights are
-    # meaningless there, so fall back to 1.0 (r05 ADVICE guard).
-    n_pos = n_pos or 0
-    degenerate = n_pos == 0 or n_pos == n_all
+    stats = docs.agg(
+        F.coalesce(F.sum("is_pos"), F.lit(0)).cast("long").alias("_np"),
+        F.count(F.lit(1)).alias("_na"))
+    degenerate = (F.col("_np") == 0) | (F.col("_np") == F.col("_na"))
     _w, scored = corpus.logistic_probe(
         docs, "text", "doc_id", "is_pos", dim=64, n_steps=3, lr=50.0,
-        pos_weight=1.0 if degenerate else n_all / (2.0 * n_pos),
-        neg_weight=1.0 if degenerate else n_all / (2.0 * (n_all - n_pos)),
-        prebuilt_feats=_probe_feats(spark, sf))
+        pos_weight=F.when(degenerate, F.lit(1.0)).otherwise(
+            F.col("_na") / (F.lit(2.0) * F.col("_np"))),
+        neg_weight=F.when(degenerate, F.lit(1.0)).otherwise(
+            F.col("_na") / (F.lit(2.0) * (F.col("_na") - F.col("_np")))),
+        prebuilt_feats=_probe_feats(spark, sf), label_aux=stats)
     return scored.orderBy("doc_id")
 
 

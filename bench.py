@@ -683,26 +683,33 @@ def main() -> None:
     # the JSON line inside the driver's stdout-tail window.
     cold_hot = {k: v for k, v in cold.items()
                 if v > 1.5 * max(timings[k], 1e-9)}
+    # Key ORDER is deliberate (r15 verdict item 7): the driver stores
+    # only a bounded TAIL of stdout (~2000 chars — BENCH_r08..r15 all
+    # came back "parsed": null because a 244-query line cannot fit),
+    # so the scalars a judge reads from the raw tail — headline value,
+    # calibration, sf — go LAST, after the big dicts, where the tail
+    # window always captures them. Same ONE JSON line, same keys; the
+    # complete record is still written to BENCH_rNN_full.json below.
     payload = {
-        "metric": "headline_query_total_steady_state",
-        "value": total,
-        "unit": "sec",
         "materializer": "noop_write",  # r09: count() pruned agg payloads
         "queries": timings,
         "cold_over_1_5x": cold_hot,
+        "scale_10x": scale,
         "cold_total": round(sum(cold.values()), 3),
         "index_build_sec": index_build_sec,
         "pin_evictions": n_evictions,
         "q125_lifecycle_sec": q125_lifecycle_sec,
         "ingest_docs_per_sec": docs_per_sec,
         "calibration": {"pre": cal_pre, "post": cal_post},
-        "scale_10x": scale,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # REGISTRY.md: BENCH artifacts are self-describing about the
         # engine version the frozen-registry numbers were taken under.
         "spark_version": spark.version,
+        "metric": "headline_query_total_steady_state",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(payload))
+    print(json.dumps(payload, separators=(",", ":")))
     # Full in-repo artifact (r07 verdict item 9): the driver captures
     # only a bounded stdout tail, which keeps dropping the warm dict —
     # persist the complete record (plus the full cold dict and the

@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from memory_engine_spark.checkpoint import lc as _lc
 
@@ -688,9 +688,10 @@ def probe_features(df: DataFrame, text_col: str, id_col: str,
 
 def logistic_probe(df: DataFrame, text_col: str, id_col: str,
                    label_col, dim: int = 64, n_steps: int = 3,
-                   lr: float = 1.0, pos_weight: float = 1.0,
-                   neg_weight: float = 1.0,
-                   prebuilt_feats: DataFrame | None = None
+                   lr: float = 1.0, pos_weight: float | Column = 1.0,
+                   neg_weight: float | Column = 1.0,
+                   prebuilt_feats: DataFrame | None = None,
+                   label_aux: DataFrame | None = None
                    ) -> tuple[list[float], DataFrame]:
     """Linear quality-probe classifier (the fasttext/CCNet-style
     model-based corpus filter) trained END TO END in the engine:
@@ -722,6 +723,29 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
     replaced by the weight vector. ``prebuilt_feats`` takes an
     already-persisted probe_features frame (the feature matrix is the
     ingest-time artifact; labels/steps are per-query).
+
+    Latency shape (r16, guide §1.2/§2.4 — fewer driver actions, same
+    bits): the whole run is ``n_steps`` gradient collects + the scored
+    checkpoint, nothing else.
+
+    - The old up-front ``labels.count()`` action is FOLDED into the
+      first gradient collect as a ``j = -1`` sentinel row (the
+      feature ids are 0..dim, so -1 never collides).
+    - Step 1 always runs from w = 0, where every per-feature term is
+      ``floor(0.0·x·1e15 + 0.5) = 0``, so z = 0 and the rational
+      sigmoid is EXACTLY 0.5 for every document — the z/p subplan is
+      a constant and is skipped; the step-1 gradient term
+      ``(0.5 − y)·x·wt`` is the same IEEE expression in the same
+      association, so the weights are bit-identical.
+    - Steps 2+ cannot share one action: full-batch GD is sequential
+      (step k's join needs step k−1's collected weights) — measured
+      and closed, see OPTIMIZATION_r16.md.
+    - ``pos_weight``/``neg_weight`` also accept Column expressions
+      over the label frame's columns, and ``label_aux`` (a 1-row
+      aggregate frame) is broadcast-crossJoined into the label frame
+      once at build — so a caller's class-balance statistics ride the
+      persisted labels instead of costing a separate up-front action
+      (q150's n_pos/n_all fold).
     """
     spark = df.sparkSession
     own = prebuilt_feats is None
@@ -731,37 +755,55 @@ def logistic_probe(df: DataFrame, text_col: str, id_col: str,
     # scoring join (n_steps+1 consumers); unpinned it re-runs the
     # corpus scan + feature-id distinct each time (the
     # branch-re-derivation rule). It is one int per doc — pin it; the
-    # n_docs count below materializes it.
-    labels = df.select(
-        F.col(id_col), F.col(label_col).cast("int").alias("y")
-    ).join(feats.select(id_col).distinct(), id_col).persist()
-    n_docs = labels.count()
+    # first gradient collect materializes it.
+    lbl = df.select(F.col(id_col), F.col(label_col).cast("int").alias("y"))
+    if label_aux is not None:
+        lbl = lbl.crossJoin(F.broadcast(label_aux))
+    labels = lbl.join(feats.select(id_col).distinct(), id_col).persist()
+    pw = pos_weight if isinstance(pos_weight, Column) else F.lit(pos_weight)
+    nw = neg_weight if isinstance(neg_weight, Column) else F.lit(neg_weight)
+    wt = F.when(F.col("y") == 1, pw).otherwise(nw)
+    n_docs = None
     w = [0.0] * (dim + 1)
     try:
-        for _ in range(n_steps):
-            wdf = spark.createDataFrame(
-                [(j, wj) for j, wj in enumerate(w)], "j int, w double")
-            z = (feats.join(F.broadcast(wdf), "j")
-                 .select(id_col,
-                         F.floor(F.col("w") * F.col("x") * F.lit(1e15)
-                                 + F.lit(0.5)).cast("long").alias("zt"))
-                 .groupBy(id_col).agg(F.sum("zt").alias("zm")))
-            p = (z.select(id_col,
-                          (F.col("zm").cast("double") / F.lit(1e15))
-                          .alias("zv"))
-                 .select(id_col,
-                         (F.lit(0.5) + F.lit(0.5) * F.col("zv")
-                          / (F.lit(1.0) + F.abs(F.col("zv"))))
-                         .alias("p")))
-            wt = F.when(F.col("y") == 1, F.lit(pos_weight)) \
-                .otherwise(F.lit(neg_weight))
-            grad = (feats.join(p, id_col).join(labels, id_col)
-                    .select("j", F.floor(
-                        (F.col("p") - F.col("y").cast("double"))
-                        * F.col("x") * wt * F.lit(1e12) + F.lit(0.5))
-                        .cast("long").alias("g"))
-                    .groupBy("j").agg(F.sum("g").alias("gm")))
+        for step in range(n_steps):
+            if step == 0:
+                # w == 0: p is exactly 0.5 for every doc (see
+                # docstring) — no z/p subplan, and the n_docs count
+                # rides this collect as the j = -1 row.
+                grad = (feats.join(labels, id_col)
+                        .select("j", F.floor(
+                            (F.lit(0.5) - F.col("y").cast("double"))
+                            * F.col("x") * wt * F.lit(1e12) + F.lit(0.5))
+                            .cast("long").alias("g"))
+                        .groupBy("j").agg(F.sum("g").alias("gm"))
+                        .unionByName(
+                            labels.agg(F.count(F.lit(1)).alias("gm"))
+                            .select(F.lit(-1).alias("j"), "gm")))
+            else:
+                wdf = spark.createDataFrame(
+                    [(j, wj) for j, wj in enumerate(w)], "j int, w double")
+                z = (feats.join(F.broadcast(wdf), "j")
+                     .select(id_col,
+                             F.floor(F.col("w") * F.col("x") * F.lit(1e15)
+                                     + F.lit(0.5)).cast("long").alias("zt"))
+                     .groupBy(id_col).agg(F.sum("zt").alias("zm")))
+                p = (z.select(id_col,
+                              (F.col("zm").cast("double") / F.lit(1e15))
+                              .alias("zv"))
+                     .select(id_col,
+                             (F.lit(0.5) + F.lit(0.5) * F.col("zv")
+                              / (F.lit(1.0) + F.abs(F.col("zv"))))
+                             .alias("p")))
+                grad = (feats.join(p, id_col).join(labels, id_col)
+                        .select("j", F.floor(
+                            (F.col("p") - F.col("y").cast("double"))
+                            * F.col("x") * wt * F.lit(1e12) + F.lit(0.5))
+                            .cast("long").alias("g"))
+                        .groupBy("j").agg(F.sum("g").alias("gm")))
             gmap = {r["j"]: r["gm"] for r in grad.collect()}
+            if step == 0:
+                n_docs = gmap.pop(-1)
             w = [wj - ((gmap.get(j, 0) / 1e12) * lr) / n_docs
                  for j, wj in enumerate(w)]
         wdf = spark.createDataFrame(

@@ -1452,9 +1452,14 @@ def graph_stats(edges: DataFrame) -> DataFrame:
                           .alias("n"))
              .agg(F.countDistinct("n").cast("long").alias("n_nodes")))
 
+    # canon's checkpoint is LAZY (r16): its lineage past the eager
+    # dedup blocks is one cheap distinct, so materializing it inside
+    # the caller's single 6-branch action saves a driver action
+    # (~0.3 s local dispatch) without re-running the expensive edge
+    # derivation (that is what dedup's EAGER checkpoint pins).
     canon = (dedup.select(F.least("from_id", "to_id").alias("u"),
                           F.greatest("from_id", "to_id").alias("v"))
-             .distinct().transform(_lc))
+             .distinct().transform(_lc_lazy))
     m_und = canon.agg(F.count(F.lit(1)).cast("long")
                       .alias("m_undirected"))
     tri = (triangle_count(canon.select(

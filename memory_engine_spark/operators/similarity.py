@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from memory_engine_spark.checkpoint import lc as _lc
+from memory_engine_spark.checkpoint import lc_lazy as _lc_lazy
 
 from memory_engine_spark.functions.vector import (cosine_similarity, dot,
                                                   normalize)
@@ -183,12 +184,18 @@ def kmeans_refine(embeddings: DataFrame, centroids: DataFrame,
                         F.struct("dim", "su", "n"))),
                     lambda s: (s["su"].cast("double") / F.lit(float(quant)))
                     / s["n"]).alias("_new")))
+        # LAZY checkpoint (r16, guide §1.2): truncates lineage against
+        # the 2-consumers-per-round plan doubling exactly like the
+        # eager one, but the nlist-row blocks materialize inside the
+        # CALLER's action instead of costing one driver action per
+        # round (~0.3 s dispatch floor each on local mode). Values are
+        # BIGINT-quantized sums — recompute/partitioning independent.
         centroids = (centroids
                      .select("cell", F.col("centroid").alias("_old"))
                      .join(newc, "cell", "left")
                      .select("cell",
                              F.coalesce("_new", "_old").alias("centroid"))
-                     ).transform(_lc)
+                     ).transform(_lc_lazy)
     return centroids, _assign(embeddings, centroids, id_col, vec_col)
 
 
