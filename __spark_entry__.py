@@ -2940,9 +2940,19 @@ def q123_stream_tumbling(spark, sf):
            .agg(F.count(F.lit(1)).alias("n")))
     _Q123_SEQ[0] += 1
     name = f"q123_sink_{os.getpid()}_{_Q123_SEQ[0]}"
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    # q125's state-store sizing discipline (r16): a stateful agg
+    # materializes one state store per shuffle partition per
+    # micro-batch, so the drain conf-windows the partition count to
+    # the state size (~100 window×type groups), not the scan
+    # parallelism. Counts are partition-independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (spark.table(name)
             .select(F.unix_micros("w.start").alias("ws_us"),
                     "event_type", "n")
@@ -2982,9 +2992,18 @@ def q124_stream_hll(spark, sf):
                                    group_cols=["event_type"], p=8)
     _Q124_SEQ[0] += 1
     name = f"q124_sink_{os.getpid()}_{_Q124_SEQ[0]}"
-    q = (regs.writeStream.outputMode("update").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    # q125's state-store sizing discipline (r16): state here is ≤
+    # 256 registers × |event_type| rows — size the state-store stage
+    # to that, not to the 32-way scan. Register maxes are
+    # partition-independent (and a re-MAX folds the sink anyway).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (regs.writeStream.outputMode("update").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final_regs = (spark.table(name)
                   .groupBy("event_type", "reg")
                   .agg(F.max("max_rank").alias("max_rank")))
@@ -6462,9 +6481,19 @@ def q217_stream_static_enrich(spark, sf):
                 .alias("_v")))
     _Q217_SEQ[0] += 1
     name = f"q217_sink_{os.getpid()}_{_Q217_SEQ[0]}"
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    # q125's state-store sizing discipline (r16): the broadcast join
+    # needs no state, but the complete-mode agg stores one state
+    # store per shuffle partition per batch — size it to the ~25
+    # (segment × type) groups, not the scan. DECIMAL sums are exact,
+    # partition-independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (spark.table(name)
             .select("c_mktsegment", "event_type",
                     F.col("n").cast("long").alias("n"),

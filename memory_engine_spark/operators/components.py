@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from memory_engine_spark.checkpoint import lc as _lc
+from memory_engine_spark.checkpoint import lc_lazy as _lc_lazy
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -36,11 +37,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                      F.col("from_id").alias("to_id"))).distinct().persist()
     labels = (sym.groupBy(F.col("from_id").alias("node_id"))
               .agg(F.least(F.min("to_id"), F.first("from_id")).alias("component"))
-              .transform(_lc))
+              .transform(_lc_lazy))
 
     def signature(lbl) -> int:
         # order-independent fingerprint of the full labeling — one cheap
-        # aggregate per round instead of a join + isEmpty convergence check
+        # aggregate per round instead of a join + isEmpty convergence
+        # check. This collect is also what MATERIALIZES the round's
+        # LAZY label checkpoint (r16, guide §1.2): the eager
+        # per-round checkpoint action was redundant with it — the
+        # blocks land during this aggregate, the next round's joins
+        # read them, and the action count per round drops 2 → 1.
         return lbl.agg(
             F.sum(F.xxhash64("node_id", "component").cast("decimal(38,0)"))
             .alias("s")).first()["s"]
@@ -66,7 +72,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                             F.least(F.col("component"),
                                     F.coalesce(F.col("_cc"), F.col("component")))
                             .alias("component")))
-        labels = prop.transform(_lc)
+        labels = prop.transform(_lc_lazy)
         sig = signature(labels)
         if sig == prev_sig:
             break

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from memory_engine_spark.checkpoint import lc as _lc
+from memory_engine_spark.checkpoint import lc_lazy as _lc_lazy
 
 HASH_BUCKETS = 10_000
 
@@ -570,9 +571,16 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
              .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
              .orderBy(F.col("freq").desc(), F.col("word").asc())
              .limit(top_words))
+    # LAZY checkpoints throughout (r16, guide §1.2): each round's w is
+    # consumed by exactly one argmax collect (plus the next round's
+    # narrow map, which reads the blocks that collect materialized),
+    # so the eager per-round checkpoint action is pure dispatch floor
+    # — folding it into the collect halves the round's action count,
+    # and the LAST round's w (never read again) no longer
+    # materializes at all. Lineage truncation is identical.
     w = words.select(
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("w"),
-        "freq").transform(_lc)
+        "freq").transform(_lc_lazy)
 
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, n_merges + 1):
@@ -601,7 +609,7 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
             F.trim(F.regexp_replace(merged, " +", " ")).alias("w"), "freq")
         # checkpoint each round: the next argmax re-evaluates w, and
         # 10 rounds of nested replace() otherwise recompute from scratch
-        w = w.transform(_lc)
+        w = w.transform(_lc_lazy)
     return merges
 
 
