@@ -15,8 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from memory_engine_spark.operators import (
-    corpus, dedup, discovery, graph, ingestion, qa, quality, similarity,
-    synthesis, text,
+    corpus, dedup, discovery, graph, ingestion, multimodal, qa, quality,
+    similarity, synthesis, text,
 )
 from memory_engine_spark.operators.aggregates import (
     group_count, iqr_outliers, monthly_counts,
@@ -4241,8 +4241,8 @@ def q155_audio_features(spark, sf):
                     multimodal.synth_wav_pcm16(s, sample_rate=8000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    feats = multimodal.audio_energy_features(media, n_windows=8)
+    feats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.audio_energy_features, n_windows=8)
     return (feats.select(
         "media_id", "sample_rate", "duration_s", "n_samples",
         *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
@@ -4287,8 +4287,8 @@ def q156_png_pixels(spark, sf):
                     px, row_filters=[(d + rr) % 5 for rr in range(h)]))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    stats = multimodal.png_pixel_stats(media)
+    stats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.png_pixel_stats)
     return (stats.select(
         "media_id", "width", "height", "channels",
         *[F.col("csum")[i].alias(f"s{i}") for i in range(3)],
@@ -4355,8 +4355,8 @@ def q159_g711_audio(spark, sf):
                     multimodal.synth_wav_g711(s, law=law, sample_rate=8000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    feats = multimodal.audio_energy_features(media, n_windows=8)
+    feats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.audio_energy_features, n_windows=8)
     return (feats.select(
         "media_id", "audio_fmt", "sample_rate", "n_samples",
         *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
@@ -4408,8 +4408,6 @@ def q162_jpeg_pixels(spark, sf):
                 payloads.append(multimodal.synth_jpeg_gray(blocks, 16, 16))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-
     def stats(batches):
         import numpy as np
         import pandas as pd
@@ -4429,8 +4427,9 @@ def q162_jpeg_pixels(spark, sf):
             yield pd.DataFrame(
                 rows, columns=["media_id", "bx", "by", "psum", "psqsum"])
 
-    return (media.mapInPandas(
-        stats, "media_id string, bx int, by int, psum long, psqsum long")
+    return (docs.select("doc_id").mapInPandas(
+        lambda it: stats(synth(it)),
+        "media_id string, bx int, by int, psum long, psqsum long")
         .orderBy("media_id", "by", "bx"))
 
 
@@ -4477,8 +4476,6 @@ def q163_jpeg_color(spark, sf):
                 payloads.append(multimodal.synth_jpeg_color(comps, 16, 16))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-
     def stats(batches):
         import numpy as np
         import pandas as pd
@@ -4500,9 +4497,10 @@ def q163_jpeg_color(spark, sf):
             yield pd.DataFrame(rows, columns=[
                 "media_id", "bx", "by", "rsum", "gsum", "bsum", "sqsum"])
 
-    return (media.mapInPandas(
-        stats, "media_id string, bx int, by int, rsum long, gsum long, "
-               "bsum long, sqsum long")
+    return (docs.select("doc_id").mapInPandas(
+        lambda it: stats(synth(it)),
+        "media_id string, bx int, by int, rsum long, gsum long, "
+        "bsum long, sqsum long")
         .orderBy("media_id", "by", "bx"))
 
 
@@ -4551,8 +4549,6 @@ def q164_jpeg_420(spark, sf):
                     multimodal.synth_jpeg_420(yb, cbb, crb, 32, 16))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-
     def stats(batches):
         import numpy as np
         import pandas as pd
@@ -4574,9 +4570,10 @@ def q164_jpeg_420(spark, sf):
             yield pd.DataFrame(rows, columns=[
                 "media_id", "bx", "by", "rsum", "gsum", "bsum", "sqsum"])
 
-    return (media.mapInPandas(
-        stats, "media_id string, bx int, by int, rsum long, gsum long, "
-               "bsum long, sqsum long")
+    return (docs.select("doc_id").mapInPandas(
+        lambda it: stats(synth(it)),
+        "media_id string, bx int, by int, rsum long, gsum long, "
+        "bsum long, sqsum long")
         .orderBy("media_id", "by", "bx"))
 
 
@@ -4614,8 +4611,8 @@ def q161_ima_adpcm_audio(spark, sf):
                     multimodal.synth_wav_ima(s, sample_rate=8000))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    feats = multimodal.audio_energy_features(media, n_windows=8)
+    feats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.audio_energy_features, n_windows=8)
     return (feats.select(
         "media_id", "audio_fmt", "sample_rate", "n_samples",
         *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
@@ -4660,9 +4657,9 @@ def q160_avi_frame_sample(spark, sf):
                 payloads.append(multimodal.synth_avi(px, fps=4))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return (multimodal.avi_frame_stats(media, every_s=0.5)
-            .orderBy("media_id", "frame_idx"))
+    return (multimodal.fuse_synth_stage(
+        docs, synth, multimodal.avi_frame_stats, every_s=0.5)
+        .orderBy("media_id", "frame_idx"))
 
 
 def q165_mp4_frame_sample(spark, sf):
@@ -4706,9 +4703,9 @@ def q165_mp4_frame_sample(spark, sf):
                 payloads.append(multimodal.synth_mp4(px, fps=5))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return (multimodal.mp4_frame_stats(media, every_s=0.4)
-            .orderBy("media_id", "frame_idx"))
+    return (multimodal.fuse_synth_stage(
+        docs, synth, multimodal.mp4_frame_stats, every_s=0.4)
+        .orderBy("media_id", "frame_idx"))
 
 
 def q166_flac_audio(spark, sf):
@@ -4759,8 +4756,8 @@ def q166_flac_audio(spark, sf):
                     multimodal.synth_flac(s, subframe_plan=plan))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    feats = multimodal.flac_audio_features(media, n_windows=8)
+    feats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.flac_audio_features, n_windows=8)
     return (feats.select(
         "media_id", "sample_rate", "duration_s", "n_samples",
         *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
@@ -4800,8 +4797,8 @@ def q167_flac_stereo(spark, sf):
                 payloads.append(multimodal.synth_flac_stereo(lft, rgt))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    feats = multimodal.flac_audio_features(media, n_windows=4)
+    feats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.flac_audio_features, n_windows=4)
     return (feats.select(
         "media_id", "sample_rate", "n_channels", "n_samples",
         *[F.col("energy")[i].alias(f"e{i}") for i in range(8)])
@@ -6542,8 +6539,7 @@ def q216_lz4_frames(spark, sf):
                 payloads.append(bytes(frame))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return (lz4_frame_blocks(media)
+    return (multimodal.fuse_synth_stage(docs, synth, lz4_frame_blocks)
             .orderBy("media_id", "block_idx"))
 
 
@@ -6602,8 +6598,8 @@ def q210_ogg_packets(spark, sf):
                     corrupt=corrupt))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return (multimodal.ogg_packets(media)
+    return (multimodal.fuse_synth_stage(docs, synth,
+                                        multimodal.ogg_packets)
             .orderBy("media_id", "packet_idx"))
 
 
@@ -6665,8 +6661,8 @@ def q224_mkv_blocks(spark, sf):
                     clusters, corrupt=corrupt))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return (multimodal.mkv_blocks(media)
+    return (multimodal.fuse_synth_stage(docs, synth,
+                                        multimodal.mkv_blocks)
             .orderBy("media_id", "cluster_idx", "block_idx"))
 
 
@@ -7435,8 +7431,7 @@ def q185_avro_container(spark, sf):
                     recs, block_size=2, deflate=(d % 3 == 0)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return avro_pair_entries(media).orderBy("media_id", "rec_idx")
+    return multimodal.fuse_synth_stage(docs, synth, avro_pair_entries).orderBy("media_id", "rec_idx")
 
 
 def q184_parquet_footer(spark, sf):
@@ -7533,8 +7528,7 @@ def q183_tfrecord_entries(spark, sf):
                 payloads.append(synth_tfrecord(recs))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return tfrecord_entries(media).orderBy("media_id", "rec_idx")
+    return multimodal.fuse_synth_stage(docs, synth, tfrecord_entries).orderBy("media_id", "rec_idx")
 
 
 def q182_zip_entries(spark, sf):
@@ -7575,8 +7569,7 @@ def q182_zip_entries(spark, sf):
                 payloads.append(synth_zip(entries, deflate_every=2))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return zip_entries(media).orderBy("media_id", "entry_idx")
+    return multimodal.fuse_synth_stage(docs, synth, zip_entries).orderBy("media_id", "entry_idx")
 
 
 def q181_tar_entries(spark, sf):
@@ -7617,8 +7610,7 @@ def q181_tar_entries(spark, sf):
                 payloads.append(synth_tar(entries))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return tar_entries(media).orderBy("media_id", "entry_idx")
+    return multimodal.fuse_synth_stage(docs, synth, tar_entries).orderBy("media_id", "entry_idx")
 
 
 def q180_bleu_eval(spark, sf):
@@ -7680,8 +7672,8 @@ def q179_tiff_pixels(spark, sf):
                     packbits=(d % 3 == 0)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    stats = multimodal.image_pixel_stats(media)
+    stats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.image_pixel_stats)
     return (stats.select(
         "media_id", "width", "height", "channels",
         *[F.col("csum")[i].alias(f"s{i}") for i in range(3)],
@@ -7781,8 +7773,7 @@ def q176_pdf_text(spark, sf):
                 payloads.append(synth_pdf(pages))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return pdf_texts(media).orderBy("media_id", "page_idx")
+    return multimodal.fuse_synth_stage(docs, synth, pdf_texts).orderBy("media_id", "page_idx")
 
 
 def q175_sitemap_parse(spark, sf):
@@ -7879,8 +7870,7 @@ def q174_charset_decode(spark, sf):
                 payloads.append(b)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return decode_text_payloads(media).orderBy("media_id")
+    return multimodal.fuse_synth_stage(docs, synth, decode_text_payloads).orderBy("media_id")
 
 
 def q173_gzip_members(spark, sf):
@@ -7920,8 +7910,7 @@ def q173_gzip_members(spark, sf):
                 payloads.append(blob)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return gzip_members(media).orderBy("media_id", "member_idx")
+    return multimodal.fuse_synth_stage(docs, synth, gzip_members).orderBy("media_id", "member_idx")
 
 
 def q172_robots_gate(spark, sf):
@@ -8056,8 +8045,7 @@ def q170_warc_parse(spark, sf):
                      "block": http}]))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    return warc_records(media).orderBy("media_id", "rec_idx")
+    return multimodal.fuse_synth_stage(docs, synth, warc_records).orderBy("media_id", "rec_idx")
 
 
 def q168_ivf_append_probe(spark, sf):
@@ -8135,8 +8123,8 @@ def q157_bmp_gif_pixels(spark, sf):
                 payloads.append(multimodal.synth_gif(idx, pal))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id string, payload binary")
-    stats = multimodal.image_pixel_stats(media)
+    stats = multimodal.fuse_synth_stage(
+        docs, synth, multimodal.image_pixel_stats)
     return (stats.select(
         "media_id", "width", "height", "channels",
         *[F.col("csum")[i].alias(f"s{i}") for i in range(3)],

@@ -981,45 +981,63 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
     (epsilon-free: pairs with any zero precision get bleu 0, the
     uns-moothed original). All counts are exact integers; only the
     final bleu does float math (ln/exp, emitted rounded to 6dp —
-    same both engines at this precision). Relational shape: one
-    n-gram explode per side per n, groupBy counts, an inner join on
-    (id, gram) for clipping — no windows, no Python."""
+    same both engines at this precision).
+
+    Relational shape (r16, the chrf_report long form): ONE word-gram
+    explode per side covering all orders n = 1..max_n as (n, gram)
+    structs — instead of the original per-n loop (2·max_n explode
+    scans + 3·max_n id-keyed left joins = 8 scans, 12 shuffles at
+    max_n=4) — one clip join on (id, n, gram), one conditional-sum
+    pivot back to the clip columns. The per-n candidate TOTALS never
+    need the gram census at all: the n-gram count of a token list is
+    the length formula max(cand_len−n+1, 0). Same exact integer
+    components; the BLEU float expression is unchanged."""
+    from memory_engine_spark.operators.dedup import _spread
+
     toks_c = F.split(F.col(cand_col), " ")
     toks_r = F.split(F.col(ref_col), " ")
-    base = pairs.select(
+    # _spread: the explode feeders otherwise run on the single-file
+    # corpus scan's one task.
+    base = _spread(pairs.select(
         id_col, toks_c.alias("_tc"), toks_r.alias("_tr"),
         F.size(toks_c).cast("long").alias("cand_len"),
-        F.size(toks_r).cast("long").alias("ref_len"))
+        F.size(toks_r).cast("long").alias("ref_len")))
 
-    def grams(tok_col, n):
-        # sequence(0, -1) DESCENDS in Spark — guard short inputs
-        return F.when(
-            F.size(tok_col) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok_col) - n),
-                lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)))
-        ).otherwise(F.array().cast("array<string>"))
+    def all_grams(tok_col):
+        t = F.col(tok_col)
+        return F.flatten(F.transform(
+            F.sequence(F.lit(1), F.lit(max_n)),
+            lambda n: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.struct(
+                        n.cast("int").alias("n"),
+                        F.concat_ws(" ", F.slice(t, i + 1, n))
+                        .alias("g")))
+            ).otherwise(
+                F.array().cast("array<struct<n:int,g:string>>"))))
 
-    out = base.select(id_col, "cand_len", "ref_len")
+    cg = (base.select(id_col, F.explode(all_grams("_tc")).alias("x"))
+          .groupBy(id_col, "x.n", "x.g")
+          .agg(F.count("*").alias("nc")))
+    rg = (base.select(id_col, F.explode(all_grams("_tr")).alias("x"))
+          .groupBy(id_col, "x.n", "x.g")
+          .agg(F.count("*").alias("nr")))
+    clipn = (cg.join(rg, [id_col, "n", "g"])
+             .groupBy(id_col, "n")
+             .agg(F.sum(F.least("nc", "nr")).alias("_m")))
+    m_aggs = [F.sum(F.when(F.col("n") == n, F.col("_m")))
+              .alias(f"clip{n}") for n in range(1, max_n + 1)]
+    tot_cols = [F.greatest(F.col("cand_len") - (n - 1), F.lit(0))
+                .cast("long").alias(f"tot{n}")
+                for n in range(1, max_n + 1)]
+    out = (base.select(id_col, "cand_len", "ref_len", *tot_cols)
+           .join(clipn.groupBy(id_col).agg(*m_aggs), id_col, "left"))
     for n in range(1, max_n + 1):
-        cg = (base.select(id_col, F.explode(grams(F.col("_tc"), n))
-                          .alias("g"))
-              .groupBy(id_col, "g").agg(F.count("*").alias("nc")))
-        rg = (base.select(id_col, F.explode(grams(F.col("_tr"), n))
-                          .alias("g"))
-              .groupBy(id_col, "g").agg(F.count("*").alias("nr")))
-        clip = (cg.join(rg, [id_col, "g"])
-                .groupBy(id_col)
-                .agg(F.sum(F.least("nc", "nr")).alias(f"clip{n}")))
-        tot = (cg.groupBy(id_col)
-               .agg(F.sum("nc").alias(f"tot{n}")))
-        out = (out.join(clip, id_col, "left").join(tot, id_col, "left")
-               .withColumn(f"clip{n}",
-                           F.coalesce(F.col(f"clip{n}"), F.lit(0))
-                           .cast("long"))
-               .withColumn(f"tot{n}",
-                           F.coalesce(F.col(f"tot{n}"), F.lit(0))
-                           .cast("long")))
+        out = out.withColumn(
+            f"clip{n}",
+            F.coalesce(F.col(f"clip{n}"), F.lit(0)).cast("long"))
     logsum = None
     any_zero = F.lit(False)
     for n in range(1, max_n + 1):
@@ -1058,40 +1076,62 @@ def rouge_report(pairs: DataFrame, cand_col: str = "cand",
     counts + an inner join on (id, gram) per n, all JVM-side, no
     Python, no windows). Scale posture: each join key is (id, gram)
     — cardinality bounded by tokens per doc, perfectly partitioned,
-    map-side combinable; nothing is quadratic in corpus size."""
+    map-side combinable; nothing is quadratic in corpus size.
+
+    r16: the chrf_report long form — ONE word-gram explode per side
+    covering all orders as (n, gram) structs, one clip join on
+    (id, n, gram), one conditional-sum pivot; both totals are the
+    length formula max(len−n+1, 0) (no gram census needed). Same
+    exact integer components, same float expressions."""
+    from memory_engine_spark.operators.dedup import _spread
+
     toks_c = F.split(F.col(cand_col), " ")
     toks_r = F.split(F.col(ref_col), " ")
-    base = pairs.select(
-        id_col, toks_c.alias("_tc"), toks_r.alias("_tr"))
+    base = _spread(pairs.select(
+        id_col, toks_c.alias("_tc"), toks_r.alias("_tr"),
+        F.size(toks_c).cast("long").alias("_lc"),
+        F.size(toks_r).cast("long").alias("_lr")))
 
-    def grams(tok_col, n):
-        # sequence(0, -1) DESCENDS in Spark — guard short inputs
-        return F.when(
-            F.size(tok_col) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tok_col) - n),
-                lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)))
-        ).otherwise(F.array().cast("array<string>"))
+    def all_grams(tok_col):
+        t = F.col(tok_col)
+        return F.flatten(F.transform(
+            F.sequence(F.lit(1), F.lit(max_n)),
+            lambda n: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.struct(
+                        n.cast("int").alias("n"),
+                        F.concat_ws(" ", F.slice(t, i + 1, n))
+                        .alias("g")))
+            ).otherwise(
+                F.array().cast("array<struct<n:int,g:string>>"))))
 
-    out = base.select(id_col)
+    cg = (base.select(id_col, F.explode(all_grams("_tc")).alias("x"))
+          .groupBy(id_col, "x.n", "x.g")
+          .agg(F.count("*").alias("nc")))
+    rg = (base.select(id_col, F.explode(all_grams("_tr")).alias("x"))
+          .groupBy(id_col, "x.n", "x.g")
+          .agg(F.count("*").alias("nr")))
+    clipn = (cg.join(rg, [id_col, "n", "g"])
+             .groupBy(id_col, "n")
+             .agg(F.sum(F.least("nc", "nr")).alias("_m")))
+    m_aggs = [F.sum(F.when(F.col("n") == n, F.col("_m")))
+              .alias(f"m{n}") for n in range(1, max_n + 1)]
+    tot_cols = []
     for n in range(1, max_n + 1):
-        cg = (base.select(id_col, F.explode(grams(F.col("_tc"), n))
-                          .alias("g"))
-              .groupBy(id_col, "g").agg(F.count("*").alias("nc")))
-        rg = (base.select(id_col, F.explode(grams(F.col("_tr"), n))
-                          .alias("g"))
-              .groupBy(id_col, "g").agg(F.count("*").alias("nr")))
-        clip = (cg.join(rg, [id_col, "g"])
-                .groupBy(id_col)
-                .agg(F.sum(F.least("nc", "nr")).alias(f"m{n}")))
-        totc = cg.groupBy(id_col).agg(F.sum("nc").alias(f"tc{n}"))
-        totr = rg.groupBy(id_col).agg(F.sum("nr").alias(f"tr{n}"))
-        out = out.join(clip, id_col, "left") \
-                 .join(totc, id_col, "left") \
-                 .join(totr, id_col, "left")
-        for c in (f"m{n}", f"tc{n}", f"tr{n}"):
-            out = out.withColumn(
-                c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+        tot_cols.append(
+            F.greatest(F.col("_lc") - (n - 1), F.lit(0))
+            .cast("long").alias(f"tc{n}"))
+        tot_cols.append(
+            F.greatest(F.col("_lr") - (n - 1), F.lit(0))
+            .cast("long").alias(f"tr{n}"))
+    out = (base.select(id_col, *tot_cols)
+           .join(clipn.groupBy(id_col).agg(*m_aggs), id_col, "left"))
+    for n in range(1, max_n + 1):
+        out = out.withColumn(
+            f"m{n}",
+            F.coalesce(F.col(f"m{n}"), F.lit(0)).cast("long"))
     cols = [F.col(id_col)]
     for n in range(1, max_n + 1):
         m, tc, tr = (F.col(f"m{n}"), F.col(f"tc{n}"), F.col(f"tr{n}"))

@@ -38,6 +38,40 @@ MEDIA_SCHEMA = ("media_id string, kind string, payload binary, "
                 "mime string, width int, height int, duration_s double")
 
 
+def _stage(df, gen, out_schema: str, id_col: str,
+           payload_col: str):
+    """Tail of every (id, payload) → facts decode wrapper. With a
+    DataFrame it is the original one-``mapInPandas``-stage shape;
+    with ``df=None`` it EXPOSES the per-batch generator and its
+    output schema so ``fuse_synth_stage`` can compose it with a
+    payload synthesizer into a single Python stage."""
+    if df is None:
+        return gen, out_schema
+    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+
+
+def fuse_synth_stage(docs: DataFrame, synth, stage_fn,
+                     **stage_kw) -> DataFrame:
+    """Compose a payload-synthesizing ``Iterator[pdf] → Iterator[pdf]``
+    generator with a decode/stats wrapper into ONE Arrow
+    ``mapInPandas`` stage. Two chained ``mapInPandas`` stages each pay
+    a full JVM↔Python Arrow round trip of every payload byte between
+    them (guide §4.1); because both stages are plain batch-iterator
+    transforms, ``stats_gen(synth(batches))`` is the SAME computation
+    with the intermediate (id, payload) frame never serialized to the
+    JVM at all. Results are bit-identical: the composed generators run
+    unchanged, only the boundary crossing disappears. ``docs`` must
+    already be projected to the columns ``synth`` reads (callers pass
+    purpose-built narrow frames — guide §4.2's explicit-select rule
+    applies at the call site, exactly as it did pre-fusion)."""
+    gen, out_schema = stage_fn(None, **stage_kw)
+
+    def fused(batches):
+        return gen(synth(batches))
+
+    return docs.mapInPandas(fused, out_schema)
+
+
 def fake_decode_image(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for an image decoder: derives a tiny
     'pixel' array from the payload hash. Real impl: PIL/libvips —
@@ -592,7 +626,7 @@ def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, width int, height int, "
                   "channels int, csum array<long>, csqsum array<long>")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # q156 and its tests predate the BMP/GIF decoders; same stage.
@@ -1498,7 +1532,7 @@ def audio_energy_features(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, audio_fmt int, sample_rate int, "
                   "duration_s double, n_samples long, energy array<double>")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -2045,7 +2079,7 @@ def flac_audio_features(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, sample_rate int, "
                   "n_channels int, duration_s double, "
                   "n_samples long, energy array<double>")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -2260,7 +2294,7 @@ def avi_frame_stats(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, n_frames int, fps int, width int, "
                   "height int, frame_idx int, ts_ms long, psum long, "
                   "psqsum long")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -2547,7 +2581,7 @@ def mp4_frame_stats(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, n_frames int, fps int, width int, "
                   "height int, frame_idx int, ts_ms long, psum long, "
                   "psqsum long")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -2753,7 +2787,7 @@ def ogg_packets(df: DataFrame, payload_col: str = "payload",
                   "n_bytes long, pages_spanned int, bos boolean, "
                   "eos boolean, granule long, crc_ok boolean, "
                   "sample_rate int, channels int, content_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -3104,7 +3138,7 @@ def mkv_blocks(df: DataFrame, payload_col: str = "payload",
                   "block_idx int, track int, ts_ms long, "
                   "keyframe boolean, lacing string, n_frames int, "
                   "n_bytes long, frames_md5 string, crc_ok boolean")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 def decode_features(df: DataFrame, kind_col: str = "kind",
@@ -3519,7 +3553,7 @@ def probe_media_headers(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, format string, mime string, "
                   "width int, height int, sample_rate int, "
                   "duration_s double, n_bytes long")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from memory_engine_spark.operators.multimodal import _stage
+
 _EXT = {
     ".parquet": "parquet", ".orc": "orc", ".jsonl": "json", ".json": "json",
     ".ndjson": "json", ".csv": "csv", ".avro": "avro", ".txt": "text",
@@ -237,7 +239,7 @@ def warc_records(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, rec_idx int, warc_type string, "
                   "uri string, http_status int, content_type string, "
                   "body_len long, body_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 def split_gzip_members(payload: bytes) -> list[bytes]:
@@ -292,7 +294,7 @@ def gzip_members(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, member_idx int, n_bytes long, "
                   "body_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 def sniff_text_encoding(b: bytes) -> str:
@@ -347,7 +349,7 @@ def decode_text_payloads(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, charset string, n_chars long, "
                   "text_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -568,7 +570,7 @@ def pdf_texts(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, page_idx int, n_chars long, "
                   "text_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -726,7 +728,7 @@ def tar_entries(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, entry_idx int, name string, "
                   "n_bytes long, body_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -867,7 +869,7 @@ def zip_entries(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, entry_idx int, name string, "
                   "method int, n_bytes long, body_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -965,7 +967,7 @@ def tfrecord_entries(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, rec_idx int, n_bytes long, "
                   "body_md5 string")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 # ---------------------------------------------------------------------------
@@ -1365,7 +1367,7 @@ def avro_pair_entries(df: DataFrame, payload_col: str = "payload",
 
     out_schema = (f"{id_col} string, rec_idx int, pair_id long, "
                   "text_md5 string, codec string, n_blocks int")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)
 
 
 def delta_log_snapshot(actions: DataFrame, line_col: str = "line",
@@ -2565,4 +2567,4 @@ def lz4_frame_blocks(df: "DataFrame", payload_col: str = "payload",
     out_schema = (f"{id_col} string, block_idx int, stored boolean, "
                   "stored_bytes long, block_bytes long, "
                   "block_md5 string, content_ok boolean")
-    return df.select(id_col, payload_col).mapInPandas(gen, out_schema)
+    return _stage(df, gen, out_schema, id_col, payload_col)

@@ -2207,3 +2207,58 @@ def test_mkv_unknown_cluster_child_raises_not_skips(spark):
     mut[pos] = 0xA2
     with _pytest.raises(Exception, match="unsupported Cluster child"):
         run(bytes(mut))
+
+
+def test_fuse_synth_stage_matches_two_stage(spark):
+    """r16 fusion: composing a payload synthesizer with a decode
+    wrapper via fuse_synth_stage must produce EXACTLY the rows of the
+    original two-mapInPandas-stage pipeline (the fusion removes the
+    JVM round trip of the payload bytes, nothing else). Covers a
+    parameterless wrapper (image_pixel_stats) and a parameterized one
+    (audio_energy_features with n_windows)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = spark.createDataFrame([(d,) for d in range(6)],
+                                 "doc_id long")
+
+    def synth_img(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = (np.arange(4 * 5 * 3, dtype=np.int64)
+                      .reshape(4, 5, 3) * (d + 1) % 256).astype(np.uint8)
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_png(
+                    px, row_filters=[(d + r) % 5 for r in range(4)]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    two_stage = multimodal.image_pixel_stats(
+        docs.mapInPandas(synth_img, "media_id string, payload binary"))
+    fused = multimodal.fuse_synth_stage(
+        docs, synth_img, multimodal.image_pixel_stats)
+    a = sorted(map(tuple, two_stage.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) == 6
+
+    def synth_wav(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = [((d * 13 + i * 7) % 2048 - 1024)
+                     for i in range(160)]
+                ids.append(f"m_{d}")
+                payloads.append(multimodal.synth_wav_pcm16(
+                    s, sample_rate=8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    two_stage = multimodal.audio_energy_features(
+        docs.mapInPandas(synth_wav, "media_id string, payload binary"),
+        n_windows=4)
+    fused = multimodal.fuse_synth_stage(
+        docs, synth_wav, multimodal.audio_energy_features, n_windows=4)
+    a = sorted(map(tuple, two_stage.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) == 6
