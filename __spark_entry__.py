@@ -3083,12 +3083,26 @@ def _q125_drain(spark, sf, click_type: str, view_type: str,
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(state_partitions))
+    # r16: skip the trailing NO-DATA micro-batch. For this INNER join
+    # with a watermark far beyond the dataset's span, that batch only
+    # advances the watermark for state eviction and can emit nothing,
+    # but it pays a full micro-batch lifecycle (planning + 2×8 state
+    # store loads + commit) — measured min 3.06 → 2.72 s on the same
+    # host window. q236 (left outer) MUST keep it: its sentinel-driven
+    # no-data batch is what flushes the pending outer rows.
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   "false")
     try:
         q = (joined.writeStream.outputMode("append").format("memory")
              .queryName(name).trigger(availableNow=True).start())
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+            prev_ndmb)
     return (spark.table(name)
             .select("user_id",
                     F.unix_micros("ts").alias("click_us"),
