@@ -3699,7 +3699,6 @@ def q141_synthesis_modes(spark, sf):
     s.register("nodes", nodes)
     s.register("edges", edges)
     eng = MemoryEngine(s)
-    rows = []
     # The modes NEST (fast ⊂ balanced ⊂ comprehensive) and synthesize
     # returns the SAME lazy plan for a given insight in every mode, so
     # count each insight once and reuse — 6 materializations → 3
@@ -3708,13 +3707,29 @@ def q141_synthesis_modes(spark, sf):
     # mode; the r9 negative (pinning the discovery JOIN hurt via
     # blocked AQE) is untouched — this memoizes final counts, not
     # inputs.
-    counts: dict[str, int] = {}
+    mode_insights: dict[str, list[str]] = {}
+    pending: dict[str, DataFrame] = {}
     for mode in ("fast", "balanced", "comprehensive"):
         out = eng.synthesize(mode, text_col="content", id_col="node_id")
-        for insight, df in sorted(out.items()):
-            if insight not in counts:
-                counts[insight] = df.count()
-            rows.append((mode, insight, counts[insight]))
+        mode_insights[mode] = sorted(out)
+        for insight, df in out.items():
+            pending.setdefault(insight, df)
+    # ONE action for every distinct insight count (r16): the r10
+    # memoization already cut 6 materializations to 3, but each count
+    # was still its own driver action × the local dispatch floor. A
+    # union of one-row count aggregates collects all three in a
+    # single job; count(lit(1)) over the same lazy plan is the same
+    # number df.count() returned.
+    agg = None
+    for insight in sorted(pending):
+        one = (pending[insight]
+               .agg(F.count(F.lit(1)).cast("long").alias("n"))
+               .select(F.lit(insight).alias("k"), "n"))
+        agg = one if agg is None else agg.unionAll(one)
+    counts = {r["k"]: int(r["n"]) for r in agg.collect()}
+    rows = [(mode, insight, counts[insight])
+            for mode in ("fast", "balanced", "comprehensive")
+            for insight in mode_insights[mode]]
     return (spark.createDataFrame(
         rows, "mode string, insight string, n bigint")
         .orderBy("mode", "insight"))
