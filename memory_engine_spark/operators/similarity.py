@@ -448,6 +448,13 @@ def graph_beam_search(knn_graph: DataFrame, embeddings: DataFrame,
     entries = spark.createDataFrame(
         [(x,) for x in entry_ids],
         f"_nid {'string' if isinstance(entry_ids[0], str) else 'long'}")
+    # Per-round checkpoints stay EAGER. The batch-3 lazy pattern was
+    # A/B'd here in r16 and REGRESSED 3× (q114 min 1.39 → 4.3 s):
+    # every round references the previous beam TWICE (frontier expand
+    # + union) and with no per-round action nothing materializes the
+    # blocks until the final collect, so parallel stages recompute
+    # the un-materialized upstream chain — doubling per round. Eager
+    # materialization is what keeps each round's work linear.
     beam_df = (entries.join(emb, "_nid")
                .orderBy(F.col("sc").desc(), F.col("_nid").asc())
                .limit(beam).transform(_lc))
@@ -644,13 +651,17 @@ def hnsw_search(base_graph: DataFrame, upper_graph: DataFrame,
         F.floor(cosine_similarity(F.col(vec_col).cast("array<double>"), q)
                 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("sc"))
 
-    top_rows = (lv.filter(F.col("level") >= 2).join(emb, "_nid")
-                .orderBy(F.col("sc").desc(), F.col("_nid").asc())
-                .limit(2).collect())
+    # r16: the top-layer picks and the level-1 fallback feed ONE set
+    # union, so they ride one collect (two independent limits inside
+    # a single job) instead of two driver actions.
     l1 = lv.filter(F.col("level") >= 1)
-    fallback = l1.orderBy(F.col("_nid").asc()).limit(1).collect()
-    entries1 = sorted({r["_nid"] for r in top_rows}
-                      | {r["_nid"] for r in fallback})
+    ent_rows = (lv.filter(F.col("level") >= 2).join(emb, "_nid")
+                .orderBy(F.col("sc").desc(), F.col("_nid").asc())
+                .limit(2).select("_nid")
+                .unionAll(l1.orderBy(F.col("_nid").asc()).limit(1)
+                          .select("_nid"))
+                .collect())
+    entries1 = sorted({r["_nid"] for r in ent_rows})
     mid = graph_beam_search(upper_graph, embeddings, query_vec, entries1,
                             beam=upper_beam, n_iter=upper_iter,
                             k=upper_beam, id_col=id_col, vec_col=vec_col)
