@@ -1003,7 +1003,18 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
         F.size(toks_c).cast("long").alias("cand_len"),
         F.size(toks_r).cast("long").alias("ref_len")))
 
-    def all_grams(tok_col):
+    # r17 (guide §2.3/§2.4): the clip join is gone. Both gram censuses
+    # key on the SAME (id, n, gram) and come from the SAME base row,
+    # so ONE explode over the concat of the two side-tagged gram
+    # arrays + one conditional count per side replaces the two
+    # separate censuses AND their inner join: a gram group missing
+    # from one side has nc=0 or nr=0, so least(nc, nr)=0 contributes
+    # exactly what the inner join's dropped row did (integer sums —
+    # no float-order concern). The per-(id, n) intermediate groupBy
+    # also folds into the final per-id conditional sums (integer-sum
+    # associativity). Plan: 2 explode scans + 2 exchanges + 1 join +
+    # 2 agg exchanges → 1 explode scan + 2 exchanges, no join.
+    def all_grams(tok_col, c, r):
         t = F.col(tok_col)
         return F.flatten(F.transform(
             F.sequence(F.lit(1), F.lit(max_n)),
@@ -1014,26 +1025,24 @@ def bleu_report(pairs: DataFrame, cand_col: str = "cand",
                     lambda i: F.struct(
                         n.cast("int").alias("n"),
                         F.concat_ws(" ", F.slice(t, i + 1, n))
-                        .alias("g")))
+                        .alias("g"),
+                        F.lit(c).alias("c"), F.lit(r).alias("r")))
             ).otherwise(
-                F.array().cast("array<struct<n:int,g:string>>"))))
+                F.array().cast(
+                    "array<struct<n:int,g:string,c:int,r:int>>"))))
 
-    cg = (base.select(id_col, F.explode(all_grams("_tc")).alias("x"))
+    gb = (base.select(id_col, F.explode(F.concat(
+              all_grams("_tc", 1, 0),
+              all_grams("_tr", 0, 1))).alias("x"))
           .groupBy(id_col, "x.n", "x.g")
-          .agg(F.count("*").alias("nc")))
-    rg = (base.select(id_col, F.explode(all_grams("_tr")).alias("x"))
-          .groupBy(id_col, "x.n", "x.g")
-          .agg(F.count("*").alias("nr")))
-    clipn = (cg.join(rg, [id_col, "n", "g"])
-             .groupBy(id_col, "n")
-             .agg(F.sum(F.least("nc", "nr")).alias("_m")))
-    m_aggs = [F.sum(F.when(F.col("n") == n, F.col("_m")))
+          .agg(F.sum("x.c").alias("nc"), F.sum("x.r").alias("nr")))
+    m_aggs = [F.sum(F.when(F.col("n") == n, F.least("nc", "nr")))
               .alias(f"clip{n}") for n in range(1, max_n + 1)]
     tot_cols = [F.greatest(F.col("cand_len") - (n - 1), F.lit(0))
                 .cast("long").alias(f"tot{n}")
                 for n in range(1, max_n + 1)]
     out = (base.select(id_col, "cand_len", "ref_len", *tot_cols)
-           .join(clipn.groupBy(id_col).agg(*m_aggs), id_col, "left"))
+           .join(gb.groupBy(id_col).agg(*m_aggs), id_col, "left"))
     for n in range(1, max_n + 1):
         out = out.withColumn(
             f"clip{n}",
@@ -1092,7 +1101,11 @@ def rouge_report(pairs: DataFrame, cand_col: str = "cand",
         F.size(toks_c).cast("long").alias("_lc"),
         F.size(toks_r).cast("long").alias("_lr")))
 
-    def all_grams(tok_col):
+    # r17: clip join removed — one side-tagged explode + conditional
+    # per-side counts; see bleu_report for the equivalence argument
+    # (least(nc, 0) = 0 replays the inner join's dropped rows; all
+    # integer sums).
+    def all_grams(tok_col, c, r):
         t = F.col(tok_col)
         return F.flatten(F.transform(
             F.sequence(F.lit(1), F.lit(max_n)),
@@ -1103,20 +1116,18 @@ def rouge_report(pairs: DataFrame, cand_col: str = "cand",
                     lambda i: F.struct(
                         n.cast("int").alias("n"),
                         F.concat_ws(" ", F.slice(t, i + 1, n))
-                        .alias("g")))
+                        .alias("g"),
+                        F.lit(c).alias("c"), F.lit(r).alias("r")))
             ).otherwise(
-                F.array().cast("array<struct<n:int,g:string>>"))))
+                F.array().cast(
+                    "array<struct<n:int,g:string,c:int,r:int>>"))))
 
-    cg = (base.select(id_col, F.explode(all_grams("_tc")).alias("x"))
+    gb = (base.select(id_col, F.explode(F.concat(
+              all_grams("_tc", 1, 0),
+              all_grams("_tr", 0, 1))).alias("x"))
           .groupBy(id_col, "x.n", "x.g")
-          .agg(F.count("*").alias("nc")))
-    rg = (base.select(id_col, F.explode(all_grams("_tr")).alias("x"))
-          .groupBy(id_col, "x.n", "x.g")
-          .agg(F.count("*").alias("nr")))
-    clipn = (cg.join(rg, [id_col, "n", "g"])
-             .groupBy(id_col, "n")
-             .agg(F.sum(F.least("nc", "nr")).alias("_m")))
-    m_aggs = [F.sum(F.when(F.col("n") == n, F.col("_m")))
+          .agg(F.sum("x.c").alias("nc"), F.sum("x.r").alias("nr")))
+    m_aggs = [F.sum(F.when(F.col("n") == n, F.least("nc", "nr")))
               .alias(f"m{n}") for n in range(1, max_n + 1)]
     tot_cols = []
     for n in range(1, max_n + 1):
@@ -1127,7 +1138,7 @@ def rouge_report(pairs: DataFrame, cand_col: str = "cand",
             F.greatest(F.col("_lr") - (n - 1), F.lit(0))
             .cast("long").alias(f"tr{n}"))
     out = (base.select(id_col, *tot_cols)
-           .join(clipn.groupBy(id_col).agg(*m_aggs), id_col, "left"))
+           .join(gb.groupBy(id_col).agg(*m_aggs), id_col, "left"))
     for n in range(1, max_n + 1):
         out = out.withColumn(
             f"m{n}",
@@ -1184,7 +1195,14 @@ def chrf_report(pairs: DataFrame, cand_col: str = "cand",
     # on (id, n, gram) → one clip join + per-(id, n) totals → one
     # conditional-sum pivot back to the m/tc/tr columns. Same exact
     # integer components, 2 explodes + 3 joins + 1 pivot agg.
-    def all_grams(scol):
+    # The per-n TOTALS never need the gram census at all — the n-gram
+    # count of a string is a length formula, max(L−n+1, 0) — so the
+    # census feeds ONLY the clip computation.
+    # r17: clip join removed — one side-tagged explode + conditional
+    # per-side counts; see bleu_report for the equivalence argument
+    # (least(nc, 0) = 0 replays the inner join's dropped rows; all
+    # integer sums).
+    def all_grams(scol, c, r):
         s = F.col(scol)
         return F.flatten(F.transform(
             F.sequence(F.lit(1), F.lit(max_n)),
@@ -1193,26 +1211,20 @@ def chrf_report(pairs: DataFrame, cand_col: str = "cand",
                 F.transform(
                     F.sequence(F.lit(1), F.length(s) - n + 1),
                     lambda i: F.struct(n.cast("int").alias("n"),
-                                       F.substring(s, i, n).alias("g")))
+                                       F.substring(s, i, n).alias("g"),
+                                       F.lit(c).alias("c"),
+                                       F.lit(r).alias("r")))
             ).otherwise(
-                F.array().cast("array<struct<n:int,g:string>>"))))
+                F.array().cast(
+                    "array<struct<n:int,g:string,c:int,r:int>>"))))
 
-    # The per-n TOTALS never need the gram census at all — the n-gram
-    # count of a string is a length formula, max(L−n+1, 0) — so cg/rg
-    # feed ONLY the clip join (each derived once; the first cut of
-    # this rewrite derived them twice, once for clip and once for
-    # totals, and re-paid both explodes).
-    cg = (base.select(id_col, F.explode(all_grams("_sc")).alias("x"))
+    gb = (base.select(id_col, F.explode(F.concat(
+              all_grams("_sc", 1, 0),
+              all_grams("_sr", 0, 1))).alias("x"))
           .groupBy(id_col, "x.n", "x.g")
-          .agg(F.count("*").alias("nc")))
-    rg = (base.select(id_col, F.explode(all_grams("_sr")).alias("x"))
-          .groupBy(id_col, "x.n", "x.g")
-          .agg(F.count("*").alias("nr")))
-    clipn = (cg.join(rg, [id_col, "n", "g"])
-             .groupBy(id_col, "n")
-             .agg(F.sum(F.least("nc", "nr")).alias("_m")))
-    m_aggs = [F.sum(F.when(F.col("n") == n, F.col("_m"))).alias(f"m{n}")
-              for n in range(1, max_n + 1)]
+          .agg(F.sum("x.c").alias("nc"), F.sum("x.r").alias("nr")))
+    m_aggs = [F.sum(F.when(F.col("n") == n, F.least("nc", "nr")))
+              .alias(f"m{n}") for n in range(1, max_n + 1)]
     tot_cols = []
     for n in range(1, max_n + 1):
         tot_cols.append(
@@ -1222,7 +1234,7 @@ def chrf_report(pairs: DataFrame, cand_col: str = "cand",
             F.greatest(F.length("_sr") - (n - 1), F.lit(0))
             .cast("long").alias(f"tr{n}"))
     out = (base.select(id_col, *tot_cols)
-           .join(clipn.groupBy(id_col).agg(*m_aggs), id_col, "left"))
+           .join(gb.groupBy(id_col).agg(*m_aggs), id_col, "left"))
     for n in range(1, max_n + 1):
         out = out.withColumn(
             f"m{n}",
