@@ -4114,6 +4114,20 @@ def q151_stream_dedup(spark, sf):
     deduped = streaming_dedup(src, key_col="k")
     _Q151_SEQ[0] += 1
     name = f"q151_sink_{os.getpid()}_{_Q151_SEQ[0]}"
+    # State-stage sizing (q123/q124/q125's 8-partition window) was
+    # A/B'd here in r17 WITH the order-insensitivity proof the r16
+    # round required (the pre-dedup projection keeps only
+    # key-determined columns — user_id/event_type are the components
+    # of k — so every row sharing a dedup key is byte-identical and
+    # the per-key "first" is arrival-order/partitioning independent;
+    # oracle --exact stayed green under 8 partitions at both SFs).
+    # MEASURED NEGATIVE and reverted: isolated quiet min-of-5
+    # 1.656 s at 32 partitions → 2.506 s at 8. Unlike the JVM
+    # state-store aggregations in q123/q124, this stage is
+    # applyInPandasWithState — a PYTHON stage whose per-group pandas
+    # work dominates the per-store overhead, so shrinking the stage
+    # caps Python-worker parallelism 32→8. Correct sizing here
+    # follows the scan, not the state.
     q = (deduped.writeStream.outputMode("append").format("memory")
          .queryName(name).trigger(availableNow=True).start())
     q.awaitTermination()
