@@ -569,8 +569,18 @@ def enhancement_plan(nodes: DataFrame, edges: DataFrame,
     """
     # item_id is STRING throughout: node ids and source identifiers
     # share the column, as in the reference (:636)
+    # r17 (guide §1.2/§5): scored feeds TWO branches of the final
+    # single-action plan (the improve_content filter and the
+    # source_reliability join), and content_dimension is the plan's
+    # most expensive leaf (~1.3 s warm per pass at sf0.1) — without a
+    # materialization the action computed it twice. cache()+count()
+    # follows the _materialize_release convention its pair inputs
+    # already use (eager, one compute, CacheManager-dedupable,
+    # LRU-evictable; the narrow (id, score) projection is |nodes|-row
+    # small). One extra ~0.3 s driver action buys back a full pass.
     scored = (content_dimension(nodes, text_col, id_col)
-              .select(id_col, "content_score"))
+              .select(id_col, "content_score").cache())
+    scored.count()
     cs = scored.select(F.col(id_col).cast("string").alias("item_id"),
                        "content_score")
     rec_content = (cs.filter(F.col("content_score") < 0.6)
