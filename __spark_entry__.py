@@ -8423,17 +8423,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Next-stalest for r16: the remaining r11-proven tranche
     # q06–q16 + q51–q60 + q118–q131 + q153–q161 + q243 (45 entries)
     # + whatever the fill left unproven here.
-    r15_priority = (["q206", "q207"]
-                    + [f"q{i}" for i in range(112, 118)]
-                    + [f"q{i}" for i in range(208, 242)]
-                    + ["q99", "q111", "q242"]
-                    + ["q01", "q02", "q03", "q04", "q05"])
+    # r17 front (r16 verdict item 7 — r16 re-ran the r15 set
+    # verbatim, so the rotation is recomputed from the
+    # CORRECTNESS_r01–r16 union): NEVER-driver-proven first (any
+    # q247+ added this round — none), then the full r11-proven
+    # tranche — q05–q16, q51–q60, q118–q131, q153–q161, q243
+    # (46 entries, the stalest on file) — filled to the strict-50
+    # window with the four numerically-first r12-proven entries
+    # q162–q165. Next-stalest for r18: the remaining r12-proven
+    # tranche q166–q175 + whatever this fill leaves.
+    r17_priority = ([f"q{i:02d}" for i in range(5, 17)]
+                    + [f"q{i}" for i in range(51, 61)]
+                    + [f"q{i}" for i in range(118, 132)]
+                    + [f"q{i}" for i in range(153, 162)]
+                    + ["q243"]
+                    + ["q162", "q163", "q164", "q165"])
     new_this_round = [n for n in sorted(out)
                       if n.split("_")[0].lstrip("q").isdigit()
-                      and int(n.split("_")[0].lstrip("q")) >= 246]
+                      and int(n.split("_")[0].lstrip("q")) >= 247]
     by_num = {n.split("_")[0]: n for n in out}
     front = (new_this_round
-             + [by_num[p] for p in r15_priority if p in by_num])[:50]
+             + [by_num[p] for p in r17_priority if p in by_num])[:50]
     rotated: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         n: out[n] for n in front}
     for n, fn in out.items():
